@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.ops.{CleanOps, Num, NumSql, ReconcileOps, TimeSeriesOps => TS}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference operator inventory (SURVEY.md §2) parameterized onto
+  * the driver test tables, one named query per operator, each with a
+  * DuckDB oracle twin. Spark side is pure DataFrame API — every plan
+  * is a scan → narrow projections → (at most) one shuffle per
+  * groupBy/window key, with small dimensions broadcast. */
+object CoreQueries {
+  import EventSeriesSql.{withSeries, withSpop}
+
+  private val fullFrame =
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+
+  /** il_analysis_git.py:52-74 — drop/rename/censor/bool decode/casts/
+    * surrogate id as one narrow projection. */
+  private def cleanCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      (col("user_id") * 10000L + col("event_id") % 100L).as("sid"),
+      to_date(col("ts")).as("date"),
+      when(Num.cents(col("value")) < 1500L, 0L)
+        .otherwise(Num.cents(col("value"))).as("value_c"),
+      when(col("event_type") === "click", 1)
+        .when(col("event_type") === "view", 0)
+        .otherwise(-1).as("flag"),
+      regexp_extract(col("props"), "(\\d+)", 1).cast(IntegerType).as("k")
+    ).orderBy("event_id")
+
+  private val cleanCastSql =
+    s"""SELECT event_id,
+       |  user_id * 10000 + event_id % 100 AS sid,
+       |  CAST(ts AS DATE) AS date,
+       |  CASE WHEN ${NumSql.cents("value")} < 1500 THEN 0 ELSE ${NumSql.cents("value")} END AS value_c,
+       |  CASE WHEN event_type = 'click' THEN 1 WHEN event_type = 'view' THEN 0 ELSE -1 END AS flag,
+       |  CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
+       |FROM events ORDER BY event_id""".stripMargin
+
+  /** il_analysis_git.py:58 — compound-predicate row purge. */
+  private def filterNullCity(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(!(col("user_id") % 7 === 0 && col("event_id") % 10 === 0))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  private val filterNullCitySql =
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE NOT (user_id % 7 = 0 AND event_id % 10 = 0)
+      |ORDER BY event_id""".stripMargin
+
+  /** il_analysis_git.py:84-115 cases 1/2/4 — window-predicate
+    * reconciliation on an orders-derived (city, area) fact. */
+  private def areaReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_custkey").as("city"),
+      (col("o_orderkey") % 4).as("area"))
+    ReconcileOps.reconcileFact(fact)
+      .withColumn("id", CleanOps.surrogateId(col("city"), col("area")))
+      .orderBy("o_orderkey")
+  }
+
+  private val areaReconcileSql =
+    """WITH fact AS (
+      |  SELECT o_orderkey, o_custkey AS city, o_orderkey % 4 AS area FROM orders
+      |), flagged AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN area = 0 THEN 1 ELSE 0 END) OVER (PARTITION BY city) AS hz,
+      |    MAX(CASE WHEN area <> 0 THEN 1 ELSE 0 END) OVER (PARTITION BY city) AS hnz
+      |  FROM fact
+      |), kept AS (
+      |  SELECT o_orderkey, city,
+      |    CASE WHEN hz = 1 AND hnz = 0 AND area = 0 THEN 1 ELSE area END AS area
+      |  FROM flagged
+      |  WHERE NOT (area = 0 AND hz = 1 AND hnz = 1)
+      |)
+      |SELECT o_orderkey, city, area, city * 10000 + area AS id
+      |FROM kept ORDER BY o_orderkey""".stripMargin
+
+  /** il_analysis_git.py:75,:78 — max date without a global sort. */
+  private def maxDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(max(to_date(col("ts"))).as("last_date"))
+
+  private val maxDateSql =
+    "SELECT MAX(CAST(ts AS DATE)) AS last_date FROM events"
+
+  /** il_analysis_git.py:78-82,:156 — time-window filter from
+    * max(date)−14d, computed lazily via a broadcast 1-row cross join
+    * (no driver round-trip). */
+  private def windowFilter(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = EventSeries.daily(spark, dir)
+      .agg(date_sub(max(col("date")), 14).as("cutoff"))
+    EventSeries.series(spark, dir)
+      .crossJoin(broadcast(cutoff))
+      .filter(col("date") >= col("cutoff"))
+      .select(col("id"), col("date"), col("cases"))
+      .orderBy("id", "date")
+  }
+
+  private val windowFilterSql = withSeries(
+    """SELECT id, date, cases FROM series
+      |WHERE date >= (SELECT MAX(date) - 14 FROM daily)
+      |ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:22-30,:119-124 — rebase_15 imputation as O(n)
+    * running-sum windows (per-metric intent; see TimeSeriesOps). */
+  private def rebase15(spark: SparkSession, dir: String): DataFrame = {
+    val d = EventSeries.daily(spark, dir)
+      .withColumn("cval",
+        when(col("dval") < EventSeries.CensorCases, 0L).otherwise(col("dval")))
+      .withColumn("vval",
+        when(col("dval") < EventSeries.CensorVacc, 0L).otherwise(col("dval")))
+    val c = TS.rebase15(d, "id", "date", "cval", "new_case", "cases")
+    val v = TS.rebase15(c, "id", "date", "vval", "new_vaccine", "vacc")
+    v.select(col("id"), col("date"), col("cases_cum"), col("cases_m"),
+        col("cases_imputed"), col("vacc_cum"), col("vacc_m"), col("vacc_imputed"))
+      .orderBy("id", "date")
+  }
+
+  private val rebase15Sql = withSeries(
+    """SELECT id, date,
+      |  cases AS cases_cum,
+      |  CASE WHEN cases = 0 THEN cum_new_case ELSE 0 END AS cases_m,
+      |  cases + CASE WHEN cases = 0 THEN cum_new_case ELSE 0 END AS cases_imputed,
+      |  vaccine AS vacc_cum,
+      |  CASE WHEN vaccine = 0 THEN cum_new_vaccine ELSE 0 END AS vacc_m,
+      |  vaccine + CASE WHEN vaccine = 0 THEN cum_new_vaccine ELSE 0 END AS vacc_imputed
+      |FROM series ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:126 — fact ⋈ small dimension, broadcast hash
+    * join (no shuffle of the fact side). */
+  private def joinShape(spark: SparkSession, dir: String): DataFrame =
+    EventSeries.seriesWithPop(spark, dir)
+      .select(col("id"), col("date"), col("cases"), col("pop"),
+        col("area_name"), col("socio_economic_rank"))
+      .orderBy("id", "date")
+
+  private val joinShapeSql = withSpop(
+    """SELECT id, date, cases, pop, area_name, socio_economic_rank
+      |FROM spop ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:134-137 — latest-value percent broadcast onto
+    * every row of the group + clamp. */
+  private def pctLatest(spark: SparkSession, dir: String): DataFrame = {
+    val base = EventSeries.seriesWithPop(spark, dir)
+    val p = TS.latestPercent(base, "id", "date", "cases", "pop", "percent")
+    val pv = TS.latestPercent(p, "id", "date", "vaccine", "pop", "p_vaccine",
+      clampTo = Some(100L))
+    pv.select(col("id"), col("date"), col("cases"), col("percent"), col("p_vaccine"))
+      .orderBy("id", "date")
+  }
+
+  private val pctLatestSql = withSpop(
+    s"""SELECT id, date, cases,
+       |  ${NumSql.roundEps("CAST(lc AS DOUBLE) / pop * 100")} AS percent,
+       |  LEAST(${NumSql.roundEps("CAST(lv AS DOUBLE) / pop * 100")}, 100) AS p_vaccine
+       |FROM (
+       |  SELECT *,
+       |    LAST_VALUE(cases) OVER (PARTITION BY id ORDER BY date $fullFrame) AS lc,
+       |    LAST_VALUE(vaccine) OVER (PARTITION BY id ORDER BY date $fullFrame) AS lv
+       |  FROM spop)
+       |ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:153-154 — desc-anchored every-7th-row sample. */
+  private def weeklySample(spark: SparkSession, dir: String): DataFrame =
+    TS.strideSample(EventSeries.series(spark, dir), "id", "date", 7)
+      .select(col("id"), col("date"), col("cases"))
+      .orderBy("id", "date")
+
+  private val weeklySampleSql = withSeries(
+    """SELECT id, date, cases FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY date DESC) AS rn
+      |  FROM series
+      |) WHERE (rn - 1) % 7 = 0
+      |ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:158-160 — rebase to window start. */
+  private def rebaseWindow(spark: SparkSession, dir: String): DataFrame =
+    TS.rebaseToStart(EventSeries.series(spark, dir), "id", "date",
+        Seq("cases", "tests"))
+      .select(col("id"), col("date"),
+        col("cases").as("cases_rebased"), col("tests").as("tests_rebased"))
+      .orderBy("id", "date")
+
+  private val rebaseWindowSql = withSeries(
+    """SELECT id, date,
+      |  cases - FIRST_VALUE(cases) OVER (PARTITION BY id ORDER BY date) AS cases_rebased,
+      |  tests - FIRST_VALUE(tests) OVER (PARTITION BY id ORDER BY date) AS tests_rebased
+      |FROM series ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:162-164 — lag diff with first-row fallback. */
+  private def dailyDelta(spark: SparkSession, dir: String): DataFrame =
+    TS.dailyDelta(EventSeries.series(spark, dir), "id", "date", "cases", "delta")
+      .select(col("id"), col("date"), col("cases"), col("delta"))
+      .orderBy("id", "date")
+
+  private val dailyDeltaSql = withSeries(
+    """SELECT id, date, cases,
+      |  COALESCE(cases - LAG(cases) OVER (PARTITION BY id ORDER BY date), cases) AS delta
+      |FROM series ORDER BY id, date""".stripMargin)
+
+  /** il_analysis_git.py:169 — country-wide per-day totals + diff. */
+  private def dailySums(spark: SparkSession, dir: String): DataFrame =
+    TS.dailySums(EventSeries.series(spark, dir), "date", "cases")
+      .orderBy("date")
+
+  private val dailySumsSql = withSeries(
+    """SELECT date, tot, COALESCE(tot - LAG(tot) OVER (ORDER BY date), tot) AS delta
+      |FROM (SELECT date, CAST(SUM(cases) AS BIGINT) AS tot FROM series GROUP BY date)
+      |ORDER BY date""".stripMargin)
+
+  /** il_analysis_git.py:167 — distinct dates, desc. */
+  private def distinctDates(spark: SparkSession, dir: String): DataFrame =
+    EventSeries.daily(spark, dir).select(col("date")).distinct()
+      .orderBy(col("date").desc)
+
+  private val distinctDatesSql =
+    EventSeriesSql.withSeries( // series unused but keeps one prefix helper
+      "SELECT DISTINCT date FROM daily ORDER BY date DESC")
+
+  /** il_analysis_git.py:168 — 19 exact color-break quantiles of the
+    * per-100k normalized metric. */
+  private def colorQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val norm = EventSeries.seriesWithPop(spark, dir)
+      .select(Num.roundEps(col("cases").cast(DoubleType) / col("pop") * 100000)
+        .as("normalized"))
+    val qs = (1 to 19).map(_ / 20.0)
+    norm.agg(percentile(col("normalized"), typedlit(qs)).as("qv"))
+      .select(posexplode(col("qv")))
+      .select((col("pos") + 1).as("q_idx"), Num.floorEps(col("col")).as("q_value"))
+      .orderBy("q_idx")
+  }
+
+  private val colorQuantilesSql = {
+    val norm = NumSql.roundEps("CAST(cases AS DOUBLE) / pop * 100000")
+    val selects = (1 to 19).map { i =>
+      s"SELECT $i AS q_idx, ${NumSql.floorEps(s"quantile_cont(normalized, ${i / 20.0})")} AS q_value FROM norm"
+    }.mkString("\nUNION ALL ")
+    withSpop(s""", norm AS (SELECT $norm AS normalized FROM spop)
+       |$selects
+       |ORDER BY q_idx""".stripMargin)
+  }
+
+  /** il_analysis_git.py:138-146 — the revived ramzor rolling score. */
+  private def rollingScore(spark: SparkSession, dir: String): DataFrame = {
+    val base = EventSeries.seriesWithPop(spark, dir)
+      .withColumn("tests_daily", col("n_events") * 100)
+    TS.rollingScore(base, "id", "date", "dval", "tests_daily", "pop", "score")
+      .select(col("id"), col("date"), col("score"))
+      .orderBy("id", "date")
+  }
+
+  private val rollingScoreSql = {
+    val n = "CAST(weekly_n AS DOUBLE) / pop * 10000"
+    val g = "CAST(weekly_n AS DOUBLE) / CAST(prev_n AS DOUBLE)"
+    val p = "CAST(weekly_n AS DOUBLE) / CAST(weekly_t AS DOUBLE)"
+    val raw = s"2.0 + ln(($n) * ($g) * ($g)) + ($p) / 8"
+    val guarded =
+      s"CASE WHEN prev_n IS NULL OR prev_n = 0 OR weekly_n = 0 OR weekly_t = 0 THEN NULL ELSE $raw END"
+    val clipped = s"LEAST(10.0, GREATEST(0.0, COALESCE($guarded, 0.0)))"
+    withSpop(
+      s""", roll AS (
+         |  SELECT id, date, pop,
+         |    CAST(SUM(dval) OVER (PARTITION BY id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS weekly_n,
+         |    CAST(SUM(n_events) OVER (PARTITION BY id ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) * 100 AS weekly_t
+         |  FROM spop
+         |), lagged AS (
+         |  SELECT *, LAG(weekly_n, 7) OVER (PARTITION BY id ORDER BY date) AS prev_n FROM roll
+         |)
+         |SELECT id, date, ${NumSql.round1Eps(clipped)} AS score
+         |FROM lagged ORDER BY id, date""".stripMargin)
+  }
+
+  /** il_analysis_git.py:150-172 — the flagship 'all'-window export
+    * frame: percent/p_vaccine → weekly sample → rebase-to-start →
+    * delta → per-100k normalized, 10-column contract (geometry-less
+    * events parameterization of the :172 schema). */
+  def exportFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = EventSeries.seriesWithPop(spark, dir)
+    val p1 = TS.latestPercent(base, "id", "date", "cases", "pop", "percent")
+    val p2 = TS.latestPercent(p1, "id", "date", "vaccine", "pop", "p_vaccine",
+      clampTo = Some(100L))
+    val sampled = TS.strideSample(p2, "id", "date", 7)
+    val rebased = TS.rebaseToStart(sampled, "id", "date", Seq("cases", "tests"))
+    val withDelta = TS.dailyDelta(rebased, "id", "date", "cases", "delta")
+    withDelta
+      .withColumn("normalized",
+        Num.roundEps(col("cases").cast(DoubleType) / col("pop") * 100000))
+      .select(col("date"), col("cases").as("num_cases"), col("tests"), col("id"),
+        col("socio_economic_rank"), col("area_name"), col("percent"),
+        col("p_vaccine"), col("delta"), col("normalized"))
+      .orderBy("id", "date")
+  }
+
+  private val exportFrameSql = withSpop(
+    s""", pct AS (
+       |  SELECT *,
+       |    ${NumSql.roundEps("CAST(lc AS DOUBLE) / pop * 100")} AS percent,
+       |    LEAST(${NumSql.roundEps("CAST(lv AS DOUBLE) / pop * 100")}, 100) AS p_vaccine
+       |  FROM (
+       |    SELECT *,
+       |      LAST_VALUE(cases) OVER (PARTITION BY id ORDER BY date $fullFrame) AS lc,
+       |      LAST_VALUE(vaccine) OVER (PARTITION BY id ORDER BY date $fullFrame) AS lv
+       |    FROM spop)
+       |), sampled AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY date DESC) AS rn FROM pct
+       |  ) WHERE (rn - 1) % 7 = 0
+       |), rebased AS (
+       |  SELECT id, date, pop, area_name, socio_economic_rank, percent, p_vaccine,
+       |    cases - FIRST_VALUE(cases) OVER (PARTITION BY id ORDER BY date) AS rcases,
+       |    tests - FIRST_VALUE(tests) OVER (PARTITION BY id ORDER BY date) AS rtests
+       |  FROM sampled
+       |)
+       |SELECT date, rcases AS num_cases, rtests AS tests, id, socio_economic_rank,
+       |  area_name, percent, p_vaccine,
+       |  COALESCE(rcases - LAG(rcases) OVER (PARTITION BY id ORDER BY date), rcases) AS delta,
+       |  ${NumSql.roundEps("CAST(rcases AS DOUBLE) / pop * 100000")} AS normalized
+       |FROM rebased ORDER BY id, date""".stripMargin)
+
+  val all: Seq[Q] = Seq(
+    Q("q_clean_cast", cleanCast, Some(cleanCastSql)),
+    Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
+    Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),
+    Q("q_max_date", maxDate, Some(maxDateSql)),
+    Q("q_window_filter", windowFilter, Some(windowFilterSql)),
+    Q("q_rebase15", rebase15, Some(rebase15Sql)),
+    Q("q_join_shape", joinShape, Some(joinShapeSql)),
+    Q("q_pct_latest", pctLatest, Some(pctLatestSql)),
+    Q("q_weekly_sample", weeklySample, Some(weeklySampleSql)),
+    Q("q_rebase_window", rebaseWindow, Some(rebaseWindowSql)),
+    Q("q_daily_delta", dailyDelta, Some(dailyDeltaSql)),
+    Q("q_daily_sums", dailySums, Some(dailySumsSql)),
+    Q("q_distinct_dates", distinctDates, Some(distinctDatesSql)),
+    Q("q_color_quantiles", colorQuantiles, Some(colorQuantilesSql)),
+    Q("q_rolling_score", rollingScore, Some(rollingScoreSql)),
+    Q("q_export_frame", exportFrame, Some(exportFrameSql)),
+  )
+}

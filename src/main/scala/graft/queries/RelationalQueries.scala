@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalized relational surface (SURVEY.md §2.4/§2.5/§2.7 "absent in
+  * the reference, free from Spark" note): multi-way broadcast joins,
+  * partial+final hash aggregation, semi/anti joins, global and
+  * per-group top-k — the standard plans a 100 TB engine must emit.
+  *
+  * All money aggregates run on per-row integer cents (see [[graft.ops.Num]])
+  * so Spark and DuckDB sums are bit-equal regardless of combine order.
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-shaped pricing summary: one shuffle, map-side partial
+    * aggregation, ~6 aggregates per group. */
+  private def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(Num.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(Num.cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(Num.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val aggPricingSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS sum_disc_c,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** 5-way star join rolled up to region revenue. lineitem (the only
+    * big table) never shuffles: orders⋈customer⋈nation⋈region are all
+    * broadcast — at 100 TB this is the canonical star-schema plan
+    * (dimension broadcast, single scan of the fact). */
+  private def joinAggRegion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(Num.cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n"))
+      .orderBy("r_name")
+  }
+
+  private val joinAggRegionSql =
+    s"""SELECT r_name,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice * (1 - l_discount)")}) AS BIGINT) AS revenue_c,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name
+       |ORDER BY r_name""".stripMargin
+
+  /** Global top-k with deterministic tie-break (SURVEY §2.7: absent in
+    * the reference; Spark plans a TakeOrderedAndProject — no full
+    * sort). */
+  private def topkCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("rev_c"))
+      .orderBy(col("rev_c").desc, col("c_custkey"))
+      .limit(10)
+
+  private val topkCustomersSql =
+    s"""SELECT c_custkey, c_name, CAST(SUM(${NumSql.cents("o_totalprice")}) AS BIGINT) AS rev_c
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY rev_c DESC, c_custkey
+       |LIMIT 10""".stripMargin
+
+  /** Anti join: customers with no high-value order (NOT EXISTS). */
+  private def joinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val joinAntiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi join: customers with at least one open order (EXISTS). */
+  private def joinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  private val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Per-group top-n (rank window + filter), deterministic tie-break. */
+  private def topnPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        Num.cents(col("o_totalprice")).as("price_c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("price_c").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val topnPerGroupSql =
+    s"""SELECT o_custkey, o_orderkey, price_c, rn FROM (
+       |  SELECT o_custkey, o_orderkey, ${NumSql.cents("o_totalprice")} AS price_c,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+       |                            ORDER BY ${NumSql.cents("o_totalprice")} DESC, o_orderkey) AS INT) AS rn
+       |  FROM orders
+       |) WHERE rn <= 3
+       |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Set ops (SURVEY §2.8): nations that have customers but no
+    * suppliers (EXCEPT), and both (INTERSECT), unioned with a tag. */
+  private def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    val cn = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nationkey"))
+    val sn = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nationkey"))
+    val only = cn.except(sn).withColumn("tag", lit("customer_only"))
+    val both = cn.intersect(sn).withColumn("tag", lit("both"))
+    only.union(both).orderBy("tag", "nationkey")
+  }
+
+  private val setExceptSql =
+    """SELECT nationkey, 'customer_only' AS tag FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT SELECT s_nationkey AS nationkey FROM supplier)
+      |UNION ALL
+      |SELECT nationkey, 'both' AS tag FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey AS nationkey FROM supplier)
+      |ORDER BY tag, nationkey""".stripMargin
+
+  /** Scalar-function surface (SURVEY §2.9) over part: string/math/date
+    * built-ins in one codegen'd projection. */
+  private def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_type"), 1, 6).as("type6"),
+      length(col("p_name")).as("name_len"),
+      (col("p_size") % 10).as("size_mod"),
+      Num.roundEps(col("p_retailprice") / greatest(col("p_size"), lit(1)))
+        .as("price_per_size"))
+      .orderBy("p_partkey")
+
+  private val scalarFuncsSql =
+    s"""SELECT p_partkey,
+       |  upper(p_brand) AS brand_u,
+       |  substring(p_type, 1, 6) AS type6,
+       |  CAST(length(p_name) AS INT) AS name_len,
+       |  p_size % 10 AS size_mod,
+       |  ${NumSql.roundEps("p_retailprice / GREATEST(p_size, 1)")} AS price_per_size
+       |FROM part ORDER BY p_partkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_agg_pricing", aggPricing, Some(aggPricingSql)),
+    Q("q_join_agg_region", joinAggRegion, Some(joinAggRegionSql)),
+    Q("q_topk_customers", topkCustomers, Some(topkCustomersSql)),
+    Q("q_join_anti", joinAnti, Some(joinAntiSql)),
+    Q("q_join_semi", joinSemi, Some(joinSemiSql)),
+    Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
+    Q("q_set_except", setExcept, Some(setExceptSql)),
+    Q("q_scalar_funcs", scalarFuncs, Some(scalarFuncsSql)),
+  )
+}
