@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.geo.GeoFunctions
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Geometry operator surface (SURVEY.md §2.10) parameterized onto the
+  * driver tables: deterministic unit-square polygons are synthesized
+  * from `customer` keys (the driver dataset has no geometry column),
+  * then dissolved/hulled/boundaried exactly as the reference does to
+  * its areas layer. Rows-only driver checks (geometry is not DuckDB-
+  * expressible); semantics are unit-tested in GeoSpec.
+  */
+object GeoQueries {
+
+  /** One unit square per customer on a sparse grid — `2·custkey`
+    * spacing guarantees squares of one nation are mostly disjoint, so
+    * dissolve produces MultiPolygons and exercises the reference's
+    * convex-hull fallback branch (il_analysis_git.py:98-101). */
+  def squares(spark: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val x = (col("c_custkey") * 2) % 40
+    val y = floor(col("c_custkey") / 20) * 2
+    val wkt = concat(
+      lit("POLYGON(("),
+      x, lit(" "), y, lit(", "),
+      x + 1, lit(" "), y, lit(", "),
+      x + 1, lit(" "), y + 1, lit(", "),
+      x, lit(" "), y + 1, lit(", "),
+      x, lit(" "), y, lit("))"))
+    Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_nationkey"),
+      GeoFunctions.cols.stGeomFromText(wkt).as("geometry"))
+  }
+
+  /** Dissolve per nation + MultiPolygon→convex-hull fallback
+    * (il_analysis_git.py:97-101). */
+  private def dissolve(spark: SparkSession, dir: String): DataFrame = {
+    val sq = squares(spark, dir)
+    val unioned = sq.groupBy(col("c_nationkey"))
+      .agg(GeoFunctions.cols.stUnionAgg(col("geometry")).as("geometry"),
+        count(lit(1)).as("n_areas"))
+      .withColumn("geom_type", GeoFunctions.cols.stGeometryType(col("geometry")))
+      .withColumn("geometry",
+        when(col("geom_type") === "MultiPolygon",
+          GeoFunctions.cols.stConvexHull(col("geometry")))
+          .otherwise(col("geometry")))
+    unioned.select(
+      col("c_nationkey"), col("n_areas"), col("geom_type"),
+      floor(GeoFunctions.cols.stArea(col("geometry")) * 100 + lit(1e-6)).as("area_x100"),
+      GeoFunctions.cols.stNPoints(col("geometry")).as("n_points"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Polygon → boundary lines layer (il_analysis_git.py:174). */
+  private def boundary(spark: SparkSession, dir: String): DataFrame =
+    squares(spark, dir).select(
+      col("c_custkey"),
+      GeoFunctions.cols.stGeometryType(
+        GeoFunctions.cols.stBoundary(col("geometry"))).as("boundary_type"),
+      GeoFunctions.cols.stNPoints(col("geometry")).as("n_points"),
+      GeoFunctions.cols.stAsText(
+        GeoFunctions.cols.stBoundary(col("geometry"))).as("boundary_wkt"))
+      .orderBy("c_custkey")
+
+  val all: Seq[Q] = Seq(
+    Q("q_dissolve", dissolve, None),
+    Q("q_boundary", boundary, None),
+  )
+}

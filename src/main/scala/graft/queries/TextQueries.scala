@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.ops.NumSql
+import graft.tables.Tables
+import graft.text.{Dedup, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Text-analysis / dedup surface over the `documents` table
+  * (BASELINE.json north star: LLM-data-pipeline operators designed
+  * for 100 TB). SQL-expressible ops carry DuckDB oracles; the
+  * hash-family ops (MinHash/SimHash — engine-specific hash functions)
+  * are rows-only checked by the driver and covered by unit tests.
+  */
+object TextQueries {
+
+  /** Token / char statistics per document — one codegen'd projection. */
+  private def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = TF.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_distinct_tok"),
+      length(regexp_replace(col("text"), " ", "")).as("clen"))
+      .withColumn("avg_tok_len_x100",
+        floor(col("clen") * 100.0 / col("n_tok") + lit(1e-6)))
+      .orderBy("doc_id")
+  }
+
+  private val textStatsSql =
+    s"""SELECT doc_id, n_chars,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tok,
+       |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS INT) AS clen,
+       |  ${NumSql.floorEps("CAST(length(regexp_replace(text, ' ', '', 'g')) AS INT) * 100.0 / CAST(len(string_split(text, ' ')) AS INT)")} AS avg_tok_len_x100
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality score: length saturation + stopword density (the
+    * punctuation/casing terms of a real scorer collapse on this
+    * all-lowercase corpus but the shape is the same). */
+  private def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = TF.tokens(col("text"))
+    val stops = TF.Lexicons.toMap.apply("en")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(t).as("n_tok"),
+      TF.lexiconCount(t, stops).as("stop_cnt"))
+      .withColumn("quality",
+        floor(lit(50.0) * least(col("n_tok"), lit(400)) / 400 +
+          lit(50.0) * col("stop_cnt") / col("n_tok") + lit(1e-6)))
+      .orderBy("doc_id")
+  }
+
+  private val qualityScoreSql = {
+    val stops = TextFunctionsSql.lexicon("en")
+    s"""SELECT doc_id, n_tok, stop_cnt,
+       |  CAST(floor(50.0 * LEAST(n_tok, 400) / 400 + 50.0 * stop_cnt / n_tok + 0.000001) AS BIGINT) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> list_contains($stops, x))) AS INT) AS stop_cnt
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID heuristic: per-language function-word hit counts,
+    * argmax with fixed tie-break order (en,fr,es,de,zh). */
+  private def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = TF.tokens(col("text"))
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), col("lang")) ++
+        TF.Lexicons.map { case (l, words) => TF.lexiconCount(t, words).as(s"s_$l") }: _*)
+    val langs = TF.Lexicons.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val gte = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(gte, lit(l)).otherwise(elseCol)
+    }
+    scored.withColumn("predicted", pred).orderBy("doc_id")
+  }
+
+  private val langIdSql = {
+    val langs = TF.Lexicons.map(_._1)
+    val scoreCols = TF.Lexicons.map { case (l, _) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${TextFunctionsSql.lexicon(l)}, x))) AS INT) AS s_$l"
+    }.mkString(",\n    ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val gte = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $gte THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, lang, s_en, s_fr, s_es, s_de, s_zh,
+       |  CASE $pred ELSE '${langs.last}' END AS predicted
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** md5-of-normalized-text document fingerprint. */
+  private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val fingerprintSql =
+    "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id"
+
+  /** Exact dedup: hash-groupBy, keep min doc_id per content hash. */
+  private def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir)).orderBy("h")
+
+  private val dedupExactSql =
+    """SELECT md5(text) AS h, MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin
+
+  /** Exact n-gram (3-shingle) Jaccard near-dup pairs at ≥ 50% — the
+    * oracle-checkable exact tier of near-dup detection (the
+    * sketch-based scalable tier is q_dedup_minhash).
+    *
+    * Scale control: shingles occurring in more than `MaxDf` documents
+    * are dropped before the pair join — the standard stop-shingle cap
+    * that bounds per-key join fan-out to MaxDf² while leaving
+    * rare-shingle (i.e. discriminative) overlap intact. The oracle
+    * applies the identical cap, so the comparison stays exact. */
+  private val MaxDf = 100
+
+  private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(TF.wordShingles(TF.tokens(col("text")), 3))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val capped = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= MaxDf)
+      .select("doc_id", "shingle")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        floor(col("inter") * 100.0 / (col("n_a") + col("n_b") - col("inter")) + lit(1e-6))
+          .as("jaccard_pct"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val ngramJaccardSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      |  WHERE df <= $MaxDf
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(floor(100.0 * inter / (sa.n + sb.n - inter) + 0.000001) AS BIGINT) AS jaccard_pct
+      |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      |WHERE inter * 2 >= (sa.n + sb.n - inter)
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (rows-only driver check; hash family
+    * is engine-specific). */
+  private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), minJaccardPct = 50)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (rows-only driver check). */
+  private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  val all: Seq[Q] = Seq(
+    Q("q_text_stats", textStats, Some(textStatsSql)),
+    Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("q_lang_id", langId, Some(langIdSql)),
+    Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
+    Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_dedup_minhash", dedupMinhash, None),
+    Q("q_dedup_simhash", dedupSimhash, None),
+  )
+}
+
+private object TextFunctionsSql {
+  /** DuckDB list literal for a lexicon. */
+  def lexicon(lang: String): String =
+    graft.text.TextFunctions.Lexicons.toMap.apply(lang)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+}

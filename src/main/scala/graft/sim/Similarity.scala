@@ -1,0 +1,106 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an `array<float>`
+  * embedding column.
+  *
+  * Tiers (SURVEY §7 step 7 / BASELINE.json north star):
+  *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast; the corpus scan is embarrassingly
+  *    parallel and never shuffles (per-partition heap via window).
+  *  - [[lshNearDup]] / [[lshCandidates]]: random-hyperplane LSH —
+  *    the scale path. Each vector maps to `Tables` sign-bit buckets;
+  *    the bucket equi-join replaces the |corpus|² cross product, so
+  *    cost tracks true collision counts.
+  *
+  * Dot products are `zip_with` + `aggregate` expressions (codegen'd,
+  * no UDF).
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Σ a_i·b_i as a single expression over two float arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+
+  /** Exact cosine top-k for a query subset (vec_id ≡ 0 mod `queryMod`).
+    * Output: (qid, vec_id, rank, cos_x10k). */
+  def bruteTopK(emb: DataFrame, queryMod: Long, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val qs = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val scored = base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+
+  // ---- random-hyperplane LSH ----
+
+  val Tables = 4        // independent hash tables...
+  val BitsPerTable = 12 // ...of 12 sign bits each
+
+  /** Fixed hyperplanes (seed 7): Tables×BitsPerTable planes in R^Dim. */
+  private val planes: Seq[Seq[Double]] = {
+    val rnd = new Random(7)
+    Seq.fill(Tables * BitsPerTable)(Seq.fill(Dim)(rnd.nextDouble() - 0.5))
+  }
+
+  /** (vec_id, table, bucket) — one row per hash table. Bucket is the
+    * packed sign-bit integer of that table's planes. */
+  def buckets(emb: DataFrame): DataFrame = {
+    val planesLit = typedlit(planes)
+    val bucketFor = (t: Int) =>
+      (0 until BitsPerTable).map { b =>
+        val plane = element_at(planesLit, t * BitsPerTable + b + 1)
+        when(dot(col("embedding"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    emb.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until Tables).map(bucketFor): _*)))
+      .toDF("vec_id", "embedding", "table", "bucket")
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table. */
+  def lshCandidates(emb: DataFrame): DataFrame = {
+    val bk = buckets(emb).select("vec_id", "table", "bucket")
+    bk.as("a").join(bk.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-duplicate pairs: LSH candidates verified by exact
+    * cosine ≥ threshold. Output (id_a, id_b, cos_x10k). */
+  def lshNearDup(emb: DataFrame, minCos: Double): DataFrame = {
+    val vecs = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    lshCandidates(emb)
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.12: the reference is a
+  * cron-rerun batch job — il_analysis_git.py:219-222 — so streaming is
+  * a north-star extension, not a port).
+  *
+  * Design rule: every transformation here is *unbounded-safe* — the
+  * same code runs in batch mode (where it is oracle-checkable by the
+  * driver) and under `readStream` (where it is incrementally
+  * maintained with watermark-bounded state). StreamingSpec drives both
+  * paths through MemoryStream.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type counts/sums with a watermark.
+    *
+    * Streaming: state per (window, event_type) bucket, dropped once
+    * the watermark passes `window.end` — bounded state regardless of
+    * input volume. Batch: an ordinary two-key hash aggregate (partial
+    * + final). At 100 TB the shuffle key (window × type) is low-card;
+    * the map-side partial aggregation does nearly all the work.
+    */
+  def windowedCounts(events: DataFrame,
+                     watermarkDelay: String = "10 minutes",
+                     windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_vc"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("sum_vc"))
+
+  /** Input row for sessionization (a projection of the events table). */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One closed (or flushed) session. */
+  case class Session(user_id: Long, start: java.sql.Timestamp,
+                     end: java.sql.Timestamp, n_events: Int, sum_vc: Long)
+
+  /** Live-session accumulator: (start, end, n, sumVc) — a tuple so the
+    * state encoder stays on Spark's stock tuple codegen path. */
+  private type SessionState = (Long, Long, Int, Long)
+
+  /** Event-time sessionization with a `gapMs` inactivity gap via
+    * `flatMapGroupsWithState` + event-time timeout.
+    *
+    * State per live user is O(1) (four longs) — no event buffering —
+    * and is evicted by the watermark timeout, so executor state stays
+    * bounded at any scale. Out-of-order events *within* the watermark
+    * are handled by accumulating min(start)/max(end); events later
+    * than the watermark are dropped by the engine (correct streaming
+    * semantics, not data loss — the reference re-runs the full batch
+    * daily for the same reason).
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long,
+                 watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val (start, end, n, sumVc) = state.get
+            state.remove()
+            Iterator.single(Session(uid, new java.sql.Timestamp(start),
+              new java.sql.Timestamp(end), n, sumVc))
+          } else {
+            // Merge this micro-batch's events into (possibly several)
+            // sessions, emitting every session closed by a later event.
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              val vc = math.round(e.value * 100)
+              cur match {
+                case Some((start, end, n, sumVc)) if t - end <= gapMs =>
+                  cur = Some((math.min(start, t), math.max(end, t), n + 1, sumVc + vc))
+                case Some((start, end, n, sumVc)) =>
+                  closed += Session(uid, new java.sql.Timestamp(start),
+                    new java.sql.Timestamp(end), n, sumVc)
+                  cur = Some((t, t, 1, vc))
+                case None =>
+                  cur = Some((t, t, 1, vc))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s._2 + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

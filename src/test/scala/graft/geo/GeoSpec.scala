@@ -1,0 +1,73 @@
+package graft.geo
+
+import graft.SparkSpec
+import graft.io.GeoJsonIO
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wkb(wkt: String) = GeoFunctions.writeWkb(GeoFunctions.readWkt(wkt))
+  private val sq00 = "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+  private val sq10 = "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))"
+  private val sqFar = "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"
+
+  test("union of adjacent squares dissolves to a single polygon of area 2") {
+    GeoFunctions.register(spark)
+    val df = Seq((1, wkb(sq00)), (1, wkb(sq10))).toDF("city", "geometry")
+    val out = df.groupBy($"city")
+      .agg(GeoFunctions.cols.stUnionAgg($"geometry").as("g"))
+      .select(GeoFunctions.cols.stGeometryType($"g"),
+        GeoFunctions.cols.stArea($"g")).as[(String, Double)].head()
+    assert(out._1 === "Polygon")
+    assert(math.abs(out._2 - 2.0) < 1e-9)
+  }
+
+  test("union of disjoint squares is a MultiPolygon; convex hull collapses it") {
+    GeoFunctions.register(spark)
+    val df = Seq((1, wkb(sq00)), (1, wkb(sqFar))).toDF("city", "geometry")
+    val out = df.groupBy($"city")
+      .agg(GeoFunctions.cols.stUnionAgg($"geometry").as("g"))
+      .select(
+        GeoFunctions.cols.stGeometryType($"g"),
+        GeoFunctions.cols.stGeometryType(GeoFunctions.cols.stConvexHull($"g")))
+      .as[(String, String)].head()
+    assert(out === ("MultiPolygon", "Polygon"))
+  }
+
+  test("boundary of a polygon is its ring") {
+    GeoFunctions.register(spark)
+    val df = Seq(Tuple1(wkb(sq00))).toDF("geometry")
+    val out = df.select(GeoFunctions.cols.stGeometryType(
+      GeoFunctions.cols.stBoundary($"geometry"))).as[String].head()
+    assert(out === "LineString")
+  }
+
+  test("GeoJSON codec roundtrips polygon and multipolygon") {
+    for (w <- Seq(sq00, s"MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((10 10, 11 10, 11 11, 10 11, 10 10)))")) {
+      val g = GeoFunctions.readWkt(w)
+      val back = GeoJsonCodec.parse(GeoJsonCodec.write(g))
+      assert(back.equalsTopo(g), s"roundtrip failed for $w")
+    }
+  }
+
+  test("GeoJSON FeatureCollection write/read roundtrip") {
+    GeoFunctions.register(spark)
+    val dir = Files.createTempDirectory("geojson").toString
+    val path = s"$dir/areas.geojson"
+    val df = Seq(
+      (1L, "north", 100.0, wkb(sq00)),
+      (2L, "south", 250.5, wkb(sqFar))
+    ).toDF("id", "name", "pop", "geometry")
+    GeoJsonIO.writeFeatureCollection(df, path)
+    val back = GeoJsonIO.read(spark, path)
+    assert(back.count() === 2)
+    assert(back.columns.sorted === Array("geometry", "id", "name", "pop"))
+    val area = back.select(sum(GeoFunctions.cols.stArea($"geometry")))
+      .as[Double].head()
+    assert(math.abs(area - 2.0) < 1e-9)
+    val ids = back.select($"id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L))
+  }
+}

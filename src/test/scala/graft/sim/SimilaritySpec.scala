@@ -1,0 +1,43 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, sf0001).cache()
+
+  test("bruteTopK returns exactly k ranked neighbors per query, cos descending") {
+    val out = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "rank", "cos_x10k").as[(Long, Int, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 10, s"query $q")
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to 10))
+      // cos non-increasing with rank
+      assert(sorted.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    }
+  }
+
+  test("LSH near-dup recall: every very-high-cosine pair among queries is found") {
+    // ground truth via brute force on a small subset
+    val nd = Similarity.lshNearDup(emb, minCos = 0.9)
+      .select("id_a", "id_b", "cos_x10k").as[(Long, Long, Long)].collect()
+    assert(nd.forall(_._3 >= 9000 - 1))
+    assert(nd.forall(p => p._1 < p._2))
+    // brute-force pairs >= 0.97 must all be caught by LSH (sign bits
+    // flip with prob ~acos(.97)/pi=0.078/bit; 4 tables x 12 bits ->
+    // miss prob ~ (1-(1-.078)^12)^4 ~ 0.15; planted dups are >0.99)
+    val top = Similarity.bruteTopK(emb, queryMod = 25L, k = 1)
+      .filter(col("cos_x10k") >= 9900)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val found = nd.map(p => (p._1, p._2)).toSet
+    val missed = top -- found
+    assert(missed.isEmpty, s"LSH missed very-near pairs: $missed")
+  }
+}

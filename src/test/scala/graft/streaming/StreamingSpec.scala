@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import EventStream.{Ev, Session}
+
+  // offset from epoch 0: a row exactly at the initial watermark value
+  // (0) would be late-filtered, which is not what these tests probe
+  private def ts(minute: Int) = new Timestamp((1440 + minute) * 60000L)
+
+  test("windowedCounts runs incrementally over a MemoryStream with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(events, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 3.0))
+      q.processAllAvailable()
+      // watermark advance past window [0,10) closes it
+      in.addData((ts(30), "click", 1.0))
+      q.processAllAvailable()
+      val closed = s.table("wc").collect()
+      assert(closed.exists(r => r.getAs[Timestamp]("w_start") == ts(0)
+        && r.getAs[String]("event_type") == "click"
+        && r.getAs[Long]("n") == 2 && r.getAs[Long]("sum_vc") == 300))
+    } finally q.stop()
+  }
+
+  test("windowedCounts batch twin equals the streaming accumulation") {
+    val s = spark
+    import s.implicits._
+    val batch = Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStream.windowedCounts(batch, "5 minutes", "10 minutes")
+      .orderBy("w_start", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("sum_vc") == 300)
+    assert(out(1).getAs[Long]("n") == 1)
+  }
+
+  test("sessionize closes sessions on gap and on watermark timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStream.sessionize(in.toDS(), gapMs = 5 * 60000L, "1 minute")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > gap; second burst closed by timeout
+      in.addData(Ev(1, ts(0), 1.0), Ev(1, ts(2), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(20), 3.0)) // gap > 5 min => closes burst 1
+      q.processAllAvailable()
+      in.addData(Ev(2, ts(60), 1.0)) // watermark -> 59min, times out user 1
+      q.processAllAvailable()
+      val sess = s.table("sess").as[Session].collect().sortBy(_.start.getTime)
+      assert(sess.length == 2)
+      assert(sess(0) == Session(1, ts(0), ts(2), 2, 300))
+      assert(sess(1) == Session(1, ts(20), ts(20), 1, 300))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,45 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf0001).cache()
+
+  test("exact dedup groups by content hash and keeps min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df).orderBy("keeper_id")
+      .select("keeper_id", "n_dups").as[(Long, Long)].collect()
+    assert(out === Array((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds the planted near-dup pair (120, 360)") {
+    val pairs = Dedup.minhashPairs(docs, minJaccardPct = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((120L, 360L)),
+      s"expected (120,360) in $pairs")
+    // jaccard verify step: every reported pair must clear the bar
+    val jac = Dedup.minhashPairs(docs, minJaccardPct = 50)
+      .select("jaccard_pct").as[Long].collect()
+    assert(jac.forall(_ >= 50))
+  }
+
+  test("simhash fingerprints of near-dups are close, distinct docs far") {
+    val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(120L), fp(360L)) <= 6,
+      s"near-dups should be close, got ${hamming(fp(120L), fp(360L))}")
+    // a random non-dup pair should be far
+    assert(hamming(fp(0L), fp(1L)) > 10)
+  }
+
+  test("simhashPairs returns only pairs within the hamming budget") {
+    val out = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("hamming").as[Int].collect()
+    assert(out.forall(_ <= 3))
+  }
+}
