@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup outside the timed region: a small scan+agg so
+    // the first measured query doesn't absorb session bring-up (~6 s)
+    try SparkEntry.queries.get("q_max_date")
+      .foreach(fn => fn(spark, sfDir).count())
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -32,6 +32,9 @@ object Num {
 
   /** round to 1 decimal, ulp-guarded (il_analysis_git.py:146). */
   def round1Eps(c: Column): Column = floor(c * 10 + lit(0.500000001)) / 10.0
+
+  /** driver-side twin of [[floorEps]] for collected doubles. */
+  def floorEpsLong(x: Double): Long = math.floor(x + 1e-6).toLong
 }
 
 /** DuckDB-SQL fragments matching [[Num]] exactly. */

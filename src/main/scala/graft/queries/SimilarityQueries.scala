@@ -16,6 +16,13 @@ object SimilarityQueries {
     Similarity.bruteTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
+  /** IVF (inverted-file) top-10: nearest-centroid bucketing + probe-
+    * limited exact search — the scale path for top-k (LSH is the
+    * scale path for threshold near-dup). */
+  private def annIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
+      .orderBy("qid", "rank")
+
   /** LSH-bucketed near-duplicate pairs at cosine ≥ 0.9 — the scale
     * path (bucket join instead of |corpus|² cross product). */
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame =
@@ -24,6 +31,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_ann_topk", annTopK, None),
+    Q("q_ann_ivf", annIvf, None),
     Q("q_embed_neardup", embedNearDup, None),
   )
 }

@@ -100,6 +100,30 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Token counting (whitespace + BPE-ish regex) and shift-robust
+    * fingerprints (polynomial rolling hash + min-k-gram md5) — one
+    * codegen'd projection per doc, no shuffle. */
+  private def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(TF.tokens(col("text"))).as("n_ws_tok"),
+      size(TF.bpeTokens(col("text"))).as("n_bpe_tok"),
+      TF.rollingHash(col("text")).as("roll_hash"),
+      TF.minKgramFingerprint(col("text"), 8).as("min_kgram"))
+      .orderBy("doc_id")
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tok,
+       |  CAST(len(regexp_extract_all(text, '${TF.BpePattern.replace("'", "''")}')) AS INT) AS n_bpe_tok,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(regexp_split_to_array(text, ''), c -> ascii(c)::BIGINT)),
+       |    (a, b) -> (a * 131 + b) % 2147483647) AS roll_hash,
+       |  CASE WHEN length(text) >= 8 THEN
+       |    list_min(list_transform(generate_series(1, length(text) - 7), i -> md5(substr(text, i, 8))))
+       |  ELSE md5(text) END AS min_kgram
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** md5-of-normalized-text document fingerprint. */
   private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -137,6 +161,7 @@ object TextQueries {
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
       .filter(col("df") <= MaxDf)
       .select("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -191,6 +216,7 @@ object TextQueries {
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
+    Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_minhash", dedupMinhash, None),

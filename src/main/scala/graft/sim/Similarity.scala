@@ -52,6 +52,59 @@ object Similarity {
         floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
   }
 
+  // ---- IVF (inverted-file) ANN ----
+
+  /** IVF top-k: corpus vectors are bucketed by nearest centroid
+    * ("coarse quantization"); each query exhaustively searches only
+    * its `nProbe` closest buckets.
+    *
+    * Centroids are data vectors picked by a deterministic id stride
+    * (`vec_id % centroidMod == 0`) — a k-means fit would drop in here
+    * without changing the plan shape. Scale anatomy, for corpus N,
+    * centroids C, queries Q: assignment is N·C broadcast dot products
+    * (the centroid table is tiny, so no shuffle of the corpus); the
+    * probe list is Q·nProbe rows; the search join hits ~N·nProbe/C
+    * corpus rows per query instead of N — the classic IVF speedup —
+    * and partitions by bucket, so it shuffles each corpus row once.
+    */
+  def ivfTopK(emb: DataFrame, queryMod: Long, k: Int,
+              centroidMod: Long = 61, nProbe: Int = 2): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val cents = base.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("norm").as("cnorm"))
+    // coarse assignment: every vector to its nearest centroid
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot(col("embedding"), col("cvec")) / (col("norm") * col("cnorm")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+    // probe lists: each query's nProbe nearest centroids
+    val qs = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("pcos", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
+    // exact search within probed buckets only
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...
@@ -77,9 +130,12 @@ object Similarity {
       .toDF("vec_id", "embedding", "table", "bucket")
   }
 
-  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table. */
+  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table.
+    * The bucket table is persisted — it feeds both sides of the
+    * self-join and each row costs Tables×BitsPerTable dot products. */
   def lshCandidates(emb: DataFrame): DataFrame = {
     val bk = buckets(emb).select("vec_id", "table", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bk.as("a").join(bk.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") &&

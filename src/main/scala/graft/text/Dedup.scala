@@ -70,14 +70,24 @@ object Dedup {
       .toDF(id, "band", "band_hash")
 
   /** Candidate pairs from LSH buckets, then exact shingle-Jaccard.
-    * Returns (id_a, id_b, jaccard_pct) for pairs ≥ `minJaccardPct`. */
+    * Returns (id_a, id_b, jaccard_pct) for pairs ≥ `minJaccardPct`.
+    *
+    * The shingle and band tables are persisted (memory, spill to
+    * disk): each feeds BOTH sides of a self-join, and without
+    * materialization Spark recomputes the tokenize→hash→aggregate
+    * pipeline four times. At cluster scale this is the same pattern —
+    * persist (or checkpoint) the signature table before the bucket
+    * self-join. */
   def minhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    minJaccardPct: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val toks = TextFunctions.tokens(col(text))
     val withSh = docs.select(col(id),
       array_distinct(TextFunctions.wordShingles(toks, 3)).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = bandTable(minhashSignature(withSh, id, "sh"), id)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -120,10 +130,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs, id, text)
+    // persisted: the block table feeds both sides of the self-join
+    // (same rationale as minhashPairs)
     val blocks = fp.select(col(id), col("simhash"), posexplode(
         array((0 until 4).map(b =>
           pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
       .toDF(id, "simhash", "block", "block_val")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     blocks.as("a").join(blocks.as("b"),
         col("a.block") === col("b.block") &&
           col("a.block_val") === col("b.block_val") &&

@@ -37,8 +37,37 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
 
-  /** Canonical-form fingerprint: md5 of the lower-cased text. A
-    * rolling/content-defined hash would go here for fuzzy matching;
-    * md5-of-normalized is the exact-match tier. */
+  /** Canonical-form fingerprint: md5 of the lower-cased text. The
+    * exact-match tier; [[rollingHash]]/[[minKgramFingerprint]] are the
+    * shift-robust tiers. */
   def fingerprint(text: Column): Column = md5(lower(text))
+
+  /** BPE-ish sub-word segmentation (GPT-2-style alternation, ASCII
+    * tier): contractions, space-prefixed letter runs, digit runs,
+    * punctuation runs. Counting these approximates LLM token cost far
+    * better than whitespace splitting (≈ +30% on prose). */
+  val BpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Polynomial rolling hash of the whole text (base 131 over the
+    * 31-bit Mersenne prime): O(n) one pass, identical result in any
+    * engine with exact integer arithmetic — the cheap content hash
+    * when md5 is overkill. */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 131 + c, lit((1L << 31) - 1)))
+
+  /** Shift-robust document fingerprint: the minimum md5 over all
+    * k-char windows (single-hash MinHash over character k-grams, the
+    * core of winnowing). Equal prefixes/suffixes survive edits
+    * elsewhere in the doc, unlike [[fingerprint]]. */
+  def minKgramFingerprint(text: Column, k: Int): Column =
+    when(length(text) >= k,
+      array_min(transform(sequence(lit(1), length(text) - (k - 1)),
+        i => md5(text.substr(i, lit(k))))))
+      .otherwise(md5(text))
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints physical-plan summaries for headline queries: confirms
+  * broadcast joins where intended, parquet filter/column pushdown,
+  * and whole-stage-codegen coverage. Run:
+  * Test/runMain graft.PlanAudit [sfDir] [queryKey...] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val keys = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_join_agg_region", "q_agg_pricing", "q_export_frame",
+        "q_join_asof", "q_rebase15", "q_topk_customers", "q_stream_window")
+    keys.foreach { k =>
+      val df = SparkEntry.queries(k)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val lines = plan.linesIterator.toSeq
+      println(s"\n===== $k =====")
+      // summary: operator lines only
+      lines.takeWhile(_.nonEmpty).foreach(println)
+      // pushdown + codegen evidence
+      lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .take(6).foreach(l => println("  " + l.trim.take(160)))
+      val wsc = lines.count(_.contains("WholeStageCodegen"))
+      val bhj = plan.split("BroadcastHashJoin").length - 1
+      val smj = plan.split("SortMergeJoin").length - 1
+      println(s"  [audit] wholeStageCodegenBlocks=$wsc broadcastJoins=$bhj sortMergeJoins=$smj")
+    }
+    spark.stop()
+  }
+}

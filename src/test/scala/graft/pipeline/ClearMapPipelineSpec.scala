@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.geo.GeoFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end run (SURVEY §5.4) on FIXTURES.md §A-shaped
+  * synthetic inputs, exercising every reference quirk: censored
+  * '<15' runs, TRUE/FALSE flags, null city rows, mixed area-0 cities
+  * (reconcile case 2), all-zero cities with multi-area shapes
+  * (case 3 dissolve incl. the MultiPolygon convex-hull branch),
+  * short series for the weekly stride, and the 11-column export
+  * contract (il_analysis_git.py:172). */
+class ClearMapPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def square(x: Int, y: Int): String =
+    s"POLYGON(($x $y, ${x + 1} $y, ${x + 1} ${y + 1}, $x ${y + 1}, $x $y))"
+
+  /** 3 cities × up to 2 areas × 16 days.
+    *  - city 1: areas 1,2 (normal) + stray area-0 rows (case 2)
+    *  - city 2: only area-0 rows, shape has 2 disjoint areas (case 3)
+    *  - city 3: null-city noise rows (purged)
+    * city 1 area 1 starts with a censored '<15' run (rebase_15). */
+  private def rawFixture: DataFrame = {
+    val days = (1 to 16).map(d => f"2021-03-$d%02d")
+    val rows =
+      days.zipWithIndex.map { case (d, i) =>
+        ("1", "1", d, if (i < 5) "<15" else s"${(i - 4) * 10}",
+          if (i % 2 == 0) "TRUE" else "FALSE", s"${i * 100}", "<15", "FALSE")
+      } ++
+      days.zipWithIndex.map { case (d, i) =>
+        ("1", "2", d, s"${i + 1}", "FALSE", s"${i * 50}", s"${i * 3}", "TRUE")
+      } ++
+      days.take(4).map(d => ("1", "0", d, "7", "FALSE", "1", "1", "FALSE")) ++
+      days.zipWithIndex.map { case (d, i) =>
+        ("2", "0", d, s"${i * 2}", "TRUE", s"$i", "0", "FALSE")
+      } ++
+      Seq((null, null, days.head, "1", "FALSE", "1", "1", "FALSE"))
+    rows.toDF("city", "area", "date", "cases", "new_case", "tests",
+      "vaccine", "new_vaccine")
+  }
+
+  private def shapeFixture: DataFrame = {
+    GeoFunctions.register(spark)
+    Seq(
+      (10001L, 1, 1, "cityA", "a1", 100.0, Some(3.0), square(0, 0)),
+      (10002L, 1, 2, "cityA", "a2", 200.0, Some(5.0), square(1, 0)),
+      // city 2: two DISJOINT squares -> dissolve yields MultiPolygon
+      // -> convex hull branch
+      (20001L, 2, 1, "cityB", "b1", 50.0, Some(7.0), square(10, 10)),
+      (20002L, 2, 2, "cityB", "b2", 60.0, None, square(14, 10)))
+      .toDF("id", "city", "area", "name", "areas_name", "pop", "rank", "wkt")
+      .withColumn("geometry", GeoFunctions.cols.stGeomFromText(col("wkt")))
+      .drop("wkt")
+  }
+
+  private lazy val outDir = java.nio.file.Files
+    .createTempDirectory("clearmap").toString
+  private lazy val frames = ClearMapPipeline.run(rawFixture, shapeFixture, outDir)
+
+  test("clean decodes censor/bool tokens and purges null-city rows") {
+    val c = ClearMapPipeline.clean(rawFixture)
+    assert(c.filter(col("city") === 0 && col("area") === 0).count() == 0)
+    val a1 = c.filter(col("id") === 10001L).orderBy("date")
+      .select("cases", "new_case").as[(Int, Int)].collect()
+    assert(a1.take(5).forall(_._1 == 0))      // '<15' -> 0
+    assert(a1(0)._2 == 1 && a1(1)._2 == 0)    // TRUE/FALSE -> 1/0
+  }
+
+  test("rebase15 imputes the censored prefix from new_case flags") {
+    val f = ClearMapPipeline.rebase15Cumulative(
+      ClearMapPipeline.clean(rawFixture))
+      .filter(col("id") === 10001L).orderBy("date")
+      .select(col("cases").cast("long")).as[Long].collect()
+    // censored prefix: cumulative TRUE-count at days 1..5 = 1,1,2,2,3
+    assert(f.take(5).toSeq == Seq(1L, 1L, 2L, 2L, 3L))
+    // after censor lifts, raw cumulative values resume untouched
+    assert(f(5) == 10L)
+  }
+
+  test("reconcile case 2 drops area-0 rows of mixed city; case 3 dissolves") {
+    val (base, shp) = ClearMapPipeline.baseFrame(rawFixture, shapeFixture)
+    assert(base.filter(col("id") === 10000L).count() == 0) // city1 area0 gone
+    // city 2 dissolved to a single area-1 row with summed pop
+    val c2 = shp.filter(col("city") === 2).collect()
+    assert(c2.length == 1)
+    assert(c2(0).getAs[Double]("pop") == 110.0)
+    assert(c2(0).getAs[Long]("id") == 20001L)
+    // dissolve of disjoint squares hulled to a single Polygon
+    val gt = shp.filter(col("city") === 2)
+      .select(GeoFunctions.cols.stGeometryType(col("geometry"))).as[String]
+      .collect()(0)
+    assert(gt == "Polygon")
+    base.unpersist()
+  }
+
+  test("export frames honor the 11-column contract and window semantics") {
+    val expect = Seq("date", "num_cases", "tests", "id",
+      "socio_economic_rank", "area_name", "geometry", "percent",
+      "p_vaccine", "delta", "normalized")
+    frames.values.foreach(f => assert(f.columns.toSeq == expect))
+    // 'all' window: weekly stride keeps ceil(16/7)=3 dates/id, latest kept
+    val all = frames("all")
+    val perId = all.groupBy("id").count().select("count").as[Long].collect()
+    assert(perId.forall(_ == 3))
+    assert(all.agg(max("date")).collect()(0).get(0).toString == "2021-03-16")
+    // weeks_1: only dates >= max-7
+    assert(frames("weeks_1").agg(min("date")).collect()(0).get(0)
+      .toString >= "2021-03-09")
+    // rebase-to-start: earliest sampled date is 0 per id
+    val firsts = all.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("date")))
+      .filter(col("rn") === 1).select("num_cases").as[Long].collect()
+    assert(firsts.forall(_ == 0L))
+  }
+
+  test("GeoJSON + dates/colors/sums CSV artifacts are written and parse") {
+    frames // force run
+    val fc = ujsonLite(s"$outDir/map_all.geojson")
+    assert(fc.contains("\"FeatureCollection\""))
+    assert(fc.contains("\"Feature\""))
+    val lines = ujsonLite(s"$outDir/lines_weeks_1.geojson")
+    assert(lines.contains("LineString") || lines.contains("MultiLineString"))
+    val csv = scala.io.Source.fromFile(s"$outDir/dates_colors_sums.csv")
+      .getLines().toSeq
+    assert(csv.head.split(",").length == 12)
+    assert(csv.head == Seq("all", "wave", "weeks_2", "weeks_1")
+      .flatMap(w => Seq(s"dates_$w", s"colors_$w", s"sums_$w")).mkString(","))
+    // date columns ascend
+    val dates = csv.tail.map(_.split(",", -1)(0)).filter(_.nonEmpty)
+    assert(dates == dates.sorted)
+  }
+
+  private def ujsonLite(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+}

@@ -23,6 +23,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopK is well-formed and recalls a useful fraction of brute top-10") {
+    val ivf = Similarity.ivfTopK(emb, queryMod = 50L, k = 10,
+      centroidMod = 61, nProbe = 2)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    // ranks well-formed, at most k per query (probed buckets may hold < k)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // recall vs exact: with ~1/3 of the corpus probed, uniform random
+    // vectors give ~1/3 expected; planted near-dups land in the same
+    // bucket almost surely. Bar set loosely to stay deterministic-ish.
+    val bruteSet = brute.map(p => (p._1, p._2)).toSet
+    val hit = ivf.count(p => bruteSet((p._1, p._2)))
+    val recall = hit.toDouble / brute.length
+    assert(recall >= 0.2, s"IVF recall too low: $recall")
+    // every IVF hit must be a real corpus vector, not the query itself
+    assert(ivf.forall(p => p._1 != p._2))
+  }
+
   test("LSH near-dup recall: every very-high-cosine pair among queries is found") {
     // ground truth via brute force on a small subset
     val nd = Similarity.lshNearDup(emb, minCos = 0.9)
