@@ -20,6 +20,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      // drop persisted blocks between queries: keeps per-query numbers
+      // independent and the long run free of accumulated cache pressure
+      spark.catalog.clearCache()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

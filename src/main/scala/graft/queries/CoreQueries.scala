@@ -41,6 +41,28 @@ object CoreQueries {
        |  CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** il_analysis_git.py:37-46 — CSV source (SURVEY §2.1), proven as a
+    * write→read roundtrip: the events projection is written as headered
+    * CSV then read back with an explicit StructType (schema-on-read,
+    * never inference — the production rule from SURVEY §1.3). The
+    * oracle checks value survival through the text round-trip. */
+  private def scanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scan_csv"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        Num.cents(col("value")).as("vc"))
+      .write.mode("overwrite").option("header", true).csv(path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("vc", LongType)))
+    spark.read.schema(schema).option("header", true).csv(path)
+      .orderBy("event_id")
+  }
+
+  private val scanCsvSql =
+    s"""SELECT event_id, user_id, event_type, ${NumSql.cents("value")} AS vc
+       |FROM events ORDER BY event_id""".stripMargin
+
   /** il_analysis_git.py:58 — compound-predicate row purge. */
   private def filterNullCity(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -325,6 +347,7 @@ object CoreQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_clean_cast", cleanCast, Some(cleanCastSql)),
+    Q("q_scan_csv", scanCsv, Some(scanCsvSql)),
     Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
     Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),
     Q("q_max_date", maxDate, Some(maxDateSql)),

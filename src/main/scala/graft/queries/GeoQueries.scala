@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.geo.GeoFunctions
+import graft.io.GeoJsonIO
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -64,8 +65,33 @@ object GeoQueries {
         GeoFunctions.cols.stBoundary(col("geometry"))).as("boundary_wkt"))
       .orderBy("c_custkey")
 
+  /** GeoJSON source roundtrip (SURVEY §2.1): write the squares layer
+    * as a FeatureCollection, read it back through the multiLine-JSON →
+    * explode → WKB path, and surface the properties + re-parsed
+    * geometry facts. The oracle checks the property values survive the
+    * full serialize/parse cycle (geometry facts are constants of the
+    * fixture: every feature is a 5-point Polygon ring). */
+  private def scanGeojson(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scan_geojson.json"
+    GeoJsonIO.writeFeatureCollection(
+      squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry")),
+      path)
+    GeoJsonIO.read(spark, path).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      GeoFunctions.cols.stGeometryType(col("geometry")).as("gtype"),
+      GeoFunctions.cols.stNPoints(col("geometry")).cast("int").as("npts"))
+      .orderBy("c_custkey")
+  }
+
+  private val scanGeojsonSql =
+    """SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey,
+      |  'Polygon' AS gtype, 5 AS npts
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dissolve", dissolve, None),
     Q("q_boundary", boundary, None),
+    Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
   )
 }

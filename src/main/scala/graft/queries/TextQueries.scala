@@ -154,13 +154,16 @@ object TextQueries {
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(TF.wordShingles(TF.tokens(col("text")), 3))).as("shingle"))
+    val sh = TF.shingleTable(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val capped = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= MaxDf)
-      .select("doc_id", "shingle")
+    // stop-shingle set via groupBy (map-side partial agg combines
+    // before the shuffle — a count window over `shingle` would shuffle
+    // every row) then a broadcast anti join: the stop set is tiny by
+    // construction (only shingles in > MaxDf docs)
+    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxDf).select("shingle")
+    val capped = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

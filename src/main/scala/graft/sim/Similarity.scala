@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
 import scala.util.Random
 
 /** Approximate-nearest-neighbor search over an `array<float>`
@@ -17,20 +16,36 @@ import scala.util.Random
   *    the bucket equi-join replaces the |corpus|² cross product, so
   *    cost tracks true collision counts.
   *
-  * Dot products are `zip_with` + `aggregate` expressions (codegen'd,
-  * no UDF).
+  * Vector kernels are tight-loop Scala UDFs, deliberately not
+  * `zip_with`/`aggregate` expressions: Catalyst higher-order-function
+  * lambdas are interpreted per element (no codegen), and the measured
+  * gap on this corpus is ~10-20× (same finding as
+  * TextFunctions.shingleTable). One UDF call per vector pair keeps
+  * the serialization overhead negligible against the 64-dim loop.
   */
 object Similarity {
 
   val Dim = 64
 
-  /** Σ a_i·b_i as a single expression over two float arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  })
 
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  private val normUdf = udf((a: Seq[Float]) => {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  })
+
+  /** Σ a_i·b_i over two float-array columns. */
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  def l2norm(v: Column): Column = normUdf(v)
 
   /** Exact cosine top-k for a query subset (vec_id ≡ 0 mod `queryMod`).
     * Output: (qid, vec_id, rank, cos_x10k). */
@@ -111,24 +126,36 @@ object Similarity {
   val BitsPerTable = 12 // ...of 12 sign bits each
 
   /** Fixed hyperplanes (seed 7): Tables×BitsPerTable planes in R^Dim. */
-  private val planes: Seq[Seq[Double]] = {
+  private val planes: Array[Array[Double]] = {
     val rnd = new Random(7)
-    Seq.fill(Tables * BitsPerTable)(Seq.fill(Dim)(rnd.nextDouble() - 0.5))
+    Array.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextDouble() - 0.5))
   }
+
+  /** All `Tables` sign-bit buckets of one vector in a single JIT'd
+    * pass over the closure-held plane matrix (one UDF call per vector
+    * instead of Tables×BitsPerTable interpreted dot expressions). */
+  private val bucketsUdf = udf((emb: Seq[Float]) =>
+    Array.tabulate(Tables) { t =>
+      var bucket = 0L
+      var b = 0
+      while (b < BitsPerTable) {
+        val plane = planes(t * BitsPerTable + b)
+        val n = math.min(plane.length, emb.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += emb(i).toDouble * plane(i); i += 1 }
+        if (s >= 0) bucket |= (1L << b)
+        b += 1
+      }
+      bucket
+    })
 
   /** (vec_id, table, bucket) — one row per hash table. Bucket is the
     * packed sign-bit integer of that table's planes. */
-  def buckets(emb: DataFrame): DataFrame = {
-    val planesLit = typedlit(planes)
-    val bucketFor = (t: Int) =>
-      (0 until BitsPerTable).map { b =>
-        val plane = element_at(planesLit, t * BitsPerTable + b + 1)
-        when(dot(col("embedding"), plane) >= 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
+  def buckets(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until Tables).map(bucketFor): _*)))
+        posexplode(bucketsUdf(col("embedding"))))
       .toDF("vec_id", "embedding", "table", "bucket")
-  }
 
   /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table.
     * The bucket table is persisted — it feeds both sides of the

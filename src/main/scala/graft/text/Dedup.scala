@@ -81,9 +81,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    minJaccardPct: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val toks = TextFunctions.tokens(col(text))
-    val withSh = docs.select(col(id),
-      array_distinct(TextFunctions.wordShingles(toks, 3)).as("sh"))
+    val withSh = TextFunctions.shingleTable(docs, id, text, 3)
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = bandTable(minhashSignature(withSh, id, "sh"), id)
