@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Further generalized-relational extensions: multi-level aggregation
+  * (rollup), cardinality sketches, skew-safe salted joins, and a
+  * typed arbitrary group-map — the remaining "absent in the
+  * reference, required at 100 TB" surface.
+  */
+object ExtensionQueries {
+
+  /** ROLLUP over (returnflag, linestatus): per-group, per-flag and
+    * grand totals in one pass — Spark expands the grouping sets and
+    * still does partial+final hash aggregation. */
+  private def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(Num.cents(col("l_quantity"))).as("sum_qty_c"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
+  private val rollupPricingSql =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  /** HLL++ approximate distinct counts per order priority — the
+    * shuffle-light cardinality sketch (sketches merge associatively,
+    * so the combine tree is exact-size-independent). Rows-only driver
+    * check: sketch estimates are engine-specific; the accuracy bound
+    * vs exact distinct is asserted in ExtensionSpec. */
+  private def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Skew-safe salted join: the build side is replicated `Salts` ways,
+    * the probe side sprays rows across salts, so one hot key spreads
+    * over `Salts` tasks instead of one straggler. Results are
+    * identical to the unsalted join — which is exactly what the
+    * oracle checks. (AQE skew-join does this adaptively; the explicit
+    * form is for engines/pipelines where the skew is known a priori.) */
+  private val Salts = 8
+
+  private def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), Num.cents(col("l_extendedprice")).as("price_c"))
+      // deterministic spray: any hash that varies within a join key
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("price_c")), lit(Salts)))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .crossJoin(spark.range(Salts).select(col("id").as("salt")))
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price_c")).as("rev_c"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val joinSaltedSql =
+    s"""SELECT o_orderpriority,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice")}) AS BIGINT) AS rev_c,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_rollup", rollupPricing, Some(rollupPricingSql)),
+    Q("q_approx_distinct", approxDistinct, None),
+    Q("q_join_salted", joinSalted, Some(joinSaltedSql)),
+  )
+}

@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.ops.Num
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct stays within 10% of exact per group") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf0001)
+      .select("o_orderpriority", "approx_custs").as[(String, Long)]
+      .collect().toMap
+    val exact = Tables.orders(spark, sf0001)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("x")).as[(String, Long)]
+      .collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex <= 0.1,
+        s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
+  test("salted join aggregates equal the unsalted join exactly") {
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSeq
+    val plain = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), Num.cents(col("l_extendedprice")).as("price_c"))
+      .join(Tables.orders(spark, sf0001), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("price_c")).as("rev_c"), count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("group-map longest censored run matches a hand computation") {
+    val daily = Seq(
+      // id 1: censored days 1,2 then clean then censored 4,5,6
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 99999L),
+      (1L, 4, 5L), (1L, 5, 5L), (1L, 6, 5L),
+      // id 2: never censored
+      (2L, 1, 99999L),
+      // id 3: censored days 1 and 3 (gap: day 2 missing) -> runs of 1
+      (3L, 1, 0L), (3L, 3, 0L))
+      .toDF("id", "day", "dval")
+      .withColumn("date", date_add(lit("2021-01-01").cast("date"), col("day")))
+    val out = TypedQueries.longestRun(daily, censorBelow = 5000L)
+      .orderBy("id").as[(Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 6, 3), (2L, 1, 0), (3L, 2, 1)))
+  }
+}
