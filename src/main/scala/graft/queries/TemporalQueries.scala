@@ -102,9 +102,83 @@ object TemporalQueries {
       | AND d.date > CAST(o_orderdate AS DATE) - 7 AND d.date <= CAST(o_orderdate AS DATE)
       |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin)
 
+  /** Batch sessionization — the oracle-checkable twin of the
+    * streaming [[graft.streaming.EventStream.sessionize]] (same
+    * 30-minute-gap session definition): boundary flags via lag,
+    * session index via running sum of flags — both in the one
+    * per-user window — then a per-session aggregate. Two shuffles
+    * total (user window + session groupBy). Order ties at equal `ts`
+    * are harmless: a zero gap can never open a boundary. */
+  private def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val run = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), Num.cents(col("value")).as("vc"))
+      .withColumn("boundary",
+        when(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w))
+          > gapMs, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("boundary")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vc")).as("sum_vc"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+      // explicit floor: DuckDB's CAST(x AS BIGINT) rounds while
+      // Spark's cast truncates — floor on both sides is unambiguous
+      .withColumn("duration_s",
+        floor((unix_millis(col("t_end")) - unix_millis(col("t_start"))) / 1000.0).cast("long"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  private val sessionizeBatchSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) > 1800000
+      |    THEN 1 ELSE 0 END AS boundary
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT *, CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  CAST(SUM(vc) AS BIGINT) AS sum_vc,
+      |  MIN(ts) AS t_start, MAX(ts) AS t_end,
+      |  CAST(floor((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 1000.0) AS BIGINT) AS duration_s
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** JSON column surface (north-star: semi-structured props at scale):
+    * schema-full `from_json` and schema-less `get_json_object` on the
+    * events props payload, in one codegen'd projection. */
+  private def jsonOps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      from_json(col("props"), schema).getField("k").as("k_typed"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"))
+      .withColumn("k_bucket", pmod(col("k_typed"), lit(10)))
+      .orderBy("event_id")
+  }
+
+  private val jsonOpsSql =
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+      |  CAST(json_extract(props, '$.k') AS INT) AS k_path,
+      |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
+      |FROM events ORDER BY event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
+    Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
+    Q("q_json_ops", jsonOps, Some(jsonOpsSql)),
   )
 }
