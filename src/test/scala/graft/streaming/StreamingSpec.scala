@@ -46,6 +46,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n") == 1)
   }
 
+  test("streaming dedup drops duplicate ids with watermark-bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = in.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2)))
+      q.processAllAvailable()
+      in.addData((1L, ts(3)), (3L, ts(4))) // 1 is still a dup within watermark
+      q.processAllAvailable()
+      val ids = s.table("sdedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     val s = spark
     import s.implicits._
