@@ -78,9 +78,30 @@ object ExtensionQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** Pivot: long→wide event-type counts per user. Explicit value list
+    * (the production rule — value discovery costs an extra job and
+    * breaks plan caching); one partial+final agg pass underneath. */
+  private val EventTypes = Seq("click", "view", "purchase", "signup")
+
+  private def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy("user_id")
+
+  private val pivotEventsSql =
+    s"""SELECT user_id,
+       |${EventTypes.map(t =>
+            s"  CAST(COUNT(*) FILTER (WHERE event_type = '$t') AS BIGINT) AS $t")
+          .mkString(",\n")}
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_rollup", rollupPricing, Some(rollupPricingSql)),
     Q("q_approx_distinct", approxDistinct, None),
     Q("q_join_salted", joinSalted, Some(joinSaltedSql)),
+    Q("q_pivot", pivotEvents, Some(pivotEventsSql)),
   )
 }
