@@ -52,6 +52,21 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("NDJSON feature lines write distributed and parse per line") {
+    GeoFunctions.register(spark)
+    val dir = Files.createTempDirectory("ndjson").toString + "/features"
+    val df = Seq((1L, wkb(sq00)), (2L, wkb(sqFar))).toDF("id", "geometry")
+    GeoJsonIO.writeFeatureLines(df, dir)
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.length === 2)
+    lines.foreach { l =>
+      assert(l.startsWith("""{"type":"Feature""""))
+      val geom = GeoJsonCodec.parse(
+        l.substring(l.indexOf("\"geometry\":") + 11, l.length - 1))
+      assert(geom.getGeometryType === "Polygon")
+    }
+  }
+
   test("GeoJSON FeatureCollection write/read roundtrip") {
     GeoFunctions.register(spark)
     val dir = Files.createTempDirectory("geojson").toString
