@@ -1,0 +1,313 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with `doGenCode`) for the hot kernels
+  * of the dedup / similarity surface. Two design goals:
+  *
+  *  1. **Scale**: each kernel is a single JIT-compiled pass per row,
+  *     inside whole-stage codegen — no `explode` blow-up, no 64-wide
+  *     aggregate buffers, no boxed `Seq` UDF conversions. A MinHash
+  *     signature that previously needed per-shingle row explosion +
+  *     64 min-aggregates (one shuffle) is now one projection.
+  *  2. **Cross-engine determinism**: all hashing is exact integer
+  *     arithmetic (polynomial rolling hash over a 31-bit Mersenne
+  *     prime) and all float reductions are sequential left-to-right
+  *     IEEE-754 doubles — so every result is reproducible bit-for-bit
+  *     by any engine (the DuckDB oracles replicate them in SQL).
+  *     Production swap-in of xxhash64 would only change the constants.
+  *
+  * Reference analog: the reference's only custom kernels are its
+  * geometry ops (`/root/reference/il_analysis_git.py:97-99`); this
+  * file is the engine's extension surface for the LLM-pipeline tier.
+  */
+object Poly {
+  val Mod: Long = (1L << 31) - 1 // 2^31-1, Mersenne prime
+  val Base: Long = 131L
+  val Base2: Long = 137L
+
+  def hashBytes(bytes: Array[Byte], base: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * base + (bytes(i) & 0xFFL)) % Mod
+      i += 1
+    }
+    h
+  }
+}
+
+/** Polynomial rolling hash of a string's bytes:
+  * `h = fold(0, (acc, b) => (acc*base + b) mod (2^31-1))`.
+  * ASCII-safe twin of DuckDB's
+  * `list_reduce(... ascii(c) ..., (a,b) -> (a*base+b) % 2147483647)`. */
+case class PolyHash(child: Expression, base: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Poly.hashBytes(input.asInstanceOf[UTF8String].getBytes, base)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("bytes")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = ($h * ${base}L + ($bytes[$i] & 0xFFL)) % ${Poly.Mod}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** 64-wide MinHash signature of an `array<string>` shingle set, in one
+  * pass: per shingle one polynomial base hash, then
+  * `sig[k] = min((a_k·h + b_k) mod M)`. Empty arrays yield the
+  * all-`M` sentinel signature. Output `array<long>` (length = #perms).
+  *
+  * Replaces the explode + 64-min-aggregate formulation: same result
+  * rows, but zero shuffle and ~64× fewer expression evaluations
+  * (the per-shingle base hash is computed once, not per permutation
+  * via separate column trees). */
+case class MinHashSig(child: Expression, permA: Seq[Long], permB: Seq[Long])
+    extends UnaryExpression {
+  require(permA.length == permB.length)
+  private lazy val aArr = permA.toArray
+  private lazy val bArr = permB.toArray
+  private val n = permA.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(n)(Poly.Mod)
+    var j = 0
+    val m = arr.numElements()
+    while (j < m) {
+      val h = Poly.hashBytes(arr.getUTF8String(j).getBytes, Poly.Base)
+      var k = 0
+      while (k < n) {
+        val v = (aArr(k) * h + bArr(k)) % Poly.Mod
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("permA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("permB", bArr, "long[]")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val bs = ctx.freshName("bs")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$n];
+         |java.util.Arrays.fill($sig, ${Poly.Mod}L);
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  byte[] $bs = $c.getUTF8String($j).getBytes();
+         |  long $h = 0L;
+         |  for (int $i = 0; $i < $bs.length; $i++) {
+         |    $h = ($h * ${Poly.Base}L + ($bs[$i] & 0xFFL)) % ${Poly.Mod}L;
+         |  }
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    long $v = ($aRef[$k] * $h + $bRef[$k]) % ${Poly.Mod}L;
+         |    if ($v < $sig[$k]) $sig[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** SimHash fingerprint of an `array<string>` token list, one pass.
+  *
+  * Bit layout: positions 0..30 take their sign bit from polynomial
+  * hash base 131, positions 31..61 from base 137 (31 usable bits per
+  * hash — values are < 2^31); positions 62-63 are structurally zero.
+  * Hamming distances are unaffected by the two dead bits, and every
+  * bit is reproducible in SQL with exact integer arithmetic.
+  *
+  * Replaces the explode + 64 conditional-sum aggregate formulation
+  * (the round-1 bench's slowest query at 35 s → sub-second). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val cnt = new Array[Long](62)
+    var j = 0
+    val m = arr.numElements()
+    while (j < m) {
+      val bs = arr.getUTF8String(j).getBytes
+      val h1 = Poly.hashBytes(bs, Poly.Base)
+      val h2 = Poly.hashBytes(bs, Poly.Base2)
+      var k = 0
+      while (k < 31) {
+        cnt(k) += (if (((h1 >> k) & 1L) == 1L) 1 else -1)
+        cnt(31 + k) += (if (((h2 >> k) & 1L) == 1L) 1 else -1)
+        k += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 62) {
+      if (cnt(k) > 0) fp |= (1L << k)
+      k += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cnt = ctx.freshName("cnt")
+      val j = ctx.freshName("j")
+      val bs = ctx.freshName("bs")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val fp = ctx.freshName("fp")
+      s"""
+         |long[] $cnt = new long[62];
+         |for (int $j = 0; $j < $c.numElements(); $j++) {
+         |  byte[] $bs = $c.getUTF8String($j).getBytes();
+         |  long $h1 = 0L; long $h2 = 0L;
+         |  for (int $i = 0; $i < $bs.length; $i++) {
+         |    long b = $bs[$i] & 0xFFL;
+         |    $h1 = ($h1 * ${Poly.Base}L + b) % ${Poly.Mod}L;
+         |    $h2 = ($h2 * ${Poly.Base2}L + b) % ${Poly.Mod}L;
+         |  }
+         |  for (int $k = 0; $k < 31; $k++) {
+         |    $cnt[$k] += ((($h1 >> $k) & 1L) == 1L) ? 1 : -1;
+         |    $cnt[31 + $k] += ((($h2 >> $k) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $k = 0; $k < 62; $k++) {
+         |  if ($cnt[$k] > 0) $fp |= (1L << $k);
+         |}
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Dot product of two `array<float>` columns in doubles, sequential
+  * left-to-right (IEEE-identical to DuckDB's
+  * `list_reduce(list_prepend(0.0, list_transform(...)), +)`).
+  * No boxing: reads primitive floats straight out of ArrayData
+  * (a `Seq[Float]` UDF converts + boxes every element per call). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an `array<float>` column: sqrt of the sequential
+  * sum of squares in doubles. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_norm"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  double $v = (double) $c.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecNorm =
+    copy(child = newChild)
+}
+
+/** Column-API entry points for the native expressions. */
+object F {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def polyHash(s: Column, base: Long = Poly.Base): Column = c(PolyHash(e(s), base))
+  def minhashSig(shingles: Column, permA: Seq[Long], permB: Seq[Long]): Column =
+    c(MinHashSig(e(shingles), permA, permB))
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vecNorm(a: Column): Column = c(VecNorm(e(a)))
+}

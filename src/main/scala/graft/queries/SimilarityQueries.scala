@@ -4,10 +4,14 @@ import graft.sim.Similarity
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** ANN surface over `embeddings` (rows-only driver checks — float
-  * reductions are engine-order-sensitive; correctness is covered by
-  * ScalaTest invariants instead, see SimilaritySpec). */
+/** ANN surface over `embeddings`. Every query here carries a full
+  * DuckDB oracle: cosines are sequential left-to-right double
+  * reductions in both engines (identical IEEE operand order ⇒
+  * identical bits — see [[graft.functions.VecDot]] /
+  * [[OracleSqlFrag]]), and LSH hyperplanes derive from exact integer
+  * arithmetic, so even the hash-bucketed path is replicated in SQL. */
 object SimilarityQueries {
+  import OracleSqlFrag.{dot, norm}
 
   /** Brute-force cosine top-10 for a deterministic query subset
     * (vec_id ≡ 0 mod 50): the exact baseline every ANN variant is
@@ -16,6 +20,23 @@ object SimilarityQueries {
     Similarity.bruteTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
+  private val annTopKSql =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT q.qid, b.vec_id,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
   /** IVF (inverted-file) top-10: nearest-centroid bucketing + probe-
     * limited exact search — the scale path for top-k (LSH is the
     * scale path for threshold near-dup). */
@@ -23,11 +44,80 @@ object SimilarityQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
-  /** LSH-bucketed near-duplicate pairs at cosine ≥ 0.9 — the scale
-    * path (bucket join instead of |corpus|² cross product). */
+  private val annIvfSql =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm FROM base WHERE vec_id % 61 = 0
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dot("b.embedding", "c.cvec")} / (b.nrm * c.cnorm) DESC, c.cid) AS crn
+       |    FROM base b CROSS JOIN cents c)
+       |  WHERE crn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT qid, qvec, qnorm, cid FROM (
+       |    SELECT q.qid, q.qvec, q.qnorm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dot("q.qvec", "c.cvec")} / (q.qnorm * c.cnorm) DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE prn <= 2
+       |), scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${dot("a.embedding", "p.qvec")} / (a.nrm * p.qnorm) AS cos
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** LSH-bucketed near-duplicate pairs at cosine ≥ 0.35 — the scale
+    * path (bucket join instead of |corpus|² cross product). The
+    * threshold is set where this corpus actually has pairs; the
+    * oracle replicates the full pipeline — hyperplanes, sign-bit
+    * buckets, candidate join, exact-cosine verify — so the output is
+    * hash-checked, not rows-counted. */
   private def embedNearDup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.lshNearDup(Tables.embeddings(spark, dir), minCos = 0.9)
+    Similarity.lshNearDup(Tables.embeddings(spark, dir), minCos = 0.35)
       .orderBy("id_a", "id_b")
+
+  private val embedNearDupSql = {
+    val nPlanes = Similarity.Tables * Similarity.BitsPerTable // 48
+    val flat = nPlanes * Similarity.Dim - 1                   // 3071
+    s"""WITH planes AS (
+       |  SELECT pi // 64 AS p, list(w ORDER BY i) AS w FROM (
+       |    SELECT pi, pi % 64 AS i,
+       |      CAST(((pi + 1) * 2654435761) % 4294967296 % 2001 - 1000 AS DOUBLE) / 1000.0 AS w
+       |    FROM (SELECT unnest(generate_series(0, $flat)) AS pi))
+       |  GROUP BY pi // 64
+       |), dots AS (
+       |  SELECT e.vec_id, pl.p, ${dot("e.embedding", "pl.w")} AS d
+       |  FROM embeddings e CROSS JOIN planes pl
+       |), buckets AS (
+       |  SELECT vec_id, p // ${Similarity.BitsPerTable} AS tbl,
+       |    CAST(SUM(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << (p % ${Similarity.BitsPerTable}) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id, p // ${Similarity.BitsPerTable}
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), v AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |)
+       |SELECT id_a, id_b, CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM (
+       |  SELECT id_a, id_b,
+       |    ${dot("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm) AS cos
+       |  FROM cand JOIN v va ON id_a = va.vec_id JOIN v vb ON id_b = vb.vec_id)
+       |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
@@ -62,9 +152,9 @@ object SimilarityQueries {
       |GROUP BY label ORDER BY label""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q_ann_topk", annTopK, None),
-    Q("q_ann_ivf", annIvf, None),
-    Q("q_embed_neardup", embedNearDup, None),
+    Q("q_ann_topk", annTopK, Some(annTopKSql)),
+    Q("q_ann_ivf", annIvf, Some(annIvfSql)),
+    Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )
 }

@@ -203,16 +203,90 @@ object TextQueries {
       |WHERE inter * 2 >= (sa.n + sb.n - inter)
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (rows-only driver check; hash family
-    * is engine-specific). */
+  /** MinHash+LSH near-dup pairs. The polynomial hash family
+    * ([[graft.functions.MinHashSig]]) is exact integer arithmetic, so
+    * the oracle replicates the whole pipeline — shingles, signatures,
+    * band hashes, bucket join, exact-Jaccard verify — in SQL. */
   private def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(Tables.documents(spark, dir), minJaccardPct = 50)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs (rows-only driver check). */
+  private val dedupMinhashSql = {
+    val M = OracleSqlFrag.Mod
+    // 64 per-permutation minima over the per-shingle base hashes
+    val sigList = (0 until Dedup.NumHashes).map { k =>
+      s"list_min(list_transform(h, mh -> (${Dedup.permA(k)} * mh + ${Dedup.permB(k)}) % $M))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    // band hash: fold acc = (acc*131 + sig[band*4+r+1]) % M, acc0 = 0
+    val bandHash = (0 until Dedup.RowsPerBand).foldLeft("0") { (acc, r) =>
+      s"(($acc * 131 + sig[band * ${Dedup.RowsPerBand} + ${r + 1}]) % $M)"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), shf AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |    FROM toks)
+       |  WHERE len(sh) > 0
+       |), hs AS (
+       |  SELECT doc_id, sh, list_transform(sh, s -> ${OracleSqlFrag.poly("s")}) AS h FROM shf
+       |), sig AS (
+       |  SELECT doc_id, $sigList AS sig FROM hs
+       |), bands AS (
+       |  SELECT doc_id, band, $bandHash AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, jaccard_pct FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(floor(inter * 100.0 / (n_a + n_b - inter) + 0.000001) AS BIGINT) AS jaccard_pct
+       |  FROM (
+       |    SELECT id_a, id_b, len(list_intersect(sa.sh, sb.sh)) AS inter,
+       |      len(sa.sh) AS n_a, len(sb.sh) AS n_b
+       |    FROM cand JOIN shf sa ON id_a = sa.doc_id JOIN shf sb ON id_b = sb.doc_id))
+       |WHERE jaccard_pct >= 50 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash near-dup pairs — fully oracle-replicated (the fingerprint
+    * is exact integer arithmetic; see [[graft.functions.SimHash64]]
+    * for the 62-bit layout). */
   private def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy("id_a", "id_b")
+
+  private val dedupSimhashSql = {
+    // bit k (k<31) from poly base 131; bit 31+k from poly base 137
+    val bitTerms =
+      (0 until 31).map { k =>
+        s"CASE WHEN list_sum(list_transform(h1, x -> CASE WHEN ((x >> $k) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $k) ELSE 0 END"
+      } ++ (0 until 31).map { k =>
+        s"CASE WHEN list_sum(list_transform(h2, x -> CASE WHEN ((x >> $k) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << ${31 + k}) ELSE 0 END"
+      }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id,
+       |    list_transform(t, s -> ${OracleSqlFrag.poly("s", 131L)}) AS h1,
+       |    list_transform(t, s -> ${OracleSqlFrag.poly("s", 137L)}) AS h2
+       |  FROM toks
+       |), fp AS (
+       |  SELECT doc_id, ${bitTerms.mkString("\n    + ")} AS simhash FROM hs
+       |), blocks AS (
+       |  SELECT doc_id, simhash, block, (simhash >> (16 * block)) % 65536 AS block_val
+       |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS block)
+       |)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM blocks a JOIN blocks b
+       |    ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
@@ -222,8 +296,8 @@ object TextQueries {
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
-    Q("q_dedup_minhash", dedupMinhash, None),
-    Q("q_dedup_simhash", dedupSimhash, None),
+    Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
   )
 }
 

@@ -1,8 +1,8 @@
 package graft.sim
 
+import graft.functions.F
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import scala.util.Random
 
 /** Approximate-nearest-neighbor search over an `array<float>`
   * embedding column.
@@ -11,41 +11,34 @@ import scala.util.Random
   *  - [[bruteTopK]]: exact cosine top-k — the correctness baseline.
   *    Queries are broadcast; the corpus scan is embarrassingly
   *    parallel and never shuffles (per-partition heap via window).
+  *  - [[ivfTopK]]: IVF coarse quantization — the scale path for
+  *    top-k (probe a few buckets instead of the whole corpus).
   *  - [[lshNearDup]] / [[lshCandidates]]: random-hyperplane LSH —
-  *    the scale path. Each vector maps to `Tables` sign-bit buckets;
-  *    the bucket equi-join replaces the |corpus|² cross product, so
-  *    cost tracks true collision counts.
+  *    the scale path for threshold near-dup. Each vector maps to
+  *    `Tables` sign-bit buckets; the bucket equi-join replaces the
+  *    |corpus|² cross product, so cost tracks true collision counts.
   *
-  * Vector kernels are tight-loop Scala UDFs, deliberately not
-  * `zip_with`/`aggregate` expressions: Catalyst higher-order-function
-  * lambdas are interpreted per element (no codegen), and the measured
-  * gap on this corpus is ~10-20× (same finding as
-  * TextFunctions.shingleTable). One UDF call per vector pair keeps
-  * the serialization overhead negligible against the 64-dim loop.
+  * Vector kernels are native codegen'd Catalyst expressions
+  * ([[graft.functions.VecDot]] / [[graft.functions.VecNorm]]): a
+  * primitive-float loop per row inside whole-stage codegen — no boxed
+  * `Seq[Float]` UDF conversion, no interpreted higher-order-function
+  * lambdas. All reductions are sequential left-to-right doubles, so
+  * cosines are bit-reproducible cross-engine and every ANN query has
+  * an exact DuckDB oracle (IEEE 754 ops are deterministic given the
+  * same operand order).
+  *
+  * Hyperplanes are derived from a Knuth multiplicative integer hash —
+  * exact integer arithmetic both engines can compute, no stored
+  * random state.
   */
 object Similarity {
 
   val Dim = 64
 
-  private val dotUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    val n = math.min(a.length, b.length)
-    var s = 0.0
-    var i = 0
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  })
+  /** Σ a_i·b_i over two float-array columns (sequential doubles). */
+  def dot(a: Column, b: Column): Column = F.vecDot(a, b)
 
-  private val normUdf = udf((a: Seq[Float]) => {
-    var s = 0.0
-    var i = 0
-    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(s)
-  })
-
-  /** Σ a_i·b_i over two float-array columns. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
-
-  def l2norm(v: Column): Column = normUdf(v)
+  def l2norm(v: Column): Column = F.vecNorm(v)
 
   /** Exact cosine top-k for a query subset (vec_id ≡ 0 mod `queryMod`).
     * Output: (qid, vec_id, rank, cos_x10k). */
@@ -125,15 +118,22 @@ object Similarity {
   val Tables = 4        // independent hash tables...
   val BitsPerTable = 12 // ...of 12 sign bits each
 
-  /** Fixed hyperplanes (seed 7): Tables×BitsPerTable planes in R^Dim. */
-  private val planes: Array[Array[Double]] = {
-    val rnd = new Random(7)
-    Array.fill(Tables * BitsPerTable)(Array.fill(Dim)(rnd.nextDouble() - 0.5))
-  }
+  /** Hyperplane component (p = plane index 0..47, i = dim 0..63):
+    * Knuth multiplicative hash of the flat index, folded to
+    * [-1000, 1000] thousandths. Exact integer arithmetic — the DuckDB
+    * oracle computes the identical planes with SQL `generate_series`.
+    */
+  def planeComponent(p: Int, i: Int): Double =
+    (((p * Dim + i + 1).toLong * 2654435761L) % 4294967296L % 2001L - 1000L) / 1000.0
+
+  private val planes: Array[Array[Double]] =
+    Array.tabulate(Tables * BitsPerTable)(p => Array.tabulate(Dim)(i => planeComponent(p, i)))
 
   /** All `Tables` sign-bit buckets of one vector in a single JIT'd
     * pass over the closure-held plane matrix (one UDF call per vector
-    * instead of Tables×BitsPerTable interpreted dot expressions). */
+    * instead of Tables×BitsPerTable interpreted dot expressions;
+    * vectors are few enough that the boxed call is immaterial —
+    * the hot all-pairs kernels are the codegen'd expressions). */
   private val bucketsUdf = udf((emb: Seq[Float]) =>
     Array.tabulate(Tables) { t =>
       var bucket = 0L

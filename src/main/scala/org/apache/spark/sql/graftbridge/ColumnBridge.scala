@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ⇄ Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, Spark 4.x
+  * ColumnNode API). Lives under `org.apache.spark.sql` solely to
+  * satisfy the access qualifier; no Spark internals are modified. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
