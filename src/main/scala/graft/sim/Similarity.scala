@@ -82,13 +82,17 @@ object Similarity {
     val cents = base.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
         col("norm").as("cnorm"))
-    // coarse assignment: every vector to its nearest centroid
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // coarse assignment: every vector to its nearest centroid.
+    // Argmax as a hash aggregate (max_by over a (cos, -cid) struct),
+    // NOT a per-vector row_number window: the aggregate combines
+    // map-side, so the N·C assignment rows never shuffle — only the
+    // N winners do. Tie-break on smallest cid via the negated field.
     val assigned = base.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("embedding"), col("cvec")) / (col("norm") * col("cnorm")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"),
+        first(col("norm")).as("norm"))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
     // probe lists: each query's nProbe nearest centroids
     val qs = base.filter(col("vec_id") % queryMod === 0)

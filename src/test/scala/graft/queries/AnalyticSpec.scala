@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("q_cube emits all four grouping sets with consistent totals") {
+    val rows = run("q_cube")
+      .select("gid", "n").as[(Long, Long)].collect()
+    val byGid = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // every grouping set must cover the full row count
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L))
+    assert(byGid.values.toSet.size === 1, s"per-set totals differ: $byGid")
+  }
+
+  test("q_rank_funcs: rank gaps vs dense_rank, quartiles balanced") {
+    val df = run("q_rank_funcs").cache()
+    val bad = df.filter(col("rnk") < col("drnk")).count()
+    assert(bad === 0, "rank must be >= dense_rank")
+    val quartiles = df.select("quartile").distinct().as[Int].collect().sorted
+    assert(quartiles.toSeq === Seq(1, 2, 3, 4))
+    df.unpersist()
+  }
+
+  test("q_unpivot: 3 metrics per group, values match the wide frame") {
+    val out = run("q_unpivot").as[(String, String, Long)].collect()
+    val perGroup = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    perGroup.values.foreach(m =>
+      assert(m === Set("n_rows", "sum_qty_c", "sum_price_c")))
+  }
+
+  test("q_range_frame: trailing window includes current row, sums are cumulative-bounded") {
+    val df = run("q_range_frame")
+    assert(df.filter(col("cnt30") < 1).count() === 0)
+    // a 30-day trailing sum can never exceed the per-customer total
+    val tot = df.groupBy("o_custkey").agg(max(col("cnt30")).as("mx"),
+      count(lit(1)).as("n"))
+    assert(tot.filter(col("mx") > col("n")).count() === 0)
+  }
+
+  test("q_string_sim: levenshtein is 0 iff equal, bounded by max length") {
+    val rows = run("q_string_sim")
+      .select("n_name", "r_name", "lev").as[(String, String, Int)].collect()
+    rows.foreach { case (n, r, d) =>
+      assert((d == 0) === (n == r))
+      assert(d <= math.max(n.length, r.length))
+    }
+  }
+
+  test("q_corr_moments: correlation quantized within [-1e6, 1e6]") {
+    val rows = run("q_corr_moments").select("corr_x1e6").as[Long].collect()
+    assert(rows.nonEmpty)
+    rows.foreach(c => assert(c >= -1000000L && c <= 1000000L))
+  }
+}
