@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.text.Dedup
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration of the native kernels, two ways:
+  *
+  *  1. **Deploy-time**: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *     (or `SparkSession.builder().withExtensions(new GraftExtensions)`)
+  *     injects the functions into every session of the cluster — the
+  *     standard Spark extension mechanism, no code changes at call
+  *     sites, plain SQL users get `graft_poly_hash(...)` etc.
+  *  2. **Runtime**: [[GraftFunctions.register]] adds the same builders
+  *     to an existing session's function registry (tests, notebooks).
+  *
+  * Because these are real Catalyst expressions (foldable, codegen'd),
+  * the optimizer treats them like built-ins: constant arguments fold
+  * at plan time and calls participate in whole-stage codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${args.length}")
+  }
+
+  /** (name, info, builder) for every exposed kernel. */
+  val builders: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash", info("graft_poly_hash",
+      "polynomial rolling hash (base 131 mod 2^31-1)"),
+      one("graft_poly_hash")(PolyHash(_, Poly.Base))),
+    ("graft_simhash64", info("graft_simhash64",
+      "62-bit SimHash fingerprint of an array<string>"),
+      one("graft_simhash64")(SimHash64)),
+    ("graft_minhash_sig", info("graft_minhash_sig",
+      "64-perm MinHash signature of an array<string>"),
+      one("graft_minhash_sig")(MinHashSig(_, Dedup.permA, Dedup.permB))),
+    ("graft_vec_dot", info("graft_vec_dot",
+      "sequential-double dot product of two array<float>"),
+      two("graft_vec_dot")(VecDot)),
+    ("graft_vec_norm", info("graft_vec_norm",
+      "L2 norm of an array<float>"),
+      one("graft_vec_norm")(VecNorm)),
+  )
+
+  /** Runtime registration on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

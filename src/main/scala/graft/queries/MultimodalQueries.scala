@@ -63,18 +63,41 @@ object MultimodalQueries {
       |  CAST(ceil((n_chars % 24 + 1) / 4.0) AS BIGINT) AS n_sampled
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
 
-  /** Batched partition-local feature extraction (STUB codec) — rows-only
-    * driver check; kernel semantics unit-tested. */
-  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
+  /** Batched partition-local feature extraction (STUB codec). The
+    * kernel's 16-bin byte histogram is recovered as EXACT integer bin
+    * counts (`round(f_k · n_bytes)` un-normalizes the float bins), so
+    * the whole mapPartitions path is hash-checked against a DuckDB
+    * oracle that recomputes the histogram from the sha2-chain payload's
+    * hex low-nibbles — bin(b) = b mod 16 = the low hex digit. */
+  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val bins = (0 until Multimodal.FeatureDim).map(k =>
+      round(element_at(col("features"), k + 1) * col("n_bytes"))
+        .cast("long").as(s"b$k"))
     Multimodal.extractFeatures(media(spark, dir)).toDF()
-      .select(col("doc_id"), col("kind"), col("n_bytes"),
-        floor(element_at(col("features"), 1) * 10000).as("f0_x10k"))
+      .select(Seq(col("doc_id"), col("kind"), col("n_bytes")) ++ bins: _*)
       .orderBy("doc_id")
+  }
+
+  private val mediaFeaturesSql = {
+    // payload = unhex(sha256(text) || sha256(text||'1') || sha256(text||'2')):
+    // 96 bytes = 192 hex chars; byte i's low nibble is hex char 2i (1-based).
+    val binCols = (0 until Multimodal.FeatureDim).map { k =>
+      val hexDigit = Integer.toHexString(k)
+      s"CAST(len(list_filter(generate_series(1, 96), i -> substr(hx, 2*i, 1) = '$hexDigit')) AS BIGINT) AS b$k"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |  96 AS n_bytes,
+       |  $binCols
+       |FROM (SELECT doc_id, sha256(text) || sha256(text || '1') || sha256(text || '2') AS hx
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
-    Q("q_media_features", mediaFeatures, None),
+    Q("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
   )
 }

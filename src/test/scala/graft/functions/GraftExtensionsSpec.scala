@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runtime-registered SQL functions evaluate the native kernels") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_poly_hash('abc') AS h,
+        |  graft_simhash64(array('hello')) AS sh,
+        |  graft_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |  graft_vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |  size(graft_minhash_sig(array('abc', 'def'))) AS siglen
+        |""".stripMargin)
+      .as[(Long, Long, Double, Double, Int)].head()
+    val expectH = "abc".getBytes.foldLeft(0L)((h, b) => (h * 131 + b) % Poly.Mod)
+    assert(r._1 === expectH)
+    assert(r._3 === 11.0)
+    assert(r._4 === 5.0)
+    assert(r._5 === 64)
+  }
+
+  test("extension class injects all builders without error") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext) // would throw on malformed injection
+  }
+
+  test("native expressions are foldable: literal calls constant-fold at plan time") {
+    val plan = spark.range(1)
+      .select(F.polyHash(lit("abc")).as("h"))
+      .queryExecution.optimizedPlan
+    val folded = plan.expressions.flatMap(_.collect { case l: Literal => l })
+    assert(folded.exists(_.value == "abc".getBytes.foldLeft(0L)((h, b) => (h * 131 + b) % Poly.Mod)),
+      s"expected folded literal in $plan")
+  }
+
+  test("rank<=k windows plan as WindowGroupLimit (no full per-partition sort spill)") {
+    val phys = graft.SparkEntry.queries("q_topn_per_group")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("WindowGroupLimit"), s"plan lacks WindowGroupLimit:\n$phys")
+  }
+}
