@@ -174,11 +174,39 @@ object TemporalQueries {
       |  CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the stream-stream event-time interval join
+    * ([[EventStream.intervalJoin]]): each view matched to same-user
+    * clicks within the 6-hour window after it. The IDENTICAL code
+    * runs under `readStream` with watermark-bounded join state
+    * (StreamingSpec); in batch mode the watermarks are no-ops and the
+    * driver hash-checks it against a DuckDB range join. */
+  private def intervalJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    EventStream.intervalJoin(
+        ev.filter(col("event_type") === "view").select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("value")),
+        joinWindow = "6 hours")
+      .orderBy("user_id", "view_ts", "click_ts")
+  }
+
+  private val intervalJoinSql =
+    """SELECT v.user_id,
+      |  CAST(v.ts AS TIMESTAMP) AS view_ts,
+      |  CAST(c.ts AS TIMESTAMP) AS click_ts,
+      |  CAST(round(c.value * 100) AS BIGINT) AS click_vc
+      |FROM events v JOIN events c ON v.user_id = c.user_id
+      |WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |  AND CAST(c.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+      |  AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
+      |ORDER BY v.user_id, view_ts, click_ts""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
+    Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     Q("q_json_ops", jsonOps, Some(jsonOpsSql)),
   )
 }

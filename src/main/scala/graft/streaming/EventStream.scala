@@ -99,4 +99,25 @@ object EventStream {
           }
       }
   }
+
+  /** Stream-stream event-time interval join: each `view` matches the
+    * `click`s of the same user landing within `[view.ts, view.ts +
+    * joinWindow]`.
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so the state store holds only rows
+    * inside the watermark horizon — bounded memory on unbounded
+    * streams (Spark evicts a buffered row once the other side's
+    * watermark passes its latest possible match). Batch mode: the
+    * same expression is an ordinary range join — oracle-checkable. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   watermarkDelay: String = "10 minutes",
+                   joinWindow: String = "5 minutes"): DataFrame =
+    views.withWatermark("ts", watermarkDelay).as("v")
+      .join(clicks.withWatermark("ts", watermarkDelay).as("c"),
+        expr(s"""v.user_id = c.user_id AND
+                 c.ts >= v.ts AND c.ts <= v.ts + interval $joinWindow"""))
+      .select(col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("c.ts").as("click_ts"),
+        round(col("c.value") * 100).cast("long").as("click_vc"))
 }

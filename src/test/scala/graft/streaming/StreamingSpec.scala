@@ -88,4 +88,42 @@ class StreamingSpec extends SparkSpec {
       assert(sess(1) == Session(1, ts(20), ts(20), 1, 300))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches clicks within the window, bounded state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val views = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.intervalJoin(
+        views.toDF().toDF("user_id", "ts"),
+        clicks.toDF().toDF("user_id", "ts", "value"),
+        watermarkDelay = "10 minutes", joinWindow = "5 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, ts(0)), (2L, ts(0)))
+      clicks.addData((1L, ts(2), 1.5),  // inside [0, 5] for user 1 -> match
+        (1L, ts(9), 2.0),               // outside window -> no match
+        (2L, ts(3), 3.0))               // user 2 match
+      // advance both watermarks so results flush in append mode
+      views.addData((9L, ts(60)))
+      clicks.addData((9L, ts(60), 0.0))
+      q.processAllAvailable()
+      val out = s.table("ssjoin")
+        .select("user_id", "click_vc").as[(Long, Long)].collect().sorted
+      assert(out.toSeq == Seq((1L, 150L), (2L, 300L), (9L, 0L)))
+    } finally q.stop()
+  }
+
+  test("intervalJoin batch twin produces the same matches") {
+    val s = spark
+    import s.implicits._
+    val v = Seq((1L, ts(0)), (2L, ts(0))).toDF("user_id", "ts")
+    val c = Seq((1L, ts(2), 1.5), (1L, ts(9), 2.0), (2L, ts(3), 3.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventStream.intervalJoin(v, c)
+      .select("user_id", "click_vc").as[(Long, Long)].collect().sorted
+    assert(out.toSeq == Seq((1L, 150L), (2L, 300L)))
+  }
 }
