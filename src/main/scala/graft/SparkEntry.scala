@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticQueries, CoreQueries, ExtensionQueries, GeoQueries, MultimodalQueries, Q, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, ExtensionQueries, GeoQueries, MultimodalQueries, PipelineQueries, Q, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,8 +16,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ ExtensionQueries.all ++
       AnalyticQueries.all ++ TypedQueries.all ++ TemporalQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ GeoQueries.all ++
-      MultimodalQueries.all
+      TextQueries.all ++ PipelineQueries.all ++ SimilarityQueries.all ++
+      GeoQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.functions.F
+import graft.tables.Tables
+import graft.text.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the steps between "raw corpus"
+  * and "training mix" that a 100 TB LLM pipeline runs after dedup:
+  * PII scrubbing, benchmark decontamination, repetition scoring, and
+  * deterministic stratified sampling. All are single-scan projections
+  * or one bounded join; all carry full DuckDB oracles.
+  */
+object PipelineQueries {
+
+  // Regex patterns restricted to the syntax Java regex and RE2
+  // (DuckDB) interpret identically: no backrefs, no lookaround.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** PII scrubbing: redact emails/phones, count what was removed.
+    * The corpus is synthetic, so deterministic PII is planted first
+    * (same expression in the oracle) — the query proves the scrub
+    * pipeline, not the corpus. One codegen'd projection, no shuffle:
+    * at 100 TB this runs at scan speed. */
+  private def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 15 === 0,
+        concat(lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+          lit("-0199")))
+        .otherwise(lit("")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).as("n_phones"),
+        length(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>")).as("scrubbed_len"),
+        length(col("t")).as("raw_len"))
+      .orderBy("doc_id")
+  }
+
+  private val piiScrubSql =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones,
+       |  CAST(length(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+       |    '$PhoneRe', '<PHONE>', 'g')) AS INT) AS scrubbed_len,
+       |  CAST(length(t) AS INT) AS raw_len
+       |FROM (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 10 = 0
+       |         THEN ' contact user' || doc_id || '@example.com now' ELSE '' END
+       |    || CASE WHEN doc_id % 15 = 0
+       |         THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' ELSE '' END
+       |    AS t
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag training docs sharing any 5-gram
+    * with the held-out eval slice (doc_id ≡ 0 mod 97).
+    *
+    * Scale shape: the eval side is tiny by construction, so its
+    * shingle-hash set BROADCASTS and the train side never shuffles —
+    * a semi-join at scan speed over 100 TB. Output is per
+    * (train, eval) pair with the overlap count (8-byte hash keys,
+    * same rationale as q_ngram_jaccard). */
+  private def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TF.shingleTable(Tables.documents(spark, dir), "doc_id", "text", 5)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sh"), s => F.polyHash(s)))).as("h"))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id").as("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_id", "eval_id")
+  }
+
+  private val contaminationSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 5
+       |      THEN list_transform(generate_series(1, len(t)-4),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |      ELSE CAST([] AS VARCHAR[]) END,
+       |    shs -> ${OracleSqlFrag.poly("shs")}))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_shared
+       |FROM sh tr JOIN sh ev ON tr.h = ev.h
+       |WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
+       |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
+
+  /** Intra-document repetition score: 1 − distinct/total 3-grams —
+    * the standard boilerplate/spam signal. Pure projection. */
+  private def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val total = greatest(size(toks) - 2, lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), total.as("n_3grams"),
+        size(TF.shingleUdfCol(col("text"), 3)).as("n_distinct"))
+      .withColumn("rep_pct",
+        when(col("n_3grams") === 0, 0L).otherwise(
+          floor((lit(1.0) - col("n_distinct") / col("n_3grams")) * 100 + lit(1e-6))))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionSql =
+    """SELECT doc_id, n_3grams, n_distinct,
+      |  CASE WHEN n_3grams = 0 THEN 0
+      |    ELSE CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_3grams) * 100 + 0.000001) AS BIGINT)
+      |  END AS rep_pct
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(GREATEST(len(t) - 2, 0) AS INT) AS n_3grams,
+      |    CAST(len(list_distinct(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE CAST([] AS VARCHAR[]) END)) AS INT) AS n_distinct
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling for training-mix construction:
+    * per-language keep-rates applied by `poly_hash(text) mod 100` —
+    * content-hash bucketing, NOT `rand()`: reproducible across runs,
+    * engines, and partitionings, and it down-samples duplicate
+    * content consistently. Single scan, no shuffle, no state. */
+  private val Quota: Seq[(String, Int)] =
+    Seq("en" -> 20, "fr" -> 60, "es" -> 60, "de" -> 60, "zh" -> 80)
+
+  private def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(F.polyHash(col("text")), lit(100L))
+    val quota = Quota.foldRight(lit(0): org.apache.spark.sql.Column) {
+      case ((l, q), e) => when(col("lang") === l, lit(q)).otherwise(e)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), quota.as("keep_below"))
+      .filter(col("bucket") < col("keep_below"))
+      .orderBy("doc_id")
+  }
+
+  private val stratifiedSampleSql = {
+    val quotaCase = Quota.map { case (l, q) => s"WHEN lang = '$l' THEN $q" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT doc_id, lang, bucket, keep_below FROM (
+       |  SELECT doc_id, lang,
+       |    ${OracleSqlFrag.poly("text")} % 100 AS bucket,
+       |    CAST($quotaCase AS INT) AS keep_below
+       |  FROM documents)
+       |WHERE bucket < keep_below ORDER BY doc_id""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
+    Q("q_contamination", contamination, Some(contaminationSql)),
+    Q("q_repetition", repetition, Some(repetitionSql)),
+    Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+  )
+}

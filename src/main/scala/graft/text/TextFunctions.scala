@@ -42,6 +42,9 @@ object TextFunctions {
                    text: String, n: Int): org.apache.spark.sql.DataFrame =
     docs.select(col(id), shingleUdf(col(text), lit(n)).as("sh"))
 
+  /** Column form of the distinct word-n-gram shingle kernel. */
+  def shingleUdfCol(text: Column, n: Int): Column = shingleUdf(text, lit(n))
+
   /** Count of tokens present in a fixed lexicon (duplicates counted). */
   def lexiconCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(words), t)))
