@@ -20,10 +20,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * at plan time and calls participate in whole-stage codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // whole-operator extension: the native sorted-merge as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

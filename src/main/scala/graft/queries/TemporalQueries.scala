@@ -201,9 +201,36 @@ object TemporalQueries {
       |  AND CAST(c.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 6 HOUR
       |ORDER BY v.user_id, view_ts, click_ts""".stripMargin
 
+  /** The same as-of semantics through the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]] via a custom logical node + planner
+    * strategy): one buffered right row per partition during a single
+    * sorted-merge pass — no union row-widening, no window machinery.
+    * Oracle: the identical DuckDB ASOF JOIN as q_join_asof. */
+  private def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.orders(spark, dir).select(
+      col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
+      col("o_orderkey"))
+    val right = EventSeries.daily(spark, dir).select(
+      col("id").as("r_id"), col("date").as("r_date"), col("dval"))
+    graft.plans.AsOf.join(left, right, "id", "r_id", "date", "r_date")
+      .select(col("o_orderkey"), col("id"), col("date"),
+        coalesce(col("r_date"), lit("1900-01-01").cast("date")).as("asof_date"),
+        coalesce(col("dval"), lit(-1L)).as("asof_dval"))
+      .orderBy("o_orderkey")
+  }
+
+  private val asofNativeSql = EventSeriesSql.withSeries(
+    """SELECT o_orderkey, o_custkey AS id, CAST(o_orderdate AS DATE) AS date,
+      |  COALESCE(d.date, DATE '1900-01-01') AS asof_date,
+      |  COALESCE(d.dval, -1) AS asof_dval
+      |FROM orders ASOF LEFT JOIN daily d
+      |  ON d.id = o_custkey AND d.date <= CAST(o_orderdate AS DATE)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Seq[Q] = Seq(
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
+    Q("q_asof_native", asofNative, Some(asofNativeSql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
     Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),

@@ -1,0 +1,62 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.queries.EventSeries
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native as-of join picks the latest right row at or before the left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100L), (1L, 15L, 150L), (2L, 6L, 200L))
+      .toDF("rk", "rt", "v")
+    val out = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select("k", "t", "tag", "rt", "v")
+      .as[(Long, Long, String, Option[Long], Option[Long])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      (1L, 10L, "a", Some(5L), Some(100L)),   // 15 is later than 10
+      (1L, 20L, "b", Some(15L), Some(150L)),  // latest <= 20
+      (2L, 5L, "c", None, None)))             // right row at 6 is in the future
+  }
+
+  test("ties: right row exactly at the left time is taken (inclusive)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 7L)).toDF("rk", "rt", "v")
+    val out = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select("v").as[Option[Long]].head()
+    assert(out === Some(7L))
+  }
+
+  test("physical plan is AsOfJoinExec with co-partitioned sorted children") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1L)).toDF("rk", "rt", "v")
+    val phys = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys)
+    assert(phys.contains("Sort"), phys)
+    assert(phys.contains("hashpartitioning"), phys)
+  }
+
+  test("agrees with the union+last-ignoreNulls as-of on real tables") {
+    val dir = sf0001
+    val left = Tables.orders(spark, dir).select(
+      col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
+      col("o_orderkey"))
+    val right = EventSeries.daily(spark, dir).select(
+      col("id").as("r_id"), col("date").as("r_date"), col("dval"))
+    val native = AsOf.join(left, right, "id", "r_id", "date", "r_date")
+      .select(col("o_orderkey"),
+        coalesce(col("r_date"), lit("1900-01-01").cast("date")).as("asof_date"),
+        coalesce(col("dval"), lit(-1L)).as("asof_dval"))
+      .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+    val reference = graft.SparkEntry.queries("q_join_asof")(spark, dir)
+      .select("o_orderkey", "asof_date", "asof_dval")
+      .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+    assert(native.length === reference.length)
+    native.zip(reference).foreach { case (n, r) => assert(n === r) }
+  }
+}
