@@ -16,7 +16,9 @@ object PlanAudit {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val keys = if (args.length > 1) args.drop(1).toSeq
       else Seq("q_join_agg_region", "q_agg_pricing", "q_export_frame",
-        "q_join_asof", "q_rebase15", "q_topk_customers", "q_stream_window")
+        "q_join_asof", "q_asof_native", "q_rebase15", "q_topk_customers",
+        "q_stream_window", "q_cube", "q_range_frame", "q_topn_per_group",
+        "q_dedup_minhash", "q_ann_ivf", "q_contamination")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
       val plan = df.queryExecution.explainString(
