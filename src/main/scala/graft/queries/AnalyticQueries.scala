@@ -197,7 +197,58 @@ object AnalyticQueries {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** DISTINCT aggregates: SUM(DISTINCT), COUNT(DISTINCT a, b), plus a
+    * plain COUNT in the same pass — Spark plans the distinct columns
+    * through an Expand + two-phase aggregate (one extra shuffle on the
+    * distinct keys), not a per-group set in memory. */
+  private def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum_distinct(Num.cents(col("l_quantity"))).as("sum_dist_qty_c"),
+        count_distinct(col("l_partkey"), col("l_suppkey")).as("n_dist_ps"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val distinctAggSql =
+    s"""SELECT l_returnflag,
+       |  CAST(SUM(DISTINCT ${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_dist_qty_c,
+       |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_dist_ps,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ANSI SQL text entry: the engine's `spark.sql(...)` surface with a
+    * correlated EXISTS and an uncorrelated scalar subquery — proves
+    * SQL-text users get the same plans (Catalyst rewrites EXISTS to a
+    * semi join; the scalar subquery becomes a broadcast). */
+  private def sqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    // mean threshold as exact integer cents (floor division) — a float
+    // avg() would be combine-order-sensitive at the comparison boundary
+    spark.sql(
+      s"""SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+         |FROM v_orders o
+         |WHERE EXISTS (
+         |    SELECT 1 FROM v_lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+         |  AND CAST(round(o_totalprice * 100) AS BIGINT) >
+         |    (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV count(*) FROM v_orders)
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val sqlSubquerySql =
+    """SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      |FROM orders o
+      |WHERE EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      |  AND CAST(round(o_totalprice * 100) AS BIGINT) >
+      |    (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
+    Q("q_sql_subquery", sqlSubquery, Some(sqlSubquerySql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
     Q("q_rank_funcs", rankFuncs, Some(rankFuncsSql)),
     Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),
