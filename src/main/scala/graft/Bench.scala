@@ -10,11 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup outside the timed region: a small scan+agg so
-    // the first measured query doesn't absorb session bring-up (~6 s)
-    try SparkEntry.queries.get("q_max_date")
-      .foreach(fn => fn(spark, sfDir).count())
-    catch { case _: Throwable => () }
+    // Warmup outside the timed region: session bring-up (~6 s) plus
+    // one open of each base table (parquet footer reads, codec init) —
+    // per-table one-time costs otherwise charged to whichever query
+    // happens to touch the table first (alphabetical accident).
+    // Query SHAPES are deliberately not pre-run: each measured query
+    // still pays its own codegen/JIT.
+    try {
+      SparkEntry.queries.get("q_max_date").foreach(fn => fn(spark, sfDir).count())
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings")
+        .foreach(t => graft.tables.Tables.table(spark, sfDir, t).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -116,6 +116,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source streaming: readStream over the parquet events dir equals batch") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batchCount = graft.tables.Tables.events(s, dir).count()
+    // file source needs an explicit schema; reuse the batch reader's
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file source wants a directory; glob-filter to the one table
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000L)
+      val n = s.table("filesrc").as[Long].head()
+      assert(n === batchCount)
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink: micro-batches upsert idempotently into a keyed store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val store = scala.collection.concurrent.TrieMap.empty[String, Long]
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.windowedCounts(
+        in.toDF().toDF("ts", "event_type", "value"), "5 minutes", "10 minutes")
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.collect().foreach { r =>
+          // key = (window start, type); update-mode re-emits revised
+          // aggregates, the upsert keeps exactly the latest value
+          store.put(r.getAs[Timestamp]("w_start").getTime + "/" +
+            r.getAs[String]("event_type"), r.getAs[Long]("n"))
+        }
+        ()
+      }
+      .start()
+    try {
+      in.addData((ts(1), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(4), "click", 2.0)) // same window revised: n 1 -> 2
+      q.processAllAvailable()
+      val key = ts(0).getTime + "/click"
+      assert(store(key) === 2L, s"store=$store")
+    } finally q.stop()
+  }
+
   test("intervalJoin batch twin produces the same matches") {
     val s = spark
     import s.implicits._
