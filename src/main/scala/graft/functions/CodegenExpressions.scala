@@ -299,12 +299,96 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared kernel for [[ShingleHashes]]: distinct polynomial hashes of
+  * all word-`n`-gram shingles of a text, straight from the UTF-8
+  * bytes. Equivalent (bit-for-bit) to: split on ' ' (Java semantics —
+  * inner empties kept, trailing empties dropped), form n-token
+  * shingles joined by ' ', PolyHash each, distinct. But with zero
+  * intermediate strings: each shingle hash is one rolling pass over
+  * the original byte range (0x20 never occurs inside a multi-byte
+  * UTF-8 sequence, so byte-level splitting is safe). */
+object ShingleKernel {
+  def distinctHashes(text: UTF8String, n: Int, base: Long): Array[Long] = {
+    val bytes = text.getBytes
+    // token boundaries
+    var nTok = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var s = 0
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(t) = s; ends(t) = i; t += 1; s = i + 1 }
+      i += 1
+    }
+    starts(t) = s; ends(t) = bytes.length; t += 1
+    // Java String.split drops trailing empty tokens
+    while (t > 0 && starts(t - 1) == ends(t - 1)) t -= 1
+    if (t < n) return Array.emptyLongArray
+    val out = new Array[Long](t - n + 1)
+    var w = 0
+    while (w <= t - n) {
+      var h = 0L
+      var k = w
+      while (k < w + n) {
+        if (k > w) h = (h * base + 0x20L) % Poly.Mod
+        var j = starts(k)
+        while (j < ends(k)) {
+          h = (h * base + (bytes(j) & 0xFFL)) % Poly.Mod
+          j += 1
+        }
+        k += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    // distinct via sort + unique (order is irrelevant to all callers:
+    // the array is exploded into a set or reduced by min/count)
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(uniq - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    if (uniq == out.length) out else java.util.Arrays.copyOf(out, uniq)
+  }
+}
+
+/** Distinct word-n-gram shingle hashes of a text column in ONE
+  * codegen'd pass — fuses split + sliding window + concat + PolyHash +
+  * array_distinct (the previous formulation paid an interpreted
+  * higher-order `transform` per row plus per-shingle string
+  * allocation). Output `array<long>`, sorted ascending. */
+case class ShingleHashes(child: Expression, n: Int, base: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleKernel.distinctHashes(input.asInstanceOf[UTF8String], n, base))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.ShingleKernel.distinctHashes($c, $n, ${base}L));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def polyHash(s: Column, base: Long = Poly.Base): Column = c(PolyHash(e(s), base))
+  def shingleHashes(text: Column, n: Int, base: Long = Poly.Base): Column =
+    c(ShingleHashes(e(text), n, base))
   def minhashSig(shingles: Column, permA: Seq[Long], permB: Seq[Long]): Column =
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -70,9 +70,8 @@ object PipelineQueries {
     * (train, eval) pair with the overlap count (8-byte hash keys,
     * same rationale as q_ngram_jaccard). */
   private def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TF.shingleTable(Tables.documents(spark, dir), "doc_id", "text", 5)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(col("sh"), s => F.polyHash(s)))).as("h"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 5)).as("h"))
     val evalSh = sh.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("h"))
     sh.filter(col("doc_id") % 97 =!= 0)

@@ -160,22 +160,17 @@ object TextQueries {
     // rare cross-doc collisions; the oracle applies the identical hash
     // so the comparison stays exact (production would widen the hash,
     // not drop it — the join-on-fixed-width-key shape is the point).
-    val sh = TF.shingleTable(docs, "doc_id", "text", 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(col("sh"),
-          s => graft.functions.F.polyHash(s)))).as("shingle"))
+    val sh = docs.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashes(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // stop-shingle set via groupBy (map-side partial agg combines
-    // before the shuffle — a count window over `shingle` would shuffle
-    // every row) then a broadcast anti join: the stop set is tiny by
-    // construction (only shingles in > MaxDf docs)
-    val stop = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxDf).select("shingle")
-    val capped = sh.join(broadcast(stop), Seq("shingle"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = capped.as("a").join(capped.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // bucket-pair pattern (Dedup.bucketPairs): ONE shuffle groups the
+    // shingle table into per-shingle doc-id buckets, the df cap is the
+    // same aggregate's filter (no separate stop-set pass, no anti
+    // join, no persist), and pairs are emitted map-side bounded at
+    // MaxDf²/2 per shingle — replaces a two-shuffle self-join whose
+    // build side recomputed the whole shingle lineage.
+    val pairs = Dedup.bucketPairs(sh, Seq("shingle"), "doc_id", MaxDf)
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))

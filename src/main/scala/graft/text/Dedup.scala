@@ -32,6 +32,41 @@ object Dedup {
     docs.groupBy(md5(col(text)).as("h"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_dups"))
 
+  /** All ordered pairs (a < b) from one bucket's id list — the
+    * map-side pair emitter for the bucket-join pattern below. */
+  private val pairUdf = udf((ids: Seq[Long]) => {
+    val s = ids.toArray.sorted
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      s.length * (s.length - 1) / 2)
+    var i = 0
+    while (i < s.length) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.toSeq
+  })
+
+  /** Candidate pairs from equal-key buckets WITHOUT a self-join.
+    *
+    * `groupBy(key).collect_list(id)` + a bounded per-bucket pair
+    * emitter replaces the classic `t.as("a").join(t.as("b"), keys)`
+    * self-join: one shuffle of the key table instead of two, no
+    * duplicate lineage recomputation, and the df-cap (`maxBucket`)
+    * lives in the same aggregate that builds the bucket — the pair
+    * fan-out is bounded at maxBucket²/2 per key BEFORE anything is
+    * shuffled again. Pairs are partially aggregated map-side, so the
+    * second shuffle carries combined (id_a, id_b) counts only.
+    * At 100 TB this is the standard "group by token, emit pairs"
+    * dedup shape; a hot key costs at most maxBucket² pair rows. */
+  def bucketPairs(keyed: DataFrame, keyCols: Seq[String], idCol: String,
+                  maxBucket: Int): DataFrame =
+    keyed.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairUdf(col("ids"))).as("p"))
+      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+
   // ---- MinHash ----
 
   val NumHashes = 64
@@ -83,11 +118,12 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = bandTable(minhashSignature(withSh, id, "sh"), id)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+    // bucket-pair candidates: one shuffle of the band table (instead
+    // of a two-sided self-join), pairs emitted map-side per bucket.
+    // No bucket cap here — LSH band buckets ARE the candidate
+    // definition (the oracle replicates them uncapped); a production
+    // corpus bounds hot buckets upstream via the shingle df-cap.
+    val cand = bucketPairs(bands, Seq("band", "band_hash"), id, Int.MaxValue)
       .distinct()
     val sh = withSh.select(col(id), col("sh"))
     cand
@@ -113,17 +149,20 @@ object Dedup {
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs, id, text)
-    val blocks = fp.select(col(id), col("simhash"), posexplode(
+    val blocks = fp.select(col(id), posexplode(
         array((0 until 4).map(b =>
           pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
-      .toDF(id, "simhash", "block", "block_val")
-    blocks.as("a").join(blocks.as("b"),
-        col("a.block") === col("b.block") &&
-          col("a.block_val") === col("b.block_val") &&
-          col(s"a.$id") < col(s"b.$id"))
-      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .toDF(id, "block", "block_val")
+    // bucket-pair candidates (one shuffle of the block table), then
+    // fingerprints re-joined for the hamming check. Candidate pairs
+    // are output-proportional, so the two fp joins touch few rows.
+    val cand = bucketPairs(blocks, Seq("block", "block_val"), id, Int.MaxValue)
       .distinct()
+    cand
+      .join(fp.select(col(id).as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
+      .join(fp.select(col(id).as("id_b"), col("simhash").as("fp_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 }

@@ -54,6 +54,25 @@ class CodegenExpressionsSpec extends SparkSpec {
     assert((rows(0) >> 62) === 0L)
   }
 
+  test("ShingleHashes = distinct PolyHash of joined word-n-grams, sorted") {
+    val texts = Seq(
+      "the quick brown fox jumps",     // 3 distinct 3-gram shingles
+      "a b a b a b",                   // repeated shingles collapse
+      "one two",                       // shorter than n -> empty
+      "x  y z",                        // double space: Java split keeps inner empty token
+      "trailing space ")               // trailing empties dropped
+    val got = texts.toDF("t")
+      .select(F.shingleHashes(col("t"), 3).as("hs"))
+      .as[Seq[Long]].collect()
+    val expect = texts.map { t =>
+      t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" "))
+        .map(polyRef(_, 131L)).toSeq.distinct.sorted
+    }
+    got.zip(expect).zip(texts).foreach { case ((g, e), t) =>
+      assert(g === e, s"for '$t'")
+    }
+  }
+
   test("VecDot/VecNorm match sequential double reduction") {
     val v1 = Seq(1.0f, 2.0f, 3.0f)
     val v2 = Seq(0.5f, -1.0f, 2.0f)

@@ -17,6 +17,23 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((1L, 2L), (3L, 1L)))
   }
 
+  test("bucketPairs equals the self-join formulation and honors the cap") {
+    val keyed = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),      // bucket of 3 -> 3 pairs
+      (20L, 4L), (20L, 5L),                 // bucket of 2 -> 1 pair
+      (30L, 6L),                            // singleton -> none
+      (40L, 1L), (40L, 2L), (40L, 3L), (40L, 4L)) // over cap 3 -> dropped
+      .toDF("k", "id")
+    val got = Dedup.bucketPairs(keyed, Seq("k"), "id", maxBucket = 3)
+      .as[(Long, Long)].collect().sorted
+    val selfJoin = keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .join(keyed.groupBy("k").count().filter(col("count") <= 3), Seq("k"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().sorted
+    assert(got === selfJoin)
+    assert(got === Array((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
   test("minhash LSH finds the planted near-dup pair (120, 360)") {
     val pairs = Dedup.minhashPairs(docs, minJaccardPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
