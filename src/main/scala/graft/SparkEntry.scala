@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticQueries, CoreQueries, ExtensionQueries, GeoQueries, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, ExtensionQueries, GeoQueries, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ ExtensionQueries.all ++
-      AnalyticQueries.all ++ ProfilingQueries.all ++ TypedQueries.all ++ TemporalQueries.all ++
+      AnalyticQueries.all ++ ProfilingQueries.all ++ TypedQueries.all ++
+      BehaviorQueries.all ++ TemporalQueries.all ++
       TextQueries.all ++ PipelineQueries.all ++ SimilarityQueries.all ++
       GeoQueries.all ++ MultimodalQueries.all
 

@@ -68,6 +68,13 @@ object GeoFunctions extends Serializable {
       udf((s: String) => if (s == null) null else writeWkb(GeoJsonCodec.parse(s))))
     spark.udf.register("st_asgeojson",
       udf((b: Array[Byte]) => if (b == null) null else GeoJsonCodec.write(readWkb(b))))
+    spark.udf.register("st_point",
+      udf((x: Double, y: Double) =>
+        writeWkb(factory.createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))))
+    spark.udf.register("st_contains",
+      udf((a: Array[Byte], b: Array[Byte]) =>
+        if (a == null || b == null) null
+        else Boolean.box(readWkb(a).contains(readWkb(b)))))
   }
 
   /** Column helpers (call [[register]] first is NOT required — these
@@ -85,5 +92,7 @@ object GeoFunctions extends Serializable {
     def stNPoints(c: Column): Column = call_udf("st_npoints", c)
     def stGeomFromGeoJson(c: Column): Column = call_udf("st_geomfromgeojson", c)
     def stAsGeoJson(c: Column): Column = call_udf("st_asgeojson", c)
+    def stPoint(x: Column, y: Column): Column = call_udf("st_point", x, y)
+    def stContains(a: Column, b: Column): Column = call_udf("st_contains", a, b)
   }
 }

@@ -63,6 +63,55 @@ object CoreQueries {
     s"""SELECT event_id, user_id, event_type, ${NumSql.cents("value")} AS vc
        |FROM events ORDER BY event_id""".stripMargin
 
+  /** ORC source/sink roundtrip (columnar alternative to parquet,
+    * natively supported — at 100 TB an engine must read whatever the
+    * lake already holds). Write a lineitem projection as ORC, read it
+    * back, aggregate. The roundtrip is lossless, so the oracle is the
+    * same aggregate over the parquet original — content equality
+    * through the format proves the source, the agg keeps output tiny. */
+  private def scanOrc(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scan_orc"
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"),
+        Num.cents(col("l_quantity")).as("qty_c"))
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("qty_c")).as("sum_qty_c"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  private val scanOrcSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  MAX(l_orderkey) AS max_ok
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** JSON-lines source/sink roundtrip: documents metadata written as
+    * NDJSON, read back with an explicit schema (schema-on-read, no
+    * inference pass — at scale inference means reading the data
+    * twice), aggregated per language. */
+  private def scanJsonl(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scan_jsonl"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy("lang")
+  }
+
+  private val scanJsonlSql =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** il_analysis_git.py:58 — compound-predicate row purge. */
   private def filterNullCity(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -348,6 +397,8 @@ object CoreQueries {
   val all: Seq[Q] = Seq(
     Q("q_clean_cast", cleanCast, Some(cleanCastSql)),
     Q("q_scan_csv", scanCsv, Some(scanCsvSql)),
+    Q("q_scan_orc", scanOrc, Some(scanOrcSql)),
+    Q("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
     Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
     Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),
     Q("q_max_date", maxDate, Some(maxDateSql)),

@@ -89,9 +89,46 @@ object GeoQueries {
       |  'Polygon' AS gtype, 5 AS npts
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Grid-bucketed spatial join: point-in-polygon via an integer
+    * grid-cell equi-join, then exact JTS containment. This is the
+    * 100 TB spatial-join shape — geometries are bucketed by covering
+    * grid cell so the candidate join is a plain hash join on two
+    * ints (no O(n·m) nested loop, no R-tree broadcast needed);
+    * the exact `st_contains` check runs only on cell-colocated
+    * candidates. Points are synthesized from `orders` keys, squares
+    * from `customer` keys; because both derive from pure integer
+    * arithmetic, the oracle replicates the whole join relationally
+    * (containment in an axis-aligned unit square IS arithmetic),
+    * hash-verifying the geometry path end to end. */
+  private def spatialJoin(spark: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val sq = squares(spark, dir)
+      .withColumn("cell_x", ((col("c_custkey") * 2) % 40).cast("long"))
+      .withColumn("cell_y", (floor(col("c_custkey") / 20) * 2).cast("long"))
+    val pts = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        (((col("o_orderkey") * 7) % 39).cast("double") + 0.5).as("px"),
+        ((((col("o_orderkey") * 13) % 75) * 2).cast("double") + 0.5).as("py"))
+      .withColumn("cell_x", floor(col("px")).cast("long"))
+      .withColumn("cell_y", floor(col("py")).cast("long"))
+    pts.join(sq, Seq("cell_x", "cell_y"))
+      .filter(GeoFunctions.cols.stContains(col("geometry"),
+        GeoFunctions.cols.stPoint(col("px"), col("py"))))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"))
+      .orderBy("o_orderkey", "c_custkey")
+  }
+
+  private val spatialJoinSql =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_nationkey
+      |FROM orders o JOIN customer c
+      |  ON (o.o_orderkey * 7) % 39 = (c.c_custkey * 2) % 40
+      | AND ((o.o_orderkey * 13) % 75) * 2 = CAST(floor(c.c_custkey / 20.0) AS BIGINT) * 2
+      |ORDER BY o_orderkey, c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dissolve", dissolve, None),
     Q("q_boundary", boundary, None),
     Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
+    Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
   )
 }

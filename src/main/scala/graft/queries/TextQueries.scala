@@ -291,6 +291,89 @@ object TextQueries {
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Training-sample chunking: overlapping token windows (size 50,
+    * stride 40) per document — the standard context-window prep step.
+    * Pure per-row flatMap (one UDF call/doc, no shuffle, no state):
+    * at 100 TB this runs at scan speed and the output is written
+    * partitioned by the same file layout as the input. Chunk content
+    * is carried as its polynomial hash so the oracle can verify every
+    * chunk's exact text cross-engine without shipping strings. */
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  private val chunkUdf = udf((text: String) => {
+    val toks = text.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var s = 0
+    var ix = 0
+    while (s < toks.length) {
+      val e = math.min(s + ChunkSize, toks.length)
+      val h = graft.functions.Poly.hashBytes(
+        toks.slice(s, e).mkString(" ").getBytes("UTF-8"), 131L)
+      out += ((ix, e - s, h))
+      ix += 1
+      s += ChunkStride
+    }
+    out.toSeq
+  })
+
+  private def chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chunkUdf(col("text"))).as("c"))
+      .select(col("doc_id"), col("c._1").cast("long").as("chunk_ix"),
+        col("c._2").cast("long").as("n_tok"), col("c._3").as("chunk_hash"))
+      .orderBy("doc_id", "chunk_ix")
+
+  private val chunkingSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |st AS (SELECT doc_id, tk,
+       |  unnest(generate_series(0, len(tk) - 1, $ChunkStride)) AS s FROM t)
+       |SELECT doc_id, s // $ChunkStride AS chunk_ix,
+       |  least(s + $ChunkSize, len(tk)) - s AS n_tok,
+       |  ${OracleSqlFrag.poly(s"array_to_string(list_slice(tk, s + 1, least(s + $ChunkSize, len(tk))), ' ')")} AS chunk_hash
+       |FROM st ORDER BY doc_id, chunk_ix""".stripMargin
+
+  /** Duplicate-cluster assignment: connected components over the
+    * SimHash near-dup pair graph, Pregel-style min-label propagation
+    * (iterate: every node takes the min label among itself and its
+    * neighbors, until fixpoint). The driver loop runs O(cluster
+    * diameter) rounds — near-dup clusters are shallow (dup clusters
+    * are cliques-ish), so 2-4 rounds in practice; each round is one
+    * join + one aggregate on the (output-proportional) edge list,
+    * never on the corpus. This is the step that turns pair output
+    * into "keep one doc per cluster" at 100 TB. Oracle: recursive-CTE
+    * reachability over the identical SQL-replicated pair graph. */
+  private def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3))
+      .orderBy("doc_id")
+
+  private val dedupClusterSql = {
+    // same fingerprint + pair derivation as dedupSimhashSql, then
+    // recursive reachability; min reachable id = component id
+    val pairCtes = dedupSimhashSql
+      .stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT id_a, id_b, hamming FROM \\(.*$", "")
+    s"""WITH RECURSIVE $pairCtes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id
+       |)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
@@ -301,6 +384,8 @@ object TextQueries {
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("q_chunking", chunking, Some(chunkingSql)),
+    Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
   )
 }
 

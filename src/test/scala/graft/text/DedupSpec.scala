@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Array((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
 
+  test("connectedComponents: driver union-find and distributed propagation agree") {
+    // two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 cyclic}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().sorted
+    val dist = Dedup.connectedComponents(pairs, driverLimit = 0)
+      .as[(Long, Long)].collect().sorted
+    val expect = Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(local === expect)
+    assert(dist === expect)
+  }
+
   test("minhash LSH finds the planted near-dup pair (120, 360)") {
     val pairs = Dedup.minhashPairs(docs, minJaccardPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
