@@ -154,10 +154,56 @@ object PipelineQueries {
        |WHERE bucket < keep_below ORDER BY doc_id""".stripMargin
   }
 
+  /** Data-quality rule suite: the validation pass every production
+    * pipeline runs before publishing a batch. Each rule is a
+    * scan-speed predicate aggregate (or one anti-join for referential
+    * integrity); the union of per-rule counts is a handful of rows.
+    * At 100 TB each rule shares the same scan via column pruning —
+    * no rule needs more than (key, checked column). */
+  private def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def rule(name: String, n: org.apache.spark.sql.Column, from: DataFrame) =
+      from.agg(coalesce(n, lit(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    val orphans = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+    rule("1_orders_orphan_custkey", count(lit(1)), orphans)
+      .union(rule("2_lineitem_qty_range",
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)), li))
+      .union(rule("3_events_negative_value",
+        sum(when(col("value") < 0, 1L).otherwise(0L)), ev))
+      .union(rule("4_events_dup_event_id",
+        count(lit(1)) - countDistinct(col("event_id")), ev))
+      .union(rule("5_events_ts_out_of_range",
+        sum(when(to_date(col("ts")) < lit("2024-01-01") ||
+          to_date(col("ts")) >= lit("2025-01-01"), 1L).otherwise(0L)), ev))
+      .orderBy("rule")
+  }
+
+  private val dqChecksSql =
+    """SELECT rule, n_violations FROM (
+      |  SELECT '1_orders_orphan_custkey' AS rule, COUNT(*) AS n_violations
+      |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL SELECT '2_lineitem_qty_range',
+      |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL SELECT '3_events_negative_value',
+      |    CAST(COALESCE(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM events
+      |  UNION ALL SELECT '4_events_dup_event_id',
+      |    COUNT(*) - COUNT(DISTINCT event_id) FROM events
+      |  UNION ALL SELECT '5_events_ts_out_of_range',
+      |    CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-01'
+      |      OR CAST(ts AS DATE) >= DATE '2025-01-01' THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |  FROM events)
+      |ORDER BY rule""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_contamination", contamination, Some(contaminationSql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

@@ -333,6 +333,52 @@ object TextQueries {
        |  ${OracleSqlFrag.poly(s"array_to_string(list_slice(tk, s + 1, least(s + $ChunkSize, len(tk))), ' ')")} AS chunk_hash
        |FROM st ORDER BY doc_id, chunk_ix""".stripMargin
 
+  /** TF-IDF top terms: per-document top-3 terms by tf·idf. Plan shape
+    * at 100 TB: one shuffle builds the (doc, term, tf) table with
+    * map-side combine, a term-keyed aggregate derives df (input
+    * already grouped), the per-term idf joins back on term, and a
+    * WindowGroupLimit top-k per doc closes. The score is quantized to
+    * an integer (floor(x·1000 + eps)) BEFORE ranking so the rank
+    * comparison is integer-deterministic cross-engine — a float
+    * ORDER BY on two engines' ln() is one ulp away from disagreeing. */
+  private def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score_x1000",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1000
+          + lit(1e-6)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_x1000").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("term"),
+        col("tf"), col("df"), col("score_x1000"))
+      .orderBy("doc_id", "rk")
+  }
+
+  private val tfidfSql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+      |), df AS (
+      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf.tf, df.df,
+      |    CAST(floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) * 1000 + 0.000001) AS BIGINT) AS score_x1000
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, rk, term, tf, df, score_x1000 FROM (
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score_x1000 DESC, term) AS BIGINT) AS rk
+      |  FROM scored)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   /** Duplicate-cluster assignment: connected components over the
     * SimHash near-dup pair graph, Pregel-style min-label propagation
     * (iterate: every node takes the min label among itself and its
@@ -386,6 +432,7 @@ object TextQueries {
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    Q("q_tfidf", tfidf, Some(tfidfSql)),
   )
 }
 

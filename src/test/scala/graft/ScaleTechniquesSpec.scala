@@ -41,6 +41,26 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("spatial join plans as an equi hash join on grid cells, never a nested loop") {
+    val df = SparkEntry.queries("q_spatial_join")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join fell back to a nested loop:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(df.count() > 0)
+  }
+
+  test("chunking is shuffle-free up to its final presentation sort") {
+    val df = SparkEntry.queries("q_chunking")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly one exchange: the rangepartitioning for the output ORDER
+    // BY — the chunk generation itself never shuffles
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"chunking should not shuffle to chunk:\n$plan")
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._
