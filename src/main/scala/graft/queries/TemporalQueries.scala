@@ -227,8 +227,72 @@ object TemporalQueries {
       |  ON d.id = o_custkey AND d.date <= CAST(o_orderdate AS DATE)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** Built-in session windows (`session_window`) — the same operator
+    * Structured Streaming maintains incrementally with state-store
+    * merge; here exercised in batch with a full oracle. Built-in
+    * semantics: a new session opens when the gap is >= 30 min (an
+    * event extends a session while `ts < last + gap`), session end =
+    * last event + gap. One shuffle on user_id; the session merge is
+    * a single pass over each user's sorted events. */
+  private def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), Num.cents(col("value")).as("vc"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vc")).as("sum_vc"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"), col("sum_vc"))
+      .orderBy("user_id", "s_start")
+
+  private val sessionWindowSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(round(value * 100) AS BIGINT) AS vc FROM events
+      |), flagged AS (
+      |  SELECT *, CASE WHEN epoch_ms(ts) - epoch_ms(LAG(ts) OVER w) >= 1800000
+      |    THEN 1 ELSE 0 END AS boundary
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sess AS (
+      |  SELECT *, SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(ts) AS s_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+      |  COUNT(*) AS n_events, CAST(SUM(vc) AS BIGINT) AS sum_vc
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, s_start""".stripMargin
+
+  /** Incremental-batch aggregation: merge a MATERIALIZED pre-aggregate
+    * (days before the cutoff) with the raw delta partition (days from
+    * the cutoff on) by unioning partials and re-aggregating — the
+    * algebraic-aggregate merge (sum of sums, sum of counts) that lets
+    * a 100 TB nightly pipeline reprocess only the new partition.
+    * Oracle: the from-scratch full aggregate — proving merged
+    * incremental state equals recomputation. */
+  private def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2024-01-25"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        Num.cents(col("value")).as("vc"))
+    val preAgg = ev.filter(col("d") < lit(cutoff))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+    val delta = ev.filter(col("d") >= lit(cutoff))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"))
+    preAgg.union(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"), sum(col("sum_vc")).as("sum_vc"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalAggSql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
+    Q("q_session_window", sessionWindow, Some(sessionWindowSql)),
+    Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
     Q("q_asof_native", asofNative, Some(asofNativeSql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
