@@ -61,6 +61,39 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("runtime bloom filter prunes the fact scan for a selective dim join") {
+    val s = spark
+    import s.implicits._
+    val factPath = s"$warehouse/bloom_fact"
+    val dimPath = s"$warehouse/bloom_dim"
+    (1L to 200000L).map(i => (i % 5000, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(factPath)
+    (1L to 5000L).map(i => (i, i % 97)).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val set = (conf: (String, String)) => s.conf.set(conf._1, conf._2)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+      .map { case (k, v) =>
+        val old = s.conf.getOption(k); set(k -> v); k -> old
+      }
+    try {
+      // selective dim filter -> the optimizer builds a bloom filter on
+      // dim keys and injects might_contain into the fact SCAN side, so
+      // at 100 TB the fact rows die before the shuffle, not after it
+      val dim = s.read.parquet(dimPath).filter(col("tag") === 3)
+      val joined = s.read.parquet(factPath).join(dim, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, old) =>
+      old.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._

@@ -116,6 +116,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window aggregates incrementally under a watermark (the q_session_window operator, streamed)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val events = in.toDF().toDF("user_id", "ts", "value")
+    val sessions = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("s_start"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_sw")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 40-min gap
+      in.addData((1L, ts(0), 1.0), (1L, ts(5), 1.0))
+      q.processAllAvailable()
+      in.addData((1L, ts(45), 1.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      in.addData((9L, ts(200), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("sess_sw").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("s_start"), r.getAs[Long]("n_events"))).sorted
+      assert(u1 === Array((ts(0), 2L), (ts(45), 1L)),
+        s"expected two closed sessions, got ${u1.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join: a streaming fact joins a static dimension without state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Timestamp, Double)]
+    val enriched = in.toDF().toDF("user_id", "ts", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .select(col("user_id"), col("tier"), col("value"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), 10.0), (3L, ts(1), 20.0))
+      q.processAllAvailable()
+      val rows = s.table("enriched").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).sorted
+      // static side is re-broadcast per micro-batch, no streaming state
+      assert(rows === Array((1L, "gold"), (3L, null)))
+      assert(q.lastProgress == null ||
+        Option(q.lastProgress.stateOperators).forall(_.isEmpty))
+    } finally q.stop()
+  }
+
   test("file-source streaming: readStream over the parquet events dir equals batch") {
     val s = spark
     import s.implicits._
