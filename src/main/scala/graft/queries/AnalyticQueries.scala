@@ -246,7 +246,48 @@ object AnalyticQueries {
       |    (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Ordered string aggregation (listagg): per-nation sorted roster of
+    * the top customer keys. The collected list is sorted INSIDE the
+    * aggregate result (array_sort before join), so the output is
+    * order-deterministic regardless of partitioning — the rule for
+    * any collect_* at scale: never depend on arrival order. Emitted
+    * as a joined string, not an array, to keep the cross-engine hash
+    * compare on a flat column. */
+  private def stringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_custkey"))), ",").as("keys_csv"))
+      .orderBy("c_nationkey")
+
+  private val stringAggSql =
+    """SELECT c_nationkey, COUNT(*) AS n,
+      |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS keys_csv
+      |FROM customer WHERE c_custkey % 100 = 0
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** First/last-touch attribution via min_by/max_by: each user's first
+    * and last event type, keyed by the unique event_id (a ts key can
+    * tie; an argmin over a non-unique key is nondeterministic on ANY
+    * engine — the fix is a unique total order, not engine luck).
+    * One partial+final aggregate, no window, no sort. */
+  private def minmaxBy(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  private val minmaxBySql =
+    """SELECT user_id, arg_min(event_type, event_id) AS first_type,
+      |  arg_max(event_type, event_id) AS last_type, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_string_agg", stringAgg, Some(stringAggSql)),
+    Q("q_minmax_by", minmaxBy, Some(minmaxBySql)),
     Q("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
     Q("q_sql_subquery", sqlSubquery, Some(sqlSubquerySql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
