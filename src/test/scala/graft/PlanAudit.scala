@@ -18,9 +18,15 @@ object PlanAudit {
       else Seq("q_join_agg_region", "q_agg_pricing", "q_export_frame",
         "q_join_asof", "q_asof_native", "q_rebase15", "q_topk_customers",
         "q_stream_window", "q_cube", "q_range_frame", "q_topn_per_group",
-        "q_dedup_minhash", "q_ann_ivf", "q_contamination")
+        "q_dedup_minhash", "q_ann_ivf", "q_contamination",
+        "q_spatial_join", "q_tfidf", "q_cohort_retention", "q_funnel",
+        "q_session_window", "q_incremental_agg", "q_chunking")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
+      // execute THIS df's plan first (collect, not count — count spawns
+      // its own QueryExecution): AQE only materializes the final plan
+      // (with codegen ids and runtime-chosen join strategies) after a run
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       val lines = plan.linesIterator.toSeq
@@ -30,7 +36,9 @@ object PlanAudit {
       // pushdown + codegen evidence
       lines.filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .take(6).foreach(l => println("  " + l.trim.take(160)))
-      val wsc = lines.count(_.contains("WholeStageCodegen"))
+      // formatted mode labels codegen stages as "[codegen id : N]"
+      val wsc = "codegen id : (\\d+)".r.findAllMatchIn(plan)
+        .map(_.group(1)).toSet.size
       val bhj = plan.split("BroadcastHashJoin").length - 1
       val smj = plan.split("SortMergeJoin").length - 1
       println(s"  [audit] wholeStageCodegenBlocks=$wsc broadcastJoins=$bhj sortMergeJoins=$smj")
