@@ -379,6 +379,66 @@ object TextQueries {
       |  FROM scored)
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  /** BM25 document ranking for a fixed term set: the standard
+    * retrieval scoring (idf · tf·(k1+1)/(tf + k1·(1−b + b·len/avglen)))
+    * summed over query terms, top-10 docs. Same plan skeleton as
+    * [[tfidf]] plus one broadcast of the two scalar corpus stats
+    * (N, avg doc length); the query-term filter prunes the doc-term
+    * table before any join. Scores are integer-quantized before the
+    * ranking comparison (same determinism rule as tfidf). */
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  private val BmTerms = Seq("data", "model", "training")
+
+  private def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lens = docs.select(col("doc_id"), size(TF.tokens(col("text"))).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(BmTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(df, Seq("term")).join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      // per-term contribution quantized to an integer FIRST: a float
+      // SUM's addition order is partition-dependent, an integer sum is
+      // order-free — the score is defined as the sum of quantized
+      // per-term contributions on both engines
+      .withColumn("contrib_q",
+        floor(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) * (lit(1 - BmB) + lit(BmB) * col("dl") / col("avgdl")))
+          * 10000 + lit(1e-6)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib_q")).as("score_x10000"),
+        count(lit(1)).cast("long").as("n_terms"))
+    scored.orderBy(col("score_x10000").desc, col("doc_id")).limit(10)
+  }
+
+  private val bm25Sql = {
+    val terms = BmTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH lens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl FROM documents
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens
+       |), tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  WHERE term IN (SELECT unnest($terms)) GROUP BY doc_id, term
+       |), df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+       |SELECT doc_id,
+       |  CAST(SUM(CAST(floor(
+       |    ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |    (tf.tf * ${BmK1 + 1}) /
+       |    (tf.tf + $BmK1 * (1 - $BmB + $BmB * lens.dl / avgdl))
+       |    * 10000 + 0.000001) AS BIGINT)) AS BIGINT) AS score_x10000,
+       |  COUNT(*) AS n_terms
+       |FROM tf JOIN df USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY score_x10000 DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** Duplicate-cluster assignment: connected components over the
     * SimHash near-dup pair graph, Pregel-style min-label propagation
     * (iterate: every node takes the min label among itself and its
@@ -433,6 +493,7 @@ object TextQueries {
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
+    Q("q_bm25", bm25, Some(bm25Sql)),
   )
 }
 
