@@ -394,4 +394,6 @@ object F {
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecNorm(a: Column): Column = c(VecNorm(e(a)))
+  def cappedMinIds(id: Column, cap: Int): Column =
+    c(CappedMinIds(e(id), cap).toAggregateExpression())
 }

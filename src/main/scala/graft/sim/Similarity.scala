@@ -161,17 +161,20 @@ object Similarity {
         posexplode(bucketsUdf(col("embedding"))))
       .toDF("vec_id", "embedding", "table", "bucket")
 
-  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table.
-    * The bucket table is persisted — it feeds both sides of the
-    * self-join and each row costs Tables×BitsPerTable dot products. */
-  def lshCandidates(emb: DataFrame): DataFrame = {
+  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 table,
+    * via the bucket-pair pattern ([[graft.text.Dedup.bucketPairs]]):
+    * ONE shuffle of the bucket table (vs the former two-sided
+    * self-join), bounded O(maxBucket) aggregation buffers, pairs
+    * emitted map-side. Over-cap buckets (an embedding cluster of
+    * near-identical vectors) star-link to the bucket minimum — the
+    * cosine verify downstream keeps precision exact. The bucket table
+    * is persisted: each row costs Tables×BitsPerTable dot products
+    * and the star pass re-scans it. */
+  def lshCandidates(emb: DataFrame, maxBucket: Int = 1024): DataFrame = {
     val bk = buckets(emb).select("vec_id", "table", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bk.as("a").join(bk.as("b"),
-        col("a.table") === col("b.table") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    graft.text.Dedup.bucketPairs(bk, Seq("table", "bucket"), "vec_id",
+        maxBucket, graft.text.Dedup.OverCap.Star)
       .distinct()
   }
 

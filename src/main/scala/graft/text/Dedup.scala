@@ -47,25 +47,64 @@ object Dedup {
     out.toSeq
   })
 
-  /** Candidate pairs from equal-key buckets WITHOUT a self-join.
+  /** What to do with a bucket larger than `maxBucket`. */
+  sealed trait OverCap
+  object OverCap {
+    /** Drop the bucket entirely — df-cap / stop-key semantics: a key
+      * shared by that many documents is non-discriminative (the
+      * n-gram-Jaccard stop-shingle cap). */
+    case object Drop extends OverCap
+    /** Link every bucket member to the bucket's minimum id ("star"):
+      * O(bucket) pairs instead of O(bucket²), full connectivity
+      * preserved for clustering, and — for the LSH near-dup case —
+      * exact recall on the adversarial input that creates hot buckets
+      * in the first place (a boilerplate cluster of near-identical
+      * documents all matches its representative). */
+    case object Star extends OverCap
+  }
+
+  /** Candidate pairs from equal-key buckets WITHOUT a self-join and
+    * WITHOUT an unbounded aggregation buffer.
     *
-    * `groupBy(key).collect_list(id)` + a bounded per-bucket pair
-    * emitter replaces the classic `t.as("a").join(t.as("b"), keys)`
-    * self-join: one shuffle of the key table instead of two, no
-    * duplicate lineage recomputation, and the df-cap (`maxBucket`)
-    * lives in the same aggregate that builds the bucket — the pair
-    * fan-out is bounded at maxBucket²/2 per key BEFORE anything is
-    * shuffled again. Pairs are partially aggregated map-side, so the
-    * second shuffle carries combined (id_a, id_b) counts only.
-    * At 100 TB this is the standard "group by token, emit pairs"
-    * dedup shape; a hot key costs at most maxBucket² pair rows. */
+    * One shuffle groups ids per key via [[graft.functions.CappedMinIds]]
+    * — a bounded aggregate keeping the `maxBucket` smallest ids plus
+    * the true bucket size (O(maxBucket) buffer per key, map-side
+    * combining intact), so a hot key (10⁶ identical boilerplate docs)
+    * can no longer materialize as one giant `collect_list` row that
+    * AQE cannot split. Buckets within the cap emit exact all-pairs
+    * map-side (fan-out bounded at maxBucket²/2 per key BEFORE any
+    * further shuffle). Over-cap buckets follow `overCap`: dropped
+    * (df-cap semantics) or star-linked to the bucket minimum — the
+    * star pass re-scans `keyed` against a broadcast of the over-cap
+    * keys (at most |keyed|/maxBucket of them, in practice a handful),
+    * emitting O(bucket) rows map-side with no shuffle. */
   def bucketPairs(keyed: DataFrame, keyCols: Seq[String], idCol: String,
-                  maxBucket: Int): DataFrame =
-    keyed.groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(pairUdf(col("ids"))).as("p"))
+                  maxBucket: Int, overCap: OverCap = OverCap.Drop): DataFrame = {
+    val ks = keyCols.map(col)
+    val agged0 = keyed.groupBy(ks: _*)
+      .agg(F.cappedMinIds(col(idCol), maxBucket).as("bk"))
+    // Star consumes the aggregate twice (pair emission + the tiny
+    // over-cap broadcast job); persist so the shuffle+agg runs once.
+    val agged = overCap match {
+      case OverCap.Star =>
+        agged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => agged0
+    }
+    val small = agged
+      .filter(col("bk.total").between(2, maxBucket))
+      .select(explode(pairUdf(col("bk.ids"))).as("p"))
       .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+    overCap match {
+      case OverCap.Drop => small
+      case OverCap.Star =>
+        val over = agged.filter(col("bk.total") > maxBucket)
+          .select(ks :+ element_at(col("bk.ids"), 1).as("rep"): _*)
+        val star = keyed.join(broadcast(over), keyCols)
+          .filter(col(idCol) =!= col("rep"))
+          .select(col("rep").as("id_a"), col(idCol).as("id_b"))
+        small.union(star)
+    }
+  }
 
   // ---- MinHash ----
 
@@ -112,18 +151,25 @@ object Dedup {
     * cluster scale the same pattern applies — persist (or checkpoint)
     * before a self-join, or the whole lineage recomputes per side. */
   def minhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
-                   minJaccardPct: Int = 50): DataFrame = {
+                   minJaccardPct: Int = 50, maxBucket: Int = 1024): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val withSh = TextFunctions.shingleTable(docs, id, text, 3)
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the bounded bucket-pair path scans the band table
+    // twice (capped aggregate + over-cap star pass) — without the
+    // persist the second scan recomputes every MinHash signature.
     val bands = bandTable(minhashSignature(withSh, id, "sh"), id)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // bucket-pair candidates: one shuffle of the band table (instead
     // of a two-sided self-join), pairs emitted map-side per bucket.
-    // No bucket cap here — LSH band buckets ARE the candidate
-    // definition (the oracle replicates them uncapped); a production
-    // corpus bounds hot buckets upstream via the shingle df-cap.
-    val cand = bucketPairs(bands, Seq("band", "band_hash"), id, Int.MaxValue)
+    // Band buckets beyond `maxBucket` (a boilerplate cluster — think
+    // 10⁶ docs sharing a license header) are star-linked to the
+    // bucket minimum instead of exploding O(bucket²): bounded fan-out
+    // and bounded aggregation buffers, with the star members still
+    // Jaccard-verified below, so precision is unchanged and recall on
+    // the all-near-identical hot bucket is exact.
+    val cand = bucketPairs(bands, Seq("band", "band_hash"), id, maxBucket, OverCap.Star)
       .distinct()
     val sh = withSh.select(col(id), col("sh"))
     cand
@@ -217,8 +263,12 @@ object Dedup {
   /** Near-dup pairs by hamming distance ≤ `maxHamming` (< 16), using
     * the pigeonhole block join over four 16-bit blocks. */
   def simhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    // persisted: the fingerprint table feeds the block table (scanned
+    // twice by the bounded bucket-pair path) AND both sides of the
+    // hamming verify join — four scans, one simhash computation.
     val fp = simhash(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocks = fp.select(col(id), posexplode(
         array((0 until 4).map(b =>
           pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
@@ -226,7 +276,9 @@ object Dedup {
     // bucket-pair candidates (one shuffle of the block table), then
     // fingerprints re-joined for the hamming check. Candidate pairs
     // are output-proportional, so the two fp joins touch few rows.
-    val cand = bucketPairs(blocks, Seq("block", "block_val"), id, Int.MaxValue)
+    // Over-cap blocks (identical-fingerprint clusters) star-link to
+    // the minimum id — bounded buffers and fan-out, hamming-verified.
+    val cand = bucketPairs(blocks, Seq("block", "block_val"), id, maxBucket, OverCap.Star)
       .distinct()
     cand
       .join(fp.select(col(id).as("id_a"), col("simhash").as("fp_a")), Seq("id_a"))
