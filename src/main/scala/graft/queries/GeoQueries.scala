@@ -65,6 +65,56 @@ object GeoQueries {
         GeoFunctions.cols.stBoundary(col("geometry"))).as("boundary_wkt"))
       .orderBy("c_custkey")
 
+  /** Exact oracle for [[boundary]]: the fixture squares are pure
+    * integer arithmetic, so the JTS parse → getBoundary → WKB
+    * roundtrip (which demotes LinearRing to LineString — WKB has no
+    * ring type) → WKT-write path (integers rendered bare by JTS's
+    * OrdinateFormat) is reproducible as string concatenation.
+    * This hash-verifies the geometry UDF pipeline end to end. */
+  private val boundarySql =
+    """SELECT c_custkey, 'LineString' AS boundary_type, 5 AS n_points,
+      |  'LINESTRING (' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', '
+      |    || (x+1) || ' ' || (y+1) || ', ' || x || ' ' || (y+1) || ', '
+      |    || x || ' ' || y || ')' AS boundary_wkt
+      |FROM (SELECT c_custkey, (c_custkey*2)%40 AS x,
+      |        CAST(floor(c_custkey/20.0) AS BIGINT)*2 AS y FROM customer) t
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Dissolve facts BEFORE the hull fallback: the grid spacing (2
+    * units, 1-unit squares) makes squares pairwise disjoint, so the
+    * per-nation JTS union has area = 100·distinct-cells and
+    * 5·distinct-cells points, and is a MultiPolygon unless the nation
+    * collapsed to one cell. All arithmetic — so unlike [[dissolve]]
+    * (whose convex-hull branch is genuinely geometric and stays
+    * rows-checked + spec-tested), the union path itself is
+    * hash-verified against a relational oracle. */
+  private def dissolveStats(spark: SparkSession, dir: String): DataFrame = {
+    val sq = squares(spark, dir)
+    sq.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_areas"),
+        countDistinct((col("c_custkey") * 2) % 40 * 1000 +
+          floor(col("c_custkey") / 20) * 2).as("n_cells"),
+        GeoFunctions.cols.stUnionAgg(col("geometry")).as("geometry"))
+      .select(
+        col("c_nationkey"), col("n_areas"), col("n_cells"),
+        GeoFunctions.cols.stGeometryType(col("geometry")).as("geom_type"),
+        floor(GeoFunctions.cols.stArea(col("geometry")) * 100 + lit(1e-6)).as("area_x100"),
+        GeoFunctions.cols.stNPoints(col("geometry")).cast("long").as("n_points"))
+      .orderBy("c_nationkey")
+  }
+
+  private val dissolveStatsSql =
+    """SELECT c_nationkey, COUNT(*) AS n_areas, n_cells,
+      |  CASE WHEN n_cells = 1 THEN 'Polygon' ELSE 'MultiPolygon' END AS geom_type,
+      |  n_cells * 100 AS area_x100, n_cells * 5 AS n_points
+      |FROM customer JOIN (
+      |  SELECT c_nationkey AS nk,
+      |    COUNT(DISTINCT (c_custkey*2)%40 * 1000 + CAST(floor(c_custkey/20.0) AS BIGINT)*2) AS n_cells
+      |  FROM customer GROUP BY c_nationkey) cells ON c_nationkey = nk
+      |GROUP BY c_nationkey, n_cells
+      |ORDER BY c_nationkey""".stripMargin
+
   /** GeoJSON source roundtrip (SURVEY §2.1): write the squares layer
     * as a FeatureCollection, read it back through the multiLine-JSON →
     * explode → WKB path, and surface the properties + re-parsed
@@ -127,7 +177,8 @@ object GeoQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_dissolve", dissolve, None),
-    Q("q_boundary", boundary, None),
+    Q("q_dissolve_stats", dissolveStats, Some(dissolveStatsSql)),
+    Q("q_boundary", boundary, Some(boundarySql)),
     Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
   )
