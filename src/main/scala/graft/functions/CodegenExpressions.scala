@@ -261,6 +261,46 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product of an `array<float>` column with an `array<double>`
+  * column (the k-means centroid side is double-precision: quantized
+  * integer thousandths divided by 1000.0), sequential left-to-right
+  * doubles like [[VecDot]]. */
+case class VecDotD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot_d"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** L2 norm of an `array<float>` column: sqrt of the sequential
   * sum of squares in doubles. */
 case class VecNorm(child: Expression) extends UnaryExpression {
@@ -393,6 +433,7 @@ object F {
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
+  def vecDotD(a: Column, b: Column): Column = c(VecDotD(e(a), e(b)))
   def vecNorm(a: Column): Column = c(VecNorm(e(a)))
   def cappedMinIds(id: Column, cap: Int): Column =
     c(CappedMinIds(e(id), cap).toAggregateExpression())

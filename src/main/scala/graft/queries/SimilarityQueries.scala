@@ -119,6 +119,61 @@ object SimilarityQueries {
        |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Spherical k-means centroid training (2 Lloyd rounds, stride-
+    * seeded) — the fit that [[Similarity.ivfTopK]]'s coarse
+    * quantizer was missing. Centroids are integer-quantized each
+    * round, so the ENTIRE training loop (assignment argmax, cluster
+    * means, empty-cluster carry-over) is replicated in SQL and
+    * hash-verified. */
+  private def annKmeans(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansTrain(Tables.embeddings(spark, dir), centroidMod = 61, iters = 2)
+      .orderBy("cid", "dim")
+
+  private val annKmeansSql = {
+    // one Lloyd round: exploded centroids (cid, dim, q) -> re-packed
+    // double vectors -> cosine argmax assignment -> quantized means,
+    // empty clusters keeping their previous centroid.
+    def round(k: Int): String = {
+      val in = s"cents$k"
+      val out = s"cents${k + 1}"
+      s"""cvec$k AS (
+         |  SELECT cid, list(q / 1000.0 ORDER BY dim) AS cvec FROM $in GROUP BY cid
+         |), cn$k AS (
+         |  SELECT cid, cvec, ${norm("cvec")} AS cnorm FROM cvec$k
+         |), asg$k AS (
+         |  SELECT vec_id, cid, embedding FROM (
+         |    SELECT b.vec_id, b.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+         |        ${dot("b.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS rn
+         |    FROM embeddings b CROSS JOIN cn$k c)
+         |  WHERE rn = 1
+         |), expl$k AS (
+         |  SELECT cid, i - 1 AS dim, v FROM (
+         |    SELECT cid, unnest(generate_series(1, len(embedding))) AS i,
+         |      unnest(embedding) AS v
+         |    FROM asg$k)
+         |), upd$k AS (
+         |  SELECT cid, dim, SUM(floor(CAST(v AS DOUBLE) * 1000 + 0.5)) AS sq,
+         |    COUNT(*) AS cnt
+         |  FROM expl$k GROUP BY cid, dim
+         |), $out AS (
+         |  SELECT c.cid, c.dim,
+         |    COALESCE(CAST(floor(CAST(u.sq AS DOUBLE) / CAST(u.cnt AS DOUBLE)) AS BIGINT), c.q) AS q,
+         |    COALESCE(u.cnt, 0) AS cnt
+         |  FROM $in c LEFT JOIN upd$k u ON c.cid = u.cid AND c.dim = u.dim
+         |)""".stripMargin
+    }
+    s"""WITH cents0 AS (
+       |  SELECT cid, i - 1 AS dim, CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q FROM (
+       |    SELECT vec_id AS cid, unnest(generate_series(1, len(embedding))) AS i,
+       |      unnest(embedding) AS v
+       |    FROM embeddings WHERE vec_id % 61 = 0)
+       |), ${round(0)}, ${round(1)}
+       |SELECT cid, CAST(dim AS INT) AS dim, q AS q_milli,
+       |  CAST(cnt AS BIGINT) AS n_assigned
+       |FROM cents2 ORDER BY cid, dim""".stripMargin
+  }
+
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
     * order-identical), quantized to integer thousandths per row, then
@@ -154,6 +209,7 @@ object SimilarityQueries {
   val all: Seq[Q] = Seq(
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_ivf", annIvf, Some(annIvfSql)),
+    Q("q_ann_kmeans", annKmeans, Some(annKmeansSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )

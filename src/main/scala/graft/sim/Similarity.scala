@@ -117,6 +117,81 @@ object Similarity {
         floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
   }
 
+  // ---- k-means (Lloyd) centroid training ----
+
+  /** Spherical k-means training: `iters` Lloyd rounds of
+    * cosine-argmax assignment + per-cluster mean, returning the final
+    * centroids as (cid, dim, q_milli, n_assigned) rows.
+    *
+    * Scale anatomy (the canonical distributed k-means shape):
+    *  - centroids are TINY (C×Dim) — they live on the driver and are
+    *    broadcast each round; the corpus never shuffles for
+    *    assignment (a crossJoin against the broadcast + one
+    *    map-side-combining argmax aggregate, reusing the
+    *    [[ivfTopK]] building blocks).
+    *  - the update step shuffles only partial per-(cid, dim) integer
+    *    sums (≤ partitions·C·Dim rows), never vectors.
+    *  - collecting C×Dim longs per round replaces `localCheckpoint`
+    *    lineage truncation — the broadcast value IS data, not plan.
+    *
+    * Cross-engine determinism: centroid components are quantized to
+    * integer thousandths each round (`floor(v·1000 + 0.5)` summed as
+    * integers — order-free), the mean is `floor(sum/count)` in
+    * doubles, and assignment scores divide a sequential-double dot
+    * ([[graft.functions.VecDotD]]) by the centroid norm (the vector's
+    * own norm is constant across candidate centroids and cannot
+    * change the argmax, so it is dropped). Every step is replicated
+    * verbatim by the DuckDB oracle — the whole training loop is
+    * hash-verified, not rows-counted.
+    */
+  def kmeansTrain(emb: DataFrame, centroidMod: Long = 61, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding"))
+    var cents: Seq[(Long, IndexedSeq[Long])] = base
+      .filter(col("vec_id") % centroidMod === 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
+      .map { case (cid, v) =>
+        (cid, v.iterator.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toIndexedSeq)
+      }
+    var counts = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val centDf = cents.map { case (cid, q) =>
+        val cvec = q.map(_ / 1000.0)
+        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+        (cid, cvec, cnorm)
+      }.toDF("cid", "cvec", "cnorm")
+      val assigned = base.crossJoin(broadcast(centDf))
+        .withColumn("score", F.vecDotD(col("embedding"), col("cvec")) / col("cnorm"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"),
+          first(col("embedding")).as("embedding"))
+      val upd = assigned.select(col("cid"), posexplode(col("embedding")))
+        .toDF("cid", "dim", "v")
+        .groupBy("cid", "dim")
+        .agg(sum(floor(col("v").cast("double") * 1000 + lit(0.5))).as("sq"),
+          count(lit(1)).as("cnt"))
+        .select(col("cid"), col("dim"),
+          floor(col("sq").cast("double") / col("cnt").cast("double")).as("q"),
+          col("cnt"))
+        .as[(Long, Int, Long, Long)].collect()
+      val byCid = upd.groupBy(_._1)
+      counts = cents.map { case (cid, _) =>
+        cid -> byCid.get(cid).map(_.head._4).getOrElse(0L)
+      }.toMap
+      // an emptied cluster keeps its previous centroid (and counts 0)
+      cents = cents.map { case (cid, oldQ) =>
+        byCid.get(cid) match {
+          case Some(rows) => (cid, rows.sortBy(_._2).map(_._3).toIndexedSeq)
+          case None       => (cid, oldQ)
+        }
+      }
+    }
+    cents.flatMap { case (cid, q) =>
+      q.zipWithIndex.map { case (v, d) => (cid, d, v, counts(cid)) }
+    }.toDF("cid", "dim", "q_milli", "n_assigned")
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...

@@ -64,4 +64,40 @@ class SimilaritySpec extends SparkSpec {
     val missed = top -- found
     assert(missed.isEmpty, s"LSH missed very-near pairs: $missed")
   }
+
+  test("kmeansTrain: complete assignment, deterministic, and improves the objective") {
+    val out = Similarity.kmeansTrain(emb, centroidMod = 61, iters = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    val n = emb.count()
+    val byCid = out.groupBy(_._1)
+    // every centroid has all 64 dims; assignments partition the corpus
+    assert(byCid.values.forall(_.map(_._2).sorted.toSeq === (0 until 64)))
+    assert(byCid.map { case (_, rows) => rows.head._4 }.sum === n)
+    // deterministic: a second run is bit-identical
+    val again = Similarity.kmeansTrain(emb, centroidMod = 61, iters = 2)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.sorted === again.sorted)
+    // training helps: mean best-cosine over the corpus does not drop
+    def objective(cents: Seq[(Long, Array[Double])]): Double = {
+      val centDf = cents.map { case (cid, cvec) =>
+        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+        (cid, cvec.toSeq, cnorm)
+      }.toDF("cid", "cvec", "cnorm")
+      emb.crossJoin(broadcast(centDf))
+        .withColumn("cos", graft.functions.F.vecDotD(col("embedding"), col("cvec")) /
+          (Similarity.l2norm(col("embedding")) * col("cnorm")))
+        .groupBy("vec_id").agg(max("cos").as("best"))
+        .agg(avg("best")).as[Double].head()
+    }
+    val trained = out.groupBy(_._1).map { case (cid, rows) =>
+      (cid, rows.sortBy(_._2).map(_._3 / 1000.0).toArray)
+    }.toSeq
+    val init = emb.filter(col("vec_id") % 61 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (cid, v) =>
+        (cid, v.map(x => math.floor(x.toDouble * 1000 + 0.5) / 1000.0))
+      }.toSeq
+    assert(objective(trained) >= objective(init) - 1e-9,
+      "2 Lloyd rounds should not worsen mean best-cosine")
+  }
 }
