@@ -78,6 +78,53 @@ object ExtensionQueries {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** GROUPING SETS ((rf), (ls), ()) — the shape rollup/cube cannot
+    * express: two independent single-column breakdowns plus the grand
+    * total, one Expand + one partial+final agg pass, no self-union of
+    * scans. GROUPING() bits disambiguate the synthetic NULLs. */
+  private def groupingSetsPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(Num.cents(col("l_quantity"))).as("sum_qty_c"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
+      .select(
+        when(col("g_rf") === 0, col("l_returnflag")).otherwise(lit("ALL")).as("rf"),
+        when(col("g_ls") === 0, col("l_linestatus")).otherwise(lit("ALL")).as("ls"),
+        col("sum_qty_c"), col("n"))
+      .orderBy("rf", "ls")
+
+  private val groupingSetsPricingSql =
+    s"""SELECT CASE WHEN GROUPING(l_returnflag) = 0 THEN l_returnflag ELSE 'ALL' END AS rf,
+       |  CASE WHEN GROUPING(l_linestatus) = 0 THEN l_linestatus ELSE 'ALL' END AS ls,
+       |  CAST(SUM(${NumSql.cents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY rf, ls""".stripMargin
+
+  /** Approximate-quantile twin of q_color_quantiles: the same
+    * 19-point color scale via the KLL/GK-style percentile_approx
+    * sketch — single-pass, mergeable, bounded-memory (the exact
+    * `percentile` materializes every value per group; the sketch is
+    * what survives 100 TB). Rows-only driver check: sketch estimates
+    * are engine-specific; the error bound vs exact is asserted in
+    * ExtensionSpec. */
+  private def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val norm = EventSeries.seriesWithPop(spark, dir)
+      .select(Num.roundEps(col("cases").cast(DoubleType) / col("pop") * 100000)
+        .as("normalized"))
+    val qs = (1 to 19).map(_ / 20.0)
+    norm.agg(percentile_approx(col("normalized"), typedlit(qs), lit(10000)).as("qv"))
+      .select(posexplode(col("qv")))
+      .select((col("pos") + 1).as("q_idx"), Num.floorEps(col("col")).as("q_value"))
+      .orderBy("q_idx")
+  }
+
   /** Pivot: long→wide event-type counts per user. Explicit value list
     * (the production rule — value discovery costs an extra job and
     * breaks plan caching); one partial+final agg pass underneath. */
@@ -100,7 +147,9 @@ object ExtensionQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_rollup", rollupPricing, Some(rollupPricingSql)),
+    Q("q_grouping_sets", groupingSetsPricing, Some(groupingSetsPricingSql)),
     Q("q_approx_distinct", approxDistinct, None),
+    Q("q_approx_quantiles", approxQuantiles, None),
     Q("q_join_salted", joinSalted, Some(joinSaltedSql)),
     Q("q_pivot", pivotEvents, Some(pivotEventsSql)),
   )

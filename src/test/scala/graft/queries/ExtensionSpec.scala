@@ -51,4 +51,41 @@ class ExtensionSpec extends SparkSpec {
       .orderBy("id").as[(Long, Int, Int)].collect().toSeq
     assert(out == Seq((1L, 6, 3), (2L, 1, 0), (3L, 2, 1)))
   }
+
+  test("grouping sets equal the union of the three separate aggregations") {
+    val got = SparkEntry.queries("q_grouping_sets")(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSeq
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        Num.cents(col("l_quantity")).as("qc"))
+    def agg(gs: Seq[String]) = li.groupBy(gs.map(col): _*)
+      .agg(sum("qc").as("s"), count(lit(1)).as("n"))
+    val byRf = agg(Seq("l_returnflag"))
+      .select(col("l_returnflag"), lit("ALL"), col("s"), col("n"))
+    val byLs = agg(Seq("l_linestatus"))
+      .select(lit("ALL"), col("l_linestatus"), col("s"), col("n"))
+    val total = li.agg(sum("qc").as("s"), count(lit(1)).as("n"))
+      .select(lit("ALL"), lit("ALL"), col("s"), col("n"))
+    val expect = byRf.union(byLs).union(total)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.sorted == expect.sorted)
+  }
+
+  test("approx quantiles stay within one exact-quantile neighbor at accuracy 10k") {
+    val approx = SparkEntry.queries("q_approx_quantiles")(spark, sf0001)
+      .as[(Int, Long)].collect().toMap
+    val exact = SparkEntry.queries("q_color_quantiles")(spark, sf0001)
+      .as[(Int, Long)].collect().toMap
+    assert(approx.keySet == (1 to 19).toSet)
+    // with accuracy 10000 >> n at sf0.001, the sketch should be within
+    // the exact neighboring quantile values (rank error <= n/accuracy)
+    // (open-ended at the edges: the sketch returns dataset values,
+    // while exact `percentile` interpolates between them)
+    (1 to 19).foreach { i =>
+      val lo = if (i > 1) exact(i - 1) else Long.MinValue
+      val hi = if (i < 19) exact(i + 1) else Long.MaxValue
+      assert(approx(i) >= lo && approx(i) <= hi,
+        s"q$i: approx=${approx(i)} outside [$lo, $hi]")
+    }
+  }
 }
