@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: the native sorted-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // plan-shaping rule: column pruning through the as-of join node
+    ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
   }
 }
 

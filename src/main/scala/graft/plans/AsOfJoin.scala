@@ -50,6 +50,44 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Plan-shaping optimizer rule: column pruning through
+  * [[AsOfJoinPlan]].
+  *
+  * The node declares `references` = all child output (it passes every
+  * child column through), which correctly stops Catalyst's own
+  * ColumnPruning from touching it — but then a narrow `Project` above
+  * the join still drags BOTH full child schemas through shuffle, sort
+  * and merge, and the parquet scans read every column. This rule does
+  * what ColumnPruning cannot know how to: when a Project on top uses
+  * a subset of the join's output, push per-side Projects into the
+  * children keeping only the referenced columns plus each side's
+  * key/time columns (which the physical operator resolves by name).
+  * Pruning then cascades — Catalyst pushes the new child Projects
+  * further down into the scans, shrinking `ReadSchema` and every
+  * exchange in between. Fires at most once per join (the rewritten
+  * children are already minimal), so the optimizer batch converges.
+  */
+object AsOfColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projList, aj: AsOfJoinPlan) =>
+      val needed = AttributeSet(projList.flatMap(_.references))
+      def prune(side: LogicalPlan, key: String, time: String): Seq[Attribute] =
+        side.output.filter(a =>
+          needed.contains(a) || a.name == key || a.name == time)
+      val lKeep = prune(aj.left, aj.leftKey, aj.leftTime)
+      val rKeep = prune(aj.right, aj.rightKey, aj.rightTime)
+      if (lKeep.length < aj.left.output.length ||
+          rKeep.length < aj.right.output.length) {
+        p.copy(child = aj.copy(
+          left = Project(lKeep, aj.left),
+          right = Project(rKeep, aj.right)))
+      } else p
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; everything else falls
   * through to the stock strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
@@ -145,12 +183,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 /** User-facing API. */
 object AsOf {
 
-  /** Idempotently add the planner strategy to an existing session
-    * (the deploy path is `spark.sql.extensions` → GraftExtensions). */
-  def ensureStrategy(spark: SparkSession): Unit =
+  /** Idempotently add the planner strategy + optimizer rule to an
+    * existing session (the deploy path is `spark.sql.extensions` →
+    * GraftExtensions). */
+  def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsOfColumnPruning))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfColumnPruning
+  }
 
   /** Left-outer as-of join: latest `right` row per key with
     * `right.timeCol <= left.timeCol`. Column names must be unambiguous

@@ -20,7 +20,8 @@ object PlanAudit {
         "q_stream_window", "q_cube", "q_range_frame", "q_topn_per_group",
         "q_dedup_minhash", "q_ann_ivf", "q_contamination",
         "q_spatial_join", "q_tfidf", "q_cohort_retention", "q_funnel",
-        "q_session_window", "q_incremental_agg", "q_chunking")
+        "q_session_window", "q_incremental_agg", "q_chunking",
+        "q_ann_kmeans", "q_grouping_sets")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
       // execute THIS df's plan first (collect, not count — count spawns

@@ -59,4 +59,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.length === reference.length)
     native.zip(reference).foreach { case (n, r) => assert(n === r) }
   }
+
+  test("AsOfColumnPruning shrinks wide inputs to the referenced columns") {
+    // wide inputs: all of orders (9 cols) x all of lineitem-derived
+    // right side; the query only uses 2 non-key columns.
+    val left = Tables.orders(spark, sf0001)
+      .withColumn("odate", to_date(col("o_orderdate")))
+    val right = Tables.orders(spark, sf0001).select(
+      col("o_custkey").as("r_id"), to_date(col("o_orderdate")).as("r_date"),
+      col("o_totalprice").as("r_price"), col("o_orderpriority").as("r_prio"),
+      col("o_orderstatus").as("r_status"))
+    val joined = AsOf.join(left, right, "o_custkey", "r_id", "odate", "r_date")
+      .select(col("o_orderkey"), col("r_price"))
+    // the optimizer rule must have pushed per-side Projects into the
+    // join: the logical children carry only key/time + referenced cols
+    val aj = joined.queryExecution.optimizedPlan.collectFirst {
+      case a: AsOfJoinPlan => a
+    }.getOrElse(fail("no AsOfJoinPlan in optimized plan"))
+    assert(aj.left.output.map(_.name).toSet === Set("o_orderkey", "o_custkey", "odate"),
+      aj.left.output.map(_.name).mkString(","))
+    assert(aj.right.output.map(_.name).toSet === Set("r_id", "r_date", "r_price"),
+      aj.right.output.map(_.name).mkString(","))
+    // pruning cascades into the parquet scan (ReadSchema, not post-scan)
+    val explained = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = explained.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty, explained)
+    assert(!readSchemas.exists(_.contains("o_orderstatus")), readSchemas.mkString(";"))
+    assert(!readSchemas.exists(_.contains("o_orderpriority")), readSchemas.mkString(";"))
+    // and the pruned plan still computes the same rows
+    val wide = AsOf.join(left, right, "o_custkey", "r_id", "odate", "r_date")
+      .select(col("o_orderkey"), col("r_price"), col("o_orderstatus"))
+      .select("o_orderkey", "r_price")
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val narrow = joined.as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(narrow === wide)
+  }
 }

@@ -230,4 +230,59 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "click_vc").as[(Long, Long)].collect().sorted
     assert(out.toSeq == Seq((1L, 150L), (2L, 300L)))
   }
+
+  test("stateful operators run under the RocksDB state store provider") {
+    // the production state backend for large state (bounded JVM heap,
+    // incremental checkpoints): same results as the default HDFS-backed
+    // in-memory provider, exercised on the heaviest state users here —
+    // flatMapGroupsWithState sessionization and a windowed aggregate.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = EventStream.sessionize(in.toDS(), gapMs = 5 * 60000L, "1 minute")
+        .writeStream.format("memory").queryName("sess_rocks")
+        .outputMode("append").start()
+      try {
+        in.addData(Ev(1, ts(0), 1.0), Ev(1, ts(2), 2.0))
+        q.processAllAvailable()
+        in.addData(Ev(1, ts(20), 3.0))
+        q.processAllAvailable()
+        in.addData(Ev(2, ts(60), 1.0))
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.exists(
+          _.customMetrics.containsKey("rocksdbFilesCopied")),
+          "state operator is not running on RocksDB")
+        val sess = s.table("sess_rocks").as[Session].collect().sortBy(_.start.getTime)
+        assert(sess.length == 2)
+        assert(sess(0) == Session(1, ts(0), ts(2), 2, 300))
+        assert(sess(1) == Session(1, ts(20), ts(20), 1, 300))
+      } finally q.stop()
+      val in2 = MemoryStream[(Timestamp, String, Double)]
+      val q2 = EventStream.windowedCounts(
+          in2.toDF().toDF("ts", "event_type", "value"), "5 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("wc_rocks")
+        .outputMode("append").start()
+      try {
+        in2.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+        q2.processAllAvailable()
+        in2.addData((ts(30), "view", 1.0))
+        q2.processAllAvailable()
+        val closed = s.table("wc_rocks").collect()
+        assert(closed.exists(r => r.getAs[Timestamp]("w_start") == ts(0)
+          && r.getAs[String]("event_type") == "click"
+          && r.getAs[Long]("n") == 2 && r.getAs[Long]("sum_vc") == 300))
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(v0) => s.conf.set(key, v0)
+        case None     => s.conf.unset(key)
+      }
+    }
+  }
 }
