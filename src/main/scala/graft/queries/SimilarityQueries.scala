@@ -129,7 +129,9 @@ object SimilarityQueries {
     Similarity.kmeansTrain(Tables.embeddings(spark, dir), centroidMod = 61, iters = 2)
       .orderBy("cid", "dim")
 
-  private val annKmeansSql = {
+  /** Shared CTE prefix replicating [[Similarity.kmeansTrain]] (2
+    * rounds, stride seed): yields `cents2 (cid, dim, q, cnt)`. */
+  private val kmeansCtes: String = {
     // one Lloyd round: exploded centroids (cid, dim, q) -> re-packed
     // double vectors -> cosine argmax assignment -> quantized means,
     // empty clusters keeping their previous centroid.
@@ -163,16 +165,62 @@ object SimilarityQueries {
          |  FROM $in c LEFT JOIN upd$k u ON c.cid = u.cid AND c.dim = u.dim
          |)""".stripMargin
     }
-    s"""WITH cents0 AS (
+    s"""cents0 AS (
        |  SELECT cid, i - 1 AS dim, CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q FROM (
        |    SELECT vec_id AS cid, unnest(generate_series(1, len(embedding))) AS i,
        |      unnest(embedding) AS v
        |    FROM embeddings WHERE vec_id % 61 = 0)
-       |), ${round(0)}, ${round(1)}
+       |), ${round(0)}, ${round(1)}""".stripMargin
+  }
+
+  private val annKmeansSql =
+    s"""WITH $kmeansCtes
        |SELECT cid, CAST(dim AS INT) AS dim, q AS q_milli,
        |  CAST(cnt AS BIGINT) AS n_assigned
        |FROM cents2 ORDER BY cid, dim""".stripMargin
-  }
+
+  /** IVF search over the TRAINED centroids — train + search both
+    * replicated in one oracle. */
+  private def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopKTrained(Tables.embeddings(spark, dir), queryMod = 50L,
+        k = 10, centroidMod = 61, iters = 2, nProbe = 2)
+      .orderBy("qid", "rank")
+
+  private val annIvfTrainedSql =
+    s"""WITH $kmeansCtes, tc AS (
+       |  SELECT cid, list(q / 1000.0 ORDER BY dim) AS cvec FROM cents2 GROUP BY cid
+       |), tcn AS (
+       |  SELECT cid, cvec, ${norm("cvec")} AS cnorm FROM tc
+       |), base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dot("b.embedding", "c.cvec")} / c.cnorm DESC, c.cid) AS crn
+       |    FROM base b CROSS JOIN tcn c)
+       |  WHERE crn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT qid, qvec, qnorm, cid FROM (
+       |    SELECT q.qid, q.qvec, q.qnorm, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dot("q.qvec", "c.cvec")} / c.cnorm DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN tcn c)
+       |  WHERE prn <= 2
+       |), scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |    ${dot("a.embedding", "p.qvec")} / (a.nrm * p.qnorm) AS cos
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
@@ -210,6 +258,7 @@ object SimilarityQueries {
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_ivf", annIvf, Some(annIvfSql)),
     Q("q_ann_kmeans", annKmeans, Some(annKmeansSql)),
+    Q("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )

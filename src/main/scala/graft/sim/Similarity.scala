@@ -192,6 +192,54 @@ object Similarity {
     }.toDF("cid", "dim", "q_milli", "n_assigned")
   }
 
+  /** IVF top-k over TRAINED centroids: [[kmeansTrain]] fits the
+    * coarse quantizer, then the probe-limited search runs exactly as
+    * [[ivfTopK]] — completing the train/search pair (ivfTopK's
+    * stride "centroids" are the plan-shape baseline; this is the
+    * recall-quality path). Centroid scores divide by the centroid
+    * norm only (the vector's own norm is constant across candidates);
+    * the final in-bucket ranking is the true cosine. */
+  def ivfTopKTrained(emb: DataFrame, queryMod: Long, k: Int,
+                     centroidMod: Long = 61, iters: Int = 2,
+                     nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val trained = kmeansTrain(emb, centroidMod, iters)
+      .as[(Long, Int, Long, Long)].collect()
+    val cents = trained.groupBy(_._1).toSeq.map { case (cid, rows) =>
+      val cvec = rows.sortBy(_._2).map(_._3 / 1000.0).toSeq
+      val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
+      (cid, cvec, cnorm)
+    }.toDF("cid", "cvec", "cnorm")
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("score", F.vecDotD(col("embedding"), col("cvec")) / col("cnorm"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"),
+        first(col("norm")).as("norm"))
+    val qs = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("pscore").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("pscore", F.vecDotD(col("qvec"), col("cvec")) / col("cnorm"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(probes, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...

@@ -65,6 +65,27 @@ class SimilaritySpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed very-near pairs: $missed")
   }
 
+  test("trained IVF is well-formed and does not recall less than stride IVF") {
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "vec_id").as[(Long, Long)].collect()
+      val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+      val bruteSet = brute.map(p => (p._1, p._2)).toSet
+      got.count(p => bruteSet((p._1, p._2))).toDouble / brute.length
+    }
+    val trained = Similarity.ivfTopKTrained(emb, queryMod = 50L, k = 10,
+      centroidMod = 61, iters = 2, nProbe = 2)
+    val rows = trained.select("qid", "rank").as[(Long, Int)].collect()
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.length <= 10)
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+    val stride = Similarity.ivfTopK(emb, queryMod = 50L, k = 10,
+      centroidMod = 61, nProbe = 2)
+    assert(recall(trained) >= recall(stride) - 0.05,
+      s"trained=${recall(trained)} stride=${recall(stride)}")
+  }
+
   test("kmeansTrain: complete assignment, deterministic, and improves the objective") {
     val out = Similarity.kmeansTrain(emb, centroidMod = 61, iters = 2)
       .as[(Long, Int, Long, Long)].collect()
