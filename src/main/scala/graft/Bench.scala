@@ -37,6 +37,18 @@ object Bench {
           catch { case _: Throwable => () }
           finally { spark.catalog.clearCache() }
         }
+      // one untimed pass at the TARGET SF: the sf0.001 warmup compiles
+      // each plan's codegen classes, but the C2 compile queue is still
+      // draining when timing starts, so the alphabetically-first
+      // queries used to absorb 2-5x background-JIT contention (probe
+      // isolation: q_agg_pricing 0.58 s steady vs 3.1 s as the first
+      // timed query). One full-size pass drains the queue and touches
+      // the target-SF code paths before anything is measured.
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => () }
+        finally { spark.catalog.clearCache() }
+      }
     } catch { case _: Throwable => () }
     // min of N reps per query (default 2): the bench host shows
     // run-to-run CPU contention of 2-4x on individual queries; the
