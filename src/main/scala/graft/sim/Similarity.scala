@@ -105,10 +105,13 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nProbe)
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
-    // exact search within probed buckets only
+    // exact search within probed buckets only. The probe list is
+    // Q·nProbe rows by construction (queries are a deliberate small
+    // subset) — broadcast it so the corpus-sized assigned table joins
+    // map-side instead of shuffling both sides by cid.
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(wRank))
@@ -231,7 +234,7 @@ object Similarity {
       .select(col("qid"), col("qvec"), col("qnorm"), col("cid"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(probes, Seq("cid"))
+    assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
       .withColumn("rank", row_number().over(wRank))
