@@ -94,6 +94,42 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the adaptive counterpart of q_join_salted's explicit salting:
+    // one hot key dominates the shuffle; AQE's skew-join rule must
+    // split that partition into parallel sub-reads instead of leaving
+    // one straggler task (what saves an unsalted 100 TB join when the
+    // skew is only known at runtime)
+    val s = spark
+    import s.implicits._
+    val factPath = s"$warehouse/skew_fact"
+    // ~200k rows on the hot key, a sprinkle elsewhere; the payload
+    // survives column pruning into the shuffle so the hot partition
+    // is actually heavy (~40 MB), not just many tiny longs
+    (1L to 200000L).map(i => (if (i % 20 == 0) i % 50 else 1L, i, "x" * 200))
+      .toDF("k", "v", "pad").write.mode("overwrite").parquet(factPath)
+    val dim = (0L to 50L).map(i => (i, s"tag$i")).toDF("k", "tag")
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "100KB")
+      .map { case (k, v) =>
+        val old = s.conf.getOption(k); s.conf.set(k, v); k -> old
+      }
+    try {
+      val joined = s.read.parquet(factPath)
+        .join(dim.hint("shuffle_hash"), "k")
+        .groupBy("tag").agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("bytes"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the join skewed:\n$plan")
+      assert(plan.contains("skewed"), s"AQE did not split the skewed read:\n$plan")
+    } finally saved.foreach { case (k, old) =>
+      old.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._
