@@ -81,6 +81,22 @@ class BoundedBucketSpec extends SparkSpec {
     assert(out.forall(p => p._1 === 0L && p._3 === 0))
   }
 
+  test("stress: 20k-clone boilerplate cluster dedups in O(N), not O(N^2)") {
+    // uncapped, this fixture would emit ~200M candidate pairs per band
+    // (the 100 TB OOM scenario); bounded, it must finish promptly with
+    // exactly N-1 star pairs per-band, deduped to N-1 overall.
+    val n = 20000
+    val clones = spark.range(n)
+      .select(col("id").as("doc_id"),
+        lit("lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod").as("text"))
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashPairs(clones, minJaccardPct = 50, maxBucket = 64)
+      .count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs === (n - 1).toLong, s"expected ${n - 1} pairs, got $pairs")
+    assert(secs < 120, s"bounded dedup took $secs s on the adversarial fixture")
+  }
+
   test("lshCandidates bounded path equals the self-join formulation") {
     val emb = graft.tables.Tables.embeddings(spark, sf0001)
     val bk = graft.sim.Similarity.buckets(emb).select("vec_id", "table", "bucket")
