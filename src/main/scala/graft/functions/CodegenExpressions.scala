@@ -348,7 +348,16 @@ case class VecNorm(child: Expression) extends UnaryExpression {
   * the original byte range (0x20 never occurs inside a multi-byte
   * UTF-8 sequence, so byte-level splitting is safe). */
 object ShingleKernel {
-  def distinctHashes(text: UTF8String, n: Int, base: Long): Array[Long] = {
+  def distinctHashes(text: UTF8String, n: Int, base: Long): Array[Long] =
+    hashes(text, n, base, distinct = true)
+
+  /** Non-distinct variant: one hash per shingle occurrence, document
+    * order — multiplicities preserved (n-gram language-model counts
+    * need them; the distinct form is for set overlap). */
+  def allHashes(text: UTF8String, n: Int, base: Long): Array[Long] =
+    hashes(text, n, base, distinct = false)
+
+  def hashes(text: UTF8String, n: Int, base: Long, distinct: Boolean): Array[Long] = {
     val bytes = text.getBytes
     // token boundaries
     var nTok = 1
@@ -384,6 +393,7 @@ object ShingleKernel {
       out(w) = h
       w += 1
     }
+    if (!distinct) return out
     // distinct via sort + unique (order is irrelevant to all callers:
     // the array is exploded into a set or reduced by min/count)
     java.util.Arrays.sort(out)
@@ -402,19 +412,20 @@ object ShingleKernel {
   * array_distinct (the previous formulation paid an interpreted
   * higher-order `transform` per row plus per-shingle string
   * allocation). Output `array<long>`, sorted ascending. */
-case class ShingleHashes(child: Expression, n: Int, base: Long)
+case class ShingleHashes(child: Expression, n: Int, base: Long,
+    distinct: Boolean = true)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      ShingleKernel.distinctHashes(input.asInstanceOf[UTF8String], n, base))
+      ShingleKernel.hashes(input.asInstanceOf[UTF8String], n, base, distinct))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-       |  graft.functions.ShingleKernel.distinctHashes($c, $n, ${base}L));
+       |  graft.functions.ShingleKernel.hashes($c, $n, ${base}L, $distinct));
      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
@@ -429,6 +440,8 @@ object F {
   def polyHash(s: Column, base: Long = Poly.Base): Column = c(PolyHash(e(s), base))
   def shingleHashes(text: Column, n: Int, base: Long = Poly.Base): Column =
     c(ShingleHashes(e(text), n, base))
+  def shingleHashesAll(text: Column, n: Int, base: Long = Poly.Base): Column =
+    c(ShingleHashes(e(text), n, base, distinct = false))
   def minhashSig(shingles: Column, permA: Seq[Long], permB: Seq[Long]): Column =
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

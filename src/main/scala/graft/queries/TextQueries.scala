@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.NumSql
+import graft.ops.{Num, NumSql}
 import graft.tables.Tables
 import graft.text.{Dedup, TextFunctions => TF}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -480,7 +480,63 @@ object TextQueries {
        |GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** N-gram language-model fluency score (CCNet/Gopher-style quality
+    * filter): corpus bigram frequencies → per-document average
+    * log-frequency. Fluent text reuses common bigrams (high score);
+    * gibberish, boilerplate-mangled or wrong-language text hits rare
+    * ones (low score).
+    *
+    * Scale design: bigram hashes come from one codegen'd pass per doc
+    * (multiplicity-preserving [[graft.functions.ShingleHashes]]
+    * variant — an n-gram LM needs counts, not sets); the vocabulary
+    * is df-capped (count ≥ 2) so singleton noise never joins; the
+    * score join is an 8-byte-hash equi-join with partial aggregation
+    * on both sides. Determinism: log-frequencies are quantized to
+    * integer micros BEFORE the per-doc sum (the q_tfidf trick), so
+    * combine order cannot change a bit. Docs with < 2 tokens have no
+    * bigrams and are excluded by construction (both engines). */
+  private def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bg = docs.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashesAll(col("text"), 2)).as("h"))
+    val vocab = bg.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    bg.join(vocab, Seq("h"), "left")
+      .select(col("doc_id"), Num.floorEps(
+        log(lit(1.0) + coalesce(col("c"), lit(0L)).cast("double")) * 1e6)
+        .as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_micro").as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+        floor(col("sum_lp_micro").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_lp_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bg AS (
+       |  SELECT doc_id, ${OracleSqlFrag.poly("bgs")} AS h FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+       |      THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS bgs
+       |    FROM toks)
+       |), vocab AS (
+       |  SELECT h, COUNT(*) AS c FROM bg GROUP BY h HAVING COUNT(*) >= 2
+       |), lp AS (
+       |  SELECT doc_id, ${NumSql.floorEps("ln(1.0 + COALESCE(c, 0)) * 1000000")} AS lp_micro
+       |  FROM bg LEFT JOIN vocab USING (h)
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    CAST(SUM(lp_micro) AS BIGINT) AS sum_lp_micro
+       |  FROM lp GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, sum_lp_micro,
+       |  CAST(floor(CAST(sum_lp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS avg_lp_micro
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_lang_id", langId, Some(langIdSql)),
