@@ -120,4 +120,21 @@ object EventStream {
       .select(col("v.user_id").as("user_id"),
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"),
         round(col("c.value") * 100).cast("long").as("click_vc"))
+
+  /** Streaming near-duplicate suppression: the text tier's SimHash
+    * kernel composed with watermark-bounded streaming dedup state.
+    * Each arriving document is fingerprinted in the same codegen'd
+    * pass as batch `q_dedup_simhash`; the 62-bit fingerprint is the
+    * dedup key within the watermark horizon, so a boilerplate re-post
+    * storm is suppressed at ingest with O(distinct fingerprints in
+    * horizon) state — not at the next batch dedup run. Hamming-0
+    * semantics (identical fingerprints); banding the fingerprint into
+    * 4×16-bit keys would extend it to hamming ≤ 3 at 4× the state. */
+  def dedupNearStream(docs: DataFrame,
+                      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.F.simhash64(
+        graft.text.TextFunctions.tokens(col("text"))))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
 }

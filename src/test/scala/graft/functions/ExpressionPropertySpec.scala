@@ -75,6 +75,22 @@ class ExpressionPropertySpec extends SparkSpec {
     }
   }
 
+  test("CappedMinIds: any partitioning yields total=n and the cap smallest ids") {
+    val idsGen: Gen[List[Long]] = for {
+      len <- Gen.choose(1, 300)
+      vs <- Gen.listOfN(len, Gen.choose(-100000L, 100000L))
+    } yield vs
+    val capGen = Gen.choose(1, 40)
+    val partsGen = Gen.choose(1, 16)
+    samples(Gen.zip(idsGen, capGen, partsGen), 15).foreach { case (vs, cap, parts) =>
+      val got = vs.toDF("v").repartition(parts)
+        .agg(F.cappedMinIds(col("v"), cap).as("b"))
+        .select(col("b.total"), col("b.ids")).as[(Long, Seq[Long])].head()
+      assert(got._1 === vs.length.toLong)
+      assert(got._2 === vs.sorted.take(cap), s"cap=$cap parts=$parts")
+    }
+  }
+
   test("VecDot/VecNorm: Cauchy-Schwarz holds, norm scales linearly") {
     val vec: Gen[List[Float]] = Gen.listOfN(16, Gen.choose(-100, 100).map(_ / 10.0f))
     samples(Gen.zip(vec, vec), 20).foreach { case (a, b) =>

@@ -231,6 +231,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 150L), (2L, 300L)))
   }
 
+  test("streaming near-dup dedup suppresses identical-fingerprint re-posts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.dedupNearStream(
+        in.toDF().toDF("doc_id", "ts", "text"), "10 minutes")
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(0), "breaking news the quick brown fox"),
+        (2L, ts(1), "breaking news the quick brown fox"), // re-post: same fp
+        (3L, ts(2), "a completely different document body"))
+      q.processAllAvailable()
+      in.addData((4L, ts(3), "breaking news the quick brown fox")) // still in horizon
+      q.processAllAvailable()
+      val ids = s.table("neardup").select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stateful operators run under the RocksDB state store provider") {
     // the production state backend for large state (bounded JVM heap,
     // incremental checkpoints): same results as the default HDFS-backed
