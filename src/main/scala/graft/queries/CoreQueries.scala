@@ -88,6 +88,37 @@ object CoreQueries {
        |  MAX(l_orderkey) AS max_ok
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Partitioned-sink roundtrip: events written `partitionBy(day)` —
+    * the 100 TB fact-table layout (one directory per ingest day, so
+    * daily reruns overwrite one partition and date-filtered reads
+    * prune at the FILE LISTING level, before any I/O). The read-back
+    * filters on the partition column (PartitionFilters in the scan —
+    * proven generically in ScaleTechniquesSpec) and aggregates; the
+    * oracle computes the same from the raw events table, verifying
+    * the writer's partition-value round-trip (date → directory name →
+    * inferred partition column) bit-for-bit. */
+  private def writePartitioned(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_events"
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Num.cents(col("value")).as("vc"), to_date(col("ts")).as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    spark.read.parquet(path)
+      .filter(dayofmonth(col("day")) <= 5)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
+  private val writePartitionedSql =
+    """SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events
+      |WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** JSON-lines source/sink roundtrip: documents metadata written as
     * NDJSON, read back with an explicit schema (schema-on-read, no
     * inference pass — at scale inference means reading the data
@@ -398,6 +429,7 @@ object CoreQueries {
     Q("q_clean_cast", cleanCast, Some(cleanCastSql)),
     Q("q_scan_csv", scanCsv, Some(scanCsvSql)),
     Q("q_scan_orc", scanOrc, Some(scanOrcSql)),
+    Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
     Q("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
     Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
     Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),
