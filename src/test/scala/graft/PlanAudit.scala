@@ -21,7 +21,7 @@ object PlanAudit {
         "q_dedup_minhash", "q_ann_ivf", "q_contamination",
         "q_spatial_join", "q_tfidf", "q_cohort_retention", "q_funnel",
         "q_session_window", "q_incremental_agg", "q_chunking",
-        "q_ann_kmeans", "q_grouping_sets")
+        "q_ann_kmeans", "q_grouping_sets", "q_lm_score", "q_write_partitioned")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
       // execute THIS df's plan first (collect, not count — count spawns

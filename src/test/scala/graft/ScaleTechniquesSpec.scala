@@ -130,6 +130,29 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces only the rewritten day") {
+    // the daily-rerun contract (the reference reruns its whole batch
+    // daily, il_analysis_git.py:219-222): with dynamic overwrite, a
+    // rerun of day N rewrites ONLY day N's directory — static mode
+    // would truncate the whole table first
+    val s = spark
+    import s.implicits._
+    val path = s"$warehouse/daily_facts"
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try {
+      Seq((1, 10L), (2, 20L), (3, 30L)).toDF("day", "v")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      // rerun day 2 only, with corrected data
+      Seq((2, 99L)).toDF("day", "v")
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val out = s.read.parquet(path).select("day", "v")
+        .as[(Int, Long)].collect().sorted
+      assert(out.toSeq == Seq((1, 10L), (2, 99L), (3, 30L)), out.toSeq)
+    } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._
