@@ -67,6 +67,29 @@ object GraftFunctions {
     ("graft_vec_norm", info("graft_vec_norm",
       "L2 norm of an array<float>"),
       one("graft_vec_norm")(VecNorm)),
+    ("graft_vec_dot_d", info("graft_vec_dot_d",
+      "sequential-double dot product of array<float> x array<double>"),
+      two("graft_vec_dot_d")(VecDotD)),
+    ("graft_shingle_hashes", info("graft_shingle_hashes",
+      "distinct word-n-gram polynomial shingle hashes of a string"),
+      two("graft_shingle_hashes") { (text, n) =>
+        n match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            ShingleHashes(text, v, Poly.Base)
+          case _ => throw new IllegalArgumentException(
+            "graft_shingle_hashes expects a literal int n")
+        }
+      }),
+    ("graft_capped_min_ids", info("graft_capped_min_ids",
+      "bounded bucket aggregate: struct(total, cap smallest ids)"),
+      two("graft_capped_min_ids") { (id, cap) =>
+        cap match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+            CappedMinIds(id, v)
+          case _ => throw new IllegalArgumentException(
+            "graft_capped_min_ids expects a literal int cap")
+        }
+      }),
   )
 
   /** Runtime registration on an existing session. */

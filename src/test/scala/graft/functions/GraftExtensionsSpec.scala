@@ -26,6 +26,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r._5 === 64)
   }
 
+  test("round-3 kernels are SQL-registered too: vec_dot_d, shingle_hashes, capped_min_ids") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      """SELECT graft_vec_dot_d(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                       array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS d,
+        |  size(graft_shingle_hashes('a b c d', 2)) AS nsh""".stripMargin)
+      .as[(Double, Int)].head()
+    assert(d._1 === 11.0)
+    assert(d._2 === 3)
+    spark.range(100).createOrReplaceTempView("cmi_in")
+    val r2 = spark.sql(
+      "SELECT graft_capped_min_ids(id, 5) AS b FROM cmi_in")
+      .selectExpr("b.total", "b.ids").as[(Long, Seq[Long])].head()
+    assert(r2._1 === 100L)
+    assert(r2._2 === (0L until 5L))
+  }
+
   test("extension class injects all builders without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on malformed injection
