@@ -535,7 +535,66 @@ object TextQueries {
        |  CAST(floor(CAST(sum_lp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS avg_lp_micro
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): documents are laid out
+    * end-to-end in doc_id order and cut into fixed `PackCapacity`-token
+    * training bins — the standard pretraining sample-packing layout
+    * (a doc may span bins; q_chunking is the within-doc variant).
+    *
+    * The global running token offset is computed the scale-correct
+    * way: range-partition by the order key, per-partition token
+    * totals collected (ONE row per partition), prefix offsets
+    * broadcast back, local window cumsum per partition — no
+    * single-partition global window (the classic prefix-sum
+    * anti-pattern at 100 TB). The result is independent of where the
+    * range boundaries land, so sampling-based partitioning cannot
+    * perturb it. `PackCapacity` is a power of two, making the
+    * bin-index division exact in binary floating point — bit-equal
+    * cross-engine. */
+  val PackCapacity = 512L
+
+  private def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+    val parts = toks.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val totals = parts.groupBy("pid").agg(sum("n_tok").as("tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val prefix = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.init.map { case (_, off) => off } // offset BEFORE each partition
+    val prefixDf = totals.map(_._1).zip(prefix).toSeq.toDF("pid", "part_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("doc_id")
+    parts.join(broadcast(prefixDf), Seq("pid"))
+      .withColumn("cum", sum(col("n_tok")).over(w) + col("part_off"))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        floor(col("start") / lit(PackCapacity)).as("start_bin"),
+        floor((col("cum") - 1) / lit(PackCapacity)).as("end_bin"),
+        pmod(col("start"), lit(PackCapacity)).as("start_off"))
+      .orderBy("doc_id")
+  }
+
+  private val packSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |    SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tok,
+       |  CAST(floor((cum - n_tok) / $PackCapacity.0) AS BIGINT) AS start_bin,
+       |  CAST(floor((cum - 1) / $PackCapacity.0) AS BIGINT) AS end_bin,
+       |  CAST((cum - n_tok) % $PackCapacity AS BIGINT) AS start_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),

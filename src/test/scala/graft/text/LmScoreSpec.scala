@@ -36,4 +36,26 @@ class LmScoreSpec extends SparkSpec {
     assert(gibAvg === 0.0) // all singleton bigrams: below the df-cap
     assert(fn != null)     // the registered query exists
   }
+
+  test("sequence packing lays documents end-to-end with no gaps or overlaps") {
+    val out = SparkEntry.queries("q_pack_sequences")(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val cap = graft.queries.TextQueries.PackCapacity
+    assert(out.nonEmpty)
+    out.foreach { case (_, nTok, startBin, endBin, startOff) =>
+      assert(startOff >= 0 && startOff < cap)
+      // a doc spans exactly the bins its token range covers
+      val start = startBin * cap + startOff
+      assert(endBin === (start + nTok - 1) / cap || nTok == 0)
+    }
+    // consecutive docs abut exactly: next start == previous end
+    val sorted = out.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        val aEnd = a._3 * cap + a._5 + a._2
+        val bStart = b._3 * cap + b._5
+        assert(bStart === aEnd, s"gap between doc ${a._1} and ${b._1}")
+      case _ =>
+    }
+  }
 }
