@@ -26,8 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // whole-operator extension: the native sorted-merge as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    // plan-shaping rule: column pruning through the as-of join node
+    // plan-shaping rules: column pruning through the as-of join node,
+    // and auto-rewrite of the union-window as-of idiom onto it
     ext.injectOptimizerRule(_ => graft.plans.AsOfColumnPruning)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfAutoRewrite)
   }
 }
 

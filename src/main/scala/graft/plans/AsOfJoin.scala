@@ -88,6 +88,194 @@ object AsOfColumnPruning extends org.apache.spark.sql.catalyst.rules.Rule[Logica
   }
 }
 
+/** Plan-shaping optimizer rule #2: AUTO-REWRITE of the union-window
+  * as-of idiom into the native [[AsOfJoinPlan]].
+  *
+  * The declarative as-of pattern (SURVEY §2.6; q_join_asof) is:
+  * tag both sides with a `side` literal, union, run
+  * `last(value, ignoreNulls) over (partition by key order by time,
+  * side rows unbounded preceding..current row)`, keep `side = leftTag`
+  * rows. That plan widens EVERY row to the union schema and drags the
+  * full window machinery (buffered frames, two-pass sort) over
+  * left+right rows together. The native sorted-merge exec computes the
+  * same relation with a single forward pass and one buffered right row
+  * per partition — same shuffle envelope, no row widening.
+  *
+  * This rule recognizes the optimized idiom
+  * {{{
+  *   Filter(side = keptTag,
+  *     Window([last(v_i, true) over (pb key ob time, side)]*,
+  *       Union(Project_kept, Project_other)))
+  * }}}
+  * and rewrites it to
+  * {{{
+  *   Filter(cond,                      -- original condition, verbatim
+  *     Project(outList,                -- reproduces EVERY original
+  *       AsOfJoinPlan(left, right)))   --   attribute id
+  * }}}
+  * so parent operators resolve untouched. Guards (all must hold, else
+  * the plan is left alone): exactly two union children, both Projects;
+  * the kept side is the FIRST child (its aliases own the union's
+  * attribute ids); one partition key; order is (time asc, side) with
+  * the tag polarity that sorts right-side rows BEFORE left rows on
+  * time ties (inclusive as-of, matching [[AsOfJoinExec]]); every
+  * window expression is `last(x, ignoreNulls = true)` over that same
+  * spec with a ROWS unbounded-preceding..current frame; each `x` is
+  * null-padded on the kept side (a real left value would feed the
+  * carry-forward, which the join cannot express); key/time columns are
+  * integral/date/timestamp on both sides (the exec's merge types).
+  *
+  * Kill switch: `spark.graft.asof.autoRewrite=false` (the window path
+  * stays exercisable for differential tests — AsOfRewriteSpec).
+  */
+object AsOfAutoRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CurrentRow, EqualTo, Expression, Literal, NamedExpression, RowFrame, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Last}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project, Union, Window}
+  import org.apache.spark.sql.types.DataType
+
+  val ConfKey = "spark.graft.asof.autoRewrite"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(ConfKey, "true").toBoolean) plan
+    else plan.transformDown {
+      case f @ Filter(_, _: Window) => rewrite(f).getOrElse(f)
+    }
+
+  private def asofTemporal(t: DataType): Boolean = t match {
+    case LongType | IntegerType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def intTagOf(e: Expression): Option[Long] = e match {
+    case Alias(Literal(v: Int, _), _) => Some(v.toLong)
+    case Alias(Literal(v: Long, _), _) => Some(v)
+    case _ => None
+  }
+
+  private def isNullLit(e: Expression): Boolean = e match {
+    case Alias(Literal(null, _), _) => true
+    case Literal(null, _) => true
+    case _ => false
+  }
+
+  /** A union child whose column list the rule can inspect and rebuild
+    * with a subset: a Project, or an Aggregate (CollapseProject merges
+    * the tagging Project into an aggregate's result expressions — the
+    * q_join_asof right side). */
+  private def sideLists(p: LogicalPlan)
+      : Option[(Seq[NamedExpression], Seq[NamedExpression] => LogicalPlan)] =
+    p match {
+      case pr: Project => Some((pr.projectList, l => Project(l, pr.child)))
+      case ag: Aggregate =>
+        Some((ag.aggregateExpressions, l => ag.copy(aggregateExpressions = l)))
+      case _ => None
+    }
+
+  private def rewrite(f: Filter): Option[LogicalPlan] = {
+    val w = f.child.asInstanceOf[Window]
+    val u = w.child match { case u: Union if u.children.length == 2 => u
+                            case _ => return None }
+    val (keptList, keptRebuild) = sideLists(u.children.head).getOrElse(return None)
+    val (otherList, otherRebuild) = sideLists(u.children.last).getOrElse(return None)
+    val unionOut = u.output
+    if (keptList.length != unionOut.length ||
+        otherList.length != unionOut.length) return None
+    def pos(e: Expression): Int = e match {
+      case a: AttributeReference => unionOut.indexWhere(_.exprId == a.exprId)
+      case _ => -1
+    }
+    // ---- the side tag: Filter must pin `side = <kept child's tag>` ----
+    val conjuncts = splitConjunctivePredicates(f.condition)
+    val sideEq = conjuncts.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v: Int, _)) if pos(a) >= 0 => (pos(a), v.toLong)
+      case EqualTo(Literal(v: Int, _), a: AttributeReference) if pos(a) >= 0 => (pos(a), v.toLong)
+      case EqualTo(a: AttributeReference, Literal(v: Long, _)) if pos(a) >= 0 => (pos(a), v)
+      case EqualTo(Literal(v: Long, _), a: AttributeReference) if pos(a) >= 0 => (pos(a), v)
+    }
+    val (ps, filterTag) = sideEq.getOrElse(return None)
+    val keptTag = intTagOf(keptList(ps)).getOrElse(return None)
+    val otherTag = intTagOf(otherList(ps)).getOrElse(return None)
+    if (keptTag != filterTag || otherTag == keptTag) return None
+    // ---- window spec: one key, (time asc, side <dir>) ----
+    if (w.partitionSpec.length != 1 || w.orderSpec.length != 2) return None
+    val pk = pos(w.partitionSpec.head)
+    val timeOrd = w.orderSpec.head
+    val sideOrd = w.orderSpec.last
+    val pt = pos(timeOrd.child)
+    if (pk < 0 || pt < 0 || pos(sideOrd.child) != ps) return None
+    if (timeOrd.direction != Ascending) return None
+    // right rows must sort BEFORE left rows on a time tie — that is
+    // what makes the carried value inclusive (right at t visible to
+    // left at t), matching the exec's `rightTime <= leftTime`.
+    val rightFirst = sideOrd.direction match {
+      case Ascending => otherTag < keptTag
+      case _ => otherTag > keptTag
+    }
+    if (!rightFirst) return None
+    // ---- every window expression: last(x, ignoreNulls) over same spec ----
+    val valPairs: Seq[(Alias, Int)] = w.windowExpressions.map {
+      case al @ Alias(WindowExpression(
+            AggregateExpression(Last(x: AttributeReference, true), _, _, _, _),
+            WindowSpecDefinition(psSpec, osSpec,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _)
+          if psSpec == w.partitionSpec && osSpec == w.orderSpec && pos(x) >= 0 =>
+        (al, pos(x))
+      case _ => return None
+    }
+    // carried columns must be null-padded on the kept side, real on the
+    // other side (otherwise the window also carries left values and the
+    // rewrite would change results)
+    if (!valPairs.forall { case (_, p) =>
+      isNullLit(keptList(p)) && !isNullLit(otherList(p)) })
+      return None
+    // ---- key/time columns: real + mergeable types on both sides ----
+    for (p <- Seq(pk, pt); list <- Seq(keptList, otherList)) {
+      val e = list(p)
+      if (isNullLit(e) || intTagOf(e).isDefined) return None
+      if (!asofTemporal(e.dataType)) return None
+    }
+    // ---- build the join ----
+    // pure-literal entries (side tag, null padding) are not child
+    // columns: they are reproduced verbatim in the top projection
+    def isPureLit(e: Expression): Boolean = e match {
+      case Alias(_: Literal, _) => true
+      case _: Literal => true
+      case _ => false
+    }
+    val valPos = valPairs.map(_._2).distinct
+    val leftKeep = keptList.filterNot(isPureLit)
+    if (!Seq(pk, pt).forall(i => leftKeep.exists(_.exprId == keptList(i).exprId)))
+      return None
+    val rightKeepPos = (Seq(pk, pt) ++ valPos).distinct
+    val rightKeep = rightKeepPos.map(otherList(_))
+    val newLeft = keptRebuild(leftKeep)
+    val newRight = otherRebuild(rightKeep)
+    val join = AsOfJoinPlan(newLeft, newRight,
+      keptList(pk).name, otherList(pk).name,
+      keptList(pt).name, otherList(pt).name)
+    // ---- top projection: reproduce every original attribute id ----
+    val rightNullable = newRight.output.map(a => a.exprId -> a.withNullability(true)).toMap
+    val unionCols: Seq[NamedExpression] = unionOut.zipWithIndex.map { case (ua, i) =>
+      keptList(i) match {
+        case Alias(l: Literal, _) => Alias(l, ua.name)(exprId = ua.exprId)
+        case l: Literal => Alias(l, ua.name)(exprId = ua.exprId)
+        case e => e.toAttribute
+      }
+    }
+    val winCols: Seq[NamedExpression] = valPairs.map { case (al, p) =>
+      val src = rightNullable(otherList(p).exprId)
+      Alias(src, al.name)(exprId = al.exprId)
+    }
+    // original Filter kept verbatim on top: `side` is reproduced as the
+    // kept-side literal (so the tag conjunct folds to true) and any
+    // user conjuncts on other columns still apply.
+    Some(Filter(f.condition, Project(unionCols ++ winCols, join)))
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; everything else falls
   * through to the stock strategies. */
 object AsOfJoinStrategy extends SparkStrategy {
@@ -193,6 +381,9 @@ object AsOf {
     if (!spark.experimental.extraOptimizations.contains(AsOfColumnPruning))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AsOfColumnPruning
+    if (!spark.experimental.extraOptimizations.contains(AsOfAutoRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsOfAutoRewrite
   }
 
   /** Left-outer as-of join: latest `right` row per key with

@@ -43,6 +43,11 @@ object TemporalQueries {
     * 100 TB (same pattern as Flink temporal joins / kdb aj).
     */
   private def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    // installs AsOfAutoRewrite: the union-window idiom below is
+    // recognized by the optimizer and executed as the native
+    // sorted-merge AsOfJoinExec (AsOfRewriteSpec proves plan + parity;
+    // spark.graft.asof.autoRewrite=false restores the window plan)
+    graft.plans.AsOf.ensureStrategy(spark)
     val left = Tables.orders(spark, dir).select(
       col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
       col("o_orderkey"), lit(0).as("side"),

@@ -53,9 +53,15 @@ class AsOfJoinSpec extends SparkSpec {
         coalesce(col("r_date"), lit("1900-01-01").cast("date")).as("asof_date"),
         coalesce(col("dval"), lit(-1L)).as("asof_dval"))
       .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
-    val reference = graft.SparkEntry.queries("q_join_asof")(spark, dir)
-      .select("o_orderkey", "asof_date", "asof_dval")
-      .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+    // pin the reference to the union-window plan: with AsOfAutoRewrite
+    // active, q_join_asof would otherwise plan to the same native exec
+    // and the comparison would be native-vs-native
+    spark.conf.set(AsOfAutoRewrite.ConfKey, "false")
+    val reference =
+      try graft.SparkEntry.queries("q_join_asof")(spark, dir)
+        .select("o_orderkey", "asof_date", "asof_dval")
+        .as[(Long, java.sql.Date, Long)].collect().sortBy(_._1)
+      finally spark.conf.unset(AsOfAutoRewrite.ConfKey)
     assert(native.length === reference.length)
     native.zip(reference).foreach { case (n, r) => assert(n === r) }
   }
