@@ -3,6 +3,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Host contention detection (round-4 postmortem: a contended host
+    // inflated recorded numbers 2-75x with zero code churn). The 1-min
+    // load average BEFORE the session starts is the cleanest signal of
+    // EXTERNAL load — once the bench runs, our own executors saturate
+    // the cores and the load average stops being attributable.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     // Bench environment contract: local[32] (all cores of the single
     // JVM), spark.sql.shuffle.partitions = cores — not 200, not 4.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -55,25 +62,57 @@ object Bench {
     // minimum is the standard steady-state estimator under external
     // noise (JMH-style). Each rep still recomputes from parquet —
     // persisted blocks are dropped between reps.
+    //
+    // Contention defense (the round-4 artifact failure mode): when a
+    // query's min/max rep spread exceeds `spreadLimit`, at least one
+    // rep was disturbed — escalate to `maxReps` reps so the minimum
+    // has more chances to land in a quiet window. Per-rep times are
+    // all RECORDED in the output JSON: a reader can always audit how
+    // noisy the host was, instead of trusting a single opaque number.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // drop persisted blocks between queries/reps: keeps numbers
-        // independent and the run free of accumulated cache pressure
-        spark.catalog.clearCache()
-        dt
-      }
-      val dt = times.min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})")
-      name -> dt
+    val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt)
+    val spreadLimit = 2.5
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop persisted blocks between queries/reps: keeps numbers
+      // independent and the run free of accumulated cache pressure
+      spark.catalog.clearCache()
+      dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val base = (1 to reps).map(_ => runOnce(fn))
+      val times =
+        if (base.max / base.min > spreadLimit && maxReps > reps)
+          base ++ ((reps + 1) to maxReps).map(_ => runOnce(fn))
+        else base
+      val dt = times.min
+      val esc = if (times.length > base.length) "  [escalated]" else ""
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s  (reps: ${times.map(t => f"$t%.2f").mkString(", ")})$esc")
+      (name, dt, times)
+    }
+    val loadEnd = osBean.getSystemLoadAverage
+    // contention verdict: queries whose spread stays past the limit
+    // even after escalation were likely disturbed in EVERY window, or
+    // the host was already loaded before the bench started.
+    val noisy = results.filter { case (_, _, ts) => ts.max / ts.min > spreadLimit }
+    val escalated = results.count(_._3.length > reps)
+    val contention = noisy.length >= math.max(3, results.length / 10) ||
+      loadStart > cpus.toDouble / 2
+    if (contention)
+      System.err.println(s"[bench] CONTENTION SUSPECTED: ${noisy.length} queries " +
+        f"with >${spreadLimit}%.1fx rep spread after escalation; load@start $loadStart%.1f")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+      s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
+      s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
+      s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
     spark.stop()
   }
 }

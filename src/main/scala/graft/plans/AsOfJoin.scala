@@ -188,17 +188,27 @@ object AsOfAutoRewrite
       case _ => -1
     }
     // ---- the side tag: Filter must pin `side = <kept child's tag>` ----
+    // Scan ALL integer-equality conjuncts and pick the one whose column
+    // is an integer LITERAL tag on both union children (distinct values,
+    // pinned to the kept child's tag). A preceding unrelated equality
+    // (`k = 5 AND side = 0`) must not shadow the side predicate.
     val conjuncts = splitConjunctivePredicates(f.condition)
-    val sideEq = conjuncts.collectFirst {
-      case EqualTo(a: AttributeReference, Literal(v: Int, _)) if pos(a) >= 0 => (pos(a), v.toLong)
-      case EqualTo(Literal(v: Int, _), a: AttributeReference) if pos(a) >= 0 => (pos(a), v.toLong)
-      case EqualTo(a: AttributeReference, Literal(v: Long, _)) if pos(a) >= 0 => (pos(a), v)
-      case EqualTo(Literal(v: Long, _), a: AttributeReference) if pos(a) >= 0 => (pos(a), v)
+    val eqTags: Seq[(Int, Long)] = conjuncts.flatMap {
+      case EqualTo(a: AttributeReference, Literal(v: Int, _)) => Some((pos(a), v.toLong))
+      case EqualTo(Literal(v: Int, _), a: AttributeReference) => Some((pos(a), v.toLong))
+      case EqualTo(a: AttributeReference, Literal(v: Long, _)) => Some((pos(a), v))
+      case EqualTo(Literal(v: Long, _), a: AttributeReference) => Some((pos(a), v))
+      case _ => None
+    }.filter(_._1 >= 0)
+    val sideEq = eqTags.find { case (p, v) =>
+      (intTagOf(keptList(p)), intTagOf(otherList(p))) match {
+        case (Some(kt), Some(ot)) => kt == v && ot != kt
+        case _ => false
+      }
     }
-    val (ps, filterTag) = sideEq.getOrElse(return None)
-    val keptTag = intTagOf(keptList(ps)).getOrElse(return None)
-    val otherTag = intTagOf(otherList(ps)).getOrElse(return None)
-    if (keptTag != filterTag || otherTag == keptTag) return None
+    val (ps, _) = sideEq.getOrElse(return None)
+    val keptTag = intTagOf(keptList(ps)).get
+    val otherTag = intTagOf(otherList(ps)).get
     // ---- window spec: one key, (time asc, side <dir>) ----
     if (w.partitionSpec.length != 1 || w.orderSpec.length != 2) return None
     val pk = pos(w.partitionSpec.head)
@@ -207,6 +217,11 @@ object AsOfAutoRewrite
     val pt = pos(timeOrd.child)
     if (pk < 0 || pt < 0 || pos(sideOrd.child) != ps) return None
     if (timeOrd.direction != Ascending) return None
+    // the exec's merge orders null times FIRST (matching the default
+    // Ascending/NullsFirst the node's requiredChildOrdering produces);
+    // an explicit asc_nulls_last window would diverge — skip it
+    if (timeOrd.nullOrdering != org.apache.spark.sql.catalyst.expressions.NullsFirst)
+      return None
     // right rows must sort BEFORE left rows on a time tie — that is
     // what makes the carried value inclusive (right at t visible to
     // left at t), matching the exec's `rightTime <= leftTime`.
@@ -231,7 +246,18 @@ object AsOfAutoRewrite
     if (!valPairs.forall { case (_, p) =>
       isNullLit(keptList(p)) && !isNullLit(otherList(p)) })
       return None
+    // ...and provably NON-NULL on the other side: `last(v, ignoreNulls)`
+    // skips runtime NULLs per column (several carried columns may then
+    // come from DIFFERENT right rows), while the join snapshots all
+    // columns of the single latest right row. The plans only coincide
+    // when every carried right expression is non-nullable (aggregate
+    // outputs like count, or an explicit coalesce with a literal).
+    if (!valPairs.forall { case (_, p) => !otherList(p).toAttribute.nullable })
+      return None
     // ---- key/time columns: real + mergeable types on both sides ----
+    // (they MAY be nullable: the exec's merge is null-aware — null keys
+    // group together and null times order first, exactly matching the
+    // window's partitionBy grouping and Ascending/NullsFirst sort)
     for (p <- Seq(pk, pt); list <- Seq(keptList, otherList)) {
       val e = list(p)
       if (isNullLit(e) || intTagOf(e).isDefined) return None
@@ -253,6 +279,14 @@ object AsOfAutoRewrite
     val rightKeep = rightKeepPos.map(otherList(_))
     val newLeft = keptRebuild(leftKeep)
     val newRight = otherRebuild(rightKeep)
+    // AsOfJoinExec and AsOfColumnPruning resolve key/time by FIRST name
+    // match; duplicate names within a child's output (legal in Spark
+    // plans) would silently bind the wrong ordinal — skip the rewrite
+    def uniqueNames(p: LogicalPlan): Boolean = {
+      val names = p.output.map(_.name)
+      names.distinct.length == names.length
+    }
+    if (!uniqueNames(newLeft) || !uniqueNames(newRight)) return None
     val join = AsOfJoinPlan(newLeft, newRight,
       keptList(pk).name, otherList(pk).name,
       keptList(pt).name, otherList(pt).name)
@@ -313,8 +347,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
-  /** Long view of a (key|time) column: integral + date/timestamp
-    * physical types (int days / long micros). */
+  /** Null-aware long view of a (key|time) column: integral +
+    * date/timestamp physical types (int days / long micros). A null
+    * cell reads as `(isNull = true, value = 0)`; [[AsOfJoinExec.cmp]]
+    * orders the null flag first. */
   private def longGetter(a: Attribute, ordinal: Int): InternalRow => Long =
     a.dataType match {
       case LongType | TimestampType => row => row.getLong(ordinal)
@@ -326,11 +362,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
-    val lKey = longGetter(attr(left, leftKey), lOut.indexWhere(_.name == leftKey))
-    val lTime = longGetter(attr(left, leftTime), lOut.indexWhere(_.name == leftTime))
-    val rKey = longGetter(attr(right, rightKey), rOut.indexWhere(_.name == rightKey))
-    val rTime = longGetter(attr(right, rightTime), rOut.indexWhere(_.name == rightTime))
+    val lKeyOrd = lOut.indexWhere(_.name == leftKey)
+    val lTimeOrd = lOut.indexWhere(_.name == leftTime)
+    val rKeyOrd = rOut.indexWhere(_.name == rightKey)
+    val rTimeOrd = rOut.indexWhere(_.name == rightTime)
+    val lKey = longGetter(attr(left, leftKey), lKeyOrd)
+    val lTime = longGetter(attr(left, leftTime), lTimeOrd)
+    val rKey = longGetter(attr(right, rightKey), rKeyOrd)
+    val rTime = longGetter(attr(right, rightTime), rTimeOrd)
     val outAttrs = output
+    // zipPartitions pairs the i-th left partition with the i-th right
+    // partition. That is only correct because requiredChildDistribution
+    // declares ClusteredDistribution on the SAME key for both children:
+    // EnsureRequirements then inserts COMPATIBLE hash exchanges (equal
+    // partitioning expressions and numPartitions), so key k lands in
+    // the same partition index on both sides. If AQE or a future
+    // planner change ever produced incompatible child partitionings,
+    // this pairing — not the merge — is the invariant that breaks;
+    // AsOfJoinSpec asserts the plan shape to catch that.
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
@@ -338,26 +387,47 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       // skip null checks and read 0s out of the all-null row
       val project = UnsafeProjection.create(outAttrs,
         lOut ++ rOut.map(_.withNullability(true)))
+      // nulls-first ordering on (isNull, value), null == null: matches
+      // the Ascending/NullsFirst child sort AND window-partitionBy
+      // grouping (all null keys form ONE group), so the merge agrees
+      // with the union-window plan AsOfAutoRewrite replaces.
+      @inline def cmp(n1: Boolean, v1: Long, n2: Boolean, v2: Long): Int =
+        if (n1 && n2) 0 else if (n1) -1 else if (n2) 1
+        else java.lang.Long.compare(v1, v2)
       // one-row right-side state: the latest right row at or before the
       // current merge frontier (copied out of the reused UnsafeRow)
       var candidate: InternalRow = null
-      var candidateKey = 0L
+      var candKeyNull = false
+      var candKey = 0L
       var lookahead: InternalRow = if (rIt.hasNext) rIt.next().copy() else null
       lIt.map { lrow =>
-        val lk = lKey(lrow)
-        val lt = lTime(lrow)
+        val lkN = lrow.isNullAt(lKeyOrd)
+        val lk = if (lkN) 0L else lKey(lrow)
+        val ltN = lrow.isNullAt(lTimeOrd)
+        val lt = if (ltN) 0L else lTime(lrow)
         // advance the right side up to (key, time) <= (lk, lt)
-        while (lookahead != null && {
-          val nk = rKey(lookahead)
-          nk < lk || (nk == lk && rTime(lookahead) <= lt)
-        }) {
-          if (rKey(lookahead) == lk) {
-            candidate = lookahead
-            candidateKey = lk
-          }
-          lookahead = if (rIt.hasNext) rIt.next().copy() else null
+        var advancing = true
+        while (advancing && lookahead != null) {
+          val rkN = lookahead.isNullAt(rKeyOrd)
+          val rk = if (rkN) 0L else rKey(lookahead)
+          val kc = cmp(rkN, rk, lkN, lk)
+          val behind = kc < 0 || (kc == 0 && {
+            val rtN = lookahead.isNullAt(rTimeOrd)
+            val rt = if (rtN) 0L else rTime(lookahead)
+            cmp(rtN, rt, ltN, lt) <= 0
+          })
+          if (behind) {
+            if (kc == 0) {
+              candidate = lookahead
+              candKeyNull = rkN
+              candKey = rk
+            }
+            lookahead = if (rIt.hasNext) rIt.next().copy() else null
+          } else advancing = false
         }
-        val r = if (candidate != null && candidateKey == lk) candidate else nullRight
+        val r =
+          if (candidate != null && cmp(candKeyNull, candKey, lkN, lk) == 0) candidate
+          else nullRight
         project(joined(lrow, r))
       }
     }

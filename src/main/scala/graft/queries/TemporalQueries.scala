@@ -52,10 +52,17 @@ object TemporalQueries {
       col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
       col("o_orderkey"), lit(0).as("side"),
       lit(null).cast("long").as("r_dval"), lit(null).cast("date").as("r_date"))
+    // the carried columns are wrapped in coalesce with NON-NULLABLE
+    // literals: a no-op on this data (dval is a sum over a non-empty
+    // group, date a group key), but it makes the expressions provably
+    // non-null — the soundness condition AsOfAutoRewrite requires
+    // before replacing last(..ignoreNulls) with the native join (a
+    // runtime NULL in a carried column would make the two diverge)
     val right = EventSeries.daily(spark, dir).select(
       col("id"), col("date"),
       lit(null).cast("long").as("o_orderkey"), lit(1).as("side"),
-      col("dval").as("r_dval"), col("date").as("r_date"))
+      coalesce(col("dval"), lit(0L)).as("r_dval"),
+      coalesce(col("date"), lit(java.sql.Date.valueOf("1900-01-01"))).as("r_date"))
     // Right rows sort before left rows on the same date (side desc:
     // 1 before 0) => an order on date D sees the right row of date D.
     val w = Window.partitionBy("id")

@@ -127,6 +127,132 @@ class AsOfRewriteSpec extends SparkSpec {
     }
   }
 
+  test("guard: a NULLABLE carried right column blocks the rewrite") {
+    withLocalProjects {
+    // when(v > 0, v) is nullable: last(..ignoreNulls) would SKIP a
+    // runtime NULL (carrying an older right row's value) while the
+    // join snapshots the latest right row — so the rule must not fire.
+    // Data makes the divergence concrete: right (1,15)->7, (1,18)->NULL;
+    // the window carries 7 onto left t=20, a join would give NULL.
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "payload")
+      .select(col("k"), col("t"), col("payload"),
+        lit(0).as("side"), lit(null).cast("long").as("r_v"))
+    val right = Seq((1L, 15L, 7L), (1L, 18L, -5L)).toDF("k", "t", "v")
+      .select(col("k"), col("t"), lit(null).cast("long").as("payload"),
+        lit(1).as("side"), when(col("v") > 0, col("v")).as("r_v"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = left.unionByName(right)
+      .withColumn("asof_v", last(col("r_v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("k"), col("t"), coalesce(col("asof_v"), lit(-1L)).as("asof_v"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("AsOfJoin"), phys)
+    // window semantics preserved: t=20 sees 7 (the NULL at t=18 is skipped)
+    assert(df.as[(Long, Long, Long)].collect().sortBy(_._2).toSeq ===
+      Seq((1L, 10L, -1L), (1L, 20L, 7L)))
+    }
+  }
+
+  test("nullable key/time with runtime NULLs: rewrite fires and matches the window plan") {
+    withLocalProjects {
+    // Option-typed key/time columns (nullable, with actual NULLs).
+    // The exec's null-aware merge must reproduce the window semantics:
+    // null keys form ONE partition group, null times order FIRST.
+    def build(): DataFrame = {
+      val left = Seq(
+          (Option(1L), Option(10L), 100L), (Option(1L), Option(20L), 200L),
+          (None: Option[Long], Option(5L), 500L), (Option(1L), None: Option[Long], 150L),
+          (None: Option[Long], None: Option[Long], 900L))
+        .toDF("k", "t", "payload")
+        .select(col("k"), col("t"), col("payload"),
+          lit(0).as("side"), lit(null).cast("long").as("r_v"))
+      val right = Seq(
+          (Option(1L), Option(8L), 7L), (None: Option[Long], Option(3L), 9L),
+          (Option(1L), None: Option[Long], 5L), (None: Option[Long], None: Option[Long], 11L))
+        .toDF("k", "t", "v")
+        .select(col("k"), col("t"), lit(null).cast("long").as("payload"),
+          lit(1).as("side"), col("v").as("r_v"))
+      val w = Window.partitionBy("k")
+        .orderBy(col("t").asc, col("side").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      left.unionByName(right)
+        .withColumn("asof_v", last(col("r_v"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("k"), col("t"), col("payload"),
+          coalesce(col("asof_v"), lit(-1L)).as("asof_v"))
+    }
+    val native = build()
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      native.queryExecution.executedPlan.toString)
+    val nativeRows = native.collect().map(_.toString).sorted.toSeq
+    spark.conf.set(AsOfAutoRewrite.ConfKey, "false")
+    try {
+      val windowed = build()
+      assert(!windowed.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+      assert(nativeRows === windowed.collect().map(_.toString).sorted.toSeq)
+    } finally spark.conf.unset(AsOfAutoRewrite.ConfKey)
+    }
+  }
+
+  test("a preceding equality conjunct does not shadow the side tag") {
+    withLocalProjects {
+    // `payload = 100 AND side = 0`: a collectFirst would pick the
+    // payload conjunct (no literal tags on the children), and silently
+    // skip the rewrite; the rule must scan all conjuncts and still
+    // find the side predicate. (payload is NOT the partition key, so
+    // the conjunct cannot be pushed below the Window out of the way.)
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L)).toDF("k", "t", "payload")
+      .select(col("k"), col("t"), col("payload"),
+        lit(0).as("side"), lit(null).cast("long").as("r_v"))
+    val right = Seq((1L, 10L, 1L), (1L, 18L, 2L)).toDF("k", "t", "v")
+      .select(col("k"), col("t"), lit(null).cast("long").as("payload"),
+        lit(1).as("side"), col("v").as("r_v"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = left.unionByName(right)
+      .withColumn("asof_v", last(col("r_v"), ignoreNulls = true).over(w))
+      .filter(col("payload") === 100L && col("side") === 0)
+      .select(col("k"), col("t"), col("payload"),
+        coalesce(col("asof_v"), lit(-1L)).as("asof_v"))
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys)
+    assert(df.as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq((1L, 10L, 100L, 1L)))
+    }
+  }
+
+  test("guard: duplicate column names in a rebuilt child block the rewrite") {
+    withLocalProjects {
+    // two payload columns both NAMED `p` on the kept side (positional
+    // union keeps them; attribute refs stay unambiguous by exprId).
+    // The exec and the pruning rule resolve columns by FIRST name
+    // match, so the rule must refuse rather than bind an arbitrary
+    // ordinal in a duplicate-name child.
+    val left = Seq((1L, 10L, 99L, 98L)).toDF("k", "t", "p1", "p2")
+      .select(col("k"), col("t"), col("p1").as("p"), col("p2").as("p"),
+        lit(0).as("side"), lit(null).cast("long").as("r_v"))
+    val right = Seq((1L, 8L, 7L)).toDF("k", "t", "v")
+      .select(col("k"), col("t"), lit(null).cast("long").as("p"),
+        lit(null).cast("long").as("p"),
+        lit(1).as("side"), col("v").as("r_v"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("t").asc, col("side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // no final projection: ColumnPruning would otherwise drop the
+    // unused duplicate-named columns and defuse the scenario
+    val df = left.union(right)
+      .withColumn("asof_v", last(col("r_v"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("AsOfJoin"), phys)
+    val row = df.collect().head
+    assert(row.getLong(0) === 1L && row.getLong(6) === 7L)
+    }
+  }
+
   test("q_join_asof plans to the native exec and flips back with the switch") {
     val native = graft.SparkEntry.queries("q_join_asof")(spark, sf0001)
     assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
