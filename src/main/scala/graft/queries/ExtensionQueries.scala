@@ -47,6 +47,34 @@ object ExtensionQueries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** Hash-checkable error-bound twin of [[approxDistinct]]: joins the
+    * HLL++ estimate against the exact distinct count and emits a
+    * deterministic `within_10pct` flag next to the (oracled) exact
+    * count. The sketch value itself is engine-specific — but the
+    * CLAIM "estimate within 10% of exact" (the bound ExtensionSpec
+    * asserts; rsd is 0.02, so 10% is a 5-sigma allowance) is
+    * deterministic, and the DuckDB oracle predicts flag = 1 from the
+    * exact side alone. A sketch regression would flip the flag and
+    * hash-mismatch the driver artifact, making the accuracy contract
+    * part of the correctness gate instead of a spec-only claim. */
+  private def approxDistinctErr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("approx_custs") - col("exact_custs"))
+          <= col("exact_custs") * 0.1).cast("int").as("within_10pct"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val approxDistinctErrSql =
+    """SELECT o_orderpriority,
+      |  COUNT(DISTINCT o_custkey) AS exact_custs,
+      |  1 AS within_10pct
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Skew-safe salted join: the build side is replicated `Salts` ways,
     * the probe side sprays rows across salts, so one hot key spreads
     * over `Salts` tasks instead of one straggler. Results are
@@ -125,6 +153,48 @@ object ExtensionQueries {
       .orderBy("q_idx")
   }
 
+  /** Hash-checkable error-bound twin of [[approxQuantiles]] (same
+    * pattern as [[approxDistinctErr]]): one aggregation pass computes
+    * BOTH the percentile_approx sketch and the exact percentile at
+    * every scale point plus its two neighbors; each sketch value must
+    * land inside the exact neighbor band [q-0.05, q+0.05] — the bound
+    * ExtensionSpec asserts, far looser than the 1/10000 rank accuracy.
+    * The oracled columns are the exact quantile (DuckDB quantile_cont,
+    * as in q_color_quantiles) and the deterministic flag. */
+  private def approxQuantilesErr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val norm = EventSeries.seriesWithPop(spark, dir)
+      .select(Num.roundEps(col("cases").cast(DoubleType) / col("pop") * 100000)
+        .as("normalized"))
+    val qs = (1 to 19).map(_ / 20.0)
+    val los = (1 to 19).map(i => (i - 1) / 20.0)
+    val his = (1 to 19).map(i => (i + 1) / 20.0)
+    norm.agg(
+        percentile_approx(col("normalized"), typedlit(qs), lit(10000)).as("qa"),
+        percentile(col("normalized"), typedlit(qs)).as("qe"),
+        percentile(col("normalized"), typedlit(los)).as("qlo"),
+        percentile(col("normalized"), typedlit(his)).as("qhi"))
+      .select(posexplode(col("qa")).as(Seq("pos", "qa_v")),
+        col("qe"), col("qlo"), col("qhi"))
+      .select((col("pos") + 1).as("q_idx"),
+        Num.floorEps(element_at(col("qe"), col("pos") + 1)).as("q_value"),
+        (col("qa_v") >= element_at(col("qlo"), col("pos") + 1) - 1e-9 &&
+         col("qa_v") <= element_at(col("qhi"), col("pos") + 1) + 1e-9)
+          .cast("int").as("within_band"))
+      .orderBy("q_idx")
+  }
+
+  private val approxQuantilesErrSql = {
+    val norm = NumSql.roundEps("CAST(cases AS DOUBLE) / pop * 100000")
+    val selects = (1 to 19).map { i =>
+      s"SELECT $i AS q_idx, ${NumSql.floorEps(s"quantile_cont(normalized, ${i / 20.0})")} AS q_value, 1 AS within_band FROM norm"
+    }.mkString("\nUNION ALL ")
+    EventSeriesSql.withSpop(
+      s""", norm AS (SELECT $norm AS normalized FROM spop)
+         |$selects
+         |ORDER BY q_idx""".stripMargin)
+  }
+
   /** Pivot: long→wide event-type counts per user. Explicit value list
     * (the production rule — value discovery costs an extra job and
     * breaks plan caching); one partial+final agg pass underneath. */
@@ -149,7 +219,9 @@ object ExtensionQueries {
     Q("q_rollup", rollupPricing, Some(rollupPricingSql)),
     Q("q_grouping_sets", groupingSetsPricing, Some(groupingSetsPricingSql)),
     Q("q_approx_distinct", approxDistinct, None),
+    Q("q_approx_distinct_err", approxDistinctErr, Some(approxDistinctErrSql)),
     Q("q_approx_quantiles", approxQuantiles, None),
+    Q("q_approx_quantiles_err", approxQuantilesErr, Some(approxQuantilesErrSql)),
     Q("q_join_salted", joinSalted, Some(joinSaltedSql)),
     Q("q_pivot", pivotEvents, Some(pivotEventsSql)),
   )

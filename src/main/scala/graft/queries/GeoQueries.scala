@@ -115,6 +115,75 @@ object GeoQueries {
       |GROUP BY c_nationkey, n_cells
       |ORDER BY c_nationkey""".stripMargin
 
+  /** EXACT WKT oracle for the dissolve's geometric branch — the
+    * union → MultiPolygon → convex-hull path (il_analysis_git.py:
+    * 97-101) that [[dissolve]] itself can only rows-check.
+    *
+    * Fixture: a unit square at `(2i, 2i)` per customer, `i = custkey
+    * mod (3 + nationkey)` — a STAIRCASE along the diagonal whose
+    * per-nation union is a MultiPolygon of disjoint squares and whose
+    * convex hull is an arithmetically-predictable hexagon: with
+    * `a = 2·min(i)`, `b = 2·max(i)`, JTS renders (empirically pinned,
+    * clockwise from the min vertex, collinear staircase corners
+    * eliminated by the hull):
+    * `POLYGON ((a a, a a+1, b b+1, b+1 b+1, b+1 b, a+1 a, a a))`.
+    * The oracle rebuilds that string with SQL min/max aggregates, so
+    * the whole parse → union-aggregate → type-dispatch → convex-hull →
+    * WKB → WKT chain is hash-verified, not just rows-counted. */
+  private def dissolveWkt(spark: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val x = (col("c_custkey") % (lit(3) + col("c_nationkey"))) * 2
+    val wkt = concat(
+      lit("POLYGON(("),
+      x, lit(" "), x, lit(", "),
+      x + 1, lit(" "), x, lit(", "),
+      x + 1, lit(" "), x + 1, lit(", "),
+      x, lit(" "), x + 1, lit(", "),
+      x, lit(" "), x, lit("))"))
+    val stairs = Tables.customer(spark, dir).select(
+      col("c_nationkey"),
+      GeoFunctions.cols.stGeomFromText(wkt).as("geometry"))
+    stairs.groupBy(col("c_nationkey"))
+      .agg(GeoFunctions.cols.stUnionAgg(col("geometry")).as("geometry"),
+        count(lit(1)).as("n_areas"))
+      .withColumn("geom_type", GeoFunctions.cols.stGeometryType(col("geometry")))
+      .withColumn("geometry",
+        when(col("geom_type") === "MultiPolygon",
+          GeoFunctions.cols.stConvexHull(col("geometry")))
+          .otherwise(col("geometry")))
+      .select(
+        col("c_nationkey"), col("n_areas"), col("geom_type"),
+        GeoFunctions.cols.stNPoints(col("geometry")).cast("long").as("n_points"),
+        GeoFunctions.cols.stAsText(col("geometry")).as("hull_wkt"))
+      .orderBy("c_nationkey")
+  }
+
+  /** The nc = 1 branch (all of a nation's squares on ONE cell — union
+    * dedups to a Polygon, which JTS rebuilds starting at (a+1, a)
+    * clockwise) is unreachable on the driver data (hundreds of
+    * customers per nation mod >= 3) but kept exact for completeness. */
+  private val dissolveWktSql =
+    """WITH cells AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_areas,
+      |    MIN(c_custkey % (3 + c_nationkey)) * 2 AS a,
+      |    MAX(c_custkey % (3 + c_nationkey)) * 2 AS b,
+      |    COUNT(DISTINCT c_custkey % (3 + c_nationkey)) AS nc
+      |  FROM customer GROUP BY c_nationkey)
+      |SELECT c_nationkey, n_areas,
+      |  CASE WHEN nc = 1 THEN 'Polygon' ELSE 'MultiPolygon' END AS geom_type,
+      |  CAST(CASE WHEN nc = 1 THEN 5 ELSE 7 END AS BIGINT) AS n_points,
+      |  CASE WHEN nc = 1 THEN
+      |    'POLYGON ((' || (a+1) || ' ' || a || ', ' || a || ' ' || a || ', '
+      |      || a || ' ' || (a+1) || ', ' || (a+1) || ' ' || (a+1) || ', '
+      |      || (a+1) || ' ' || a || '))'
+      |  ELSE
+      |    'POLYGON ((' || a || ' ' || a || ', ' || a || ' ' || (a+1) || ', '
+      |      || b || ' ' || (b+1) || ', ' || (b+1) || ' ' || (b+1) || ', '
+      |      || (b+1) || ' ' || b || ', ' || (a+1) || ' ' || a || ', '
+      |      || a || ' ' || a || '))'
+      |  END AS hull_wkt
+      |FROM cells ORDER BY c_nationkey""".stripMargin
+
   /** GeoJSON source roundtrip (SURVEY §2.1): write the squares layer
     * as a FeatureCollection, read it back through the multiLine-JSON →
     * explode → WKB path, and surface the properties + re-parsed
@@ -177,6 +246,7 @@ object GeoQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_dissolve", dissolve, None),
+    Q("q_dissolve_wkt", dissolveWkt, Some(dissolveWktSql)),
     Q("q_dissolve_stats", dissolveStats, Some(dissolveStatsSql)),
     Q("q_boundary", boundary, Some(boundarySql)),
     Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
