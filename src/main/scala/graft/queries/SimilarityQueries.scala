@@ -126,7 +126,8 @@ object SimilarityQueries {
     * means, empty-cluster carry-over) is replicated in SQL and
     * hash-verified. */
   private def annKmeans(spark: SparkSession, dir: String): DataFrame =
-    Similarity.kmeansTrain(Tables.embeddings(spark, dir), centroidMod = 61, iters = 2)
+    Similarity.kmeansTrain(Tables.embeddings(spark, dir), centroidMod = 61, iters = 2,
+        k = 8) // k < the 9 stride candidates, so the seed CAP provably binds
       .orderBy("cid", "dim")
 
   /** Shared CTE prefix replicating [[Similarity.kmeansTrain]] (2
@@ -169,7 +170,8 @@ object SimilarityQueries {
        |  SELECT cid, i - 1 AS dim, CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS q FROM (
        |    SELECT vec_id AS cid, unnest(generate_series(1, len(embedding))) AS i,
        |      unnest(embedding) AS v
-       |    FROM embeddings WHERE vec_id % 61 = 0)
+       |    FROM (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id % 61 = 0 ORDER BY vec_id LIMIT 8))
        |), ${round(0)}, ${round(1)}""".stripMargin
   }
 
@@ -183,7 +185,7 @@ object SimilarityQueries {
     * replicated in one oracle. */
   private def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopKTrained(Tables.embeddings(spark, dir), queryMod = 50L,
-        k = 10, centroidMod = 61, iters = 2, nProbe = 2)
+        k = 10, centroidMod = 61, iters = 2, nProbe = 2, centK = 8)
       .orderBy("qid", "rank")
 
   private val annIvfTrainedSql =

@@ -126,6 +126,15 @@ object Similarity {
     * cosine-argmax assignment + per-cluster mean, returning the final
     * centroids as (cid, dim, q_milli, n_assigned) rows.
     *
+    * Seeding is scale-safe by construction: candidates are the stride
+    * `vec_id % centroidMod == 0`, but the seed set is the smallest `k`
+    * of them — a distributed top-k (TakeOrderedAndProject), so the
+    * driver collect is O(k·dims) REGARDLESS of corpus size. Without
+    * the cap the collect grows as N/centroidMod — at 10B vectors the
+    * default stride would collect 160M rows; with it, callers pick k
+    * (SURVEY §9 sizes 100k at 10B vectors) and the stride only spreads
+    * which ids seed.
+    *
     * Scale anatomy (the canonical distributed k-means shape):
     *  - centroids are TINY (C×Dim) — they live on the driver and are
     *    broadcast each round; the corpus never shuffles for
@@ -147,12 +156,14 @@ object Similarity {
     * verbatim by the DuckDB oracle — the whole training loop is
     * hash-verified, not rows-counted.
     */
-  def kmeansTrain(emb: DataFrame, centroidMod: Long = 61, iters: Int = 2): DataFrame = {
+  def kmeansTrain(emb: DataFrame, centroidMod: Long = 61, iters: Int = 2,
+                  k: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"))
     var cents: Seq[(Long, IndexedSeq[Long])] = base
       .filter(col("vec_id") % centroidMod === 0)
+      .orderBy(col("vec_id")).limit(k)
       .as[(Long, Array[Float])].collect().sortBy(_._1).toSeq
       .map { case (cid, v) =>
         (cid, v.iterator.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toIndexedSeq)
@@ -204,10 +215,10 @@ object Similarity {
     * the final in-bucket ranking is the true cosine. */
   def ivfTopKTrained(emb: DataFrame, queryMod: Long, k: Int,
                      centroidMod: Long = 61, iters: Int = 2,
-                     nProbe: Int = 2): DataFrame = {
+                     nProbe: Int = 2, centK: Int = 64): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val trained = kmeansTrain(emb, centroidMod, iters)
+    val trained = kmeansTrain(emb, centroidMod, iters, centK)
       .as[(Long, Int, Long, Long)].collect()
     val cents = trained.groupBy(_._1).toSeq.map { case (cid, rows) =>
       val cvec = rows.sortBy(_._2).map(_._3 / 1000.0).toSeq

@@ -86,6 +86,28 @@ class SimilaritySpec extends SparkSpec {
       s"trained=${recall(trained)} stride=${recall(stride)}")
   }
 
+  test("kmeansTrain seed set is capped at k regardless of corpus size") {
+    // centroidMod = 1 makes EVERY row a stride candidate — the shape
+    // that used to collect O(N) rows on the driver. The cap must hold
+    // the seed count at k, picking the smallest candidate ids, no
+    // matter how large the corpus grows.
+    def synth(n: Int) = spark.range(n).select(
+      col("id").as("vec_id"),
+      array((0 until 4).map(d =>
+        // +d+1 offset: no id solves all four congruences at once, so
+        // no row is the all-zero vector (whose norm would divide-by-0)
+        ((col("id") * (d + 3) + d + 1) % 97).cast("float")): _*).as("embedding"))
+    def cids(n: Int): Seq[Long] =
+      Similarity.kmeansTrain(synth(n), centroidMod = 1, iters = 1, k = 4)
+        .select("cid").distinct().as[Long].collect().sorted.toSeq
+    val small = cids(1000)
+    val big = cids(20000)
+    assert(small.length === 4 && big.length === 4)
+    // deterministic: the smallest stride candidates seed, independent of N
+    assert(small === Seq(0L, 1L, 2L, 3L))
+    assert(big === Seq(0L, 1L, 2L, 3L))
+  }
+
   test("kmeansTrain: complete assignment, deterministic, and improves the objective") {
     val out = Similarity.kmeansTrain(emb, centroidMod = 61, iters = 2)
       .as[(Long, Int, Long, Long)].collect()
