@@ -105,14 +105,23 @@ object Bench {
         f"with >${spreadLimit}%.1fx rep spread after escalation; load@start $loadStart%.1f")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Locale.ROOT: f"$t%.3f" renders "0,123" on comma-decimal locales,
+    // which is invalid JSON — format explicitly
+    def num3(t: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, t)
     val repJson = results.map { case (k, _, ts) =>
-      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + ts.map(num3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
       s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
       s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
+    // The driver captures only the TAIL of stdout, so the long audit
+    // line above gets its head (metric/value) truncated away. This
+    // compact line is printed LAST so it always survives the tail
+    // capture and parses.
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","sf":"$sfDir"""" +
+      s""","queries_run":${results.length},"contention_suspected":$contention}""")
     spark.stop()
   }
 }

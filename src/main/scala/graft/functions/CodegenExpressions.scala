@@ -339,6 +339,101 @@ case class VecNorm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Nearest-centroid id of an `array<float>` embedding over a
+  * DRIVER-HELD centroid matrix, as one codegen'd projection per row.
+  *
+  * This is the scale fix for ANN coarse assignment: the former
+  * `crossJoin(broadcast(cents)).groupBy(vec_id).agg(max_by(...))`
+  * formulation materialized N·C scored rows and then hash-partitioned
+  * ALL N corpus rows — embeddings included — to aggregate the argmax
+  * (at 10B×768-d, a ~30 TB shuffle per assignment, once per Lloyd
+  * round in training). Here the centroid matrix (tiny by quantizer
+  * design: C×Dim) rides into codegen as a reference object, so
+  * assignment is a pure map over the corpus scan — ZERO Exchange.
+  *
+  * Bit-identical to the aggregate formulation (so the DuckDB oracles
+  * are unchanged): score_c = seqdot(emb, cvec_c) / (norm · cnorm_c)
+  * with sequential left-to-right double accumulation; the scan runs
+  * in ascending-cid order with a strict `>` update, which reproduces
+  * `max_by(cid, struct(score, -cid))`'s tie-break to the smallest cid.
+  * Callers whose score has no own-norm factor pass `norm = lit(1.0)`
+  * (IEEE: `1.0 * x == x` exactly). float→double widening is exact, so
+  * holding float centroids as doubles changes no bit. */
+case class VecNearestCid(emb: Expression, norm: Expression,
+    cids: Seq[Long], cvecs: Seq[Seq[Double]], cnorms: Seq[Double])
+    extends BinaryExpression {
+  require(cids.nonEmpty && cids.length == cvecs.length && cids.length == cnorms.length,
+    "centroid arrays must be non-empty and parallel")
+  require(cids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "cids must be strictly ascending (tie-break contract)")
+
+  override def left: Expression = emb
+  override def right: Expression = norm
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_nearest_cid"
+
+  @transient private lazy val cidArr: Array[Long] = cids.toArray
+  @transient private lazy val cvecArr: Array[Array[Double]] = cvecs.map(_.toArray).toArray
+  @transient private lazy val cnormArr: Array[Double] = cnorms.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nv = b.asInstanceOf[Double]
+    var bestCid = cidArr(0)
+    var bestScore = Double.NegativeInfinity
+    var first = true
+    var c = 0
+    while (c < cidArr.length) {
+      val cv = cvecArr(c)
+      val m = math.min(x.numElements(), cv.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += x.getFloat(i).toDouble * cv(i); i += 1 }
+      val score = s / (nv * cnormArr(c))
+      if (first || score > bestScore) { first = false; bestScore = score; bestCid = cidArr(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val cidsRef = ctx.addReferenceObj("cids", cidArr, "long[]")
+      val cvecsRef = ctx.addReferenceObj("cvecs", cvecArr, "double[][]")
+      val cnormsRef = ctx.addReferenceObj("cnorms", cnormArr, "double[]")
+      val bestCid = ctx.freshName("bestCid")
+      val bestScore = ctx.freshName("bestScore")
+      val firstF = ctx.freshName("first")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val score = ctx.freshName("score")
+      s"""
+         |long $bestCid = $cidsRef[0];
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |boolean $firstF = true;
+         |for (int $c = 0; $c < $cidsRef.length; $c++) {
+         |  double[] $cv = $cvecsRef[$c];
+         |  int $m = java.lang.Math.min($a.numElements(), $cv.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $s += ((double) $a.getFloat($i)) * $cv[$i];
+         |  }
+         |  double $score = $s / ($b * $cnormsRef[$c]);
+         |  if ($firstF || $score > $bestScore) {
+         |    $firstF = false; $bestScore = $score; $bestCid = $cidsRef[$c];
+         |  }
+         |}
+         |${ev.value} = $bestCid;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecNearestCid =
+    copy(emb = newLeft, norm = newRight)
+}
+
 /** Shared kernel for [[ShingleHashes]]: distinct polynomial hashes of
   * all word-`n`-gram shingles of a text, straight from the UTF-8
   * bytes. Equivalent (bit-for-bit) to: split on ' ' (Java semantics —
@@ -448,6 +543,9 @@ object F {
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecDotD(a: Column, b: Column): Column = c(VecDotD(e(a), e(b)))
   def vecNorm(a: Column): Column = c(VecNorm(e(a)))
+  def vecNearestCid(emb: Column, norm: Column, cids: Seq[Long],
+      cvecs: Seq[Seq[Double]], cnorms: Seq[Double]): Column =
+    c(VecNearestCid(e(emb), e(norm), cids, cvecs, cnorms))
   def cappedMinIds(id: Column, cap: Int): Column =
     c(CappedMinIds(e(id), cap).toAggregateExpression())
 }

@@ -69,31 +69,45 @@ object Similarity {
     * Centroids are data vectors picked by a deterministic id stride
     * (`vec_id % centroidMod == 0`) — a k-means fit would drop in here
     * without changing the plan shape. Scale anatomy, for corpus N,
-    * centroids C, queries Q: assignment is N·C broadcast dot products
-    * (the centroid table is tiny, so no shuffle of the corpus); the
-    * probe list is Q·nProbe rows; the search join hits ~N·nProbe/C
-    * corpus rows per query instead of N — the classic IVF speedup —
-    * and partitions by bucket, so it shuffles each corpus row once.
+    * centroids C, queries Q: assignment is N·C dot products inside a
+    * single codegen'd projection over driver-held centroids — zero
+    * shuffle, zero row blow-up; the probe list is Q·nProbe rows; the
+    * search is a broadcast join of the probe list against the
+    * assigned corpus, hitting ~N·nProbe/C corpus rows per query
+    * instead of N — the classic IVF speedup — with the corpus side
+    * never repartitioned.
     */
   def ivfTopK(emb: DataFrame, queryMod: Long, k: Int,
               centroidMod: Long = 61, nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    val cents = base.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-        col("norm").as("cnorm"))
-    // coarse assignment: every vector to its nearest centroid.
-    // Argmax as a hash aggregate (max_by over a (cos, -cid) struct),
-    // NOT a per-vector row_number window: the aggregate combines
-    // map-side, so the N·C assignment rows never shuffle — only the
-    // N winners do. Tie-break on smallest cid via the negated field.
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("ccos", dot(col("embedding"), col("cvec")) / (col("norm") * col("cnorm")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("ccos"), -col("cid"))).as("cid"),
-        first(col("embedding")).as("embedding"),
-        first(col("norm")).as("norm"))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cid"))
+    // Centroids are tiny by quantizer design (C×Dim; SURVEY §9 sizes
+    // 100k at 10B vectors) — collect them to the driver. This ships
+    // the SAME bytes through the driver the former broadcast(cents)
+    // did; holding them lets assignment be a pure projection.
+    val centRows = base.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val cids = centRows.map(_._1).toSeq
+    // float→double widening is exact: the double-matrix dot is
+    // bit-identical to the former float×float VecDot
+    val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
+    val cnorms = centRows.map(_._3).toSeq
+    // coarse assignment: every vector to its nearest centroid, as ONE
+    // codegen'd argmax kernel per corpus row over the driver-held
+    // matrix ([[graft.functions.VecNearestCid]]). No N·C row blow-up
+    // and — unlike the former crossJoin+max_by aggregate — no
+    // groupBy(vec_id) repartitioning of the corpus: the embeddings
+    // NEVER shuffle for assignment. Tie-break to smallest cid,
+    // bit-identical to max_by(cid, struct(ccos, -cid)).
+    val assigned = base.withColumn("cid",
+      F.vecNearestCid(col("embedding"), col("norm"), cids, cvecs, cnorms))
+    // probe scoring still wants the centroids as rows (Q·C is tiny);
+    // rebuild the table from the collected rows — float vectors, so
+    // the probe-side VecDot arithmetic is unchanged
+    val cents = centRows.toSeq.toDF("cid", "cvec", "cnorm")
     // probe lists: each query's nProbe nearest centroids
     val qs = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
@@ -136,11 +150,11 @@ object Similarity {
     * which ids seed.
     *
     * Scale anatomy (the canonical distributed k-means shape):
-    *  - centroids are TINY (C×Dim) — they live on the driver and are
-    *    broadcast each round; the corpus never shuffles for
-    *    assignment (a crossJoin against the broadcast + one
-    *    map-side-combining argmax aggregate, reusing the
-    *    [[ivfTopK]] building blocks).
+    *  - centroids are TINY (C×Dim) — they live on the driver and ride
+    *    into codegen each round; assignment is a pure projection
+    *    ([[graft.functions.VecNearestCid]] argmax kernel), so the
+    *    corpus NEVER shuffles — zero Exchange between the scan and
+    *    the per-(cid, dim) update aggregate.
     *  - the update step shuffles only partial per-(cid, dim) integer
     *    sums (≤ partitions·C·Dim rows), never vectors.
     *  - collecting C×Dim longs per round replaces `localCheckpoint`
@@ -170,16 +184,17 @@ object Similarity {
       }
     var counts = Map.empty[Long, Long]
     for (_ <- 1 to iters) {
-      val centDf = cents.map { case (cid, q) =>
-        val cvec = q.map(_ / 1000.0)
-        val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
-        (cid, cvec, cnorm)
-      }.toDF("cid", "cvec", "cnorm")
-      val assigned = base.crossJoin(broadcast(centDf))
-        .withColumn("score", F.vecDotD(col("embedding"), col("cvec")) / col("cnorm"))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"),
-          first(col("embedding")).as("embedding"))
+      // assignment is a pure projection: argmax over the driver-held
+      // centroids via the [[graft.functions.VecNearestCid]] kernel —
+      // the corpus never shuffles, per round (the former
+      // crossJoin+max_by aggregate hash-partitioned all N embeddings
+      // every Lloyd iteration). norm = lit(1.0): the former score was
+      // dot/cnorm with no own-norm factor, and 1.0·x == x exactly.
+      val cidsNow = cents.map(_._1)
+      val cvecsNow = cents.map { case (_, q) => q.map(_ / 1000.0): Seq[Double] }
+      val cnormsNow = cvecsNow.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      val assigned = base.withColumn("cid",
+        F.vecNearestCid(col("embedding"), lit(1.0), cidsNow, cvecsNow, cnormsNow))
       val upd = assigned.select(col("cid"), posexplode(col("embedding")))
         .toDF("cid", "dim", "v")
         .groupBy("cid", "dim")
@@ -220,19 +235,20 @@ object Similarity {
     import spark.implicits._
     val trained = kmeansTrain(emb, centroidMod, iters, centK)
       .as[(Long, Int, Long, Long)].collect()
-    val cents = trained.groupBy(_._1).toSeq.map { case (cid, rows) =>
+    val centSeq = trained.groupBy(_._1).toSeq.sortBy(_._1).map { case (cid, rows) =>
       val cvec = rows.sortBy(_._2).map(_._3 / 1000.0).toSeq
       val cnorm = math.sqrt(cvec.foldLeft(0.0)((a, x) => a + x * x))
       (cid, cvec, cnorm)
-    }.toDF("cid", "cvec", "cnorm")
+    }
+    val cents = centSeq.toDF("cid", "cvec", "cnorm")
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("score", F.vecDotD(col("embedding"), col("cvec")) / col("cnorm"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"),
-        first(col("embedding")).as("embedding"),
-        first(col("norm")).as("norm"))
+    // pure-projection assignment over the trained (driver-held)
+    // centroids — see [[ivfTopK]]; score was dot/cnorm (no own-norm
+    // factor), hence norm = lit(1.0)
+    val assigned = base.withColumn("cid",
+      F.vecNearestCid(col("embedding"), lit(1.0),
+        centSeq.map(_._1), centSeq.map(_._2), centSeq.map(_._3)))
     val qs = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"))

@@ -74,12 +74,17 @@ class AsOfJoinSpec extends SparkSpec {
   test("broadcast kill switch actually flips the chosen exec") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, 1L)).toDF("rk", "rt", "v")
-    def execOf(): String =
-      AsOf.join(left, right, "k", "rk", "t", "rt")
-        .queryExecution.executedPlan.collectFirst {
-          case _: BroadcastAsOfJoinExec => "broadcast"
-          case _: AsOfJoinExec => "shuffled"
-        }.getOrElse("none")
+    // string-match the rendered plan: under AQE, executedPlan is an
+    // AdaptiveSparkPlanExec LEAF, so collect/collectFirst never reach the
+    // join exec — but toString renders the inner plan (same approach as
+    // the two plan-shape tests above)
+    def execOf(): String = {
+      val phys = AsOf.join(left, right, "k", "rk", "t", "rt")
+        .queryExecution.executedPlan.toString
+      if (phys.contains("BroadcastAsOfJoin")) "broadcast"
+      else if (phys.contains("AsOfJoin")) "shuffled"
+      else "none"
+    }
     assert(execOf() === "broadcast")
     withShuffledAsOf { assert(execOf() === "shuffled") }
   }
@@ -111,13 +116,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(bc === sh)
     // and the values are the as-of semantics: null time orders FIRST
     // (visible to every left row of the key), null keys group together
-    assert(bc === Seq(
-      (Option(1L), Option(10L), "a", Some(100L)),       // latest <= 10 is rt=5
+    assert(bc === Seq(                                   // lexicographic tag order
+      (Option(1L), Option(10L), "a", Some(100L)),        // latest <= 10 is rt=5
       (Option(1L), Option(99L), "late", Some(150L)),
-      (None, Option(20L), "nullk", Some(700L)),          // null-key group, rt=7 <= 20
-      (Option(1L), None, "nullt", Some(50L)),            // null t: only null-rt row visible
-      (None, None, "nullkt", Some(900L)),
       (Option(3L), Option(50L), "nokey", None),          // key absent from right
+      (None, Option(20L), "nullk", Some(700L)),          // null-key group, rt=7 <= 20
+      (None, None, "nullkt", Some(900L)),
+      (Option(1L), None, "nullt", Some(50L)),            // null t: only null-rt row visible
       (Option(1L), Option(15L), "tie", Some(150L))))     // inclusive tie
   }
 

@@ -86,6 +86,19 @@ class SimilaritySpec extends SparkSpec {
       s"trained=${recall(trained)} stride=${recall(stride)}")
   }
 
+  test("IVF assignment never repartitions the corpus (zero Exchange on vec_id)") {
+    // the round-6 verdict's one perf-weak plan: the former
+    // crossJoin+max_by assignment hash-partitioned all N corpus rows
+    // (embeddings included) on vec_id — at 10B×768-d a ~30 TB shuffle.
+    // The VecNearestCid projection formulation must leave NO exchange
+    // keyed on vec_id anywhere in the plan: the only shuffles allowed
+    // are the qid-window ranking of the probed candidates.
+    val phys = Similarity.ivfTopK(emb, queryMod = 50L, k = 10,
+      centroidMod = 61, nProbe = 2).queryExecution.executedPlan.toString
+    assert(!phys.contains("hashpartitioning(vec_id"), phys)
+    assert(phys.contains("vec_nearest_cid"), phys)
+  }
+
   test("kmeansTrain seed set is capped at k regardless of corpus size") {
     // centroidMod = 1 makes EVERY row a stride candidate — the shape
     // that used to collect O(N) rows on the driver. The cap must hold
