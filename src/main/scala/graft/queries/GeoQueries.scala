@@ -129,7 +129,16 @@ object GeoQueries {
     * `POLYGON ((a a, a a+1, b b+1, b+1 b+1, b+1 b, a+1 a, a a))`.
     * The oracle rebuilds that string with SQL min/max aggregates, so
     * the whole parse → union-aggregate → type-dispatch → convex-hull →
-    * WKB → WKT chain is hash-verified, not just rows-counted. */
+    * WKB → WKT chain is hash-verified, not just rows-counted.
+    *
+    * PINNED to the JTS in /opt/spark/jars: the hull's vertex COUNT and
+    * shape are geometry (stable), but the ring's start vertex and
+    * orientation are `ConvexHull` implementation choices — a JTS
+    * version bump that reorders the ring would hash-fail this oracle
+    * on identical geometry. That is a deliberate exactness/stability
+    * trade (FIXTURES.md §A2 note): loosen by normalizing both sides
+    * (e.g. ST_Normalize or lexicographic ring rotation) if it ever
+    * trips. */
   private def dissolveWkt(spark: SparkSession, dir: String): DataFrame = {
     GeoFunctions.register(spark)
     val x = (col("c_custkey") % (lit(3) + col("c_nationkey"))) * 2

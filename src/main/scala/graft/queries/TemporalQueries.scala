@@ -239,6 +239,63 @@ object TemporalQueries {
       |  ON d.id = o_custkey AND d.date <= CAST(o_orderdate AS DATE)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** Composite-key as-of through the native operator: each event looks
+    * up the latest PRIOR day's per-(user, event_type) daily sum — the
+    * multi-key path of [[graft.plans.AsOfJoinPlan]] (keys prune and
+    * partition as a tuple; `AsOf.joinKeys`). Same scale shape as
+    * [[asofNative]]: one shuffle per side on the composite key, one
+    * buffered right row per merge pass.
+    *
+    * The merge operates on integral/date/timestamp keys (the exec's
+    * primitive Long tuple compare — no boxing in the hot loop), so the
+    * string key is DICTIONARY-ENCODED to an int code first — exactly
+    * how a low-cardinality string key should enter any 100 TB sort
+    * key anyway. The original string rides through as a carried
+    * column. Oracle: DuckDB ASOF JOIN with two equality conditions. */
+  private def asofMultikey(spark: SparkSession, dir: String): DataFrame = {
+    def code(c: org.apache.spark.sql.Column) =
+      when(c === "click", 1).when(c === "error", 2).when(c === "purchase", 3)
+        .when(c === "signup", 4).when(c === "view", 5).otherwise(0)
+    val right = Tables.events(spark, dir)
+      .select(col("user_id").as("r_uid"), code(col("event_type")).as("r_code"),
+        to_date(col("ts")).as("r_date"), Num.cents(col("value")).as("vc"))
+      .groupBy("r_uid", "r_code", "r_date")
+      .agg(sum("vc").as("r_dval"))
+    val left = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        code(col("event_type")).as("etype_code"),
+        date_sub(to_date(col("ts")), 1).as("d_prev"))
+    graft.plans.AsOf.joinKeys(left, right,
+        Seq("user_id", "etype_code"), Seq("r_uid", "r_code"), "d_prev", "r_date")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("r_date"), lit("1900-01-01").cast("date")).as("asof_date"),
+        coalesce(col("r_dval"), lit(-1L)).as("asof_dval"))
+      .orderBy("event_id")
+  }
+
+  private val asofMultikeySql =
+    """WITH coded AS (
+      |  SELECT user_id, event_type,
+      |    CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |      WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4 WHEN 'view' THEN 5
+      |      ELSE 0 END AS etype_code,
+      |    CAST(ts AS DATE) AS d, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), dailyt AS (
+      |  SELECT user_id AS r_uid, etype_code AS r_code, d AS r_date,
+      |    CAST(SUM(vc) AS BIGINT) AS r_dval
+      |  FROM coded GROUP BY 1, 2, 3
+      |)
+      |SELECT e.event_id, e.user_id, e.event_type,
+      |  COALESCE(t.r_date, DATE '1900-01-01') AS asof_date,
+      |  COALESCE(t.r_dval, -1) AS asof_dval
+      |FROM (SELECT event_id, user_id, event_type, etype_code, d - 1 AS d_prev
+      |      FROM coded) e
+      |ASOF LEFT JOIN dailyt t
+      |  ON t.r_uid = e.user_id AND t.r_code = e.etype_code AND t.r_date <= e.d_prev
+      |ORDER BY event_id""".stripMargin
+
   /** Built-in session windows (`session_window`) — the same operator
     * Structured Streaming maintains incrementally with state-store
     * merge; here exercised in batch with a full oracle. Built-in
@@ -307,6 +364,7 @@ object TemporalQueries {
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
     Q("q_asof_native", asofNative, Some(asofNativeSql)),
+    Q("q_asof_multikey", asofMultikey, Some(asofMultikeySql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
     Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),

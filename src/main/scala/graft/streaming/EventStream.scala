@@ -121,6 +121,65 @@ object EventStream {
         col("v.ts").as("view_ts"), col("c.ts").as("click_ts"),
         round(col("c.value") * 100).cast("long").as("click_vc"))
 
+  /** Input row for [[asofEnrich]]: `side = 0` publishes a dimension
+    * version (v becomes the key's value effective at ts); `side = 1`
+    * is a fact to enrich. One tagged stream, like the batch
+    * union-window as-of idiom. */
+  case class TemporalIn(id: Long, ts: java.sql.Timestamp, side: Int, v: Long)
+
+  /** A fact enriched with the latest dim version at-or-before its
+    * event time (`dim_ts`/`dim_v` in epoch ms; None = no version yet —
+    * the left-outer null of the batch as-of). */
+  case class TemporalOut(id: Long, fact_ts: java.sql.Timestamp, fact_v: Long,
+                         dim_ts: Option[Long], dim_v: Option[Long])
+
+  /** Streaming as-of twin of [[graft.plans.AsOfJoinExec]]: facts are
+    * enriched with the latest dimension version at-or-before their
+    * EVENT time — a temporal join against a slowly-changing dimension
+    * (Flink's event-time temporal join; kdb's streaming aj).
+    *
+    * Semantics match the batch operator: inclusive ties (a version at
+    * exactly the fact's ts is taken), left-outer None before the first
+    * version, and arrival order within a micro-batch is irrelevant —
+    * all of a batch's versions become visible before any of its facts
+    * look up, so an out-of-order (fact-before-dim) arrival inside the
+    * watermark horizon still enriches correctly.
+    *
+    * State bound (the streaming-safety argument): per key, the version
+    * list holds ONLY versions inside the watermark horizon plus the
+    * single newest version at-or-below the watermark — every fact the
+    * engine still admits has `ts >= watermark`, so older versions can
+    * never be read again and are pruned each invocation. Steady state
+    * is O(1) per key for a slowly-changing dimension; keys themselves
+    * persist (a dimension keyspace is bounded by definition — facts
+    * may reference a version forever). In batch mode the watermark is
+    * 0, nothing prunes, and the same code is the exact as-of join. */
+  def asofEnrich(in: Dataset[TemporalIn],
+                 watermarkDelay: String = "1 hour"): Dataset[TemporalOut] = {
+    import in.sparkSession.implicits._
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.id)
+      .flatMapGroupsWithState[List[(Long, Long)], TemporalOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, state: GroupState[List[(Long, Long)]]) =>
+          val batch = rows.toSeq
+          // merge this batch's versions into the stored (ts, v) list;
+          // a re-published ts last-write-wins in arrival order
+          val incoming = batch.filter(_.side == 0)
+            .sortBy(_.ts.getTime).map(e => (e.ts.getTime, e.v))
+          var versions = (state.getOption.getOrElse(Nil) ++ incoming)
+            .groupBy(_._1).view.mapValues(_.last._2).toList.sortBy(_._1)
+          val wm = state.getCurrentWatermarkMs()
+          val idx = versions.lastIndexWhere(_._1 <= wm)
+          if (idx > 0) versions = versions.drop(idx)
+          state.update(versions)
+          batch.filter(_.side == 1).sortBy(_.ts.getTime).iterator.map { f =>
+            val hit = versions.takeWhile(_._1 <= f.ts.getTime).lastOption
+            TemporalOut(id, f.ts, f.v, hit.map(_._1), hit.map(_._2))
+          }
+      }
+  }
+
   /** Streaming near-duplicate suppression: the text tier's SimHash
     * kernel composed with watermark-bounded streaming dedup state.
     * Each arriving document is fingerprinted in the same codegen'd

@@ -253,6 +253,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrich equals the native batch as-of join, across batches and arrival orders") {
+    import EventStream.{TemporalIn, TemporalOut}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[TemporalIn]
+    val q = EventStream.asofEnrich(in.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: the FACT arrives before its dim version (out-of-order
+      // inside the batch) — must still enrich
+      in.addData(
+        TemporalIn(1, ts(2), 1, 100), TemporalIn(1, ts(0), 0, 10),
+        TemporalIn(1, ts(10), 0, 20))
+      q.processAllAvailable()
+      // batch 2: a fact tying a version's ts exactly (inclusive), a
+      // fact before any version of its key, and a key with no dim ever
+      in.addData(
+        TemporalIn(1, ts(10), 1, 101),  // tie: sees v=20 from batch 1 state
+        TemporalIn(2, ts(4), 1, 200),   // before dim 2's first version
+        TemporalIn(2, ts(5), 0, 50), TemporalIn(2, ts(6), 1, 201),
+        TemporalIn(3, ts(7), 1, 300))   // no dim at all
+      q.processAllAvailable()
+      // batch 3: version published two batches later still carries state
+      in.addData(TemporalIn(1, ts(30), 0, 30), TemporalIn(1, ts(40), 1, 102))
+      q.processAllAvailable()
+      val streamed = s.table("asof_stream").as[TemporalOut].collect()
+        .map(o => (o.id, o.fact_ts.getTime, o.fact_v, o.dim_ts, o.dim_v)).sorted
+      // the same rows through the NATIVE batch operator
+      val facts = Seq((1L, ts(2), 100L), (1L, ts(10), 101L), (1L, ts(40), 102L),
+        (2L, ts(4), 200L), (2L, ts(6), 201L), (3L, ts(7), 300L))
+        .toDF("id", "fact_ts", "fact_v")
+      val dims = Seq((1L, ts(0), 10L), (1L, ts(10), 20L), (1L, ts(30), 30L),
+        (2L, ts(5), 50L)).toDF("r_id", "r_ts", "dim_v")
+      val batch = graft.plans.AsOf.join(facts, dims, "id", "r_id", "fact_ts", "r_ts")
+        .select("id", "fact_ts", "fact_v", "r_ts", "dim_v")
+        .as[(Long, Timestamp, Long, Option[Timestamp], Option[Long])].collect()
+        .map(r => (r._1, r._2.getTime, r._3, r._4.map(_.getTime), r._5)).sorted
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length === 6)
+    } finally q.stop()
+  }
+
+  test("as-of enrich state prunes to the horizon but keeps the newest pre-watermark version") {
+    import EventStream.{TemporalIn, TemporalOut}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[TemporalIn]
+    val q = EventStream.asofEnrich(in.toDS(), "1 minute")
+      .writeStream.format("memory").queryName("asof_prune")
+      .outputMode("append").start()
+    try {
+      // three versions, then advance the watermark far past all of them
+      in.addData(TemporalIn(1, ts(0), 0, 10), TemporalIn(1, ts(1), 0, 11),
+        TemporalIn(1, ts(2), 0, 12))
+      q.processAllAvailable()
+      in.addData(TemporalIn(9, ts(120), 1, 0)) // watermark -> ts(119)
+      q.processAllAvailable()
+      // a fact far beyond the pruned versions must still see the
+      // NEWEST pre-watermark version (v=12) — pruning may drop
+      // superseded history, never the live version
+      in.addData(TemporalIn(1, ts(125), 1, 900))
+      q.processAllAvailable()
+      val out = s.table("asof_prune").as[TemporalOut].collect()
+        .filter(_.id == 1L)
+      assert(out.length === 1)
+      assert(out.head.dim_ts === Some(ts(2).getTime))
+      assert(out.head.dim_v === Some(12L))
+    } finally q.stop()
+  }
+
   test("stateful operators run under the RocksDB state store provider") {
     // the production state backend for large state (bounded JVM heap,
     // incremental checkpoints): same results as the default HDFS-backed
