@@ -434,6 +434,230 @@ case class VecNearestCid(emb: Expression, norm: Expression,
     copy(emb = newLeft, norm = newRight)
 }
 
+/** Product-quantization code assignment: split a Dim-d `array<float>`
+  * embedding into `m` contiguous subvectors and map each to the index
+  * of its nearest codeword (L2) in that subspace's codebook — one
+  * codegen'd projection per row over the DRIVER-HELD codebook.
+  *
+  * This is the 100 TB ANN memory path: the `m` small-int codes replace
+  * the float vector in the search index (64×4 bytes → 8 bytes here, a
+  * 32× compression), and scoring against a query becomes `m` table
+  * lookups ([[VecPqAdc]]) instead of Dim multiplies. Like
+  * [[VecNearestCid]], assignment is a pure map over the corpus scan —
+  * ZERO Exchange, no N·K row blow-up.
+  *
+  * Determinism contract (the DuckDB oracle replicates it): distances
+  * are sequential left-to-right double accumulations of
+  * `(x_i − c_i)²` (float→double widening is exact), the codeword scan
+  * is ascending-k with a strict `<` update — ties break to the
+  * smallest code, same as `ROW_NUMBER() OVER (ORDER BY dist, k)`.
+  * Components past the embedding's length read as 0 (never hit on
+  * fixed-Dim data). Output `array<long>`, length m. */
+case class VecPqCodes(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty),
+    "codebook must have >=1 subspace with >=1 codeword")
+  private val m = codebook.length
+  private val subDim = codebook.head.head.length
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_pq_codes"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val codes = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * subDim
+      val cws = cbArr(mi)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < cws.length) {
+        val cw = cws(k)
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val xi = if (off + i < n) x.getFloat(off + i).toDouble else 0.0
+          val diff = xi - cw(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = k }
+        k += 1
+      }
+      codes(mi) = best.toLong
+      mi += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+      val codes = ctx.freshName("codes")
+      val n = ctx.freshName("n")
+      val mi = ctx.freshName("mi")
+      val off = ctx.freshName("off")
+      val cws = ctx.freshName("cws")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val k = ctx.freshName("k")
+      val cw = ctx.freshName("cw")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val diff = ctx.freshName("diff")
+      s"""
+         |long[] $codes = new long[$m];
+         |int $n = $c.numElements();
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $off = $mi * $subDim;
+         |  double[][] $cws = $cbRef[$mi];
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $k = 0; $k < $cws.length; $k++) {
+         |    double[] $cw = $cws[$k];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $xi = ($off + $i < $n) ? (double) $c.getFloat($off + $i) : 0.0;
+         |      double $diff = $xi - $cw[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $k; }
+         |  }
+         |  $codes[$mi] = (long) $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecPqCodes =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table for [[VecPqCodes]]: for each subspace m
+  * and codeword k, the sequential-double dot of the query's m-th
+  * subvector with that codeword. Output `array<double>` of length
+  * m·K, laid out `lut[m·K + k]` — computed ONCE per query row and
+  * broadcast with it, amortizing over the whole corpus. */
+case class VecPqLut(child: Expression, codebook: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.nonEmpty))
+  private val m = codebook.length
+  private val kk = codebook.head.length
+  private val subDim = codebook.head.head.length
+  require(codebook.forall(_.length == kk), "ragged codebooks unsupported")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_pq_lut"
+
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    codebook.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val lut = new Array[Double](m * kk)
+    var mi = 0
+    while (mi < m) {
+      val off = mi * subDim
+      var k = 0
+      while (k < kk) {
+        val cw = cbArr(mi)(k)
+        var s = 0.0
+        var i = 0
+        while (i < subDim) {
+          val xi = if (off + i < n) x.getFloat(off + i).toDouble else 0.0
+          s += xi * cw(i)
+          i += 1
+        }
+        lut(mi * kk + k) = s
+        k += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+      val lut = ctx.freshName("lut")
+      val n = ctx.freshName("n")
+      val mi = ctx.freshName("mi")
+      val off = ctx.freshName("off")
+      val k = ctx.freshName("k")
+      val cw = ctx.freshName("cw")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      s"""
+         |double[] $lut = new double[${m * kk}];
+         |int $n = $c.numElements();
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $off = $mi * $subDim;
+         |  for (int $k = 0; $k < $kk; $k++) {
+         |    double[] $cw = $cbRef[$mi][$k];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $xi = ($off + $i < $n) ? (double) $c.getFloat($off + $i) : 0.0;
+         |      $s += $xi * $cw[$i];
+         |    }
+         |    $lut[$mi * $kk + $k] = $s;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($lut);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecPqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score: Σ_m `lut[m·K + codes[m]]`,
+  * accumulated left-to-right in doubles — the approximate query·vector
+  * dot product reconstructed from the m PQ codes with m array lookups
+  * instead of Dim multiplies. The inner-loop kernel of PQ search. */
+case class VecPqAdc(left: Expression, right: Expression, kk: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_pq_adc"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var mi = 0
+    val m = codes.numElements()
+    while (mi < m) {
+      s += lut.getDouble(mi * kk + codes.getLong(mi).toInt)
+      mi += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val mi = ctx.freshName("mi")
+      s"""
+         |double $s = 0.0;
+         |for (int $mi = 0; $mi < $a.numElements(); $mi++) {
+         |  $s += $b.getDouble($mi * $kk + (int) $a.getLong($mi));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecPqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Shared kernel for [[ShingleHashes]]: distinct polynomial hashes of
   * all word-`n`-gram shingles of a text, straight from the UTF-8
   * bytes. Equivalent (bit-for-bit) to: split on ' ' (Java semantics —
@@ -548,4 +772,10 @@ object F {
     c(VecNearestCid(e(emb), e(norm), cids, cvecs, cnorms))
   def cappedMinIds(id: Column, cap: Int): Column =
     c(CappedMinIds(e(id), cap).toAggregateExpression())
+  def vecPqCodes(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    c(VecPqCodes(e(emb), codebook))
+  def vecPqLut(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    c(VecPqLut(e(emb), codebook))
+  def vecPqAdc(codes: Column, lut: Column, kk: Int): Column =
+    c(VecPqAdc(e(codes), e(lut), kk))
 }

@@ -33,4 +33,14 @@ object OracleSqlFrag {
   /** L2 norm (sqrt of sequential sum of squares). Twin of
     * [[graft.functions.VecNorm]]. */
   def norm(a: String): String = s"sqrt(${dot(a, a)})"
+
+  /** Sequential-double squared L2 distance of two float-list
+    * expressions: left-to-right Σ (a_i − b_i)². Twin of the distance
+    * loop in [[graft.functions.VecPqCodes]]. */
+  def dist2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"generate_series(1, least(len($a), len($b))), " +
+      s"vqi -> (CAST($a[vqi] AS DOUBLE) - CAST($b[vqi] AS DOUBLE)) * " +
+      s"(CAST($a[vqi] AS DOUBLE) - CAST($b[vqi] AS DOUBLE)))), " +
+      s"(vqx, vqy) -> vqx + vqy)"
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[OracleSqlFrag]]), and LSH hyperplanes derive from exact integer
   * arithmetic, so even the hash-bucketed path is replicated in SQL. */
 object SimilarityQueries {
-  import OracleSqlFrag.{dot, norm}
+  import OracleSqlFrag.{dist2, dot, norm}
 
   /** Brute-force cosine top-10 for a deterministic query subset
     * (vec_id ≡ 0 mod 50): the exact baseline every ANN variant is
@@ -224,6 +224,53 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  /** Product-quantization ADC top-10 — the ANN MEMORY path (32×
+    * index compression: 8 one-byte codes replace 64 floats; scoring
+    * is 8 LUT lookups per vector instead of 64 multiplies). Codes,
+    * per-query LUTs, ADC sums and ranks are all sequential-double /
+    * exact-integer, so the ENTIRE compressed-search pipeline is
+    * replicated in SQL and hash-verified. */
+  private def annPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10,
+        cbMod = 29, cbK = 16, m = 8)
+      .orderBy("qid", "rank")
+
+  private val annPqSql = {
+    val sub = Similarity.Dim / 8 // 8 dims per subspace
+    s"""WITH seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16)
+       |), cw AS (
+       |  SELECT ms.m, s.k, s.embedding[(ms.m * $sub + 1):(ms.m * $sub + $sub)] AS cvec
+       |  FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT e.vec_id, c.m, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |        ${dist2(s"e.embedding[(c.m * $sub + 1):(c.m * $sub + $sub)]", "c.cvec")} ASC, c.k) AS rn
+       |    FROM embeddings e CROSS JOIN cw c)
+       |  WHERE rn = 1
+       |), lut AS (
+       |  SELECT q.vec_id AS qid, c.m, c.k,
+       |    ${dot(s"q.embedding[(c.m * $sub + 1):(c.m * $sub + $sub)]", "c.cvec")} AS ld
+       |  FROM embeddings q CROSS JOIN cw c WHERE q.vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT l.qid, cd.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.ld ORDER BY l.m)),
+       |      (sa, sb) -> sa + sb) AS adc
+       |  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.k
+       |  WHERE cd.vec_id <> l.qid
+       |  GROUP BY l.qid, cd.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
     * order-identical), quantized to integer thousandths per row, then
@@ -261,6 +308,7 @@ object SimilarityQueries {
     Q("q_ann_ivf", annIvf, Some(annIvfSql)),
     Q("q_ann_kmeans", annKmeans, Some(annKmeansSql)),
     Q("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
+    Q("q_ann_pq", annPq, Some(annPqSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )

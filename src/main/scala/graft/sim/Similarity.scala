@@ -270,6 +270,69 @@ object Similarity {
         floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** PQ top-k via asymmetric-distance computation (ADC) — the 100 TB
+    * ANN MEMORY path, complementing IVF's compute path: each corpus
+    * vector is compressed to `m` sub-space codeword indices
+    * (64×4 bytes → 8 bytes at m=8: a 32× index compression), and
+    * query scoring becomes m LUT lookups per vector instead of Dim
+    * multiplies.
+    *
+    * Plan anatomy: the codebook (m·K×subDim, tiny by construction) is
+    * driver-held; code assignment ([[graft.functions.VecPqCodes]]) and
+    * the per-query LUT ([[graft.functions.VecPqLut]]) are pure codegen
+    * projections — the corpus NEVER shuffles; scoring is the broadcast
+    * query cross with [[graft.functions.VecPqAdc]] lookups; ranking
+    * rides the same per-qid `WindowGroupLimit` heap as [[bruteTopK]].
+    *
+    * The codebook here is stride-seeded sub-vectors (k smallest
+    * stride ids — a distributed TakeOrderedAndProject, O(k·Dim) on
+    * the driver regardless of corpus size); a per-subspace k-means
+    * fit ([[kmeansTrain]]'s loop on slices) would drop in without
+    * changing the plan shape. Every float op is a sequential
+    * left-to-right double reduction, so the WHOLE pipeline — codes,
+    * LUTs, ADC scores, ranks — is replicated by the DuckDB oracle
+    * and hash-verified.
+    *
+    * Output: (qid, vec_id, rank, adc_x10k) — adc is the approximate
+    * query·vector dot reconstructed from codes. */
+  def pqTopK(emb: DataFrame, queryMod: Long, k: Int,
+             cbMod: Long = 29, cbK: Int = 16, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = Dim / m
+    // codebook seeds: the cbK smallest stride ids — capped collect,
+    // O(cbK·Dim) on the driver regardless of corpus size
+    val seeds = emb.filter(col("vec_id") % cbMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(cbK)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // codebook[mi][k][i] = seed k's mi-th subvector (float→double
+    // widening is exact)
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map { mi =>
+        seeds.toSeq.map { case (_, v) =>
+          (0 until subDim).map(i => v(mi * subDim + i).toDouble)
+        }
+      }
+    val codes = emb.select(col("vec_id"),
+      F.vecPqCodes(col("embedding"), codebook).as("codes"))
+    val qs = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"),
+        F.vecPqLut(col("embedding"), codebook).as("lut"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    codes.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        F.vecPqAdc(col("codes"), col("lut"), seeds.length).as("adc"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("adc") * 10000 + lit(0.5)).as("adc_x10k"))
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...

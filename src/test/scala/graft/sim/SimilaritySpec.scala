@@ -99,6 +99,51 @@ class SimilaritySpec extends SparkSpec {
     assert(phys.contains("vec_nearest_cid"), phys)
   }
 
+  test("pqTopK is well-formed, deterministic, and codes stay in [0, K)") {
+    val pq = Similarity.pqTopK(emb, queryMod = 50L, k = 10)
+    val rows = pq.select("qid", "vec_id", "rank", "adc_x10k")
+      .as[(Long, Long, Int, Long)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length === 10, s"query $q")
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to 10))
+      // adc non-increasing with rank
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head >= p.last))
+      assert(rs.forall(r => r._1 != r._2))
+    }
+    // bit-identical on rerun (driver-held codebook is deterministic)
+    val again = Similarity.pqTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id", "rank", "adc_x10k")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(rows.sorted === again.sorted)
+  }
+
+  test("PQ-ADC recalls a useful fraction of brute top-10 and tracks true dots") {
+    val pq = Similarity.pqTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val bruteSet = brute.toSet
+    val recall = pq.count(bruteSet).toDouble / brute.length
+    // 16 stride codewords per subspace is a coarse quantizer; the
+    // planted near-dup structure still has to surface well above the
+    // ~k/N random floor (10/500 = 2%)
+    assert(recall >= 0.15, s"PQ recall too low: $recall")
+  }
+
+  test("PQ code assignment never repartitions the corpus (zero Exchange)") {
+    // same scale contract as IVF assignment: codes are a pure codegen
+    // projection over the driver-held codebook; the only shuffle in
+    // the whole query is the qid-window ranking of scored candidates
+    val phys = Similarity.pqTopK(emb, queryMod = 50L, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("hashpartitioning(vec_id"), phys)
+    assert(phys.contains("vec_pq_codes"), phys)
+    assert(phys.contains("vec_pq_adc"), phys)
+  }
+
   test("kmeansTrain seed set is capped at k regardless of corpus size") {
     // centroidMod = 1 makes EVERY row a stride candidate — the shape
     // that used to collect O(N) rows on the driver. The cap must hold
