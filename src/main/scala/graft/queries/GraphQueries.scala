@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational edges — the iterative
+  * join+aggregate pattern (PageRank here) that training-data curation
+  * uses for source-authority weighting and link-spam demotion.
+  *
+  * The reference has no graph surface; this extends the engine the
+  * same way the dedup-cluster query does (connected components are
+  * the other canonical iterative-graph kernel, `Dedup.scala`).
+  *
+  * Scale anatomy: the edge EXTRACTION is the expensive part — a
+  * fact⋈fact join (lineitem⋈orders on orderkey, one shuffle each,
+  * AQE-coalesced) with both dimension hops broadcast — and it
+  * aggregates straight down to one row per distinct (src, dst) pair:
+  * ≤ |nations|² rows no matter how many line items feed it. The
+  * iteration then runs on that collapsed edge table: per round, one
+  * broadcast join of ranks⋈outdegree, one edge join, one sum — the
+  * standard distributed PageRank shape (ranks stay a DataFrame; at
+  * web scale the same plan shuffles on dst instead of broadcasting).
+  *
+  * Cross-engine determinism: ranks are scaled BIGINTs (10^12 = 1.0),
+  * every division is integral (`div` / DuckDB `//` — all operands
+  * non-negative, so truncation == floor on both engines), and the
+  * per-destination contribution sum is an integer sum — order-free.
+  * The WHOLE 3-iteration recurrence is replicated in SQL and
+  * hash-verified, not rows-counted.
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L // rank 1.0 == 10^12
+
+  /** PageRank (damping 0.85, 3 rounds) over the nation trade graph:
+    * edge src = supplying nation, dst = ordering customer's nation,
+    * self-loops dropped. Dangling nodes keep the teleport term only
+    * (their mass leaks — the standard simplification, replicated in
+    * the oracle). Output: (n_nationkey, n_name, rank_q). */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    val orders = Tables.table(spark, dir, "orders")
+    val customer = Tables.table(spark, dir, "customer")
+    val supplier = Tables.table(spark, dir, "supplier")
+    val nation = Tables.table(spark, dir, "nation")
+
+    // edge extraction: fact⋈fact on orderkey, dims broadcast, then an
+    // immediate DISTINCT collapse to ≤ |nations|² rows
+    val edges = lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    val nTot = nodes.agg(count(lit(1)).as("n"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+
+    // r0 = floor(SCALE / N) for every node
+    var ranks = nodes.crossJoin(broadcast(nTot))
+      .select(col("node"), expr(s"${Scale}L div n").as("r"))
+
+    for (_ <- 1 to iters) {
+      // per-source share = floor(r / outdeg); contribution sum is an
+      // integer sum — combine-order free
+      val share = ranks.join(broadcast(deg), col("node") === col("src"))
+        .select(col("src"), expr("r div outdeg").as("share"))
+      val contrib = edges.join(broadcast(share), "src")
+        .groupBy("dst").agg(sum("share").as("c"))
+      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+        .crossJoin(broadcast(nTot))
+        .select(col("node"),
+          (expr(s"(15 * (${Scale}L div n)) div 100") +
+            expr("(85 * coalesce(c, 0L)) div 100")).as("r"))
+    }
+
+    ranks.join(broadcast(nation), col("node") === col("n_nationkey").cast("long"))
+      .select(col("n_nationkey"), col("n_name"), col("r").as("rank_q"))
+      .orderBy(col("rank_q").desc, col("n_nationkey"))
+  }
+
+  private def pagerankQ(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir)
+
+  /** DuckDB twin: the identical integer recurrence, 3 rounds unrolled
+    * as CTEs. All operands are non-negative, so DuckDB's floor `//`
+    * equals Spark's truncating `div` bit-for-bit. */
+  private val pagerankSql: String = {
+    def round(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    CAST((15 * ($Scale // (SELECT n FROM nn))) // 100
+         |      + (85 * COALESCE(c.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r // d.outdeg) AS c
+         |    FROM e JOIN $prev p ON e.src = p.node
+         |    JOIN deg d ON e.src = d.src
+         |    GROUP BY e.dst) c ON c.dst = n.node
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+       |    CAST(c.c_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE s.s_nationkey <> c.c_nationkey
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (
+       |  SELECT node, CAST($Scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes
+       |), ${round(1)}, ${round(2)}, ${round(3)}
+       |SELECT na.n_nationkey, na.n_name, r3.r AS rank_q
+       |FROM r3 JOIN nation na ON r3.node = CAST(na.n_nationkey AS BIGINT)
+       |ORDER BY rank_q DESC, na.n_nationkey""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_pagerank", pagerankQ, Some(pagerankSql)),
+  )
+}

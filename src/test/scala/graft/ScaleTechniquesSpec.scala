@@ -198,6 +198,65 @@ class ScaleTechniquesSpec extends SparkSpec {
       s"sorted layout decoded $decodedC rows — min/max skipping did not engage")
   }
 
+  test("z-order layout prunes files on BOTH filter columns; linear sort on one") {
+    // the multi-dimensional extension of the range-sorted demo above:
+    // interleaving the bits of (x, y) into a z-value and range-sorting
+    // by it bounds BOTH coordinates within each output file, so
+    // single-column min/max stats prune selective predicates on either
+    // column. A linear sort by x gives perfect x-pruning but every
+    // file spans the full y range — the layout choice Delta/Iceberg
+    // OPTIMIZE ZORDER makes, reproduced with plain Spark primitives.
+    val s = spark
+    import s.implicits._
+    val n = 200000L
+    // pseudo-random (x, y) in [0, 65536)^2, deterministic
+    val df = (1L to n).map { i =>
+      val x = (i * 2654435761L) % 65536
+      val y = (i * 40503L + 17) % 65536
+      (x, y, i)
+    }.toDF("x", "y", "payload")
+    // 32-bit Morton code: x in even bits, y in odd bits (built as a
+    // column expression — at scale this is a scan-speed projection)
+    val zcol = (0 until 16).map { b =>
+      (shiftleft(shiftrightunsigned(col("x"), b).bitwiseAND(1), 2 * b))
+        .bitwiseOR(shiftleft(shiftrightunsigned(col("y"), b).bitwiseAND(1), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+    val zPath = s"$warehouse/zorder"
+    val linPath = s"$warehouse/linear_x"
+    // bucket by the top 6 z-bits (64 buckets): every output file then
+    // covers EXACTLY one aligned 3-bit prefix of each axis — x and y
+    // both span 1/8 of their range per file (repartitionByRange on z
+    // works too, but its sampled boundaries straddle prefix borders
+    // and blur the per-file min/max boxes)
+    df.withColumn("zbucket", shiftrightunsigned(zcol, 26))
+      .repartition(col("zbucket"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(zPath)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linPath)
+    def decoded(path: String, c: String): (Long, Long) = {
+      // a ~6% slice on one coordinate
+      val q = s.read.parquet(path).filter(col(c) >= 30000L && col(c) < 34000L)
+      val matched = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      (matched, scan.metrics("numOutputRows").value)
+    }
+    val (mzx, dzx) = decoded(zPath, "x")
+    val (mzy, dzy) = decoded(zPath, "y")
+    val (mlx, dlx) = decoded(linPath, "x")
+    val (mly, dly) = decoded(linPath, "y")
+    // identical answers across layouts
+    assert(mzx === mlx && mzy === mly && mzx > 0 && mzy > 0)
+    // linear-x: near-perfect x pruning, but y predicates decode ~all
+    assert(dlx <= n / 4, s"linear x-sort failed to prune x: $dlx")
+    assert(dly >= (n * 9) / 10, s"linear x-sort unexpectedly pruned y: $dly")
+    // z-order: BOTH coordinates prune — the 4000-wide slice overlaps
+    // exactly 2 of 8 axis-octants ⇒ 16 of 64 files ⇒ ~25% decoded
+    assert(dzx <= (n * 2) / 5, s"z-order failed to prune on x: $dzx")
+    assert(dzy <= (n * 2) / 5, s"z-order failed to prune on y: $dzy")
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,42 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("pagerank: well-formed, conserves mass up to dangling leak, deterministic") {
+    val out = GraphQueries.pagerank(spark, sf0001)
+      .select("n_nationkey", "rank_q").as[(Int, Long)].collect()
+    assert(out.length === 25)
+    assert(out.map(_._1).distinct.length === 25)
+    // every node holds at least the teleport term
+    val teleport = (15L * (Scale / 25)) / 100
+    assert(out.forall(_._2 >= teleport), out.minBy(_._2))
+    // total mass can only LEAK (dangling nodes + integer truncation),
+    // never grow — and never below the pure-teleport floor (sf0.001
+    // has ~10 suppliers, so most of the 25 nations ARE dangling)
+    val total = out.map(_._2).sum
+    assert(total <= Scale, s"mass grew: $total")
+    assert(total >= 25 * teleport, s"below the teleport floor: $total")
+    // somebody must actually receive edge contributions
+    assert(out.map(_._2).max > teleport)
+    // deterministic rerun (integer arithmetic end to end)
+    val again = GraphQueries.pagerank(spark, sf0001)
+      .select("n_nationkey", "rank_q").as[(Int, Long)].collect()
+    assert(out.sorted === again.sorted)
+  }
+
+  test("pagerank plan: dimension hops broadcast, iteration joins broadcast") {
+    val phys = GraphQueries.pagerank(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // edge extraction: customer/supplier/nation hops ride broadcasts —
+    // the only shuffles are the fact⋈fact orderkey join, the distinct
+    // collapse, and the tiny per-dst contribution aggregates
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    // the rank recurrence must not resort to a cartesian anywhere
+    assert(!phys.contains("CartesianProduct"), phys)
+  }
+}
