@@ -96,6 +96,38 @@ object PipelineQueries {
        |WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
        |GROUP BY 1, 2 ORDER BY train_id, eval_id""".stripMargin
 
+  /** Exact repeated-passage detection: 6-token shingles shared by ≥2
+    * documents — the exact-substring dedup stage of a training-data
+    * pipeline (boilerplate headers, license blocks, mirrored articles
+    * surface as high-document-count passages worth cutting before
+    * training).
+    *
+    * Scale shape: the shingle hashes come out of the scan projection
+    * (one codegen'd pass per doc, distinct within doc), then ONE
+    * partial+final count over 8-byte keys — at 100 TB this is a
+    * scan-speed map plus a single integer-keyed shuffle whose output
+    * is only the repeated tail of the distribution. */
+  private def repeatedPassages(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 6)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("h"))
+
+  private val repeatedPassagesSql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 6
+       |      THEN list_transform(generate_series(1, len(t)-5),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+       |      ELSE CAST([] AS VARCHAR[]) END,
+       |    shs -> ${OracleSqlFrag.poly("shs")}))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |)
+       |SELECT h, COUNT(*) AS n_docs FROM sh
+       |GROUP BY h HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, h""".stripMargin
+
   /** Intra-document repetition score: 1 − distinct/total 3-grams —
     * the standard boilerplate/spam signal. Pure projection. */
   private def repetition(spark: SparkSession, dir: String): DataFrame = {
@@ -202,6 +234,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_contamination", contamination, Some(contaminationSql)),
+    Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),

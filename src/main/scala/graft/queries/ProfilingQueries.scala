@@ -114,9 +114,78 @@ object ProfilingQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Count-min-sketch heavy hitters over the document token stream —
+    * the MERGEABLE frequency sketch that answers "which items are hot"
+    * at 100 TB with O(d·w) state instead of a full-vocabulary exact
+    * count. Depth 3 (independent polynomial hash rows), width 64; the
+    * estimate for a token is the min over its three counters, which by
+    * construction NEVER under-counts (collisions only add).
+    *
+    * Scale shape: the sketch build is one partial+final integer
+    * aggregate over (d, w) — 192 cells regardless of corpus size; the
+    * exact side (needed here to verify the overestimate invariant and
+    * rank true heavy hitters) is the oracle-checkable tier you'd drop
+    * at full scale. Every counter and estimate is exact integer
+    * arithmetic, so the WHOLE sketch — cells, per-token mins, ranks —
+    * is replicated in SQL and hash-verified.
+    */
+  private val CmsW = 64L
+  private val CmsBases = Seq(131L, 137L, 139L) // one poly hash per row
+
+  private def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.F
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    // sketch build: d passes over the scan, collapsing straight to
+    // (d, w) cells — the only state that exists at full scale
+    val cms = CmsBases.zipWithIndex.map { case (b, d) =>
+      toks.select(lit(d).as("d"), pmod(F.polyHash(col("tok"), b), lit(CmsW)).as("w"))
+    }.reduce(_ unionByName _)
+      .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+    // point queries: each distinct token probes its d cells
+    val cells = CmsBases.zipWithIndex.map { case (b, d) =>
+      exact.select(col("tok"), lit(d).as("d"),
+        pmod(F.polyHash(col("tok"), b), lit(CmsW)).as("w"))
+    }.reduce(_ unionByName _)
+    val est = cells.join(broadcast(cms), Seq("d", "w"))
+      .groupBy("tok").agg(min("cnt").as("est_n"))
+    exact.join(est, "tok")
+      .select(col("tok"), col("exact_n"), col("est_n"),
+        (col("est_n") >= col("exact_n")).as("never_under"))
+      .orderBy(col("exact_n").desc, col("tok"))
+      .limit(15)
+  }
+
+  private val heavyHittersSql = {
+    import OracleSqlFrag.poly
+    val cmsRows = CmsBases.zipWithIndex.map { case (b, d) =>
+      s"SELECT $d AS d, ${poly("tok", b)} % $CmsW AS w FROM toks"
+    }.mkString("\nUNION ALL\n")
+    val cellRows = CmsBases.zipWithIndex.map { case (b, d) =>
+      s"SELECT tok, $d AS d, ${poly("tok", b)} % $CmsW AS w FROM vocab"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |), cms AS (
+       |  SELECT d, w, COUNT(*) AS cnt FROM ($cmsRows) GROUP BY d, w
+       |), exact AS (
+       |  SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+       |), vocab AS (
+       |  SELECT DISTINCT tok FROM toks
+       |), est AS (
+       |  SELECT tok, MIN(cnt) AS est_n
+       |  FROM ($cellRows) c JOIN cms USING (d, w) GROUP BY tok
+       |)
+       |SELECT e.tok, e.exact_n, s.est_n, s.est_n >= e.exact_n AS never_under
+       |FROM exact e JOIN est s USING (tok)
+       |ORDER BY exact_n DESC, tok LIMIT 15""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_window_nav", windowNav, Some(windowNavSql)),
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_profile", profile, Some(profileSql)),
+    Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
   )
 }

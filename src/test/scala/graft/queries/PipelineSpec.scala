@@ -21,6 +21,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_repeated_passages reports only multi-document shingles, counted once per doc") {
+    val rows = run("q_repeated_passages")
+      .select("h", "n_docs").as[(Long, Long)].collect()
+    assert(rows.nonEmpty, "the planted near-dup clones must share 6-gram passages")
+    assert(rows.forall(_._2 >= 2))
+    // n_docs counts DOCUMENTS (shingles are distinct within a doc), so
+    // no count can exceed the corpus size
+    val nDocs = graft.tables.Tables.documents(spark, sf0001).count()
+    assert(rows.forall(_._2 <= nDocs))
+  }
+
+  test("q_heavy_hitters: the CMS estimate never under-counts, for every token") {
+    // the defining count-min invariant, checked over the WHOLE vocab
+    // (the registered query truncates to the top 15 for the oracle)
+    val toks = graft.tables.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val top = run("q_heavy_hitters")
+      .select("tok", "exact_n", "est_n", "never_under")
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(top.length === 15)
+    assert(top.forall(_._4), s"CMS under-counted: ${top.filterNot(_._4).toSeq}")
+    assert(top.forall(r => r._3 >= r._2))
+    // the top token by exact count really is the corpus's hottest
+    val hottest = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok")).limit(1)
+      .as[(String, Long)].head()
+    assert(top.head._1 === hottest._1 && top.head._2 === hottest._2)
+  }
+
   test("q_contamination only reports train-eval pairs, never eval-eval") {
     val rows = run("q_contamination")
       .select("train_id", "eval_id", "n_shared").as[(Long, Long, Long)].collect()
