@@ -58,6 +58,11 @@ object GraphQueries {
         col("c_nationkey").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      // the collapsed edge table (≤ |nations|² rows) feeds the
+      // outdegree agg AND every iteration's contribution join —
+      // without persist each reuse re-runs the fact⋈fact extraction
+      // (4 full fact scans at 100 TB). Cluster scale: checkpoint.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     val nTot = nodes.agg(count(lit(1)).as("n"))
