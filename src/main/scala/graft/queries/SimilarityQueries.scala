@@ -271,6 +271,76 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** IVF × PQ composed search — coarse buckets prune the candidate
+    * set (compute win), PQ codes replace embeddings inside buckets
+    * (memory win): the production ANN shape at 10B vectors. One
+    * projection yields bucket id + codes; embeddings never leave the
+    * scan. Assignment, codebook, LUTs, ADC sums and ranks are all
+    * deterministic, so the COMPOSED pipeline is hash-verified. */
+  private def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10,
+        centroidMod = 61, nProbe = 2, cbMod = 29, cbK = 16, m = 8)
+      .orderBy("qid", "rank")
+
+  private val annIvfPqSql = {
+    val sub = Similarity.Dim / 8
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm FROM base WHERE vec_id % 61 = 0
+       |), assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+       |        ${dot("b.embedding", "c.cvec")} / (b.nrm * c.cnorm) DESC, c.cid) AS crn
+       |    FROM base b CROSS JOIN cents c)
+       |  WHERE crn = 1
+       |), seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16)
+       |), cw AS (
+       |  SELECT ms.m, s.k, s.embedding[(ms.m * $sub + 1):(ms.m * $sub + $sub)] AS cvec
+       |  FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms
+       |), codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT e.vec_id, c.m, c.k,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+       |        ${dist2(s"e.embedding[(c.m * $sub + 1):(c.m * $sub + $sub)]", "c.cvec")} ASC, c.k) AS rn
+       |    FROM embeddings e CROSS JOIN cw c)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+       |        ${dot("q.qvec", "c.cvec")} / (q.qnorm * c.cnorm) DESC, c.cid) AS prn
+       |    FROM q CROSS JOIN cents c)
+       |  WHERE prn <= 2
+       |), lut AS (
+       |  SELECT q.qid, c.m, c.k,
+       |    ${dot(s"q.qvec[(c.m * $sub + 1):(c.m * $sub + $sub)]", "c.cvec")} AS ld
+       |  FROM q CROSS JOIN cw c
+       |), scored AS (
+       |  SELECT p.qid, cd.vec_id,
+       |    list_reduce(list_prepend(0.0, list(l.ld ORDER BY l.m)),
+       |      (sa, sb) -> sa + sb) AS adc
+       |  FROM assigned a
+       |  JOIN probes p ON a.cid = p.cid
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN lut l ON l.qid = p.qid AND l.m = cd.m AND l.k = cd.code
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY p.qid, cd.vec_id
+       |), ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
     * order-identical), quantized to integer thousandths per row, then
@@ -309,6 +379,7 @@ object SimilarityQueries {
     Q("q_ann_kmeans", annKmeans, Some(annKmeansSql)),
     Q("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     Q("q_ann_pq", annPq, Some(annPqSql)),
+    Q("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )

@@ -333,6 +333,75 @@ object Similarity {
         floor(col("adc") * 10000 + lit(0.5)).as("adc_x10k"))
   }
 
+  /** IVF × PQ composition — the production ANN architecture at 10B
+    * vectors: IVF's coarse assignment prunes the search to nProbe/C
+    * of the corpus (the COMPUTE win), and PQ codes replace the
+    * embeddings inside each bucket (the MEMORY win) — ADC scoring
+    * touches m bytes per candidate instead of Dim floats.
+    *
+    * One codegen projection per corpus row yields BOTH the bucket id
+    * ([[graft.functions.VecNearestCid]]) and the PQ codes
+    * ([[graft.functions.VecPqCodes]]) — the corpus never shuffles and
+    * its embeddings never travel; the probe list (qid, cid, lut)
+    * broadcasts. Same determinism contract as [[pqTopK]]/[[ivfTopK]],
+    * so the composed pipeline is fully hash-verified in SQL. */
+  def ivfPqTopK(emb: DataFrame, queryMod: Long, k: Int,
+                centroidMod: Long = 61, nProbe: Int = 2,
+                cbMod: Long = 29, cbK: Int = 16, m: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = Dim / m
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    // coarse quantizer: stride centroids, driver-held (see ivfTopK)
+    val centRows = base.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val cids = centRows.map(_._1).toSeq
+    val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
+    val cnorms = centRows.map(_._3).toSeq
+    // PQ codebook: capped stride-seed subvectors, driver-held (see pqTopK)
+    val seeds = emb.filter(col("vec_id") % cbMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(cbK)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map { mi =>
+        seeds.toSeq.map { case (_, v) =>
+          (0 until subDim).map(i => v(mi * subDim + i).toDouble)
+        }
+      }
+    // ONE pass over the corpus: bucket id + codes; embeddings are
+    // dropped right here — nothing wider than (id, cid, m codes)
+    // flows further
+    val indexed = base.select(col("vec_id"),
+      F.vecNearestCid(col("embedding"), col("norm"), cids, cvecs, cnorms).as("cid"),
+      F.vecPqCodes(col("embedding"), codebook).as("codes"))
+    // probe list: per query its nProbe closest buckets + its ADC LUT
+    val cents = centRows.toSeq.toDF("cid", "cvec", "cnorm")
+    val qs = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"),
+        F.vecPqLut(col("embedding"), codebook).as("lut"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("pcos", dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cid"), col("lut"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        F.vecPqAdc(col("codes"), col("lut"), seeds.length).as("adc"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("adc") * 10000 + lit(0.5)).as("adc_x10k"))
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...

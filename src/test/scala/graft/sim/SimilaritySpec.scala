@@ -144,6 +144,29 @@ class SimilaritySpec extends SparkSpec {
     assert(phys.contains("vec_pq_adc"), phys)
   }
 
+  test("IVF×PQ: one shuffle-free index projection, well-formed, useful recall") {
+    val df = Similarity.ivfPqTopK(emb, queryMod = 50L, k = 10)
+    val phys = df.queryExecution.executedPlan.toString
+    // the composed index (bucket id + codes) must come out of ONE
+    // corpus pass with no Exchange on vec_id — embeddings never travel
+    assert(!phys.contains("hashpartitioning(vec_id"), phys)
+    assert(phys.contains("vec_nearest_cid") && phys.contains("vec_pq_codes"), phys)
+    val rows = df.select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 10)
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    assert(rows.forall(p => p._1 != p._2))
+    // composition loses at most what its parts lose: recall vs brute
+    // still clears a floor well above random (10/500)
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = rows.count(p => brute((p._1, p._2))).toDouble / brute.size
+    assert(recall >= 0.1, s"IVF×PQ recall too low: $recall")
+  }
+
   test("kmeansTrain seed set is capped at k regardless of corpus size") {
     // centroidMod = 1 makes EVERY row a stride candidate — the shape
     // that used to collect O(N) rows on the driver. The cap must hold
