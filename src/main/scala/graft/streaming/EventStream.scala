@@ -196,4 +196,27 @@ object EventStream {
         graft.text.TextFunctions.tokens(col("text"))))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Count-min-sketch cells over a token stream — the streaming twin
+    * of batch `q_heavy_hitters`. Because the sketch is ALGEBRAIC
+    * (cells are plain counts, estimate = min over a row's cells), the
+    * streaming build is just a running integer aggregate with O(d·w)
+    * state REGARDLESS of stream volume or token cardinality — no
+    * watermark needed, nothing is ever evicted, and the maintained
+    * cells are bit-equal to a batch build over the same prefix
+    * (StreamingSpec proves it across micro-batches). This is the
+    * state-size contract that lets "what is hot right now" run
+    * forever on unbounded input: the exact per-token counter map
+    * grows with the vocabulary; the sketch never grows at all.
+    *
+    * Same hash family / width as the batch query, so estimates from
+    * these cells obey the same never-under-count invariant. */
+  def cmsCells(toks: DataFrame,
+               bases: Seq[Long] = Seq(131L, 137L, 139L),
+               width: Long = 64L): DataFrame =
+    bases.zipWithIndex.map { case (b, d) =>
+      toks.select(lit(d).as("d"),
+        pmod(graft.functions.F.polyHash(col("tok"), b), lit(width)).as("w"))
+    }.reduce(_ unionByName _)
+      .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
 }

@@ -46,6 +46,45 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n") == 1)
   }
 
+  test("streaming CMS cells equal the batch sketch over the same prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[String]
+    val q = EventStream.cmsCells(in.toDF().toDF("tok"))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq("the", "cat", "the", "dog")
+      val b2 = Seq("the", "cat", "fish", "the")
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = s.table("cms")
+        .select("d", "w", "cnt").as[(Int, Long, Long)].collect().sorted
+      val batch = EventStream.cmsCells((b1 ++ b2).toDF("tok"))
+        .select("d", "w", "cnt").as[(Int, Long, Long)].collect().sorted
+      // algebraic sketch: the maintained streaming state is bit-equal
+      // to a from-scratch batch build — cells never need eviction
+      assert(streamed.toSeq === batch.toSeq)
+      // state bound: at most d×width cells no matter the vocabulary
+      assert(streamed.length <= 3 * 64)
+      // estimate invariant on the maintained cells: min over a
+      // token's cells never under-counts its true frequency
+      val cells = streamed.map { case (d, w, c) => (d, w) -> c }.toMap
+      val toks = b1 ++ b2
+      toks.distinct.foreach { t =>
+        val exact = toks.count(_ == t).toLong
+        val est = Seq(131L, 137L, 139L).zipWithIndex.map { case (b, d) =>
+          val h = graft.functions.Poly.hashBytes(t.getBytes("UTF-8"), b)
+          cells((d, h % 64))
+        }.min
+        assert(est >= exact, s"token $t: est $est < exact $exact")
+      }
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids with watermark-bounded state") {
     val s = spark
     import s.implicits._
