@@ -136,18 +136,25 @@ object ProfilingQueries {
     import graft.functions.F
     val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    // sketch build: d passes over the scan, collapsing straight to
-    // (d, w) cells — the only state that exists at full scale
-    val cms = CmsBases.zipWithIndex.map { case (b, d) =>
-      toks.select(lit(d).as("d"), pmod(F.polyHash(col("tok"), b), lit(CmsW)).as("w"))
-    }.reduce(_ unionByName _)
-      .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
+    // all d cell coordinates of a token in one projection (explode of
+    // a 3-struct array, not a 3-leg union that would scan 3×)
+    def dwCols(tok: org.apache.spark.sql.Column) = array(
+      CmsBases.zipWithIndex.map { case (b, d) =>
+        struct(lit(d).as("d"), pmod(F.polyHash(tok, b), lit(CmsW)).as("w"))
+      }: _*)
+    // sketch build: ONE corpus pass collapsing straight to (d, w)
+    // cells — the only state that exists at full scale
+    val cms = toks.select(explode(dwCols(col("tok"))).as("dw"))
+      .groupBy(col("dw.d").as("d"), col("dw.w").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+    // vocab-sized (≪ corpus) and used twice (cell probes + final
+    // join) — pin it so the corpus isn't re-scanned per use
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-    // point queries: each distinct token probes its d cells
-    val cells = CmsBases.zipWithIndex.map { case (b, d) =>
-      exact.select(col("tok"), lit(d).as("d"),
-        pmod(F.polyHash(col("tok"), b), lit(CmsW)).as("w"))
-    }.reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // point queries: each distinct token probes its d cells — derived
+    // from the already-aggregated vocab, not another corpus pass
+    val cells = exact.select(col("tok"), explode(dwCols(col("tok"))).as("dw"))
+      .select(col("tok"), col("dw.d").as("d"), col("dw.w").as("w"))
     val est = cells.join(broadcast(cms), Seq("d", "w"))
       .groupBy("tok").agg(min("cnt").as("est_n"))
     exact.join(est, "tok")
