@@ -21,7 +21,9 @@ object PlanAudit {
         "q_dedup_minhash", "q_ann_ivf", "q_contamination",
         "q_spatial_join", "q_tfidf", "q_cohort_retention", "q_funnel",
         "q_session_window", "q_incremental_agg", "q_chunking",
-        "q_ann_kmeans", "q_grouping_sets", "q_lm_score", "q_write_partitioned")
+        "q_ann_kmeans", "q_grouping_sets", "q_lm_score", "q_write_partitioned",
+        "q_ann_pq", "q_ann_ivf_pq", "q_asof_multikey", "q_pagerank",
+        "q_heavy_hitters", "q_repeated_passages")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
       // execute THIS df's plan first (collect, not count — count spawns
