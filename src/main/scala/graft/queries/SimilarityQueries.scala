@@ -271,6 +271,38 @@ object SimilarityQueries {
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** Semantic dedup clustering (SemDeDup-style): connected components
+    * over the embedding near-dup pair graph — the step that turns
+    * "these vectors are near-duplicates" into "keep one doc per
+    * semantic cluster" for a training mix. Reuses the text tier's
+    * component machinery ([[graft.text.Dedup.connectedComponents]]:
+    * driver union-find below 2²⁰ edges, pointer-jumping label
+    * propagation with per-round lineage truncation above), so the
+    * 100 TB scale path is already audited. Oracle: the hash-verified
+    * LSH pair query feeds recursive-CTE reachability. */
+  private def semanticCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    graft.text.Dedup.connectedComponents(
+      Similarity.lshNearDup(Tables.embeddings(spark, dir), minCos = 0.35)
+        .select("id_a", "id_b"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  private lazy val semanticClusterSql =
+    s"""WITH RECURSIVE prs AS (
+       |  SELECT id_a, id_b FROM ($embedNearDupSql)
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id
+       |)
+       |SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach
+       |GROUP BY id ORDER BY vec_id""".stripMargin
+
   /** IVF × PQ composed search — coarse buckets prune the candidate
     * set (compute win), PQ codes replace embeddings inside buckets
     * (memory win): the production ANN shape at 10B vectors. One
@@ -381,6 +413,7 @@ object SimilarityQueries {
     Q("q_ann_pq", annPq, Some(annPqSql)),
     Q("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )
 }

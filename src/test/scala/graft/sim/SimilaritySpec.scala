@@ -167,6 +167,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.1, s"IVF×PQ recall too low: $recall")
   }
 
+  test("semantic clusters: every paired vector labeled, representative is a member") {
+    val pairs = Similarity.lshNearDup(emb, minCos = 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val labels = graft.text.Dedup.connectedComponents(
+      Similarity.lshNearDup(emb, minCos = 0.35).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(pairs.nonEmpty)
+    // every endpoint labeled; both endpoints of a pair share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // the representative is the cluster minimum and labels itself
+    labels.values.toSet.foreach { (c: Long) =>
+      assert(labels(c) === c, s"representative $c not self-labeled")
+    }
+    labels.foreach { case (id, c) => assert(c <= id) }
+  }
+
   test("kmeansTrain seed set is capped at k regardless of corpus size") {
     // centroidMod = 1 makes EVERY row a stride candidate — the shape
     // that used to collect O(N) rows on the driver. The cap must hold
