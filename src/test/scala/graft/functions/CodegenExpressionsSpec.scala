@@ -86,6 +86,62 @@ class CodegenExpressionsSpec extends SparkSpec {
     assert(out._2 === n)
   }
 
+  test("PQ kernels match a plain-Scala reference, codegen and interpreted") {
+    // tiny codebook: 2 subspaces × 3 codewords × 2 dims
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0)),
+      Seq(Seq(-1.0, 0.0), Seq(0.5, 0.5), Seq(0.0, 0.0)))
+    def refCodes(v: Seq[Float]): Seq[Long] =
+      cb.zipWithIndex.map { case (cws, m) =>
+        val off = m * 2
+        cws.zipWithIndex.map { case (cw, k) =>
+          val d = (0 until 2).foldLeft(0.0) { (s, i) =>
+            val diff = v(off + i).toDouble - cw(i); s + diff * diff
+          }
+          (d, k)
+        }.minBy(_._1)._2.toLong // stable minBy = first minimum = smallest k
+      }
+    def refLut(v: Seq[Float]): Seq[Double] =
+      cb.zipWithIndex.flatMap { case (cws, m) =>
+        cws.map(cw => (0 until 2).foldLeft(0.0)((s, i) => s + v(m * 2 + i).toDouble * cw(i)))
+      }
+    val vecs = Seq(
+      Seq(1.0f, 0.1f, -0.5f, 0.5f),
+      Seq(0.0f, 0.0f, 0.0f, 0.0f),   // ties: dist to codeword equal -> smallest k
+      Seq(-2.0f, 3.0f, 0.25f, 0.25f))
+    val rows = vecs.toDF("v")
+      .select(F.vecPqCodes(col("v"), cb).as("codes"),
+        F.vecPqLut(col("v"), cb).as("lut"))
+      .withColumn("adc", F.vecPqAdc(col("codes"), col("lut"), 3))
+      .as[(Seq[Long], Seq[Double], Double)].collect()
+    rows.zip(vecs).foreach { case ((codes, lut, adc), v) =>
+      assert(codes === refCodes(v), s"codes for $v")
+      assert(lut === refLut(v), s"lut for $v")
+      val refAdc = codes.zipWithIndex.foldLeft(0.0) { case (s, (c, m)) =>
+        s + refLut(v)(m * 3 + c.toInt)
+      }
+      assert(adc === refAdc, s"adc for $v")
+    }
+    // interpreted (eval) path agrees with the codegen results above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    vecs.zip(rows).foreach { case (v, (codes, lut, adc)) =>
+      val litV = Literal.create(ArrayData.toArrayData(v.toArray), ArrayType(FloatType))
+      val evalCodes = VecPqCodes(litV, cb).eval(null)
+        .asInstanceOf[ArrayData].toLongArray.toSeq
+      val evalLut = VecPqLut(litV, cb).eval(null)
+        .asInstanceOf[ArrayData].toDoubleArray.toSeq
+      assert(evalCodes === codes && evalLut === lut)
+      val evalAdc = VecPqAdc(
+        Literal.create(ArrayData.toArrayData(codes.toArray),
+          ArrayType(org.apache.spark.sql.types.LongType)),
+        Literal.create(ArrayData.toArrayData(lut.toArray),
+          ArrayType(org.apache.spark.sql.types.DoubleType)), 3).eval(null)
+      assert(evalAdc === adc)
+    }
+  }
+
   test("expressions survive interpreted (eval) path too") {
     // force the interpreted path by evaluating through a filter on a
     // non-codegen context: collect via RDD map of the expression result
