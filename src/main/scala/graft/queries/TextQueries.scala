@@ -255,6 +255,91 @@ object TextQueries {
        |WHERE jaccard_pct >= 50 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** MinHash accuracy twin (the `_err` pattern of the approx tier):
+    * for every LSH candidate pair, the signature-agreement Jaccard
+    * ESTIMATE (agree/64) next to the exact shingle Jaccard, plus a
+    * within-band flag. This is the contract that justifies replacing
+    * exact pairwise Jaccard with signatures at 100 TB: the estimate's
+    * error is bounded (~1/√64 std), and because the hash family is
+    * exact integer arithmetic the estimate itself — not just the
+    * final pairs — is hash-verified cross-engine. Candidates only
+    * (LSH already bounds them); |est − exact| ≤ 25 pct-points is a
+    * ~4σ band, spec-asserted to hold for the whole corpus. */
+  private def minhashEstErr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val withSh = TF.shingleTable(Tables.documents(spark, dir), "doc_id", "text", 3)
+      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = Dedup.minhashSignature(withSh, "doc_id", "sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = Dedup.bandTable(sigs, "doc_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.bucketPairs(bands, Seq("band", "band_hash"), "doc_id",
+        1024, Dedup.OverCap.Star)
+      .distinct()
+    val sh = withSh.select(col("doc_id"), col("sh"))
+    // integer agreement count over the two signatures — order-free
+    val agree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+    cand
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("est_pct", floor(agree * 100.0 / Dedup.NumHashes + lit(1e-6)))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("exact_pct", floor(col("inter") * 100.0 /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")) + lit(1e-6)))
+      .select(col("id_a"), col("id_b"), col("est_pct"), col("exact_pct"),
+        (abs(col("est_pct") - col("exact_pct")) <= 25).as("within_25"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val minhashEstErrSql = {
+    val M = OracleSqlFrag.Mod
+    val sigList = (0 until Dedup.NumHashes).map { k =>
+      s"list_min(list_transform(h, mh -> (${Dedup.permA(k)} * mh + ${Dedup.permB(k)}) % $M))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    val bandHash = (0 until Dedup.RowsPerBand).foldLeft("0") { (acc, r) =>
+      s"(($acc * 131 + sig[band * ${Dedup.RowsPerBand} + ${r + 1}]) % $M)"
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), shf AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+       |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |    FROM toks)
+       |  WHERE len(sh) > 0
+       |), hs AS (
+       |  SELECT doc_id, sh, list_transform(sh, s -> ${OracleSqlFrag.poly("s")}) AS h FROM shf
+       |), sig AS (
+       |  SELECT doc_id, $sigList AS sig FROM hs
+       |), bands AS (
+       |  SELECT doc_id, band, $bandHash AS band_hash
+       |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.Bands - 1})) AS band)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, est_pct, exact_pct,
+       |  abs(est_pct - exact_pct) <= 25 AS within_25
+       |FROM (
+       |  SELECT id_a, id_b,
+       |    CAST(floor(len(list_filter(generate_series(1, ${Dedup.NumHashes}),
+       |      gi -> sa.sig[gi] = sb.sig[gi])) * 100.0 / ${Dedup.NumHashes} + 0.000001) AS BIGINT) AS est_pct,
+       |    CAST(floor(len(list_intersect(ha.sh, hb.sh)) * 100.0 /
+       |      (len(ha.sh) + len(hb.sh) - len(list_intersect(ha.sh, hb.sh))) + 0.000001) AS BIGINT) AS exact_pct
+       |  FROM cand
+       |  JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id
+       |  JOIN shf ha ON id_a = ha.doc_id JOIN shf hb ON id_b = hb.doc_id)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-dup pairs — fully oracle-replicated (the fingerprint
     * is exact integer arithmetic; see [[graft.functions.SimHash64]]
     * for the 62-bit layout). */
@@ -604,6 +689,7 @@ object TextQueries {
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
+    Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),

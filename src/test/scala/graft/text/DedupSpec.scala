@@ -59,6 +59,21 @@ class DedupSpec extends SparkSpec {
     assert(jac.forall(_ >= 50))
   }
 
+  test("minhash estimate tracks exact Jaccard within the 4-sigma band on every candidate") {
+    val rows = graft.SparkEntry.queries("q_minhash_est_err")(spark, sf0001)
+      .select("id_a", "id_b", "est_pct", "exact_pct", "within_25")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, est, exact, within) =>
+      assert(est >= 0 && est <= 100 && exact >= 0 && exact <= 100, s"($a,$b)")
+      assert(within, s"($a,$b): est $est vs exact $exact drifted past 25 points")
+      assert(math.abs(est - exact) <= 25)
+    }
+    // LSH candidates are biased toward real near-dups: the estimates
+    // must not be degenerate (all zero / all hundred)
+    assert(rows.map(_._3).distinct.length > 1 || rows.length < 3)
+  }
+
   test("simhash fingerprints of near-dups are close, distinct docs far") {
     val fp = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
