@@ -144,6 +144,43 @@ object TemporalQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  /** SCD type-2 build: turn a change stream into versioned dimension
+    * rows with validity intervals — `valid_from` = the change time,
+    * `valid_to` = the next change for the same key (NULL = current).
+    * This is the warehouse op that PRODUCES the versioned dimensions
+    * the as-of joins (`q_asof_native`) and the streaming enrichment
+    * (`EventStream.asofEnrich`) consume.
+    *
+    * Scale shape: one shuffle on the entity key, one window pass with
+    * a unique sort key (ts, event_id) so interval boundaries are
+    * deterministic under ties — the same single-Exchange contract as
+    * every window query here (§2.6). */
+  private def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        Num.cents(col("value")).as("vc"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("vc"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  private val scd2Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |)
+      |SELECT user_id, event_id, event_type, vc,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER w AS valid_to,
+      |  LEAD(ts) OVER w IS NULL AS is_current
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   private val sessionizeBatchSql =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -367,6 +404,7 @@ object TemporalQueries {
     Q("q_asof_multikey", asofMultikey, Some(asofMultikeySql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
+    Q("q_scd2", scd2, Some(scd2Sql)),
     Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     Q("q_json_ops", jsonOps, Some(jsonOpsSql)),
   )

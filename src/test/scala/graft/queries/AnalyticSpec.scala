@@ -9,6 +9,27 @@ class AnalyticSpec extends SparkSpec {
   private def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sf0001)
 
+  test("q_scd2 intervals tile each user's timeline: no gaps, one current version") {
+    val rows = run("q_scd2")
+      .select("user_id", "valid_from", "valid_to", "is_current")
+      .as[(Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean)]
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._2.getTime)
+      // exactly one open (current) version per key, and it is the last
+      assert(vs.count(_._4) === 1, s"user $u")
+      assert(sorted.last._4 && sorted.last._3.isEmpty, s"user $u")
+      // every closed version's valid_to equals the next valid_from —
+      // the timeline tiles with no gap or overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $u: gap/overlap at ${a._3} -> ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
   test("q_cube emits all four grouping sets with consistent totals") {
     val rows = run("q_cube")
       .select("gid", "n").as[(Long, Long)].collect()
