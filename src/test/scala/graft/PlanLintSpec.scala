@@ -1,0 +1,44 @@
+package graft
+
+/** Blanket physical-plan lint over EVERY registered query: the two
+  * silent scale-killers — an unconstrained CartesianProduct, or a
+  * BroadcastNestedLoopJoin that was not an intentional
+  * broadcast-cross — fail the build, not the 100 TB run.
+  *
+  * The allowlist names the queries whose DESIGN is a broadcast cross
+  * (a provably tiny side replicated against a scan: ANN query/probe
+  * lists, the fuzzy-join string scorer, PageRank's 1-row node count).
+  * Anything new that plans a nested loop must either justify itself
+  * here or fix its join keys. */
+class PlanLintSpec extends SparkSpec {
+
+  private val bnljAllowed: Set[String] = Set(
+    // ANN family: queries/probes/LUTs broadcast against the corpus scan
+    "q_ann_topk", "q_ann_ivf", "q_ann_ivf_trained", "q_ann_pq",
+    "q_ann_ivf_pq", "q_ann_kmeans",
+    // fuzzy-join primitive: deliberate bounded broadcast cross
+    "q_string_sim",
+    // 1-row aggregates crossed into every node's teleport term
+    "q_pagerank",
+    // 1-row scalar aggregates broadcast-crossed into a scan (the
+    // scalar-subquery pattern): max-date cutoff, corpus doc count,
+    // corpus-wide BM25 stats
+    "q_window_filter", "q_tfidf", "q_bm25",
+    // the salting demo: the SMALL build side replicated ×8 by a
+    // range cross — the technique under test
+    "q_join_salted")
+
+  test("no registered query plans a cartesian product; nested loops only by design") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: BroadcastNestedLoopJoin (not allowlisted)"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
