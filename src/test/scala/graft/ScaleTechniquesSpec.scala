@@ -257,6 +257,51 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(dzy <= (n * 2) / 5, s"z-order failed to prune on y: $dzy")
   }
 
+  test("parquet column bloom filters skip row groups for point lookups") {
+    // the layout tool for POINT predicates on a scattered
+    // high-cardinality column, where min/max stats are useless (every
+    // row group spans nearly the full domain) and sorting by the
+    // column is not an option because the layout is already owned by
+    // another key. A written bloom filter gives definite row-group
+    // skips for values not present.
+    val s = spark
+    import s.implicits._
+    val n = 400000L
+    // v is a permutation-ish scatter: every row group's (min, max)
+    // covers ~the whole domain
+    val df = (1L to n).map(i => ((i * 2654435761L) % 1000000007L, i)).toDF("v", "payload")
+    val bloomPath = s"$warehouse/bloom_cols"
+    val plainPath = s"$warehouse/plain_cols"
+    // small row groups so one file holds many skippable units
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#v", "true")
+      .option("parquet.bloom.filter.expected.ndv#v", n.toString)
+      .parquet(bloomPath)
+    df.coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(plainPath)
+    val target = (123456L * 2654435761L) % 1000000007L // a present value
+    def decoded(path: String): (Long, Long) = {
+      val q = s.read.parquet(path).filter(col("v") === target)
+      val matched = q.collect().length.toLong
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("no FileSourceScanExec in plan"))
+      assert(scan.metadata("PushedFilters").contains("EqualTo(v,"),
+        scan.metadata("PushedFilters"))
+      (matched, scan.metrics("numOutputRows").value)
+    }
+    val (mB, dB) = decoded(bloomPath)
+    val (mP, dP) = decoded(plainPath)
+    assert(mB === mP && mB >= 1)
+    // without blooms every row group survives stats filtering (scattered
+    // domain) and the whole table decodes; with blooms only the group(s)
+    // actually containing the value are read
+    assert(dP >= (n * 9) / 10, s"plain layout unexpectedly pruned: $dP")
+    assert(dB <= n / 4, s"bloom filter did not skip row groups: $dB of $n decoded")
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val s = spark
     import s.implicits._
