@@ -181,6 +181,69 @@ object TemporalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** CDC merge-apply (the MERGE INTO primitive): a snapshot (latest
+    * pre-cutoff row per key, deletes already compacted away) merged
+    * with a post-cutoff change stream carrying upserts AND deletes —
+    * the final state keeps each key's latest version unless that
+    * version is a delete. Purchases play the delete op here (the
+    * semantics under test are precedence + tombstones, not the
+    * mapping).
+    *
+    * Scale shape: both sides reduce to one row per key BEFORE the
+    * merge (window rank over (ts, event_id) — unique, deterministic),
+    * so the merge itself is key-proportional; the cutoff is a 1-row
+    * scalar aggregate broadcast against the scan (the scalar-subquery
+    * pattern). This is the batch twin of what `foreachBatch` upserts
+    * do incrementally in StreamingSpec. */
+  private def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        Num.cents(col("value")).as("vc"))
+    val cut = ev.agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("t0"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    // snapshot: latest pre-cutoff row per key, op forced to upsert
+    val snap = ev.crossJoin(broadcast(cut)).filter(col("ts") < col("t0"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("vc"),
+        lit("U").as("op"))
+    // change stream: every post-cutoff row, purchases = tombstones
+    val chg = ev.crossJoin(broadcast(cut)).filter(col("ts") >= col("t0"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("vc"),
+        when(col("event_type") === "purchase", lit("D")).otherwise(lit("U")).as("op"))
+    snap.unionByName(chg)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "D")
+      .select(col("user_id"), col("event_id"), col("ts").as("last_ts"), col("vc"))
+      .orderBy("user_id")
+  }
+
+  private val cdcApplySql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events
+      |), cut AS (
+      |  SELECT MAX(ts) - INTERVAL 7 DAY AS t0 FROM ev
+      |), snap AS (
+      |  SELECT user_id, event_id, ts, vc, 'U' AS op FROM (
+      |    SELECT user_id, event_id, ts, vc,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM ev WHERE ts < (SELECT t0 FROM cut))
+      |  WHERE rn = 1
+      |), chg AS (
+      |  SELECT user_id, event_id, ts, vc,
+      |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+      |  FROM ev WHERE ts >= (SELECT t0 FROM cut)
+      |), merged AS (
+      |  SELECT user_id, event_id, ts, vc, op,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM chg)
+      |)
+      |SELECT user_id, event_id, ts AS last_ts, vc
+      |FROM merged WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   private val sessionizeBatchSql =
     """WITH ev AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -405,6 +468,7 @@ object TemporalQueries {
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),
+    Q("q_cdc_apply", cdcApply, Some(cdcApplySql)),
     Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     Q("q_json_ops", jsonOps, Some(jsonOpsSql)),
   )

@@ -30,6 +30,29 @@ class AnalyticSpec extends SparkSpec {
     }
   }
 
+  test("q_cdc_apply: one final row per key, tombstoned keys absent") {
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("long").as("tsl"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val out = run("q_cdc_apply")
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length === out.length, "duplicate keys in final state")
+    // a user whose globally-latest event is a post-cutoff purchase is
+    // tombstoned; the cutoff only RESCUES pre-cutoff purchases (they
+    // enter via the snapshot as upserts), so latest-is-purchase AND
+    // present implies that purchase was pre-cutoff
+    val t0 = ev.map(_._3).max - 7L * 86400
+    val present = out.map(_._1).toSet
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val latest = es.maxBy(e => (e._3, e._2))
+      if (latest._4 == "purchase" && latest._3 >= t0)
+        assert(!present(u), s"user $u should be tombstoned")
+    }
+  }
+
   test("q_cube emits all four grouping sets with consistent totals") {
     val rows = run("q_cube")
       .select("gid", "n").as[(Long, Long)].collect()
