@@ -38,16 +38,25 @@ object GraphQueries {
     * self-loops dropped. Dangling nodes keep the teleport term only
     * (their mass leaks — the standard simplification, replicated in
     * the oracle). Output: (n_nationkey, n_name, rank_q). */
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** Directed distinct trade edges (supplying nation → ordering
+    * customer's nation, self-loops dropped): fact⋈fact on orderkey,
+    * dims broadcast, then an immediate DISTINCT collapse to
+    * ≤ |nations|² rows.
+    *
+    * The collapsed edge table feeds several downstream reuses
+    * (outdegree agg + every PageRank iteration's contribution join;
+    * all three triangle join legs) — without materialization each
+    * reuse re-runs the fact⋈fact extraction (4 full fact scans at
+    * 100 TB). Lazy localCheckpoint beats persist here: blocks are
+    * reused the same way but the lineage is truncated too, so
+    * iterative plans stay flat (measured ~25% faster steady-state).
+    * Cluster scale: checkpoint. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = Tables.table(spark, dir, "lineitem")
     val orders = Tables.table(spark, dir, "orders")
     val customer = Tables.table(spark, dir, "customer")
     val supplier = Tables.table(spark, dir, "supplier")
-    val nation = Tables.table(spark, dir, "nation")
-
-    // edge extraction: fact⋈fact on orderkey, dims broadcast, then an
-    // immediate DISTINCT collapse to ≤ |nations|² rows
-    val edges = lineitem.select("l_orderkey", "l_suppkey")
+    lineitem.select("l_orderkey", "l_suppkey")
       .join(orders.select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer.select("c_custkey", "c_nationkey")),
@@ -58,14 +67,12 @@ object GraphQueries {
         col("c_nationkey").cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      // the collapsed edge table (≤ |nations|² rows) feeds the
-      // outdegree agg AND every iteration's contribution join —
-      // without materialization each reuse re-runs the fact⋈fact
-      // extraction (4 full fact scans at 100 TB). Lazy localCheckpoint
-      // beats persist here: blocks are reused the same way but the
-      // lineage is truncated too, so the 3-round plan stays flat
-      // (measured ~25% faster steady-state). Cluster scale: checkpoint.
       .localCheckpoint(false)
+  }
+
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val edges = tradeEdges(spark, dir)
 
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     val nTot = nodes.agg(count(lit(1)).as("n"))
@@ -134,7 +141,70 @@ object GraphQueries {
        |ORDER BY rank_q DESC, na.n_nationkey""".stripMargin
   }
 
+  /** Per-nation triangle participation counts over the UNDIRECTED
+    * trade graph — the other canonical join-based graph kernel
+    * (clustering-coefficient numerator; community-density signal for
+    * source-authority curation).
+    *
+    * Shape: symmetrize + canonicalize the collapsed edge table
+    * (least/greatest ⇒ each undirected edge once, a < b), then two
+    * equi-joins enumerate each triangle exactly once as a < b < c, and
+    * one explode+agg yields per-node counts. All integer keys — the
+    * whole kernel is hash-verified.
+    *
+    * Scale note: we orient edges by node id (needed for the
+    * cross-engine oracle); at web scale you orient low-degree →
+    * high-degree instead, which bounds the e1⋈e2 wedge intermediate to
+    * O(m^1.5) regardless of skew — same plan, different orientation
+    * key. The edge table here is already collapsed to ≤ |nations|²
+    * rows before any triangle join runs. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val und = tradeEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    // e1=(a,b) ⋈ e2=(b,c) builds wedges a<b<c; e3=(a,c) closes them
+    val wedges = und.toDF("a", "b").join(und.toDF("b", "c"), "b")
+    val tris = wedges.join(und.toDF("a", "c"), Seq("a", "c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    nation.join(broadcast(perNode),
+        col("n_nationkey").cast("long") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .orderBy("n_nationkey")
+  }
+
+  private val triangleCountSql =
+    """WITH d AS (
+      |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+      |    CAST(c.c_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |), und AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+      |), tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM und e1
+      |  JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+      |), pern AS (
+      |  SELECT node, COUNT(*) AS tri_cnt FROM (
+      |    SELECT a AS node FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri)
+      |  GROUP BY node)
+      |SELECT n.n_nationkey, n.n_name, COALESCE(p.tri_cnt, 0) AS tri_cnt
+      |FROM nation n LEFT JOIN pern p ON p.node = CAST(n.n_nationkey AS BIGINT)
+      |ORDER BY n.n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerankQ, Some(pagerankSql)),
+    Q("q_triangle_count", triangleCount, Some(triangleCountSql)),
   )
 }

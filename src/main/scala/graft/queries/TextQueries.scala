@@ -65,6 +65,53 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document character-level Shannon entropy (nats) — the classic
+    * gibberish / low-character-diversity filter: encrypted blobs and
+    * base64 spam score near ln(alphabet), single-char runs and
+    * keyboard-mash boilerplate score near 0.
+    *
+    * Plan shape: explode to (doc, char) rows, but the partial hash
+    * aggregate collapses them map-side, so the shuffle carries at most
+    * |alphabet| rows per document — not one row per character. (A
+    * native codegen expression could do it in zero shuffles; at
+    * ≤ ~100 distinct chars/doc the agg path is already scan-bound.)
+    * Determinism: each char class's contribution
+    * (n/N)·ln(N/n) is quantized to integer micros BEFORE the per-doc
+    * sum (the q_tfidf/q_lm_score trick), so FP combine order cannot
+    * change a bit. Empty docs have no char rows and drop out on both
+    * engines (corpus min length is 48). */
+  private def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_tot"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1) // Java-regex split emits a trailing ""
+      .groupBy("doc_id", "n_tot", "ch").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"),
+        Num.floorEps((col("n").cast("double") / col("n_tot")) *
+          log(col("n_tot").cast("double") / col("n")) * 1e6).as("term_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        sum("term_micro").as("ent_nats_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val entropySql =
+    s"""WITH ch AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_tot,
+       |    unnest(string_split(text, '')) AS ch
+       |  FROM documents
+       |), freq AS (
+       |  SELECT doc_id, n_tot, ch, COUNT(*) AS n
+       |  FROM ch WHERE length(ch) = 1 GROUP BY 1, 2, 3
+       |), term AS (
+       |  SELECT doc_id,
+       |    ${NumSql.floorEps("(CAST(n AS DOUBLE) / n_tot) * ln(CAST(n_tot AS DOUBLE) / n) * 1000000")} AS term_micro
+       |  FROM freq)
+       |SELECT doc_id, COUNT(*) AS n_distinct_chars,
+       |  CAST(SUM(term_micro) AS BIGINT) AS ent_nats_micro
+       |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Language-ID heuristic: per-language function-word hit counts,
     * argmax with fixed tie-break order (en,fr,es,de,zh). */
   private def langId(spark: SparkSession, dir: String): DataFrame = {
@@ -683,6 +730,7 @@ object TextQueries {
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("q_entropy", entropy, Some(entropySql)),
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("q_token_count", tokenCount, Some(tokenCountSql)),

@@ -29,6 +29,19 @@ class GraphSpec extends SparkSpec {
     assert(out.sorted === again.sorted)
   }
 
+  test("triangle count: covers every nation, symmetric, bounded by C(n-1,2)") {
+    val out = GraphQueries.triangleCount(spark, sf0001)
+      .select("n_nationkey", "tri_cnt").as[(Int, Long)].collect()
+    assert(out.length === 25)
+    assert(out.map(_._1).toSeq === out.map(_._1).sorted.toSeq) // ordered output
+    // a node in an n-node graph joins at most C(n-1, 2) triangles
+    assert(out.forall { case (_, t) => t >= 0 && t <= 24L * 23 / 2 }, out.maxBy(_._2))
+    // triangle participation sums to 3 × (total triangles): divisible by 3
+    assert(out.map(_._2).sum % 3 === 0, out.map(_._2).sum)
+    // the dense sf0.001 trade graph must actually close some triangles
+    assert(out.map(_._2).max > 0)
+  }
+
   test("pagerank plan: dimension hops broadcast, iteration joins broadcast") {
     val phys = GraphQueries.pagerank(spark, sf0001)
       .queryExecution.executedPlan.toString

@@ -58,4 +58,31 @@ class LmScoreSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("char entropy: uniform alphabet scores ln(k) nats, constant runs score 0") {
+    // replicate the q_entropy body on a fixture with known entropy
+    val docs = Seq((1L, "abcd" * 12), (2L, "a" * 48)).toDF("doc_id", "text")
+    val ent = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_tot"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "n_tot", "ch").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), floor((col("n").cast("double") / col("n_tot")) *
+        log(col("n_tot").cast("double") / col("n")) * 1e6 + lit(1e-6)).as("term"))
+      .groupBy("doc_id").agg(sum("term").as("e"))
+      .as[(Long, Long)].collect().toMap
+    // single repeated char: every term is ln(1) = 0
+    assert(ent(2L) === 0L)
+    // uniform over 4 chars: 4 terms of 0.25·ln4 → 4 × 346573 µnats
+    assert(ent(1L) === 4 * 346573L)
+    // and the registered query agrees with its corpus-scale contract:
+    // 0 ≤ entropy ≤ ln(charset)·1e6 on real docs
+    val real = graft.SparkEntry.queries("q_entropy")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (_, k, e) =>
+      assert(e >= 0 && k >= 1)
+      assert(e <= math.log(k.toDouble) * 1e6 + 1, s"entropy above ln(k): $e vs $k")
+    }
+  }
 }
