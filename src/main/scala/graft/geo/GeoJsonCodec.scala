@@ -43,7 +43,10 @@ object GeoJsonCodec {
     case _ => factory.createPolygon()
   }
 
-  private def fromJValue(j: JValue): Geometry = {
+  /** Parse an already-materialized geometry JSON subtree (used by the
+    * DSv2 reader, which holds the parsed feature and must not
+    * re-render + re-parse through a string). */
+  def fromJValue(j: JValue): Geometry = {
     val JString(tpe) = (j \ "type"): @unchecked
     val cs = j \ "coordinates"
     tpe match {

@@ -1,0 +1,264 @@
+package graft.io
+
+import graft.geo.{GeoFunctions, GeoJsonCodec}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** GeoJSON FeatureCollection as a first-class DataSource V2 —
+  * `spark.read.format("geojson").load(path)` (SURVEY §2.1, reference
+  * `il_analysis_git.py:76` `gp.read_file`).
+  *
+  * Why a connector and not the multiLine-JSON + explode recipe
+  * ([[GeoJsonIO.read]], kept as the portable fallback):
+  *  - **Column pruning reaches the parser.** The ScanBuilder implements
+  *    `SupportsPushDownRequiredColumns`, so `select(props…)` without
+  *    `geometry` never parses or WKB-encodes a single coordinate —
+  *    on a polygon layer the coordinates ARE the bytes, so pruning at
+  *    the source is the difference between reading 1% and 100% of the
+  *    payload. The generic JSON reader must materialize the whole
+  *    `features` array struct before Catalyst prunes.
+  *  - **One partition per file, planned not inferred.** A
+  *    FeatureCollection is a single JSON document (unsplittable); a
+  *    directory of them scans as one task per file with no sampling
+  *    pass over the data (the JSON reader runs a whole extra schema-
+  *    inference job first).
+  *  - Schema inference parses ONE file driver-side (dimension layers
+  *    are map-payload-sized by design; `:76` reads a single static
+  *    file). Property types widen Long → Double → String across
+  *    features; geometry is carried as WKB `BinaryType`, the engine's
+  *    geometry convention (SURVEY §1.1).
+  */
+class GeoJsonDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geojson"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoJsonSourceV2.inferSchema(GeoJsonSourceV2.resolvePaths(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new GeoJsonTable(
+      GeoJsonSourceV2.resolvePaths(new CaseInsensitiveStringMap(properties)),
+      schema)
+}
+
+class GeoJsonTable(paths: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"geojson(${paths.mkString(",")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoJsonScanBuilder(paths, tableSchema)
+}
+
+class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new GeoJsonScan(paths, required)
+}
+
+class GeoJsonScan(paths: Seq[String], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => GeoJsonInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonReaderFactory(required)
+  override def description(): String =
+    s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}"
+}
+
+case class GeoJsonInputPartition(path: String) extends InputPartition
+
+class GeoJsonReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonPartitionReader(
+      partition.asInstanceOf[GeoJsonInputPartition].path, required)
+}
+
+/** One task = one FeatureCollection file. The document is parsed once;
+  * only the REQUIRED fields are materialized into rows — in
+  * particular, `geometry` (the bulk of the bytes) is parsed to JTS +
+  * WKB only when the query asked for it. */
+class GeoJsonPartitionReader(path: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  // executor-side: default Hadoop conf resolves core-site.xml from the
+  // classpath, which covers file:// and cluster filesystems alike
+  private lazy val features: Iterator[JValue] = {
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(new Configuration())
+    val in = fs.open(hp)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    JsonMethods.parse(text) \ "features" match {
+      case JArray(fs0) => fs0.iterator
+      case JNothing | JNull => Iterator.empty
+      case other =>
+        throw new IllegalArgumentException(s"$path: 'features' is not an array: $other")
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (!features.hasNext) return false
+    val f = features.next()
+    val row = new GenericInternalRow(required.length)
+    var i = 0
+    while (i < required.length) {
+      val field = required.fields(i)
+      val v: Any =
+        if (field.name == GeoJsonSourceV2.GeometryField)
+          f \ "geometry" match {
+            case JNothing | JNull => null
+            case g => GeoFunctions.writeWkb(GeoJsonCodec.fromJValue(g))
+          }
+        else GeoJsonSourceV2.convert(f \ "properties" \ field.name, field.dataType)
+      row.update(i, v)
+      i += 1
+    }
+    current = row
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+object GeoJsonSourceV2 {
+
+  val GeometryField = "geometry"
+
+  /** path/paths options → concrete file list (globs + directories
+    * expanded through the Hadoop FileSystem API, so the same code
+    * lists file://, hdfs:// or s3a://). Sorted for deterministic
+    * partition order. */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val raw: Seq[String] = Option(options.get("paths")) match {
+      case Some(arr) => JsonMethods.parse(arr) match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => throw new IllegalArgumentException(s"bad paths option: $arr")
+      }
+      case None => Option(options.get("path")).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException("geojson source requires a path"))
+    }
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    raw.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq)
+        .getOrElse(Seq.empty) match {
+        case Seq() => Seq(fs.getFileStatus(hp))
+        case m => m
+      }
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+            .map(_.getPath.toString)
+            .filterNot(_.endsWith("_SUCCESS"))
+        else Seq(st.getPath.toString)
+      }
+    }.sorted
+  }
+
+  /** Driver-side inference from the FIRST file: property keys in
+    * first-seen order, types widened Long → Double → String across
+    * features; `geometry` appended as WKB binary. */
+  def inferSchema(paths: Seq[String]): StructType = {
+    require(paths.nonEmpty, "geojson source matched no files")
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val hp = new Path(paths.head)
+    val fs = hp.getFileSystem(conf)
+    val in = fs.open(hp)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+    val props = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    JsonMethods.parse(text) \ "features" match {
+      case JArray(fs0) => fs0.foreach { f =>
+        f \ "properties" match {
+          case JObject(fields) => fields.foreach { case (k, v) =>
+            val t = typeOf(v)
+            props(k) = props.get(k).map(merge(_, t)).getOrElse(t)
+          }
+          case _ => ()
+        }
+      }
+      case _ => ()
+    }
+    StructType(
+      props.map { case (k, t) =>
+        StructField(k, if (t == NullType) StringType else t, nullable = true)
+      }.toSeq :+ StructField(GeometryField, BinaryType, nullable = true))
+  }
+
+  private def typeOf(v: JValue): DataType = v match {
+    case _: JInt | _: JLong => LongType
+    case _: JDouble | _: JDecimal => DoubleType
+    case _: JBool => BooleanType
+    case JNull | JNothing => NullType
+    case _ => StringType
+  }
+
+  private def merge(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, x) => x
+    case (x, NullType) => x
+    case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+    case _ => StringType
+  }
+
+  /** Coerce a property JValue to the declared field type (external
+    * schemas may be narrower or wider than the file). */
+  def convert(v: JValue, dt: DataType): Any = v match {
+    case JNothing | JNull => null
+    case _ => dt match {
+      case LongType => v match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d.toLong
+        case JDecimal(d) => d.toLong
+        case JBool(b) => if (b) 1L else 0L
+        case JString(s) => s.toLong
+        case _ => null
+      }
+      case DoubleType => v match {
+        case JInt(i) => i.toDouble
+        case JLong(l) => l.toDouble
+        case JDouble(d) => d
+        case JDecimal(d) => d.toDouble
+        case JString(s) => s.toDouble
+        case _ => null
+      }
+      case BooleanType => v match {
+        case JBool(b) => b
+        case _ => null
+      }
+      case StringType => UTF8String.fromString(v match {
+        case JString(s) => s
+        case other => JsonMethods.compact(JsonMethods.render(other))
+      })
+      case _ => null
+    }
+  }
+}

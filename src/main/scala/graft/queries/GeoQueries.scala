@@ -217,6 +217,26 @@ object GeoQueries {
       |  'Polygon' AS gtype, 5 AS npts
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Same roundtrip through the native DataSource V2 connector
+    * ([[graft.io.GeoJsonDataSource]], `format("geojson")`): the
+    * FeatureCollection is planned one-partition-per-file with column
+    * pruning pushed into the parser (unselected geometry is never
+    * parsed — on polygon layers the coordinates are the payload).
+    * Same oracle as q_scan_geojson: the two readers must agree. */
+  private def scanGeojsonV2(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_scan_geojson_v2.json"
+    GeoJsonIO.writeFeatureCollection(
+      squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry")),
+      path)
+    GeoFunctions.register(spark)
+    spark.read.format("geojson").load(path).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      GeoFunctions.cols.stGeometryType(col("geometry")).as("gtype"),
+      GeoFunctions.cols.stNPoints(col("geometry")).cast("int").as("npts"))
+      .orderBy("c_custkey")
+  }
+
   /** Grid-bucketed spatial join: point-in-polygon via an integer
     * grid-cell equi-join, then exact JTS containment. This is the
     * 100 TB spatial-join shape — geometries are bucketed by covering
@@ -259,6 +279,7 @@ object GeoQueries {
     Q("q_dissolve_stats", dissolveStats, Some(dissolveStatsSql)),
     Q("q_boundary", boundary, Some(boundarySql)),
     Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
+    Q("q_scan_geojson_v2", scanGeojsonV2, Some(scanGeojsonSql)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
   )
 }

@@ -1,0 +1,109 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.geo.GeoFunctions
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+class GeoJsonSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(path: String, doc: String): Unit =
+    Files.write(Paths.get(path), doc.getBytes(StandardCharsets.UTF_8))
+
+  private val fixture =
+    """{"type":"FeatureCollection","features":[
+      |{"type":"Feature","properties":{"id":1,"name":"a","score":1},
+      | "geometry":{"type":"Polygon","coordinates":[[[0,0],[0,1],[1,1],[1,0],[0,0]]]}},
+      |{"type":"Feature","properties":{"id":2,"name":"b","score":2.5},
+      | "geometry":{"type":"Point","coordinates":[3,4]}},
+      |{"type":"Feature","properties":{"id":3,"name":null,"score":3},
+      | "geometry":null}
+      |]}""".stripMargin
+
+  private val tmp = System.getProperty("java.io.tmpdir")
+
+  test("schema inference: first-seen property order, long->double widening, WKB geometry") {
+    val p = s"$tmp/geojson_v2_infer.json"
+    write(p, fixture)
+    val df = spark.read.format("geojson").load(p)
+    assert(df.schema.map(f => (f.name, f.dataType.simpleString)) === Seq(
+      ("id", "bigint"), ("name", "string"),
+      ("score", "double"), // feature 1 has long 1, feature 2 has 2.5
+      ("geometry", "binary")))
+  }
+
+  test("reads features: values, nulls, geometry round-trips through WKB") {
+    GeoFunctions.register(spark)
+    val p = s"$tmp/geojson_v2_read.json"
+    write(p, fixture)
+    val out = spark.read.format("geojson").load(p)
+      .select(col("id"), col("name"), col("score"),
+        GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .as[(Long, Option[String], Double, Option[String])]
+      .collect().sortBy(_._1)
+    assert(out === Seq(
+      (1L, Some("a"), 1.0, Some("POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))")),
+      (2L, Some("b"), 2.5, Some("POINT (3 4)")),
+      (3L, None, 3.0, None)))
+  }
+
+  test("agrees with the multiLine-JSON fallback reader on an engine-written layer") {
+    GeoFunctions.register(spark)
+    val p = s"$tmp/geojson_v2_roundtrip.json"
+    val layer = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .select(col("k"), col("v"),
+        GeoFunctions.cols.stGeomFromText(
+          concat(lit("POLYGON (("), col("k"), lit(" 0, "), col("k"),
+            lit(" 1, "), col("k") + 1, lit(" 1, "), col("k"),
+            lit(" 0))"))).as("geometry"))
+    GeoJsonIO.writeFeatureCollection(layer, p)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k").cast("long"), col("v").cast("long"),
+        GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val v2 = canon(spark.read.format("geojson").load(p))
+    val fallback = canon(GeoJsonIO.read(spark, p))
+    assert(v2 === fallback)
+    assert(v2.length === 3)
+  }
+
+  test("column pruning reaches the scan: geometry never parsed when not selected") {
+    val p = s"$tmp/geojson_v2_prune.json"
+    write(p, fixture)
+    val narrow = spark.read.format("geojson").load(p).select("id")
+    val scan = narrow.queryExecution.executedPlan.toString
+    // the v2 scan's description carries its pruned ReadSchema
+    assert(scan.contains("GeoJsonScan"), scan)
+    assert(scan.contains("ReadSchema: struct<id:bigint>"), scan)
+    assert(!scan.contains("geometry"), scan)
+    assert(narrow.as[Long].collect().sorted === Seq(1L, 2L, 3L))
+    // corrupt-geometry file: pruned reads never touch the geometry
+    // subtree, so they succeed where a full read must fail
+    val bad = s"$tmp/geojson_v2_badgeom.json"
+    write(bad,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":9},
+        | "geometry":{"type":"Nonsense","coordinates":[]}}]}""".stripMargin)
+    assert(spark.read.format("geojson").load(bad).select("id").as[Long].head() === 9L)
+    intercept[Exception] {
+      spark.read.format("geojson").load(bad).select("geometry").collect()
+    }
+  }
+
+  test("directory of files: one partition per file, deterministic order") {
+    val dir = s"$tmp/geojson_v2_dir"
+    new java.io.File(dir).mkdirs()
+    write(s"$dir/part_a.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":1},"geometry":null}]}""".stripMargin)
+    write(s"$dir/part_b.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":2},"geometry":null},
+        |{"type":"Feature","properties":{"id":3},"geometry":null}]}""".stripMargin)
+    val df = spark.read.format("geojson").load(dir)
+    assert(df.rdd.getNumPartitions === 2)
+    assert(df.select("id").as[Long].collect().sorted === Seq(1L, 2L, 3L))
+  }
+}
