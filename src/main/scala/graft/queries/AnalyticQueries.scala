@@ -246,6 +246,60 @@ object AnalyticQueries {
       |    (SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // COUNT(*) AS BIGINT) FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4 native): bounded
+    * BFS from nation 0 over the directed trade graph — per node the
+    * minimum hop distance and the number of ≤3-hop paths. The other
+    * SQL-text iteration surface next to the DataFrame-loop kernels
+    * (q_pagerank, q_dedup_cluster); the depth guard bounds the
+    * recursion exactly like their fixed round counts, and the edge
+    * CTE collapses to ≤ |nations|² rows before any recursion step.
+    * Hop counts and path counts are integers — hash-verified. */
+  private def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("v_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    Tables.supplier(spark, dir).createOrReplaceTempView("v_supplier")
+    spark.sql(
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+        |    CAST(c.c_nationkey AS BIGINT) AS dst
+        |  FROM v_lineitem l
+        |  JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN v_customer c ON o.o_custkey = c.c_custkey
+        |  JOIN v_supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |), walk(node, hops) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+        |  UNION ALL
+        |  SELECT e.dst, w.hops + 1
+        |  FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hops < 3
+        |)
+        |SELECT node, CAST(MIN(hops) AS BIGINT) AS hops,
+        |  CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+      |    CAST(c.c_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |), walk(node, hops) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      |  UNION ALL
+      |  SELECT e.dst, w.hops + 1
+      |  FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.hops < 3
+      |)
+      |SELECT node, CAST(MIN(hops) AS BIGINT) AS hops,
+      |  CAST(COUNT(*) AS BIGINT) AS n_paths
+      |FROM walk GROUP BY node ORDER BY node""".stripMargin
+
   /** Ordered string aggregation (listagg): per-nation sorted roster of
     * the top customer keys. The collected list is sorted INSIDE the
     * aggregate result (array_sort before join), so the output is
@@ -290,6 +344,7 @@ object AnalyticQueries {
     Q("q_minmax_by", minmaxBy, Some(minmaxBySql)),
     Q("q_distinct_agg", distinctAgg, Some(distinctAggSql)),
     Q("q_sql_subquery", sqlSubquery, Some(sqlSubquerySql)),
+    Q("q_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     Q("q_cube", cubeAgg, Some(cubeAggSql)),
     Q("q_rank_funcs", rankFuncs, Some(rankFuncsSql)),
     Q("q_unpivot", unpivotMetrics, Some(unpivotMetricsSql)),

@@ -182,8 +182,44 @@ object RelationalQueries {
        |  ${NumSql.roundEps("p_retailprice / GREATEST(p_size, 1)")} AS price_per_size
        |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** FULL OUTER join over two pre-aggregated sides with disjoint-ish
+    * key coverage (13 vs 7 of 25 nations), exercising both null
+    * branches + the coalesce-key pattern. Both inputs reduce to one
+    * row per nation BEFORE the join — the outer join itself is
+    * key-proportional, never fact-sized (the rule for outer joins at
+    * 100 TB: aggregate first, outer-join the summaries). */
+  private def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9900)
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("ck") === col("sk"), "full_outer")
+      .select(coalesce(col("ck"), col("sk")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nationkey")
+  }
+
+  private val joinOuterSql =
+    """WITH c AS (
+      |  SELECT c_nationkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_cust
+      |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+      |), s AS (
+      |  SELECT s_nationkey AS sk, CAST(COUNT(*) AS BIGINT) AS n_supp
+      |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+      |)
+      |SELECT COALESCE(ck, sk) AS nationkey,
+      |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+      |FROM c FULL OUTER JOIN s ON ck = sk
+      |ORDER BY nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_agg_pricing", aggPricing, Some(aggPricingSql)),
+    Q("q_join_outer", joinOuter, Some(joinOuterSql)),
     Q("q_join_agg_region", joinAggRegion, Some(joinAggRegionSql)),
     Q("q_topk_customers", topkCustomers, Some(topkCustomersSql)),
     Q("q_join_anti", joinAnti, Some(joinAntiSql)),
