@@ -181,6 +181,45 @@ object TemporalQueries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Calendar gap-fill + forward fill (pandas `asfreq` + `ffill`, the
+    * resample primitive every per-entity daily time series needs —
+    * the reference's MOH feed only carries observed days): per id,
+    * generate the full daily calendar over that id's observed span
+    * (`sequence` + explode — row generation is OUTPUT-proportional,
+    * never a cross join against a global calendar), left-join the
+    * observed daily sums, and forward-fill with `last(ignoreNulls)`
+    * over one running window. One key shuffle total; the calendar,
+    * join and fill all share it. Gap rows are flagged. */
+  private def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = EventSeries.daily(spark, dir).select("id", "date", "dval")
+    val cal = daily.groupBy("id")
+      .agg(min("date").as("d0"), max("date").as("d1"))
+      .select(col("id"), explode(sequence(col("d0"), col("d1"))).as("date"))
+    val w = Window.partitionBy("id").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.join(daily, Seq("id", "date"), "left")
+      .select(col("id"), col("date"),
+        last(col("dval"), ignoreNulls = true).over(w).as("dval_ff"),
+        col("dval").isNull.as("is_gap"))
+      .orderBy("id", "date")
+  }
+
+  private val gapFillSql =
+    s"""WITH ${EventSeriesSql.daily},
+       |span AS (
+       |  SELECT id, MIN(date) AS d0, MAX(date) AS d1 FROM daily GROUP BY id
+       |), cal AS (
+       |  SELECT id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+       |  FROM span
+       |)
+       |SELECT c.id AS id, c.date AS date,
+       |  LAST_VALUE(d.dval IGNORE NULLS) OVER (PARTITION BY c.id ORDER BY c.date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dval_ff,
+       |  d.dval IS NULL AS is_gap
+       |FROM cal c LEFT JOIN daily d ON d.id = c.id AND d.date = c.date
+       |ORDER BY c.id, c.date""".stripMargin
+
   /** CDC merge-apply (the MERGE INTO primitive): a snapshot (latest
     * pre-cutoff row per key, deletes already compacted away) merged
     * with a post-cutoff change stream carrying upserts AND deletes —
@@ -468,6 +507,7 @@ object TemporalQueries {
     Q("q_join_range", joinRange, Some(joinRangeSql)),
     Q("q_sessionize_batch", sessionizeBatch, Some(sessionizeBatchSql)),
     Q("q_scd2", scd2, Some(scd2Sql)),
+    Q("q_gap_fill", gapFill, Some(gapFillSql)),
     Q("q_cdc_apply", cdcApply, Some(cdcApplySql)),
     Q("q_interval_join", intervalJoinQ, Some(intervalJoinSql)),
     Q("q_json_ops", jsonOps, Some(jsonOpsSql)),

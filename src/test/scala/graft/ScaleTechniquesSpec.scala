@@ -61,6 +61,37 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
+  test("identical aggregate subplans reuse one exchange (scan+shuffle+agg run once)") {
+    // a day-over-day self-join of the same daily aggregate: without
+    // exchange reuse the events scan + (id,date) shuffle + aggregate
+    // execute twice; the ReuseExchange rule collapses the second side
+    // onto the first's shuffle files. At 100 TB this is the difference
+    // between one fact pass and two for every self-referencing plan.
+    // (AQE performs the same reuse at runtime via ReuseAdaptiveSubquery
+    // /stage reuse; disabled here to pin the static rule.)
+    // the filter sits ABOVE the aggregate on one side only — anything
+    // that changes the subtree BELOW the exchange (e.g. a shifted join
+    // key, whose isnotnull pushes down differently) makes the two
+    // exchanges non-identical and legally un-reusable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val daily = graft.queries.EventSeries.daily(spark, sf0001)
+        .select("id", "date", "dval")
+      val heavy = daily.filter(col("dval") > 5000)
+        .select(col("id"), col("date"), col("dval").as("heavy_dval"))
+      val j = daily.join(heavy, Seq("id", "date"))
+        .select(col("id"), col("date"), (col("dval") - col("heavy_dval")).as("delta"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("runtime bloom filter prunes the fact scan for a selective dim join") {
     val s = spark
     import s.implicits._
