@@ -182,6 +182,41 @@ object RelationalQueries {
        |  ${NumSql.roundEps("p_retailprice / GREATEST(p_size, 1)")} AS price_per_size
        |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Collection-function surface (SURVEY §2.9 "Array/Map: none in the
+    * reference" — added as engine surface): array build / distinct /
+    * intersect / position / element_at(-1) / sort+slice plus one HOF
+    * (`transform`), in one projection over the documents tokens.
+    * Every output is an int or a short string — order-free and
+    * hash-verified (array OUTPUTS are never compared directly; only
+    * their sizes/elements, so element-order conventions can't bite). */
+  private def collectionFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_uniq"),
+      size(array_intersect(t, array(lit("the"), lit("a"), lit("of"))))
+        .as("n_stop_distinct"),
+      array_position(t, "the").as("pos_the"),
+      array_max(transform(t, x => length(x))).as("max_tok_len"),
+      element_at(t, -1).as("last_tok"),
+      concat_ws("_", slice(array_sort(t), 1, 3)).as("sorted3"))
+      .orderBy("doc_id")
+  }
+
+  private val collectionFuncsSql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+      |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+      |    x -> list_contains(['the','a','of'], x)))) AS INT) AS n_stop_distinct,
+      |  CAST(COALESCE(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS pos_the,
+      |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+      |    x -> length(x)), 'max') AS INT) AS max_tok_len,
+      |  (string_split(text, ' '))[-1] AS last_tok,
+      |  array_to_string(list_sort(string_split(text, ' '))[1:3], '_') AS sorted3
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** FULL OUTER join over two pre-aggregated sides with disjoint-ish
     * key coverage (13 vs 7 of 25 nations), exercising both null
     * branches + the coalesce-key pattern. Both inputs reduce to one
@@ -227,5 +262,6 @@ object RelationalQueries {
     Q("q_topn_per_group", topnPerGroup, Some(topnPerGroupSql)),
     Q("q_set_except", setExcept, Some(setExceptSql)),
     Q("q_scalar_funcs", scalarFuncs, Some(scalarFuncsSql)),
+    Q("q_collection_funcs", collectionFuncs, Some(collectionFuncsSql)),
   )
 }
