@@ -182,6 +182,37 @@ object RelationalQueries {
        |  ${NumSql.roundEps("p_retailprice / GREATEST(p_size, 1)")} AS price_per_size
        |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Exact wide-DECIMAL money aggregation: the 128-bit decimal path
+    * (Spark Decimal128 / DuckDB HUGEINT-backed DECIMAL(38)) that money
+    * sums need once corpus-scale totals overflow BIGINT cents
+    * (9.2e18 cents ≈ $92 quadrillion sounds safe until micro-units ×
+    * line-item × 100 TB). Decimals are derived from EXACT integer
+    * cents/basis points — never from a raw double cast, whose
+    * round-to-scale can legally differ by 1 ulp across engines.
+    * Results surface as strings (both engines print scale-0 decimals
+    * as plain digits), keeping the hash compare flat. */
+  private def decimalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val vc = Num.cents(col("l_extendedprice")).cast(dec)
+    val discBp = round(col("l_discount") * 10000).cast("long")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), vc.as("vc"),
+        (vc * (lit(10000L) - discBp).cast(dec)).as("rev_micro"))
+      .groupBy("l_returnflag")
+      .agg(sum("vc").cast("string").as("sum_cents"),
+        sum("rev_micro").cast("string").as("sum_rev_micro"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val decimalAggSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS sum_cents,
+      |  CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+      |    * CAST(10000 - CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS sum_rev_micro,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Collection-function surface (SURVEY §2.9 "Array/Map: none in the
     * reference" — added as engine surface): array build / distinct /
     * intersect / position / element_at(-1) / sort+slice plus one HOF
@@ -263,5 +294,6 @@ object RelationalQueries {
     Q("q_set_except", setExcept, Some(setExceptSql)),
     Q("q_scalar_funcs", scalarFuncs, Some(scalarFuncsSql)),
     Q("q_collection_funcs", collectionFuncs, Some(collectionFuncsSql)),
+    Q("q_decimal_agg", decimalAgg, Some(decimalAggSql)),
   )
 }
