@@ -23,7 +23,10 @@ object PlanAudit {
         "q_session_window", "q_incremental_agg", "q_chunking",
         "q_ann_kmeans", "q_grouping_sets", "q_lm_score", "q_write_partitioned",
         "q_ann_pq", "q_ann_ivf_pq", "q_asof_multikey", "q_pagerank",
-        "q_heavy_hitters", "q_repeated_passages")
+        "q_heavy_hitters", "q_repeated_passages",
+        "q_entropy", "q_triangle_count", "q_gap_fill", "q_recursive_cte",
+        "q_scan_geojson_v2", "q_join_outer", "q_decimal_agg",
+        "q_collection_funcs")
     keys.foreach { k =>
       val df = SparkEntry.queries(k)(spark, dir)
       // execute THIS df's plan first (collect, not count — count spawns

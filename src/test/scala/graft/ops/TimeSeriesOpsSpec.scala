@@ -80,4 +80,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .orderBy("date").select("tot", "delta").as[(Long, Long)].collect()
     assert(out === Array((15L, 15L), (20L, 5L)))
   }
+
+  test("gap fill: contiguous per-id calendar, observed rows exact, gaps carry the fill") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("q_gap_fill")(spark, sf0001)
+      .as[(Long, java.sql.Date, Option[Long], Boolean)].collect()
+    assert(out.nonEmpty)
+    val daily = graft.queries.EventSeries.daily(spark, sf0001)
+      .select(col("id"), col("date"), col("dval"))
+      .as[(Long, java.sql.Date, Long)].collect()
+      .map { case (id, dt, v) => (id, dt) -> v }.toMap
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      // calendar is contiguous: one row per day, span edges observed
+      assert(!sorted.head._4 && !sorted.last._4, s"id $id span edge is a gap")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.toLocalDate === a._2.toLocalDate.plusDays(1),
+            s"id $id calendar hole after ${a._2}")
+        case _ =>
+      }
+      // observed rows carry their own value; gaps carry the last observed
+      var lastSeen: Option[Long] = None
+      sorted.foreach { case (_, dt, ff, isGap) =>
+        if (!isGap) {
+          assert(daily.contains((id, dt)))
+          assert(ff === Some(daily((id, dt))))
+          lastSeen = ff
+        } else {
+          assert(!daily.contains((id, dt)))
+          assert(ff === lastSeen, s"id $id gap at $dt not forward-filled")
+        }
+      }
+    }
+  }
 }
