@@ -88,6 +88,46 @@ object TemporalQueries {
       |  ON d.id = o_custkey AND d.date <= CAST(o_orderdate AS DATE)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** FORWARD as-of join (next-event attribution: each order picks up
+    * the EARLIEST per-(id, date) event aggregate at `date >=
+    * o_orderdate`). Mirror of [[joinAsof]]: same union trick, but a
+    * `first(..ignoreNulls)` window over the FOLLOWING frame, with left
+    * rows sorting before right rows on ties so the same-day event
+    * stays visible (inclusive). Same single-shuffle linearity; the
+    * direction is purely a frame + sort-order choice — which is the
+    * point of the union-window formulation. */
+  private def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.orders(spark, dir).select(
+      col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
+      col("o_orderkey"), lit(0).as("side"),
+      lit(null).cast("long").as("r_dval"), lit(null).cast("date").as("r_date"))
+    val right = EventSeries.daily(spark, dir).select(
+      col("id"), col("date"),
+      lit(null).cast("long").as("o_orderkey"), lit(1).as("side"),
+      col("dval").as("r_dval"), col("date").as("r_date"))
+    // left (side 0) sorts BEFORE right (side 1) on the same date => an
+    // order on date D sees the right row of date D in its following frame
+    val w = Window.partitionBy("id")
+      .orderBy(col("date").asc, col("side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    left.unionByName(right)
+      .withColumn("next_dval", first(col("r_dval"), ignoreNulls = true).over(w))
+      .withColumn("next_date", first(col("r_date"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("o_orderkey"), col("id"), col("date"),
+        coalesce(col("next_date"), lit("2999-12-31").cast("date")).as("next_date"),
+        coalesce(col("next_dval"), lit(-1L)).as("next_dval"))
+      .orderBy("o_orderkey")
+  }
+
+  private val asofForwardSql = EventSeriesSql.withSeries(
+    """SELECT o_orderkey, o_custkey AS id, CAST(o_orderdate AS DATE) AS date,
+      |  COALESCE(d.date, DATE '2999-12-31') AS next_date,
+      |  COALESCE(d.dval, -1) AS next_dval
+      |FROM orders ASOF LEFT JOIN daily d
+      |  ON d.id = o_custkey AND d.date >= CAST(o_orderdate AS DATE)
+      |ORDER BY o_orderkey""".stripMargin)
+
   /** Range join: per order, aggregate the key's events falling in the
     * 7 days ending at the order date. The equality key (`id`) drives
     * the join (hash/SMJ — no nested loop); the date band is a
@@ -502,6 +542,7 @@ object TemporalQueries {
     Q("q_session_window", sessionWindow, Some(sessionWindowSql)),
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
+    Q("q_asof_forward", asofForward, Some(asofForwardSql)),
     Q("q_asof_native", asofNative, Some(asofNativeSql)),
     Q("q_asof_multikey", asofMultikey, Some(asofMultikeySql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),
