@@ -51,7 +51,7 @@ object GraphQueries {
     * reused the same way but the lineage is truncated too, so
     * iterative plans stay flat (measured ~25% faster steady-state).
     * Cluster scale: checkpoint. */
-  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
     val lineitem = Tables.table(spark, dir, "lineitem")
     val orders = Tables.table(spark, dir, "orders")
     val customer = Tables.table(spark, dir, "customer")
