@@ -318,23 +318,26 @@ object TextQueries {
       .filter(size(col("sh")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = Dedup.minhashSignature(withSh, "doc_id", "sh")
+    // one persisted per-doc (sig, shingles) side table: the candidate
+    // fetch is then TWO joins (one per pair side), not four — at scale
+    // each join is a shuffle of the pair list against the doc table
+    val props = sigs.join(withSh.select(col("doc_id"), col("sh")), Seq("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val bands = Dedup.bandTable(sigs, "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = Dedup.bucketPairs(bands, Seq("band", "band_hash"), "doc_id",
         1024, Dedup.OverCap.Star)
       .distinct()
-    val sh = withSh.select(col("doc_id"), col("sh"))
     // integer agreement count over the two signatures — order-free
     val agree = aggregate(
       zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
       lit(0L), (acc, v) => acc + v)
     cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(props.select(col("doc_id").as("id_a"),
+        col("sig").as("sig_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(props.select(col("doc_id").as("id_b"),
+        col("sig").as("sig_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("est_pct", floor(agree * 100.0 / Dedup.NumHashes + lit(1e-6)))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("exact_pct", floor(col("inter") * 100.0 /
