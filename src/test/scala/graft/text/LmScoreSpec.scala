@@ -85,4 +85,26 @@ class LmScoreSpec extends SparkSpec {
       assert(e <= math.log(k.toDouble) * 1e6 + 1, s"entropy above ln(k): $e vs $k")
     }
   }
+
+  test("char entropy is invariant to permutation and self-concatenation") {
+    // entropy depends only on the char-frequency DISTRIBUTION: permuting
+    // the text or repeating it whole changes neither
+    val docs = Seq(
+      (1L, "aabbcc"), (2L, "abcabc"),             // permutations of each other
+      (3L, "abc"), (4L, "abc" * 4)                // same distribution, 4x length
+    ).toDF("doc_id", "text")
+    val ent = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_tot"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "n_tot", "ch").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), floor((col("n").cast("double") / col("n_tot")) *
+        log(col("n_tot").cast("double") / col("n")) * 1e6 + lit(1e-6)).as("term"))
+      .groupBy("doc_id").agg(sum("term").as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(ent(1L) === ent(2L))
+    assert(ent(3L) === ent(4L))
+    // and the value is the closed form: 3 terms of (1/3)·ln 3 µnats
+    assert(ent(3L) === 3 * 366204L)
+  }
 }
