@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +33,12 @@ import scala.jdk.CollectionConverters._
   *    the source is the difference between reading 1% and 100% of the
   *    payload. The generic JSON reader must materialize the whole
   *    `features` array struct before Catalyst prunes.
+  *  - **Filter pushdown reaches the parser.** Property predicates
+  *    (`SupportsPushDownFilters`) evaluate on the parsed properties
+  *    BEFORE geometry decode, under conservative 3-valued logic; every
+  *    filter is also returned as a residual, so Spark keeps final say
+  *    (the parquet row-group-stats contract). A feature rejected by a
+  *    pushed predicate never pays its coordinate parse.
   *  - **One partition per file, planned not inferred.** A
   *    FeatureCollection is a single JSON document (unsplittable); a
   *    directory of them scans as one task per file with no sampling
@@ -68,39 +75,58 @@ class GeoJsonTable(paths: Seq[String], tableSchema: StructType)
 }
 
 class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GeoJsonScan(paths, required)
+  /** Property predicates push into the parser. The reader's evaluation
+    * is CONSERVATIVE (a row is skipped only when the predicate is
+    * definitely false under 3-valued logic), so every filter is also
+    * returned as a residual for Spark to re-evaluate — same contract
+    * as parquet row-group stats: pushdown prunes work, the engine
+    * keeps final say. */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(GeoJsonSourceV2.isPushable(full, _))
+    filters // all residual
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+  override def build(): Scan = new GeoJsonScan(paths, full, required, pushed)
 }
 
-class GeoJsonScan(paths: Seq[String], required: StructType)
+class GeoJsonScan(paths: Seq[String], full: StructType,
+                  required: StructType, pushed: Array[sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => GeoJsonInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(required)
+    new GeoJsonReaderFactory(full, required, pushed)
   override def description(): String =
-    s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}"
+    s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}" +
+      s" PushedFilters: [${pushed.mkString(", ")}]"
 }
 
 case class GeoJsonInputPartition(path: String) extends InputPartition
 
-class GeoJsonReaderFactory(required: StructType)
+class GeoJsonReaderFactory(full: StructType, required: StructType,
+                           pushed: Array[sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(
-      partition.asInstanceOf[GeoJsonInputPartition].path, required)
+      partition.asInstanceOf[GeoJsonInputPartition].path, full, required, pushed)
 }
 
 /** One task = one FeatureCollection file. The document is parsed once;
   * only the REQUIRED fields are materialized into rows — in
   * particular, `geometry` (the bulk of the bytes) is parsed to JTS +
-  * WKB only when the query asked for it. */
-class GeoJsonPartitionReader(path: String, required: StructType)
+  * WKB only when the query asked for it, and only for features that
+  * survive the pushed property predicates. */
+class GeoJsonPartitionReader(path: String, full: StructType,
+                             required: StructType,
+                             pushed: Array[sources.Filter])
     extends PartitionReader[InternalRow] {
 
   // executor-side: default Hadoop conf resolves core-site.xml from the
@@ -121,25 +147,40 @@ class GeoJsonPartitionReader(path: String, required: StructType)
 
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    if (!features.hasNext) return false
-    val f = features.next()
-    val row = new GenericInternalRow(required.length)
-    var i = 0
-    while (i < required.length) {
-      val field = required.fields(i)
-      val v: Any =
-        if (field.name == GeoJsonSourceV2.GeometryField)
-          f \ "geometry" match {
-            case JNothing | JNull => null
-            case g => GeoFunctions.writeWkb(GeoJsonCodec.fromJValue(g))
-          }
-        else GeoJsonSourceV2.convert(f \ "properties" \ field.name, field.dataType)
-      row.update(i, v)
-      i += 1
+  // property lookup typed by the FULL schema (a filter may reference a
+  // column the projection pruned away)
+  private def prop(f: JValue, name: String): Any =
+    full.fields.find(_.name == name) match {
+      case Some(fd) => GeoJsonSourceV2.convert(f \ "properties" \ name, fd.dataType)
+      case None => null
     }
-    current = row
-    true
+
+  override def next(): Boolean = {
+    while (features.hasNext) {
+      val f = features.next()
+      // pushed predicates run BEFORE geometry decode: a skipped feature
+      // never pays the coordinate parse
+      if (pushed.forall(flt =>
+          GeoJsonSourceV2.eval3(flt, prop(f, _)) != Some(false))) {
+        val row = new GenericInternalRow(required.length)
+        var i = 0
+        while (i < required.length) {
+          val field = required.fields(i)
+          val v: Any =
+            if (field.name == GeoJsonSourceV2.GeometryField)
+              f \ "geometry" match {
+                case JNothing | JNull => null
+                case g => GeoFunctions.writeWkb(GeoJsonCodec.fromJValue(g))
+              }
+            else GeoJsonSourceV2.convert(f \ "properties" \ field.name, field.dataType)
+          row.update(i, v)
+          i += 1
+        }
+        current = row
+        return true
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = current
@@ -210,6 +251,70 @@ object GeoJsonSourceV2 {
       props.map { case (k, t) =>
         StructField(k, if (t == NullType) StringType else t, nullable = true)
       }.toSeq :+ StructField(GeometryField, BinaryType, nullable = true))
+  }
+
+  /** A filter pushes when every attribute it references is a flat
+    * property column (never the geometry blob) and its shape is one we
+    * can evaluate. */
+  def isPushable(schema: StructType, f: sources.Filter): Boolean = {
+    val propNames = schema.fields.map(_.name).toSet - GeometryField
+    def ok(f: sources.Filter): Boolean = f match {
+      case sources.EqualTo(a, _) => propNames(a)
+      case sources.GreaterThan(a, _) => propNames(a)
+      case sources.GreaterThanOrEqual(a, _) => propNames(a)
+      case sources.LessThan(a, _) => propNames(a)
+      case sources.LessThanOrEqual(a, _) => propNames(a)
+      case sources.In(a, _) => propNames(a)
+      case sources.IsNull(a) => propNames(a)
+      case sources.IsNotNull(a) => propNames(a)
+      case sources.And(l, r) => ok(l) && ok(r)
+      case sources.Or(l, r) => ok(l) && ok(r)
+      case sources.Not(c) => ok(c)
+      case _ => false
+    }
+    ok(f)
+  }
+
+  /** Three-valued predicate evaluation over CONVERTED property values:
+    * Some(true)/Some(false) when decidable, None when null is
+    * involved. Callers skip a row only on Some(false) — conservative,
+    * because Spark re-evaluates every filter post-scan. */
+  def eval3(f: sources.Filter, get: String => Any): Option[Boolean] = {
+    def cmp(a: String, lit: Any): Option[Int] = (get(a), lit) match {
+      case (null, _) | (_, null) => None
+      case (x: java.lang.Long, v: Number) => Some(java.lang.Long.compare(x, v.longValue()))
+      case (x: java.lang.Double, v: Number) => Some(java.lang.Double.compare(x, v.doubleValue()))
+      case (x: java.lang.Boolean, v: java.lang.Boolean) => Some(x.compareTo(v))
+      case (x: UTF8String, v: String) => Some(x.toString.compareTo(v))
+      case (x: UTF8String, v: UTF8String) => Some(x.toString.compareTo(v.toString))
+      case _ => None
+    }
+    f match {
+      case sources.EqualTo(a, v) => cmp(a, v).map(_ == 0)
+      case sources.GreaterThan(a, v) => cmp(a, v).map(_ > 0)
+      case sources.GreaterThanOrEqual(a, v) => cmp(a, v).map(_ >= 0)
+      case sources.LessThan(a, v) => cmp(a, v).map(_ < 0)
+      case sources.LessThanOrEqual(a, v) => cmp(a, v).map(_ <= 0)
+      case sources.In(a, vs) =>
+        val hits = vs.map(v => cmp(a, v))
+        if (hits.exists(_.contains(0))) Some(true)
+        else if (hits.forall(h => h.isDefined && !h.contains(0))) Some(false)
+        else None
+      case sources.IsNull(a) => Some(get(a) == null)
+      case sources.IsNotNull(a) => Some(get(a) != null)
+      case sources.And(l, r) => (eval3(l, get), eval3(r, get)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case sources.Or(l, r) => (eval3(l, get), eval3(r, get)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case sources.Not(c) => eval3(c, get).map(!_)
+      case _ => None // unknown filter: never skip
+    }
   }
 
   private def typeOf(v: JValue): DataType = v match {

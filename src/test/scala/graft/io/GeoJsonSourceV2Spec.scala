@@ -92,6 +92,35 @@ class GeoJsonSourceV2Spec extends SparkSpec {
     }
   }
 
+  test("filter pushdown reaches the parser: rejected features never decode geometry") {
+    val p = s"$tmp/geojson_v2_filterpush.json"
+    // feature id=9 has a CORRUPT geometry: only parser-level predicate
+    // skipping can make a geometry-selecting read succeed
+    write(p,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":1,"name":"good"},
+        | "geometry":{"type":"Point","coordinates":[1,2]}},
+        |{"type":"Feature","properties":{"id":9,"name":"bad"},
+        | "geometry":{"type":"Nonsense","coordinates":[]}}]}""".stripMargin)
+    GeoFunctions.register(spark)
+    val narrow = spark.read.format("geojson").load(p)
+      .filter(col("id") < 5)
+      .select(col("id"), GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+    // the scan advertises the pushed predicate
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(id,5"), plan)
+    // and the corrupt feature is skipped BEFORE its geometry parse
+    assert(narrow.as[(Long, String)].collect().toSeq === Seq((1L, "POINT (1 2)")))
+    // without the predicate the same read must fail on the bad geometry
+    intercept[Exception] {
+      spark.read.format("geojson").load(p).select("geometry").collect()
+    }
+    // residual re-evaluation keeps answers exact on ordinary predicates
+    val full = spark.read.format("geojson").load(p).select("id", "name")
+    assert(full.filter(col("name") === "bad").as[(Long, String)].collect().toSeq
+      === Seq((9L, "bad")))
+  }
+
   test("directory of files: one partition per file, deterministic order") {
     val dir = s"$tmp/geojson_v2_dir"
     new java.io.File(dir).mkdirs()
