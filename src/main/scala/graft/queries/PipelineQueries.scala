@@ -186,6 +186,56 @@ object PipelineQueries {
        |WHERE bucket < keep_below ORDER BY doc_id""".stripMargin
   }
 
+  /** Temperature-weighted training-mix sampling (the multilingual
+    * pretraining rebalance: keep rates ∝ count^α, α = 1/2, so
+    * low-resource languages are upsampled relative to their share).
+    * Unlike q_stratified_sample's FIXED quotas, the rates here are
+    * computed FROM the corpus: one tiny per-language aggregate →
+    * weights w = floor(√n·10⁶) → basis-point keep rates broadcast
+    * back against the scan; row selection is the same content-hash
+    * bucket (reproducible, engine-independent — never rand()).
+    * Determinism: √n is a single correctly-rounded IEEE op on
+    * identical inputs, so the quantized weights are bit-equal across
+    * engines; everything after is integer (floor division == DuckDB
+    * `//` on non-negatives). Scale shape: agg is |langs| rows, rates
+    * broadcast, the corpus never shuffles — selection happens in the
+    * scan projection. */
+  private def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val Target = 200L // sampled-corpus size the rates aim for
+    val docs = Tables.documents(spark, dir)
+    val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val tot = weights.agg(sum("w_q").as("sum_w"))
+    val rates = weights.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        least(lit(10000L),
+          expr(s"(${Target}L * w_q * 10000L) div (sum_w * n_docs)")).as("rate_bp"))
+    docs.select(col("doc_id"), col("lang"),
+        pmod(F.polyHash(col("text")), lit(10000L)).as("bucket"))
+      .join(broadcast(rates.drop("n_docs")), Seq("lang"))
+      .filter(col("bucket") < col("rate_bp"))
+      .select("doc_id", "lang", "bucket", "rate_bp")
+      .orderBy("doc_id")
+  }
+
+  private val temperatureMixSql =
+    s"""WITH w AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w_q
+       |  FROM documents GROUP BY lang
+       |), tot AS (
+       |  SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w
+       |), r AS (
+       |  SELECT lang, CAST(LEAST(10000, (200 * w_q * 10000) // (sum_w * n_docs)) AS BIGINT) AS rate_bp
+       |  FROM w CROSS JOIN tot
+       |)
+       |SELECT doc_id, d.lang AS lang,
+       |  ${OracleSqlFrag.poly("text")} % 10000 AS bucket, rate_bp
+       |FROM documents d JOIN r ON d.lang = r.lang
+       |WHERE ${OracleSqlFrag.poly("text")} % 10000 < rate_bp
+       |ORDER BY doc_id""".stripMargin
+
   /** Data-quality rule suite: the validation pass every production
     * pipeline runs before publishing a batch. Each rule is a
     * scan-speed predicate aggregate (or one anti-join for referential
@@ -237,6 +287,7 @@ object PipelineQueries {
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

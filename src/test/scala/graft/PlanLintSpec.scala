@@ -22,8 +22,9 @@ class PlanLintSpec extends SparkSpec {
     "q_pagerank",
     // 1-row scalar aggregates broadcast-crossed into a scan (the
     // scalar-subquery pattern): max-date cutoff, corpus doc count,
-    // corpus-wide BM25 stats, CDC cutoff timestamp
+    // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight
     "q_window_filter", "q_tfidf", "q_bm25", "q_cdc_apply",
+    "q_temperature_mix",
     // the salting demo: the SMALL build side replicated ×8 by a
     // range cross — the technique under test
     "q_join_salted")
