@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails `sbt runMain graft.Bench` stdout and parses the LAST
+// line as JSON. Two sbt behaviors break that: (a) forked-run output is
+// re-logged with an `[info] ` prefix, (b) sbt appends its own
+// `[success] Total time ...` trailer after the program exits. StdoutOutput
+// passes the forked JVM's stdout through verbatim; showSuccess drops the
+// trailer — together the compact JSON really is the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not another setting —
+// exclude it from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

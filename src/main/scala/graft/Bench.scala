@@ -72,19 +72,31 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt)
     val spreadLimit = 2.5
+    // A host that is ALREADY loaded before the session starts can disturb
+    // every rep equally — the spread check can't see that (round-7
+    // artifact: q_ngram_jaccard recorded at 4x its quiet-host time with
+    // rep spread 1.3). When external load is present at start, give every
+    // query the full rep budget up front so the min has more chances to
+    // land in a quiet window. Threshold 1.0: one busy foreign core on an
+    // otherwise idle 32-core box is already "not our load" — our own
+    // executors haven't started yet when loadStart is sampled.
+    val loadedHost = loadStart > 1.0
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop persisted blocks between queries/reps: keeps numbers
       // independent and the run free of accumulated cache pressure
+      // (releaseAll also empties the side-table registry so its
+      // Dataset refs don't accumulate across 117 queries × reps)
+      graft.ops.SideCache.releaseAll()
       spark.catalog.clearCache()
       dt
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val base = (1 to reps).map(_ => runOnce(fn))
       val times =
-        if (base.max / base.min > spreadLimit && maxReps > reps)
+        if ((loadedHost || base.max / base.min > spreadLimit) && maxReps > reps)
           base ++ ((reps + 1) to maxReps).map(_ => runOnce(fn))
         else base
       val dt = times.min
@@ -115,6 +127,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
       s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
+      s""","loaded_host_at_start":$loadedHost""" +
       s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
     // The driver captures only the TAIL of stdout, so the long audit
     // line above gets its head (metric/value) truncated away. This

@@ -30,6 +30,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally {
+        // release query-internal side tables + anything else cached:
+        // keeps every query's run independent and leaves zero persisted
+        // blocks behind (assertable via sparkContext.getPersistentRDDs)
+        graft.ops.SideCache.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -63,4 +63,19 @@ object GeoJsonIO {
     GeoFunctions.register(df.sparkSession)
     featureJson(df, geomCol).write.mode("overwrite").text(path)
   }
+
+  /** Read newline-delimited GeoJSON features (the
+    * [[writeFeatureLines]] scale path back in): fully distributed —
+    * Spark's line-oriented JSON reader splits the input like any text
+    * source, properties flatten to columns, geometry re-parses to
+    * WKB. Unlike the FeatureCollection form, NDJSON scans in parallel
+    * at any size, which is why it is the 100 TB interchange layout. */
+  def readFeatureLines(spark: SparkSession, path: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val raw = spark.read.json(path)
+    val propCols = raw.select(col("properties.*")).columns
+    raw.select(
+      propCols.map(c => col(s"properties.`$c`").as(c)) :+
+        GeoFunctions.cols.stGeomFromGeoJson(to_json(col("geometry"))).as("geometry"): _*)
+  }
 }

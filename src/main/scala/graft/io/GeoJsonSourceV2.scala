@@ -1,8 +1,8 @@
 package graft.io
 
 import graft.geo.{GeoFunctions, GeoJsonCodec}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -92,18 +92,25 @@ class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
     filters // all residual
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
-  override def build(): Scan = new GeoJsonScan(paths, full, required, pushed)
+  override def build(): Scan = new GeoJsonScan(paths, full, required, pushed,
+    // capture the DRIVER's session Hadoop conf here (build() runs on the
+    // driver): executors must see session-level spark.hadoop.* settings
+    // (s3a credentials, endpoints) that a bare `new Configuration()`
+    // would silently drop — same mechanism as the built-in file sources
+    new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf()))
 }
 
 class GeoJsonScan(paths: Seq[String], full: StructType,
-                  required: StructType, pushed: Array[sources.Filter])
+                  required: StructType, pushed: Array[sources.Filter],
+                  conf: SerializableConfiguration)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => GeoJsonInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(full, required, pushed)
+    new GeoJsonReaderFactory(full, required, pushed, conf)
   override def description(): String =
     s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}" +
       s" PushedFilters: [${pushed.mkString(", ")}]"
@@ -112,11 +119,13 @@ class GeoJsonScan(paths: Seq[String], full: StructType,
 case class GeoJsonInputPartition(path: String) extends InputPartition
 
 class GeoJsonReaderFactory(full: StructType, required: StructType,
-                           pushed: Array[sources.Filter])
+                           pushed: Array[sources.Filter],
+                           conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(
-      partition.asInstanceOf[GeoJsonInputPartition].path, full, required, pushed)
+      partition.asInstanceOf[GeoJsonInputPartition].path, full, required,
+      pushed, conf)
 }
 
 /** One task = one FeatureCollection file. The document is parsed once;
@@ -126,14 +135,16 @@ class GeoJsonReaderFactory(full: StructType, required: StructType,
   * survive the pushed property predicates. */
 class GeoJsonPartitionReader(path: String, full: StructType,
                              required: StructType,
-                             pushed: Array[sources.Filter])
+                             pushed: Array[sources.Filter],
+                             conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
-  // executor-side: default Hadoop conf resolves core-site.xml from the
-  // classpath, which covers file:// and cluster filesystems alike
+  // executor-side: the serialized DRIVER conf, so session-level
+  // spark.hadoop.* settings apply here exactly as they did during
+  // driver-side path resolution
   private lazy val features: Iterator[JValue] = {
     val hp = new Path(path)
-    val fs = hp.getFileSystem(new Configuration())
+    val fs = hp.getFileSystem(conf.value)
     val in = fs.open(hp)
     val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
@@ -223,29 +234,36 @@ object GeoJsonSourceV2 {
     }.sorted
   }
 
-  /** Driver-side inference from the FIRST file: property keys in
+  /** Driver-side inference across ALL matched files: property keys in
     * first-seen order, types widened Long → Double → String across
-    * features; `geometry` appended as WKB binary. */
+    * features AND across files (a directory whose later files carry a
+    * wider type than the first must not get silently-truncating reads);
+    * `geometry` appended as WKB binary. FeatureCollections are
+    * map-payload-sized by design (`:76` reads one static file), so one
+    * driver-side parse per file is the cost of one executor task's work
+    * — not a data scan. */
   def inferSchema(paths: Seq[String]): StructType = {
     require(paths.nonEmpty, "geojson source matched no files")
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val hp = new Path(paths.head)
-    val fs = hp.getFileSystem(conf)
-    val in = fs.open(hp)
-    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    finally in.close()
     val props = scala.collection.mutable.LinkedHashMap[String, DataType]()
-    JsonMethods.parse(text) \ "features" match {
-      case JArray(fs0) => fs0.foreach { f =>
-        f \ "properties" match {
-          case JObject(fields) => fields.foreach { case (k, v) =>
-            val t = typeOf(v)
-            props(k) = props.get(k).map(merge(_, t)).getOrElse(t)
+    paths.foreach { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val in = fs.open(hp)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+      JsonMethods.parse(text) \ "features" match {
+        case JArray(fs0) => fs0.foreach { f =>
+          f \ "properties" match {
+            case JObject(fields) => fields.foreach { case (k, v) =>
+              val t = typeOf(v)
+              props(k) = props.get(k).map(merge(_, t)).getOrElse(t)
+            }
+            case _ => ()
           }
-          case _ => ()
         }
+        case _ => ()
       }
-      case _ => ()
     }
     StructType(
       props.map { case (k, t) =>
@@ -285,8 +303,13 @@ object GeoJsonSourceV2 {
       case (x: java.lang.Long, v: Number) => Some(java.lang.Long.compare(x, v.longValue()))
       case (x: java.lang.Double, v: Number) => Some(java.lang.Double.compare(x, v.doubleValue()))
       case (x: java.lang.Boolean, v: java.lang.Boolean) => Some(x.compareTo(v))
-      case (x: UTF8String, v: String) => Some(x.toString.compareTo(v))
-      case (x: UTF8String, v: UTF8String) => Some(x.toString.compareTo(v.toString))
+      // Strings MUST compare in Spark's order (UTF8String is byte-wise =
+      // code-point order), not java.lang.String's UTF-16 code-unit order:
+      // the two disagree for supplementary characters, and a pushed
+      // `<`/`>` evaluated in the wrong order would skip rows the residual
+      // filter can never restore.
+      case (x: UTF8String, v: String) => Some(x.compareTo(UTF8String.fromString(v)))
+      case (x: UTF8String, v: UTF8String) => Some(x.compareTo(v))
       case _ => None
     }
     f match {
@@ -334,36 +357,49 @@ object GeoJsonSourceV2 {
   }
 
   /** Coerce a property JValue to the declared field type (external
-    * schemas may be narrower or wider than the file). */
+    * schemas may be narrower or wider than the file). Lossy coercions
+    * FAIL LOUDLY with the offending value and declared type instead of
+    * silently truncating (a fractional double under LongType) or
+    * surfacing a bare NumberFormatException mid-scan (a non-numeric
+    * string under a numeric type) — inference widens across all files,
+    * so these can only arise from a user-supplied external schema. */
   def convert(v: JValue, dt: DataType): Any = v match {
     case JNothing | JNull => null
     case _ => dt match {
       case LongType => v match {
         case JInt(i) => i.toLong
         case JLong(l) => l
-        case JDouble(d) => d.toLong
-        case JDecimal(d) => d.toLong
+        case JDouble(d) if d == math.rint(d) => d.toLong
+        case JDecimal(d) if d.isWhole => d.toLong
         case JBool(b) => if (b) 1L else 0L
-        case JString(s) => s.toLong
-        case _ => null
+        case JString(s) =>
+          try s.toLong catch { case _: NumberFormatException => mismatch(v, dt) }
+        case _ => mismatch(v, dt)
       }
       case DoubleType => v match {
         case JInt(i) => i.toDouble
         case JLong(l) => l.toDouble
         case JDouble(d) => d
         case JDecimal(d) => d.toDouble
-        case JString(s) => s.toDouble
-        case _ => null
+        case JString(s) =>
+          try s.toDouble catch { case _: NumberFormatException => mismatch(v, dt) }
+        case _ => mismatch(v, dt)
       }
       case BooleanType => v match {
         case JBool(b) => b
-        case _ => null
+        case _ => mismatch(v, dt)
       }
       case StringType => UTF8String.fromString(v match {
         case JString(s) => s
         case other => JsonMethods.compact(JsonMethods.render(other))
       })
-      case _ => null
+      case _ => mismatch(v, dt)
     }
   }
+
+  private def mismatch(v: JValue, dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"geojson: property value ${JsonMethods.compact(JsonMethods.render(v))} " +
+        s"does not fit declared type ${dt.simpleString}; drop the explicit " +
+        "schema to re-infer, or widen the declared type")
 }

@@ -237,6 +237,58 @@ object GeoQueries {
       .orderBy("c_custkey")
   }
 
+  /** GeoJSON WRITER oracle (il_analysis_git.py:170-175 — the layer
+    * export): write the squares layer as a FeatureCollection via
+    * [[GeoJsonIO.writeFeatureCollection]], read it back through the
+    * DSv2 connector, and surface the FULL WKT of every geometry. The
+    * fixture is pure integer arithmetic, so the writer's JTS→GeoJSON
+    * coordinate rendering, the reader's GeoJSON→JTS→WKB parse and the
+    * final WKT print are all reproducible as string concatenation in
+    * the oracle — unlike q_scan_geojson (properties + shape constants
+    * only), this hash-verifies the writer's geometry serialization
+    * byte for byte. */
+  private def writeGeojson(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_write_geojson.json"
+    GeoJsonIO.writeFeatureCollection(
+      squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry")),
+      path)
+    GeoFunctions.register(spark)
+    spark.read.format("geojson").load(path).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .orderBy("c_custkey")
+  }
+
+  /** Same contract through the DISTRIBUTED writer/reader pair
+    * ([[GeoJsonIO.writeFeatureLines]]/`readFeatureLines`, RFC 8142
+    * style NDJSON): no driver materialization on either side — the
+    * layout both legs would use at 100 TB. Same oracle: the two
+    * writer tiers must serialize identically. */
+  private def writeGeojsonLines(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_write_geojson_lines"
+    GeoJsonIO.writeFeatureLines(
+      squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry")),
+      path)
+    GeoJsonIO.readFeatureLines(spark, path).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .orderBy("c_custkey")
+  }
+
+  /** JTS WKT of the fixture square, reproduced arithmetically (same
+    * pin as boundarySql: integers render bare, `POLYGON ((` with the
+    * double space, ring order preserved from the source text). */
+  private val writeGeojsonSql =
+    """SELECT c_custkey, CAST(c_nationkey AS INT) AS c_nationkey,
+      |  'POLYGON ((' || x || ' ' || y || ', ' || (x+1) || ' ' || y || ', '
+      |    || (x+1) || ' ' || (y+1) || ', ' || x || ' ' || (y+1) || ', '
+      |    || x || ' ' || y || '))' AS wkt
+      |FROM (SELECT c_custkey, c_nationkey, (c_custkey*2)%40 AS x,
+      |        CAST(floor(c_custkey/20.0) AS BIGINT)*2 AS y FROM customer) t
+      |ORDER BY c_custkey""".stripMargin
+
   /** Grid-bucketed spatial join: point-in-polygon via an integer
     * grid-cell equi-join, then exact JTS containment. This is the
     * 100 TB spatial-join shape — geometries are bucketed by covering
@@ -280,6 +332,8 @@ object GeoQueries {
     Q("q_boundary", boundary, Some(boundarySql)),
     Q("q_scan_geojson", scanGeojson, Some(scanGeojsonSql)),
     Q("q_scan_geojson_v2", scanGeojsonV2, Some(scanGeojsonSql)),
+    Q("q_write_geojson", writeGeojson, Some(writeGeojsonSql)),
+    Q("q_write_geojson_lines", writeGeojsonLines, Some(writeGeojsonSql)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
   )
 }

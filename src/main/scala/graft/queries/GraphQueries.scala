@@ -203,8 +203,94 @@ object GraphQueries {
       |FROM nation n LEFT JOIN pern p ON p.node = CAST(n.n_nationkey AS BIGINT)
       |ORDER BY n.n_nationkey""".stripMargin
 
+  /** Triangle counting with DEGREE orientation — the at-scale variant
+    * the node-id version's doc promises: orient every undirected edge
+    * from its lower-(degree, id) endpoint to its higher one, build
+    * wedges only at each edge's LOW-rank endpoint, and close them with
+    * an oriented edge. Each wedge center then fans out at most
+    * O(√m) oriented neighbors (a node of degree d has out-degree
+    * ≤ √m under this orientation), so the wedge intermediate is
+    * bounded by O(m^1.5) REGARDLESS of skew — a web-graph hub with
+    * degree 10⁷ contributes almost no wedges because nearly all its
+    * edges point INTO it. Orientation is a total order (rank =
+    * degree·2²⁰ + id, ids unique), so each triangle is built exactly
+    * once; counts must equal the id-oriented kernel's bit for bit
+    * (spec-asserted) and the whole recurrence is replicated in SQL. */
+  def triangleDegree(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val und = tradeEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // rank: one integer, degree-major, id minor (2^20 > any node id)
+    val rk = deg.select(col("node"),
+      (col("deg") * lit(1048576L) + col("node")).as("rk"))
+    val oriented = und
+      .join(broadcast(rk.select(col("node").as("a"), col("rk").as("rk_a"))), "a")
+      .join(broadcast(rk.select(col("node").as("b"), col("rk").as("rk_b"))), "b")
+      .select(
+        when(col("rk_a") < col("rk_b"), col("a")).otherwise(col("b")).as("u"),
+        when(col("rk_a") < col("rk_b"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("rk_a"), col("rk_b")).as("rk_v"))
+    // wedges at the low-rank center; rk_v < rk_w keeps each pair once
+    val wedges = oriented
+      .join(oriented.select(col("u"), col("v").as("w"), col("rk_v").as("rk_w")), "u")
+      .filter(col("rk_v") < col("rk_w"))
+    // closure edge is necessarily oriented v -> w (rk_v < rk_w)
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    nation.join(broadcast(perNode),
+        col("n_nationkey").cast("long") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .orderBy("n_nationkey")
+  }
+
+  private val triangleDegreeSql =
+    """WITH d AS (
+      |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+      |    CAST(c.c_nationkey AS BIGINT) AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |), und AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+      |), deg AS (
+      |  SELECT node, COUNT(*) AS deg FROM (
+      |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      |  GROUP BY node
+      |), rk AS (
+      |  SELECT node, deg * 1048576 + node AS rk FROM deg
+      |), o AS (
+      |  SELECT CASE WHEN ra.rk < rb.rk THEN u.a ELSE u.b END AS u,
+      |         CASE WHEN ra.rk < rb.rk THEN u.b ELSE u.a END AS v,
+      |         GREATEST(ra.rk, rb.rk) AS rk_v
+      |  FROM und u JOIN rk ra ON ra.node = u.a JOIN rk rb ON rb.node = u.b
+      |), tri AS (
+      |  SELECT w1.u, w1.v, w2.v AS w
+      |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.rk_v < w2.rk_v
+      |  JOIN o e3 ON e3.u = w1.v AND e3.v = w2.v
+      |), pern AS (
+      |  SELECT node, COUNT(*) AS tri_cnt FROM (
+      |    SELECT u AS node FROM tri
+      |    UNION ALL SELECT v FROM tri
+      |    UNION ALL SELECT w FROM tri)
+      |  GROUP BY node)
+      |SELECT n.n_nationkey, n.n_name, COALESCE(p.tri_cnt, 0) AS tri_cnt
+      |FROM nation n LEFT JOIN pern p ON p.node = CAST(n.n_nationkey AS BIGINT)
+      |ORDER BY n.n_nationkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerankQ, Some(pagerankSql)),
     Q("q_triangle_count", triangleCount, Some(triangleCountSql)),
+    Q("q_triangle_degree", triangleDegree, Some(triangleDegreeSql)),
   )
 }

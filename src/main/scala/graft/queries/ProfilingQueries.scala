@@ -149,8 +149,8 @@ object ProfilingQueries {
       .agg(count(lit(1)).as("cnt"))
     // vocab-sized (≪ corpus) and used twice (cell probes + final
     // join) — pin it so the corpus isn't re-scanned per use
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = graft.ops.SideCache.persist(
+      toks.groupBy("tok").agg(count(lit(1)).as("exact_n")))
     // point queries: each distinct token probes its d cells — derived
     // from the already-aggregated vocab, not another corpus pass
     val cells = exact.select(col("tok"), explode(dwCols(col("tok"))).as("dw"))

@@ -313,18 +313,17 @@ object TextQueries {
     * (LSH already bounds them); |est − exact| ≤ 25 pct-points is a
     * ~4σ band, spec-asserted to hold for the whole corpus. */
   private def minhashEstErr(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val withSh = TF.shingleTable(Tables.documents(spark, dir), "doc_id", "text", 3)
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSh = graft.ops.SideCache.persist(
+      TF.shingleTable(Tables.documents(spark, dir), "doc_id", "text", 3)
+        .filter(size(col("sh")) > 0))
     val sigs = Dedup.minhashSignature(withSh, "doc_id", "sh")
     // one persisted per-doc (sig, shingles) side table: the candidate
     // fetch is then TWO joins (one per pair side), not four — at scale
     // each join is a shuffle of the pair list against the doc table
-    val props = sigs.join(withSh.select(col("doc_id"), col("sh")), Seq("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = Dedup.bandTable(sigs, "doc_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val props = graft.ops.SideCache.persist(
+      sigs.join(withSh.select(col("doc_id"), col("sh")), Seq("doc_id")))
+    val bands = graft.ops.SideCache.persist(
+      Dedup.bandTable(sigs, "doc_id"))
     val cand = Dedup.bucketPairs(bands, Seq("band", "band_hash"), "doc_id",
         1024, Dedup.OverCap.Star)
       .distinct()
@@ -691,10 +690,10 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       size(TF.tokens(col("text"))).cast("long").as("n_tok"))
-    val parts = toks.repartitionByRange(col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = graft.ops.SideCache.persist(
+      toks.repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", spark_partition_id()))
     import spark.implicits._
     val totals = parts.groupBy("pid").agg(sum("n_tok").as("tot"))
       .as[(Int, Long)].collect().sortBy(_._1)

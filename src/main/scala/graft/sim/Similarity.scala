@@ -456,8 +456,8 @@ object Similarity {
     * is persisted: each row costs Tables×BitsPerTable dot products
     * and the star pass re-scans it. */
   def lshCandidates(emb: DataFrame, maxBucket: Int = 1024): DataFrame = {
-    val bk = buckets(emb).select("vec_id", "table", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bk = graft.ops.SideCache.persist(
+      buckets(emb).select("vec_id", "table", "bucket"))
     graft.text.Dedup.bucketPairs(bk, Seq("table", "bucket"), "vec_id",
         maxBucket, graft.text.Dedup.OverCap.Star)
       .distinct()

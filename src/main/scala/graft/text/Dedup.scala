@@ -87,7 +87,7 @@ object Dedup {
     // over-cap broadcast job); persist so the shuffle+agg runs once.
     val agged = overCap match {
       case OverCap.Star =>
-        agged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.ops.SideCache.persist(agged0)
       case _ => agged0
     }
     val small = agged
@@ -152,15 +152,14 @@ object Dedup {
     * before a self-join, or the whole lineage recomputes per side. */
   def minhashPairs(docs: DataFrame, id: String = "doc_id", text: String = "text",
                    minJaccardPct: Int = 50, maxBucket: Int = 1024): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val withSh = TextFunctions.shingleTable(docs, id, text, 3)
-      .filter(size(col("sh")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withSh = graft.ops.SideCache.persist(
+      TextFunctions.shingleTable(docs, id, text, 3)
+        .filter(size(col("sh")) > 0))
     // persisted: the bounded bucket-pair path scans the band table
     // twice (capped aggregate + over-cap star pass) — without the
     // persist the second scan recomputes every MinHash signature.
-    val bands = bandTable(minhashSignature(withSh, id, "sh"), id)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = graft.ops.SideCache.persist(
+      bandTable(minhashSignature(withSh, id, "sh"), id))
     // bucket-pair candidates: one shuffle of the band table (instead
     // of a two-sided self-join), pairs emitted map-side per bucket.
     // Band buckets beyond `maxBucket` (a boilerplate cluster — think
@@ -267,8 +266,7 @@ object Dedup {
     // persisted: the fingerprint table feeds the block table (scanned
     // twice by the bounded bucket-pair path) AND both sides of the
     // hamming verify join — four scans, one simhash computation.
-    val fp = simhash(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fp = graft.ops.SideCache.persist(simhash(docs, id, text))
     val blocks = fp.select(col(id), posexplode(
         array((0 until 4).map(b =>
           pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))

@@ -73,6 +73,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     // that changes the subtree BELOW the exchange (e.g. a shifted join
     // key, whose isnotnull pushes down differently) makes the two
     // exchanges non-identical and legally un-reusable
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -87,7 +88,7 @@ class ScaleTechniquesSpec extends SparkSpec {
       assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
       assert(j.count() > 0)
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }

@@ -121,6 +121,69 @@ class GeoJsonSourceV2Spec extends SparkSpec {
       === Seq((9L, "bad")))
   }
 
+  test("pushed string ordering uses Spark's binary order (supplementary chars)") {
+    // U+1F600 (a supplementary char, surrogate pair D83D DE00) vs
+    // U+FFFD: UTF-16 code-unit order says 1F600 < FFFD (D83D < FFFD),
+    // but Spark's UTF8String binary order says 1F600 > FFFD. A pushed
+    // `name > U+FFFD` evaluated in the wrong order would skip the
+    // U+1F600 row at the parser — unrestorable by the residual filter.
+    val p = s"$tmp/geojson_v2_utf.json"
+    val emoji = "😀" // U+1F600
+    val fffd = "�"
+    write(p,
+      s"""{"type":"FeatureCollection","features":[
+         |{"type":"Feature","properties":{"id":1,"name":"$emoji"},"geometry":null},
+         |{"type":"Feature","properties":{"id":2,"name":"$fffd"},"geometry":null}]}""".stripMargin)
+    // sanity: the two orders really disagree on this pair
+    assert(emoji.compareTo(fffd) < 0)
+    assert(org.apache.spark.unsafe.types.UTF8String.fromString(emoji)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(fffd)) > 0)
+    val filtered = spark.read.format("geojson").load(p).filter(col("name") > fffd)
+    // the predicate must actually be pushed for this test to mean anything
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("GreaterThan(name"), filtered.queryExecution.executedPlan)
+    assert(filtered.select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("schema inference widens across ALL files in a directory") {
+    val dir = s"$tmp/geojson_v2_widen"
+    new java.io.File(dir).mkdirs()
+    // first file says long; a later file holds a fractional double —
+    // first-file-only inference would silently truncate 2.5 to 2
+    write(s"$dir/a.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"v":1},"geometry":null}]}""".stripMargin)
+    write(s"$dir/b.geojson",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"v":2.5},"geometry":null}]}""".stripMargin)
+    val df = spark.read.format("geojson").load(dir)
+    assert(df.schema("v").dataType.simpleString === "double")
+    assert(df.select("v").as[Double].collect().sorted === Seq(1.0, 2.5))
+  }
+
+  test("lossy coercion under an explicit schema fails loudly, not silently") {
+    val p = s"$tmp/geojson_v2_lossy.json"
+    write(p,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"score":2.5},"geometry":null}]}""".stripMargin)
+    val narrow = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    val e = intercept[Exception] {
+      spark.read.format("geojson").schema(narrow).load(p).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("does not fit declared type")), e)
+    // integral doubles still coerce fine (2.0 under LongType is lossless)
+    val p2 = s"$tmp/geojson_v2_integral.json"
+    write(p2,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"score":2.0},"geometry":null}]}""".stripMargin)
+    assert(spark.read.format("geojson").schema(narrow).load(p2)
+      .select("score").as[Long].head() === 2L)
+  }
+
   test("directory of files: one partition per file, deterministic order") {
     val dir = s"$tmp/geojson_v2_dir"
     new java.io.File(dir).mkdirs()

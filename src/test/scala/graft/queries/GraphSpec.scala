@@ -42,6 +42,16 @@ class GraphSpec extends SparkSpec {
     assert(out.map(_._2).max > 0)
   }
 
+  test("degree orientation counts the same triangles as id orientation") {
+    // the O(m^1.5)-bounded degree orientation is a pure re-keying of
+    // the wedge enumeration — per-node counts must agree bit for bit
+    val byId = GraphQueries.triangleCount(spark, sf0001)
+      .select("n_nationkey", "tri_cnt").as[(Int, Long)].collect().toSeq
+    val byDeg = GraphQueries.triangleDegree(spark, sf0001)
+      .select("n_nationkey", "tri_cnt").as[(Int, Long)].collect().toSeq
+    assert(byDeg === byId)
+  }
+
   test("pagerank plan: dimension hops broadcast, iteration joins broadcast") {
     val phys = GraphQueries.pagerank(spark, sf0001)
       .queryExecution.executedPlan.toString
