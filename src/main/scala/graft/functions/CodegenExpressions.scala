@@ -751,6 +751,76 @@ case class ShingleHashes(child: Expression, n: Int, base: Long,
     copy(child = newChild)
 }
 
+/** Character-entropy kernel shared by [[CharEntropy]]'s interpreted
+  * and generated paths. One pass over the document's code points:
+  * frequency counts (dense array for ASCII, the overwhelmingly common
+  * case; spill map for the rest), then one term per DISTINCT code
+  * point — each term quantized to integer µnats exactly like the
+  * explode+agg formulation it replaces (`floor((n/N)·ln(N/n)·1e6 +
+  * 1e-6)`, the same double-op sequence, so results are bit-identical
+  * and the DuckDB oracle is unchanged). The integer term sum is
+  * combine-order free. */
+object CharEntropyKernel {
+  /** Returns `{n_distinct_codepoints, entropy_nats_micro}`. */
+  def compute(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val ascii = new Array[Int](128)
+    var other: java.util.HashMap[Integer, Array[Int]] = null
+    var nTot = 0L
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      nTot += 1
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Int]]
+        val cell = other.get(cp)
+        if (cell == null) other.put(cp, Array(1)) else cell(0) += 1
+      }
+    }
+    var nDistinct = 0L
+    var ent = 0L
+    // the exact double-op order of the former column expression:
+    // ((n/N) * ln(N/n)) * 1e6, then floor(x + 1e-6)
+    def term(n: Int): Long =
+      math.floor(n.toDouble / nTot * math.log(nTot.toDouble / n) * 1e6 + 1e-6).toLong
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) { nDistinct += 1; ent += term(ascii(c)) }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) { nDistinct += 1; ent += term(it.next()(0)) }
+    }
+    Array(nDistinct, ent)
+  }
+}
+
+/** Per-document character Shannon entropy in ONE codegen pass — no
+  * per-character explode, no (doc, char) shuffle rows at all: the
+  * whole frequency table lives in a thread-local array for the
+  * microseconds the row is under the projection. Returns
+  * `array<long>` `[n_distinct_codepoints, entropy_nats_micro]`. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(CharEntropyKernel.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+       |  graft.functions.CharEntropyKernel.compute($c));
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -764,6 +834,7 @@ object F {
   def minhashSig(shingles: Column, permA: Seq[Long], permB: Seq[Long]): Column =
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+  def charEntropy(text: Column): Column = c(CharEntropy(e(text)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecDotD(a: Column, b: Column): Column = c(VecDotD(e(a), e(b)))
   def vecNorm(a: Column): Column = c(VecNorm(e(a)))

@@ -174,6 +174,75 @@ object ClearMapPipeline {
     frames
   }
 
+  /** Driver-table adapter: renders the engine's event series as the
+    * MOH-SHAPED RAW STRINGS the reference ingests (`'<15'` censor
+    * tokens, TRUE/FALSE flags, string-typed numerics) plus a synthetic
+    * shape layer, so [[run]] can execute END TO END — clean/decode
+    * through the four windows and both GeoJSON layers — on the driver
+    * datasets rather than only on the golden fixture.
+    *
+    * Key mapping: events fold onto a 50-city × 4-area grid
+    * (`city = id%50+1`, `area = id%4` — area 0 rows exercise the
+    * reconcile paths), daily increments aggregate per (city, area,
+    * date), and cumulative counts are re-rendered as the REFERENCE's
+    * raw encoding: below-threshold cumulative values print as the
+    * censor token, flags as TRUE/FALSE. The shape layer synthesizes a
+    * unit square per (city, area) on a sparse grid (the GeoQueries
+    * squares convention) with deterministic pop/rank. Sized for the
+    * spec gate at sf0.001 (cumulative cents stay far below Int.Max);
+    * at scale the adapter's plan is two shuffles (daily agg + the
+    * cumulative window) — same anatomy as EventSeries.series. */
+  def driverInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.queries.EventSeries
+    GeoFunctions.register(spark)
+    val keyed = EventSeries.daily(spark, dir)
+      .select(((col("id") % 50) + 1).cast(IntegerType).as("city"),
+        (col("id") % 4).cast(IntegerType).as("area"),
+        col("date"), col("dval"), col("n_events"),
+        col("new_case"), col("new_vaccine"))
+      .groupBy("city", "area", "date")
+      .agg(sum("dval").as("dval"), sum("n_events").as("nev"),
+        sum("new_case").as("nc"), sum("new_vaccine").as("nv"))
+    val w = Window.partitionBy("city", "area").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val raw = keyed
+      .withColumn("cum_cases", sum(col("dval")).over(w))
+      .withColumn("cum_tests", sum(col("nev")).over(w) * 100)
+      .withColumn("cum_vacc", sum(when(col("dval") > 0, col("dval") / 2)
+        .otherwise(lit(0L))).over(w).cast(LongType))
+      .select(
+        col("city").cast(StringType).as("city"),
+        col("area").cast(StringType).as("area"),
+        date_format(col("date"), "yyyy-MM-dd").as("date"),
+        when(col("cum_cases") < 1500, lit("<15"))
+          .otherwise(col("cum_cases").cast(StringType)).as("cases"),
+        when(col("nc") > 0, lit("TRUE")).otherwise(lit("FALSE")).as("new_case"),
+        col("cum_tests").cast(StringType).as("tests"),
+        when(col("cum_vacc") < 1500, lit("<15"))
+          .otherwise(col("cum_vacc").cast(StringType)).as("vaccine"),
+        when(col("nv") > 0, lit("TRUE")).otherwise(lit("FALSE")).as("new_vaccine"))
+    import spark.implicits._
+    val x = (col("city") * 2) % 40
+    val y = col("area") * 2 + floor(col("city") / 20) * 10
+    val wkt = concat(
+      lit("POLYGON(("), x, lit(" "), y, lit(", "),
+      x + 1, lit(" "), y, lit(", "),
+      x + 1, lit(" "), y + 1, lit(", "),
+      x, lit(" "), y + 1, lit(", "),
+      x, lit(" "), y, lit("))"))
+    val shape = (1 to 50).flatMap(c => (1 to 3).map(a => (c, a)))
+      .toDF("city", "area")
+      .withColumn("id", CleanOps.surrogateId(col("city"), col("area")))
+      .withColumn("name", concat(lit("city_"), col("city")))
+      .withColumn("areas_name",
+        concat(lit("area_"), col("city"), lit("_"), col("area")))
+      .withColumn("pop", (col("city") * 1000 + col("area") * 37 + 100).cast(DoubleType))
+      .withColumn("rank", (col("city") % 7).cast(DoubleType))
+      .withColumn("geometry", GeoFunctions.cols.stGeomFromText(wkt))
+      .select("id", "city", "area", "name", "areas_name", "pop", "rank", "geometry")
+    (raw, shape)
+  }
+
   /** The reference's zip_longest transpose (:202-213): 3 ragged lists
     * per window → 12 fixed columns, date lists ascending. */
   def writeSideCsv(frames: Map[String, DataFrame], order: Seq[String],

@@ -70,29 +70,26 @@ object TextQueries {
     * base64 spam score near ln(alphabet), single-char runs and
     * keyboard-mash boilerplate score near 0.
     *
-    * Plan shape: explode to (doc, char) rows, but the partial hash
-    * aggregate collapses them map-side, so the shuffle carries at most
-    * |alphabet| rows per document — not one row per character. (A
-    * native codegen expression could do it in zero shuffles; at
-    * ≤ ~100 distinct chars/doc the agg path is already scan-bound.)
+    * Plan shape: ONE codegen pass per document — the native
+    * [[graft.functions.CharEntropy]] expression builds the per-doc
+    * frequency table in a projection-local array and emits
+    * `[n_distinct, ent_µnats]` with zero explosion and zero
+    * aggregation (the former explode+two-agg pipeline shuffled
+    * ≤ |alphabet| rows/doc; this shuffles none and the only exchange
+    * left is the presentation sort).
     * Determinism: each char class's contribution
     * (n/N)·ln(N/n) is quantized to integer micros BEFORE the per-doc
-    * sum (the q_tfidf/q_lm_score trick), so FP combine order cannot
-    * change a bit. Empty docs have no char rows and drop out on both
-    * engines (corpus min length is 48). */
+    * sum (the q_tfidf/q_lm_score trick) — the kernel replicates the
+    * former column expression's double-op order exactly, so results
+    * are bit-identical and the oracle is unchanged. Empty docs drop
+    * out on both engines (corpus min length is 48). */
   private def entropy(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    docs.select(col("doc_id"),
-        length(col("text")).cast("long").as("n_tot"),
-        explode(split(col("text"), "")).as("ch"))
-      .filter(length(col("ch")) === 1) // Java-regex split emits a trailing ""
-      .groupBy("doc_id", "n_tot", "ch").agg(count(lit(1)).as("n"))
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), graft.functions.F.charEntropy(col("text")).as("e"))
       .select(col("doc_id"),
-        Num.floorEps((col("n").cast("double") / col("n_tot")) *
-          log(col("n_tot").cast("double") / col("n")) * 1e6).as("term_micro"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_distinct_chars"),
-        sum("term_micro").as("ent_nats_micro"))
+        element_at(col("e"), 1).as("n_distinct_chars"),
+        element_at(col("e"), 2).as("ent_nats_micro"))
       .orderBy("doc_id")
   }
 

@@ -219,4 +219,47 @@ object EventStream {
         pmod(graft.functions.F.polyHash(col("tok"), b), lit(width)).as("w"))
     }.reduce(_ unionByName _)
       .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
+
+  // ---- CDC apply as a foreachBatch sink ----
+
+  case class CdcChange(user_id: Long, event_id: Long,
+                       ts: java.sql.Timestamp, op: String, vc: Long)
+  case class CdcState(event_id: Long, ts: java.sql.Timestamp,
+                      op: String, vc: Long)
+
+  /** Newer-wins precedence fold — the single rule the batch
+    * `q_cdc_apply` merge encodes in its `row_number` window
+    * (latest (ts, event_id) per key wins; tombstones are retained as
+    * versioned markers, NOT hard deletes, so a late upsert that is
+    * OLDER than an applied delete can never resurrect the key). */
+  def cdcFold(store: scala.collection.concurrent.TrieMap[Long, CdcState],
+              c: CdcChange): Unit = {
+    val stale = store.get(c.user_id).exists { s =>
+      s.ts.getTime > c.ts.getTime ||
+        (s.ts.getTime == c.ts.getTime && s.event_id >= c.event_id)
+    }
+    if (!stale) store.put(c.user_id, CdcState(c.event_id, c.ts, c.op, c.vc))
+  }
+
+  /** The `q_cdc_apply` merge as an INCREMENTAL sink: each micro-batch
+    * folds its change rows into a keyed store under [[cdcFold]]'s
+    * precedence, so arrival order — within a batch, across batches,
+    * late data — cannot change the final table (StreamingSpec proves
+    * equality with the batch window formula under shuffled batches).
+    * The live table is `store.filter(_._2.op == "U")`.
+    *
+    * This in-memory store is the test harness shape; in production
+    * foreachBatch issues the same predicate as a transactional MERGE
+    * (`WHEN MATCHED AND source.(ts, event_id) > target.(ts, event_id)
+    * THEN UPDATE/DELETE-marker ...`) against the warehouse table —
+    * foreachBatch gives at-least-once batch delivery, and the
+    * precedence predicate makes the merge idempotent under replay. */
+  def cdcApplySink(in: Dataset[CdcChange],
+                   store: scala.collection.concurrent.TrieMap[Long, CdcState])
+      : org.apache.spark.sql.streaming.DataStreamWriter[CdcChange] =
+    in.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[CdcChange], _: Long) =>
+        batch.collect().foreach(cdcFold(store, _))
+        ()
+      }
 }

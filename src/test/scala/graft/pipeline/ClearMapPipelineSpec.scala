@@ -135,4 +135,36 @@ class ClearMapPipelineSpec extends SparkSpec {
 
   private def ujsonLite(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+
+  test("full pipeline end-to-end on driver data: 4 windows, 2 layers each, CSV, < 30 s") {
+    val out = java.nio.file.Files.createTempDirectory("clearmap_e2e").toString
+    val t0 = System.nanoTime()
+    val (raw, shape) = ClearMapPipeline.driverInputs(spark, sf0001)
+    val driven = ClearMapPipeline.run(raw, shape, out)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(driven.keySet === Set("all", "wave", "weeks_2", "weeks_1"))
+    // 11-column export contract (il_analysis_git.py:172) on every window
+    val expect = Seq("date", "num_cases", "tests", "id",
+      "socio_economic_rank", "area_name", "geometry", "percent",
+      "p_vaccine", "delta", "normalized")
+    driven.values.foreach(f => assert(f.columns.toSeq == expect))
+    // every window wrote a polygon layer whose feature count equals the
+    // frame's row count, plus a boundary-lines layer
+    driven.foreach { case (name, f) =>
+      val n = f.count()
+      assert(n > 0, s"window $name is empty")
+      val fc = ujsonLite(s"$out/map_$name.geojson")
+      assert("\\{\"type\":\"Feature\",".r.findAllIn(fc).size === n,
+        s"window $name: feature count != frame rows")
+      val lines = ujsonLite(s"$out/lines_$name.geojson")
+      assert(lines.contains("LineString"), s"window $name lines layer")
+    }
+    // the transposed side CSV: 12 columns, date columns ascending
+    val csv = scala.io.Source.fromFile(s"$out/dates_colors_sums.csv")
+      .getLines().toSeq
+    assert(csv.head.split(",").length == 12)
+    val dateCol = csv.tail.map(_.split(",", -1)(0)).filter(_.nonEmpty)
+    assert(dateCol == dateCol.sorted)
+    assert(secs < 30.0, s"end-to-end run took $secs s")
+  }
 }

@@ -419,4 +419,54 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("foreachBatch CDC sink equals the batch merge under out-of-order batches") {
+    import EventStream.{CdcChange, CdcState}
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // fixture covering every precedence case the batch q_cdc_apply
+    // window encodes:
+    //  user 1: upsert, then a NEWER delete -> gone
+    //  user 2: delete applied first, then a LATE, OLDER upsert arrives
+    //          in a later micro-batch -> must NOT resurrect
+    //  user 3: two upserts -> newest value wins
+    //  user 4: same ts, higher event_id wins
+    val batch1 = Seq(
+      CdcChange(1L, 10L, ts(0), "U", 100L),
+      CdcChange(2L, 20L, ts(5), "D", 0L),
+      CdcChange(3L, 30L, ts(1), "U", 300L),
+      CdcChange(4L, 40L, ts(2), "U", 400L))
+    val batch2 = Seq(
+      CdcChange(1L, 11L, ts(3), "D", 0L),
+      CdcChange(2L, 19L, ts(2), "U", 200L), // late + older than the D
+      CdcChange(3L, 31L, ts(4), "U", 301L),
+      CdcChange(4L, 41L, ts(2), "U", 401L))
+    val store = scala.collection.concurrent.TrieMap.empty[Long, CdcState]
+    val in = MemoryStream[CdcChange]
+    val q = EventStream.cdcApplySink(in.toDS(), store).start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = store.toSeq.filter(_._2.op == "U")
+      .map { case (k, st) => (k, st.event_id, st.vc) }.toSet
+    // batch twin: the exact q_cdc_apply merge formula over ALL changes
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val expect = (batch1 ++ batch2).toDS()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("event_id"), col("vc"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(live === expect)
+    assert(live === Set((3L, 31L, 301L), (4L, 41L, 401L)))
+    // replay idempotence: re-folding any prefix changes nothing
+    (batch1 ++ batch2 ++ batch1).foreach(EventStream.cdcFold(store, _))
+    val replayed = store.toSeq.filter(_._2.op == "U")
+      .map { case (k, st) => (k, st.event_id, st.vc) }.toSet
+    assert(replayed === live)
+  }
 }

@@ -86,6 +86,29 @@ class LmScoreSpec extends SparkSpec {
     }
   }
 
+  test("native CharEntropy equals the explode+agg formulation, no Generate node") {
+    // the codegen kernel must be bit-identical to the pipeline it
+    // replaced (same double-op order per term, integer term sum)
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+    val viaExplode = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_tot"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) === 1)
+      .groupBy("doc_id", "n_tot", "ch").agg(count(lit(1)).as("n"))
+      .select(col("doc_id"), floor((col("n").cast("double") / col("n_tot")) *
+        log(col("n_tot").cast("double") / col("n")) * 1e6 + lit(1e-6)).as("term"))
+      .groupBy("doc_id").agg(count(lit(1)).as("k"), sum("term").as("e"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val q = graft.SparkEntry.queries("q_entropy")(spark, sf0001)
+    val viaKernel = q.as[(Long, Long, Long)].collect().toSeq
+    assert(viaKernel === viaExplode)
+    // and the plan really is explosion-free: a scan-speed projection
+    // plus the presentation sort, no Generate, no aggregate
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   test("char entropy is invariant to permutation and self-concatenation") {
     // entropy depends only on the char-frequency DISTRIBUTION: permuting
     // the text or repeating it whole changes neither
