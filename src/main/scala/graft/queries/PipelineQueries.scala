@@ -236,6 +236,74 @@ object PipelineQueries {
        |WHERE ${OracleSqlFrag.poly("text")} % 10000 < rate_bp
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic content-hash sharding — the "write the corpus as K
+    * reproducible shards" step every pretraining pipeline ends with:
+    * shard = polyhash(text) mod K, so the assignment depends only on
+    * CONTENT (re-running on re-ordered, re-partitioned, or
+    * incrementally-grown input lands every surviving document in the
+    * same shard — stable training order, resumable preprocessing).
+    * Output is the shard MANIFEST (per-shard count, byte mass, id
+    * range) — the thing you actually inspect before a 100 TB write.
+    * Scale shape: the assignment is a scan-speed projection; the
+    * manifest is a K-row aggregate (map-side partials do all the
+    * work); an actual sharded write is `partitionBy("shard")` on the
+    * same column (the q_write_partitioned layout). Balance is a
+    * multinomial: shards concentrate within O(√(n/K)) of n/K —
+    * spec-asserted on the corpus. */
+  private val NumShards = 64L
+
+  private def shardAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(F.polyHash(col("text")), lit(NumShards)).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  private val shardAssignSql =
+    s"""SELECT ${OracleSqlFrag.poly("text")} % $NumShards AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Per-source document cap — the absolute-ceiling companion to
+    * q_temperature_mix's proportional rates: no single source (one
+    * crawl domain, one dump) may contribute more than `SourceCap`
+    * documents (the corpus holds ~25 per source, so the ceiling
+    * genuinely prunes), and within a source the KEPT documents are the
+    * best ones under a deterministic (length desc, doc_id) order —
+    * never "first N encountered", which depends on scan order. Plan
+    * shape:
+    * rank-within-group with a `rank <= k` filter, which Spark rewrites
+    * to WindowGroupLimit — each group keeps a k-row heap BEFORE the
+    * window sort, so per-source state is O(k) even when one domain
+    * holds a billion pages (the q_topn_per_group/q_ann_topk operator,
+    * deployed on curation). */
+  private val SourceCap = 10
+
+  private def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .orderBy("doc_id")
+  }
+
+  private val sourceCapSql =
+    s"""SELECT doc_id, source, n_chars, rk FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |                            ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+       |  FROM documents
+       |) WHERE rk <= $SourceCap
+       |ORDER BY doc_id""".stripMargin
+
   /** Data-quality rule suite: the validation pass every production
     * pipeline runs before publishing a batch. Each rule is a
     * scan-speed predicate aggregate (or one anti-join for referential
@@ -288,6 +356,8 @@ object PipelineQueries {
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
+    Q("q_shard_assign", shardAssign, Some(shardAssignSql)),
+    Q("q_source_cap", sourceCap, Some(sourceCapSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

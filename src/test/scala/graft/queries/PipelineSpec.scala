@@ -73,6 +73,55 @@ class PipelineSpec extends SparkSpec {
     assert(out === 3) // "a b c", "b c a", "c a b"
   }
 
+  test("q_shard_assign: exhaustive, disjoint, content-stable, roughly balanced") {
+    val shards = run("q_shard_assign")
+      .select("shard", "n_docs").as[(Long, Long)].collect()
+    val nDocs = graft.tables.Tables.documents(spark, sf0001).count()
+    // exhaustive: every document lands in exactly one shard
+    assert(shards.map(_._2).sum === nDocs)
+    assert(shards.map(_._1).distinct.length === shards.length)
+    shards.foreach { case (s, _) => assert(s >= 0 && s < 64) }
+    // multinomial balance: no shard grossly over-full (mean + 6σ,
+    // σ ≈ √(n/K) — loose enough to never flake, tight enough to catch
+    // a broken hash that funnels everything into one shard)
+    val mean = nDocs.toDouble / 64
+    val limit = mean + 6 * math.sqrt(mean) + 1
+    shards.foreach { case (s, n) =>
+      assert(n <= limit, s"shard $s over-full: $n vs mean $mean")
+    }
+    // content-stability: same corpus re-read -> identical manifest
+    val again = run("q_shard_assign").select("shard", "n_docs")
+      .as[(Long, Long)].collect()
+    assert(again.sorted.toSeq === shards.sorted.toSeq)
+  }
+
+  test("q_source_cap: per-source ceiling holds and keeps the longest docs") {
+    val rows = run("q_source_cap")
+      .select("source", "doc_id", "n_chars", "rk")
+      .as[(String, Long, Long, Int)].collect()
+    val bySource = rows.groupBy(_._1)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 10, s"source $src over cap")
+      // ranks are exactly 1..k within each source
+      assert(rs.map(_._4).sorted.toSeq === (1 to rs.length).toSeq, src)
+    }
+    // kept docs dominate dropped docs under the (n_chars desc, doc_id)
+    // order: for any capped source, min kept length >= max dropped
+    val all = graft.tables.Tables.documents(spark, sf0001)
+      .select("source", "doc_id", "n_chars").as[(String, Long, Long)].collect()
+    bySource.filter(_._2.length == 10).foreach { case (src, kept) =>
+      val keptIds = kept.map(_._2).toSet
+      val dropped = all.filter(r => r._1 == src && !keptIds(r._2))
+      if (dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max,
+          s"source $src kept a shorter doc than it dropped") // ties break by id
+    }
+    // the rank<=k filter must plan as WindowGroupLimit (bounded
+    // per-group state), not a full window sort then filter
+    val plan = run("q_source_cap").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("q_stratified_sample keeps only below-quota buckets, rates roughly honor quotas") {
     val rows = run("q_stratified_sample")
       .select("lang", "bucket", "keep_below").as[(String, Long, Int)].collect()
