@@ -104,7 +104,7 @@ class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
 class GeoJsonScan(paths: Seq[String], full: StructType,
                   required: StructType, pushed: Array[sources.Filter],
                   conf: SerializableConfiguration)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
@@ -114,6 +114,25 @@ class GeoJsonScan(paths: Seq[String], full: StructType,
   override def description(): String =
     s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}" +
       s" PushedFilters: [${pushed.mkString(", ")}]"
+
+  /** On-disk byte size of the matched files (driver-side listing, no
+    * data read). Without this a DSv2 relation falls back to
+    * `spark.sql.defaultSizeInBytes` (≈ Long.Max), so a map-payload
+    * dimension layer would NEVER auto-broadcast and every fact⋈shape
+    * join would plan as a shuffle — at 100 TB the single worst default
+    * a connector can inherit. Raw size is conservative (a pruned
+    * geometry-less projection reads far less), so it can only
+    * under-broadcast, never OOM the driver. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val bytes: Long = paths.map { p =>
+      val hp = new Path(p)
+      hp.getFileSystem(conf.value).getFileStatus(hp).getLen
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 }
 
 case class GeoJsonInputPartition(path: String) extends InputPartition

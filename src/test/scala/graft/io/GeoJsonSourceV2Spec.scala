@@ -184,6 +184,21 @@ class GeoJsonSourceV2Spec extends SparkSpec {
       .select("score").as[Long].head() === 2L)
   }
 
+  test("reported file-size statistics let a geojson dim auto-broadcast") {
+    val p = s"$tmp/geojson_v2_stats.json"
+    write(p, fixture)
+    val dim = spark.read.format("geojson").load(p).select("id", "name")
+    // the connector must report its on-disk size, not defaultSizeInBytes
+    val stats = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats < (1L << 20), s"stats not reported: $stats")
+    // and a plain join (NO broadcast hint) against a big side must pick
+    // a broadcast hash join on its own
+    val facts = spark.range(0, 100000).toDF("id")
+    val plan = facts.join(dim, "id").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("directory of files: one partition per file, deterministic order") {
     val dir = s"$tmp/geojson_v2_dir"
     new java.io.File(dir).mkdirs()
