@@ -751,6 +751,60 @@ case class ShingleHashes(child: Expression, n: Int, base: Long,
     copy(child = newChild)
 }
 
+/** Pair-enumeration kernel shared by [[PairArray]]'s interpreted and
+  * generated paths: array<long> ids → all C(n,2) ordered pairs
+  * (a < b) as struct rows, ids sorted first so pair order is
+  * canonical. Primitive longs straight out of ArrayData — the Scala
+  * UDF this replaces deserialized to Seq[Long], boxed every id into a
+  * tuple, and re-encoded the tuples row by row on the hottest dedup
+  * path (every LSH/SimHash/embedding bucket runs through it). Output
+  * is bounded by the caller's bucket cap (≤ cap²/2 rows). */
+object PairKernel {
+  def pairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val s = new Array[Long](n)
+    var i = 0
+    while (i < n) { s(i) = ids.getLong(i); i += 1 }
+    java.util.Arrays.sort(s)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(s(i), s(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All unordered id pairs of a bucket as `array<struct<id_a, id_b>>`
+  * (a < b, canonical order) — feeds `explode` in
+  * [[graft.text.Dedup.bucketPairs]]. */
+case class PairArray(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairKernel.pairs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.PairKernel.pairs($c);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PairArray =
+    copy(child = newChild)
+}
+
 /** Character-entropy kernel shared by [[CharEntropy]]'s interpreted
   * and generated paths. One pass over the document's code points:
   * frequency counts (dense array for ASCII, the overwhelmingly common
@@ -835,6 +889,7 @@ object F {
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def charEntropy(text: Column): Column = c(CharEntropy(e(text)))
+  def pairArray(ids: Column): Column = c(PairArray(e(ids)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecDotD(a: Column, b: Column): Column = c(VecDotD(e(a), e(b)))
   def vecNorm(a: Column): Column = c(VecNorm(e(a)))

@@ -34,18 +34,9 @@ object Dedup {
 
   /** All ordered pairs (a < b) from one bucket's id list — the
     * map-side pair emitter for the bucket-join pattern below. */
-  private val pairUdf = udf((ids: Seq[Long]) => {
-    val s = ids.toArray.sorted
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-      s.length * (s.length - 1) / 2)
-    var i = 0
-    while (i < s.length) {
-      var j = i + 1
-      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-      i += 1
-    }
-    out.toSeq
-  })
+  // pair enumeration is the native codegen PairArray expression
+  // (graft.functions.PairKernel) — primitive longs end to end; the
+  // former Scala UDF boxed every id into a tuple per bucket
 
   /** What to do with a bucket larger than `maxBucket`. */
   sealed trait OverCap
@@ -92,8 +83,8 @@ object Dedup {
     }
     val small = agged
       .filter(col("bk.total").between(2, maxBucket))
-      .select(explode(pairUdf(col("bk.ids"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .select(explode(F.pairArray(col("bk.ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     overCap match {
       case OverCap.Drop => small
       case OverCap.Star =>
