@@ -6,9 +6,10 @@ import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -60,18 +61,24 @@ class GeoJsonDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     new GeoJsonTable(
-      GeoJsonSourceV2.resolvePaths(new CaseInsensitiveStringMap(properties)),
+      GeoJsonSourceV2.rawPaths(new CaseInsensitiveStringMap(properties)),
       schema)
 }
 
-class GeoJsonTable(paths: Seq[String], tableSchema: StructType)
-    extends Table with SupportsRead {
-  override def name(): String = s"geojson(${paths.mkString(",")})"
+/** Raw (unresolved) paths: a WRITE target need not exist yet, so file
+  * expansion is deferred to scan-build time (reads) and skipped
+  * entirely for writes. */
+class GeoJsonTable(rawPaths: Seq[String], tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"geojson(${rawPaths.mkString(",")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(paths, tableSchema)
+    new GeoJsonScanBuilder(GeoJsonSourceV2.expandPaths(rawPaths), tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GeoJsonWriteBuilder(rawPaths, info)
 }
 
 class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
@@ -221,12 +228,10 @@ object GeoJsonSourceV2 {
 
   val GeometryField = "geometry"
 
-  /** path/paths options → concrete file list (globs + directories
-    * expanded through the Hadoop FileSystem API, so the same code
-    * lists file://, hdfs:// or s3a://). Sorted for deterministic
-    * partition order. */
-  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val raw: Seq[String] = Option(options.get("paths")) match {
+  /** path/paths option strings, unresolved (a write target need not
+    * exist). */
+  def rawPaths(options: CaseInsensitiveStringMap): Seq[String] =
+    Option(options.get("paths")) match {
       case Some(arr) => JsonMethods.parse(arr) match {
         case JArray(xs) => xs.collect { case JString(s) => s }
         case _ => throw new IllegalArgumentException(s"bad paths option: $arr")
@@ -234,6 +239,12 @@ object GeoJsonSourceV2 {
       case None => Option(options.get("path")).map(Seq(_)).getOrElse(
         throw new IllegalArgumentException("geojson source requires a path"))
     }
+
+  /** Raw paths → concrete file list (globs + directories expanded
+    * through the Hadoop FileSystem API, so the same code lists
+    * file://, hdfs:// or s3a://). Sorted for deterministic partition
+    * order. */
+  def expandPaths(raw: Seq[String]): Seq[String] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     raw.flatMap { p =>
       val hp = new Path(p)
@@ -252,6 +263,9 @@ object GeoJsonSourceV2 {
       }
     }.sorted
   }
+
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] =
+    expandPaths(rawPaths(options))
 
   /** Driver-side inference across ALL matched files: property keys in
     * first-seen order, types widened Long → Double → String across
@@ -421,4 +435,154 @@ object GeoJsonSourceV2 {
       s"geojson: property value ${JsonMethods.compact(JsonMethods.render(v))} " +
         s"does not fit declared type ${dt.simpleString}; drop the explicit " +
         "schema to re-infer, or widen the declared type")
+
+  private def jsonEscape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One GeoJSON Feature string from an InternalRow under `schema`:
+    * non-geometry fields become properties (typed JSON scalars),
+    * `geometry` decodes WKB → JTS → GeoJSON. Executor-side, no
+    * Row conversion. */
+  def featureJson(row: InternalRow, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(256)
+    sb.append("{\"type\":\"Feature\",\"properties\":{")
+    var first = true
+    var geom = "null"
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (f.name == GeometryField) {
+        if (!row.isNullAt(i))
+          geom = GeoJsonCodec.write(GeoFunctions.readWkb(row.getBinary(i)))
+      } else {
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"').append(jsonEscape(f.name)).append("\":")
+        if (row.isNullAt(i)) sb.append("null")
+        else f.dataType match {
+          case LongType => sb.append(row.getLong(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case DoubleType => sb.append(row.getDouble(i))
+          case FloatType => sb.append(row.getFloat(i).toDouble)
+          case BooleanType => sb.append(row.getBoolean(i))
+          case StringType =>
+            sb.append('"').append(jsonEscape(row.getUTF8String(i).toString)).append('"')
+          case other => throw new IllegalArgumentException(
+            s"geojson write: unsupported property type ${other.simpleString} " +
+              s"for column ${f.name}")
+        }
+      }
+      i += 1
+    }
+    sb.append("},\"geometry\":").append(geom).append('}')
+    sb.toString
+  }
+}
+
+/** DSv2 WRITE path: distributed, one valid FeatureCollection document
+  * per non-empty partition (so the output directory reads straight
+  * back through [[GeoJsonScan]]'s one-task-per-file planning — the
+  * connector round-trips itself). Each writer STREAMS features to its
+  * file (header → comma-joined features → footer at commit), so
+  * executor memory is O(1 row) regardless of partition size; file
+  * names carry (partitionId, taskId) so speculative duplicates never
+  * collide, and an aborted task deletes its own file. `truncate`
+  * (mode=overwrite) clears the directory driver-side before any task
+  * launches. */
+class GeoJsonWriteBuilder(rawPaths: Seq[String], info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    require(rawPaths.length == 1,
+      s"geojson write requires exactly one output path, got $rawPaths")
+    new GeoJsonWrite(rawPaths.head, info.schema(), doTruncate,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+class GeoJsonWrite(path: String, schema: StructType, truncate: Boolean,
+                   conf: SerializableConfiguration)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new GeoJsonWriterFactory(path, schema, conf)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GeoJsonCommit(Some(f)) =>
+        val p = new Path(f)
+        try p.getFileSystem(conf.value).delete(p, false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+}
+
+case class GeoJsonCommit(file: Option[String]) extends WriterCommitMessage
+
+class GeoJsonWriterFactory(dir: String, schema: StructType,
+                           conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GeoJsonDataWriter(dir, partitionId, taskId, schema, conf)
+}
+
+class GeoJsonDataWriter(dir: String, partitionId: Int, taskId: Long,
+                        schema: StructType, conf: SerializableConfiguration)
+    extends DataWriter[InternalRow] {
+  private val file = f"$dir/part-$partitionId%05d-$taskId.geojson"
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var n = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val p = new Path(file)
+    out = p.getFileSystem(conf.value).create(p, true)
+    out.write("""{"type":"FeatureCollection","features":["""
+      .getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    if (n > 0) out.write(','.toInt)
+    out.write(GeoJsonSourceV2.featureJson(row, schema)
+      .getBytes(StandardCharsets.UTF_8))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    // partition 0 always writes a (possibly empty) document so even an
+    // empty dataset leaves one valid readable file behind
+    if (out == null && partitionId == 0) ensureOpen()
+    if (out != null) {
+      out.write("]}".getBytes(StandardCharsets.UTF_8))
+      out.close()
+      GeoJsonCommit(Some(file))
+    } else GeoJsonCommit(None)
+  }
+
+  override def abort(): Unit = if (out != null) {
+    try out.close() catch { case _: java.io.IOException => () }
+    val p = new Path(file)
+    try p.getFileSystem(conf.value).delete(p, false)
+    catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = ()
 }

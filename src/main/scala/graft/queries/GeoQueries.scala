@@ -277,6 +277,25 @@ object GeoQueries {
       .orderBy("c_custkey")
   }
 
+  /** Same contract through the CONNECTOR's own write path
+    * (`df.write.format("geojson")` — the DSv2 `BatchWrite` added in
+    * round 8): a distributed, one-FeatureCollection-per-partition
+    * write with no driver materialization at all, read back through
+    * the same connector. Same oracle again: all three writer paths
+    * must serialize identically. */
+  private def writeGeojsonV2(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_write_geojson_v2_dir"
+    GeoFunctions.register(spark)
+    squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry"))
+      .repartition(4)
+      .write.format("geojson").mode("overwrite").save(path)
+    spark.read.format("geojson").load(path).select(
+      col("c_custkey").cast("long").as("c_custkey"),
+      col("c_nationkey").cast("int").as("c_nationkey"),
+      GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .orderBy("c_custkey")
+  }
+
   /** JTS WKT of the fixture square, reproduced arithmetically (same
     * pin as boundarySql: integers render bare, `POLYGON ((` with the
     * double space, ring order preserved from the source text). */
@@ -334,6 +353,7 @@ object GeoQueries {
     Q("q_scan_geojson_v2", scanGeojsonV2, Some(scanGeojsonSql)),
     Q("q_write_geojson", writeGeojson, Some(writeGeojsonSql)),
     Q("q_write_geojson_lines", writeGeojsonLines, Some(writeGeojsonSql)),
+    Q("q_write_geojson_v2", writeGeojsonV2, Some(writeGeojsonSql)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
   )
 }

@@ -199,6 +199,48 @@ class GeoJsonSourceV2Spec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("DSv2 write: distributed roundtrip, overwrite truncates, append adds") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_v2_write"
+    val layer = spark.range(1, 21).toDF("k")
+      .select(col("k"), (col("k") * 10).as("v"),
+        GeoFunctions.cols.stGeomFromText(
+          concat(lit("POINT ("), col("k"), lit(" 1)"))).as("geometry"))
+    layer.repartition(3).write.format("geojson").mode("overwrite").save(dir)
+    // distributed: more than one FeatureCollection file, each valid
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".geojson"))
+    assert(files.length > 1 && files.length <= 3, files.map(_.getName).toSeq)
+    files.foreach(f => assert(
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .startsWith("""{"type":"FeatureCollection","features":[""")))
+    def readBack = spark.read.format("geojson").load(dir)
+    assert(readBack.count() === 20)
+    assert(readBack.select(GeoFunctions.cols.stAsText(col("geometry"))).as[String]
+      .collect().toSet === (1 to 20).map(k => s"POINT ($k 1)").toSet)
+    // overwrite truncates the previous contents
+    layer.filter(col("k") <= 5).write.format("geojson").mode("overwrite").save(dir)
+    assert(readBack.count() === 5)
+    // append adds to them
+    layer.filter(col("k") === 6).write.format("geojson").mode("append").save(dir)
+    assert(readBack.count() === 6)
+    assert(readBack.select("k").as[Long].collect().sorted === (1L to 6L))
+  }
+
+  test("DSv2 write: empty dataset still leaves one valid readable file") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_v2_write_empty"
+    val layer = spark.range(0, 0).toDF("k")
+      .select(col("k"), GeoFunctions.cols.stGeomFromText(
+        concat(lit("POINT ("), col("k"), lit(" 1)"))).as("geometry"))
+    layer.write.format("geojson").mode("overwrite").save(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("geometry",
+        org.apache.spark.sql.types.BinaryType)))
+    assert(spark.read.format("geojson").schema(schema).load(dir).count() === 0)
+  }
+
   test("directory of files: one partition per file, deterministic order") {
     val dir = s"$tmp/geojson_v2_dir"
     new java.io.File(dir).mkdirs()
