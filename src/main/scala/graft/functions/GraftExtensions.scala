@@ -92,6 +92,12 @@ object GraftFunctions {
             "graft_capped_min_ids expects a literal int cap")
         }
       }),
+    ("graft_char_entropy", info("graft_char_entropy",
+      "per-string [distinct codepoints, Shannon entropy in integer micro-nats]"),
+      one("graft_char_entropy")(CharEntropy)),
+    ("graft_pair_array", info("graft_pair_array",
+      "all C(n,2) ordered id pairs of an array<long> as struct(id_a, id_b)"),
+      one("graft_pair_array")(PairArray)),
   )
 
   /** Runtime registration on an existing session. */

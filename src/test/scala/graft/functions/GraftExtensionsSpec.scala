@@ -43,6 +43,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r2._2 === (0L until 5L))
   }
 
+  test("round-8 kernels are SQL-registered too: char_entropy, pair_array") {
+    GraftFunctions.register(spark)
+    val e = spark.sql(
+      "SELECT graft_char_entropy('abcd') AS e").as[Seq[Long]].head()
+    // 4 distinct chars, each 0.25·ln4 -> 4 × 346573 micro-nats
+    assert(e === Seq(4L, 4 * 346573L))
+    val p = spark.sql(
+      "SELECT graft_pair_array(array(3L, 1L, 2L)) AS p")
+      .selectExpr("p.id_a", "p.id_b").as[(Seq[Long], Seq[Long])].head()
+    // canonical order: ids sorted, then all a < b pairs
+    assert(p._1.zip(p._2) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("extension class injects all builders without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // would throw on malformed injection
