@@ -128,6 +128,84 @@ object TemporalQueries {
       |  ON d.id = o_custkey AND d.date >= CAST(o_orderdate AS DATE)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** NEAREST as-of join — the remaining member of the as-of family
+    * (backward `q_join_asof`, forward `q_asof_forward`, multikey
+    * `q_asof_multikey`): match each order to the dim row closest in
+    * time in EITHER direction, ties to the backward match (the sensor
+    * alignment / nearest-snapshot semantic).
+    *
+    * One union frame, ONE (id)-shuffle + ONE sort: both directional
+    * windows share the (date asc, side desc) ordering, so Spark plans
+    * a single Exchange + Sort with two stacked Window nodes
+    * (spec-pinned). With side desc, the backward `last ignoreNulls`
+    * frame is date-INCLUSIVE (a same-date dim sorts before its order)
+    * and the forward frame is strict — which cannot change the
+    * nearest result: a same-date dim always wins through the backward
+    * leg at distance 0. Linear at any scale, like every as-of here:
+    * no join node, no range explosion. */
+  private def asofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.orders(spark, dir).select(
+      col("o_custkey").as("id"), to_date(col("o_orderdate")).as("date"),
+      col("o_orderkey"), lit(0).as("side"),
+      lit(null).cast("long").as("r_dval"), lit(null).cast("date").as("r_date"))
+    val right = EventSeries.daily(spark, dir).select(
+      col("id"), col("date"),
+      lit(null).cast("long").as("o_orderkey"), lit(1).as("side"),
+      col("dval").as("r_dval"), col("date").as("r_date"))
+    val ord = Window.partitionBy("id").orderBy(col("date").asc, col("side").desc)
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    left.unionByName(right)
+      .withColumn("prev_dval", last(col("r_dval"), ignoreNulls = true).over(wPrev))
+      .withColumn("prev_date", last(col("r_date"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_dval", first(col("r_dval"), ignoreNulls = true).over(wNext))
+      .withColumn("next_date", first(col("r_date"), ignoreNulls = true).over(wNext))
+      .filter(col("side") === 0)
+      .withColumn("prev_diff", datediff(col("date"), col("prev_date")))
+      .withColumn("next_diff", datediff(col("next_date"), col("date")))
+      .withColumn("use_prev",
+        col("prev_date").isNotNull &&
+          (col("next_date").isNull || col("prev_diff") <= col("next_diff")))
+      .select(col("o_orderkey"), col("id"), col("date"),
+        coalesce(when(col("use_prev"), col("prev_date")).otherwise(col("next_date")),
+          lit("2999-12-31").cast("date")).as("near_date"),
+        coalesce(when(col("use_prev"), col("prev_dval")).otherwise(col("next_dval")),
+          lit(-1L)).as("near_dval"),
+        coalesce(when(col("use_prev"), col("prev_diff")).otherwise(col("next_diff")),
+          lit(-1)).cast("int").as("near_diff_days"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Twin: one backward + one forward DuckDB ASOF join, then the same
+    * closer-side/tie-to-backward CASE. Forward is date-inclusive here
+    * where Spark's is strict — equivalent for nearest, because a
+    * same-date dim always reaches the result through the backward
+    * leg (see [[asofNearest]]). */
+  private val asofNearestSql = EventSeriesSql.withSeries(
+    """, b AS (
+      |  SELECT o_orderkey, o_custkey AS id, CAST(o_orderdate AS DATE) AS date,
+      |    d.date AS prev_date, d.dval AS prev_dval
+      |  FROM orders ASOF LEFT JOIN daily d
+      |    ON d.id = o_custkey AND d.date <= CAST(o_orderdate AS DATE)
+      |), f AS (
+      |  SELECT o_orderkey, d.date AS next_date, d.dval AS next_dval
+      |  FROM orders ASOF LEFT JOIN daily d
+      |    ON d.id = o_custkey AND d.date >= CAST(o_orderdate AS DATE)
+      |), j AS (
+      |  SELECT b.*, f.next_date, f.next_dval,
+      |    (b.prev_date IS NOT NULL AND (f.next_date IS NULL
+      |      OR (b.date - b.prev_date) <= (f.next_date - b.date))) AS use_prev
+      |  FROM b JOIN f ON b.o_orderkey = f.o_orderkey
+      |)
+      |SELECT o_orderkey, id, date,
+      |  COALESCE(CASE WHEN use_prev THEN prev_date ELSE next_date END,
+      |    DATE '2999-12-31') AS near_date,
+      |  COALESCE(CASE WHEN use_prev THEN prev_dval ELSE next_dval END,
+      |    -1) AS near_dval,
+      |  CAST(COALESCE(CASE WHEN use_prev THEN date - prev_date
+      |    ELSE next_date - date END, -1) AS INT) AS near_diff_days
+      |FROM j ORDER BY o_orderkey""".stripMargin)
+
   /** Range join: per order, aggregate the key's events falling in the
     * 7 days ending at the order date. The equality key (`id`) drives
     * the join (hash/SMJ — no nested loop); the date band is a
@@ -543,6 +621,7 @@ object TemporalQueries {
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     Q("q_join_asof", joinAsof, Some(joinAsofSql)),
     Q("q_asof_forward", asofForward, Some(asofForwardSql)),
+    Q("q_asof_nearest", asofNearest, Some(asofNearestSql)),
     Q("q_asof_native", asofNative, Some(asofNativeSql)),
     Q("q_asof_multikey", asofMultikey, Some(asofMultikeySql)),
     Q("q_join_range", joinRange, Some(joinRangeSql)),

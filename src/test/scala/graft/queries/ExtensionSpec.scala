@@ -52,6 +52,40 @@ class ExtensionSpec extends SparkSpec {
     assert(out == Seq((1L, 6, 3), (2L, 1, 0), (3L, 2, 1)))
   }
 
+  test("nearest as-of really picks the closest dim row, ties to backward") {
+    val out = SparkEntry.queries("q_asof_nearest")(spark, sf0001)
+      .select("o_orderkey", "id", "date", "near_date", "near_diff_days")
+      .as[(Long, Long, java.sql.Date, java.sql.Date, Int)].collect()
+    assert(out.nonEmpty)
+    // ground truth: min |datediff| over ALL of the key's daily rows
+    val truth = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_custkey").as("id"),
+        to_date(col("o_orderdate")).as("odate"))
+      .join(EventSeries.daily(spark, sf0001).select(col("id"), col("date")), Seq("id"))
+      .groupBy("o_orderkey")
+      .agg(min(abs(datediff(col("date"), col("odate")))).as("best"))
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (ok, _, date, nearDate, diff) =>
+      truth.get(ok) match {
+        case Some(best) =>
+          assert(diff === best, s"order $ok: got diff $diff, nearest is $best")
+          // tie-to-backward: at equal distance the match is never ahead
+          val signed = (nearDate.toLocalDate.toEpochDay
+            - date.toLocalDate.toEpochDay).toInt
+          assert(math.abs(signed) === diff, s"order $ok inconsistent")
+        case None => // key absent from daily -> sentinel
+          assert(diff === -1, s"order $ok should be unmatched")
+      }
+    }
+    // both directional windows must fuse into ONE Window node over one
+    // (id)-sort — and like every as-of here, there is no join node
+    val plan = SparkEntry.queries("q_asof_nearest")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val windowNodes = "\\bWindow \\[".r.findAllIn(plan).size
+    assert(windowNodes === 1, s"expected one fused Window node:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("grouping sets equal the union of the three separate aggregations") {
     val got = SparkEntry.queries("q_grouping_sets")(spark, sf0001)
       .as[(String, String, Long, Long)].collect().toSeq
