@@ -42,7 +42,10 @@ object Bench {
         SparkEntry.queries.foreach { case (name, fn) =>
           try { fn(spark, warmDir).count() }
           catch { case _: Throwable => () }
-          finally { spark.catalog.clearCache() }
+          finally {
+            graft.ops.SideCache.releaseAll()
+            spark.catalog.clearCache()
+          }
         }
       // one untimed pass at the TARGET SF: the sf0.001 warmup compiles
       // each plan's codegen classes, but the C2 compile queue is still
@@ -54,7 +57,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => () }
-        finally { spark.catalog.clearCache() }
+        finally {
+          graft.ops.SideCache.releaseAll()
+          spark.catalog.clearCache()
+        }
       }
     } catch { case _: Throwable => () }
     // min of N reps per query (default 2): the bench host shows

@@ -760,8 +760,16 @@ case class ShingleHashes(child: Expression, n: Int, base: Long,
   * path (every LSH/SimHash/embedding bucket runs through it). Output
   * is bounded by the caller's bucket cap (≤ cap²/2 rows). */
 object PairKernel {
+  // n*(n-1)/2 must fit an Int array; bucketed callers cap far below
+  // this, but the SQL-registered function has no caller-side cap
+  private val MaxIds = 65536
+
   def pairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
+    if (n > MaxIds) throw new IllegalArgumentException(
+      s"pair_array: $n ids exceed the $MaxIds limit (C(n,2) would " +
+        "overflow); cap buckets before enumerating pairs " +
+        "(graft_capped_min_ids)")
     val s = new Array[Long](n)
     var i = 0
     while (i < n) { s(i) = ids.getLong(i); i += 1 }
@@ -785,7 +793,14 @@ object PairKernel {
 /** All unordered id pairs of a bucket as `array<struct<id_a, id_b>>`
   * (a < b, canonical order) — feeds `explode` in
   * [[graft.text.Dedup.bucketPairs]]. */
-case class PairArray(child: Expression) extends UnaryExpression {
+case class PairArray(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  // declared input type matters: without it a SQL call with array<int>
+  // (the natural literal) would reach getLong() reads over 4-byte
+  // elements — silent garbage; with it, Catalyst inserts the cast.
+  // Narrowed to Seq[DataType] (covariant return) because the declared
+  // Seq[AbstractDataType] names a private[sql] class.
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id_a", LongType, nullable = false),
@@ -858,7 +873,9 @@ object CharEntropyKernel {
   * whole frequency table lives in a thread-local array for the
   * microseconds the row is under the projection. Returns
   * `array<long>` `[n_distinct_codepoints, entropy_nats_micro]`. */
-case class CharEntropy(child: Expression) extends UnaryExpression {
+case class CharEntropy(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_entropy"
 

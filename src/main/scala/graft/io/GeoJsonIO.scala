@@ -1,7 +1,7 @@
 package graft.io
 
 import graft.geo.GeoFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
@@ -74,8 +74,38 @@ object GeoJsonIO {
     GeoFunctions.register(spark)
     val raw = spark.read.json(path)
     val propCols = raw.select(col("properties.*")).columns
+    // a MIXED-geometry layer (Points next to Polygons) has conflicting
+    // coordinate nesting, so JSON inference collapses the conflicting
+    // subtree to its raw text — either the whole `geometry`, or
+    // `coordinates` at whatever array depth the nesting first
+    // disagrees (Point×Polygon → array<string>). The raw text is
+    // already exactly what the GeoJSON parser wants; to_json would
+    // re-QUOTE it, so splice it back literally instead.
+    import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+    def rawJson(dt: DataType, c: Column): Column = dt match {
+      case StringType => c // raw subtree text, splice as-is
+      case ArrayType(et, _) =>
+        concat(lit("["), array_join(transform(c, x => rawJson(et, x)), ","), lit("]"))
+      case _: StructType => to_json(c)
+      case _ => c.cast(StringType) // numeric leaf of a mixed-depth array
+    }
+    def hasRawText(dt: DataType): Boolean = dt match {
+      case StringType => true
+      case ArrayType(et, _) => hasRawText(et)
+      case _ => false
+    }
+    val geomJson = raw.schema("geometry").dataType match {
+      case StringType => col("geometry")
+      case st: StructType if st.fieldNames.contains("coordinates") &&
+          hasRawText(st("coordinates").dataType) =>
+        concat(lit("{\"type\":\""), col("geometry.type"),
+          lit("\",\"coordinates\":"),
+          rawJson(st("coordinates").dataType, col("geometry.coordinates")),
+          lit("}"))
+      case _ => to_json(col("geometry"))
+    }
     raw.select(
       propCols.map(c => col(s"properties.`$c`").as(c)) :+
-        GeoFunctions.cols.stGeomFromGeoJson(to_json(col("geometry"))).as("geometry"): _*)
+        GeoFunctions.cols.stGeomFromGeoJson(geomJson).as("geometry"): _*)
   }
 }

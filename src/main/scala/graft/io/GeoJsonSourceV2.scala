@@ -75,8 +75,15 @@ class GeoJsonTable(rawPaths: Seq[String], tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+  // one listing per table instance, not per scan: a self-joined or
+  // AQE-re-planned geojson relation would otherwise re-list the
+  // directory on every newScanBuilder — a network round-trip per file
+  // on remote filesystems (the built-in sources' file-index snapshot
+  // semantics)
+  private lazy val resolvedPaths: Seq[String] =
+    GeoJsonSourceV2.expandPaths(rawPaths)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoJsonScanBuilder(GeoJsonSourceV2.expandPaths(rawPaths), tableSchema)
+    new GeoJsonScanBuilder(resolvedPaths, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GeoJsonWriteBuilder(rawPaths, info)
 }
@@ -130,13 +137,15 @@ class GeoJsonScan(paths: Seq[String], full: StructType,
     * a connector can inherit. Raw size is conservative (a pruned
     * geometry-less projection reads far less), so it can only
     * under-broadcast, never OOM the driver. */
+  // one stat pass per scan instance, shared across repeated
+  // estimateStatistics calls (plan re-optimization, AQE)
+  private lazy val totalBytes: Long = paths.map { p =>
+    val hp = new Path(p)
+    hp.getFileSystem(conf.value).getFileStatus(hp).getLen
+  }.sum
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val bytes: Long = paths.map { p =>
-      val hp = new Path(p)
-      hp.getFileSystem(conf.value).getFileStatus(hp).getLen
-    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(bytes)
+      java.util.OptionalLong.of(totalBytes)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.empty()
   }
@@ -400,10 +409,13 @@ object GeoJsonSourceV2 {
     case JNothing | JNull => null
     case _ => dt match {
       case LongType => v match {
-        case JInt(i) => i.toLong
+        case JInt(i) if i.isValidLong => i.toLong
         case JLong(l) => l
-        case JDouble(d) if d == math.rint(d) => d.toLong
-        case JDecimal(d) if d.isWhole => d.toLong
+        // range guard: toLong would silently saturate (double) or wrap
+        // (BigDecimal/BigInt) for whole values beyond 2^63
+        case JDouble(d) if d == math.rint(d) &&
+          d >= Long.MinValue.toDouble && d < Long.MaxValue.toDouble => d.toLong
+        case JDecimal(d) if d.isWhole && d.isValidLong => d.toLong
         case JBool(b) => if (b) 1L else 0L
         case JString(s) =>
           try s.toLong catch { case _: NumberFormatException => mismatch(v, dt) }
@@ -473,8 +485,20 @@ object GeoJsonSourceV2 {
         else f.dataType match {
           case LongType => sb.append(row.getLong(i))
           case IntegerType => sb.append(row.getInt(i))
-          case DoubleType => sb.append(row.getDouble(i))
-          case FloatType => sb.append(row.getFloat(i).toDouble)
+          case DoubleType =>
+            // JSON has no NaN/Infinity tokens — a bare `NaN` would make
+            // the whole document unparseable; null is the standard
+            // downgrade (and what the JSON-based writer tiers emit)
+            val d = row.getDouble(i)
+            if (java.lang.Double.isFinite(d)) sb.append(d) else sb.append("null")
+          case FloatType =>
+            // shortest-roundtrip FLOAT rendering — widening to double
+            // would print 0.1f as 0.10000000149011612 and diverge from
+            // the other writer tiers
+            val fl = row.getFloat(i)
+            if (java.lang.Float.isFinite(fl))
+              sb.append(java.lang.Float.toString(fl))
+            else sb.append("null")
           case BooleanType => sb.append(row.getBoolean(i))
           case StringType =>
             sb.append('"').append(jsonEscape(row.getUTF8String(i).toString)).append('"')

@@ -54,6 +54,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .selectExpr("p.id_a", "p.id_b").as[(Seq[Long], Seq[Long])].head()
     // canonical order: ids sorted, then all a < b pairs
     assert(p._1.zip(p._2) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // an INT array (the natural SQL literal) must implicit-cast to
+    // array<long>, not read 8-byte strides over 4-byte elements
+    val pi = spark.sql(
+      "SELECT graft_pair_array(array(3, 1, 2)) AS p")
+      .selectExpr("p.id_a", "p.id_b").as[(Seq[Long], Seq[Long])].head()
+    assert(pi === p)
+    // and the uncapped SQL path refuses C(n,2) overflow loudly
+    val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(70000)(_.toLong))
+    val overflow = intercept[IllegalArgumentException](PairKernel.pairs(big))
+    assert(overflow.getMessage.contains("65536"))
   }
 
   test("extension class injects all builders without error") {

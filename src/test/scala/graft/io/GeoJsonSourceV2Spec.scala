@@ -226,6 +226,40 @@ class GeoJsonSourceV2Spec extends SparkSpec {
     assert(readBack.select("k").as[Long].collect().sorted === (1L to 6L))
   }
 
+  test("DSv2 write: NaN/Infinity doubles downgrade to null, floats render shortest") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_v2_write_nan"
+    Seq((1L, Double.NaN, 0.1f), (2L, 2.5, Float.PositiveInfinity))
+      .toDF("k", "d", "f")
+      .withColumn("geometry", GeoFunctions.cols.stGeomFromText(lit("POINT (0 0)")))
+      .write.format("geojson").mode("overwrite").save(dir)
+    // the document must stay valid JSON: NaN/Inf have no JSON tokens
+    val out = spark.read.format("geojson").load(dir)
+      .select("k", "d", "f").as[(Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out === Seq((1L, None, Some(0.1)), (2L, Some(2.5), None)))
+  }
+
+  test("NDJSON feature-lines roundtrip survives MIXED geometry types") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_lines_mixed"
+    // Point + Polygon coordinates have different nesting depths, so
+    // spark.read.json infers `geometry` as a raw STRING — the reader
+    // must feed that straight to the parser instead of to_json-ing it
+    val layer = Seq(
+      (1L, "POINT (1 2)"),
+      (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+      .toDF("k", "wkt")
+      .select(col("k"), GeoFunctions.cols.stGeomFromText(col("wkt")).as("geometry"))
+    GeoJsonIO.writeFeatureLines(layer, dir)
+    val back = GeoJsonIO.readFeatureLines(spark, dir)
+      .select(col("k"), GeoFunctions.cols.stAsText(col("geometry")).as("wkt"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back === Seq(
+      (1L, "POINT (1 2)"),
+      (2L, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")))
+  }
+
   test("DSv2 write: empty dataset still leaves one valid readable file") {
     GeoFunctions.register(spark)
     val dir = s"$tmp/geojson_v2_write_empty"

@@ -165,6 +165,9 @@ class ClearMapPipelineSpec extends SparkSpec {
     assert(csv.head.split(",").length == 12)
     val dateCol = csv.tail.map(_.split(",", -1)(0)).filter(_.nonEmpty)
     assert(dateCol == dateCol.sorted)
-    assert(secs < 30.0, s"end-to-end run took $secs s")
+    // ~8 s typical at local[4]; the bound is 90 s because this host
+    // shows documented 2-4x run-to-run CPU contention (Bench.scala) —
+    // a contended CI run must not flake the gate on a non-defect
+    assert(secs < 90.0, s"end-to-end run took $secs s")
   }
 }
