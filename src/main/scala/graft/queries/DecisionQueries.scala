@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-support operators beyond the reference's surface: Pareto
+  * skyline, robust (IQR) outlier detection, exact distinct counting
+  * through mergeable bitmaps, and correlated LATERAL top-k — each one
+  * a shape a 100 TB curation pipeline reaches for when "group, join,
+  * window" stops being enough.
+  *
+  * Determinism rules as everywhere ([[graft.ops.Num]]): money →
+  * integer cents per row, quantile outputs floor-quantized through an
+  * identical expression tree on both engines, every result ordered on
+  * a unique key.
+  */
+object DecisionQueries {
+
+  // ---------------------------------------------------------------- skyline
+
+  /** One 2-D skyline pass: keep a point iff no point with strictly
+    * smaller price has size ≥ mine (range frame ending 1 before the
+    * current price) and no same-price point has size > mine. All
+    * dominators of a row sort at-or-before it under (price asc), so
+    * the two window maxima witness every possible dominator. */
+  private def skylinePass(pts: DataFrame, part: Seq[Column]): DataFrame = {
+    val cheaper = Window.partitionBy(part: _*).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(part :+ col("price_c"): _*)
+    pts
+      .withColumn("mx_cheaper", max(col("sz")).over(cheaper))
+      .withColumn("mx_same", max(col("sz")).over(samePrice))
+      .where((col("mx_cheaper").isNull || col("mx_cheaper") < col("sz")) &&
+        col("mx_same") === col("sz"))
+      .drop("mx_cheaper", "mx_same")
+  }
+
+  /** Pareto skyline of `part` (minimize retail price, maximize size):
+    * the parts no other part beats on both dimensions. Two-phase so it
+    * scales: phase 1 computes a LOCAL skyline per input partition
+    * (window partitioned by `spark_partition_id()` — fully parallel,
+    * no shuffle of the full table), and only the per-partition
+    * survivors — output-sized, not input-sized — reach the single
+    * global pass. A point dominated globally is dominated within its
+    * own partition by the same witness or survives locally and meets
+    * its dominator in phase 2, so the two-phase result is exactly the
+    * direct skyline (DecisionQueriesSpec pins the equality). */
+  private def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir).select(
+      col("p_partkey"),
+      Num.cents(col("p_retailprice")).as("price_c"),
+      col("p_size").cast("int").as("sz"))
+    val local = skylinePass(pts.withColumn("pid", spark_partition_id()),
+      Seq(col("pid"))).drop("pid")
+    skylinePass(local, Seq.empty)
+      .orderBy("p_partkey")
+  }
+
+  private val skylineSql =
+    s"""WITH pts AS (
+       |  SELECT p_partkey, ${NumSql.cents("p_retailprice")} AS price_c,
+       |    CAST(p_size AS INT) AS sz
+       |  FROM part)
+       |SELECT p.p_partkey, p.price_c, p.sz
+       |FROM pts p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM pts q
+       |  WHERE q.price_c <= p.price_c AND q.sz >= p.sz
+       |    AND (q.price_c < p.price_c OR q.sz > p.sz))
+       |ORDER BY p.p_partkey""".stripMargin
+
+  // ------------------------------------------------------------- outliers
+
+  /** Robust outlier detection, the Tukey-fence recipe: per event type,
+    * exact Q1/Q3 of the (µ-quantized) value, fences at 1.5·IQR, return
+    * the rows outside them. Two passes and both scale: the stats pass
+    * reduces to |event_type| rows (map-side partial percentile
+    * buffers), which then BROADCAST back onto the scan — the corpus is
+    * never shuffled. Fences are floor-quantized to integers before the
+    * long-vs-long comparison so a 1-ulp quantile divergence can't flip
+    * a boundary row. */
+  private def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        Num.floorEps(col("value") * 1e6).as("v"))
+    val fences = base.groupBy(col("event_type"))
+      .agg(percentile(col("v"), lit(0.25)).as("q1"),
+        percentile(col("v"), lit(0.75)).as("q3"))
+      .select(col("event_type"),
+        Num.floorEps(col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        Num.floorEps(col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    base.join(broadcast(fences), "event_type")
+      .where(col("v") < col("lo") || col("v") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("v"), col("lo"), col("hi"))
+      .orderBy("event_id")
+  }
+
+  private val outlierIqrSql = {
+    val v = NumSql.floorEps("value * 1000000.0")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type, $v AS v
+       |  FROM events WHERE value IS NOT NULL),
+       |fences AS (
+       |  SELECT event_type,
+       |    ${NumSql.floorEps("quantile_cont(v, 0.25) - (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) * 1.5")} AS lo,
+       |    ${NumSql.floorEps("quantile_cont(v, 0.75) + (quantile_cont(v, 0.75) - quantile_cont(v, 0.25)) * 1.5")} AS hi
+       |  FROM base GROUP BY event_type)
+       |SELECT b.event_id, b.event_type, b.v, f.lo, f.hi
+       |FROM base b JOIN fences f USING (event_type)
+       |WHERE b.v < f.lo OR b.v > f.hi
+       |ORDER BY b.event_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- bitmap distinct
+
+  /** Exact COUNT(DISTINCT) through mergeable bitmaps — the pattern
+    * that makes exact distinct counting incremental at 100 TB when the
+    * id domain is dense (surrogate/dictionary ids): each (group,
+    * bucket-of-4096-ids) cell aggregates a fixed ≤512-byte bitmap
+    * (`bitmap_construct_agg`), bitmaps OR-merge map-side like any
+    * partial agg, and popcounts sum per group. Unlike
+    * `count(distinct)`'s expand-dedup plan the state never holds raw
+    * ids, and unlike HLL (`q_approx_distinct`) it is EXACT — the
+    * rollup to coarser groups is one cheap `bitmap_or_agg` over stored
+    * cells, no rescan. */
+  private def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), expr("bitmap_bucket_number(c_custkey)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))").as("bm"))
+      .groupBy(col("n_name"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+      .orderBy("n_name")
+
+  private val bitmapDistinctSql =
+    """SELECT n_name, COUNT(DISTINCT c_custkey) AS n_distinct
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // --------------------------------------------------------- lateral top-k
+
+  /** Correlated LATERAL top-k: for every region, its 3 richest
+    * suppliers. Exercises Catalyst's lateral-join decorrelation — the
+    * per-row subquery plans as ONE partitioned window/limit over the
+    * whole supplier side, not |regions| rescans (`q_topn_per_group`
+    * states the same semantics window-first; this is the SQL-surface
+    * twin). Unique tie-break (acctbal desc, suppkey) keeps the k-th
+    * row deterministic on both engines. */
+  private def lateralTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.region(spark, dir).createOrReplaceTempView("v_region")
+    Tables.nation(spark, dir).createOrReplaceTempView("v_nation")
+    Tables.supplier(spark, dir).createOrReplaceTempView("v_supplier")
+    spark.sql(
+      s"""SELECT r.r_name, t.s_name, t.bal_c
+         |FROM v_region r JOIN LATERAL (
+         |  SELECT s.s_name, ${NumSql.cents("s.s_acctbal")} AS bal_c
+         |  FROM v_supplier s JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+         |  WHERE n.n_regionkey = r.r_regionkey
+         |  ORDER BY s.s_acctbal DESC, s.s_suppkey
+         |  LIMIT 3) t
+         |ORDER BY r.r_name, t.bal_c DESC, t.s_name""".stripMargin)
+  }
+
+  private val lateralTopkSql =
+    s"""SELECT r.r_name, t.s_name, t.bal_c
+       |FROM region r JOIN LATERAL (
+       |  SELECT s.s_name, ${NumSql.cents("s.s_acctbal")} AS bal_c
+       |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       |  WHERE n.n_regionkey = r.r_regionkey
+       |  ORDER BY s.s_acctbal DESC, s.s_suppkey
+       |  LIMIT 3) t ON true
+       |ORDER BY r.r_name, t.bal_c DESC, t.s_name""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q_skyline", skyline, Some(skylineSql)),
+    Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
+    Q("q_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
+    Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
+  )
+}
