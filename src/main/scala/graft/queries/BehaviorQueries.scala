@@ -1,15 +1,18 @@
 package graft.queries
 
+import graft.ops.Num
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over the `events` table: cohort
-  * retention and ordered-funnel conversion — the two canonical
-  * product-analytics aggregations a general engine must express.
-  * Both are pure multi-stage aggregate plans (no windows over the
-  * raw stream, no per-user state), so they scale as a handful of
-  * user_id-keyed shuffles whose inputs shrink at every stage.
+  * retention, ordered-funnel conversion, recency-decayed activity
+  * scoring, and Markov transition matrices — the canonical
+  * product-analytics shapes a general engine must express.
+  * Retention/funnel are pure multi-stage aggregate plans (inputs
+  * shrink at every stage); the sequence operators are ONE
+  * user_id-keyed window pass each, with per-row constant state.
   */
 object BehaviorQueries {
 
@@ -86,8 +89,78 @@ object BehaviorQueries {
       |  UNION ALL SELECT '3_purchase', COUNT(*) FROM p)
       |ORDER BY stage""".stripMargin
 
+  /** Exponentially-decayed rolling value per user (α = 1/2, 8 taps):
+    * the recency-weighted activity score behind rate limiting and
+    * engagement decay. The recurrence is unrolled into 8 lag taps
+    * inside ONE Window node (one user_id shuffle, no per-row state),
+    * and each tap halves by an arithmetic shift — exact integer
+    * arithmetic on the µ-quantized value (`value` ≥ 0 in this corpus,
+    * where Spark's `div`, a shift, and DuckDB's `//` all agree), so
+    * the sum is order-free and hash-verifiable. */
+  private def decayScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        Num.floorEps(col("value") * 1e6).as("v"))
+    val taps = (0 to 7).map(k =>
+      coalesce(shiftright(lag(col("v"), k).over(w), k), lit(0L)))
+    base.select(col("user_id"), col("event_id"), col("v"),
+        taps.reduce(_ + _).as("decay_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val decayScoreSql = {
+    val taps = (0 to 7).map(k =>
+      s"coalesce(lag(v, $k) OVER w, 0) // ${1L << k}").mkString(" + ")
+    """WITH base AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(floor(value * 1000000.0 + 0.000001) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT user_id, event_id, v,
+      |  CAST(TAPS AS BIGINT) AS decay_sum
+      |FROM base
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin.replace("TAPS", taps)
+  }
+
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences: P(next = b | current = a), the building block of
+    * next-action prediction and anomalous-flow detection. One window
+    * pass pairs each event with its predecessor (user_id shuffle),
+    * then the matrix is a ≤|types|² aggregate; probabilities are
+    * integral ppm over the per-row counts (both engines divide
+    * non-negative integers, so the matrix is hash-exact). */
+  private def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paired = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+    paired.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        expr("(n * 1000000) div tot").as("p_ppm"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  private val markovTransitionsSql =
+    """WITH paired AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM paired WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, event_type, n,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+      |FROM c ORDER BY prev_type, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("q_funnel", funnel, Some(funnelSql)),
+    Q("q_decay_score", decayScore, Some(decayScoreSql)),
+    Q("q_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
   )
 }

@@ -241,6 +241,44 @@ object EventStream {
     if (!stale) store.put(c.user_id, CdcState(c.event_id, c.ts, c.op, c.vc))
   }
 
+  case class ScoreEv(user_id: Long, ts: java.sql.Timestamp,
+                     event_id: Long, v: Long)
+  case class ScoreOut(user_id: Long, event_id: Long, v: Long,
+                      decay_sum: Long)
+
+  /** Streaming twin of the batch `q_decay_score` operator: the
+    * per-user exponentially-decayed rolling value (α = 1/2, 8 taps)
+    * maintained incrementally. State per user is the ≤8 newest
+    * (event-time, id, value) triples — CONSTANT, independent of
+    * stream length — and each arriving event emits its decayed sum
+    * immediately.
+    *
+    * Ordering contract: within a micro-batch events sort by event
+    * time (arrival order inside a batch is irrelevant); ACROSS
+    * batches delivery must be per-user in-order — an event older than
+    * the stored buffer would retroactively change already-emitted
+    * sums, a retraction Append mode cannot express (the same contract
+    * as any recurrence state machine; out-of-order tolerance would
+    * need a watermark-deep buffer instead of 8 rows).
+    * BehaviorStreamSpec proves batch equality under that contract. */
+  def decayScoreStream(in: Dataset[ScoreEv]): Dataset[ScoreOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], ScoreOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          var buf = state.getOption.getOrElse(Nil) // oldest→newest, ≤8
+          val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            buf = (buf :+ ((e.ts.getTime, e.event_id, e.v))).takeRight(8)
+            val dsum = buf.reverseIterator.zipWithIndex
+              .map { case ((_, _, v), k) => v >> k }.sum
+            ScoreOut(uid, e.event_id, e.v, dsum)
+          }
+          state.update(buf)
+          out.iterator
+      }
+  }
+
   /** The `q_cdc_apply` merge as an INCREMENTAL sink: each micro-batch
     * folds its change rows into a keyed store under [[cdcFold]]'s
     * precedence, so arrival order — within a batch, across batches,

@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior-family semantics pinned against independent driver-side
+  * recomputation (the DuckDB oracle pins exact values). */
+class BehaviorQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+
+  test("q_decay_score: taps reproduce the per-user unrolled recurrence") {
+    val got = run("q_decay_score")
+      .select("event_id", "decay_sum").as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    // independent recompute from the raw events, in the query's own
+    // (ts, event_id) window order: last 8 quantized values, each
+    // halved per step of age
+    val base = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("ts").cast("long").as("tsl"), col("event_id"),
+        graft.ops.Num.floorEps(col("value") * 1e6).as("v"))
+      .as[(Long, Long, Long, Long)].collect()
+    base.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      ordered.zipWithIndex.foreach { case ((_, _, eid, _), i) =>
+        val window = ordered.slice(math.max(0, i - 7), i + 1).map(_._4)
+        val expected = window.reverse.zipWithIndex.map { case (v, k) => v >> k }.sum
+        assert(got(eid) === expected)
+      }
+    }
+  }
+
+  test("q_decay_score: all 8 taps fuse into ONE Window node (one user_id shuffle)") {
+    val plan = run("q_decay_score").queryExecution.executedPlan.toString
+    val windows = "(?m)^\\s*[+:*-]*\\s*\\(?\\d*\\)?\\s*Window ".r
+      .findAllIn(plan).length
+    assert(windows === 1, s"expected one Window node, plan:\n$plan")
+  }
+
+  test("q_markov_transitions: counts conserve and probabilities floor to ppm") {
+    val m = run("q_markov_transitions")
+      .select("prev_type", "event_type", "n", "p_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(m.nonEmpty)
+    // each row's ppm is the floored integral share of its prev-row total
+    m.groupBy(_._1).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      rows.foreach { case (_, _, n, ppm) => assert(ppm === n * 1000000L / tot) }
+      // floors sum to ≤ 1e6 and within |types| of it
+      val s = rows.map(_._4).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+    // total transitions = total events with a predecessor
+    val events = graft.tables.Tables.events(spark, sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect()
+    assert(m.map(_._3).sum === events.map(_._2 - 1).sum)
+  }
+}
