@@ -615,7 +615,75 @@ object TemporalQueries {
       |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_vc
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Snapshot diff (the Delta/Iceberg change-data-feed primitive,
+    * computed from plain tables): classify every key across two
+    * snapshot views of `orders` as added / removed / changed. The two
+    * snapshots are deterministic derivations of the base table (a
+    * date-horizon extension, a simulated status backfill, a modular
+    * "cancellation" delete-set), so the diff is oracle-checkable
+    * without stateful storage. Plan shape is the 100 TB shape: ONE
+    * full-outer sort-merge join on the key — both sides arrive
+    * key-partitioned, comparison is per-row, and `unchanged` rows
+    * (the overwhelming majority in real diffs) die in the post-join
+    * filter without being materialized anywhere. */
+  private def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_orderstatus").as("status"),
+      Num.cents(col("o_totalprice")).as("price_c"),
+      to_date(col("o_orderdate")).as("od"))
+    val a = base.where(col("od") < lit("1999-01-01"))
+    val b = base
+      .where(col("od") < lit("2000-01-01") && col("o_orderkey") % 97 =!= 0)
+      .withColumn("status",
+        when(col("status") === "O" && col("od") < lit("1998-01-01"), "F")
+          .otherwise(col("status")))
+    a.select(col("o_orderkey"), col("status").as("old_status"),
+        col("price_c").as("old_price_c"))
+      .join(b.select(col("o_orderkey"), col("status").as("new_status"),
+        col("price_c").as("new_price_c")), Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_status").isNull, "added")
+          .when(col("new_status").isNull, "removed")
+          .when(col("old_status") =!= col("new_status") ||
+            col("old_price_c") =!= col("new_price_c"), "changed")
+          .otherwise("unchanged"))
+      .where(col("change") =!= "unchanged")
+      .select(col("o_orderkey"), col("change"), col("old_status"),
+        col("new_status"), col("old_price_c"), col("new_price_c"))
+      .orderBy("o_orderkey")
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_orderstatus AS status,
+       |    ${graft.ops.NumSql.cents("o_totalprice")} AS price_c,
+       |    CAST(o_orderdate AS DATE) AS od
+       |  FROM orders),
+       |a AS (SELECT * FROM base WHERE od < DATE '1999-01-01'),
+       |b AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN status = 'O' AND od < DATE '1998-01-01'
+       |      THEN 'F' ELSE status END AS status,
+       |    price_c
+       |  FROM base WHERE od < DATE '2000-01-01' AND o_orderkey % 97 <> 0),
+       |j AS (
+       |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       |    a.status AS old_status, b.status AS new_status,
+       |    a.price_c AS old_price_c, b.price_c AS new_price_c
+       |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+       |SELECT o_orderkey,
+       |  CASE WHEN old_status IS NULL THEN 'added'
+       |       WHEN new_status IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS change,
+       |  old_status, new_status, old_price_c, new_price_c
+       |FROM j
+       |WHERE old_status IS NULL OR new_status IS NULL
+       |  OR old_status <> new_status OR old_price_c <> new_price_c
+       |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
     Q("q_session_window", sessionWindow, Some(sessionWindowSql)),
     Q("q_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
