@@ -724,7 +724,37 @@ object TextQueries {
        |  CAST((cum - n_tok) % $PackCapacity AS BIGINT) AS start_off
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** One BPE merge-candidate round — the tokenizer-TRAINING
+    * primitive: corpus-wide counts of adjacent symbol pairs, top-10.
+    * The per-doc pair list is a single `transform(sequence(...))`
+    * projection (no join, no per-char shuffle rows: the explode
+    * collapses map-side to ≤|alphabet|² partial rows per partition
+    * before the one tiny (pair, count) shuffle — the same partial-agg
+    * argument as the histogram family). Real BPE iterates this with
+    * the winning pair merged into the symbol stream; the per-round
+    * plan is exactly this query, so the round cost at 100 TB is one
+    * corpus scan + a KB-sized shuffle. */
+  private def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(length(col("text")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
+        .as("pg"))
+      .groupBy("pg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pg"))
+      .limit(10)
+
+  private val bpePairsSql =
+    """WITH pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(text)),
+      |    i -> substring(text, i, 2))) AS pg
+      |  FROM documents WHERE length(text) >= 2)
+      |SELECT pg, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM pairs GROUP BY pg
+      |ORDER BY n DESC, pg LIMIT 10""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
