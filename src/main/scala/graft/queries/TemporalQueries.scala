@@ -682,7 +682,73 @@ object TemporalQueries {
        |  OR old_status <> new_status OR old_price_c <> new_price_c
        |ORDER BY o_orderkey""".stripMargin
 
+  /** Linear gap interpolation — `q_gap_fill`'s forward-fill sibling
+    * for metrics where a straight line between observations beats
+    * repeating the last one (sensor readings, balances). Same
+    * output-proportional calendar (per-id `sequence` explode, never a
+    * global-calendar cross join); the bracketing observation on each
+    * side comes from two frames of ONE id-partitioned window pass
+    * (running `last` / reversed `first`, ignoreNulls), and the
+    * interpolation itself is integral ×1000 arithmetic — numerator
+    * and denominator are day counts, both engines truncate integral
+    * division toward zero, so the line is hash-exact. Boundary gaps
+    * cannot occur: the calendar spans min..max observation dates. */
+  private def interpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = EventSeries.daily(spark, dir).select("id", "date", "dval")
+    val cal = daily.groupBy("id")
+      .agg(min("date").as("d0"), max("date").as("d1"))
+      .select(col("id"), explode(sequence(col("d0"), col("d1"))).as("date"))
+    val wb = Window.partitionBy("id").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("id").orderBy("date")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDate = when(col("dval").isNotNull, col("date"))
+    cal.join(daily, Seq("id", "date"), "left")
+      .withColumn("pv", last(col("dval"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(obsDate, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("dval"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(obsDate, ignoreNulls = true).over(wf))
+      .where(col("dval").isNull)
+      .withColumn("num", datediff(col("date"), col("pd")).cast("long"))
+      .withColumn("den", datediff(col("nd"), col("pd")).cast("long"))
+      .select(col("id"), col("date"),
+        expr("pv * 1000 + ((nv - pv) * 1000 * num) div den").as("interp_x1000"))
+      .orderBy("id", "date")
+  }
+
+  private val interpolateSql =
+    s"""WITH ${graft.queries.EventSeriesSql.daily},
+       |span AS (
+       |  SELECT id, MIN(date) AS d0, MAX(date) AS d1 FROM daily GROUP BY id
+       |), cal AS (
+       |  SELECT id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+       |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date
+       |  FROM span
+       |), j AS (
+       |  SELECT c.id AS id, c.date AS date, d.dval AS dval
+       |  FROM cal c LEFT JOIN daily d ON d.id = c.id AND d.date = c.date
+       |), e AS (
+       |  SELECT id, date, dval,
+       |    LAST_VALUE(dval IGNORE NULLS) OVER wb AS pv,
+       |    LAST_VALUE(CASE WHEN dval IS NOT NULL THEN date END IGNORE NULLS)
+       |      OVER wb AS pd,
+       |    FIRST_VALUE(dval IGNORE NULLS) OVER wf AS nv,
+       |    FIRST_VALUE(CASE WHEN dval IS NOT NULL THEN date END IGNORE NULLS)
+       |      OVER wf AS nd
+       |  FROM j
+       |  WINDOW wb AS (PARTITION BY id ORDER BY date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |  wf AS (PARTITION BY id ORDER BY date
+       |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT id, date,
+       |  CAST(pv * 1000 + ((nv - pv) * 1000 * date_diff('day', pd, date))
+       |    // date_diff('day', pd, nd) AS BIGINT) AS interp_x1000
+       |FROM e WHERE dval IS NULL
+       |ORDER BY id, date""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_interpolate", interpolate, Some(interpolateSql)),
     Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),
     Q("q_session_window", sessionWindow, Some(sessionWindowSql)),

@@ -8,6 +8,27 @@ import graft.SparkSpec
 class TemporalDiffSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_interpolate: every gap value lies on the segment between its brackets") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.queries.EventSeries.daily(spark, sf0001)
+      .select(col("id"), col("date"), col("dval"))
+      .as[(Long, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    val interp = graft.SparkEntry.queries("q_interpolate")(spark, sf0001)
+      .select(col("id"), col("date"), col("interp_x1000"))
+      .as[(Long, java.sql.Date, Long)].collect()
+    assert(interp.nonEmpty)
+    interp.foreach { case (id, d, v1000) =>
+      val obs = daily(id)
+      val prev = obs.filter(_._2.getTime < d.getTime).last
+      val next = obs.find(_._2.getTime > d.getTime).get
+      val lo = math.min(prev._3, next._3) * 1000
+      val hi = math.max(prev._3, next._3) * 1000
+      assert(v1000 >= lo - 1000 && v1000 <= hi,
+        s"id=$id date=$d interp=$v1000 outside [$lo, $hi]")
+    }
+  }
+
   test("q_snapshot_diff classes match the snapshot derivations") {
     val d = graft.SparkEntry.queries("q_snapshot_diff")(spark, sf0001)
       .select("o_orderkey", "change", "old_status", "new_status")
