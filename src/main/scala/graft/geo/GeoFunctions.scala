@@ -75,6 +75,10 @@ object GeoFunctions extends Serializable {
       udf((a: Array[Byte], b: Array[Byte]) =>
         if (a == null || b == null) null
         else Boolean.box(readWkb(a).contains(readWkb(b)))))
+    spark.udf.register("st_distance",
+      udf((a: Array[Byte], b: Array[Byte]) =>
+        if (a == null || b == null) null
+        else Double.box(readWkb(a).distance(readWkb(b)))))
   }
 
   /** Column helpers (call [[register]] first is NOT required — these
@@ -94,5 +98,6 @@ object GeoFunctions extends Serializable {
     def stAsGeoJson(c: Column): Column = call_udf("st_asgeojson", c)
     def stPoint(x: Column, y: Column): Column = call_udf("st_point", x, y)
     def stContains(a: Column, b: Column): Column = call_udf("st_contains", a, b)
+    def stDistance(a: Column, b: Column): Column = call_udf("st_distance", a, b)
   }
 }

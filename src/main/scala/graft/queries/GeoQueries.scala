@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.geo.GeoFunctions
 import graft.io.GeoJsonIO
+import graft.ops.Num
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -344,7 +345,78 @@ object GeoQueries {
       | AND ((o.o_orderkey * 13) % 75) * 2 = CAST(floor(c.c_custkey / 20.0) AS BIGINT) * 2
       |ORDER BY o_orderkey, c_custkey""".stripMargin
 
+  /** Bounded-radius KNN spatial join (k = 1 within a one-cell halo):
+    * each point finds its nearest square among the 3×3 grid cells
+    * around it — the distributed spatial-KNN shape (halo/border
+    * replication keeps the candidate join a plain equi-join on cell
+    * ints; candidates per point are O(9 × cell occupancy), never a
+    * nested loop over all geometries). The exact leg is JTS
+    * `distance` (0 inside), argmin per point via a rank-1 window
+    * (WindowGroupLimit). Distances quantize exactly: with half-
+    * integer point coords and integer squares, 4·d² is an integer,
+    * so `roundEps(4·d²)` is bit-stable and the oracle reproduces the
+    * whole join arithmetically (clamped axis distances), hash-
+    * verifying the JTS path. Points with an empty halo drop — the
+    * documented bounded-radius semantic. */
+  private def spatialKnn(spark: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(spark)
+    val sq = squares(spark, dir)
+      .withColumn("cell_x", ((col("c_custkey") * 2) % 40).cast("long"))
+      .withColumn("cell_y", (floor(col("c_custkey") / 20) * 2).cast("long"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val pts = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        (((col("o_orderkey") * 7) % 39).cast("double") + 0.5).as("px"),
+        ((((col("o_orderkey") * 13) % 75) * 2).cast("double") + 0.5).as("py"))
+      .withColumn("off", explode(typedLit(offsets)))
+      .select(col("o_orderkey"), col("px"), col("py"),
+        (floor(col("px")) + col("off._1")).cast("long").as("cell_x"),
+        (floor(col("py")) + col("off._2")).cast("long").as("cell_y"))
+    val d = GeoFunctions.cols.stDistance(col("geometry"),
+      GeoFunctions.cols.stPoint(col("px"), col("py")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(col("d2x4"), col("c_custkey"))
+    pts.join(sq, Seq("cell_x", "cell_y"))
+      .withColumn("d2x4", Num.roundEps(d * d * 4))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_nationkey"),
+        col("d2x4"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Clamped axis distance ×2 (integers): point px = ix + 0.5 vs
+    * square [sx, sx+1]. */
+  private val spatialKnnSql =
+    """WITH sq AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    (c_custkey * 2) % 40 AS sx,
+      |    CAST(floor(c_custkey / 20.0) AS BIGINT) * 2 AS sy
+      |  FROM customer),
+      |pts AS (
+      |  SELECT o_orderkey,
+      |    (o_orderkey * 7) % 39 AS ix,
+      |    ((o_orderkey * 13) % 75) * 2 AS iy
+      |  FROM orders),
+      |cand AS (
+      |  SELECT p.o_orderkey, s.c_custkey, s.c_nationkey,
+      |    GREATEST(2*s.sx - 2*p.ix - 1, 2*p.ix - 2*s.sx - 1, 0) AS ddx2,
+      |    GREATEST(2*s.sy - 2*p.iy - 1, 2*p.iy - 2*s.sy - 1, 0) AS ddy2
+      |  FROM pts p JOIN sq s
+      |    ON s.sx BETWEEN p.ix - 1 AND p.ix + 1
+      |   AND s.sy BETWEEN p.iy - 1 AND p.iy + 1),
+      |ranked AS (
+      |  SELECT o_orderkey, c_custkey, c_nationkey,
+      |    CAST(ddx2*ddx2 + ddy2*ddy2 AS BIGINT) AS d2x4,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |      ORDER BY ddx2*ddx2 + ddy2*ddy2, c_custkey) AS rk
+      |  FROM cand)
+      |SELECT o_orderkey, c_custkey, c_nationkey, d2x4
+      |FROM ranked WHERE rk = 1
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_spatial_knn", spatialKnn, Some(spatialKnnSql)),
     Q("q_dissolve", dissolve, None),
     Q("q_dissolve_wkt", dissolveWkt, Some(dissolveWktSql)),
     Q("q_dissolve_stats", dissolveStats, Some(dissolveStatsSql)),

@@ -67,6 +67,34 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("q_spatial_knn: halo argmin is the true nearest square (brute force)") {
+    val sf0001 = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q_spatial_knn")(spark, sf0001)
+      .select("o_orderkey", "c_custkey", "d2x4")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // brute force over ALL squares (no halo): clamped axis distance ×2
+    val squares = graft.tables.Tables.customer(spark, sf0001)
+      .select("c_custkey").as[Long].collect()
+      .map(c => (c, (c * 2) % 40, (c / 20) * 2))
+    def d2x4(ix: Long, iy: Long, sx: Long, sy: Long): Long = {
+      val ddx = math.max(math.max(2 * sx - 2 * ix - 1, 2 * ix - 2 * sx - 1), 0L)
+      val ddy = math.max(math.max(2 * sy - 2 * iy - 1, 2 * iy - 2 * sy - 1), 0L)
+      ddx * ddx + ddy * ddy
+    }
+    got.foreach { case (k, c, d) =>
+      val ix = (k * 7) % 39
+      val iy = ((k * 13) % 75) * 2
+      val (bc, bd) = squares.map { case (sc, sx, sy) => (sc, d2x4(ix, iy, sx, sy)) }
+        .minBy { case (sc, sd) => (sd, sc) }
+      // the halo answer must be the global nearest whenever the global
+      // nearest itself is inside the halo radius (d ≤ cell diagonal);
+      // beyond it the bounded-radius contract allows a miss
+      if (bd <= 8) assert((c, d) === ((bc, bd)), s"order $k")
+      assert(d >= bd)
+    }
+  }
+
   test("GeoJSON FeatureCollection write/read roundtrip") {
     GeoFunctions.register(spark)
     val dir = Files.createTempDirectory("geojson").toString
