@@ -915,6 +915,8 @@ object F {
     c(VecNearestCid(e(emb), e(norm), cids, cvecs, cnorms))
   def cappedMinIds(id: Column, cap: Int): Column =
     c(CappedMinIds(e(id), cap).toAggregateExpression())
+  def kmvSketch(hash: Column, cap: Int): Column =
+    c(KmvSketch(e(hash), cap).toAggregateExpression())
   def vecPqCodes(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     c(VecPqCodes(e(emb), codebook))
   def vecPqLut(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =

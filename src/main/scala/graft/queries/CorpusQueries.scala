@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.functions.F
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators beyond the reference surface — the
+  * remaining shapes a 100 TB training-data pipeline needs around the
+  * dedup/similarity/curation families already in the engine:
+  * normalization-aware exact dedup, sorted-neighborhood candidate
+  * generation (the sort-based alternative to LSH blocking),
+  * leakage-free group-aware train/val/test splitting, inverted-index
+  * (posting-list) construction, KMV distinct sketching with an exact
+  * error twin, and winsorized (percentile-clamped) robust aggregation.
+  *
+  * Determinism rules as everywhere ([[graft.ops.Num]],
+  * [[OracleSqlFrag]]): hashes are exact integer arithmetic replicated
+  * in the oracle, measures quantize to integers at the row level,
+  * ratios floor through identical expression trees, every result
+  * ordered on a unique key.
+  */
+object CorpusQueries {
+
+  // ----------------------------------------------------- normalized dedup
+
+  /** Exact dedup AFTER text normalization (lowercase, strip
+    * non-alphanumerics, collapse whitespace): catches the
+    * case/punctuation/spacing variants that byte-exact dedup
+    * (`q_dedup_exact`) misses, at identical cost — the normalization
+    * is a scan-side projection, and the group-by still shuffles one
+    * (hash, id) pair per doc, never the text. */
+  private def dedupNormalized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_dups"))
+      .orderBy("h")
+
+  private val dedupNormalizedSql =
+    """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h,
+      |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  // ------------------------------------------------- sorted neighborhood
+
+  private val SnWindow = 4      // neighbors compared per row
+  private val SnKeyLen = 12     // blocking-key prefix length
+  private val SnMinJaccardPct = 60
+
+  /** Sorted-neighborhood near-dup candidates (Hernández & Stolfo's
+    * merge/purge): ONE global sort on a blocking key (normalized-text
+    * prefix), then each row is compared only with its next
+    * [[SnWindow]] neighbors — candidate volume is w·n by
+    * construction, the sort-based alternative to LSH bucketing
+    * (`q_dedup_minhash`) that wins when near-dups share prefixes.
+    *
+    * Scale shape: the global rank is computed the same way as
+    * `q_pack_sequences` — range-partition on the key, per-partition
+    * `row_number`, partition offsets collected (ONE row per
+    * partition) and broadcast back — no single-partition window. The
+    * neighbor pairing is a w-way `sequence` explode joined back on
+    * rank EQUALITY, so cross-partition neighbors meet in an ordinary
+    * equi-join shuffle (a within-partition window would silently drop
+    * pairs spanning a range boundary). Candidates are then verified
+    * with exact token-set Jaccard; only w·n pairs ever exist. */
+  private def sortedNeighborhood(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val keyed = docs.select(col("doc_id"),
+      substring(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")),
+        1, SnKeyLen).as("k"))
+    val parts = graft.ops.SideCache.persist(
+      keyed.repartitionByRange(col("k"), col("doc_id"))
+        .sortWithinPartitions("k", "doc_id")
+        .withColumn("pid", spark_partition_id()))
+    val counts = parts.groupBy("pid").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val prefix = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) =>
+      (pid, acc + n)
+    }.init.map(_._2) // rank offset BEFORE each partition
+    val prefixDf = counts.map(_._1).zip(prefix).toSeq.toDF("pid", "part_off")
+    val w = Window.partitionBy("pid").orderBy("k", "doc_id")
+    val ranked = parts.join(broadcast(prefixDf), Seq("pid"))
+      .withColumn("rnk", row_number().over(w) + col("part_off"))
+      .select(col("doc_id"), col("rnk"))
+    val probes = ranked.select(col("doc_id").as("id_a"),
+      explode(sequence(col("rnk") + 1, col("rnk") + SnWindow)).as("rnk"))
+    val cand = probes
+      .join(ranked.select(col("doc_id").as("id_b"), col("rnk")), "rnk")
+      .select("id_a", "id_b")
+    val sets = docs.select(col("doc_id"),
+      array_distinct(F.shingleHashes(col("text"), 1)).as("hs"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+        size(col("hs_a")).cast("long").as("n_a"),
+        size(col("hs_b")).cast("long").as("n_b"))
+      .filter(col("inter") * 100 >=
+        lit(SnMinJaccardPct) * (col("n_a") + col("n_b") - col("inter")))
+      .withColumn("jaccard_pct",
+        floor(col("inter") * 100.0 / (col("n_a") + col("n_b") - col("inter"))
+          + lit(1e-6)).cast("long"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val sortedNeighborhoodSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+       |      1, $SnKeyLen) AS k
+       |  FROM documents),
+       |rk AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rnk FROM keyed),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM rk a JOIN rk b ON b.rnk > a.rnk AND b.rnk <= a.rnk + $SnWindow),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(string_split(text, ' '),
+       |      snt -> ${OracleSqlFrag.poly("snt")})) AS s
+       |  FROM documents),
+       |j AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+       |    CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
+       |  FROM cand JOIN hs sa ON cand.id_a = sa.doc_id
+       |    JOIN hs sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, inter, n_a, n_b,
+       |  CAST(floor(100.0 * inter / (n_a + n_b - inter) + 0.000001) AS BIGINT)
+       |    AS jaccard_pct
+       |FROM j WHERE inter * 100 >= $SnMinJaccardPct * (n_a + n_b - inter)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------- group-aware split
+
+  /** Leakage-free train/val/test split: the split is a deterministic
+    * hash of the GROUP key (user_id), not the row, so every event of
+    * a user lands in exactly one split — the group-aware discipline
+    * that keeps a user's history out of both train and eval. Pure
+    * scan-side projection (Knuth multiplicative hash, exact integer
+    * arithmetic in both engines) + one tiny aggregate; the corpus
+    * never shuffles on anything but the 3-row split key. */
+  private def groupSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bkt",
+        pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(10L)))
+      .withColumn("split",
+        when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(Num.cents(col("value"))).as("sum_value_c"))
+      .orderBy("split")
+
+  private val groupSplitSql =
+    s"""WITH b AS (
+       |  SELECT user_id, value,
+       |    ((user_id * 2654435761) % 4294967296) % 10 AS bkt
+       |  FROM events),
+       |s AS (
+       |  SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
+       |    ELSE 'test' END AS split, user_id, value
+       |  FROM b)
+       |SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+       |  CAST(SUM(${NumSql.cents("value")}) AS BIGINT) AS sum_value_c
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------- inverted index
+
+  private val IdxMinDf = 2
+  private val IdxMaxDf = 4000
+
+  /** Inverted-index (posting-list) construction: term → document
+    * frequency + the sorted posting list, for discriminative terms
+    * (df in [[[IdxMinDf]], [[IdxMaxDf]]]). The posting aggregate is
+    * the bounded [[graft.functions.CappedMinIds]] — O(cap) state per
+    * term no matter how hot the term, so a corpus-sized stopword
+    * posting can never materialize an un-splittable aggregation
+    * buffer (`collect_list` would); its `total` doubles as the df and
+    * its ids come back sorted, making the result deterministic under
+    * any partitioning. One shuffle of distinct (term, doc_id) pairs.
+    * Postings travel as a comma-joined string (the driver compare is
+    * scalar-typed). */
+  private def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("term")
+      .agg(F.cappedMinIds(col("doc_id"), IdxMaxDf).as("bk"))
+      .where(col("bk.total").between(IdxMinDf, IdxMaxDf))
+      .select(col("term"), col("bk.total").as("df"),
+        array_join(col("bk.ids"), ",").as("postings"))
+      .orderBy("term")
+
+  private val invertedIndexSql =
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(string_split(lower(text), ' '))) AS term
+       |  FROM documents)
+       |SELECT term, COUNT(*) AS df,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       |FROM raw WHERE term <> ''
+       |GROUP BY term HAVING COUNT(*) BETWEEN $IdxMinDf AND $IdxMaxDf
+       |ORDER BY term""".stripMargin
+
+  // ------------------------------------------------------------ KMV sketch
+
+  private val KmvK = 64
+
+  /** KMV distinct-count sketch vs exact, per document source: the
+    * native [[graft.functions.KmvSketch]] aggregate keeps the K
+    * smallest DISTINCT token hashes (O(K) state per group, merges
+    * map-side), and `(K-1)·M / kth` estimates the distinct count.
+    * The whole pipeline is exact integer/sorted-set arithmetic over
+    * the shared polynomial hash, so the oracle replicates estimator
+    * AND error bit-for-bit — same contract as `q_minhash_est_err`:
+    * the accuracy row is what justifies replacing the exact
+    * `COUNT(DISTINCT)` (a full (source, hash) shuffle) with a
+    * KB-sized sketch at 100 TB. The exact twin column is computed
+    * here for the error report; production keeps only the sketch. */
+  private def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("source"), F.polyHash(col("tok")).as("h"))
+    hashes.groupBy("source")
+      .agg(F.kmvSketch(col("h"), KmvK).as("sk"),
+        countDistinct(col("h")).as("n_exact"))
+      .select(col("source"), col("n_exact"),
+        when(col("sk.n_kept") < KmvK, col("sk.n_kept"))
+          .otherwise(Num.floorEps(
+            lit((KmvK - 1).toDouble * graft.queries.OracleSqlFrag.Mod) /
+              greatest(col("sk.kth"), lit(1L)).cast("double")))
+          .as("est"))
+      .withColumn("err_pct", Num.floorEps(
+        abs(col("est") - col("n_exact")) * 100.0 / col("n_exact")))
+      .orderBy("source")
+  }
+
+  private val kmvDistinctSql = {
+    val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
+    s"""WITH toks AS (
+       |  SELECT source, ${OracleSqlFrag.poly("t")} AS h FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |d AS (SELECT DISTINCT source, h FROM toks),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |  FROM d),
+       |st AS (
+       |  SELECT source, COUNT(*) AS n_exact,
+       |    COUNT(CASE WHEN rnk <= $KmvK THEN 1 END) AS n_kept,
+       |    MAX(CASE WHEN rnk <= $KmvK THEN h END) AS kth
+       |  FROM rk GROUP BY source),
+       |est AS (
+       |  SELECT source, n_exact,
+       |    CASE WHEN n_kept < $KmvK THEN n_kept
+       |      ELSE ${NumSql.floorEps(s"$estConst / greatest(kth, 1)")} END AS est
+       |  FROM st)
+       |SELECT source, n_exact, est,
+       |  ${NumSql.floorEps("abs(est - n_exact) * 100.0 / n_exact")} AS err_pct
+       |FROM est ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------- winsorize
+
+  /** Winsorized (percentile-clamped) robust aggregation: per event
+    * type, clamp the µ-quantized value to its exact [p01, p99] fences
+    * and aggregate the clamped series — the robust-mean recipe that
+    * tames heavy tails without dropping rows (`q_outlier_iqr` is the
+    * reporting twin that RETURNS the tail rows). Same two-pass scale
+    * shape: the fence pass reduces map-side to |event_type| rows and
+    * broadcasts back; the corpus never shuffles. Fences floor-quantize
+    * through identical expression trees so a 1-ulp quantile divergence
+    * cannot move a clamp boundary. */
+  private def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), Num.floorEps(col("value") * 1e6).as("v"))
+    val fences = base.groupBy(col("event_type"))
+      .agg(percentile(col("v"), lit(0.01)).as("p01"),
+        percentile(col("v"), lit(0.99)).as("p99"))
+      .select(col("event_type"),
+        Num.floorEps(col("p01")).as("lo"), Num.floorEps(col("p99")).as("hi"))
+    base.join(broadcast(fences), "event_type")
+      .select(col("event_type"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("w"),
+        (col("v") < col("lo")).cast("long").as("clo"),
+        (col("v") > col("hi")).cast("long").as("chi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sum_wins_v"),
+        sum(col("clo")).as("n_lo_clamped"), sum(col("chi")).as("n_hi_clamped"))
+      .orderBy("event_type")
+  }
+
+  private val winsorizeSql = {
+    val v = NumSql.floorEps("value * 1000000.0")
+    s"""WITH base AS (
+       |  SELECT event_type, $v AS v FROM events WHERE value IS NOT NULL),
+       |fences AS (
+       |  SELECT event_type,
+       |    ${NumSql.floorEps("quantile_cont(v, 0.01)")} AS lo,
+       |    ${NumSql.floorEps("quantile_cont(v, 0.99)")} AS hi
+       |  FROM base GROUP BY event_type)
+       |SELECT b.event_type, COUNT(*) AS n,
+       |  CAST(SUM(least(greatest(b.v, f.lo), f.hi)) AS BIGINT) AS sum_wins_v,
+       |  CAST(SUM(CASE WHEN b.v < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo_clamped,
+       |  CAST(SUM(CASE WHEN b.v > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_clamped
+       |FROM base b JOIN fences f USING (event_type)
+       |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
+    Q("q_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
+    Q("q_group_split", groupSplit, Some(groupSplitSql)),
+    Q("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    Q("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("q_winsorize", winsorize, Some(winsorizeSql)),
+  )
+}
