@@ -70,26 +70,39 @@ object GraphQueries {
       .localCheckpoint(false)
   }
 
-  def pagerank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  /** @param atScale when true, the rank-side tables flow through
+    * SHUFFLE hash joins instead of broadcasts — the web-scale shape
+    * where ranks/degrees (one row per node, 10⁹+ nodes) outgrow any
+    * broadcast: per round, contributions shuffle on src to meet the
+    * edges and on dst to aggregate — the Pregel message-passing plan.
+    * The recurrence (and therefore the oracle) is IDENTICAL; only the
+    * physical exchange strategy changes, which is the point: the same
+    * declarative plan serves both regimes with a hint. */
+  def pagerank(spark: SparkSession, dir: String, iters: Int = 3,
+      atScale: Boolean = false): DataFrame = {
     val nation = Tables.table(spark, dir, "nation")
     val edges = tradeEdges(spark, dir)
+    // node-proportional tables: broadcast below web scale, shuffle above
+    def side(df: DataFrame): DataFrame =
+      if (atScale) df.hint("shuffle_hash") else broadcast(df)
 
     val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
     val nTot = nodes.agg(count(lit(1)).as("n"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
 
-    // r0 = floor(SCALE / N) for every node
+    // r0 = floor(SCALE / N) for every node (nTot is ONE row — always
+    // broadcast, even at web scale)
     var ranks = nodes.crossJoin(broadcast(nTot))
       .select(col("node"), expr(s"${Scale}L div n").as("r"))
 
     for (_ <- 1 to iters) {
       // per-source share = floor(r / outdeg); contribution sum is an
       // integer sum — combine-order free
-      val share = ranks.join(broadcast(deg), col("node") === col("src"))
+      val share = ranks.join(side(deg), col("node") === col("src"))
         .select(col("src"), expr("r div outdeg").as("share"))
-      val contrib = edges.join(broadcast(share), "src")
+      val contrib = edges.join(side(share), "src")
         .groupBy("dst").agg(sum("share").as("c"))
-      ranks = nodes.join(broadcast(contrib), col("node") === col("dst"), "left")
+      ranks = nodes.join(side(contrib), col("node") === col("dst"), "left")
         .crossJoin(broadcast(nTot))
         .select(col("node"),
           (expr(s"(15 * (${Scale}L div n)) div 100") +
@@ -103,6 +116,9 @@ object GraphQueries {
 
   private def pagerankQ(spark: SparkSession, dir: String): DataFrame =
     pagerank(spark, dir)
+
+  private def pagerankScaleQ(spark: SparkSession, dir: String): DataFrame =
+    pagerank(spark, dir, atScale = true)
 
   /** DuckDB twin: the identical integer recurrence, 3 rounds unrolled
     * as CTEs. All operands are non-negative, so DuckDB's floor `//`
@@ -290,6 +306,7 @@ object GraphQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerankQ, Some(pagerankSql)),
+    Q("q_pagerank_scale", pagerankScaleQ, Some(pagerankSql)),
     Q("q_triangle_count", triangleCount, Some(triangleCountSql)),
     Q("q_triangle_degree", triangleDegree, Some(triangleDegreeSql)),
   )

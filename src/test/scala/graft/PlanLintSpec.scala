@@ -19,7 +19,7 @@ class PlanLintSpec extends SparkSpec {
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term
-    "q_pagerank",
+    "q_pagerank", "q_pagerank_scale",
     // 1-row scalar aggregates broadcast-crossed into a scan (the
     // scalar-subquery pattern): max-date cutoff, corpus doc count,
     // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight

@@ -29,6 +29,18 @@ class GraphSpec extends SparkSpec {
     assert(out.sorted === again.sorted)
   }
 
+  test("at-scale pagerank: shuffle-join plan, bit-equal ranks") {
+    val scaled = GraphQueries.pagerank(spark, sf0001, atScale = true)
+    // the rank-side joins must plan as shuffle hash joins (the
+    // web-scale exchange), not broadcasts
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(2000))
+    val a = GraphQueries.pagerank(spark, sf0001)
+      .select("n_nationkey", "rank_q").as[(Int, Long)].collect().toSeq
+    val b = scaled.select("n_nationkey", "rank_q").as[(Int, Long)].collect().toSeq
+    assert(a === b)
+  }
+
   test("triangle count: covers every nation, symmetric, bounded by C(n-1,2)") {
     val out = GraphQueries.triangleCount(spark, sf0001)
       .select("n_nationkey", "tri_cnt").as[(Int, Long)].collect()
