@@ -32,9 +32,12 @@ final class KmvBuffer(val cap: Int) {
 }
 
 /** `kmv_sketch(hash, cap)` — aggregate a group's hash values into
-  * `struct(n_kept: long, kth: long)`: the number of distinct hashes
-  * retained (= min(cap, true distinct count)) and the largest retained
-  * one (the `n_kept`-th smallest distinct hash overall).
+  * `struct(n_kept: long, kth: long, ks: array<long>)`: the number of
+  * distinct hashes retained (= min(cap, true distinct count)), the
+  * largest retained one (the `n_kept`-th smallest distinct hash
+  * overall), and the retained values ascending — the sketch itself,
+  * which downstream set arithmetic (union/intersection estimation,
+  * `q_kmv_overlap`) consumes.
   *
   * This is the K-minimum-values distinct sketch (Bar-Yossef et al.):
   * for hashes uniform on [0, M), `(cap-1) * M / kth` estimates the
@@ -71,7 +74,12 @@ case class KmvSketch(
 
   override def eval(buffer: KmvBuffer): Any = {
     val n = buffer.set.size
-    InternalRow(n.toLong, if (n == 0) 0L else buffer.set.last().longValue())
+    val ks = new Array[Long](n)
+    val it = buffer.set.iterator()
+    var i = 0
+    while (it.hasNext) { ks(i) = it.next().longValue(); i += 1 }
+    InternalRow(n.toLong, if (n == 0) 0L else ks(n - 1),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(ks))
   }
 
   override def serialize(buffer: KmvBuffer): Array[Byte] = {
@@ -93,7 +101,9 @@ case class KmvSketch(
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_kept", LongType, nullable = false),
-    StructField("kth", LongType, nullable = false)))
+    StructField("kth", LongType, nullable = false),
+    StructField("ks", ArrayType(LongType, containsNull = false),
+      nullable = false)))
 
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"

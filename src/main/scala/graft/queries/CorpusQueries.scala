@@ -271,6 +271,116 @@ object CorpusQueries {
        |FROM est ORDER BY source""".stripMargin
   }
 
+  /** Cross-corpus overlap estimation by KMV SET ARITHMETIC — the
+    * capability HLL does not have and the reason KMV is the overlap
+    * sketch at 100 TB: sketch(A∪B) is just the K smallest of
+    * sketch(A) ∪ sketch(B) (any of the union's K minima lives in one
+    * of the two sketches), |A∩B| follows by inclusion–exclusion, and
+    * none of it touches the corpora again. Per source pair: estimated
+    * vs exact token-set Jaccard. The pair stage runs on |sources|
+    * KB-sized sketch rows (the deliberate tiny cross); the exact tier
+    * — a full distinct-hash self-join kept ONLY to hash-verify the
+    * estimate — is the thing the sketch replaces in production.
+    * Everything is integer/sorted-set arithmetic ⇒ estimator and
+    * error both hash-verified. */
+  private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
+    val hashes = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .select(col("source"), F.polyHash(col("tok")).as("h"))
+    val d = hashes.distinct()
+    val sz = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val sk = hashes.groupBy("source")
+      .agg(F.kmvSketch(col("h"), KmvK).as("sk"))
+      .select(col("source"), col("sk.ks").as("ks"),
+        when(col("sk.n_kept") < KmvK, col("sk.n_kept"))
+          .otherwise(Num.floorEps(
+            lit(estConst) / greatest(col("sk.kth"), lit(1L)).cast("double")))
+          .as("est_n"))
+    val pairs = sk.select(col("source").as("src_a"), col("ks").as("ks_a"),
+        col("est_n").as("est_a"))
+      .join(sk.select(col("source").as("src_b"), col("ks").as("ks_b"),
+        col("est_n").as("est_b")), col("src_a") < col("src_b"))
+    val inter = d.as("x")
+      .join(d.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_a"))),
+        "src_a")
+      .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_b"))),
+        "src_b")
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("ni", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("m", array_sort(array_union(col("ks_a"), col("ks_b"))))
+      .withColumn("est_u",
+        when(size(col("m")) < KmvK, size(col("m")).cast("long"))
+          .otherwise(Num.floorEps(lit(estConst) /
+            greatest(element_at(col("m"), KmvK), lit(1L)).cast("double"))))
+      .withColumn("est_i",
+        greatest(col("est_a") + col("est_b") - col("est_u"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("ni").as("n_inter"),
+        Num.floorEps(col("ni") * 100.0 / (col("n_a") + col("n_b") - col("ni")))
+          .as("exact_jac_pct"),
+        Num.floorEps(col("est_i") * 100.0 / col("est_u")).as("est_jac_pct"))
+      .withColumn("err_abs", abs(col("est_jac_pct") - col("exact_jac_pct")))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val kmvOverlapSql = {
+    val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
+    s"""WITH toks AS (
+       |  SELECT source, ${OracleSqlFrag.poly("t")} AS h FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |d AS (SELECT DISTINCT source, h FROM toks),
+       |sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+       |rk AS (
+       |  SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rnk
+       |  FROM d),
+       |ks AS (
+       |  SELECT source, list(h ORDER BY h) AS ks, COUNT(*) AS nk, MAX(h) AS kth
+       |  FROM rk WHERE rnk <= $KmvK GROUP BY source),
+       |se AS (
+       |  SELECT source, ks,
+       |    CASE WHEN nk < $KmvK THEN nk
+       |      ELSE ${NumSql.floorEps(s"$estConst / greatest(kth, 1)")} END AS est_n
+       |  FROM ks),
+       |pairs AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    list_sort(list_distinct(a.ks || b.ks)) AS m,
+       |    a.est_n AS est_a, b.est_n AS est_b
+       |  FROM se a JOIN se b ON a.source < b.source),
+       |iv AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+       |  FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2),
+       |eu AS (
+       |  SELECT src_a, src_b, est_a, est_b,
+       |    CASE WHEN len(m) < $KmvK THEN len(m)
+       |      ELSE ${NumSql.floorEps(s"$estConst / greatest(m[$KmvK], 1)")} END AS est_u
+       |  FROM pairs),
+       |fin AS (
+       |  SELECT e.src_a, e.src_b,
+       |    COALESCE(iv.n_inter, 0) AS ni, sa.n AS n_a, sb.n AS n_b,
+       |    greatest(e.est_a + e.est_b - e.est_u, 0) AS est_i, e.est_u
+       |  FROM eu e
+       |  JOIN sz sa ON e.src_a = sa.source
+       |  JOIN sz sb ON e.src_b = sb.source
+       |  LEFT JOIN iv ON e.src_a = iv.src_a AND e.src_b = iv.src_b),
+       |lab AS (
+       |  SELECT src_a, src_b, ni AS n_inter,
+       |    ${NumSql.floorEps("ni * 100.0 / (n_a + n_b - ni)")} AS exact_jac_pct,
+       |    ${NumSql.floorEps("est_i * 100.0 / est_u")} AS est_jac_pct
+       |  FROM fin)
+       |SELECT src_a, src_b, n_inter, exact_jac_pct, est_jac_pct,
+       |  abs(est_jac_pct - exact_jac_pct) AS err_abs
+       |FROM lab ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ------------------------------------------------------------- winsorize
 
   /** Winsorized (percentile-clamped) robust aggregation: per event
@@ -325,6 +435,7 @@ object CorpusQueries {
     Q("q_group_split", groupSplit, Some(groupSplitSql)),
     Q("q_inverted_index", invertedIndex, Some(invertedIndexSql)),
     Q("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("q_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     Q("q_winsorize", winsorize, Some(winsorizeSql)),
   )
 }

@@ -27,7 +27,10 @@ class PlanLintSpec extends SparkSpec {
     "q_temperature_mix",
     // the salting demo: the SMALL build side replicated ×8 by a
     // range cross — the technique under test
-    "q_join_salted")
+    "q_join_salted",
+    // |sources|² sketch-pair cross over KB-sized KMV rows — the
+    // set-arithmetic stage is deliberately pair-wise
+    "q_kmv_overlap")
 
   test("no registered query plans a cartesian product; nested loops only by design") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]

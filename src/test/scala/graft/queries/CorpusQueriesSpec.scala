@@ -132,6 +132,36 @@ class CorpusQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q_kmv_overlap: pair estimates match the set-arithmetic recompute") {
+    val got = run("q_kmv_overlap")
+      .select("src_a", "src_b", "n_inter", "exact_jac_pct", "est_jac_pct")
+      .as[(String, String, Long, Long, Long)].collect()
+    val sets = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+        .map(t => Poly.hashBytes(t.getBytes("UTF-8"), Poly.Base)).toSet)
+      .toMap
+    assert(got.length === sets.size * (sets.size - 1) / 2)
+    def est(hs: Seq[Long]): Long =
+      if (hs.length < 64) hs.length.toLong
+      else graft.ops.Num.floorEpsLong(63.0 * Poly.Mod / math.max(hs(63), 1L))
+    got.foreach { case (a, b, nInter, exactPct, estPct) =>
+      val (sa, sb) = (sets(a), sets(b))
+      assert(nInter === (sa & sb).size.toLong)
+      assert(exactPct === graft.ops.Num.floorEpsLong(
+        nInter * 100.0 / (sa.size + sb.size - nInter)))
+      // replay the sketch set arithmetic driver-side
+      val ka = sa.toSeq.sorted.take(64)
+      val kb = sb.toSeq.sorted.take(64)
+      val m = (ka ++ kb).distinct.sorted
+      val estU = if (m.length < 64) m.length.toLong
+        else graft.ops.Num.floorEpsLong(63.0 * Poly.Mod / math.max(m(63), 1L))
+      val estI = math.max(est(ka) + est(kb) - estU, 0L)
+      assert(estPct === graft.ops.Num.floorEpsLong(estI * 100.0 / estU),
+        s"pair=$a,$b")
+    }
+  }
+
   test("q_winsorize: clamp counts stay within the 1% tail bound") {
     val got = run("q_winsorize")
       .select("n", "sum_wins_v", "n_lo_clamped", "n_hi_clamped")
