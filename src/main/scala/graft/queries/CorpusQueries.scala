@@ -213,12 +213,19 @@ object CorpusQueries {
 
   // ------------------------------------------------------------ KMV sketch
 
-  private val KmvK = 64
+  // K=256: relative error ~1/√(K−2) ≈ 6% for the distinct estimate —
+  // tight enough that the inclusion–exclusion intersection (3 estimator
+  // applications) stays useful; still only 2 KB of state per group
+  private[queries] val KmvK = 256
 
   /** KMV distinct-count sketch vs exact, per document source: the
     * native [[graft.functions.KmvSketch]] aggregate keeps the K
-    * smallest DISTINCT token hashes (O(K) state per group, merges
+    * smallest DISTINCT shingle hashes (O(K) state per group, merges
     * map-side), and `(K-1)·M / kth` estimates the distinct count.
+    * The counted unit is the token BIGRAM (codegen'd `ShingleHashes`,
+    * one pass per doc) — hundreds of distinct values per source, so
+    * the estimator branch (not the exact small-set fallback) is what
+    * the oracle verifies.
     * The whole pipeline is exact integer/sorted-set arithmetic over
     * the shared polynomial hash, so the oracle replicates estimator
     * AND error bit-for-bit — same contract as `q_minhash_est_err`:
@@ -226,11 +233,25 @@ object CorpusQueries {
     * `COUNT(DISTINCT)` (a full (source, hash) shuffle) with a
     * KB-sized sketch at 100 TB. The exact twin column is computed
     * here for the error report; production keeps only the sketch. */
+  /** Distinct (per doc) token-bigram hashes, keyed by source. */
+  private def bigramHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(F.shingleHashes(col("text"), 2)).as("h"))
+
+  /** DuckDB twin of [[bigramHashes]] (the n=2 case of the
+    * `q_ngram_jaccard` shingle recipe). */
+  private val bigramHashesSql =
+    s"""SELECT source, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(generate_series(1, len(t)-1),
+       |        i -> t[i] || ' ' || t[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END,
+       |    shs -> ${OracleSqlFrag.poly("shs")}))) AS h
+       |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)""".stripMargin
+
   private def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("source"), F.polyHash(col("tok")).as("h"))
+    val hashes = bigramHashes(spark, dir)
     hashes.groupBy("source")
       .agg(F.kmvSketch(col("h"), KmvK).as("sk"),
         countDistinct(col("h")).as("n_exact"))
@@ -248,9 +269,7 @@ object CorpusQueries {
   private val kmvDistinctSql = {
     val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
     s"""WITH toks AS (
-       |  SELECT source, ${OracleSqlFrag.poly("t")} AS h FROM (
-       |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
-       |  WHERE t <> ''),
+       |  $bigramHashesSql),
        |d AS (SELECT DISTINCT source, h FROM toks),
        |rk AS (
        |  SELECT source, h,
@@ -285,10 +304,7 @@ object CorpusQueries {
     * error both hash-verified. */
   private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
     val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
-    val hashes = Tables.documents(spark, dir)
-      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
-      .where(col("tok") =!= "")
-      .select(col("source"), F.polyHash(col("tok")).as("h"))
+    val hashes = bigramHashes(spark, dir)
     val d = hashes.distinct()
     val sz = d.groupBy("source").agg(count(lit(1)).as("n"))
     val sk = hashes.groupBy("source")
@@ -332,9 +348,7 @@ object CorpusQueries {
   private val kmvOverlapSql = {
     val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
     s"""WITH toks AS (
-       |  SELECT source, ${OracleSqlFrag.poly("t")} AS h FROM (
-       |    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
-       |  WHERE t <> ''),
+       |  $bigramHashesSql),
        |d AS (SELECT DISTINCT source, h FROM toks),
        |sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
        |rk AS (

@@ -21,6 +21,14 @@ class CorpusQueriesSpec extends SparkSpec {
   private def norm(s: String): String =
     s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
 
+  /** Driver-side twin of the engine's token-bigram shingle hashes. */
+  private def bigramHashes(t: String): Seq[Long] = {
+    val toks = t.split(" ")
+    if (toks.length < 2) Seq.empty
+    else toks.sliding(2).map(w =>
+      Poly.hashBytes(w.mkString(" ").getBytes("UTF-8"), Poly.Base)).toSeq
+  }
+
   test("q_dedup_normalized groups case/punct/spacing variants together") {
     val got = run("q_dedup_normalized")
       .select("keeper_id", "n_dups").as[(Long, Long)].collect()
@@ -117,15 +125,19 @@ class CorpusQueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
     val bySource = graft.tables.Tables.documents(spark, sf0001)
       .select(col("source"), col("text")).as[(String, String)].collect()
-      .groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty)
-        .map(t => Poly.hashBytes(t.getBytes("UTF-8"), Poly.Base)).distinct.sorted)
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(d => bigramHashes(d._2)).distinct.sorted)
       .toMap
+    val k = CorpusQueries.KmvK
+    // the sketch branch (not the small-set fallback) must actually fire
+    assert(bySource.values.exists(_.length > k))
     got.foreach { case (src, nExact, est, errPct) =>
       val hs = bySource(src)
       assert(nExact === hs.length.toLong)
       val expectEst =
-        if (hs.length < 64) hs.length.toLong
-        else graft.ops.Num.floorEpsLong(63.0 * Poly.Mod / math.max(hs(63), 1L))
+        if (hs.length < k) hs.length.toLong
+        else graft.ops.Num.floorEpsLong(
+          (k - 1).toDouble * Poly.Mod / math.max(hs(k - 1), 1L))
       assert(est === expectEst, s"source=$src")
       assert(errPct ===
         graft.ops.Num.floorEpsLong(math.abs(est - nExact) * 100.0 / nExact))
@@ -138,24 +150,27 @@ class CorpusQueriesSpec extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect()
     val sets = graft.tables.Tables.documents(spark, sf0001)
       .select(col("source"), col("text")).as[(String, String)].collect()
-      .groupBy(_._1).view.mapValues(_.flatMap(_._2.split(" ")).filter(_.nonEmpty)
-        .map(t => Poly.hashBytes(t.getBytes("UTF-8"), Poly.Base)).toSet)
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(d => bigramHashes(d._2)).toSet)
       .toMap
     assert(got.length === sets.size * (sets.size - 1) / 2)
+    val k = CorpusQueries.KmvK
     def est(hs: Seq[Long]): Long =
-      if (hs.length < 64) hs.length.toLong
-      else graft.ops.Num.floorEpsLong(63.0 * Poly.Mod / math.max(hs(63), 1L))
+      if (hs.length < k) hs.length.toLong
+      else graft.ops.Num.floorEpsLong(
+        (k - 1).toDouble * Poly.Mod / math.max(hs(k - 1), 1L))
     got.foreach { case (a, b, nInter, exactPct, estPct) =>
       val (sa, sb) = (sets(a), sets(b))
       assert(nInter === (sa & sb).size.toLong)
       assert(exactPct === graft.ops.Num.floorEpsLong(
         nInter * 100.0 / (sa.size + sb.size - nInter)))
       // replay the sketch set arithmetic driver-side
-      val ka = sa.toSeq.sorted.take(64)
-      val kb = sb.toSeq.sorted.take(64)
+      val ka = sa.toSeq.sorted.take(k)
+      val kb = sb.toSeq.sorted.take(k)
       val m = (ka ++ kb).distinct.sorted
-      val estU = if (m.length < 64) m.length.toLong
-        else graft.ops.Num.floorEpsLong(63.0 * Poly.Mod / math.max(m(63), 1L))
+      val estU = if (m.length < k) m.length.toLong
+        else graft.ops.Num.floorEpsLong(
+          (k - 1).toDouble * Poly.Mod / math.max(m(k - 1), 1L))
       val estI = math.max(est(ka) + est(kb) - estU, 0L)
       assert(estPct === graft.ops.Num.floorEpsLong(estI * 100.0 / estU),
         s"pair=$a,$b")
