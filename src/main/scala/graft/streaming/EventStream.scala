@@ -220,6 +220,26 @@ object EventStream {
     }.reduce(_ unionByName _)
       .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming KMV distinct sketch per key — the streaming twin of
+    * batch `q_kmv_distinct`. The same [[graft.functions.KmvSketch]]
+    * TypedImperativeAggregate runs under streaming aggregation: state
+    * per key is the K smallest DISTINCT hashes (O(K) longs, never
+    * grows), the state-store restore path reuses the aggregate's own
+    * buffer merge, and because the buffer is arrival-order- and
+    * duplication-free the maintained sketch is bit-equal to a
+    * from-scratch batch build over the same prefix (StreamingSpec
+    * proves it across micro-batches). This is the distinct-cardinality
+    * monitor that runs forever on unbounded input: exact distinct
+    * state grows with the id universe; the sketch holds 2 KB per key
+    * no matter what, and `(K-1)·M/kth` reads the estimate off the
+    * maintained state at any moment. */
+  def kmvDistinct(rows: DataFrame, keyCol: String, hashCol: String,
+                  k: Int = 256): DataFrame =
+    rows.groupBy(keyCol)
+      .agg(graft.functions.F.kmvSketch(col(hashCol), k).as("sk"))
+      .select(col(keyCol), col("sk.n_kept").as("n_kept"),
+        col("sk.kth").as("kth"), col("sk.ks").as("ks"))
+
   // ---- CDC apply as a foreachBatch sink ----
 
   case class CdcChange(user_id: Long, event_id: Long,

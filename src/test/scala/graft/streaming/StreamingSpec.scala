@@ -85,6 +85,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch equals the batch build over the same prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val k = 8
+    val q = EventStream.kmvDistinct(in.toDF().toDF("key", "h"), "key", "h", k)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    try {
+      // duplicates within and ACROSS batches; more distincts than k
+      val b1 = Seq(("a", 5L), ("a", 3L), ("a", 5L), ("b", 1L), ("a", 9L))
+      val b2 = (1L to 20L).map(("a", _)) ++ Seq(("b", 1L), ("b", 2L))
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = s.table("kmv")
+        .select("key", "n_kept", "kth", "ks")
+        .as[(String, Long, Long, Seq[Long])].collect().sortBy(_._1)
+      val batch = EventStream.kmvDistinct(
+          (b1 ++ b2).toDF("key", "h"), "key", "h", k)
+        .select("key", "n_kept", "kth", "ks")
+        .as[(String, Long, Long, Seq[Long])].collect().sortBy(_._1)
+      // maintained state == from-scratch build: the buffer is
+      // duplication- and arrival-order-free, so micro-batching is
+      // invisible
+      assert(streamed.toSeq === batch.toSeq)
+      // state bound: never more than k values per key
+      assert(streamed.forall(_._4.length <= k))
+      // "a" saw 21 distincts (3,5,9,1..20) > k: sketch is full and
+      // holds exactly the k smallest
+      val a = streamed.find(_._1 == "a").get
+      assert(a._2 === k.toLong)
+      assert(a._4 === (1L to 8L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate ids with watermark-bounded state") {
     val s = spark
     import s.implicits._
