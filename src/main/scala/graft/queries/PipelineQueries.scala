@@ -349,7 +349,92 @@ object PipelineQueries {
       |  FROM events)
       |ORDER BY rule""".stripMargin
 
+  /** Sequential filter funnel with per-stage attrition — the curation
+    * ACCOUNTING table every production pipeline publishes (what
+    * fraction died at which gate, in which order). Four gates run in
+    * sequence: declared language, length band, quality score
+    * (`q_quality_score`'s formula), repetition (`q_repetition`'s
+    * formula). ONE corpus scan computes all gate flags as projections;
+    * survival counts are conjunction sums in a single aggregate
+    * (map-side partial → 1 row), then `stack` unpivots to the 4-row
+    * report — no per-stage rescans, no intermediate materialization.
+    * At 100 TB this is exactly one pass over the corpus regardless of
+    * how many gates the funnel grows. */
+  private def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val stops = TF.Lexicons.toMap.apply("en")
+    val base = Tables.documents(spark, dir).select(
+      col("lang"), col("n_chars"),
+      size(toks).as("n_tok"),
+      TF.lexiconCount(toks, stops).as("stop_cnt"),
+      greatest(size(toks) - 2, lit(0)).as("n_3grams"),
+      size(TF.shingleUdfCol(col("text"), 3)).as("n_distinct"))
+    val flags = base.select(
+      (col("lang") === "en").as("g1"),
+      col("n_chars").between(100, 20000).as("g2"),
+      (floor(lit(50.0) * least(col("n_tok"), lit(400)) / 400 +
+        lit(50.0) * col("stop_cnt") / col("n_tok") + lit(1e-6)) >= 8).as("g3"),
+      (when(col("n_3grams") === 0, lit(0L)).otherwise(
+        floor((lit(1.0) - col("n_distinct") / col("n_3grams")) * 100
+          + lit(1e-6))) <= 5).as("g4"))
+    flags.agg(
+      count(lit(1)).as("n0"),
+      sum(col("g1").cast("long")).as("s1"),
+      sum((col("g1") && col("g2")).cast("long")).as("s2"),
+      sum((col("g1") && col("g2") && col("g3")).cast("long")).as("s3"),
+      sum((col("g1") && col("g2") && col("g3") && col("g4")).cast("long"))
+        .as("s4"))
+      .selectExpr(
+        """stack(4,
+          |  1, 'lang', n0, s1,
+          |  2, 'length', s1, s2,
+          |  3, 'quality', s2, s3,
+          |  4, 'repetition', s3, s4) AS (stage, gate, n_in, n_kept)"""
+          .stripMargin)
+      .withColumn("n_drop", col("n_in") - col("n_kept"))
+      .orderBy("stage")
+  }
+
+  private val filterFunnelSql = {
+    val stops = TextFunctionsSql.lexicon("en")
+    s"""WITH base AS (
+       |  SELECT lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> list_contains($stops, x))) AS INT) AS stop_cnt,
+       |    CAST(GREATEST(len(string_split(text, ' ')) - 2, 0) AS INT) AS n_3grams,
+       |    CAST(len(list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+       |      THEN list_transform(generate_series(1, len(string_split(text, ' '))-2),
+       |        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+       |          || ' ' || string_split(text, ' ')[i+2])
+       |      ELSE CAST([] AS VARCHAR[]) END)) AS INT) AS n_distinct
+       |  FROM documents),
+       |flags AS (
+       |  SELECT (lang = 'en') AS g1,
+       |    (n_chars BETWEEN 100 AND 20000) AS g2,
+       |    (floor(50.0 * LEAST(n_tok, 400) / 400
+       |      + 50.0 * stop_cnt / n_tok + 0.000001) >= 8) AS g3,
+       |    (CASE WHEN n_3grams = 0 THEN 0
+       |      ELSE CAST(floor((1.0 - CAST(n_distinct AS DOUBLE) / n_3grams) * 100
+       |        + 0.000001) AS BIGINT) END <= 5) AS g4
+       |  FROM base),
+       |agg AS (
+       |  SELECT COUNT(*) AS n0,
+       |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+       |    CAST(SUM(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+       |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(SUM(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4
+       |  FROM flags)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'lang' AS gate, n0 AS n_in, s1 AS n_kept, n0 - s1 AS n_drop FROM agg
+       |  UNION ALL SELECT 2, 'length', s1, s2, s1 - s2 FROM agg
+       |  UNION ALL SELECT 3, 'quality', s2, s3, s2 - s3 FROM agg
+       |  UNION ALL SELECT 4, 'repetition', s3, s4, s3 - s4 FROM agg)
+       |ORDER BY stage""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_contamination", contamination, Some(contaminationSql)),
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),

@@ -122,6 +122,25 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("q_filter_funnel: stages chain, counts monotone, survivors remain") {
+    val rows = run("q_filter_funnel")
+      .select("stage", "n_in", "n_kept", "n_drop")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 4)
+    // stage 1 sees the whole corpus
+    val total = graft.tables.Tables.documents(spark, sf0001).count()
+    assert(rows.head._2 === total)
+    rows.foreach { case (_, nIn, nKept, nDrop) =>
+      assert(nKept <= nIn)
+      assert(nDrop === nIn - nKept)
+    }
+    // each stage's intake is the prior stage's survivors
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._2 === a._3) }
+    // the funnel must discriminate but not annihilate
+    assert(rows.last._3 > 0)
+    assert(rows.last._3 < total)
+  }
+
   test("q_stratified_sample keeps only below-quota buckets, rates roughly honor quotas") {
     val rows = run("q_stratified_sample")
       .select("lang", "bucket", "keep_below").as[(String, Long, Int)].collect()
