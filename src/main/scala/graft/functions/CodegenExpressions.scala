@@ -760,9 +760,12 @@ case class ShingleHashes(child: Expression, n: Int, base: Long,
   * path (every LSH/SimHash/embedding bucket runs through it). Output
   * is bounded by the caller's bucket cap (≤ cap²/2 rows). */
 object PairKernel {
-  // n*(n-1)/2 must fit an Int array; bucketed callers cap far below
-  // this, but the SQL-registered function has no caller-side cap
-  private val MaxIds = 65536
+  // C(n,2) must both fit an Int AND be a sane allocation (C(8192,2)
+  // ≈ 33.5M structs; the old 65536 cap admitted 2.1e9-element arrays
+  // that could only OOM, and its intermediate n*(n-1) wrapped an Int
+  // past n=46341). Bucketed callers cap far below this; the guard is
+  // for the SQL-registered function, which has no caller-side cap.
+  private val MaxIds = 8192
 
   def pairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
@@ -774,7 +777,9 @@ object PairKernel {
     var i = 0
     while (i < n) { s(i) = ids.getLong(i); i += 1 }
     java.util.Arrays.sort(s)
-    val out = new Array[Any](n * (n - 1) / 2)
+    // size in Long first: the intermediate n*(n-1) wraps an Int for
+    // n > 46341 even though C(MaxIds,2) itself fits
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -421,6 +421,29 @@ object GeoJsonSourceV2 {
           try s.toLong catch { case _: NumberFormatException => mismatch(v, dt) }
         case _ => mismatch(v, dt)
       }
+      // the connector's own writer emits IntegerType/FloatType columns
+      // (featureJson), so the reader must accept them under a declared
+      // schema or its own output cannot round-trip
+      case IntegerType => v match {
+        case JInt(i) if i.isValidInt => i.toInt
+        case JLong(l) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+        case JDouble(d) if d == math.rint(d) &&
+          d >= Int.MinValue.toDouble && d <= Int.MaxValue.toDouble => d.toInt
+        case JDecimal(d) if d.isWhole && d.isValidInt => d.toInt
+        case JBool(b) => if (b) 1 else 0
+        case JString(s) =>
+          try s.toInt catch { case _: NumberFormatException => mismatch(v, dt) }
+        case _ => mismatch(v, dt)
+      }
+      case FloatType => v match {
+        case JInt(i) => i.toFloat
+        case JLong(l) => l.toFloat
+        case JDouble(d) => d.toFloat
+        case JDecimal(d) => d.toFloat
+        case JString(s) =>
+          try s.toFloat catch { case _: NumberFormatException => mismatch(v, dt) }
+        case _ => mismatch(v, dt)
+      }
       case DoubleType => v match {
         case JInt(i) => i.toDouble
         case JLong(l) => l.toDouble
@@ -532,13 +555,14 @@ class GeoJsonWriteBuilder(rawPaths: Seq[String], info: LogicalWriteInfo)
     require(rawPaths.length == 1,
       s"geojson write requires exactly one output path, got $rawPaths")
     new GeoJsonWrite(rawPaths.head, info.schema(), doTruncate,
+      info.queryId(),
       new SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
   }
 }
 
 class GeoJsonWrite(path: String, schema: StructType, truncate: Boolean,
-                   conf: SerializableConfiguration)
+                   queryId: String, conf: SerializableConfiguration)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -546,7 +570,7 @@ class GeoJsonWrite(path: String, schema: StructType, truncate: Boolean,
     val fs = p.getFileSystem(conf.value)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new GeoJsonWriterFactory(path, schema, conf)
+    new GeoJsonWriterFactory(path, schema, queryId, conf)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -561,17 +585,22 @@ class GeoJsonWrite(path: String, schema: StructType, truncate: Boolean,
 
 case class GeoJsonCommit(file: Option[String]) extends WriterCommitMessage
 
-class GeoJsonWriterFactory(dir: String, schema: StructType,
+class GeoJsonWriterFactory(dir: String, schema: StructType, queryId: String,
                            conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GeoJsonDataWriter(dir, partitionId, taskId, schema, conf)
+    new GeoJsonDataWriter(dir, partitionId, taskId, schema, queryId, conf)
 }
 
 class GeoJsonDataWriter(dir: String, partitionId: Int, taskId: Long,
-                        schema: StructType, conf: SerializableConfiguration)
+                        schema: StructType, queryId: String,
+                        conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
-  private val file = f"$dir/part-$partitionId%05d-$taskId.geojson"
+  // the per-job queryId keeps append-mode writes from DIFFERENT jobs
+  // (whose partition/task ids restart at 0) from colliding on a name
+  // and silently clobbering each other — the same reason built-in
+  // file sources embed a job UUID in part-file names
+  private val file = f"$dir/part-$partitionId%05d-$taskId-$queryId.geojson"
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var n = 0L
 

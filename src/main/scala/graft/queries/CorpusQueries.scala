@@ -92,8 +92,9 @@ object CorpusQueries {
     val cand = probes
       .join(ranked.select(col("doc_id").as("id_b"), col("rnk")), "rnk")
       .select("id_a", "id_b")
+    // ShingleHashes is distinct-by-default — no array_distinct needed
     val sets = docs.select(col("doc_id"),
-      array_distinct(F.shingleHashes(col("text"), 1)).as("hs"))
+      F.shingleHashes(col("text"), 1).as("hs"))
     cand
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -148,8 +149,13 @@ object CorpusQueries {
     * never shuffles on anything but the 3-row split key. */
   private def groupSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      // reduce to [0, 2^31) BEFORE the Knuth multiply: the product then
+      // tops out at ~5.7e18 < 2^63, so the hash is exact on any engine
+      // (an unreduced 64-bit id would silently wrap in Spark and raise
+      // in DuckDB), and pmod keeps negative ids sign-safe
       .withColumn("bkt",
-        pmod(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)), lit(10L)))
+        pmod(pmod(pmod(col("user_id"), lit(2147483648L)) * lit(2654435761L),
+          lit(4294967296L)), lit(10L)))
       .withColumn("split",
         when(col("bkt") < 8, "train").when(col("bkt") === 8, "val")
           .otherwise("test"))
@@ -162,7 +168,8 @@ object CorpusQueries {
   private val groupSplitSql =
     s"""WITH b AS (
        |  SELECT user_id, value,
-       |    ((user_id * 2654435761) % 4294967296) % 10 AS bkt
+       |    ((((user_id % 2147483648 + 2147483648) % 2147483648)
+       |      * 2654435761) % 4294967296) % 10 AS bkt
        |  FROM events),
        |s AS (
        |  SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val'
@@ -305,9 +312,12 @@ object CorpusQueries {
   private def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
     val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
     val hashes = bigramHashes(spark, dir)
-    val d = hashes.distinct()
+    // the distinct (source, hash) table feeds the sketch agg, the size
+    // agg, and BOTH sides of the exact self-join — persist it once or
+    // the ShingleHashes corpus scan re-runs per consumer
+    val d = graft.ops.SideCache.persist(hashes.distinct())
     val sz = d.groupBy("source").agg(count(lit(1)).as("n"))
-    val sk = hashes.groupBy("source")
+    val sk = d.groupBy("source")
       .agg(F.kmvSketch(col("h"), KmvK).as("sk"))
       .select(col("source"), col("sk.ks").as("ks"),
         when(col("sk.n_kept") < KmvK, col("sk.n_kept"))

@@ -41,13 +41,18 @@ object DecisionQueries {
   /** Pareto skyline of `part` (minimize retail price, maximize size):
     * the parts no other part beats on both dimensions. Two-phase so it
     * scales: phase 1 computes a LOCAL skyline per input partition
-    * (window partitioned by `spark_partition_id()` — fully parallel,
-    * no shuffle of the full table), and only the per-partition
+    * (window partitioned by `spark_partition_id()` — this still plans
+    * one hash Exchange on the synthetic pid key, since Spark cannot
+    * see the rows are already clustered by it, but every partition
+    * sorts independently and in parallel), and only the per-partition
     * survivors — output-sized, not input-sized — reach the single
-    * global pass. A point dominated globally is dominated within its
-    * own partition by the same witness or survives locally and meets
-    * its dominator in phase 2, so the two-phase result is exactly the
-    * direct skyline (DecisionQueriesSpec pins the equality). */
+    * global pass. The win over a direct one-phase skyline is that the
+    * full table never funnels through a SINGLE-partition sort; the
+    * global sweep sees only the union of local fronts. A point
+    * dominated globally is dominated within its own partition by the
+    * same witness or survives locally and meets its dominator in
+    * phase 2, so the two-phase result is exactly the direct skyline
+    * (DecisionQueriesSpec pins the equality). */
   private def skyline(spark: SparkSession, dir: String): DataFrame = {
     val pts = Tables.part(spark, dir).select(
       col("p_partkey"),

@@ -60,11 +60,11 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_pair_array(array(3, 1, 2)) AS p")
       .selectExpr("p.id_a", "p.id_b").as[(Seq[Long], Seq[Long])].head()
     assert(pi === p)
-    // and the uncapped SQL path refuses C(n,2) overflow loudly
+    // and the uncapped SQL path refuses oversized buckets loudly
     val big = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      Array.tabulate(70000)(_.toLong))
+      Array.tabulate(9000)(_.toLong))
     val overflow = intercept[IllegalArgumentException](PairKernel.pairs(big))
-    assert(overflow.getMessage.contains("65536"))
+    assert(overflow.getMessage.contains("8192"))
   }
 
   test("extension class injects all builders without error") {

@@ -226,6 +226,37 @@ class GeoJsonSourceV2Spec extends SparkSpec {
     assert(readBack.select("k").as[Long].collect().sorted === (1L to 6L))
   }
 
+  test("DSv2 write: append jobs never collide on part-file names") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_v2_append_jobs"
+    def one(k: Int) = Seq((k.toLong, s"d$k")).toDF("k", "tag")
+      .withColumn("geometry", GeoFunctions.cols.stGeomFromText(lit("POINT (0 0)")))
+      .coalesce(1)
+    one(1).write.format("geojson").mode("overwrite").save(dir)
+    one(2).write.format("geojson").mode("append").save(dir)
+    one(3).write.format("geojson").mode("append").save(dir)
+    // three jobs, identical partition ids — the per-job queryId in the
+    // file name must keep them from clobbering each other
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".geojson")).map(_.getName)
+    assert(files.length === 3, files.toSeq)
+    assert(files.distinct.length === 3)
+    assert(spark.read.format("geojson").load(dir)
+      .select("k").as[Long].collect().sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("declared Int/Float schema reads back the writer's own output") {
+    GeoFunctions.register(spark)
+    val dir = s"$tmp/geojson_v2_intfloat"
+    val df = Seq((1, 0.5f), (2, 1.25f)).toDF("i", "f")
+      .withColumn("geometry", GeoFunctions.cols.stGeomFromText(lit("POINT (2 3)")))
+    df.write.format("geojson").mode("overwrite").save(dir)
+    // read back under the writer's OWN schema (IntegerType/FloatType)
+    val back = spark.read.schema(df.schema).format("geojson").load(dir)
+      .select("i", "f").as[(Int, Float)].collect().sortBy(_._1)
+    assert(back === Seq((1, 0.5f), (2, 1.25f)))
+  }
+
   test("DSv2 write: NaN/Infinity doubles downgrade to null, floats render shortest") {
     GeoFunctions.register(spark)
     val dir = s"$tmp/geojson_v2_write_nan"

@@ -86,7 +86,9 @@ class CorpusQueriesSpec extends SparkSpec {
       .map { case (k, u, e) => k -> ((u, e)) }.toMap
     val events = graft.tables.Tables.events(spark, sf0001)
       .select(col("user_id")).as[Long].collect()
-    val bucket = (u: Long) => ((u * 2654435761L) % 4294967296L) % 10 match {
+    val bucket = (u: Long) =>
+      ((u % 2147483648L + 2147483648L) % 2147483648L * 2654435761L
+        % 4294967296L) % 10 match {
       case b if b < 8 => "train"
       case 8 => "val"
       case _ => "test"
