@@ -747,7 +747,72 @@ object TemporalQueries {
        |FROM e WHERE dval IS NULL
        |ORDER BY id, date""".stripMargin
 
+  /** Rolling z-score anomaly detection over the per-type daily series
+    * — the monitoring primitive (alert when today deviates from its
+    * own trailing week). One key shuffle builds the daily aggregate;
+    * the trailing-7 moments are TWO running sums (Σx, Σx²) in one
+    * Window node over integer cents, so the distributed part is exact
+    * integer arithmetic and float math happens once per output row.
+    *
+    * Cross-engine determinism: mean/var/z are spelled as the SAME
+    * explicit expression tree on both engines — `(ss − s·s/7)/6`, not
+    * DuckDB's `stddev_samp` (Welford order ⇒ different rounding) —
+    * each IEEE op is correctly rounded so identical operand order
+    * gives identical bits; the z lands as a floor-quantized milli
+    * value. Full windows only (row 7+): a constant n keeps the
+    * formula branch-free. */
+  private def rollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Num.cents(col("value"))).as("x"))
+    val wRoll = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-6, 0)
+    val wSeq = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("s", sum(col("x")).over(wRoll))
+      .withColumn("ss", sum(col("x") * col("x")).over(wRoll))
+      .withColumn("rn", row_number().over(wSeq))
+      .where(col("rn") >= 7)
+      .withColumn("vr",
+        (col("ss") - col("s") * col("s") / 7.0) / 6.0)
+      .withColumn("z_milli",
+        when(col("vr") > 0, Num.floorEps(
+          (col("x") - col("s") / 7.0) / sqrt(col("vr")) * 1000)))
+      .withColumn("is_anom",
+        (abs(coalesce(col("z_milli"), lit(0L))) >= 2000).cast("int"))
+      .select(col("event_type"), col("day"), col("x"), col("z_milli"),
+        col("is_anom"))
+      .orderBy("event_type", "day")
+  }
+
+  private val rollingZscoreSql =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${graft.ops.NumSql.cents("value")}) AS BIGINT) AS x
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY event_type, CAST(ts AS DATE)),
+       |rolled AS (
+       |  SELECT event_type, day, x,
+       |    SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |scored AS (
+       |  SELECT event_type, day, x,
+       |    (ss - s * s / 7.0) / 6.0 AS vr,
+       |    CASE WHEN (ss - s * s / 7.0) / 6.0 > 0
+       |      THEN ${graft.ops.NumSql.floorEps(
+      "(x - s / 7.0) / sqrt((ss - s * s / 7.0) / 6.0) * 1000")}
+       |      END AS z_milli
+       |  FROM rolled WHERE rn >= 7)
+       |SELECT event_type, day, x, z_milli,
+       |  CAST(abs(COALESCE(z_milli, 0)) >= 2000 AS INT) AS is_anom
+       |FROM scored ORDER BY event_type, day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql)),
     Q("q_interpolate", interpolate, Some(interpolateSql)),
     Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     Q("q_stream_window", streamWindow, Some(streamWindowSql)),

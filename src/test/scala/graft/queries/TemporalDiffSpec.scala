@@ -8,6 +8,37 @@ import graft.SparkSpec
 class TemporalDiffSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q_rolling_zscore matches a driver-side recompute of the trailing-7 moments") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(graft.ops.Num.cents(col("value"))).as("x"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime).map(_._3)).toMap
+    val got = graft.SparkEntry.queries("q_rolling_zscore")(spark, sf0001)
+      .select(col("event_type"), col("x"), col("z_milli"))
+      .as[(String, Long, Option[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (et, rows) =>
+      val xs = daily(et)
+      // full windows only: one output row per day from the 7th on
+      assert(rows.length === xs.length - 6)
+      rows.zipWithIndex.foreach { case ((x, z), i) =>
+        val win = xs.slice(i, i + 7)
+        assert(x === win.last)
+        val s = win.sum
+        val ss = win.map(v => v * v).sum
+        val vr = (ss - s * s / 7.0) / 6.0
+        val expect = if (vr > 0)
+          Some(graft.ops.Num.floorEpsLong((x - s / 7.0) / math.sqrt(vr) * 1000))
+        else None
+        assert(z === expect, s"$et day#$i")
+      }
+    }
+  }
+
   test("q_interpolate: every gap value lies on the segment between its brackets") {
     import org.apache.spark.sql.functions._
     val daily = graft.queries.EventSeries.daily(spark, sf0001)
