@@ -897,6 +897,55 @@ case class CharEntropy(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+object NfcKernel {
+  /** Unicode NFC normalization with an ASCII fast path: ASCII bytes
+    * are NFC-invariant, so the overwhelmingly-common case (measured:
+    * the whole synthetic corpus; at 100 TB: most crawl text) never
+    * allocates — one branch-predictable byte scan, return the input.
+    * Non-ASCII goes through `java.text.Normalizer`, skipping the
+    * rewrite when already normalized (`isNormalized` is a cheap
+    * quick-check scan). */
+  def normalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0x80) != 0) {
+        val str = s.toString
+        val form = java.text.Normalizer.Form.NFC
+        return if (java.text.Normalizer.isNormalized(str, form)) s
+        else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+      }
+      i += 1
+    }
+    s
+  }
+}
+
+/** Unicode NFC normalization (compose combining sequences: `e` +
+  * U+0301 → `é`) as a native codegen'd expression — Spark has no
+  * built-in normalizer, and text dedup/hashing REQUIRES one: the
+  * composed and decomposed spellings of the same word hash apart, so
+  * un-normalized corpora silently under-deduplicate. Twin of DuckDB's
+  * `nfc_normalize` (both implement Unicode NFC, which is stabilized:
+  * normalization of assigned code points never changes between
+  * Unicode versions). */
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NfcKernel.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NfcKernel.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-API entry points for the native expressions. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -911,6 +960,7 @@ object F {
     c(MinHashSig(e(shingles), permA, permB))
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
   def charEntropy(text: Column): Column = c(CharEntropy(e(text)))
+  def nfcNormalize(text: Column): Column = c(NfcNormalize(e(text)))
   def pairArray(ids: Column): Column = c(PairArray(e(ids)))
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
   def vecDotD(a: Column, b: Column): Column = c(VecDotD(e(a), e(b)))

@@ -98,6 +98,9 @@ object GraftFunctions {
     ("graft_pair_array", info("graft_pair_array",
       "all C(n,2) ordered id pairs of an array<long> as struct(id_a, id_b)"),
       one("graft_pair_array")(PairArray)),
+    ("graft_nfc_normalize", info("graft_nfc_normalize",
+      "Unicode NFC normalization (twin of DuckDB's nfc_normalize)"),
+      one("graft_nfc_normalize")(NfcNormalize)),
   )
 
   /** Runtime registration on an existing session. */

@@ -304,6 +304,46 @@ object PipelineQueries {
        |) WHERE rk <= $SourceCap
        |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling without replacement — priority sampling
+    * (Duffield/Lund/Thorup): each document draws a deterministic
+    * uniform u ∈ (0,1] from its content hash, gets priority u/w with
+    * weight w = max(n_chars, 1), and the k SMALLEST priorities form
+    * the sample — longer documents are proportionally more likely to
+    * survive, which is the length-weighted epoch-sampling step of a
+    * training-mix builder (sampling ∝ tokens, not ∝ documents).
+    *
+    * Never `rand()`: u = (poly_hash(text)+1)/2³¹ is reproducible
+    * across runs, engines, and partitionings. Determinism is BIT
+    * exactness, not eps-tolerance: u and w are identical doubles on
+    * both engines and /,* are single correctly-rounded IEEE ops in
+    * identical order, so every priority is bit-equal; selection and
+    * tie-breaks run on the quantized integer (prio_q, doc_id) key on
+    * BOTH engines, so the boundary of the sample cannot disagree.
+    *
+    * Scale shape: priorities are a scan-speed projection; the global
+    * smallest-k is `TakeOrderedAndProject` — each partition keeps a
+    * k-row heap, the driver merges P·k rows — no global sort, no
+    * shuffle of the corpus. At 100 TB with k = 100 the exchanged
+    * volume is partitions × k rows. */
+  private val SampleK = 100
+
+  private def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (F.polyHash(col("text")) + lit(1L)).cast("double") / lit(2147483648.0)
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        floor(u / w * lit(1e15)).cast("long").as("prio_q"))
+      .orderBy(col("prio_q"), col("doc_id"))
+      .limit(SampleK)
+  }
+
+  private val weightedSampleSql =
+    s"""SELECT doc_id, lang, n_chars,
+       |  CAST(floor((CAST(${OracleSqlFrag.poly("text")} + 1 AS DOUBLE) / 2147483648.0)
+       |    / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 1e15) AS BIGINT) AS prio_q
+       |FROM documents
+       |ORDER BY prio_q, doc_id LIMIT $SampleK""".stripMargin
+
   /** Data-quality rule suite: the validation pass every production
     * pipeline runs before publishing a batch. Each rule is a
     * scan-speed predicate aggregate (or one anti-join for referential
@@ -443,6 +483,7 @@ object PipelineQueries {
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     Q("q_shard_assign", shardAssign, Some(shardAssignSql)),
     Q("q_source_cap", sourceCap, Some(sourceCapSql)),
+    Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

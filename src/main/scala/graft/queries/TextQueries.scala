@@ -753,7 +753,53 @@ object TextQueries {
       |FROM pairs GROUP BY pg
       |ORDER BY n DESC, pg LIMIT 10""".stripMargin
 
+  /** Unicode text normalization — the canonicalization pass that MUST
+    * precede any hashing/dedup step: NFC composition (decomposed
+    * `e`+U+0301 and composed `é` are the SAME text but hash apart),
+    * case folding, whitespace collapse, trim. The corpus is ASCII, so
+    * deterministic Unicode is PLANTED first (decomposed accents on
+    * doc_id%3==0, composed accents + tabs on doc_id%3==1 — same
+    * expression in the oracle; the `q_pii_scrub` pattern): the query
+    * proves the normalizer, not the corpus.
+    *
+    * NFC itself is the native [[graft.functions.NfcNormalize]]
+    * expression (Spark has no built-in normalizer) — codegen'd, with
+    * an ASCII fast path that makes it free on the dominant case; the
+    * oracle twin is DuckDB's `nfc_normalize` (Unicode NFC is
+    * stabilized, so the two implementations agree on every assigned
+    * code point). Everything is a scan-speed projection — zero
+    * shuffle at any scale. Output keeps (len, 24-char tail) rather
+    * than the full normalized body: enough to pin every planted case
+    * cross-engine without shipping the corpus through the ledger. */
+  private def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(" Café  DÜSSELDORF"))
+        .when(col("doc_id") % 3 === 1, lit(" déjà\tvu\t"))
+        .otherwise(lit("")))
+    val norm = trim(regexp_replace(
+      lower(graft.functions.F.nfcNormalize(planted)),
+      "[ \t\n\r]+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("n"))
+      .select(col("doc_id"), length(col("n")).as("norm_len"),
+        expr("right(n, 24)").as("norm_tail"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql =
+    """SELECT doc_id, CAST(length(n) AS INT) AS norm_len,
+      |  right(n, 24) AS norm_tail FROM (
+      |  SELECT doc_id, trim(regexp_replace(
+      |    lower(nfc_normalize(text ||
+      |      CASE WHEN doc_id % 3 = 0 THEN ' Cafe' || chr(769) || '  DU' || chr(776) || 'SSELDORF'
+      |           WHEN doc_id % 3 = 1 THEN ' déjà' || chr(9) || 'vu' || chr(9)
+      |           ELSE '' END)),
+      |    '[ \t\n\r]+', ' ', 'g')) AS n
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),

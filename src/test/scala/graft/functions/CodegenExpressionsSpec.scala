@@ -142,6 +142,24 @@ class CodegenExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("NfcNormalize composes decomposed sequences, is identity on ASCII/composed, propagates null") {
+    val decomposed = "Café DÜSSELDORF" // e+U+0301, U+U+0308
+    val composed = "Café DÜSSELDORF"
+    val rows = Seq(Some(decomposed), Some(composed), Some("plain ascii"), None)
+      .toDF("s")
+      .select(F.nfcNormalize(col("s")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getString(0)))
+    assert(rows(0) === Some(composed), "decomposed must compose")
+    assert(rows(1) === Some(composed), "already-composed unchanged")
+    assert(rows(2) === Some("plain ascii"), "ASCII fast path is identity")
+    assert(rows(3).isEmpty, "null propagates")
+    // agrees with java.text.Normalizer on a mixed torture string
+    val torture = "à̖ x 😀 ñ Å"
+    val got = Seq(torture).toDF("s")
+      .select(F.nfcNormalize(col("s"))).as[String].head()
+    assert(got === java.text.Normalizer.normalize(torture, java.text.Normalizer.Form.NFC))
+  }
+
   test("expressions survive interpreted (eval) path too") {
     // force the interpreted path by evaluating through a filter on a
     // non-codegen context: collect via RDD map of the expression result

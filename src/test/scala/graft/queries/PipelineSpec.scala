@@ -50,6 +50,33 @@ class PipelineSpec extends SparkSpec {
     assert(top.head._1 === hottest._1 && top.head._2 === hottest._2)
   }
 
+  test("q_weighted_sample is the exact brute-force smallest-k by (prio_q, doc_id)") {
+    val got = run("q_weighted_sample")
+      .select("doc_id", "prio_q").as[(Long, Long)].collect().toSeq
+    assert(got.length === 100)
+    // recompute every priority JVM-side with the same kernel and take
+    // the same smallest-k — TakeOrderedAndProject must agree exactly
+    val want = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+      .map { case (id, text, nc) =>
+        val h = graft.functions.Poly.hashBytes(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          graft.functions.Poly.Base)
+        val u = (h + 1L).toDouble / 2147483648.0
+        val prio = math.floor(u / math.max(nc, 1L).toDouble * 1e15).toLong
+        (id, prio)
+      }.sortBy(p => (p._2, p._1)).take(100).toSeq
+    assert(got.sortBy(p => (p._2, p._1)) === want)
+    // weighting works: sampled docs skew long vs the corpus average
+    val sampleIds = got.map(_._1).toSet
+    val lens = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect()
+    val corpusMean = lens.map(_._2).sum.toDouble / lens.length
+    val sampleMean = lens.filter(r => sampleIds(r._1)).map(_._2).sum.toDouble / 100
+    assert(sampleMean > corpusMean,
+      f"length-weighted sample should skew long: $sampleMean%.0f vs $corpusMean%.0f")
+  }
+
   test("q_contamination only reports train-eval pairs, never eval-eval") {
     val rows = run("q_contamination")
       .select("train_id", "eval_id", "n_shared").as[(Long, Long, Long)].collect()
