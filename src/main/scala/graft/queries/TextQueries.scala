@@ -798,8 +798,155 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** In-engine trained multinomial Naive Bayes language classifier —
+    * train and predict are BOTH relational plans, so "fit a model on
+    * 100 TB" is just aggregation: the model IS a small table. Split:
+    * even doc_ids train, odd doc_ids are scored.
+    *
+    *  - features: word-unigram hashes (one corpus scan + explode);
+    *  - model: Laplace-smoothed per-(lang, token) log-likelihoods and
+    *    per-lang priors/unseen terms, quantized to micro-nats BIGINTs
+    *    (`floor(1e6·ln(p) + 1e-6)` — the `q_entropy` convention, so
+    *    the whole recurrence is integer from here on and hash-matches
+    *    cross-engine despite ln());
+    *  - scoring handles unseen tokens ALGEBRAICALLY: score(d,l) =
+    *    prior(l) + n_tok(d)·lp_unseen(l) + Σ_seen c·(lp(l,t) −
+    *    lp_unseen(l)) — no outer join against the full vocab×docs
+    *    grid, only tokens the doc actually shares with the model;
+    *  - argmax with deterministic (score desc, lang asc) tie-break.
+    *
+    * Scale shape: the MODEL is |langs|·|vocab| rows no matter the
+    * corpus size — it broadcasts; training is one scan + one
+    * map-side-combining agg; scoring is one scan + one bounded
+    * broadcast join + per-doc agg. Nothing iterates, nothing
+    * collects. */
+  /** ASCII-safe per-language marker vocabulary for the planted
+    * signal (zh uses pinyin — the real zh lexicon is multibyte, which
+    * the `ascii()`-based poly oracle twin cannot hash). */
+  private val NbMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "de", "un", "una", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den"),
+    "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "he", "bu"))
+
+  private def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    // The corpus's lang label carries almost no lexical signal (all
+    // languages draw from one vocabulary), so a deterministic signal
+    // is PLANTED first — two lexicon words chosen by doc_id, same
+    // expression in the oracle (the q_pii_scrub pattern): the query
+    // proves the LEARNER recovers a signal that is actually there,
+    // not the corpus. Train docs teach it; test docs are scored on it.
+    def marker(idx: org.apache.spark.sql.Column) =
+      NbMarkers.init.foldRight(
+        element_at(typedLit(NbMarkers.last._2), idx)) { case ((l, ws), e) =>
+        when(col("lang") === l, element_at(typedLit(ws), idx)).otherwise(e)
+      }
+    val planted = concat_ws(" ", col("text"),
+      marker((col("doc_id") % 8 + 1).cast("int")),
+      marker((expr("doc_id div 8") % 8 + 1).cast("int")))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TF.tokens(planted)).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.F.polyHash(col("tok")).as("h"))
+    val train = toks.filter(col("doc_id") % 2 === 0)
+    val test = toks.filter(col("doc_id") % 2 === 1)
+    val vocab = train.agg(countDistinct("h").as("vsz"))
+    val tot = train.groupBy("lang").agg(count(lit(1)).as("tot_l"))
+    val prior = train.groupBy("lang").agg(countDistinct("doc_id").as("nd"))
+    val ptot = prior.agg(sum("nd").as("ndall"))
+    def q6(x: org.apache.spark.sql.Column) =
+      floor(lit(1e6) * log(x) + lit(1e-6)).cast("long")
+    val params = tot.join(prior, Seq("lang"))
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(ptot))
+      .select(col("lang"), col("tot_l"), col("vsz"),
+        q6(col("nd").cast("double") / col("ndall").cast("double")).as("prior_q"),
+        q6(lit(1.0) / (col("tot_l") + col("vsz")).cast("double")).as("lpu_q"))
+    val lp = train.groupBy("lang", "h").agg(count(lit(1)).as("c"))
+      .join(broadcast(params), Seq("lang"))
+      .select(col("lang"), col("h"),
+        q6((col("c") + lit(1L)).cast("double") /
+          (col("tot_l") + col("vsz")).cast("double")).as("lp_q"),
+        col("lpu_q"))
+    val tcnt = test.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    val tdoc = test.groupBy("doc_id")
+      .agg(min("lang").as("lang"), count(lit(1)).as("n_tok"))
+    val base = tdoc.crossJoin(
+      broadcast(params.select(col("lang").as("cand"), col("prior_q"), col("lpu_q"))))
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (col("prior_q") + col("n_tok") * col("lpu_q")).as("base_q"))
+    val delta = tcnt
+      .join(broadcast(lp.select(col("lang").as("cand"), col("h"),
+        col("lp_q"), col("lpu_q"))), Seq("h"))
+      .groupBy("doc_id", "cand")
+      .agg(sum(col("c") * (col("lp_q") - col("lpu_q"))).as("delta_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_q").desc, col("cand"))
+    base.join(delta, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (col("base_q") + coalesce(col("delta_q"), lit(0L))).as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("predicted"),
+        col("score_q"), (col("lang") === col("cand")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  private val nbClassifySql =
+    s"""WITH marked AS (
+       |  SELECT doc_id, lang,
+       |    text || ' ' || arr[CAST(doc_id % 8 + 1 AS INT)]
+       |         || ' ' || arr[CAST((doc_id // 8) % 8 + 1 AS INT)] AS mtext
+       |  FROM (SELECT doc_id, lang, text, CASE lang
+       |    ${NbMarkers.map { case (l, ws) =>
+              s"WHEN '$l' THEN ${ws.map(w => s"'$w'").mkString("[", ", ", "]")}"
+            }.mkString("\n    ")}
+       |    END AS arr FROM documents)
+       |), tok AS (
+       |  SELECT doc_id, lang, ${OracleSqlFrag.poly("x")} AS h
+       |  FROM (SELECT doc_id, lang, unnest(string_split(mtext, ' ')) AS x FROM marked)
+       |), train AS (SELECT * FROM tok WHERE doc_id % 2 = 0
+       |), test AS (SELECT * FROM tok WHERE doc_id % 2 = 1
+       |), v AS (SELECT COUNT(DISTINCT h) AS vsz FROM train
+       |), tot AS (SELECT lang, COUNT(*) AS tot_l FROM train GROUP BY lang
+       |), prior AS (SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM train GROUP BY lang
+       |), ptot AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndall FROM prior
+       |), params AS (
+       |  SELECT t.lang, t.tot_l, v.vsz,
+       |    CAST(floor(1e6 * ln(CAST(p.nd AS DOUBLE) / CAST(ptot.ndall AS DOUBLE)) + 1e-6) AS BIGINT) AS prior_q,
+       |    CAST(floor(1e6 * ln(1.0 / CAST(t.tot_l + v.vsz AS DOUBLE)) + 1e-6) AS BIGINT) AS lpu_q
+       |  FROM tot t JOIN prior p ON t.lang = p.lang CROSS JOIN v CROSS JOIN ptot
+       |), lp AS (
+       |  SELECT c.lang, c.h,
+       |    CAST(floor(1e6 * ln(CAST(c.c + 1 AS DOUBLE) / CAST(p.tot_l + p.vsz AS DOUBLE)) + 1e-6) AS BIGINT) AS lp_q,
+       |    p.lpu_q
+       |  FROM (SELECT lang, h, COUNT(*) AS c FROM train GROUP BY lang, h) c
+       |  JOIN params p ON c.lang = p.lang
+       |), tcnt AS (SELECT doc_id, h, COUNT(*) AS c FROM test GROUP BY doc_id, h
+       |), tdoc AS (SELECT doc_id, MIN(lang) AS lang, COUNT(*) AS n_tok FROM test GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.doc_id, d.lang, p.lang AS cand,
+       |    p.prior_q + d.n_tok * p.lpu_q AS base_q
+       |  FROM tdoc d CROSS JOIN params p
+       |), delta AS (
+       |  SELECT t.doc_id, l.lang AS cand,
+       |    CAST(SUM(t.c * (l.lp_q - l.lpu_q)) AS BIGINT) AS delta_q
+       |  FROM tcnt t JOIN lp l ON t.h = l.h
+       |  GROUP BY t.doc_id, l.lang
+       |), score AS (
+       |  SELECT b.doc_id, b.lang, b.cand,
+       |    b.base_q + COALESCE(d.delta_q, 0) AS score_q
+       |  FROM base b LEFT JOIN delta d ON b.doc_id = d.doc_id AND b.cand = d.cand
+       |)
+       |SELECT doc_id, lang, cand AS predicted, score_q, (lang = cand) AS correct
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score_q DESC, cand) AS rk FROM score)
+       |WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_text_normalize", textNormalize, Some(textNormalizeSql)),
+    Q("q_nb_classify", nbClassify, Some(nbClassifySql)),
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),

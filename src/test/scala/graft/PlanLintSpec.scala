@@ -25,6 +25,10 @@ class PlanLintSpec extends SparkSpec {
     // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight
     "q_window_filter", "q_tfidf", "q_bm25", "q_cdc_apply",
     "q_temperature_mix",
+    // NB classifier: 1-row vocab/doc-total aggregates crossed into
+    // the |langs|-row model, and the 5-row model params crossed into
+    // every scored doc (per-doc per-class base score)
+    "q_nb_classify",
     // the salting demo: the SMALL build side replicated ×8 by a
     // range cross — the technique under test
     "q_join_salted",
