@@ -585,6 +585,16 @@ object TextQueries {
       Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3))
       .orderBy("doc_id")
 
+  /** Same component assignment as q_dedup_cluster, computed by the
+    * at-scale large-star/small-star algorithm ([[Dedup.wccStar]])
+    * over the identical simhash pair graph — two independent
+    * implementations, one oracle: both must land on min-id-of-
+    * component exactly. */
+  private def wccStarQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.wccStar(
+      Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3))
+      .orderBy("doc_id")
+
   private val dedupClusterSql = {
     // same fingerprint + pair derivation as dedupSimhashSql, then
     // recursive reachability; min reachable id = component id
@@ -963,6 +973,7 @@ object TextQueries {
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
   )

@@ -247,6 +247,73 @@ object Dedup {
   /** 62-bit SimHash fingerprint over tokens, one codegen'd pass per
     * document (no explode, no aggregation — see
     * [[graft.functions.SimHash64]] for the bit layout). */
+  /** Connected components via alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    * — the PUBLISHED at-scale alternative to [[connectedComponents]]'s
+    * label propagation: O(log² n) rounds with per-round cost
+    * proportional to the CURRENT edge set (which only shrinks toward
+    * one star per component), no per-node label table to join every
+    * round, and no driver tier at all.
+    *
+    *  - large-star: every node hooks its LARGER neighbors to the min
+    *    of its neighborhood (keeps the graph connected, strictly
+    *    reduces large-id fan-in);
+    *  - small-star: edges oriented high→low, every center hooks its
+    *    smaller neighbors (and itself) to the neighborhood min —
+    *    flattening chains into stars.
+    *
+    * Each phase is one groupBy(min) + one join on the edge list;
+    * rounds `localCheckpoint` (cluster: checkpoint) to keep lineage
+    * flat. Fixpoint = every component is a star rooted at its min id,
+    * so the result is IDENTICAL to [[connectedComponents]] (min id of
+    * component), which the spec asserts and the shared oracle
+    * hash-verifies. The fixpoint test here is an exact two-sided
+    * `except` (fine at test scale); at 100 TB compare (count,
+    * sum-of-edge-hash) aggregates instead — one cheap agg per round. */
+  def wccStar(pairs: DataFrame, idA: String = "id_a",
+              idB: String = "id_b"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, greatest, least, min}
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("s") =!= col("d"))
+      .select(least(col("s"), col("d")).as("s"),
+        greatest(col("s"), col("d")).as("d"))
+      .distinct()
+    var edges = canon(pairs.select(col(idA).as("s"), col(idB).as("d")))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      // large-star: center u over bidirectional neighborhood
+      val bi = edges.select(col("s").as("u"), col("d").as("v"))
+        .union(edges.select(col("d").as("u"), col("s").as("v")))
+      val m = bi.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bi.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("s"), col("m").as("d"))
+        .union(m.select(col("u").as("s"), col("m").as("d")))
+      val lsE = canon(ls).localCheckpoint()
+      // small-star: orient high → low, center hooks to neighborhood min
+      val ori = lsE.select(greatest(col("s"), col("d")).as("u"),
+        least(col("s"), col("d")).as("v"))
+      val m2 = ori.groupBy("u").agg(min("v").as("m"))
+      val ss = ori.join(m2, "u")
+        .select(col("v").as("s"), col("m").as("d"))
+        .union(m2.select(col("u").as("s"), col("m").as("d")))
+      val next = canon(ss).localCheckpoint()
+      changed = next.except(edges).count() + edges.except(next).count()
+      edges = next
+      iter += 1
+    }
+    // fixpoint: every edge is (root = component min, member)
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+    nodes.join(edges.groupBy(col("d").as("id")).agg(min("s").as("root")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("root"), col("id"))
+          .as("cluster_id"))
+  }
+
   def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     docs.select(col(id), F.simhash64(TextFunctions.tokens(col(text))).as("simhash"))
 

@@ -48,6 +48,25 @@ class DedupSpec extends SparkSpec {
     assert(dist === expect)
   }
 
+  test("wccStar equals union-find on chains, cycles, and a random graph") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id_a", "id_b")
+    val star = Dedup.wccStar(pairs).as[(Long, Long)].collect().sorted
+    val expect = Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(star === expect)
+    // a long path (worst case for star-contraction round count) plus
+    // seeded random edges; must match the union-find tier exactly
+    val rnd = new scala.util.Random(7)
+    val path = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val rand = Seq.fill(60)((rnd.nextLong(200), rnd.nextLong(200)))
+      .filter(p => p._1 != p._2)
+    val g = (path ++ rand).toDF("id_a", "id_b")
+    val a = Dedup.wccStar(g).as[(Long, Long)].collect().sorted
+    val b = Dedup.connectedComponents(g).as[(Long, Long)].collect().sorted
+    assert(a === b)
+  }
+
   test("minhash LSH finds the planted near-dup pair (120, 360)") {
     val pairs = Dedup.minhashPairs(docs, minJaccardPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
