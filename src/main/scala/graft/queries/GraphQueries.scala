@@ -304,8 +304,97 @@ object GraphQueries {
       |FROM nation n LEFT JOIN pern p ON p.node = CAST(n.n_nationkey AS BIGINT)
       |ORDER BY n.n_nationkey""".stripMargin
 
+  /** Synchronous label-propagation (LPA) community detection: every
+    * node starts as its own community; each round every node adopts
+    * the most frequent label among its NEIGHBORS, ties broken by
+    * smallest label — the deterministic synchronous variant (async
+    * LPA's random visit order can't be oracle-verified). Fixed round
+    * count keeps the recurrence identical on both engines even where
+    * synchronous LPA would oscillate.
+    *
+    * Per round: one join of the edge list against the label table
+    * (broadcast below web scale — labels are one row per node), one
+    * (node, label) count, one per-node arg-max window. All integer,
+    * fully hash-verified.
+    *
+    * The nation trade graph is near-complete, so LPA collapses it to
+    * a couple of labels (synchronous LPA can 2-cycle on dense graphs;
+    * the fixed round count keeps even that deterministic) — the
+    * oracle verifies the RECURRENCE; real community structure is
+    * spec-tested on a two-cluster barbell graph ([[lpa]] is
+    * graph-generic). */
+  def lpa(undirected: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val bi = undirected.select(col("a").as("u"), col("b").as("v"))
+      .union(undirected.select(col("b").as("u"), col("a").as("v")))
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = bi.join(broadcast(labels), col("v") === col("node"))
+        .groupBy(col("u"), col("lbl").as("vlbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("cnt").desc, col("vlbl"))
+      val best = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("u"), col("vlbl").as("nlbl"))
+      labels = labels.join(broadcast(best), col("node") === col("u"), "left")
+        .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
+  private def labelPropagationQ(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.table(spark, dir, "nation")
+    val und = tradeEdges(spark, dir)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nodes = nation.select(col("n_nationkey").cast("long").as("node"))
+    lpa(und, nodes, rounds = 3)
+      .join(broadcast(nation), col("node") === col("n_nationkey").cast("long"))
+      .select(col("n_nationkey"), col("n_name"), col("lbl").as("community"))
+      .orderBy("n_nationkey")
+  }
+
+  private val labelPropagationSql: String = {
+    def round(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""l$i AS (
+         |  SELECT p.node, COALESCE(b.nlbl, p.lbl) AS lbl
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT u, vlbl AS nlbl FROM (
+         |      SELECT u, vlbl, ROW_NUMBER() OVER (PARTITION BY u
+         |        ORDER BY cnt DESC, vlbl) AS rk
+         |      FROM (SELECT bi.u, p.lbl AS vlbl, COUNT(*) AS cnt
+         |            FROM bi JOIN $prev p ON bi.v = p.node
+         |            GROUP BY bi.u, p.lbl))
+         |    WHERE rk = 1) b ON b.u = p.node
+         |)""".stripMargin
+    }
+    s"""WITH d AS (
+       |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS src,
+       |    CAST(c.c_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE s.s_nationkey <> c.c_nationkey
+       |), und AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM d
+       |), bi AS (
+       |  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+       |), nodes AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation
+       |), l0 AS (
+       |  SELECT node, node AS lbl FROM nodes
+       |), ${round(1)}, ${round(2)}, ${round(3)}
+       |SELECT na.n_nationkey, na.n_name, l3.lbl AS community
+       |FROM l3 JOIN nation na ON l3.node = CAST(na.n_nationkey AS BIGINT)
+       |ORDER BY na.n_nationkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerankQ, Some(pagerankSql)),
+    Q("q_label_prop", labelPropagationQ, Some(labelPropagationSql)),
     Q("q_pagerank_scale", pagerankScaleQ, Some(pagerankSql)),
     Q("q_triangle_count", triangleCount, Some(triangleCountSql)),
     Q("q_triangle_degree", triangleDegree, Some(triangleDegreeSql)),

@@ -64,6 +64,28 @@ class GraphSpec extends SparkSpec {
     assert(byDeg === byId)
   }
 
+  test("LPA finds the two communities of a barbell graph, few on the dense trade graph") {
+    // two K4 cliques {0..3} and {10..13} joined by a single bridge
+    // edge (3,10): LPA must label each clique by its min id, with the
+    // bridge unable to flip either side
+    def k4(off: Long) = for {
+      i <- 0L to 3L; j <- (i + 1) to 3L
+    } yield (off + i, off + j)
+    val und = (k4(0) ++ k4(10) :+ (3L, 10L)).toDF("a", "b")
+    val nodes = ((0L to 3L) ++ (10L to 13L)).toDF("node")
+    val got = GraphQueries.lpa(und, nodes, rounds = 3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val want = ((0L to 3L).map(n => (n, 0L)) ++ (10L to 13L).map(n => (n, 10L))).toSeq
+    assert(got === want)
+    // the near-complete trade graph collapses to very few labels
+    // (synchronous LPA may 2-cycle on dense graphs — the fixed round
+    // count keeps that deterministic; the oracle pins exact values)
+    val trade = graft.SparkEntry.queries("q_label_prop")(spark, sf0001)
+      .select("community").as[Long].collect().toSet
+    assert(trade.size <= 3, s"dense graph should collapse to few labels, got $trade")
+    assert(trade.forall(l => l >= 0 && l <= 24), s"labels must be node ids: $trade")
+  }
+
   test("pagerank plan: dimension hops broadcast, iteration joins broadcast") {
     val phys = GraphQueries.pagerank(spark, sf0001)
       .queryExecution.executedPlan.toString
