@@ -763,6 +763,90 @@ object TextQueries {
       |FROM pairs GROUP BY pg
       |ORDER BY n DESC, pg LIMIT 10""".stripMargin
 
+  /** BPE tokenizer ENCODE — applying a learned merge table to the
+    * corpus, the step every LLM pipeline runs over 100 TB after the
+    * (comparatively tiny) vocabulary is trained:
+    *
+    *  - LEARN (one-shot): word-level adjacent character pairs,
+    *    counted corpus-wide in one scan (the `q_bpe_pairs` plan,
+    *    restricted to in-word pairs), ranked (count desc, pair asc),
+    *    top-[[BpeK]] become the merge table. One-shot = ranks come
+    *    from the INITIAL pair counts (iterative BPE re-counts after
+    *    each merge; its per-round plan is exactly this scan — see
+    *    q_bpe_pairs' doc);
+    *  - ENCODE: each word becomes a spaced symbol stream, then the
+    *    merges apply IN RANK ORDER, each as one left-to-right
+    *    non-overlapping global replace — Java regex and RE2 share
+    *    that semantics exactly, which makes the whole tokenizer
+    *    hash-verifiable cross-engine.
+    *
+    * The merge table is DRIVER-HELD (the ANN-codebook pattern: K
+    * rows collected once, folded into the projection as literals) so
+    * encoding is a scan-speed codegen'd projection — no join against
+    * a vocab table, no shuffle before the per-doc count agg. Merges
+    * are filtered to `[a-z0-9]` pairs on both engines so none can be
+    * a regex metacharacter. */
+  private val BpeK = 8
+
+  private def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val merges: Seq[String] = words.filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pg"))
+      .filter(col("pg").rlike("^[a-z0-9]+$"))
+      .groupBy("pg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pg")).limit(BpeK)
+      .select("pg").collect().toSeq.map(_.getString(0))
+    def encode(c: org.apache.spark.sql.Column) =
+      merges.foldLeft(regexp_replace(c, "(.)", " $1 ")) { (acc, pg) =>
+        val (a, b) = (pg.substring(0, 1), pg.substring(1, 2))
+        regexp_replace(acc, s" $a  $b ", s" $a$b ")
+      }
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        size(split(trim(encode(col("word"))), "  ")).as("n_tok"))
+      .groupBy("doc_id").agg(sum("n_tok").as("n_tok_bpe"))
+    val head = docs.select(col("doc_id"),
+      array_join(split(trim(encode(element_at(split(col("text"), " "), 1))), "  "), "|")
+        .as("enc_head"))
+    perDoc.join(head, Seq("doc_id")).orderBy("doc_id")
+  }
+
+  private val bpeEncodeSql = {
+    def chain(e: String): String =
+      (1 to BpeK).foldLeft(s"regexp_replace($e, '(.)', ' \\1 ', 'g')") { (acc, k) =>
+        s"""regexp_replace($acc,
+           |    ' ' || (SELECT a FROM mr WHERE rk = $k) || '  ' || (SELECT b FROM mr WHERE rk = $k) || ' ',
+           |    ' ' || (SELECT a FROM mr WHERE rk = $k) || (SELECT b FROM mr WHERE rk = $k) || ' ', 'g')""".stripMargin
+      }
+    s"""WITH wrds AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |), mr AS (
+       |  SELECT substring(pg, 1, 1) AS a, substring(pg, 2, 1) AS b, rk FROM (
+       |    SELECT pg, ROW_NUMBER() OVER (ORDER BY n DESC, pg) AS rk FROM (
+       |      SELECT pg, COUNT(*) AS n FROM (
+       |        SELECT unnest(list_transform(range(1, length(word)),
+       |          i -> substring(word, i, 2))) AS pg
+       |        FROM wrds WHERE length(word) >= 2)
+       |      WHERE pg ~ '^[a-z0-9]+$$' GROUP BY pg))
+       |  WHERE rk <= $BpeK
+       |), cnt AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(len(string_split(trim(${chain("word")}), '  '))) AS BIGINT) AS n_tok_bpe
+       |  FROM wrds GROUP BY doc_id
+       |), hd AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split(trim(${chain("hw")}), '  '), '|') AS enc_head
+       |  FROM (SELECT doc_id, string_split(text, ' ')[1] AS hw FROM documents)
+       |)
+       |SELECT c.doc_id, c.n_tok_bpe, h.enc_head
+       |FROM cnt c JOIN hd h ON c.doc_id = h.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   /** Unicode text normalization — the canonicalization pass that MUST
     * precede any hashing/dedup step: NFC composition (decomposed
     * `e`+U+0301 and composed `é` are the SAME text but hash apart),
@@ -958,6 +1042,7 @@ object TextQueries {
     Q("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("q_nb_classify", nbClassify, Some(nbClassifySql)),
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
+    Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
