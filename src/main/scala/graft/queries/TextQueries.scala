@@ -924,13 +924,14 @@ object TextQueries {
     "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "den"),
     "zh" -> Seq("de", "shi", "le", "zai", "wo", "you", "he", "bu"))
 
-  private def nbClassify(spark: SparkSession, dir: String): DataFrame = {
-    // The corpus's lang label carries almost no lexical signal (all
-    // languages draw from one vocabulary), so a deterministic signal
-    // is PLANTED first — two lexicon words chosen by doc_id, same
-    // expression in the oracle (the q_pii_scrub pattern): the query
-    // proves the LEARNER recovers a signal that is actually there,
-    // not the corpus. Train docs teach it; test docs are scored on it.
+  /** Tokenize (with the planted marker signal) to (doc_id, lang, h).
+    * The corpus's lang label carries almost no lexical signal (all
+    * languages draw from one vocabulary), so a deterministic signal
+    * is PLANTED first — two lexicon words chosen by doc_id, same
+    * expression in the oracle (the q_pii_scrub pattern): the query
+    * proves the LEARNER recovers a signal that is actually there,
+    * not the corpus. Train docs teach it; test docs are scored on it. */
+  private[graft] def nbTokens(docs: DataFrame): DataFrame = {
     def marker(idx: org.apache.spark.sql.Column) =
       NbMarkers.init.foldRight(
         element_at(typedLit(NbMarkers.last._2), idx)) { case ((l, ws), e) =>
@@ -939,13 +940,16 @@ object TextQueries {
     val planted = concat_ws(" ", col("text"),
       marker((col("doc_id") % 8 + 1).cast("int")),
       marker((expr("doc_id div 8") % 8 + 1).cast("int")))
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
+    docs.select(col("doc_id"), col("lang"),
         explode(TF.tokens(planted)).as("tok"))
       .select(col("doc_id"), col("lang"),
         graft.functions.F.polyHash(col("tok")).as("h"))
-    val train = toks.filter(col("doc_id") % 2 === 0)
-    val test = toks.filter(col("doc_id") % 2 === 1)
+  }
+
+  /** Fit the NB model on tokenized training docs → (params, lp):
+    * params = per-lang (prior_q, lpu_q); lp = per-(lang, token)
+    * quantized log-likelihoods. Both are model-sized tables. */
+  private[graft] def nbModel(train: DataFrame): (DataFrame, DataFrame) = {
     val vocab = train.agg(countDistinct("h").as("vsz"))
     val tot = train.groupBy("lang").agg(count(lit(1)).as("tot_l"))
     val prior = train.groupBy("lang").agg(countDistinct("doc_id").as("nd"))
@@ -963,6 +967,15 @@ object TextQueries {
         q6((col("c") + lit(1L)).cast("double") /
           (col("tot_l") + col("vsz")).cast("double")).as("lp_q"),
         col("lpu_q"))
+    (params.select("lang", "prior_q", "lpu_q"), lp)
+  }
+
+  /** Score tokenized docs against a fitted model — a STATELESS plan
+    * (scan + bounded broadcast join + per-doc agg), so it serves
+    * batch and per-micro-batch streaming (`foreachBatch`) identically
+    * — the model-serving pattern, spec-proven batch-equal. */
+  private[graft] def nbScore(test: DataFrame, params: DataFrame,
+                             lp: DataFrame): DataFrame = {
     val tcnt = test.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
     val tdoc = test.groupBy("doc_id")
       .agg(min("lang").as("lang"), count(lit(1)).as("n_tok"))
@@ -985,6 +998,12 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("cand").as("predicted"),
         col("score_q"), (col("lang") === col("cand")).as("correct"))
       .orderBy("doc_id")
+  }
+
+  private def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val toks = nbTokens(Tables.documents(spark, dir))
+    val (params, lp) = nbModel(toks.filter(col("doc_id") % 2 === 0))
+    nbScore(toks.filter(col("doc_id") % 2 === 1), params, lp)
   }
 
   private val nbClassifySql =

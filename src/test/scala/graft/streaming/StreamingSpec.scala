@@ -246,6 +246,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("NB model serving: foreachBatch scoring over a doc stream equals the batch classifier") {
+    // train once on the batch side (the model is a static table pair),
+    // then serve a STREAM of holdout docs through the identical
+    // stateless scoring plan per micro-batch — per-doc scores don't
+    // depend on other docs, so any batch partitioning must reproduce
+    // the batch result bit for bit
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val docs = graft.tables.Tables.documents(s, sf0001)
+    val toks = graft.queries.TextQueries.nbTokens(docs)
+    val (params, lp) = graft.queries.TextQueries.nbModel(
+      toks.filter(col("doc_id") % 2 === 0))
+    // freeze the model (it would otherwise recompute per micro-batch)
+    val pC = params.cache(); val lpC = lp.cache()
+    pC.count(); lpC.count()
+    val expected = graft.queries.TextQueries.nbScore(
+        toks.filter(col("doc_id") % 2 === 1), pC, lpC)
+      .select("doc_id", "predicted", "score_q")
+      .as[(Long, String, Long)].collect().toSet
+
+    val holdout = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect().toSeq
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val q = in.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.queries.TextQueries.nbScore(
+            graft.queries.TextQueries.nbTokens(batch), pC, lpC)
+          .select("doc_id", "predicted", "score_q")
+          .as[(Long, String, Long)].collect()
+        ()
+      }
+      .start()
+    try {
+      val (a, b) = holdout.splitAt(holdout.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      assert(got.toSet === expected)
+    } finally {
+      q.stop(); pC.unpersist(); lpC.unpersist()
+    }
+  }
+
   test("file-source streaming: readStream over the parquet events dir equals batch") {
     val s = spark
     import s.implicits._
