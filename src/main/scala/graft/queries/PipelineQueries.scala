@@ -344,6 +344,90 @@ object PipelineQueries {
        |FROM documents
        |ORDER BY prio_q, doc_id LIMIT $SampleK""".stripMargin
 
+  /** Record linkage / entity resolution (Fellegi–Sunter): match the
+    * customer master against a dirty second source using BLOCKED
+    * pairwise field comparison and integer agreement weights — the
+    * "same real-world entity, different records" step that precedes
+    * any cross-source join in a data-integration pipeline.
+    *
+    * The dirty source is PLANTED deterministically (the q_pii_scrub
+    * pattern, same expressions in the oracle): every custkey ≢ 2
+    * (mod 3) re-appears offset by 100000 with either benign drift
+    * (identical name, balance +23¢, same segment → must classify
+    * `match`) or real corruption (`#`→`-` in the name = edit distance
+    * 1, balance +$25, segment lost → `possible`). Cross-customer
+    * pairs inside a block differ in several name digits and score
+    * negative → `nonmatch` (not emitted; the spec accounts for them).
+    *
+    * Fellegi–Sunter mechanics, scale-shaped:
+    *  - BLOCKING on nationkey bounds candidates to Σ|block_A|·|block_B|
+    *    (a plain equi-join — never a cross join; production adds more
+    *    discriminating keys, same plan);
+    *  - the agreement vector (edit-distance-≤1 name, ≤100¢ balance,
+    *    segment equality) is a per-pair projection; weights are
+    *    INTEGER log-odds (agree/disagree: name +20/−5, balance
+    *    +10/−5, segment +3/−2), so scoring and thresholds (≥25 match,
+    *    ≥8 possible) are exact on both engines — `levenshtein` is the
+    *    same edit-distance definition in Spark and DuckDB. */
+  private def recordLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.table(spark, dir, "customer")
+    val a = c.select(col("c_custkey").as("a_key"),
+      lower(col("c_name")).as("a_name"), col("c_nationkey").as("nk"),
+      graft.ops.Num.cents(col("c_acctbal")).as("a_bal"),
+      col("c_mktsegment").as("a_seg"))
+    val b = c.filter(col("c_custkey") % 3 =!= 2).select(
+      (col("c_custkey") + 100000L).as("b_key"),
+      when(col("c_custkey") % 3 === 0, lower(col("c_name")))
+        .otherwise(lower(regexp_replace(col("c_name"), "#", "-"))).as("b_name"),
+      col("c_nationkey").as("nk"),
+      (graft.ops.Num.cents(col("c_acctbal")) +
+        when(col("c_custkey") % 3 === 0, lit(23L)).otherwise(lit(2500L))).as("b_bal"),
+      when(col("c_custkey") % 3 === 0, col("c_mktsegment"))
+        .otherwise(lit("UNKNOWN")).as("b_seg"))
+    val scored = a.join(b, Seq("nk"))
+      .select(col("a_key"), col("b_key"),
+        (when(levenshtein(col("a_name"), col("b_name")) <= 1, 20L).otherwise(-5L) +
+          when(abs(col("a_bal") - col("b_bal")) <= 100L, 10L).otherwise(-5L) +
+          when(col("a_seg") === col("b_seg"), 3L).otherwise(-2L)).as("w_total"))
+      .withColumn("verdict",
+        when(col("w_total") >= 25, lit("match"))
+          .when(col("w_total") >= 8, lit("possible"))
+          .otherwise(lit("nonmatch")))
+    scored.filter(col("verdict") =!= "nonmatch")
+      .orderBy("a_key", "b_key")
+  }
+
+  private val recordLinkageSql =
+    s"""WITH a AS (
+       |  SELECT c_custkey AS a_key, lower(c_name) AS a_name,
+       |    c_nationkey AS nk, ${graft.ops.NumSql.cents("c_acctbal")} AS a_bal,
+       |    c_mktsegment AS a_seg
+       |  FROM customer
+       |), b AS (
+       |  SELECT c_custkey + 100000 AS b_key,
+       |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
+       |         ELSE lower(replace(c_name, '#', '-')) END AS b_name,
+       |    c_nationkey AS nk,
+       |    ${graft.ops.NumSql.cents("c_acctbal")} +
+       |      CASE WHEN c_custkey % 3 = 0 THEN 23 ELSE 2500 END AS b_bal,
+       |    CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+       |         ELSE 'UNKNOWN' END AS b_seg
+       |  FROM customer WHERE c_custkey % 3 <> 2
+       |)
+       |SELECT a_key, b_key, w_total, verdict FROM (
+       |  SELECT a_key, b_key, w_total,
+       |    CASE WHEN w_total >= 25 THEN 'match'
+       |         WHEN w_total >= 8 THEN 'possible'
+       |         ELSE 'nonmatch' END AS verdict
+       |  FROM (
+       |    SELECT a_key, b_key,
+       |      CAST(CASE WHEN levenshtein(a_name, b_name) <= 1 THEN 20 ELSE -5 END +
+       |           CASE WHEN abs(a_bal - b_bal) <= 100 THEN 10 ELSE -5 END +
+       |           CASE WHEN a_seg = b_seg THEN 3 ELSE -2 END AS BIGINT) AS w_total
+       |    FROM a JOIN b USING (nk)))
+       |WHERE verdict <> 'nonmatch'
+       |ORDER BY a_key, b_key""".stripMargin
+
   /** Data-quality rule suite: the validation pass every production
     * pipeline runs before publishing a batch. Each rule is a
     * scan-speed predicate aggregate (or one anti-join for referential
@@ -484,6 +568,7 @@ object PipelineQueries {
     Q("q_shard_assign", shardAssign, Some(shardAssignSql)),
     Q("q_source_cap", sourceCap, Some(sourceCapSql)),
     Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
+    Q("q_record_linkage", recordLinkage, Some(recordLinkageSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

@@ -77,6 +77,29 @@ class PipelineSpec extends SparkSpec {
       f"length-weighted sample should skew long: $sampleMean%.0f vs $corpusMean%.0f")
   }
 
+  test("q_record_linkage: every planted twin classified right, no false matches") {
+    val rows = run("q_record_linkage")
+      .select("a_key", "b_key", "w_total", "verdict")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    val nCust = graft.tables.Tables.table(spark, sf0001, "customer").count()
+    (0L until nCust).foreach { k =>
+      if (k % 3 == 0) {
+        // benign drift: must be a full-score match
+        val r = byPair.get((k, k + 100000))
+        assert(r.exists(x => x._4 == "match" && x._3 == 33L), s"twin of $k: $r")
+      } else if (k % 3 == 1) {
+        // corrupted twin: edit-distance-1 name only → gray zone
+        val r = byPair.get((k, k + 100000))
+        assert(r.exists(_._4 == "possible"), s"corrupt twin of $k: $r")
+      } else assert(!byPair.contains((k, k + 100000)), s"$k has no twin in B")
+    }
+    // nothing but a true benign twin may reach 'match'
+    rows.filter(_._4 == "match").foreach { case (a, b, w, _) =>
+      assert(b - a === 100000L && a % 3 === 0L, s"false match ($a,$b,$w)")
+    }
+  }
+
   test("q_contamination only reports train-eval pairs, never eval-eval") {
     val rows = run("q_contamination")
       .select("train_id", "eval_id", "n_shared").as[(Long, Long, Long)].collect()
