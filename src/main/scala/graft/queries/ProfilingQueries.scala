@@ -189,7 +189,56 @@ object ProfilingQueries {
        |ORDER BY exact_n DESC, tok LIMIT 15""".stripMargin
   }
 
+  /** Order-free table checksums — the migration/replication
+    * validation primitive ("did the copy preserve every row?"):
+    * per table, row count + XOR of a canonical per-row content hash
+    * + an integer content sum. XOR is commutative/associative and
+    * can't overflow, so the checksum is identical under ANY
+    * partitioning, ordering, or engine — and each table's line is
+    * one map-side-combining aggregate over a scan (at 100 TB: one
+    * pass, a few bytes of state per partition). A single flipped
+    * byte, dropped row, or duplicated row changes the triple. */
+  private def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def line(name: String, df: DataFrame, rowKey: Column, metric: Column) =
+      df.select(graft.functions.F.polyHash(rowKey).as("h"), metric.as("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_hash"),
+          sum("m").as("content_sum"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("xor_hash"),
+          col("content_sum"))
+    val docs = line("1_documents", Tables.documents(spark, dir),
+      concat_ws("|", col("doc_id"), col("lang"), col("text")), col("n_chars"))
+    val orders = line("2_orders", Tables.table(spark, dir, "orders"),
+      concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        Num.cents(col("o_totalprice"))),
+      Num.cents(col("o_totalprice")))
+    val cust = line("3_customer", Tables.table(spark, dir, "customer"),
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      Num.cents(col("c_acctbal")))
+    docs.union(orders).union(cust).orderBy("tbl")
+  }
+
+  private val tableChecksumSql = {
+    def poly(e: String) = OracleSqlFrag.poly(e)
+    s"""SELECT '1_documents' AS tbl, COUNT(*) AS n_rows,
+       |  bit_xor(${poly("doc_id || '|' || lang || '|' || text")}) AS xor_hash,
+       |  CAST(SUM(n_chars) AS BIGINT) AS content_sum
+       |FROM documents
+       |UNION ALL
+       |SELECT '2_orders', COUNT(*),
+       |  bit_xor(${poly("o_orderkey || '|' || o_orderstatus || '|' || " + NumSql.cents("o_totalprice"))}),
+       |  CAST(SUM(${NumSql.cents("o_totalprice")}) AS BIGINT)
+       |FROM orders
+       |UNION ALL
+       |SELECT '3_customer', COUNT(*),
+       |  bit_xor(${poly("c_custkey || '|' || c_name || '|' || c_mktsegment")}),
+       |  CAST(SUM(${NumSql.cents("c_acctbal")}) AS BIGINT)
+       |FROM customer
+       |ORDER BY tbl""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_window_nav", windowNav, Some(windowNavSql)),
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_profile", profile, Some(profileSql)),

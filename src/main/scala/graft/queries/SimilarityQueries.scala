@@ -37,6 +37,57 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
+  /** FILTERED vector search — top-k under a metadata predicate, the
+    * production RAG/retrieval shape ("nearest neighbors among docs
+    * matching this filter"). The predicate applies as a PRE-filter in
+    * the corpus scan, BEFORE scoring: post-filtering a top-k list
+    * under-fills whenever fewer than k of the unfiltered winners
+    * satisfy the predicate (the classic filtered-ANN correctness
+    * trap). Here the filter (label ≡ 0 mod 2) prunes the scan —
+    * Catalyst pushes it to the parquet reader — and ranking sees only
+    * eligible vectors, so every query returns exactly k true
+    * filtered neighbors. Same zero-corpus-shuffle plan as
+    * `q_ann_topk`: queries broadcast, corpus scans once. */
+  private def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnorm"))
+    base.filter(col("label") % 2 === 0)
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        Similarity.dot(col("embedding"), col("qvec")) / (col("nrm") * col("qnorm")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("label"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+      .orderBy("qid", "rank")
+  }
+
+  private val annFilteredSql =
+    s"""WITH base AS (
+       |  SELECT vec_id, label, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT q.qid, b.vec_id, b.label,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+       |  FROM base b CROSS JOIN q
+       |  WHERE b.label % 2 = 0 AND b.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, label, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** IVF (inverted-file) top-10: nearest-centroid bucketing + probe-
     * limited exact search — the scale path for top-k (LSH is the
     * scale path for threshold near-dup). */
@@ -407,6 +458,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
+    Q("q_ann_filtered", annFiltered, Some(annFilteredSql)),
     Q("q_ann_ivf", annIvf, Some(annIvfSql)),
     Q("q_ann_kmeans", annKmeans, Some(annKmeansSql)),
     Q("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),

@@ -47,6 +47,28 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.forall(p => p._1 != p._2))
   }
 
+  test("filtered ANN: every hit satisfies the predicate, full k per query, pre-filter beats post-filter") {
+    val rows = graft.SparkEntry.queries("q_ann_filtered")(spark, sf0001)
+      .select("qid", "vec_id", "label", "rank")
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    // predicate holds on every returned neighbor; every query is full
+    assert(rows.forall(_._3 % 2 == 0))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._4).sorted === (1 to 5), s"query $q under-filled")
+    }
+    // the post-filtering trap is real on this corpus: for at least one
+    // query, filtering the UNFILTERED top-5 leaves fewer than 5 hits —
+    // the reason the predicate must prune before ranking
+    val unfiltered = graft.sim.Similarity
+      .bruteTopK(Tables.embeddings(spark, sf0001), queryMod = 50L, k = 5)
+      .join(Tables.embeddings(spark, sf0001).select(col("vec_id"), col("label")), "vec_id")
+      .select("qid", "label").as[(Long, Int)].collect().toSeq
+    val postFiltered = unfiltered.groupBy(_._1)
+      .map { case (_, rs) => rs.count(_._2 % 2 == 0) }
+    assert(postFiltered.exists(_ < 5),
+      "corpus labels too uniform to demonstrate the post-filter trap")
+  }
+
   test("LSH near-dup recall: every very-high-cosine pair among queries is found") {
     // ground truth via brute force on a small subset
     val nd = Similarity.lshNearDup(emb, minCos = 0.9)
