@@ -906,10 +906,14 @@ object NfcKernel {
     * rewrite when already normalized (`isNormalized` is a cheap
     * quick-check scan). */
   def normalize(s: UTF8String): UTF8String = {
-    val bytes = s.getBytes
+    // getByte over numBytes, NOT getBytes: the latter copies the whole
+    // string when it is an offset into an UnsafeRow/columnar buffer
+    // (i.e. every parquet-scanned row), which would make the "fast"
+    // path allocate per row
+    val n = s.numBytes
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0x80) != 0) {
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) {
         val str = s.toString
         val form = java.text.Normalizer.Form.NFC
         return if (java.text.Normalizer.isNormalized(str, form)) s

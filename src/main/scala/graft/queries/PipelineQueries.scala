@@ -356,8 +356,14 @@ object PipelineQueries {
     * (identical name, balance +23¢, same segment → must classify
     * `match`) or real corruption (`#`→`-` in the name = edit distance
     * 1, balance +$25, segment lost → `possible`). Cross-customer
-    * pairs inside a block differ in several name digits and score
-    * negative → `nonmatch` (not emitted; the spec accounts for them).
+    * block pairs mostly score negative → `nonmatch` (not emitted) —
+    * but single-digit-apart names land in the `possible` gray zone,
+    * and a coincidental balance+segment agreement on top can reach
+    * `match`: that is the Fellegi–Sunter FALSE-POSITIVE RATE, the
+    * quantity the weights/thresholds trade off against recall (at
+    * sf0.001 it is exactly zero, which the spec pins; at sf0.01 two
+    * of 550 gray-zone pairs cross the bar — expected FS behavior,
+    * identical on both engines, still hash-green).
     *
     * Fellegi–Sunter mechanics, scale-shaped:
     *  - BLOCKING on nationkey bounds candidates to Σ|block_A|·|block_B|

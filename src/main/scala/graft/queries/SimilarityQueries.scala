@@ -49,24 +49,9 @@ object SimilarityQueries {
     * filtered neighbors. Same zero-corpus-shuffle plan as
     * `q_ann_topk`: queries broadcast, corpus scans once. */
   private def annFiltered(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("nrm"))
-    val qs = base.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("nrm").as("qnorm"))
-    base.filter(col("label") % 2 === 0)
-      .crossJoin(broadcast(qs))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        Similarity.dot(col("embedding"), col("qvec")) / (col("nrm") * col("qnorm")))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("vec_id"), col("label"), col("rank"),
-        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+    import org.apache.spark.sql.functions.col
+    Similarity.bruteTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 5,
+        corpusFilter = Some(col("label") % 2 === 0), carry = Seq("label"))
       .orderBy("qid", "rank")
   }
 

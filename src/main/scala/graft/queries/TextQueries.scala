@@ -799,6 +799,11 @@ object TextQueries {
       .groupBy("pg").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pg")).limit(BpeK)
       .select("pg").collect().toSeq.map(_.getString(0))
+    // the oracle's merge chain is unrolled exactly BpeK deep (its
+    // scalar subqueries would go NULL — and NULL the whole output —
+    // on a thinner corpus); fail fast here instead of diverging
+    require(merges.length == BpeK,
+      s"corpus yields only ${merges.length} of $BpeK alphanumeric merge pairs")
     def encode(c: org.apache.spark.sql.Column) =
       merges.foldLeft(regexp_replace(c, "(.)", " $1 ")) { (acc, pg) =>
         val (a, b) = (pg.substring(0, 1), pg.substring(1, 2))

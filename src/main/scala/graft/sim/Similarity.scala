@@ -41,14 +41,22 @@ object Similarity {
   def l2norm(v: Column): Column = F.vecNorm(v)
 
   /** Exact cosine top-k for a query subset (vec_id ≡ 0 mod `queryMod`).
-    * Output: (qid, vec_id, rank, cos_x10k). */
-  def bruteTopK(emb: DataFrame, queryMod: Long, k: Int): DataFrame = {
-    val base = emb.select(col("vec_id"), col("embedding"),
-      l2norm(col("embedding")).as("norm"))
+    * Output: (qid, vec_id, carry…, rank, cos_x10k).
+    *
+    * @param corpusFilter optional metadata predicate applied to the
+    *   CORPUS side before ranking (PRE-filtering — the correct
+    *   filtered-ANN shape; queries are still drawn from the whole
+    *   set). @param carry corpus columns to carry into the output. */
+  def bruteTopK(emb: DataFrame, queryMod: Long, k: Int,
+                corpusFilter: Option[Column] = None,
+                carry: Seq[String] = Nil): DataFrame = {
+    val base = emb.select(Seq(col("vec_id"), col("embedding")) ++ carry.map(col) :+
+      l2norm(col("embedding")).as("norm"): _*)
     val qs = base.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
         col("norm").as("qnorm"))
-    val scored = base.crossJoin(broadcast(qs))
+    val corpus = corpusFilter.fold(base)(base.filter)
+    val scored = corpus.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
     scored
@@ -56,8 +64,8 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"),
-        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+      .select(Seq(col("qid"), col("vec_id")) ++ carry.map(col) ++
+        Seq(col("rank"), floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k")): _*)
   }
 
   // ---- IVF (inverted-file) ANN ----

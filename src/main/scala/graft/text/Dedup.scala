@@ -282,7 +282,8 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 50) {
+    val maxIter = 100
+    while (changed > 0 && iter < maxIter) {
       // large-star: center u over bidirectional neighborhood
       val bi = edges.select(col("s").as("u"), col("d").as("v"))
         .union(edges.select(col("d").as("u"), col("s").as("v")))
@@ -304,6 +305,11 @@ object Dedup {
       edges = next
       iter += 1
     }
+    // a non-converged graph is NOT a forest of stars — the labeling
+    // below would silently assign intermediate roots. Fail loudly
+    // instead (the cap is far above the O(log² n) bound in practice).
+    require(changed == 0,
+      s"wccStar did not converge within $maxIter rounds ($changed edges still changing)")
     // fixpoint: every edge is (root = component min, member)
     val nodes = pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id"))).distinct()
