@@ -267,9 +267,19 @@ object Dedup {
     * flat. Fixpoint = every component is a star rooted at its min id,
     * so the result is IDENTICAL to [[connectedComponents]] (min id of
     * component), which the spec asserts and the shared oracle
-    * hash-verifies. The fixpoint test here is an exact two-sided
-    * `except` (fine at test scale); at 100 TB compare (count,
-    * sum-of-edge-hash) aggregates instead — one cheap agg per round. */
+    * hash-verifies. The fixpoint test is one (count, xor-of-edge-hash)
+    * aggregate per round — bytes of state, vs the two-sided `except`
+    * it replaces (4 extra shuffles per round). A 64-bit xor collision
+    * could stop one round early (~2⁻⁶⁴); the downstream min-label
+    * join and the oracle would both expose it.
+    *
+    * Toy-scale cost note: at sf0.1 (1.4k edges) the query spends
+    * ~4 s in per-round stage scheduling — the price of the
+    * no-driver-tier design at a scale where [[connectedComponents]]'s
+    * union-find tier finishes in 1 s. That inversion is exactly why
+    * connectedComponents keeps the driver tier below 2²⁰ edges; the
+    * star rounds amortize only when the edge set dwarfs scheduling
+    * overhead. */
   def wccStar(pairs: DataFrame, idA: String = "id_a",
               idB: String = "id_b"): DataFrame = {
     import org.apache.spark.sql.functions.{col, greatest, least, min}
@@ -278,12 +288,22 @@ object Dedup {
       .select(least(col("s"), col("d")).as("s"),
         greatest(col("s"), col("d")).as("d"))
       .distinct()
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.selectExpr("count(*) AS n",
+        "coalesce(bit_xor(xxhash64(s, d)), 0L) AS x").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // LAZY checkpoints throughout: the per-round sig() action is the
+    // single materialization point, so each round runs ONE job (the
+    // eager default ran a separate job per phase — 3 jobs/round of
+    // pure stage-scheduling overhead at test scale)
     var edges = canon(pairs.select(col(idA).as("s"), col(idB).as("d")))
-      .localCheckpoint()
-    var changed = 1L
+      .localCheckpoint(false)
+    var edgeSig = sig(edges)
+    var changed = true
     var iter = 0
     val maxIter = 100
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // large-star: center u over bidirectional neighborhood
       val bi = edges.select(col("s").as("u"), col("d").as("v"))
         .union(edges.select(col("d").as("u"), col("s").as("v")))
@@ -292,7 +312,7 @@ object Dedup {
       val ls = bi.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("s"), col("m").as("d"))
         .union(m.select(col("u").as("s"), col("m").as("d")))
-      val lsE = canon(ls).localCheckpoint()
+      val lsE = canon(ls).localCheckpoint(false)
       // small-star: orient high → low, center hooks to neighborhood min
       val ori = lsE.select(greatest(col("s"), col("d")).as("u"),
         least(col("s"), col("d")).as("v"))
@@ -300,16 +320,18 @@ object Dedup {
       val ss = ori.join(m2, "u")
         .select(col("v").as("s"), col("m").as("d"))
         .union(m2.select(col("u").as("s"), col("m").as("d")))
-      val next = canon(ss).localCheckpoint()
-      changed = next.except(edges).count() + edges.except(next).count()
+      val next = canon(ss).localCheckpoint(false)
+      val nextSig = sig(next)
+      changed = nextSig != edgeSig
       edges = next
+      edgeSig = nextSig
       iter += 1
     }
     // a non-converged graph is NOT a forest of stars — the labeling
     // below would silently assign intermediate roots. Fail loudly
     // instead (the cap is far above the O(log² n) bound in practice).
-    require(changed == 0,
-      s"wccStar did not converge within $maxIter rounds ($changed edges still changing)")
+    require(!changed,
+      s"wccStar did not converge within $maxIter rounds")
     // fixpoint: every edge is (root = component min, member)
     val nodes = pairs.select(col(idA).as("id"))
       .union(pairs.select(col(idB).as("id"))).distinct()
