@@ -692,8 +692,14 @@ object ShingleKernel {
       i += 1
     }
     starts(t) = s; ends(t) = bytes.length; t += 1
-    // Java String.split drops trailing empty tokens
-    while (t > 0 && starts(t - 1) == ends(t - 1)) t -= 1
+    // Trailing empty tokens are KEPT: Spark's split(col, " ") uses
+    // limit -1 (keeps them) and DuckDB's string_split keeps them, so
+    // the SQL oracle twins have always modeled shingles over the
+    // full token list — a text ending in ' ' contributes a final
+    // shingle with an empty last token on every path. (An earlier
+    // revision trimmed them to match java String.split, which
+    // matches NEITHER engine's split — caught by q_containment's
+    // trailing-space excerpts.)
     if (t < n) return Array.emptyLongArray
     val out = new Array[Long](t - n + 1)
     var w = 0

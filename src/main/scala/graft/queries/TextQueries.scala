@@ -226,6 +226,76 @@ object TextQueries {
       .orderBy("id_a", "id_b")
   }
 
+  /** Containment (asymmetric Jaccard) — the subset-duplicate
+    * detector: an EXCERPT shares nearly all of ITS shingles with its
+    * source (containment ≈ 100%) while symmetric Jaccard sits near
+    * |excerpt|/|source| and sails under every dedup threshold — the
+    * quote/preview/syndication-fragment case exact and MinHash dedup
+    * both miss. C(small→big) = |A∩B| / min(|A|,|B|).
+    *
+    * Deterministic excerpts are PLANTED (the q_pii_scrub pattern):
+    * every doc_id ≡ 0 (mod 50) contributes a half-length prefix as a
+    * synthetic doc at id+10000 — same expression in the oracle. Plan
+    * shape is exactly `q_ngram_jaccard`'s: hash-keyed shingle
+    * buckets, df-capped, map-side bounded pair emission, sizes joined
+    * back — one extra union in the scan, nothing else changes, which
+    * is the point: containment is the same candidate machinery with
+    * a different denominator. */
+  private def containment(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val excerpts = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"),
+        expr("substring(text, 1, CAST(length(text) div 2 AS INT))").as("text"))
+    val corpus = base.union(excerpts)
+    val sh = corpus.select(col("doc_id"),
+      explode(graft.functions.F.shingleHashes(col("text"), 3)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = Dedup.bucketPairs(sh, Seq("shingle"), "doc_id", MaxDf)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        floor(col("inter") * 100.0 / least(col("n_a"), col("n_b")) + lit(1e-6))
+          .as("cont_pct"),
+        floor(col("inter") * 100.0 / (col("n_a") + col("n_b") - col("inter")) + lit(1e-6))
+          .as("jaccard_pct"))
+      .filter(col("cont_pct") >= 80)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val containmentSql =
+    s"""WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, substr(text, 1, CAST(length(text) // 2 AS INT))
+      |  FROM documents WHERE doc_id % 50 = 0
+      |), toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |      ELSE CAST([] AS VARCHAR[]) END, shs -> ${OracleSqlFrag.poly("shs")}))) AS shingle
+      |  FROM toks
+      |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |capped AS (
+      |  SELECT doc_id, shingle FROM (
+      |    SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS df FROM sh)
+      |  WHERE df <= $MaxDf
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      |  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |)
+      |SELECT id_a, id_b, inter, n_a, n_b, cont_pct, jaccard_pct FROM (
+      |  SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+      |    CAST(floor(100.0 * inter / LEAST(sa.n, sb.n) + 0.000001) AS BIGINT) AS cont_pct,
+      |    CAST(floor(100.0 * inter / (sa.n + sb.n - inter) + 0.000001) AS BIGINT) AS jaccard_pct
+      |  FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id)
+      |WHERE cont_pct >= 80
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val ngramJaccardSql =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -1077,6 +1147,7 @@ object TextQueries {
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),

@@ -59,13 +59,16 @@ class CodegenExpressionsSpec extends SparkSpec {
       "the quick brown fox jumps",     // 3 distinct 3-gram shingles
       "a b a b a b",                   // repeated shingles collapse
       "one two",                       // shorter than n -> empty
-      "x  y z",                        // double space: Java split keeps inner empty token
-      "trailing space ")               // trailing empties dropped
+      "x  y z",                        // double space: inner empty token kept
+      "trailing space ")               // trailing empty token KEPT: Spark's
+                                       // split(col," ") (limit -1) and DuckDB's
+                                       // string_split both keep it, so the final
+                                       // "ing space ''" shingle exists on every path
     val got = texts.toDF("t")
       .select(F.shingleHashes(col("t"), 3).as("hs"))
       .as[Seq[Long]].collect()
     val expect = texts.map { t =>
-      t.split(' ').sliding(3).filter(_.length == 3).map(_.mkString(" "))
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" "))
         .map(polyRef(_, 131L)).toSeq.distinct.sorted
     }
     got.zip(expect).zip(texts).foreach { case ((g, e), t) =>

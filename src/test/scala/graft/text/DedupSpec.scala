@@ -67,6 +67,31 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("q_containment finds every planted excerpt that symmetric Jaccard would miss") {
+    val rows = graft.SparkEntry.queries("q_containment")(spark, sf0001)
+      .select("id_a", "id_b", "cont_pct", "jaccard_pct")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val pairSet = rows.map(r => (r._1, r._2)).toSet
+    // every planted excerpt (source % 50 == 0, excerpt at +10000)
+    // long enough to carry 3-gram shingles must surface against its
+    // source with high containment
+    val planted = rows.filter { case (a, b, _, _) => b - a == 10000L && a % 50 == 0 }
+    assert(planted.nonEmpty)
+    val sources = graft.tables.Tables.documents(spark, sf0001)
+      .filter("doc_id % 50 = 0 AND n_chars >= 40").select("doc_id")
+      .as[Long].collect().toSeq
+    sources.foreach { s =>
+      assert(pairSet((s, s + 10000)), s"excerpt of $s not found")
+    }
+    planted.foreach { case (a, b, cont, jac) =>
+      assert(cont >= 80, s"($a,$b) containment $cont")
+    }
+    // the reason this operator exists: at least one excerpt pair sits
+    // BELOW the 50% Jaccard dedup bar while containment flags it
+    assert(planted.exists(_._4 < 50),
+      "every excerpt also passed symmetric Jaccard - the planted case is degenerate")
+  }
+
   test("minhash LSH finds the planted near-dup pair (120, 360)") {
     val pairs = Dedup.minhashPairs(docs, minJaccardPct = 50)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
