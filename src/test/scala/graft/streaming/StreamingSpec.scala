@@ -291,6 +291,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental join maintenance runs live: foreachBatch deltas converge to q_incremental_join") {
+    // the q_incremental_join algebra as a STREAM: order inserts
+    // arrive in micro-batches, each batch joins the static dimension
+    // and algebraically merges (sum of sums) into a maintained
+    // per-segment result — after the last delta the maintained table
+    // must equal the batch query bit for bit
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = graft.tables.Tables.table(s, sf0001, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")).cache()
+    dim.count()
+    val orders = graft.tables.Tables.table(s, sf0001, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        graft.ops.Num.cents(col("o_totalprice")).as("pc"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val state = scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("o_orderkey", "o_custkey", "pc").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum("pc").as("s"))
+          .as[(String, Long, Long)].collect()
+          .foreach { case (seg, n, sm) =>
+            val (pn, ps) = state.getOrElse(seg, (0L, 0L))
+            state(seg) = (pn + n, ps + sm)
+          }
+        ()
+      }
+      .start()
+    try {
+      orders.grouped(math.max(orders.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val expected = graft.SparkEntry.queries("q_incremental_join")(s, sf0001)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(state.toMap === expected)
+    } finally { q.stop(); dim.unpersist() }
+  }
+
   test("file-source streaming: readStream over the parquet events dir equals batch") {
     val s = spark
     import s.implicits._
