@@ -344,6 +344,44 @@ object PipelineQueries {
        |FROM documents
        |ORDER BY prio_q, doc_id LIMIT $SampleK""".stripMargin
 
+  /** Per-stratum weighted sampling — `q_weighted_sample`'s
+    * partitioned sibling: the SAME priority-sampling key (bit-exact
+    * hash uniform u, priority u/w, w = doc length), but the k
+    * smallest are taken PER LANGUAGE — the "sample ∝ tokens within
+    * each stratum" step that builds a balanced multilingual mix
+    * without a global pass.
+    *
+    * Scale shape: `rank <= k` over (prio_q, doc_id) plans as
+    * `WindowGroupLimit` — each language keeps a k-row heap BEFORE
+    * any sort (the q_source_cap operator shape), so per-stratum
+    * state is O(k) even when one language holds a billion documents
+    * and the only exchange is the |langs|-keyed window shuffle. */
+  private def groupWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (F.polyHash(col("text")) + lit(1L)).cast("double") / lit(2147483648.0)
+    val w = greatest(col("n_chars"), lit(1L)).cast("double")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("prio_q"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        floor(u / w * lit(1e15)).cast("long").as("prio_q"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 20)
+      .orderBy("lang", "rk")
+  }
+
+  private val groupWeightedSampleSql =
+    s"""SELECT doc_id, lang, n_chars, prio_q, rk FROM (
+       |  SELECT doc_id, lang, n_chars, prio_q,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY prio_q, doc_id) AS INT) AS rk
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      CAST(floor((CAST(${OracleSqlFrag.poly("text")} + 1 AS DOUBLE) / 2147483648.0)
+       |        / CAST(GREATEST(n_chars, 1) AS DOUBLE) * 1e15) AS BIGINT) AS prio_q
+       |    FROM documents))
+       |WHERE rk <= 20
+       |ORDER BY lang, rk""".stripMargin
+
   /** Record linkage / entity resolution (Fellegi–Sunter): match the
     * customer master against a dirty second source using BLOCKED
     * pairwise field comparison and integer agreement weights — the
@@ -586,6 +624,7 @@ object PipelineQueries {
     Q("q_source_cap", sourceCap, Some(sourceCapSql)),
     Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_record_linkage", recordLinkage, Some(recordLinkageSql)),
+    Q("q_group_weighted_sample", groupWeightedSample, Some(groupWeightedSampleSql)),
     Q("q_dq_checks", dqChecks, Some(dqChecksSql)),
   )
 }

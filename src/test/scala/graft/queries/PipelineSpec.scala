@@ -77,6 +77,34 @@ class PipelineSpec extends SparkSpec {
       f"length-weighted sample should skew long: $sampleMean%.0f vs $corpusMean%.0f")
   }
 
+  test("q_group_weighted_sample: per-language brute-force smallest-k, heap-bounded plan") {
+    val got = run("q_group_weighted_sample")
+      .select("lang", "doc_id", "prio_q", "rk")
+      .as[(String, Long, Long, Int)].collect().toSeq
+    // exactly 20 per language, ranks 1..20
+    got.groupBy(_._1).foreach { case (l, rs) =>
+      assert(rs.map(_._4).sorted === (1 to 20), s"lang $l")
+    }
+    // per-group selection equals the brute-force recompute
+    val all = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+      .map { case (id, l, text, nc) =>
+        val h = graft.functions.Poly.hashBytes(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          graft.functions.Poly.Base)
+        val u = (h + 1L).toDouble / 2147483648.0
+        (l, id, math.floor(u / math.max(nc, 1L).toDouble * 1e15).toLong)
+      }
+    val want = all.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(20).toSeq
+    }.toSet
+    assert(got.map(r => (r._1, r._2, r._3)).toSet === want)
+    // the rank filter must plan as WindowGroupLimit (per-group k-heap)
+    val plan = run("q_group_weighted_sample").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("q_record_linkage: every planted twin classified right, no false matches") {
     val rows = run("q_record_linkage")
       .select("a_key", "b_key", "w_total", "verdict")
