@@ -3,7 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -55,9 +55,15 @@ case class KmvSketch(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression]
+  with ExpectsInputTypes {
 
   require(cap >= 2, s"cap must be >= 2, got $cap")
+
+  // Analysis-time contract (matches CappedMinIds): update() trusts the
+  // child to produce a Long, so a non-Long child must fail at plan
+  // time, not as a runtime ClassCastException deep in an executor.
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(cap)
 

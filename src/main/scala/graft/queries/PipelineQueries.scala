@@ -390,7 +390,9 @@ object PipelineQueries {
     *
     * The dirty source is PLANTED deterministically (the q_pii_scrub
     * pattern, same expressions in the oracle): every custkey ≢ 2
-    * (mod 3) re-appears offset by 100000 with either benign drift
+    * (mod 3) re-appears at −custkey−1 (the negative namespace is
+    * disjoint from any real non-negative key — no collision on
+    * sources whose keys reach a fixed offset) with either benign drift
     * (identical name, balance +23¢, same segment → must classify
     * `match`) or real corruption (`#`→`-` in the name = edit distance
     * 1, balance +$25, segment lost → `possible`). Cross-customer
@@ -428,7 +430,7 @@ object PipelineQueries {
       col("c_mktsegment").as("a_seg"))
       .withColumn("blk", expr("right(a_name, 4)"))
     val b = c.filter(col("c_custkey") % 3 =!= 2).select(
-      (col("c_custkey") + 100000L).as("b_key"),
+      (-col("c_custkey") - 1L).as("b_key"),
       when(col("c_custkey") % 3 === 0, lower(col("c_name")))
         .otherwise(lower(regexp_replace(col("c_name"), "#", "-"))).as("b_name"),
       col("c_nationkey").as("nk"),
@@ -458,7 +460,7 @@ object PipelineQueries {
        |    c_mktsegment AS a_seg
        |  FROM customer
        |), b AS (
-       |  SELECT c_custkey + 100000 AS b_key,
+       |  SELECT -c_custkey - 1 AS b_key,
        |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name)
        |         ELSE lower(replace(c_name, '#', '-')) END AS b_name,
        |    c_nationkey AS nk,

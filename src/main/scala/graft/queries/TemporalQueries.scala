@@ -804,8 +804,16 @@ object TemporalQueries {
     * each IEEE op is correctly rounded so identical operand order
     * gives identical bits; the z lands as a floor-quantized milli
     * value. Full windows only (row 7+): a constant n keeps the
-    * formula branch-free. */
+    * formula branch-free.
+    *
+    * Overflow: x² and its trailing sum live in Decimal(38,0) on Spark
+    * and HUGEINT in DuckDB — Long x² wraps silently in non-ANSI Spark
+    * once daily cent totals pass ~3.0e9 (≈$30M/day, reachable at
+    * corpus scale) while DuckDB widens, so the engines would silently
+    * diverge. Both wide types hold any Long², and both cast to double
+    * with correct rounding, so the float tree stays bit-identical. */
   private def rollingZscore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val daily = Tables.events(spark, dir)
       .where(col("value").isNotNull)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -813,13 +821,15 @@ object TemporalQueries {
     val wRoll = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-6, 0)
     val wSeq = Window.partitionBy("event_type").orderBy("day")
+    val xd = col("x").cast(DecimalType(38, 0))
+    val sd = col("s").cast(DecimalType(38, 0))
     daily
       .withColumn("s", sum(col("x")).over(wRoll))
-      .withColumn("ss", sum(col("x") * col("x")).over(wRoll))
+      .withColumn("ss", sum(xd * xd).over(wRoll))
       .withColumn("rn", row_number().over(wSeq))
       .where(col("rn") >= 7)
       .withColumn("vr",
-        (col("ss") - col("s") * col("s") / 7.0) / 6.0)
+        (col("ss").cast("double") - (sd * sd).cast("double") / 7.0) / 6.0)
       .withColumn("z_milli",
         when(col("vr") > 0, Num.floorEps(
           (col("x") - col("s") / 7.0) / sqrt(col("vr")) * 1000)))
@@ -838,17 +848,18 @@ object TemporalQueries {
        |  GROUP BY event_type, CAST(ts AS DATE)),
        |rolled AS (
        |  SELECT event_type, day, x,
-       |    SUM(x) OVER w AS s, SUM(x * x) OVER w AS ss,
+       |    SUM(x) OVER w AS s,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS ss,
        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
        |  FROM daily
        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
        |scored AS (
        |  SELECT event_type, day, x,
-       |    (ss - s * s / 7.0) / 6.0 AS vr,
-       |    CASE WHEN (ss - s * s / 7.0) / 6.0 > 0
+       |    (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / 7.0) / 6.0 AS vr,
+       |    CASE WHEN (CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / 7.0) / 6.0 > 0
        |      THEN ${graft.ops.NumSql.floorEps(
-      "(x - s / 7.0) / sqrt((ss - s * s / 7.0) / 6.0) * 1000")}
+      "(x - s / 7.0) / sqrt((CAST(ss AS DOUBLE) - CAST(s * s AS DOUBLE) / 7.0) / 6.0) * 1000")}
        |      END AS z_milli
        |  FROM rolled WHERE rn >= 7)
        |SELECT event_type, day, x, z_milli,

@@ -235,7 +235,10 @@ object TextQueries {
     *
     * Deterministic excerpts are PLANTED (the q_pii_scrub pattern):
     * every doc_id ≡ 0 (mod 50) contributes a half-length prefix as a
-    * synthetic doc at id+10000 — same expression in the oracle. Plan
+    * synthetic doc at −id−1 — the negative namespace is disjoint from
+    * any real non-negative id by construction (no max-id collect, no
+    * collision on corpora whose ids reach a fixed offset) — same
+    * expression in the oracle. Plan
     * shape is exactly `q_ngram_jaccard`'s: hash-keyed shingle
     * buckets, df-capped, map-side bounded pair emission, sizes joined
     * back — one extra union in the scan, nothing else changes, which
@@ -244,7 +247,7 @@ object TextQueries {
   private def containment(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val excerpts = base.filter(col("doc_id") % 50 === 0)
-      .select((col("doc_id") + 10000L).as("doc_id"),
+      .select((-col("doc_id") - 1L).as("doc_id"),
         expr("substring(text, 1, CAST(length(text) div 2 AS INT))").as("text"))
     val corpus = base.union(excerpts)
     val sh = corpus.select(col("doc_id"),
@@ -269,7 +272,7 @@ object TextQueries {
     s"""WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000, substr(text, 1, CAST(length(text) // 2 AS INT))
+      |  SELECT -doc_id - 1, substr(text, 1, CAST(length(text) // 2 AS INT))
       |  FROM documents WHERE doc_id % 50 = 0
       |), toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM corpus
@@ -1087,9 +1090,10 @@ object TextQueries {
        |    text || ' ' || arr[CAST(doc_id % 8 + 1 AS INT)]
        |         || ' ' || arr[CAST((doc_id // 8) % 8 + 1 AS INT)] AS mtext
        |  FROM (SELECT doc_id, lang, text, CASE lang
-       |    ${NbMarkers.map { case (l, ws) =>
+       |    ${NbMarkers.init.map { case (l, ws) =>
               s"WHEN '$l' THEN ${ws.map(w => s"'$w'").mkString("[", ", ", "]")}"
             }.mkString("\n    ")}
+       |    ELSE ${NbMarkers.last._2.map(w => s"'$w'").mkString("[", ", ", "]")}
        |    END AS arr FROM documents)
        |), tok AS (
        |  SELECT doc_id, lang, ${OracleSqlFrag.poly("x")} AS h

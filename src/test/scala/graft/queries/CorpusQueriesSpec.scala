@@ -48,7 +48,10 @@ class CorpusQueriesSpec extends SparkSpec {
       .map { case (id, t) => (norm(t).take(12), id, t) }
       .sortBy { case (k, id, _) => (k, id) }
     val tokSets = docs.map { case (id, t) =>
-      id -> t.split(" ").filter(_.nonEmpty)
+      // split with limit -1 KEEPS empty tokens — matching the
+      // engine's 1-shingle keep-empty semantics (ShingleKernel), so
+      // the reference agrees on docs with double/trailing spaces.
+      id -> t.split(" ", -1)
         .map(tok => Poly.hashBytes(tok.getBytes("UTF-8"), Poly.Base)).toSet
     }.toMap
     val brute = (for {

@@ -113,21 +113,22 @@ class PipelineSpec extends SparkSpec {
     val nCust = graft.tables.Tables.table(spark, sf0001, "customer").count()
     (0L until nCust).foreach { k =>
       if (k % 3 == 0) {
-        // benign drift: must be a full-score match
-        val r = byPair.get((k, k + 100000))
+        // benign drift: must be a full-score match (twin planted in
+        // the disjoint negative namespace at -k-1)
+        val r = byPair.get((k, -k - 1))
         assert(r.exists(x => x._4 == "match" && x._3 == 33L), s"twin of $k: $r")
       } else if (k % 3 == 1) {
         // corrupted twin: edit-distance-1 name only → gray zone
-        val r = byPair.get((k, k + 100000))
+        val r = byPair.get((k, -k - 1))
         assert(r.exists(_._4 == "possible"), s"corrupt twin of $k: $r")
-      } else assert(!byPair.contains((k, k + 100000)), s"$k has no twin in B")
+      } else assert(!byPair.contains((k, -k - 1)), s"$k has no twin in B")
     }
     // at THIS corpus scale the false-positive rate is exactly zero
     // (sf0.001 pinned; larger corpora legitimately produce rare FS
     // false positives — single-digit-apart names with coincidental
     // balance agreement — see the query's doc comment)
     rows.filter(_._4 == "match").foreach { case (a, b, w, _) =>
-      assert(b - a === 100000L && a % 3 === 0L, s"false match ($a,$b,$w)")
+      assert(b === -a - 1 && a % 3 === 0L, s"false match ($a,$b,$w)")
     }
   }
 

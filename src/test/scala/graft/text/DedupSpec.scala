@@ -72,16 +72,17 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "cont_pct", "jaccard_pct")
       .as[(Long, Long, Long, Long)].collect().toSeq
     val pairSet = rows.map(r => (r._1, r._2)).toSet
-    // every planted excerpt (source % 50 == 0, excerpt at +10000)
-    // long enough to carry 3-gram shingles must surface against its
-    // source with high containment
-    val planted = rows.filter { case (a, b, _, _) => b - a == 10000L && a % 50 == 0 }
+    // every planted excerpt (source % 50 == 0, excerpt at -source-1:
+    // the negative namespace is disjoint from real ids, so the pair
+    // always orders excerpt-first) long enough to carry 3-gram
+    // shingles must surface against its source with high containment
+    val planted = rows.filter { case (a, b, _, _) => a == -b - 1 && b % 50 == 0 }
     assert(planted.nonEmpty)
     val sources = graft.tables.Tables.documents(spark, sf0001)
       .filter("doc_id % 50 = 0 AND n_chars >= 40").select("doc_id")
       .as[Long].collect().toSeq
     sources.foreach { s =>
-      assert(pairSet((s, s + 10000)), s"excerpt of $s not found")
+      assert(pairSet((-s - 1, s)), s"excerpt of $s not found")
     }
     planted.foreach { case (a, b, cont, jac) =>
       assert(cont >= 80, s"($a,$b) containment $cont")
