@@ -1,6 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,17 +13,30 @@ import org.apache.spark.sql.types._
   * struct; per-modality kernels (decode, feature-extract, resize,
   * frame-sample) run as batched partition-local functions.
   *
-  * Spark-side plumbing is real — schema, partition batching, kernel
-  * signature, output shape — while the codec itself is a STUB: this
-  * container has no image/audio libraries, so `decodeStub` derives a
-  * deterministic fake "decode" from the bytes. Swapping in a real
-  * decoder (e.g. javacv / a JNI codec) changes ONE function body and
-  * nothing else. At cluster scale the binary column stays columnar
-  * parquet (never materialized on the driver), kernels are
-  * embarrassingly parallel per partition, and `maxPartitionBytes`
-  * governs batch memory, exactly as with a Pandas-UDF pipeline.
+  * The IMAGE path is REAL end-to-end: payloads are genuine PNG files
+  * (encoded in-engine with `javax.imageio` — in the JDK, no external
+  * jar), and the feature kernel decodes them with `ImageIO.read` and
+  * emits exact integer pixel histograms. Because the pixel content is
+  * a deterministic integer formula of (doc_id, pixel index) and PNG
+  * is lossless, a DuckDB oracle recomputes the decoded histograms
+  * from the formula alone — the whole encode→shuffle→decode path is
+  * hash-verified. Audio/video kernels remain an honest STUB (the
+  * container genuinely has no audio/video codecs): a byte histogram
+  * of the payload stands in for a mel-spectrogram/frame decode, with
+  * the real plumbing (schema, partition batching, kernel signature,
+  * bounded output) unchanged by a future codec swap.
+  *
+  * At cluster scale the binary column stays columnar parquet (never
+  * materialized on the driver), kernels are embarrassingly parallel
+  * per partition — decode cost is linear in pixels with zero shuffle
+  * — and `maxPartitionBytes` governs batch memory, exactly as with a
+  * Pandas-UDF pipeline.
   */
 object Multimodal {
+
+  // ImageIO's default scratch-file cache would put a disk write in
+  // the per-row decode path; in-memory streams only.
+  ImageIO.setUseCache(false)
 
   /** Typed metadata carried beside every payload. */
   val metaSchema: StructType = StructType(Seq(
@@ -35,16 +52,68 @@ object Multimodal {
     StructField("payload", BinaryType, nullable = false),
     StructField("meta", metaSchema, nullable = false)))
 
-  /** Deterministic synthetic media table derived from `documents`
-    * (the container ships no real image fixtures): payload bytes are
-    * a sha2 chain over the text, metadata derives from `n_chars`.
-    * Pure column expressions — the synthesis itself is codegen'd. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       n_frames: Int)
+  case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte],
+                      meta: MediaMeta)
+
+  /** Deterministic gray-8 pixel value at flat index `i` (row-major)
+    * of image `docId` — the shared fixture formula. Exact integer
+    * arithmetic, so the DuckDB oracle reproduces it verbatim:
+    * `(doc_id*31 + i*7 + (i*i) % 101) % 256`. */
+  def pixelAt(docId: Long, i: Long): Int =
+    ((docId * 31L + i * 7L + (i * i) % 101L) % 256L).toInt
+
+  /** Image dims derive from `n_chars`; kept small (≤ 31×23) so the
+    * per-round bench prices the kernel, not the fixture — the decode
+    * cost is linear in pixels either way. */
+  def imgWidth(nChars: Long): Int = (nChars % 28 + 4).toInt
+  def imgHeight(nChars: Long): Int = (nChars % 20 + 4).toInt
+
+  /** Encode the formula image for `docId` as a real PNG (gray-8,
+    * lossless — decoded samples equal [[pixelAt]] exactly). */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var i = 0
+    while (i < w * h) { data(i) = pixelAt(docId, i.toLong).toByte; i += 1 }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload to (width, height, row-major gray samples).
+    * Fails LOUDLY on an undecodable payload (corrupt bytes, truncated
+    * file, wrong format) — a silent skip would undercount downstream
+    * histograms. */
+  def decodePng(docId: Long, payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable image payload for doc_id=$docId: ${e.getMessage}")
+      }
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"undecodable image payload for doc_id=$docId: not a known image format")
+    val w = img.getWidth
+    val h = img.getHeight
+    (w, h, img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
+  }
+
+  /** Deterministic synthetic media table derived from `documents`:
+    * image rows (doc_id ≡ 0 mod 3) carry a REAL PNG payload encoded
+    * from the pixel formula; audio/video rows carry a 96-byte
+    * sha2-chain stand-in (no codecs in the container). Metadata is
+    * truthful for images (PNG dims match `meta.width/height`). */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select(
       col("doc_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
-      // 96-byte fake payload: three chained sha2-256 digests.
+      // audio/video payload: three chained sha2-256 digests (96 B).
       concat(
         unhex(sha2(col("text"), 256)),
         unhex(sha2(concat(col("text"), lit("1")), 256)),
@@ -52,38 +121,60 @@ object Multimodal {
       struct(
         element_at(typedlit(Seq("png", "wav", "mp4")),
           (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
-        (col("n_chars") % 640 + 16).cast(IntegerType).as("width"),
-        (col("n_chars") % 480 + 16).cast(IntegerType).as("height"),
+        (col("n_chars") % 28 + 4).cast(IntegerType).as("width"),
+        (col("n_chars") % 20 + 4).cast(IntegerType).as("height"),
         (col("n_chars") % 24 + 1).cast(IntegerType).as("n_frames")).as("meta"))
+    base.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = encodePng(r.doc_id, r.meta.width, r.meta.height))
+        else r
+      }
+    }.toDF()
+  }
 
-  /** Feature row emitted by [[extractFeatures]]. */
+  /** Feature row emitted by [[extractFeatures]]: `n_units` counted
+    * units (pixels for images, payload bytes otherwise) and their
+    * exact 16-bin integer histogram (Σbins = n_units). */
   case class MediaFeatures(doc_id: Long, kind: String, n_bytes: Int,
-                           features: Array[Float])
+                           n_units: Long, bins: Array[Long])
 
   val FeatureDim = 16
 
-  /** === STUB decode kernel ===
-    * Stands in for a real image/audio decoder: reduces the payload to
-    * a 16-bin byte histogram, L1-normalized. Deterministic, so specs
-    * and the driver's rows-check are stable. A real implementation
-    * would decode pixels/samples here and emit e.g. a CLIP or
-    * mel-spectrogram embedding — same signature, same plumbing. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](FeatureDim)
-    payload.foreach(b => bins((b & 0xFF) % FeatureDim) += 1f)
-    val n = math.max(payload.length, 1).toFloat
-    bins.map(_ / n)
+  /** === STUB kernel (audio/video only) ===
+    * Stands in for a real audio/video decoder: a 16-bin histogram of
+    * the payload bytes (bin = byte mod 16 = the low nibble). A real
+    * implementation would decode samples/frames here — same
+    * signature, same plumbing. */
+  def stubBins(payload: Array[Byte]): Array[Long] = {
+    val bins = new Array[Long](FeatureDim)
+    payload.foreach(b => bins((b & 0xFF) % FeatureDim) += 1L)
+    bins
+  }
+
+  /** === REAL kernel (images) ===
+    * `ImageIO.read` the PNG payload, histogram the decoded gray
+    * samples into 16 value buckets (bin = sample ≫ 4). */
+  def imageBins(docId: Long, payload: Array[Byte]): Array[Long] = {
+    val (_, _, px) = decodePng(docId, payload)
+    val bins = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < px.length) { bins(px(i) >> 4) += 1L; i += 1 }
+    bins
   }
 
   /** Batched per-partition feature extraction: the Scala analog of a
     * `mapInPandas` kernel — one iterator pass per partition, no
-    * per-row lambda dispatch, constant memory. */
+    * per-row lambda dispatch, constant memory. Images take the real
+    * decode path; other kinds the declared stub. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          MediaFeatures(id, kind, payload.length, decodeStub(payload))
+          val bins =
+            if (kind == "image") imageBins(id, payload) else stubBins(payload)
+          MediaFeatures(id, kind, payload.length, bins.sum, bins)
         }
       }
   }
@@ -112,17 +203,51 @@ object Multimodal {
       }
   }
 
-  /** "Resize": metadata-level scale plus a payload signature re-chunk —
-    * a STUB for a real pixel resample with the true plumbing (struct
-    * rewrite stays columnar; only the kernel body is fake). */
+  /** Resize: REAL nearest-neighbor pixel resample for images
+    * (decode → sample map `src = dst·srcDim div dstDim` → re-encode
+    * PNG), metadata-level scale for the stub kinds. The sample map is
+    * exact integer arithmetic, so resized-pixel histograms stay
+    * DuckDB-oracle-able via [[pixelAt]]. */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
+    import media.sparkSession.implicits._
     val scale = least(
       lit(maxDim) / col("meta.width").cast(DoubleType),
       lit(maxDim) / col("meta.height").cast(DoubleType), lit(1.0))
-    media.withColumn("meta", struct(
+    val scaled = media.withColumn("meta", struct(
       col("meta.format").as("format"),
       floor(col("meta.width") * scale).cast(IntegerType).as("width"),
       floor(col("meta.height") * scale).cast(IntegerType).as("height"),
       col("meta.n_frames").as("n_frames")))
+    scaled.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        if (r.kind == "image")
+          r.copy(payload = resamplePng(r.doc_id, r.payload,
+            r.meta.width, r.meta.height))
+        else r
+      }
+    }.toDF()
+  }
+
+  /** Decode, nearest-neighbor-resample to (newW, newH), re-encode. */
+  def resamplePng(docId: Long, payload: Array[Byte],
+                  newW: Int, newH: Int): Array[Byte] = {
+    // src dims are recovered from the image itself, not trusted metadata
+    val (w, h, src) = decodePng(docId, payload)
+    val out = new BufferedImage(newW, newH, BufferedImage.TYPE_BYTE_GRAY)
+    val data = out.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    var y = 0
+    while (y < newH) {
+      val sy = y * h / newH
+      var x = 0
+      while (x < newW) {
+        data(y * newW + x) = src(sy * w + x * w / newW).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 }

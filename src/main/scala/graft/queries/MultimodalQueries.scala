@@ -2,26 +2,38 @@ package graft.queries
 
 import graft.multimodal.Multimodal
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface over the synthetic media table derived
-  * from `documents` (see [[graft.multimodal.Multimodal]]: real Spark
-  * plumbing, stubbed codec). Metadata/shape queries carry full DuckDB
-  * oracles; the feature kernel itself is rows-only checked (float
-  * vectors) and unit-tested in MultimodalSpec.
+  * from `documents` (see [[graft.multimodal.Multimodal]]). The IMAGE
+  * kernels are REAL — payloads are genuine PNGs encoded in-engine,
+  * decoded with `javax.imageio` inside the partition kernels — and
+  * because the pixel content is a deterministic integer formula and
+  * PNG is lossless, DuckDB oracles recompute the decoded histograms
+  * from the formula alone: the encode→shuffle→decode→histogram path
+  * is hash-verified end-to-end. Audio/video kernels remain declared
+  * stubs (no codecs in the container), oracled via the payload-byte
+  * formula as before.
   */
 object MultimodalQueries {
 
   private def media(spark: SparkSession, dir: String): DataFrame =
     Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
 
+  /** DuckDB fragment: the shared gray-8 pixel formula at flat index
+    * `i` of image `doc_id` — must match [[Multimodal.pixelAt]]. */
+  private def pxSql(id: String, i: String): String =
+    s"(($id*31 + ($i)*7 + (($i)*($i)) % 101) % 256)"
+
   /** Payload + typed metadata projection — proves the binary column
-    * and its struct survive the scan/shuffle path bit-exactly. */
+    * and its struct survive the scan/shuffle path. (`n_bytes` is no
+    * longer emitted: image payloads are real DEFLATE-compressed PNGs
+    * whose byte count no SQL oracle can recompute; the payload's
+    * integrity is proven far more strongly by the decode queries.) */
   private def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     media(spark, dir).select(
       col("doc_id"), col("kind"),
-      length(col("payload")).as("n_bytes"),
       col("meta.format").as("format"),
       col("meta.width").as("width"),
       col("meta.height").as("height"),
@@ -31,16 +43,16 @@ object MultimodalQueries {
   private val mediaMetaSql =
     """SELECT doc_id,
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  96 AS n_bytes,
       |  ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format,
-      |  CAST(n_chars % 640 + 16 AS INT) AS width,
-      |  CAST(n_chars % 480 + 16 AS INT) AS height,
+      |  CAST(n_chars % 28 + 4 AS INT) AS width,
+      |  CAST(n_chars % 20 + 4 AS INT) AS height,
       |  CAST(n_chars % 24 + 1 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Resize metadata contract (kernel stub, real struct rewrite). */
+  /** Resize metadata contract (nearest-neighbor resample for images,
+    * metadata-level for the stub kinds). */
   private def mediaResize(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.resize(media(spark, dir), maxDim = 64).select(
+    Multimodal.resize(media(spark, dir), maxDim = 16).select(
       col("doc_id"),
       col("meta.width").as("width"),
       col("meta.height").as("height"))
@@ -48,8 +60,8 @@ object MultimodalQueries {
 
   private val mediaResizeSql =
     """SELECT doc_id,
-      |  CAST(floor((n_chars % 640 + 16) * LEAST(64.0 / (n_chars % 640 + 16), 64.0 / (n_chars % 480 + 16), 1.0)) AS INT) AS width,
-      |  CAST(floor((n_chars % 480 + 16) * LEAST(64.0 / (n_chars % 640 + 16), 64.0 / (n_chars % 480 + 16), 1.0)) AS INT) AS height
+      |  CAST(floor((n_chars % 28 + 4) * LEAST(16.0 / (n_chars % 28 + 4), 16.0 / (n_chars % 20 + 4), 1.0)) AS INT) AS width,
+      |  CAST(floor((n_chars % 20 + 4) * LEAST(16.0 / (n_chars % 28 + 4), 16.0 / (n_chars % 20 + 4), 1.0)) AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Per-video sampled-frame counts (stride 4, anchored at frame 0). */
@@ -63,34 +75,96 @@ object MultimodalQueries {
       |  CAST(ceil((n_chars % 24 + 1) / 4.0) AS BIGINT) AS n_sampled
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
 
-  /** Batched partition-local feature extraction (STUB codec). The
-    * kernel's 16-bin byte histogram is recovered as EXACT integer bin
-    * counts (`round(f_k · n_bytes)` un-normalizes the float bins), so
-    * the whole mapPartitions path is hash-checked against a DuckDB
-    * oracle that recomputes the histogram from the sha2-chain payload's
-    * hex low-nibbles — bin(b) = b mod 16 = the low hex digit. */
-  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val bins = (0 until Multimodal.FeatureDim).map(k =>
-      round(element_at(col("features"), k + 1) * col("n_bytes"))
-        .cast("long").as(s"b$k"))
+  private def binCols(src: Column): Seq[Column] =
+    (0 until Multimodal.FeatureDim).map(k =>
+      element_at(src, k + 1).as(s"b$k"))
+
+  /** Batched partition-local feature extraction. Image rows take the
+    * REAL path — `ImageIO.read` decodes the PNG payload and the
+    * 16-bucket histogram is over decoded gray samples (bin = px≫4);
+    * the oracle recomputes it from the pixel formula, so a single
+    * wrong decoded pixel anywhere breaks the hash. Audio/video rows
+    * use the declared stub (payload-byte low-nibble histogram),
+    * oracled from the sha2-chain hex as before. */
+  private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
-      .select(Seq(col("doc_id"), col("kind"), col("n_bytes")) ++ bins: _*)
+      .select(Seq(col("doc_id"), col("kind"), col("n_units")) ++
+        binCols(col("bins")): _*)
       .orderBy("doc_id")
-  }
 
   private val mediaFeaturesSql = {
+    val imgBins = (0 until Multimodal.FeatureDim).map { k =>
+      s"COUNT(*) FILTER (${pxSql("doc_id", "i")} // 16 = $k) AS b$k"
+    }.mkString(",\n  ")
     // payload = unhex(sha256(text) || sha256(text||'1') || sha256(text||'2')):
     // 96 bytes = 192 hex chars; byte i's low nibble is hex char 2i (1-based).
-    val binCols = (0 until Multimodal.FeatureDim).map { k =>
+    val avBins = (0 until Multimodal.FeatureDim).map { k =>
       val hexDigit = Integer.toHexString(k)
       s"CAST(len(list_filter(generate_series(1, 96), i -> substr(hx, 2*i, 1) = '$hexDigit')) AS BIGINT) AS b$k"
     }.mkString(",\n  ")
-    s"""SELECT doc_id,
-       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-       |  96 AS n_bytes,
-       |  $binCols
-       |FROM (SELECT doc_id, sha256(text) || sha256(text || '1') || sha256(text || '2') AS hx
-       |      FROM documents)
+    s"""WITH ipx AS (
+       |  SELECT doc_id, w * h AS n_units, unnest(generate_series(0, w * h - 1)) AS i
+       |  FROM (SELECT doc_id, CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |               CAST(n_chars % 20 + 4 AS BIGINT) AS h
+       |        FROM documents WHERE doc_id % 3 = 0)
+       |), ihist AS (
+       |  SELECT doc_id, 'image' AS kind, n_units,
+       |  $imgBins
+       |  FROM ipx GROUP BY doc_id, n_units
+       |), avhist AS (
+       |  SELECT doc_id,
+       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |    CAST(96 AS BIGINT) AS n_units,
+       |  $avBins
+       |  FROM (SELECT doc_id, sha256(text) || sha256(text || '1') || sha256(text || '2') AS hx
+       |        FROM documents WHERE doc_id % 3 <> 0)
+       |)
+       |SELECT * FROM ihist UNION ALL SELECT * FROM avhist
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The full image chain under one hash: encode PNG → decode →
+    * nearest-neighbor resample to maxDim 16 → re-encode → decode →
+    * histogram. The oracle replays the sample map `src = dst·srcDim
+    * div dstDim` over the pixel formula in exact integer arithmetic —
+    * any divergence in either decode, the resampler, or the second
+    * encode breaks the hash. */
+  private def resizePixels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.resize(media(spark, dir), maxDim = 16)
+      .filter(col("kind") === "image")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (w, h, _) = Multimodal.decodePng(id, payload)
+        (id, w.toLong * h, Multimodal.imageBins(id, payload))
+      })
+      .toDF("doc_id", "n_units", "bins")
+      .select(Seq(col("doc_id"), col("n_units")) ++ binCols(col("bins")): _*)
+      .orderBy("doc_id")
+  }
+
+  private val resizePixelsSql = {
+    val bins = (0 until Multimodal.FeatureDim).map { k =>
+      s"COUNT(*) FILTER (${pxSql("doc_id", "src")} // 16 = $k) AS b$k"
+    }.mkString(",\n  ")
+    s"""WITH img AS (
+       |  SELECT doc_id, w, h,
+       |    CAST(floor(w * LEAST(16.0 / w, 16.0 / h, 1.0)) AS BIGINT) AS nw,
+       |    CAST(floor(h * LEAST(16.0 / w, 16.0 / h, 1.0)) AS BIGINT) AS nh
+       |  FROM (SELECT doc_id, CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |               CAST(n_chars % 20 + 4 AS BIGINT) AS h
+       |        FROM documents WHERE doc_id % 3 = 0)
+       |), dpx AS (
+       |  SELECT doc_id, nw * nh AS n_units,
+       |    ((i // nw) * h // nh) * w + ((i % nw) * w // nw) AS src
+       |  FROM (SELECT doc_id, w, h, nw, nh,
+       |          unnest(generate_series(0, nw * nh - 1)) AS i
+       |        FROM img)
+       |)
+       |SELECT doc_id, n_units,
+       |  $bins
+       |FROM dpx GROUP BY doc_id, n_units
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -99,5 +173,6 @@ object MultimodalQueries {
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
     Q("q_media_features", mediaFeatures, Some(mediaFeaturesSql)),
+    Q("q_resize_pixels", resizePixels, Some(resizePixelsSql)),
   )
 }

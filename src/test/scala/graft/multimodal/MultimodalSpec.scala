@@ -8,29 +8,70 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.mediaFromDocuments(
     spark.read.parquet(s"$sf0001/documents.parquet"))
 
-  test("media table has the contract schema and 96-byte payloads") {
+  test("media table has the contract schema; image payloads are real PNGs") {
     // catalogString ignores nullability, which column expressions
     // legitimately widen relative to the declared contract
     assert(media.schema.catalogString == Multimodal.mediaSchema.catalogString)
-    val lens = media.select(length(col("payload"))).distinct().collect()
-    assert(lens.map(_.getInt(0)).toSeq == Seq(96))
+    val rows = media.select(col("kind"), col("payload")).collect()
+    val pngMagic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]](1)
+      if (r.getString(0) == "image")
+        assert(payload.take(4).sameElements(pngMagic), "not a PNG payload")
+      else assert(payload.length == 96)
+    }
+    assert(rows.exists(_.getString(0) == "image"))
   }
 
-  test("decodeStub is a deterministic L1-normalized histogram") {
-    val bytes = Array.tabulate(96)(i => (i * 7).toByte)
-    val f1 = Multimodal.decodeStub(bytes)
-    val f2 = Multimodal.decodeStub(bytes)
-    assert(f1.toSeq == f2.toSeq)
-    assert(math.abs(f1.sum - 1f) < 1e-5)
-    assert(f1.length == Multimodal.FeatureDim)
+  test("PNG encode→decode round-trips the pixel formula exactly") {
+    val (docId, w, h) = (42L, 19, 11)
+    val (dw, dh, px) = Multimodal.decodePng(docId,
+      Multimodal.encodePng(docId, w, h))
+    assert((dw, dh) == (w, h))
+    px.zipWithIndex.foreach { case (p, i) =>
+      assert(p == Multimodal.pixelAt(docId, i.toLong), s"pixel $i")
+    }
   }
 
-  test("extractFeatures emits one feature row per media row") {
+  test("decodePng rejects corrupt payloads loudly, naming the doc") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 3).toByte)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodePng(7L, garbage))
+    assert(e1.getMessage.contains("undecodable"))
+    assert(e1.getMessage.contains("doc_id=7"))
+    // a TRUNCATED png (valid magic, cut mid-stream) must also fail,
+    // not decode to a partial image
+    val truncated = Multimodal.encodePng(7L, 16, 16).take(40)
+    intercept[IllegalArgumentException](Multimodal.decodePng(7L, truncated))
+  }
+
+  test("a corrupt image payload fails the Spark job, not silently") {
+    import spark.implicits._
+    val bad = Seq((1L, "image", Array.tabulate[Byte](32)(_.toByte)))
+      .toDF("doc_id", "kind", "payload")
+    val e = intercept[Exception] {
+      Multimodal.extractFeatures(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("undecodable")), e.toString)
+  }
+
+  test("extractFeatures: real decode for images, stub for audio/video") {
     val n = media.count()
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == n)
-    assert(feats.forall(f => f.features.length == Multimodal.FeatureDim
-      && math.abs(f.features.sum - 1f) < 1e-4 && f.n_bytes == 96))
+    feats.foreach { f =>
+      assert(f.bins.length == Multimodal.FeatureDim)
+      assert(f.bins.sum == f.n_units, s"doc ${f.doc_id}")
+      if (f.kind == "image") {
+        // decoded-histogram must equal the formula histogram exactly
+        val want = new Array[Long](Multimodal.FeatureDim)
+        (0L until f.n_units).foreach(i =>
+          want((Multimodal.pixelAt(f.doc_id, i) >> 4)) += 1L)
+        assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
+      } else assert(f.n_units == 96L)
+    }
   }
 
   test("sampleFrames strides within n_frames, anchored at frame 0") {
@@ -47,10 +88,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize clamps the longer edge to maxDim and keeps aspect ratio") {
-    val r = Multimodal.resize(media, 64)
-      .select(col("meta.width"), col("meta.height")).collect()
-    assert(r.forall(x => x.getInt(0) <= 64 && x.getInt(1) <= 64))
-    assert(r.forall(x => x.getInt(0) > 0 && x.getInt(1) > 0))
+  test("resize clamps the longer edge to maxDim and resamples image pixels") {
+    val r = Multimodal.resize(media, 16)
+    val dims = r.select(col("meta.width"), col("meta.height")).collect()
+    assert(dims.forall(x => x.getInt(0) <= 16 && x.getInt(1) <= 16))
+    assert(dims.forall(x => x.getInt(0) > 0 && x.getInt(1) > 0))
+    // the resized PNG really is the nearest-neighbor resample: its
+    // decoded samples follow src = dst·srcDim div dstDim over the
+    // original formula image
+    val imgs = r.filter(col("kind") === "image")
+      .select(col("doc_id"), col("payload")).collect()
+    assert(imgs.nonEmpty)
+    imgs.take(10).foreach { row =>
+      val id = row.getLong(0)
+      val (nw, nh, px) = Multimodal.decodePng(id, row.getAs[Array[Byte]](1))
+      val orig = media.filter(col("doc_id") === id)
+        .select(col("meta.width"), col("meta.height")).head()
+      val (w, h) = (orig.getInt(0), orig.getInt(1))
+      for (y <- 0 until nh; x <- 0 until nw) {
+        val src = (y * h / nh) * w + (x * w / nw)
+        assert(px(y * nw + x) == Multimodal.pixelAt(id, src.toLong),
+          s"doc $id dst ($x,$y)")
+      }
+    }
   }
 }
