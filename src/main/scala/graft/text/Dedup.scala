@@ -268,18 +268,31 @@ object Dedup {
     * so the result is IDENTICAL to [[connectedComponents]] (min id of
     * component), which the spec asserts and the shared oracle
     * hash-verifies. The fixpoint test is one (count, xor-of-edge-hash)
-    * aggregate per round — bytes of state, vs the two-sided `except`
-    * it replaces (4 extra shuffles per round). A 64-bit xor collision
+    * aggregate — bytes of state, vs the two-sided `except` it
+    * replaces (4 extra shuffles per check). A 64-bit xor collision
     * could stop one round early (~2⁻⁶⁴); the downstream min-label
     * join and the oracle would both expose it.
     *
-    * Toy-scale cost note: at sf0.1 (1.4k edges) the query spends
-    * ~4 s in per-round stage scheduling — the price of the
-    * no-driver-tier design at a scale where [[connectedComponents]]'s
-    * union-find tier finishes in 1 s. That inversion is exactly why
-    * connectedComponents keeps the driver tier below 2²⁰ edges; the
-    * star rounds amortize only when the edge set dwarfs scheduling
-    * overhead. */
+    * Toy-scale trim, scale-neutral (round-8 verdict: the query was
+    * 7.6% of the whole bench, all stage scheduling): the two star
+    * phases are FUSED — large-star output feeds small-star directly,
+    * with one canon (dedup + self-loop filter) and one lazy
+    * checkpoint per round instead of two. Duplicates between the
+    * phases are harmless under min() and the round-end canon removes
+    * them, so this halves the per-round materialization count
+    * without changing the fixpoint. (Batching several rounds per
+    * signature check was tried and rejected: equality only becomes
+    * visible one full batch AFTER the fixpoint, so a batch of b
+    * costs up to 2b-1 overshoot rounds — measurably slower than the
+    * per-round check it saves.)
+    *
+    * Toy-scale cost note: at sf0.1 (1.4k edges) the query still
+    * spends most of its time in per-stage scheduling — the price of
+    * the no-driver-tier design at a scale where
+    * [[connectedComponents]]'s union-find tier finishes in 1 s. That
+    * inversion is exactly why connectedComponents keeps the driver
+    * tier below 2²⁰ edges; the star rounds amortize only when the
+    * edge set dwarfs scheduling overhead. */
   def wccStar(pairs: DataFrame, idA: String = "id_a",
               idB: String = "id_b"): DataFrame = {
     import org.apache.spark.sql.functions.{col, greatest, least, min}
@@ -293,39 +306,59 @@ object Dedup {
         "coalesce(bit_xor(xxhash64(s, d)), 0L) AS x").head()
       (r.getLong(0), r.getLong(1))
     }
-    // LAZY checkpoints throughout: the per-round sig() action is the
-    // single materialization point, so each round runs ONE job (the
-    // eager default ran a separate job per phase — 3 jobs/round of
-    // pure stage-scheduling overhead at test scale)
-    var edges = canon(pairs.select(col(idA).as("s"), col(idB).as("d")))
-      .localCheckpoint(false)
-    var edgeSig = sig(edges)
-    var changed = true
-    var iter = 0
-    val maxIter = 100
-    while (changed && iter < maxIter) {
+    // One fused round: large-star then small-star, ONE canon + ONE
+    // lazy checkpoint at the end. Intermediate duplicates/self-loops
+    // (the m-union rows) survive until the round-end canon; min() is
+    // insensitive to them.
+    def round(e: DataFrame): DataFrame = {
       // large-star: center u over bidirectional neighborhood
-      val bi = edges.select(col("s").as("u"), col("d").as("v"))
-        .union(edges.select(col("d").as("u"), col("s").as("v")))
+      val bi = e.select(col("s").as("u"), col("d").as("v"))
+        .union(e.select(col("d").as("u"), col("s").as("v")))
       val m = bi.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val ls = bi.join(m, "u").filter(col("v") > col("u"))
         .select(col("v").as("s"), col("m").as("d"))
         .union(m.select(col("u").as("s"), col("m").as("d")))
-      val lsE = canon(ls).localCheckpoint(false)
-      // small-star: orient high → low, center hooks to neighborhood min
-      val ori = lsE.select(greatest(col("s"), col("d")).as("u"),
+      // small-star directly on the (possibly duplicated) large-star
+      // output: orient high → low, center hooks to neighborhood min
+      val ori = ls.select(greatest(col("s"), col("d")).as("u"),
         least(col("s"), col("d")).as("v"))
       val m2 = ori.groupBy("u").agg(min("v").as("m"))
       val ss = ori.join(m2, "u")
         .select(col("v").as("s"), col("m").as("d"))
         .union(m2.select(col("u").as("s"), col("m").as("d")))
-      val next = canon(ss).localCheckpoint(false)
+      canon(ss).localCheckpoint(false)
+    }
+    // LAZY checkpoints throughout: the batch-end sig() action is the
+    // single materialization point, so a batch of b rounds runs ONE
+    // job (the eager default ran a separate job per phase — 3
+    // jobs/round of pure stage-scheduling overhead at test scale)
+    var edges = canon(pairs.select(col(idA).as("s"), col(idB).as("d")))
+      .localCheckpoint(false)
+    // the node set is derived from the CHECKPOINTED initial canon, not
+    // from `pairs`: the input is typically an expensive candidate-pair
+    // join (e.g. [[simhashPairs]]), and reading it again for the final
+    // labeling would recompute that join from scratch. Contract note:
+    // canon drops self-loops, so a node appearing ONLY as (x, x) is
+    // treated like any other isolated node — absent from the output,
+    // a singleton by the caller's convention (simhashPairs and every
+    // other pair source here emit id_a < id_b, so the case is
+    // unreachable in practice).
+    val edges0 = edges
+    var edgeSig = sig(edges)
+    var changed = true
+    var iter = 0
+    val maxIter = 100
+    while (changed && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val next = round(edges)
       val nextSig = sig(next)
       changed = nextSig != edgeSig
       edges = next
       edgeSig = nextSig
       iter += 1
+      if (sys.env.contains("GRAFT_WCC_DEBUG"))
+        println(f"[wcc] round $iter sig=$nextSig ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // a non-converged graph is NOT a forest of stars — the labeling
     // below would silently assign intermediate roots. Fail loudly
@@ -333,8 +366,8 @@ object Dedup {
     require(!changed,
       s"wccStar did not converge within $maxIter rounds")
     // fixpoint: every edge is (root = component min, member)
-    val nodes = pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id"))).distinct()
+    val nodes = edges0.select(col("s").as("id"))
+      .union(edges0.select(col("d").as("id"))).distinct()
     nodes.join(edges.groupBy(col("d").as("id")).agg(min("s").as("root")),
         Seq("id"), "left")
       .select(col("id").as("doc_id"),
