@@ -25,6 +25,9 @@ class PlanLintSpec extends SparkSpec {
     // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight
     "q_window_filter", "q_tfidf", "q_bm25", "q_cdc_apply",
     "q_temperature_mix",
+    // corpus-pipeline flagship: q_temperature_mix's 1-row total-weight
+    // cross, redeployed over the funnel survivors
+    "q_corpus_pipeline",
     // NB classifier: 1-row vocab/doc-total aggregates crossed into
     // the |langs|-row model, and the 5-row model params crossed into
     // every scored doc (per-doc per-class base score)
