@@ -350,7 +350,11 @@ object SimilarityQueries {
         centroidMod = 61, nProbe = 2, cbMod = 29, cbK = 16, m = 8)
       .orderBy("qid", "rank")
 
-  private val annIvfPqSql = {
+  /** Shared CTE chain of the IVF×PQ oracle, through the ADC `ranked`
+    * relation — the final SELECT differs between `q_ann_ivf_pq`
+    * (top-10 by ADC) and `q_ann_rerank` (top-100 candidates → exact
+    * re-score). */
+  private val ivfPqRankedCtes = {
     val sub = Similarity.Dim / 8
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
@@ -403,11 +407,38 @@ object SimilarityQueries {
        |), ranked AS (
        |  SELECT qid, vec_id, adc,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rnk
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private val annIvfPqSql =
+    s"""$ivfPqRankedCtes
        |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
        |  CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_x10k
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** Two-stage retrieval: IVF×PQ ADC top-100 candidates → exact
+    * cosine re-score → top-10 (see [[Similarity.ivfPqRerank]]). */
+  private def annRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqRerank(Tables.embeddings(spark, dir), queryMod = 50L,
+        kCand = 100, k = 10)
+      .orderBy("qid", "rank")
+
+  private val annRerankSql =
+    s"""$ivfPqRankedCtes,
+       |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
+       |rescored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ${dot("b.embedding", "q2.qvec")} / (b.nrm * q2.qnorm) AS cos
+       |  FROM cand c
+       |  JOIN base b ON b.vec_id = c.vec_id
+       |  JOIN q q2 ON q2.qid = c.qid),
+       |reranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rrn
+       |  FROM rescored)
+       |SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
@@ -449,6 +480,7 @@ object SimilarityQueries {
     Q("q_ann_ivf_trained", annIvfTrained, Some(annIvfTrainedSql)),
     Q("q_ann_pq", annPq, Some(annPqSql)),
     Q("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
+    Q("q_ann_rerank", annRerank, Some(annRerankSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),

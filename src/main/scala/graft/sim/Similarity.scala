@@ -341,6 +341,43 @@ object Similarity {
         floor(col("adc") * 10000 + lit(0.5)).as("adc_x10k"))
   }
 
+  /** Two-stage retrieval (candidate generation → exact re-rank): the
+    * production serving shape. Stage 1 is [[ivfPqTopK]] with a WIDE k
+    * (`kCand`, e.g. 100) — compressed-domain ADC scores whose job is
+    * only to not lose the true neighbors; stage 2 GATHERS the exact
+    * embeddings for just those candidates (a hash join of the
+    * queries×kCand candidate list against the corpus — the only time
+    * full vectors are touched after indexing) and re-scores with
+    * exact cosine, keeping the top `k`.
+    *
+    * Scale anatomy: stage-1 cost is unchanged from ivfPqTopK; stage 2
+    * touches Q·kCand rows — independent of corpus size — and the
+    * query side broadcasts. ADC quantization error affects only which
+    * candidates make the wide list, not their final order, so recall
+    * can only improve over PQ-only ranking (spec-asserted against the
+    * brute-force oracle). */
+  def ivfPqRerank(emb: DataFrame, queryMod: Long, kCand: Int, k: Int,
+                  centroidMod: Long = 61, nProbe: Int = 2,
+                  cbMod: Long = 29, cbK: Int = 16, m: Int = 8): DataFrame = {
+    val cand = ivfPqTopK(emb, queryMod, kCand, centroidMod, nProbe,
+        cbMod, cbK, m)
+      .select(col("qid"), col("vec_id"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val qs = base.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(base, Seq("vec_id"))
+      .join(broadcast(qs), Seq("qid"))
+      .withColumn("cos", dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+
   /** IVF × PQ composition — the production ANN architecture at 10B
     * vectors: IVF's coarse assignment prunes the search to nProbe/C
     * of the corpus (the COMPUTE win), and PQ codes replace the

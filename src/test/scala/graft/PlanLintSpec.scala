@@ -15,7 +15,7 @@ class PlanLintSpec extends SparkSpec {
   private val bnljAllowed: Set[String] = Set(
     // ANN family: queries/probes/LUTs broadcast against the corpus scan
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_trained", "q_ann_pq",
-    "q_ann_ivf_pq", "q_ann_kmeans", "q_ann_filtered",
+    "q_ann_ivf_pq", "q_ann_kmeans", "q_ann_filtered", "q_ann_rerank",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term

@@ -265,4 +265,39 @@ class SimilaritySpec extends SparkSpec {
     assert(objective(trained) >= objective(init) - 1e-9,
       "2 Lloyd rounds should not worsen mean best-cosine")
   }
+
+  test("two-stage rerank: recall >= PQ-only, exact scores, well-formed ranks") {
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val bruteSet = brute.toSet
+    val pqOnly = Similarity.ivfPqTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    val rerank = Similarity.ivfPqRerank(emb, queryMod = 50L, kCand = 100, k = 10)
+      .select("qid", "vec_id", "rank", "cos_x10k")
+      .as[(Long, Long, Int, Long)].collect()
+    // well-formed: ≤ k ranked rows per query, contiguous ranks, no self
+    rerank.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"query $q")
+      assert(rows.forall(_._2 != q))
+    }
+    // the point of the second stage: exact re-scoring of a WIDE ADC
+    // candidate list can only improve recall vs trusting ADC order —
+    // quantization error now decides membership of a 100-deep pool,
+    // not the final top-10 order
+    val recallPq = pqOnly.count(bruteSet) .toDouble / brute.length
+    val recallRr = rerank.map(r => (r._1, r._2)).count(bruteSet)
+      .toDouble / brute.length
+    assert(recallRr >= recallPq,
+      s"rerank recall $recallRr < PQ-only recall $recallPq")
+    // re-ranked scores are EXACT cosines: spot-check every rerank hit
+    // that is also a brute-force hit carries the same quantized cosine
+    val bruteCos = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id", "cos_x10k").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val shared = rerank.filter(r => bruteCos.contains((r._1, r._2)))
+    assert(shared.nonEmpty)
+    shared.foreach(r =>
+      assert(r._4 === bruteCos((r._1, r._2)), s"cos mismatch for $r"))
+  }
 }
