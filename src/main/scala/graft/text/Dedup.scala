@@ -375,6 +375,37 @@ object Dedup {
           .as("cluster_id"))
   }
 
+  /** Incremental connected-components maintenance: merge a batch of
+    * NEW edges into an existing component labeling and return the
+    * updated labeling — the `q_incremental_join` Δ-algebra on the
+    * graph tier (streamed live in `StreamingSpec`).
+    *
+    * The prior labeling IS a star forest (root = component min), and
+    * a star forest preserves connectivity — so re-running [[wccStar]]
+    * over (state-as-edges ∪ new edges) yields exactly the components
+    * of (all past edges ∪ new edges), at the cost of the CONTRACTED
+    * graph (one edge per previously-labeled node, not one per
+    * historical edge) plus the batch. Prior singletons (label ==
+    * self) have no star edge; the ones the batch doesn't touch are
+    * re-appended unchanged via one anti join. Per batch: the wccStar
+    * rounds on a mostly-converged graph (components already stars
+    * re-converge in O(1) rounds) + two bounded joins — never a
+    * recomputation over history.
+    *
+    * `state` must carry (doc_id, cluster_id); `newEdges` (id_a,
+    * id_b). Result: (doc_id, cluster_id), bit-equal to running
+    * [[wccStar]] over the full accumulated edge set. */
+  def wccMerge(state: DataFrame, newEdges: DataFrame): DataFrame = {
+    val stEdges = state.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("cluster_id").as("id_a"), col("doc_id").as("id_b"))
+    val merged = wccStar(stEdges.union(
+      newEdges.select(col("id_a"), col("id_b"))))
+    val untouchedSingles = state.filter(col("cluster_id") === col("doc_id"))
+      .join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    merged.union(untouchedSingles)
+  }
+
   def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     docs.select(col(id), F.simhash64(TextFunctions.tokens(col(text))).as("simhash"))
 

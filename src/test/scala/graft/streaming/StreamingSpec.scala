@@ -333,6 +333,42 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); dim.unpersist() }
   }
 
+  test("streaming WCC maintenance: edge micro-batches converge to q_wcc_star bit-for-bit") {
+    // connected components maintained INCREMENTALLY: the near-dup
+    // pair graph arrives as three micro-batches; each batch merges
+    // into the star-forest state via Dedup.wccMerge (prior labeling
+    // as contracted edges + the delta — never a recomputation over
+    // history); the final labeling must equal the batch wccStar over
+    // the full pair set exactly
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val allPairs = graft.text.Dedup.simhashPairs(
+        graft.tables.Tables.documents(s, sf0001), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    graft.ops.SideCache.releaseAll()
+    assert(allPairs.nonEmpty)
+    var state = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("id_a", "id_b").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // eager checkpoint: materialize the merged labeling so state
+        // never chains plans across batches
+        state = graft.text.Dedup.wccMerge(state, batch).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      allPairs.grouped(math.max(allPairs.length / 3, 1)).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      val expected = graft.text.Dedup.wccStar(allPairs.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().sorted
+      val got = state.as[(Long, Long)].collect().sorted
+      assert(got === expected)
+    } finally { q.stop(); graft.ops.SideCache.releaseAll() }
+  }
+
   test("file-source streaming: readStream over the parquet events dir equals batch") {
     val s = spark
     import s.implicits._
