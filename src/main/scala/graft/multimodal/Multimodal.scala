@@ -13,18 +13,21 @@ import org.apache.spark.sql.types._
   * struct; per-modality kernels (decode, feature-extract, resize,
   * frame-sample) run as batched partition-local functions.
   *
-  * The IMAGE path is REAL end-to-end: payloads are genuine PNG files
-  * (encoded in-engine with `javax.imageio` — in the JDK, no external
-  * jar), and the feature kernel decodes them with `ImageIO.read` and
-  * emits exact integer pixel histograms. Because the pixel content is
-  * a deterministic integer formula of (doc_id, pixel index) and PNG
-  * is lossless, a DuckDB oracle recomputes the decoded histograms
-  * from the formula alone — the whole encode→shuffle→decode path is
-  * hash-verified. Audio/video kernels remain an honest STUB (the
-  * container genuinely has no audio/video codecs): a byte histogram
-  * of the payload stands in for a mel-spectrogram/frame decode, with
-  * the real plumbing (schema, partition batching, kernel signature,
-  * bounded output) unchanged by a future codec swap.
+  * The IMAGE and AUDIO paths are REAL end-to-end: image payloads are
+  * genuine PNG files (encoded in-engine with `javax.imageio` — in the
+  * JDK, no external jar) decoded with `ImageIO.read`; audio payloads
+  * are genuine WAV files (encoded with `javax.sound.sampled` — also
+  * in the JDK) decoded with `AudioSystem`. Both kernels emit exact
+  * integer histograms of the DECODED content; because pixel/sample
+  * content is a deterministic integer formula of (doc_id, index) and
+  * PNG/PCM are lossless, DuckDB oracles recompute the decoded
+  * histograms from the formulas alone — the whole
+  * encode→shuffle→decode path is hash-verified for both modalities.
+  * The VIDEO kernel remains an honest STUB (the JDK genuinely has no
+  * video codec): a byte histogram of the payload stands in for a
+  * frame decode, with the real plumbing (schema, partition batching,
+  * kernel signature, bounded output) unchanged by a future codec
+  * swap.
   *
   * At cluster scale the binary column stays columnar parquet (never
   * materialized on the driver), kernels are embarrassingly parallel
@@ -70,6 +73,75 @@ object Multimodal {
   def imgWidth(nChars: Long): Int = (nChars % 28 + 4).toInt
   def imgHeight(nChars: Long): Int = (nChars % 20 + 4).toInt
 
+  /** Deterministic signed 16-bit PCM sample at index `i` of audio
+    * clip `docId` — the audio twin of [[pixelAt]]. Exact integer
+    * arithmetic, reproduced verbatim by the DuckDB oracle:
+    * `((doc_id*37 + i*11 + (i*i) % 251) % 65536) - 32768`. */
+  def sampleAt(docId: Long, i: Long): Int =
+    (((docId * 37L + i * 11L + (i * i) % 251L) % 65536L) - 32768L).toInt
+
+  /** Audio clip length in samples, from `n_chars` (≤ 511 — the bench
+    * prices the codec path, not the fixture). */
+  def nSamples(nChars: Long): Int = (nChars % 480 + 32).toInt
+
+  /** Canonical fixture format: 8 kHz mono PCM_SIGNED 16-bit
+    * little-endian — the plain-WAV layout every decoder handles. */
+  private val WavFormat =
+    new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+
+  /** Encode the formula clip for `docId` as a REAL WAV file via
+    * `javax.sound.sampled` (in the JDK, no external jar — the same
+    * "no audio libraries" premise-check that made the PNG path real).
+    * PCM is lossless: decoded samples equal [[sampleAt]] exactly. */
+  def encodeWav(docId: Long, n: Int): Array[Byte] = {
+    val bytes = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sampleAt(docId, i.toLong)
+      bytes(2 * i) = (s & 0xFF).toByte
+      bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes), WavFormat, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload to its PCM samples. Fails LOUDLY on
+    * corrupt/truncated/non-WAV bytes and on any format other than
+    * 16-bit mono PCM — the [[decodePng]] contract for audio. */
+  def decodeWav(docId: Long, payload: Array[Byte]): Array[Int] = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"undecodable audio payload for doc_id=$docId: ${e.getMessage}")
+      }
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+      throw new IllegalArgumentException(
+        s"unexpected audio format for doc_id=$docId: $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    val out = new Array[Int](n)
+    val bigEndian = fmt.isBigEndian
+    var i = 0
+    while (i < n) {
+      val b0 = raw(2 * i)
+      val b1 = raw(2 * i + 1)
+      out(i) =
+        if (bigEndian) (b0.toInt << 8) | (b1 & 0xFF)
+        else (b1.toInt << 8) | (b0 & 0xFF)
+      i += 1
+    }
+    out
+  }
+
   /** Encode the formula image for `docId` as a real PNG (gray-8,
     * lossless — decoded samples equal [[pixelAt]] exactly). */
   def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
@@ -102,18 +174,28 @@ object Multimodal {
     (w, h, img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
   }
 
+  /** Generator row: [[MediaRow]] plus the `n_chars` the payload
+    * encoders key off. Public — Catalyst's generated encoder class
+    * lives outside this package and must see the constructor. */
+  case class MediaGen(doc_id: Long, kind: String,
+                      payload: Array[Byte], meta: MediaMeta,
+                      n_chars: Long)
+
   /** Deterministic synthetic media table derived from `documents`:
     * image rows (doc_id ≡ 0 mod 3) carry a REAL PNG payload encoded
-    * from the pixel formula; audio/video rows carry a 96-byte
-    * sha2-chain stand-in (no codecs in the container). Metadata is
-    * truthful for images (PNG dims match `meta.width/height`). */
+    * from the pixel formula, audio rows (≡ 1) a REAL WAV encoded from
+    * the sample formula; video rows carry a 96-byte sha2-chain
+    * stand-in (the one genuinely codec-less kind in this container).
+    * Metadata is truthful for images (PNG dims match
+    * `meta.width/height`); audio length lives in-band in the WAV
+    * header. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val base = docs.select(
       col("doc_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
-      // audio/video payload: three chained sha2-256 digests (96 B).
+      // video payload: three chained sha2-256 digests (96 B).
       concat(
         unhex(sha2(col("text"), 256)),
         unhex(sha2(concat(col("text"), lit("1")), 256)),
@@ -123,12 +205,16 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
         (col("n_chars") % 28 + 4).cast(IntegerType).as("width"),
         (col("n_chars") % 20 + 4).cast(IntegerType).as("height"),
-        (col("n_chars") % 24 + 1).cast(IntegerType).as("n_frames")).as("meta"))
-    base.as[MediaRow].mapPartitions { it =>
+        (col("n_chars") % 24 + 1).cast(IntegerType).as("n_frames")).as("meta"),
+      col("n_chars"))
+    base.as[MediaGen].mapPartitions { it =>
       it.map { r =>
-        if (r.kind == "image")
-          r.copy(payload = encodePng(r.doc_id, r.meta.width, r.meta.height))
-        else r
+        val payload = r.kind match {
+          case "image" => encodePng(r.doc_id, r.meta.width, r.meta.height)
+          case "audio" => encodeWav(r.doc_id, nSamples(r.n_chars))
+          case _       => r.payload
+        }
+        MediaRow(r.doc_id, r.kind, payload, r.meta)
       }
     }.toDF()
   }
@@ -141,11 +227,11 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** === STUB kernel (audio/video only) ===
-    * Stands in for a real audio/video decoder: a 16-bin histogram of
-    * the payload bytes (bin = byte mod 16 = the low nibble). A real
-    * implementation would decode samples/frames here — same
-    * signature, same plumbing. */
+  /** === STUB kernel (video only) ===
+    * Stands in for a real frame decoder: a 16-bin histogram of the
+    * payload bytes (bin = byte mod 16 = the low nibble). A real
+    * implementation would decode frames here — same signature, same
+    * plumbing. */
   def stubBins(payload: Array[Byte]): Array[Long] = {
     val bins = new Array[Long](FeatureDim)
     payload.foreach(b => bins((b & 0xFF) % FeatureDim) += 1L)
@@ -163,17 +249,32 @@ object Multimodal {
     bins
   }
 
+  /** === REAL kernel (audio) ===
+    * `AudioSystem` decodes the WAV payload; histogram of the decoded
+    * signed 16-bit samples into 16 amplitude buckets
+    * (bin = (sample + 32768) ≫ 12). */
+  def audioBins(docId: Long, payload: Array[Byte]): Array[Long] = {
+    val samples = decodeWav(docId, payload)
+    val bins = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < samples.length) { bins((samples(i) + 32768) >> 12) += 1L; i += 1 }
+    bins
+  }
+
   /** Batched per-partition feature extraction: the Scala analog of a
     * `mapInPandas` kernel — one iterator pass per partition, no
-    * per-row lambda dispatch, constant memory. Images take the real
-    * decode path; other kinds the declared stub. */
+    * per-row lambda dispatch, constant memory. Images and audio take
+    * the real decode paths; video the declared stub. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, kind, payload) =>
-          val bins =
-            if (kind == "image") imageBins(id, payload) else stubBins(payload)
+          val bins = kind match {
+            case "image" => imageBins(id, payload)
+            case "audio" => audioBins(id, payload)
+            case _       => stubBins(payload)
+          }
           MediaFeatures(id, kind, payload.length, bins.sum, bins)
         }
       }

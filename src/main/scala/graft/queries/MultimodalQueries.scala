@@ -7,14 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface over the synthetic media table derived
   * from `documents` (see [[graft.multimodal.Multimodal]]). The IMAGE
-  * kernels are REAL — payloads are genuine PNGs encoded in-engine,
-  * decoded with `javax.imageio` inside the partition kernels — and
-  * because the pixel content is a deterministic integer formula and
-  * PNG is lossless, DuckDB oracles recompute the decoded histograms
-  * from the formula alone: the encode→shuffle→decode→histogram path
-  * is hash-verified end-to-end. Audio/video kernels remain declared
-  * stubs (no codecs in the container), oracled via the payload-byte
-  * formula as before.
+  * and AUDIO kernels are REAL — payloads are genuine PNGs/WAVs
+  * encoded in-engine, decoded with `javax.imageio` /
+  * `javax.sound.sampled` inside the partition kernels — and because
+  * pixel/sample content is a deterministic integer formula and
+  * PNG/PCM are lossless, DuckDB oracles recompute the decoded
+  * histograms from the formulas alone: both
+  * encode→shuffle→decode→histogram paths are hash-verified
+  * end-to-end. The video kernel remains a declared stub (the JDK has
+  * no video codec), oracled via the payload-byte formula as before.
   */
 object MultimodalQueries {
 
@@ -79,26 +80,36 @@ object MultimodalQueries {
     (0 until Multimodal.FeatureDim).map(k =>
       element_at(src, k + 1).as(s"b$k"))
 
-  /** Batched partition-local feature extraction. Image rows take the
-    * REAL path — `ImageIO.read` decodes the PNG payload and the
-    * 16-bucket histogram is over decoded gray samples (bin = px≫4);
-    * the oracle recomputes it from the pixel formula, so a single
-    * wrong decoded pixel anywhere breaks the hash. Audio/video rows
-    * use the declared stub (payload-byte low-nibble histogram),
-    * oracled from the sha2-chain hex as before. */
+  /** Batched partition-local feature extraction. Image AND audio rows
+    * take REAL codec paths — `ImageIO.read` decodes the PNG payload
+    * (16-bucket histogram of decoded gray samples, bin = px≫4) and
+    * `AudioSystem` decodes the WAV payload (16-bucket histogram of
+    * decoded signed 16-bit samples, bin = (s+32768)≫12); the oracles
+    * recompute both from the pixel/sample formulas, so a single wrong
+    * decoded unit anywhere breaks the hash. Video rows use the
+    * declared stub (payload-byte low-nibble histogram), oracled from
+    * the sha2-chain hex as before. */
   private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
       .select(Seq(col("doc_id"), col("kind"), col("n_units")) ++
         binCols(col("bins")): _*)
       .orderBy("doc_id")
 
+  /** DuckDB fragment: the signed 16-bit PCM sample formula at index
+    * `i` of clip `doc_id` — must match [[Multimodal.sampleAt]]. */
+  private def smpSql(id: String, i: String): String =
+    s"((($id*37 + ($i)*11 + (($i)*($i)) % 251) % 65536) - 32768)"
+
   private val mediaFeaturesSql = {
     val imgBins = (0 until Multimodal.FeatureDim).map { k =>
       s"COUNT(*) FILTER (${pxSql("doc_id", "i")} // 16 = $k) AS b$k"
     }.mkString(",\n  ")
+    val audBins = (0 until Multimodal.FeatureDim).map { k =>
+      s"COUNT(*) FILTER ((${smpSql("doc_id", "i")} + 32768) // 4096 = $k) AS b$k"
+    }.mkString(",\n  ")
     // payload = unhex(sha256(text) || sha256(text||'1') || sha256(text||'2')):
     // 96 bytes = 192 hex chars; byte i's low nibble is hex char 2i (1-based).
-    val avBins = (0 until Multimodal.FeatureDim).map { k =>
+    val vidBins = (0 until Multimodal.FeatureDim).map { k =>
       val hexDigit = Integer.toHexString(k)
       s"CAST(len(list_filter(generate_series(1, 96), i -> substr(hx, 2*i, 1) = '$hexDigit')) AS BIGINT) AS b$k"
     }.mkString(",\n  ")
@@ -111,15 +122,23 @@ object MultimodalQueries {
        |  SELECT doc_id, 'image' AS kind, n_units,
        |  $imgBins
        |  FROM ipx GROUP BY doc_id, n_units
-       |), avhist AS (
-       |  SELECT doc_id,
-       |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+       |), apx AS (
+       |  SELECT doc_id, n AS n_units, unnest(generate_series(0, n - 1)) AS i
+       |  FROM (SELECT doc_id, CAST(n_chars % 480 + 32 AS BIGINT) AS n
+       |        FROM documents WHERE doc_id % 3 = 1)
+       |), ahist AS (
+       |  SELECT doc_id, 'audio' AS kind, n_units,
+       |  $audBins
+       |  FROM apx GROUP BY doc_id, n_units
+       |), vhist AS (
+       |  SELECT doc_id, 'video' AS kind,
        |    CAST(96 AS BIGINT) AS n_units,
-       |  $avBins
+       |  $vidBins
        |  FROM (SELECT doc_id, sha256(text) || sha256(text || '1') || sha256(text || '2') AS hx
-       |        FROM documents WHERE doc_id % 3 <> 0)
+       |        FROM documents WHERE doc_id % 3 = 2)
        |)
-       |SELECT * FROM ihist UNION ALL SELECT * FROM avhist
+       |SELECT * FROM ihist UNION ALL SELECT * FROM ahist
+       |UNION ALL SELECT * FROM vhist
        |ORDER BY doc_id""".stripMargin
   }
 

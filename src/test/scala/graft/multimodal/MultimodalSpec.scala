@@ -8,19 +8,25 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.mediaFromDocuments(
     spark.read.parquet(s"$sf0001/documents.parquet"))
 
-  test("media table has the contract schema; image payloads are real PNGs") {
+  test("media table has the contract schema; image/audio payloads are real PNGs/WAVs") {
     // catalogString ignores nullability, which column expressions
     // legitimately widen relative to the declared contract
     assert(media.schema.catalogString == Multimodal.mediaSchema.catalogString)
     val rows = media.select(col("kind"), col("payload")).collect()
     val pngMagic = Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte)
+    val riffMagic = "RIFF".getBytes
     rows.foreach { r =>
       val payload = r.getAs[Array[Byte]](1)
-      if (r.getString(0) == "image")
-        assert(payload.take(4).sameElements(pngMagic), "not a PNG payload")
-      else assert(payload.length == 96)
+      r.getString(0) match {
+        case "image" =>
+          assert(payload.take(4).sameElements(pngMagic), "not a PNG payload")
+        case "audio" =>
+          assert(payload.take(4).sameElements(riffMagic), "not a WAV payload")
+        case _ => assert(payload.length == 96)
+      }
     }
     assert(rows.exists(_.getString(0) == "image"))
+    assert(rows.exists(_.getString(0) == "audio"))
   }
 
   test("PNG encode→decode round-trips the pixel formula exactly") {
@@ -57,21 +63,50 @@ class MultimodalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("undecodable")), e.toString)
   }
 
-  test("extractFeatures: real decode for images, stub for audio/video") {
+  test("extractFeatures: real decode for images and audio, stub for video") {
     val n = media.count()
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == n)
     feats.foreach { f =>
       assert(f.bins.length == Multimodal.FeatureDim)
       assert(f.bins.sum == f.n_units, s"doc ${f.doc_id}")
-      if (f.kind == "image") {
-        // decoded-histogram must equal the formula histogram exactly
-        val want = new Array[Long](Multimodal.FeatureDim)
-        (0L until f.n_units).foreach(i =>
-          want((Multimodal.pixelAt(f.doc_id, i) >> 4)) += 1L)
-        assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
-      } else assert(f.n_units == 96L)
+      f.kind match {
+        case "image" =>
+          // decoded-histogram must equal the formula histogram exactly
+          val want = new Array[Long](Multimodal.FeatureDim)
+          (0L until f.n_units).foreach(i =>
+            want((Multimodal.pixelAt(f.doc_id, i) >> 4)) += 1L)
+          assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
+        case "audio" =>
+          // decoded-sample histogram must equal the formula histogram
+          val want = new Array[Long](Multimodal.FeatureDim)
+          (0L until f.n_units).foreach(i =>
+            want((Multimodal.sampleAt(f.doc_id, i) + 32768) >> 12) += 1L)
+          assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
+        case _ => assert(f.n_units == 96L)
+      }
     }
+  }
+
+  test("WAV encode→decode round-trips the sample formula exactly") {
+    val (docId, n) = (43L, 301)
+    val samples = Multimodal.decodeWav(docId, Multimodal.encodeWav(docId, n))
+    assert(samples.length == n)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      assert(s == Multimodal.sampleAt(docId, i.toLong), s"sample $i")
+    }
+  }
+
+  test("decodeWav rejects corrupt payloads loudly, naming the doc") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 5).toByte)
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.decodeWav(9L, garbage))
+    assert(e1.getMessage.contains("undecodable"))
+    assert(e1.getMessage.contains("doc_id=9"))
+    // truncated mid-header: valid RIFF magic, cut before the fmt
+    // chunk completes — must fail, not decode partially
+    val truncated = Multimodal.encodeWav(9L, 64).take(20)
+    intercept[IllegalArgumentException](Multimodal.decodeWav(9L, truncated))
   }
 
   test("sampleFrames strides within n_frames, anchored at frame 0") {
