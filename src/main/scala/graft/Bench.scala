@@ -10,6 +10,24 @@ object Bench {
     // the cores and the load average stops being attributable.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // Bounded QUIESCE-WAIT (round-8 verdict #6): if the host is loaded
+    // RIGHT NOW — before our session exists, so the load is entirely
+    // foreign (typically the just-finished test JVM still decaying out
+    // of the 1-min average) — poll until it drops below 1.0, capped at
+    // 2 minutes, then proceed regardless and RECORD the wait. Waiting
+    // here (not later) matters: after warmup the 1-min average mostly
+    // measures our own executors, so this is the only point where
+    // "< 1.0" cleanly means "external contention gone".
+    var quiesceWaitSec = 0
+    if (loadStart > 1.0) {
+      while (quiesceWaitSec < 120 && osBean.getSystemLoadAverage > 1.0) {
+        Thread.sleep(5000L)
+        quiesceWaitSec += 5
+      }
+      System.err.println(f"[bench] quiesce-wait: ${quiesceWaitSec}s " +
+        f"(load $loadStart%.2f -> ${osBean.getSystemLoadAverage}%.2f)")
+    }
+    val loadAfterWait = osBean.getSystemLoadAverage
     // Bench environment contract: local[32] (all cores of the single
     // JVM), spark.sql.shuffle.partitions = cores — not 200, not 4.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -85,8 +103,10 @@ object Bench {
     // query the full rep budget up front so the min has more chances to
     // land in a quiet window. Threshold 1.0: one busy foreign core on an
     // otherwise idle 32-core box is already "not our load" — our own
-    // executors haven't started yet when loadStart is sampled.
-    val loadedHost = loadStart > 1.0
+    // executors haven't started yet when loadStart is sampled. The
+    // post-quiesce sample is the decision input: a host that settled
+    // during the bounded wait no longer needs blanket escalation.
+    val loadedHost = loadAfterWait > 1.0
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -117,7 +137,7 @@ object Bench {
     val noisy = results.filter { case (_, _, ts) => ts.max / ts.min > spreadLimit }
     val escalated = results.count(_._3.length > reps)
     val contention = noisy.length >= math.max(3, results.length / 10) ||
-      loadStart > cpus.toDouble / 2
+      loadAfterWait > cpus.toDouble / 2
     if (contention)
       System.err.println(s"[bench] CONTENTION SUSPECTED: ${noisy.length} queries " +
         f"with >${spreadLimit}%.1fx rep spread after escalation; load@start $loadStart%.1f")
@@ -132,6 +152,7 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
       s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
+      s""","quiesce_wait_sec":$quiesceWaitSec,"load_avg_after_wait":$loadAfterWait""" +
       s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
       s""","loaded_host_at_start":$loadedHost""" +
       s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
@@ -140,7 +161,8 @@ object Bench {
     // compact line is printed LAST so it always survives the tail
     // capture and parses.
     println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","queries_run":${results.length},"contention_suspected":$contention}""")
+      s""","queries_run":${results.length},"contention_suspected":$contention""" +
+      s""","loaded_host_at_start":$loadedHost,"quiesce_wait_sec":$quiesceWaitSec}""")
     spark.stop()
   }
 }
