@@ -877,6 +877,15 @@ object TextQueries {
     // on a thinner corpus); fail fast here instead of diverging
     require(merges.length == BpeK,
       s"corpus yields only ${merges.length} of $BpeK alphanumeric merge pairs")
+    // Kernel choice: the chained-regex fold below is the ORACLE-PARITY
+    // path — BpeK sequential `regexp_replace` passes mirror the SQL
+    // twin exactly, at O(merges × text) cost, fine for BpeK = 8. A
+    // production 32k-merge vocab would fold each word ONCE with the
+    // list-based encoder (BpeEncodeSpec.encodeRef is that kernel,
+    // cross-checked equal on every doc): O(text × passes-per-word)
+    // with the merge table broadcast — the crossover is wherever
+    // merges × text regex work exceeds one in-memory token-vector
+    // fold per word, i.e. long before merges reach the hundreds.
     def encode(c: org.apache.spark.sql.Column) =
       merges.foldLeft(regexp_replace(c, "(.)", " $1 ")) { (acc, pg) =>
         val (a, b) = (pg.substring(0, 1), pg.substring(1, 2))

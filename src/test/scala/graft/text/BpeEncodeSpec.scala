@@ -50,6 +50,12 @@ class BpeEncodeSpec extends SparkSpec {
   }
 
   test("enc_head matches the independent list-based reference on every doc") {
+    // this equality is also the SCALE story: encodeRef is the O(text)
+    // kernel a 32k-merge vocab would deploy (one token-vector fold per
+    // word, merge table broadcast); the engine's chained-regex fold is
+    // the oracle-parity path, O(merges × text) — acceptable only while
+    // the merge count stays single-digit (BpeK = 8)
+    assert(merges.length == 8)
     rows.foreach { case (id, _, enc) =>
       val head = docs(id).split(" ", -1).head
       assert(enc === encodeRef(head).mkString("|"), s"doc $id head '$head'")
