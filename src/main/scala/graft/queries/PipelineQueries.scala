@@ -614,7 +614,73 @@ object PipelineQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Fill-in-the-middle (FIM) transformation — the code/infilling
+    * training-data reshape (Bavarian et al.: split → re-order as
+    * prefix‖suffix‖middle with sentinels, so an autoregressive model
+    * learns to infill). Deterministic twin of the random pipeline:
+    * the FIM gate (50% rate) and both cut points derive from content
+    * hashes (two poly bases), so re-runs, re-partitions and the
+    * DuckDB oracle all reproduce the identical transform — `md5` of
+    * the transformed text is part of the hashed result, pinning every
+    * emitted byte. Short docs (< 8 chars) stay autoregressive. One
+    * codegen projection, zero shuffle: scan speed at 100 TB. */
+  private def fimSplit(spark: SparkSession, dir: String): DataFrame = {
+    val l = length(col("text")).cast("long")
+    val h1 = F.polyHash(col("text"))
+    val h2 = F.polyHash(col("text"), graft.functions.Poly.Base2)
+    val fim = h1 % 2 === 0 && l >= 8
+    val pa = pmod(h1, l + 1)
+    val pb = pmod(h2, l + 1)
+    val c1 = least(pa, pb)
+    val c2 = greatest(pa, pb)
+    val pre = col("text").substr(lit(1), c1.cast("int"))
+    val mid = col("text").substr((c1 + 1).cast("int"), (c2 - c1).cast("int"))
+    val suf = col("text").substr((c2 + 1).cast("int"), (l - c2).cast("int"))
+    val out = when(fim,
+      concat(lit("<PRE>"), pre, lit("<SUF>"), suf, lit("<MID>"), mid))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fim.as("fim_applied"),
+        when(fim, c1).otherwise(l).as("n_pre"),
+        when(fim, c2 - c1).otherwise(0L).as("n_mid"),
+        when(fim, l - c2).otherwise(0L).as("n_suf"),
+        length(out).cast("long").as("out_len"),
+        md5(out).as("out_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val fimSplitSql = {
+    val p1 = OracleSqlFrag.poly("text")
+    val p2 = OracleSqlFrag.poly("text", 137L)
+    s"""WITH b AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS l,
+       |    ($p1 % 2 = 0 AND length(text) >= 8) AS fim,
+       |    $p1 % (length(text) + 1) AS pa,
+       |    $p2 % (length(text) + 1) AS pb
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, l, fim,
+       |    LEAST(pa, pb) AS c1, GREATEST(pa, pb) AS c2
+       |  FROM b),
+       |o AS (
+       |  SELECT doc_id, fim,
+       |    CASE WHEN fim THEN c1 ELSE l END AS n_pre,
+       |    CASE WHEN fim THEN c2 - c1 ELSE 0 END AS n_mid,
+       |    CASE WHEN fim THEN l - c2 ELSE 0 END AS n_suf,
+       |    CASE WHEN fim THEN '<PRE>' || substr(text, 1, CAST(c1 AS INT))
+       |      || '<SUF>' || substr(text, CAST(c2 + 1 AS INT), CAST(l - c2 AS INT))
+       |      || '<MID>' || substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+       |    ELSE text END AS ot
+       |  FROM c)
+       |SELECT doc_id, fim AS fim_applied,
+       |  CAST(n_pre AS BIGINT) AS n_pre, CAST(n_mid AS BIGINT) AS n_mid,
+       |  CAST(n_suf AS BIGINT) AS n_suf,
+       |  CAST(length(ot) AS BIGINT) AS out_len, md5(ot) AS out_md5
+       |FROM o ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_fim_split", fimSplit, Some(fimSplitSql)),
     Q("q_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_contamination", contamination, Some(contaminationSql)),

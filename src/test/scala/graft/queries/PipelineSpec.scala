@@ -235,4 +235,35 @@ class PipelineSpec extends SparkSpec {
     val zhRate = kept.getOrElse("zh", 0).toDouble / total("zh")
     assert(enRate < zhRate, s"en=$enRate zh=$zhRate")
   }
+
+  test("q_fim_split: spans reassemble to the original, md5 pins the transform") {
+    val rows = run("q_fim_split")
+      .select("doc_id", "fim_applied", "n_pre", "n_mid", "n_suf",
+        "out_len", "out_md5")
+      .as[(Long, Boolean, Long, Long, Long, Long, String)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    rows.foreach { case (id, fim, np, nm, ns, outLen, outMd5) =>
+      val text = docs(id)
+      // span accounting always covers the doc exactly
+      assert(np + nm + ns === text.length.toLong, s"doc $id spans")
+      if (fim) {
+        // PSM re-order with 5-char sentinels, byte-for-byte
+        val (pre, rest) = text.splitAt(np.toInt)
+        val (mid, suf) = rest.splitAt(nm.toInt)
+        val want = s"<PRE>$pre<SUF>$suf<MID>$mid"
+        assert(outLen === want.length.toLong, s"doc $id len")
+        assert(outMd5 === md5hex(want), s"doc $id md5")
+      } else {
+        assert(nm === 0L && ns === 0L, s"doc $id AR spans")
+        assert(outMd5 === md5hex(text), s"doc $id AR md5")
+      }
+    }
+    // the hash-gated FIM rate concentrates near 50%
+    val rate = rows.count(_._2).toDouble / rows.size
+    assert(rate > 0.3 && rate < 0.7, s"FIM rate $rate")
+  }
 }
