@@ -679,7 +679,61 @@ object PipelineQueries {
        |FROM o ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source EPOCH mixing — the repeat-factor companion to
+    * `q_temperature_mix`'s selection rates: given a total token
+    * budget (2× the corpus mass here), each source gets a repeat
+    * factor (×1000) so its effective share follows sqrt-temperature
+    * weights — sources SMALLER than their target share are UPSAMPLED
+    * (repeat > 1.0, the multi-epoch trick every pretraining recipe
+    * applies to small high-quality sources), capped at 10 epochs.
+    *
+    * Determinism: sqrt is one correctly-rounded IEEE op on identical
+    * inputs (the `q_temperature_mix` convention); everything after is
+    * integer — in Decimal(38,0) on Spark and HUGEINT in DuckDB,
+    * because budget × weight × 1000 overflows BIGINT at corpus scale
+    * (the `q_rolling_zscore` widening convention). Scale shape: one
+    * map-side agg to |sources| rows; the corpus is scanned once and
+    * never shuffled. */
+  private val MaxRepeatMilli = 10000L // 10-epoch upsampling cap
+
+  private def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .withColumn("w_q",
+        floor(sqrt(col("sum_chars").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum("w_q").as("sum_w"),
+      sum("sum_chars").as("tot_chars"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("sum_chars"),
+        least(lit(MaxRepeatMilli), expr(
+          """CAST(floor((CAST(2 AS DECIMAL(38,0)) * tot_chars * w_q * 1000)
+            |/ (CAST(sum_w AS DECIMAL(38,0)) * sum_chars)) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))).as("repeat_milli"))
+      .withColumn("eff_chars", expr("(sum_chars * repeat_milli) div 1000"))
+      .orderBy("source")
+  }
+
+  private val epochMixSql =
+    s"""WITH per AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |    CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE)) * 1000000) AS BIGINT) AS w_q
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w,
+       |    CAST(SUM(sum_chars) AS BIGINT) AS tot_chars FROM per)
+       |SELECT source, n_docs, sum_chars,
+       |  CAST(LEAST($MaxRepeatMilli,
+       |    (2::HUGEINT * tot_chars * w_q * 1000) // (sum_w::HUGEINT * sum_chars))
+       |    AS BIGINT) AS repeat_milli,
+       |  CAST((sum_chars * LEAST($MaxRepeatMilli,
+       |    (2::HUGEINT * tot_chars * w_q * 1000) // (sum_w::HUGEINT * sum_chars)))
+       |    // 1000 AS BIGINT) AS eff_chars
+       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_epoch_mix", epochMix, Some(epochMixSql)),
     Q("q_fim_split", fimSplit, Some(fimSplitSql)),
     Q("q_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),

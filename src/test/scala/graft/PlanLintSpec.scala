@@ -28,6 +28,9 @@ class PlanLintSpec extends SparkSpec {
     // corpus-pipeline flagship: q_temperature_mix's 1-row total-weight
     // cross, redeployed over the funnel survivors
     "q_corpus_pipeline",
+    // epoch mixing: the same 1-row totals aggregate crossed into the
+    // |sources|-row weight table
+    "q_epoch_mix",
     // NB classifier: 1-row vocab/doc-total aggregates crossed into
     // the |langs|-row model, and the 5-row model params crossed into
     // every scored doc (per-doc per-class base score)

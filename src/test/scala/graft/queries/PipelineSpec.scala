@@ -266,4 +266,31 @@ class PipelineSpec extends SparkSpec {
     val rate = rows.count(_._2).toDouble / rows.size
     assert(rate > 0.3 && rate < 0.7, s"FIM rate $rate")
   }
+
+  test("q_epoch_mix: small sources upsample, large downsample, budget respected") {
+    val rows = run("q_epoch_mix")
+      .select("source", "sum_chars", "repeat_milli", "eff_chars")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, chars, rep, eff) =>
+      assert(rep >= 0 && rep <= 10000L, s"$src repeat out of cap")
+      assert(eff === chars * rep / 1000, s"$src eff_chars arithmetic")
+    }
+    // sqrt-temperature: the repeat factor must be anti-monotone in
+    // source size (a strictly smaller source never repeats less)
+    val bySize = rows.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Seq(small, large) =>
+        assert(small._3 >= large._3,
+          s"${small._1} (${small._2}ch, r=${small._3}) < ${large._1} " +
+            s"(${large._2}ch, r=${large._3})")
+      case _ => ()
+    }
+    // effective mass lands at ~2x the corpus (floor rounding + the
+    // epoch cap only ever push it BELOW the budget)
+    val totChars = rows.map(_._2).sum
+    val totEff = rows.map(_._4).sum
+    assert(totEff <= 2L * totChars, "over budget")
+    assert(totEff >= (2L * totChars * 8) / 10, s"budget underfilled: $totEff vs ${2L * totChars}")
+  }
 }
