@@ -466,6 +466,78 @@ object TextQueries {
     Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** Exact TOKEN-LEVEL EDIT-DISTANCE verification of the LSH
+    * candidates — the verify tier a production near-dup pipeline runs
+    * between candidate generation (cheap, approximate) and the drop
+    * decision (exact): Levenshtein over the pair's token sequences,
+    * kept at ≥ 60% similarity. O(len²) per pair is affordable
+    * precisely because the input is the OUTPUT-PROPORTIONAL candidate
+    * list, not corpus² — the cost argument the whole dedup family is
+    * built on.
+    *
+    * Each token is folded to ONE printable-ASCII char
+    * (`chr(polyhash % 94 + 33)`) and the native `levenshtein` runs on
+    * the resulting strings: that makes the metric token-level (the
+    * right granularity for documents — char-level is for short
+    * fields), language-neutral (a zh token hashes like any other),
+    * AND cross-engine exact — Spark's levenshtein counts chars while
+    * DuckDB's counts bytes, which diverge on any non-ASCII text, but
+    * on a pure-ASCII projection byte == char. 1/94 per-token
+    * collisions only ever RAISE similarity of a candidate pair by a
+    * hair; the ratio is floor-quantized integer, so the tier is fully
+    * hash-verified. Token strings are gathered by two hash joins
+    * against the corpus (the `q_ann_rerank` gather shape). */
+  private def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val tokStr = array_join(
+      transform(TF.tokens(col("text")),
+        t => chr(pmod(graft.functions.F.polyHash(t), lit(94L)) + 33)), "")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokStr.as("ts"))
+    val pairs = Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+      .select("id_a", "id_b")
+    pairs
+      .join(docs.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ts_a"), col("ts_b")).cast("long").as("lev"),
+        greatest(length(col("ts_a")), length(col("ts_b"))).cast("long").as("max_len"))
+      .withColumn("sim_pct",
+        floor(lit(100.0) * (lit(1.0) - col("lev") / col("max_len")) + lit(1e-6))
+          .cast("long"))
+      .filter(col("sim_pct") >= 60)
+      .orderBy("id_a", "id_b")
+  }
+
+  private lazy val editDistanceSql = {
+    val pairCtes = dedupSimhashSql
+      .stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT id_a, id_b, hamming FROM \\(.*$", "")
+    s"""WITH $pairCtes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3
+       |), tstr AS (
+       |  SELECT doc_id, array_to_string(list_transform(string_split(text, ' '),
+       |    edt -> chr(CAST(${OracleSqlFrag.poly("edt")} % 94 + 33 AS INT))), '') AS ts
+       |  FROM documents
+       |), lv AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(levenshtein(da.ts, db.ts) AS BIGINT) AS lev,
+       |    CAST(GREATEST(length(da.ts), length(db.ts)) AS BIGINT) AS max_len
+       |  FROM prs p
+       |  JOIN tstr da ON da.doc_id = p.id_a
+       |  JOIN tstr db ON db.doc_id = p.id_b)
+       |SELECT id_a, id_b, lev, max_len,
+       |  CAST(floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) AS BIGINT) AS sim_pct
+       |FROM lv
+       |WHERE floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) >= 60
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val dedupSimhashSql = {
     // bit k (k<31) from poly base 131; bit 31+k from poly base 137
     val bitTerms =
@@ -1164,6 +1236,7 @@ object TextQueries {
     Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    Q("q_edit_distance", editDistance, Some(editDistanceSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),

@@ -133,4 +133,45 @@ class DedupSpec extends SparkSpec {
       .select("hamming").as[Int].collect()
     assert(out.forall(_ <= 3))
   }
+
+  test("q_edit_distance agrees with an independent token-level DP") {
+    val rows = graft.SparkEntry.queries("q_edit_distance")(spark, sf0001)
+      .select("id_a", "id_b", "lev", "max_len", "sim_pct")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    val texts = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val Mod = 2147483647L
+    def tokChars(t: String): Array[Char] =
+      t.split(" ", -1).map { w =>
+        var h = 0L
+        w.foreach(c => h = (h * 131 + c.toLong) % Mod)
+        (h % 94 + 33).toChar
+      }
+    def dp(a: Array[Char], b: Array[Char]): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    rows.foreach { case (a, b, lev, maxLen, sim) =>
+      val (ta, tb) = (tokChars(texts(a)), tokChars(texts(b)))
+      assert(maxLen === math.max(ta.length, tb.length).toLong, s"($a,$b) len")
+      assert(lev === dp(ta, tb).toLong, s"($a,$b) lev")
+      assert(sim === math.floor(100.0 * (1.0 - lev.toDouble / maxLen) + 1e-6).toLong
+        && sim >= 60L, s"($a,$b) sim")
+    }
+    // the verify tier must confirm, not merely echo, the candidates:
+    // every kept pair is a simhash candidate
+    val cand = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(rows.forall(r => cand((r._1, r._2))))
+  }
 }
