@@ -715,6 +715,53 @@ object TextQueries {
        |ORDER BY score_x10000 DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** Tokenizer VOCAB COVERAGE / out-of-vocabulary rate — the metric a
+    * tokenizer change is judged by ("what fraction of the corpus
+    * falls outside the top-K vocabulary?"). Vocab = the top
+    * [[OovVocabK]] whitespace tokens by corpus frequency (K chosen
+    * at half this corpus's 31-token vocabulary so the rate actually
+    * discriminates; a real run sets K to the tokenizer's vocab size)
+    * (deterministic (count desc, token) tie-break); per doc, the
+    * share of token occurrences outside it, floor-quantized.
+    *
+    * Scale shape: the tf aggregate map-side combines to \|distinct
+    * tokens\| rows; the top-K is `TakeOrderedAndProject` (per-
+    * partition heaps, P·K rows to the driver side of the plan, never
+    * a vocabulary sort); the vocab then BROADCASTS into the per-token
+    * membership join, and the per-doc aggregate map-side combines
+    * again — two corpus scans, zero corpus shuffles. */
+  private val OovVocabK = 16
+
+  private def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(OovVocabK)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_pct",
+        floor(lit(100.0) * col("n_oov") / col("n_tok") + lit(1e-6)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val oovRateSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok)
+       |  ORDER BY n DESC, tok LIMIT $OovVocabK
+       |)
+       |SELECT doc_id, COUNT(*) AS n_tok,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(floor(100.0 * SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+       |    / COUNT(*) + 0.000001) AS BIGINT) AS oov_pct
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Duplicate-cluster assignment: connected components over the
     * SimHash near-dup pair graph, Pregel-style min-label propagation
     * (iterate: every node takes the min label among itself and its
@@ -1237,6 +1284,7 @@ object TextQueries {
     Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),
     Q("q_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Q("q_edit_distance", editDistance, Some(editDistanceSql)),
+    Q("q_oov_rate", oovRate, Some(oovRateSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),

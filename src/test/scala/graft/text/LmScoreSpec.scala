@@ -130,4 +130,29 @@ class LmScoreSpec extends SparkSpec {
     // and the value is the closed form: 3 terms of (1/3)·ln 3 µnats
     assert(ent(3L) === 3 * 366204L)
   }
+
+  test("q_oov_rate agrees with a brute top-K vocabulary recompute") {
+    val rows = graft.SparkEntry.queries("q_oov_rate")(spark, sf0001)
+      .select("doc_id", "n_tok", "n_oov", "oov_pct")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_._2.split(" ", -1).foreach(t =>
+      counts(t) = counts.getOrElse(t, 0L) + 1))
+    val vocab = counts.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(16).map(_._1).toSet
+    val brute = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val oov = ts.count(!vocab(_)).toLong
+      id -> ((ts.length.toLong, oov,
+        math.floor(100.0 * oov / ts.length + 1e-6).toLong))
+    }.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, oov, pct) =>
+      assert((n, oov, pct) === brute(id), s"doc $id")
+    }
+    // vocabulary coverage is useful only if it separates docs
+    assert(rows.map(_._4).distinct.size > 1)
+  }
 }
