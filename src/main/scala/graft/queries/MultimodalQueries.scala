@@ -187,7 +187,38 @@ object MultimodalQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Data-quality gate over the BINARY column — the media twin of
+    * `q_dq_checks`: per kind, how many payloads carry the right
+    * container magic (PNG signature / RIFF header, read from the
+    * actual bytes) and how many metadata structs are in their
+    * declared bounds. The oracle pins the counts at "all valid" from
+    * the row formulas alone — so a single mis-encoded payload
+    * anywhere (wrong magic, truncation to ≠96 B for video, a dim
+    * outside its derivation range) drops a count and breaks the
+    * hash. Scan-speed projection + |kinds|-row aggregate. */
+  private def mediaDq(spark: SparkSession, dir: String): DataFrame = {
+    val magicOk =
+      when(col("kind") === "image", hex(substring(col("payload"), 1, 4)) === "89504E47")
+        .when(col("kind") === "audio", hex(substring(col("payload"), 1, 4)) === "52494646")
+        .otherwise(length(col("payload")) === 96)
+    val metaOk = col("meta.width").between(4, 31) &&
+      col("meta.height").between(4, 23) &&
+      col("meta.n_frames").between(1, 24)
+    media(spark, dir)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(magicOk.cast("long")).as("n_magic_ok"),
+        sum(metaOk.cast("long")).as("n_meta_ok"))
+      .orderBy("kind")
+  }
+
+  private val mediaDqSql =
+    """SELECT ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+      |  COUNT(*) AS n_rows, COUNT(*) AS n_magic_ok, COUNT(*) AS n_meta_ok
+      |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_media_dq", mediaDq, Some(mediaDqSql)),
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),
     Q("q_frame_sample", frameSample, Some(frameSampleSql)),
