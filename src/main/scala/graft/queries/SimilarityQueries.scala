@@ -440,6 +440,74 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
+  /** Dedup-before-indexing — the similarity-side composition twin of
+    * `q_corpus_pipeline`: semantic near-dup clusters (`q_embed_neardup`
+    * pairs → `q_semantic_cluster` components) reduce the corpus to one
+    * REPRESENTATIVE per cluster (the min id — the SemDeDup step that
+    * keeps an ANN index from serving the same content k times), then
+    * exact cosine top-5 serves queries against the deduped index.
+    * Queries stay drawn from the full slice (external queries don't
+    * dedup); corpus survivors enter via one anti join against the
+    * output-proportional dropped-id set. Composes three green
+    * components under one end-to-end hash. */
+  private def annDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val clusters = graft.text.Dedup.connectedComponents(
+      Similarity.lshNearDup(emb, minCos = 0.35).select("id_a", "id_b"))
+    val dropped = clusters.filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnorm"))
+    val corpus = base.join(dropped, Seq("vec_id"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", Similarity.dot(col("embedding"), col("qvec")) /
+        (col("nrm") * col("qnorm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+      .orderBy("qid", "rank")
+  }
+
+  private lazy val annDedupSql =
+    s"""WITH RECURSIVE prs AS (
+       |  SELECT id_a, id_b FROM ($embedNearDupSql)
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id
+       |), comp AS (
+       |  SELECT id AS vec_id, MIN(r) AS cid FROM reach GROUP BY id
+       |), dropped AS (
+       |  SELECT vec_id FROM comp WHERE cid <> vec_id
+       |), base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm FROM base WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT q.qid, b.vec_id,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+       |  FROM base b CROSS JOIN q
+       |  WHERE b.vec_id <> q.qid
+       |    AND NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = b.vec_id)
+       |), ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
   /** Per-label vector statistics with an exact oracle: norms are
     * reduced left-to-right in doubles on both engines (IEEE ops are
     * order-identical), quantized to integer thousandths per row, then
@@ -483,6 +551,7 @@ object SimilarityQueries {
     Q("q_ann_rerank", annRerank, Some(annRerankSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
+    Q("q_ann_dedup", annDedup, Some(annDedupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
   )
 }

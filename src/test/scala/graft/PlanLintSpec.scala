@@ -16,6 +16,7 @@ class PlanLintSpec extends SparkSpec {
     // ANN family: queries/probes/LUTs broadcast against the corpus scan
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_trained", "q_ann_pq",
     "q_ann_ivf_pq", "q_ann_kmeans", "q_ann_filtered", "q_ann_rerank",
+    "q_ann_dedup",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term

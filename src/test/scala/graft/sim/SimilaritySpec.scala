@@ -266,6 +266,26 @@ class SimilaritySpec extends SparkSpec {
       "2 Lloyd rounds should not worsen mean best-cosine")
   }
 
+  test("q_ann_dedup serves from the deduped index only") {
+    val dropped = graft.text.Dedup.connectedComponents(
+        Similarity.lshNearDup(emb, minCos = 0.35).select("id_a", "id_b"))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(dropped.nonEmpty, "fixture must actually dedup something")
+    val rows = graft.SparkEntry.queries("q_ann_dedup")(spark, sf0001)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    // no dropped vector is ever served; dropped QUERIES still serve
+    assert(rows.forall(r => !dropped(r._2)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"query $q")
+    }
+    // and the dedup MATTERS: some brute-force top-5 hit was a dropped
+    // near-dup, now replaced by its cluster representative
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(brute.exists(p => dropped(p._2)))
+  }
+
   test("two-stage rerank: recall >= PQ-only, exact scores, well-formed ranks") {
     val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
       .select("qid", "vec_id").as[(Long, Long)].collect()
