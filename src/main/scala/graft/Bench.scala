@@ -81,7 +81,8 @@ object Bench {
         }
       }
     } catch { case _: Throwable => () }
-    // min of N reps per query (default 2): the bench host shows
+    // min of N reps per query (default 3 — a quiet-host 2-rep min is
+    // still noisy, round-9 verdict blemish #3): the bench host shows
     // run-to-run CPU contention of 2-4x on individual queries; the
     // minimum is the standard steady-state estimator under external
     // noise (JMH-style). Each rep still recomputes from parquet —
@@ -93,7 +94,7 @@ object Bench {
     // has more chances to land in a quiet window. Per-rep times are
     // all RECORDED in the output JSON: a reader can always audit how
     // noisy the host was, instead of trusting a single opaque number.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val maxReps = math.max(reps, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_REPS", "4").toInt)
     val spreadLimit = 2.5
     // A host that is ALREADY loaded before the session starts can disturb
@@ -106,6 +107,11 @@ object Bench {
     // executors haven't started yet when loadStart is sampled. The
     // post-quiesce sample is the decision input: a host that settled
     // during the bounded wait no longer needs blanket escalation.
+    // Both booleans are emitted under distinct names (round-9 advice):
+    // prior rounds' "loaded_host_at_start" meant the PRE-wait sample,
+    // so reusing that key for the post-wait value would mislead any
+    // cross-round comparison.
+    val loadedHostAtStart = loadStart > 1.0
     val loadedHost = loadAfterWait > 1.0
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -154,7 +160,7 @@ object Bench {
       s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
       s""","quiesce_wait_sec":$quiesceWaitSec,"load_avg_after_wait":$loadAfterWait""" +
       s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
-      s""","loaded_host_at_start":$loadedHost""" +
+      s""","loaded_host_at_start":$loadedHostAtStart,"loaded_host_after_wait":$loadedHost""" +
       s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
     // The driver captures only the TAIL of stdout, so the long audit
     // line above gets its head (metric/value) truncated away. This
@@ -162,7 +168,8 @@ object Bench {
     // capture and parses.
     println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","sf":"$sfDir"""" +
       s""","queries_run":${results.length},"contention_suspected":$contention""" +
-      s""","loaded_host_at_start":$loadedHost,"quiesce_wait_sec":$quiesceWaitSec}""")
+      s""","loaded_host_at_start":$loadedHostAtStart,"loaded_host_after_wait":$loadedHost""" +
+      s""","quiesce_wait_sec":$quiesceWaitSec}""")
     spark.stop()
   }
 }

@@ -138,8 +138,13 @@ object CorpusPipelineQuery {
     val tot = weights.agg(sum("w_q").as("sum_w"))
     val rates = weights.crossJoin(broadcast(tot))
       .select(col("lang"),
+        // Widened to DECIMAL(38,0)/HUGEINT (the q_epoch_mix convention):
+        // w_q = floor(sqrt(n_docs)*1e6) makes the BIGINT product
+        // overflow near n_docs ≈ 6e13 per lang — reachable at 100 TB.
         least(lit(10000L),
-          expr(s"(${MixTarget}L * w_q * 10000L) div (sum_w * n_docs)"))
+          expr(s"""CAST((CAST($MixTarget AS DECIMAL(38,0)) * w_q * 10000)
+                  |div (CAST(sum_w AS DECIMAL(38,0)) * n_docs) AS BIGINT)"""
+            .stripMargin.replace("\n", " ")))
           .as("rate_bp"))
 
     val f7: Column = pre7 && col("bucket") < coalesce(col("rate_bp"), lit(0L))
@@ -288,7 +293,7 @@ object CorpusPipelineQuery {
        |  FROM flags WHERE f1 AND f2 AND f3 AND f4 AND f5 AND f6 GROUP BY lang),
        |tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w),
        |r AS (
-       |  SELECT lang, CAST(LEAST(10000, ($MixTarget * w_q * 10000) // (sum_w * n_docs)) AS BIGINT) AS rate_bp
+       |  SELECT lang, CAST(LEAST(10000, ($MixTarget::HUGEINT * w_q * 10000) // (sum_w::HUGEINT * n_docs)) AS BIGINT) AS rate_bp
        |  FROM w CROSS JOIN tot),
        |kept AS (
        |  SELECT f.*,

@@ -689,7 +689,10 @@ object PipelineQueries {
     *
     * Determinism: sqrt is one correctly-rounded IEEE op on identical
     * inputs (the `q_temperature_mix` convention); everything after is
-    * integer — in Decimal(38,0) on Spark and HUGEINT in DuckDB,
+    * integer — exact integral `div` (never `floor(a/b)`, whose decimal
+    * quotient rounds HALF_UP to scale 6 before the floor and can
+    * disagree with DuckDB's `//` near-integer boundaries) — in
+    * Decimal(38,0) on Spark and HUGEINT in DuckDB,
     * because budget × weight × 1000 overflows BIGINT at corpus scale
     * (the `q_rolling_zscore` widening convention). Scale shape: one
     * map-side agg to |sources| rows; the corpus is scanned once and
@@ -707,8 +710,8 @@ object PipelineQueries {
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("sum_chars"),
         least(lit(MaxRepeatMilli), expr(
-          """CAST(floor((CAST(2 AS DECIMAL(38,0)) * tot_chars * w_q * 1000)
-            |/ (CAST(sum_w AS DECIMAL(38,0)) * sum_chars)) AS BIGINT)"""
+          """CAST((CAST(2 AS DECIMAL(38,0)) * tot_chars * w_q * 1000)
+            |div (CAST(sum_w AS DECIMAL(38,0)) * sum_chars) AS BIGINT)"""
             .stripMargin.replace("\n", " "))).as("repeat_milli"))
       .withColumn("eff_chars", expr("(sum_chars * repeat_milli) div 1000"))
       .orderBy("source")

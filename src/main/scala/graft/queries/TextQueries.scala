@@ -501,9 +501,14 @@ object TextQueries {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("ts_a"), col("ts_b")).cast("long").as("lev"),
         greatest(length(col("ts_a")), length(col("ts_b"))).cast("long").as("max_len"))
+      // max_len = 0 ⇔ both texts empty (identical, and they DO pair:
+      // equal simhash 0) ⇒ 100% similar by definition; without the
+      // guard Spark's NULL-on-/0 silently drops the row while DuckDB
+      // may yield inf — a cross-engine divergence.
       .withColumn("sim_pct",
-        floor(lit(100.0) * (lit(1.0) - col("lev") / col("max_len")) + lit(1e-6))
-          .cast("long"))
+        when(col("max_len") === 0, lit(100L)).otherwise(
+          floor(lit(100.0) * (lit(1.0) - col("lev") / col("max_len")) + lit(1e-6))
+            .cast("long")))
       .filter(col("sim_pct") >= 60)
       .orderBy("id_a", "id_b")
   }
@@ -532,9 +537,12 @@ object TextQueries {
        |  JOIN tstr da ON da.doc_id = p.id_a
        |  JOIN tstr db ON db.doc_id = p.id_b)
        |SELECT id_a, id_b, lev, max_len,
-       |  CAST(floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) AS BIGINT) AS sim_pct
+       |  CASE WHEN max_len = 0 THEN CAST(100 AS BIGINT)
+       |       ELSE CAST(floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) AS BIGINT)
+       |  END AS sim_pct
        |FROM lv
-       |WHERE floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) >= 60
+       |WHERE max_len = 0
+       |   OR floor(100.0 * (1.0 - CAST(lev AS DOUBLE) / max_len) + 0.000001) >= 60
        |ORDER BY id_a, id_b""".stripMargin
   }
 

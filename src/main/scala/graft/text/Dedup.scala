@@ -333,17 +333,18 @@ object Dedup {
     // single materialization point, so a batch of b rounds runs ONE
     // job (the eager default ran a separate job per phase — 3
     // jobs/round of pure stage-scheduling overhead at test scale)
-    var edges = canon(pairs.select(col(idA).as("s"), col(idB).as("d")))
+    // The raw projection is CHECKPOINTED once so the (typically
+    // expensive — e.g. [[simhashPairs]]) pair source is computed a
+    // single time; canon edges AND the self-loop-only node set both
+    // derive from it. Nodes appearing ONLY as (x, x) thus still get a
+    // singleton output row — the public contract — even though canon
+    // drops self-loop edges (in-repo pair sources emit id_a < id_b,
+    // so the case only matters for external callers).
+    val rawProj = pairs.select(col(idA).as("s"), col(idB).as("d"))
       .localCheckpoint(false)
-    // the node set is derived from the CHECKPOINTED initial canon, not
-    // from `pairs`: the input is typically an expensive candidate-pair
-    // join (e.g. [[simhashPairs]]), and reading it again for the final
-    // labeling would recompute that join from scratch. Contract note:
-    // canon drops self-loops, so a node appearing ONLY as (x, x) is
-    // treated like any other isolated node — absent from the output,
-    // a singleton by the caller's convention (simhashPairs and every
-    // other pair source here emit id_a < id_b, so the case is
-    // unreachable in practice).
+    val selfLoopNodes = rawProj.filter(col("s") === col("d"))
+      .select(col("s").as("id")).distinct()
+    var edges = canon(rawProj).localCheckpoint(false)
     val edges0 = edges
     var edgeSig = sig(edges)
     var changed = true
@@ -367,7 +368,8 @@ object Dedup {
       s"wccStar did not converge within $maxIter rounds")
     // fixpoint: every edge is (root = component min, member)
     val nodes = edges0.select(col("s").as("id"))
-      .union(edges0.select(col("d").as("id"))).distinct()
+      .union(edges0.select(col("d").as("id")))
+      .union(selfLoopNodes).distinct()
     nodes.join(edges.groupBy(col("d").as("id")).agg(min("s").as("root")),
         Seq("id"), "left")
       .select(col("id").as("doc_id"),
