@@ -13,21 +13,20 @@ import org.apache.spark.sql.types._
   * struct; per-modality kernels (decode, feature-extract, resize,
   * frame-sample) run as batched partition-local functions.
   *
-  * The IMAGE and AUDIO paths are REAL end-to-end: image payloads are
+  * ALL THREE modality paths are REAL end-to-end: image payloads are
   * genuine PNG files (encoded in-engine with `javax.imageio` — in the
   * JDK, no external jar) decoded with `ImageIO.read`; audio payloads
   * are genuine WAV files (encoded with `javax.sound.sampled` — also
-  * in the JDK) decoded with `AudioSystem`. Both kernels emit exact
+  * in the JDK) decoded with `AudioSystem`; video payloads are a
+  * length-prefixed concatenation of per-frame PNGs (`vpng` — the JDK
+  * has no mp4/webm codec, so the fixture CONTAINER is ours, but every
+  * frame decode is genuine `ImageIO` work). All kernels emit exact
   * integer histograms of the DECODED content; because pixel/sample
-  * content is a deterministic integer formula of (doc_id, index) and
-  * PNG/PCM are lossless, DuckDB oracles recompute the decoded
-  * histograms from the formulas alone — the whole
-  * encode→shuffle→decode path is hash-verified for both modalities.
-  * The VIDEO kernel remains an honest STUB (the JDK genuinely has no
-  * video codec): a byte histogram of the payload stands in for a
-  * frame decode, with the real plumbing (schema, partition batching,
-  * kernel signature, bounded output) unchanged by a future codec
-  * swap.
+  * content is a deterministic integer formula of (doc_id, [frame,]
+  * index) and PNG/PCM are lossless, DuckDB oracles recompute the
+  * decoded histograms from the formulas alone — the whole
+  * encode→shuffle→decode path is hash-verified for all three
+  * modalities.
   *
   * At cluster scale the binary column stays columnar parquet (never
   * materialized on the driver), kernels are embarrassingly parallel
@@ -142,17 +141,71 @@ object Multimodal {
     out
   }
 
-  /** Encode the formula image for `docId` as a real PNG (gray-8,
-    * lossless — decoded samples equal [[pixelAt]] exactly). */
-  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+  /** Encode a gray-8 PNG whose flat-index pixels come from `px`. */
+  private def encodeGray(w: Int, h: Int, px: Long => Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val data = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferByte].getData
     var i = 0
-    while (i < w * h) { data(i) = pixelAt(docId, i.toLong).toByte; i += 1 }
+    while (i < w * h) { data(i) = px(i.toLong).toByte; i += 1 }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Encode the formula image for `docId` as a real PNG (gray-8,
+    * lossless — decoded samples equal [[pixelAt]] exactly). */
+  def encodePng(docId: Long, w: Int, h: Int): Array[Byte] =
+    encodeGray(w, h, i => pixelAt(docId, i))
+
+  /** Deterministic gray-8 pixel at flat index `i` of FRAME `f` of
+    * video `docId` — [[pixelAt]] plus a per-frame term, reproduced
+    * verbatim by the DuckDB oracle:
+    * `(doc_id*31 + f*13 + i*7 + (i*i) % 101) % 256` (frame 0 of video
+    * d is exactly image d). */
+  def framePixelAt(docId: Long, f: Long, i: Long): Int =
+    ((docId * 31L + f * 13L + i * 7L + (i * i) % 101L) % 256L).toInt
+
+  /** Encode the formula video for `docId` in the `vpng` fixture
+    * container: `n` frames, each a REAL gray-8 PNG of [[framePixelAt]]
+    * pixels, concatenated with a 4-byte big-endian length prefix per
+    * frame. The JDK ships no mp4/webm codec, so the CONTAINER is ours
+    * to define — but each frame decode is genuine `ImageIO` work and
+    * PNG is lossless, so decoded frames are oracle-able from the
+    * formula exactly like still images. */
+  def encodeVideo(docId: Long, w: Int, h: Int, n: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < n) {
+      val png = encodeGray(w, h, i => framePixelAt(docId, f.toLong, i))
+      bos.write(png.length >>> 24); bos.write((png.length >>> 16) & 0xFF)
+      bos.write((png.length >>> 8) & 0xFF); bos.write(png.length & 0xFF)
+      bos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Split a `vpng` payload into its per-frame PNG byte arrays. Fails
+    * LOUDLY on truncation or a corrupt length prefix — the
+    * [[decodePng]] contract for video containers (each frame's PNG is
+    * still validated by its own decode downstream). */
+  def splitVideoFrames(docId: Long, payload: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    while (pos < payload.length) {
+      if (pos + 4 > payload.length)
+        throw new IllegalArgumentException(
+          s"undecodable video payload for doc_id=$docId: truncated length prefix at byte $pos")
+      val len = ((payload(pos) & 0xFF) << 24) | ((payload(pos + 1) & 0xFF) << 16) |
+        ((payload(pos + 2) & 0xFF) << 8) | (payload(pos + 3) & 0xFF)
+      if (len <= 0 || pos + 4 + len > payload.length)
+        throw new IllegalArgumentException(
+          s"undecodable video payload for doc_id=$docId: frame length $len at byte $pos overruns payload")
+      out += java.util.Arrays.copyOfRange(payload, pos + 4, pos + 4 + len)
+      pos += 4 + len
+    }
+    out.toArray
   }
 
   /** Decode a PNG payload to (width, height, row-major gray samples).
@@ -174,34 +227,29 @@ object Multimodal {
     (w, h, img.getRaster.getSamples(0, 0, w, h, 0, new Array[Int](w * h)))
   }
 
-  /** Generator row: [[MediaRow]] plus the `n_chars` the payload
+  /** Generator row: [[MediaRow]] minus the payload (all three payloads
+    * are encoded in the partition kernel) plus the `n_chars` the
     * encoders key off. Public — Catalyst's generated encoder class
     * lives outside this package and must see the constructor. */
-  case class MediaGen(doc_id: Long, kind: String,
-                      payload: Array[Byte], meta: MediaMeta,
+  case class MediaGen(doc_id: Long, kind: String, meta: MediaMeta,
                       n_chars: Long)
 
   /** Deterministic synthetic media table derived from `documents`:
     * image rows (doc_id ≡ 0 mod 3) carry a REAL PNG payload encoded
     * from the pixel formula, audio rows (≡ 1) a REAL WAV encoded from
-    * the sample formula; video rows carry a 96-byte sha2-chain
-    * stand-in (the one genuinely codec-less kind in this container).
-    * Metadata is truthful for images (PNG dims match
-    * `meta.width/height`); audio length lives in-band in the WAV
-    * header. */
+    * the sample formula, video rows (≡ 2) a REAL `vpng` container of
+    * `n_frames` per-frame PNGs from the frame-pixel formula. Metadata
+    * is truthful for images and video (frame dims match
+    * `meta.width/height`, frame count matches `meta.n_frames`); audio
+    * length lives in-band in the WAV header. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val base = docs.select(
       col("doc_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
-      // video payload: three chained sha2-256 digests (96 B).
-      concat(
-        unhex(sha2(col("text"), 256)),
-        unhex(sha2(concat(col("text"), lit("1")), 256)),
-        unhex(sha2(concat(col("text"), lit("2")), 256))).as("payload"),
       struct(
-        element_at(typedlit(Seq("png", "wav", "mp4")),
+        element_at(typedlit(Seq("png", "wav", "vpng")),
           (col("doc_id") % 3 + 1).cast(IntegerType)).as("format"),
         (col("n_chars") % 28 + 4).cast(IntegerType).as("width"),
         (col("n_chars") % 20 + 4).cast(IntegerType).as("height"),
@@ -212,7 +260,8 @@ object Multimodal {
         val payload = r.kind match {
           case "image" => encodePng(r.doc_id, r.meta.width, r.meta.height)
           case "audio" => encodeWav(r.doc_id, nSamples(r.n_chars))
-          case _       => r.payload
+          case _       => encodeVideo(r.doc_id, r.meta.width, r.meta.height,
+            r.meta.n_frames)
         }
         MediaRow(r.doc_id, r.kind, payload, r.meta)
       }
@@ -227,14 +276,18 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** === STUB kernel (video only) ===
-    * Stands in for a real frame decoder: a 16-bin histogram of the
-    * payload bytes (bin = byte mod 16 = the low nibble). A real
-    * implementation would decode frames here — same signature, same
-    * plumbing. */
-  def stubBins(payload: Array[Byte]): Array[Long] = {
+  /** === REAL kernel (video) ===
+    * Split the `vpng` container, `ImageIO.read` EVERY frame's PNG,
+    * histogram all decoded gray samples across frames into 16 value
+    * buckets (bin = sample ≫ 4 — the image bucketing, applied
+    * per-frame). */
+  def videoBins(docId: Long, payload: Array[Byte]): Array[Long] = {
     val bins = new Array[Long](FeatureDim)
-    payload.foreach(b => bins((b & 0xFF) % FeatureDim) += 1L)
+    splitVideoFrames(docId, payload).foreach { png =>
+      val (_, _, px) = decodePng(docId, png)
+      var i = 0
+      while (i < px.length) { bins(px(i) >> 4) += 1L; i += 1 }
+    }
     bins
   }
 
@@ -263,8 +316,8 @@ object Multimodal {
 
   /** Batched per-partition feature extraction: the Scala analog of a
     * `mapInPandas` kernel — one iterator pass per partition, no
-    * per-row lambda dispatch, constant memory. Images and audio take
-    * the real decode paths; video the declared stub. */
+    * per-row lambda dispatch, constant memory. All three kinds take
+    * real codec paths. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "kind", "payload").as[(Long, String, Array[Byte])]
@@ -273,16 +326,17 @@ object Multimodal {
           val bins = kind match {
             case "image" => imageBins(id, payload)
             case "audio" => audioBins(id, payload)
-            case _       => stubBins(payload)
+            case _       => videoBins(id, payload)
           }
           MediaFeatures(id, kind, payload.length, bins.sum, bins)
         }
       }
   }
 
-  /** Frame sampling for `video` payloads: the payload is treated as
-    * `n_frames` equal chunks; every `stride`-th chunk (anchored at
-    * frame 0) is emitted as its own row. Explode happens executor-side
+  /** Frame sampling for `video` payloads: the `vpng` container is
+    * split into its REAL per-frame PNGs and every `stride`-th frame
+    * (anchored at frame 0) is emitted as its own row — each
+    * `frame_bytes` is a decodable PNG. Explode happens executor-side
     * via flatMap — output rows ≈ |videos|·frames/stride, never
     * driver-materialized. */
   case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
@@ -290,25 +344,24 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video")
-      .select(col("doc_id"), col("payload"), col("meta.n_frames"))
-      .as[(Long, Array[Byte], Int)]
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (id, payload, nFrames) =>
-          val frameLen = math.max(payload.length / math.max(nFrames, 1), 1)
-          (0 until nFrames by stride).iterator.map { f =>
-            val from = f * frameLen
-            Frame(id, f, payload.slice(from,
-              math.min(from + frameLen, payload.length)))
+        it.flatMap { case (id, payload) =>
+          val frames = splitVideoFrames(id, payload)
+          (0 until frames.length by stride).iterator.map { f =>
+            Frame(id, f, frames(f))
           }
         }
       }
   }
 
-  /** Resize: REAL nearest-neighbor pixel resample for images
-    * (decode → sample map `src = dst·srcDim div dstDim` → re-encode
-    * PNG), metadata-level scale for the stub kinds. The sample map is
+  /** Resize: REAL nearest-neighbor pixel resample for images and for
+    * EVERY video frame (decode → sample map `src = dst·srcDim div
+    * dstDim` → re-encode PNG / re-assemble `vpng`); metadata-level
+    * for audio, whose width/height are vestigial. The sample map is
     * exact integer arithmetic, so resized-pixel histograms stay
-    * DuckDB-oracle-able via [[pixelAt]]. */
+    * DuckDB-oracle-able via [[pixelAt]] / [[framePixelAt]]. */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
     import media.sparkSession.implicits._
     val scale = least(
@@ -321,10 +374,21 @@ object Multimodal {
       col("meta.n_frames").as("n_frames")))
     scaled.as[MediaRow].mapPartitions { it =>
       it.map { r =>
-        if (r.kind == "image")
-          r.copy(payload = resamplePng(r.doc_id, r.payload,
-            r.meta.width, r.meta.height))
-        else r
+        r.kind match {
+          case "image" =>
+            r.copy(payload = resamplePng(r.doc_id, r.payload,
+              r.meta.width, r.meta.height))
+          case "video" =>
+            val bos = new ByteArrayOutputStream()
+            splitVideoFrames(r.doc_id, r.payload).foreach { png =>
+              val out = resamplePng(r.doc_id, png, r.meta.width, r.meta.height)
+              bos.write(out.length >>> 24); bos.write((out.length >>> 16) & 0xFF)
+              bos.write((out.length >>> 8) & 0xFF); bos.write(out.length & 0xFF)
+              bos.write(out)
+            }
+            r.copy(payload = bos.toByteArray)
+          case _ => r
+        }
       }
     }.toDF()
   }

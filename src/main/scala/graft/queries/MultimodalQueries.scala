@@ -6,16 +6,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column surface over the synthetic media table derived
-  * from `documents` (see [[graft.multimodal.Multimodal]]). The IMAGE
-  * and AUDIO kernels are REAL — payloads are genuine PNGs/WAVs
-  * encoded in-engine, decoded with `javax.imageio` /
-  * `javax.sound.sampled` inside the partition kernels — and because
+  * from `documents` (see [[graft.multimodal.Multimodal]]). ALL THREE
+  * kernels are REAL — image payloads are genuine PNGs, audio genuine
+  * WAVs, video genuine `vpng` containers (length-prefixed per-frame
+  * PNGs; the JDK has no mp4 codec, so the container is ours, but
+  * every frame decode is real `ImageIO` work) — and because
   * pixel/sample content is a deterministic integer formula and
   * PNG/PCM are lossless, DuckDB oracles recompute the decoded
-  * histograms from the formulas alone: both
-  * encode→shuffle→decode→histogram paths are hash-verified
-  * end-to-end. The video kernel remains a declared stub (the JDK has
-  * no video codec), oracled via the payload-byte formula as before.
+  * histograms from the formulas alone: every
+  * encode→shuffle→decode→histogram path is hash-verified end-to-end.
   */
 object MultimodalQueries {
 
@@ -26,6 +25,12 @@ object MultimodalQueries {
     * `i` of image `doc_id` — must match [[Multimodal.pixelAt]]. */
   private def pxSql(id: String, i: String): String =
     s"(($id*31 + ($i)*7 + (($i)*($i)) % 101) % 256)"
+
+  /** DuckDB fragment: the gray-8 pixel formula at flat index `i` of
+    * FRAME `f` of video `doc_id` — must match
+    * [[Multimodal.framePixelAt]]. */
+  private def fpxSql(id: String, f: String, i: String): String =
+    s"(($id*31 + ($f)*13 + ($i)*7 + (($i)*($i)) % 101) % 256)"
 
   /** Payload + typed metadata projection — proves the binary column
     * and its struct survive the scan/shuffle path. (`n_bytes` is no
@@ -44,7 +49,7 @@ object MultimodalQueries {
   private val mediaMetaSql =
     """SELECT doc_id,
       |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-      |  ['png','wav','mp4'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+      |  ['png','wav','vpng'][CAST(doc_id % 3 + 1 AS INT)] AS format,
       |  CAST(n_chars % 28 + 4 AS INT) AS width,
       |  CAST(n_chars % 20 + 4 AS INT) AS height,
       |  CAST(n_chars % 24 + 1 AS INT) AS n_frames
@@ -65,30 +70,57 @@ object MultimodalQueries {
       |  CAST(floor((n_chars % 20 + 4) * LEAST(16.0 / (n_chars % 28 + 4), 16.0 / (n_chars % 20 + 4), 1.0)) AS INT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Per-video sampled-frame counts (stride 4, anchored at frame 0). */
-  private def frameSample(spark: SparkSession, dir: String): DataFrame =
+  /** Per-video sampled-frame counts (stride 4, anchored at frame 0)
+    * PLUS the pixel sum of every sampled frame DECODED — each emitted
+    * frame is a real PNG, and the oracle recomputes the decoded sums
+    * from the frame-pixel formula, so the hash pins that the sampler
+    * emitted exactly the right frames with exactly the right
+    * content. */
+  private def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Multimodal.sampleFrames(media(spark, dir), stride = 4)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+      .mapPartitions(_.map { fr =>
+        val (_, _, px) = Multimodal.decodePng(fr.doc_id, fr.frame_bytes)
+        (fr.doc_id, px.foldLeft(0L)(_ + _))
+      })
+      .toDF("doc_id", "frame_px_sum")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("frame_px_sum").as("px_sum"))
       .orderBy("doc_id")
+  }
 
   private val frameSampleSql =
-    """SELECT doc_id,
-      |  CAST(ceil((n_chars % 24 + 1) / 4.0) AS BIGINT) AS n_sampled
-      |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin
+    s"""WITH vb AS (
+       |  SELECT doc_id, CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |         CAST(n_chars % 20 + 4 AS BIGINT) AS h,
+       |         CAST(n_chars % 24 + 1 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), vf AS (
+       |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f
+       |  FROM vb
+       |), vpx AS (
+       |  SELECT doc_id, f, unnest(generate_series(0, w * h - 1)) AS i
+       |  FROM vf WHERE f % 4 = 0
+       |)
+       |SELECT doc_id,
+       |  CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+       |  CAST(SUM(${fpxSql("doc_id", "f", "i")}) AS BIGINT) AS px_sum
+       |FROM vpx GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def binCols(src: Column): Seq[Column] =
     (0 until Multimodal.FeatureDim).map(k =>
       element_at(src, k + 1).as(s"b$k"))
 
-  /** Batched partition-local feature extraction. Image AND audio rows
-    * take REAL codec paths — `ImageIO.read` decodes the PNG payload
-    * (16-bucket histogram of decoded gray samples, bin = px≫4) and
+  /** Batched partition-local feature extraction. ALL THREE kinds take
+    * REAL codec paths — `ImageIO.read` decodes the PNG payload
+    * (16-bucket histogram of decoded gray samples, bin = px≫4),
     * `AudioSystem` decodes the WAV payload (16-bucket histogram of
-    * decoded signed 16-bit samples, bin = (s+32768)≫12); the oracles
-    * recompute both from the pixel/sample formulas, so a single wrong
-    * decoded unit anywhere breaks the hash. Video rows use the
-    * declared stub (payload-byte low-nibble histogram), oracled from
-    * the sha2-chain hex as before. */
+    * decoded signed 16-bit samples, bin = (s+32768)≫12), and video
+    * rows split the `vpng` container and `ImageIO.read` EVERY frame
+    * (bin = px≫4 across all frames' decoded samples); the oracles
+    * recompute all three from the pixel/sample/frame-pixel formulas,
+    * so a single wrong decoded unit anywhere breaks the hash. */
   private def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(media(spark, dir)).toDF()
       .select(Seq(col("doc_id"), col("kind"), col("n_units")) ++
@@ -107,11 +139,10 @@ object MultimodalQueries {
     val audBins = (0 until Multimodal.FeatureDim).map { k =>
       s"COUNT(*) FILTER ((${smpSql("doc_id", "i")} + 32768) // 4096 = $k) AS b$k"
     }.mkString(",\n  ")
-    // payload = unhex(sha256(text) || sha256(text||'1') || sha256(text||'2')):
-    // 96 bytes = 192 hex chars; byte i's low nibble is hex char 2i (1-based).
+    // video: histogram of DECODED frame pixels across all n_frames
+    // frames — the frame-pixel formula replayed over (f, i).
     val vidBins = (0 until Multimodal.FeatureDim).map { k =>
-      val hexDigit = Integer.toHexString(k)
-      s"CAST(len(list_filter(generate_series(1, 96), i -> substr(hx, 2*i, 1) = '$hexDigit')) AS BIGINT) AS b$k"
+      s"COUNT(*) FILTER (${fpxSql("doc_id", "f", "i")} // 16 = $k) AS b$k"
     }.mkString(",\n  ")
     s"""WITH ipx AS (
        |  SELECT doc_id, w * h AS n_units, unnest(generate_series(0, w * h - 1)) AS i
@@ -130,12 +161,22 @@ object MultimodalQueries {
        |  SELECT doc_id, 'audio' AS kind, n_units,
        |  $audBins
        |  FROM apx GROUP BY doc_id, n_units
+       |), vb AS (
+       |  SELECT doc_id, CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |         CAST(n_chars % 20 + 4 AS BIGINT) AS h,
+       |         CAST(n_chars % 24 + 1 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), vf AS (
+       |  SELECT doc_id, w, h, nf, unnest(generate_series(0, nf - 1)) AS f
+       |  FROM vb
+       |), vpx AS (
+       |  SELECT doc_id, nf * w * h AS n_units, f,
+       |         unnest(generate_series(0, w * h - 1)) AS i
+       |  FROM vf
        |), vhist AS (
-       |  SELECT doc_id, 'video' AS kind,
-       |    CAST(96 AS BIGINT) AS n_units,
+       |  SELECT doc_id, 'video' AS kind, n_units,
        |  $vidBins
-       |  FROM (SELECT doc_id, sha256(text) || sha256(text || '1') || sha256(text || '2') AS hx
-       |        FROM documents WHERE doc_id % 3 = 2)
+       |  FROM vpx GROUP BY doc_id, n_units
        |)
        |SELECT * FROM ihist UNION ALL SELECT * FROM ahist
        |UNION ALL SELECT * FROM vhist
@@ -193,14 +234,17 @@ object MultimodalQueries {
     * actual bytes) and how many metadata structs are in their
     * declared bounds. The oracle pins the counts at "all valid" from
     * the row formulas alone — so a single mis-encoded payload
-    * anywhere (wrong magic, truncation to ≠96 B for video, a dim
+    * anywhere (wrong magic — for video, the first frame's PNG
+    * signature after the container's length prefix — a dim
     * outside its derivation range) drops a count and breaks the
     * hash. Scan-speed projection + |kinds|-row aggregate. */
   private def mediaDq(spark: SparkSession, dir: String): DataFrame = {
+    // video magic: the first frame's PNG signature sits after the
+    // 4-byte length prefix of the `vpng` container.
     val magicOk =
       when(col("kind") === "image", hex(substring(col("payload"), 1, 4)) === "89504E47")
         .when(col("kind") === "audio", hex(substring(col("payload"), 1, 4)) === "52494646")
-        .otherwise(length(col("payload")) === 96)
+        .otherwise(hex(substring(col("payload"), 5, 4)) === "89504E47")
     val metaOk = col("meta.width").between(4, 31) &&
       col("meta.height").between(4, 23) &&
       col("meta.n_frames").between(1, 24)

@@ -8,7 +8,7 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.mediaFromDocuments(
     spark.read.parquet(s"$sf0001/documents.parquet"))
 
-  test("media table has the contract schema; image/audio payloads are real PNGs/WAVs") {
+  test("media table has the contract schema; payloads are real PNGs/WAVs/vpng containers") {
     // catalogString ignores nullability, which column expressions
     // legitimately widen relative to the declared contract
     assert(media.schema.catalogString == Multimodal.mediaSchema.catalogString)
@@ -22,11 +22,16 @@ class MultimodalSpec extends SparkSpec {
           assert(payload.take(4).sameElements(pngMagic), "not a PNG payload")
         case "audio" =>
           assert(payload.take(4).sameElements(riffMagic), "not a WAV payload")
-        case _ => assert(payload.length == 96)
+        case _ =>
+          // vpng container: 4-byte length prefix, then the first
+          // frame's PNG signature
+          assert(payload.length > 8 &&
+            payload.slice(4, 8).sameElements(pngMagic), "not a vpng payload")
       }
     }
     assert(rows.exists(_.getString(0) == "image"))
     assert(rows.exists(_.getString(0) == "audio"))
+    assert(rows.exists(_.getString(0) == "video"))
   }
 
   test("PNG encode→decode round-trips the pixel formula exactly") {
@@ -63,8 +68,11 @@ class MultimodalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("undecodable")), e.toString)
   }
 
-  test("extractFeatures: real decode for images and audio, stub for video") {
+  test("extractFeatures: real decode for all three kinds") {
     val n = media.count()
+    val metaByDoc = media.select(col("doc_id"), col("meta.width"),
+        col("meta.height"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == n)
     feats.foreach { f =>
@@ -83,9 +91,49 @@ class MultimodalSpec extends SparkSpec {
           (0L until f.n_units).foreach(i =>
             want((Multimodal.sampleAt(f.doc_id, i) + 32768) >> 12) += 1L)
           assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
-        case _ => assert(f.n_units == 96L)
+        case _ =>
+          // decoded frame-pixel histogram across ALL frames must equal
+          // the frame-formula histogram
+          val (w, h, nf) = metaByDoc(f.doc_id)
+          assert(f.n_units == nf.toLong * w * h, s"doc ${f.doc_id}")
+          val want = new Array[Long](Multimodal.FeatureDim)
+          for (fr <- 0 until nf; i <- 0 until w * h)
+            want(Multimodal.framePixelAt(f.doc_id, fr.toLong, i.toLong) >> 4) += 1L
+          assert(f.bins.toSeq == want.toSeq, s"doc ${f.doc_id}")
       }
     }
+  }
+
+  test("vpng encode→split→decode round-trips the frame-pixel formula exactly") {
+    val (docId, w, h, nf) = (44L, 9, 7, 5)
+    val frames = Multimodal.splitVideoFrames(docId,
+      Multimodal.encodeVideo(docId, w, h, nf))
+    assert(frames.length == nf)
+    frames.zipWithIndex.foreach { case (png, f) =>
+      val (dw, dh, px) = Multimodal.decodePng(docId, png)
+      assert((dw, dh) == (w, h), s"frame $f dims")
+      px.zipWithIndex.foreach { case (p, i) =>
+        assert(p == Multimodal.framePixelAt(docId, f.toLong, i.toLong),
+          s"frame $f pixel $i")
+      }
+    }
+  }
+
+  test("splitVideoFrames rejects corrupt containers loudly, naming the doc") {
+    val good = Multimodal.encodeVideo(11L, 8, 8, 3)
+    // truncated mid-frame: the length prefix promises more bytes than exist
+    val e1 = intercept[IllegalArgumentException](
+      Multimodal.splitVideoFrames(11L, good.take(good.length - 5)))
+    assert(e1.getMessage.contains("undecodable video"))
+    assert(e1.getMessage.contains("doc_id=11"))
+    // truncated inside a length prefix
+    intercept[IllegalArgumentException](
+      Multimodal.splitVideoFrames(11L, good.take(2)))
+    // a well-formed container around a corrupt frame PNG still fails —
+    // in the frame decode, not the split
+    val bad = good.clone()
+    bad(10) = (bad(10) ^ 0x55).toByte
+    intercept[IllegalArgumentException](Multimodal.videoBins(11L, bad))
   }
 
   test("WAV encode→decode round-trips the sample formula exactly") {
@@ -121,6 +169,15 @@ class MultimodalSpec extends SparkSpec {
     byDoc.foreach { case (id, fs) =>
       assert(fs.length == (metaByDoc(id) + 3) / 4)
     }
+    // every sampled frame is a REAL decodable PNG whose pixels follow
+    // the frame formula
+    frames.take(20).foreach { fr =>
+      val (_, _, px) = Multimodal.decodePng(fr.doc_id, fr.frame_bytes)
+      px.zipWithIndex.foreach { case (p, i) =>
+        assert(p == Multimodal.framePixelAt(fr.doc_id, fr.frame_idx.toLong, i.toLong),
+          s"doc ${fr.doc_id} frame ${fr.frame_idx} pixel $i")
+      }
+    }
   }
 
   test("resize clamps the longer edge to maxDim and resamples image pixels") {
@@ -145,6 +202,26 @@ class MultimodalSpec extends SparkSpec {
         assert(px(y * nw + x) == Multimodal.pixelAt(id, src.toLong),
           s"doc $id dst ($x,$y)")
       }
+    }
+    // video: EVERY frame is resampled with the same map over the
+    // frame-pixel formula
+    val vids = r.filter(col("kind") === "video")
+      .select(col("doc_id"), col("payload")).collect()
+    assert(vids.nonEmpty)
+    vids.take(3).foreach { row =>
+      val id = row.getLong(0)
+      val orig = media.filter(col("doc_id") === id)
+        .select(col("meta.width"), col("meta.height")).head()
+      val (w, h) = (orig.getInt(0), orig.getInt(1))
+      Multimodal.splitVideoFrames(id, row.getAs[Array[Byte]](1))
+        .zipWithIndex.foreach { case (png, f) =>
+          val (nw, nh, px) = Multimodal.decodePng(id, png)
+          for (y <- 0 until nh; x <- 0 until nw) {
+            val src = (y * h / nh) * w + (x * w / nw)
+            assert(px(y * nw + x) == Multimodal.framePixelAt(id, f.toLong, src.toLong),
+              s"doc $id frame $f dst ($x,$y)")
+          }
+        }
     }
   }
 }
