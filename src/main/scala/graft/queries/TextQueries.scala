@@ -971,9 +971,10 @@ object TextQueries {
     *    counted corpus-wide in one scan (the `q_bpe_pairs` plan,
     *    restricted to in-word pairs), ranked (count desc, pair asc),
     *    top-[[BpeK]] become the merge table. One-shot = ranks come
-    *    from the INITIAL pair counts (iterative BPE re-counts after
-    *    each merge; its per-round plan is exactly this scan — see
-    *    q_bpe_pairs' doc);
+    *    from the INITIAL pair counts — a documented approximation;
+    *    the TRUE sequential algorithm (recount after each merge) is
+    *    `q_bpe_train` ([[graft.text.Bpe]]), whose table can diverge
+    *    from this one (BpeTrainSpec exhibits it);
     *  - ENCODE: each word becomes a spaced symbol stream, then the
     *    merges apply IN RANK ORDER, each as one left-to-right
     *    non-overlapping global replace — Java regex and RE2 share
@@ -1059,6 +1060,67 @@ object TextQueries {
        |SELECT c.doc_id, c.n_tok_bpe, h.enc_head
        |FROM cnt c JOIN hd h ON c.doc_id = h.doc_id
        |ORDER BY c.doc_id""".stripMargin
+  }
+
+  /** ITERATIVE BPE training — the true sequential algorithm
+    * ([[graft.text.Bpe]]): K merge rounds, pairs RECOUNTED after each
+    * merge, so later rounds can learn pairs involving earlier merged
+    * symbols (`t·he`) that `q_bpe_encode`'s one-shot initial-count
+    * ranking can never see (`BpeTrainSpec` exhibits a corpus where
+    * the two tables diverge). Output = the merge table itself:
+    * (round, pair, corpus count at selection time). The oracle
+    * unrolls all K rounds as chained CTEs — the `q_pagerank`
+    * recurrence pattern — replaying count→argmax→merge in SQL, so
+    * the entire training trajectory is hash-verified. */
+  private val BpeTrainK = 8
+
+  private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val table = graft.text.Bpe.train(words, BpeTrainK)
+    // the oracle's CTE chain is unrolled exactly K deep; a thinner
+    // corpus would NULL its scalar subqueries — fail fast instead
+    require(table.length == BpeTrainK,
+      s"corpus yields only ${table.length} of $BpeTrainK merge rounds")
+    table.zipWithIndex
+      .map { case ((pr, n), i) => (i + 1, pr, n) }
+      .toDF("rk", "pair", "n")
+      .orderBy("rk")
+  }
+
+  private val bpeTrainSql = {
+    // every per-round CTE is MATERIALIZED: each w_r is referenced by
+    // BOTH p_{r+1} and w_{r+1} (and m_r three times from w_r's scalar
+    // subqueries), so default inlining would expand the chain
+    // exponentially — ~4^K parquet scans blew the fd limit at K = 8.
+    def pCte(r: Int) =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT pr, COUNT(*) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, len(s)),
+         |      i -> s[i] || ' ' || s[i + 1])) AS pr
+         |    FROM (SELECT string_split(trim(w), '  ') AS s FROM w${r - 1}))
+         |  WHERE pr ~ '^[a-z0-9]+ [a-z0-9]+$$' GROUP BY pr)""".stripMargin
+    def mCte(r: Int) =
+      s"m$r AS MATERIALIZED (SELECT $r AS rk, pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1)"
+    def wCte(r: Int) =
+      s"""w$r AS MATERIALIZED (
+         |  SELECT regexp_replace(w,
+         |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$r) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$r) || ' ',
+         |    ' ' || (SELECT replace(pr, ' ', '') FROM m$r) || ' ', 'g') AS w
+         |  FROM w${r - 1})""".stripMargin
+    val rounds = (1 to BpeTrainK).flatMap { r =>
+      Seq(pCte(r), mCte(r)) ++ (if (r < BpeTrainK) Seq(wCte(r)) else Nil)
+    }
+    val union = (1 to BpeTrainK).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH wrds AS MATERIALIZED (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), w0 AS MATERIALIZED (
+       |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w FROM wrds
+       |), ${rounds.mkString(",\n")}
+       |SELECT rk, pr AS pair, CAST(n AS BIGINT) AS n
+       |FROM ($union) ORDER BY rk""".stripMargin
   }
 
   /** Unicode text normalization — the canonicalization pass that MUST
@@ -1277,6 +1339,7 @@ object TextQueries {
     Q("q_nb_classify", nbClassify, Some(nbClassifySql)),
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
+    Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
