@@ -333,6 +333,35 @@ object Multimodal {
       }
   }
 
+  /** Media CURATION gate — the per-doc admit/reject decision a
+    * multimodal training pipeline runs after joining captions to
+    * payloads: admit when the DECODED media meets minimum-size
+    * bounds. Decisions come from the real decode (actual PNG dims,
+    * actual PCM sample count, actual frame count — never trusted
+    * metadata), so an invalid payload fails loudly rather than
+    * passing the gate; the bounds themselves are recomputable from
+    * the fixture formulas, which keeps the gate DuckDB-oracle-able.
+    * One scan, scan-proportional decode work, (doc_id, media_ok)
+    * out. */
+  def curationGate(media: DataFrame, minPixels: Int = 100,
+                   minSamples: Int = 100, minFrames: Int = 2): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, payload) =>
+        val ok = kind match {
+          case "image" =>
+            val (w, h, _) = decodePng(id, payload)
+            w * h >= minPixels
+          case "audio" => decodeWav(id, payload).length >= minSamples
+          case _ =>
+            val frames = splitVideoFrames(id, payload)
+            frames.foreach(decodePng(id, _)) // every frame must decode
+            frames.length >= minFrames
+        }
+        (id, ok)
+      }).toDF("doc_id", "media_ok")
+  }
+
   /** Frame sampling for `video` payloads: the `vpng` container is
     * split into its REAL per-frame PNGs and every `stride`-th frame
     * (anchored at frame 0) is emitted as its own row — each

@@ -27,17 +27,25 @@ import org.apache.spark.sql.functions._
   *  3. `lang`          — keep the langs the downstream ASCII
   *     quality/repetition formulas are calibrated for (en/fr/es/de;
   *     zh fails them vacuously, so gating it out is the honest move);
-  *  4. `quality`       — `q_quality_score`'s integer-quantized
+  *  4. `media`         — the MULTIMODAL curation gate (round 10):
+  *     each doc's media payload (documents × media joined on doc_id)
+  *     must DECODE — real `ImageIO`/`AudioSystem`/`vpng` kernels, an
+  *     invalid payload fails the job loudly — and the decoded media
+  *     must meet minimum-size bounds (image ≥ 100 px, audio ≥ 100
+  *     samples, video ≥ 2 frames): the caption+image admission shape
+  *     every multimodal training pipeline runs
+  *     ([[graft.multimodal.Multimodal.curationGate]]);
+  *  5. `quality`       — `q_quality_score`'s integer-quantized
   *     length + stopword-ratio score, gate at ≥ 8;
-  *  5. `repetition`    — `q_repetition`'s distinct-3-gram ratio,
+  *  6. `repetition`    — `q_repetition`'s distinct-3-gram ratio,
   *     gate at ≤ 5% repeated;
-  *  6. `decontaminate` — drop the held-out eval slice (doc_id ≡ 0
+  *  7. `decontaminate` — drop the held-out eval slice (doc_id ≡ 0
   *     mod 97) AND every document sharing a 5-gram with it
   *     (`q_contamination`'s kernel, turned from report into gate);
-  *  7. `temperature_mix` — `q_temperature_mix`'s sqrt-weighted
+  *  8. `temperature_mix` — `q_temperature_mix`'s sqrt-weighted
   *     per-lang sampling rates, recomputed over the SURVIVORS (the
   *     rates a real pipeline would publish), content-hash bucketed;
-  *  8. `shard`         — `q_shard_assign`'s content-hash shard
+  *  9. `shard`         — `q_shard_assign`'s content-hash shard
   *     labels; drops nothing, reports the manifest width.
   *
   * Output: one row per stage — (stage, gate, n_in, n_kept, n_drop,
@@ -52,11 +60,14 @@ import org.apache.spark.sql.functions._
   * window shuffle on the content hash), persisted WITHOUT the text
   * column; the text-dependent side inputs — the near-dup pair set
   * (output-proportional), the contaminated-id set (broadcast
-  * semi-join of a tiny eval hash set against a second scan), and the
-  * |langs|-row rate table — are each bounded and joined back by id or
-  * lang. The accounting itself is ONE aggregate over the flagged
-  * frame (map-side partials → 1 row → `stack`), exactly like
-  * `q_filter_funnel`: adding a gate costs a column, not a rescan. */
+  * semi-join of a tiny eval hash set against a second scan), the
+  * (doc_id, media_ok) verdicts (one scan of the media side through
+  * the decode kernels — the media BYTES never join the text frame,
+  * only the boolean does), and the |langs|-row rate table — are each
+  * bounded and joined back by id or lang. The accounting itself is
+  * ONE aggregate over the flagged frame (map-side partials → 1 row →
+  * `stack`), exactly like `q_filter_funnel`: adding a gate costs a
+  * column, not a rescan. */
 object CorpusPipelineQuery {
 
   /** Sampled-corpus size the stage-7 rates aim for (chosen so the
@@ -122,15 +133,23 @@ object CorpusPipelineQuery {
         .select("doc_id").distinct()
         .withColumn("contam", lit(true)))
 
+    // ---- media verdicts: one scan of the media side through the
+    // REAL decode kernels; only the (doc_id, media_ok) boolean joins
+    // back — payload bytes never touch the text frame ----
+    val mediaOk = graft.multimodal.Multimodal.curationGate(
+      graft.multimodal.Multimodal.mediaFromDocuments(docs))
+
     val flags = slim
       .join(dropped2, Seq("doc_id"), "left")
       .join(contamIds, Seq("doc_id"), "left")
+      .join(mediaOk, Seq("doc_id"), "left")
       .withColumn("f2", col("f1") && col("nd_drop").isNull)
+      .withColumn("fm", coalesce(col("media_ok"), lit(false)))
       .withColumn("f6", !col("is_eval") && col("contam").isNull)
 
-    // ---- stage-7 rates over the stage-6 survivors ----
-    val pre7: Column = col("f1") && col("f2") && col("f3") && col("f4") &&
-      col("f5") && col("f6")
+    // ---- stage-8 rates over the stage-7 survivors ----
+    val pre7: Column = col("f1") && col("f2") && col("f3") && col("fm") &&
+      col("f4") && col("f5") && col("f6")
     val weights = flags.filter(pre7)
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("w_q",
@@ -152,9 +171,11 @@ object CorpusPipelineQuery {
       .withColumn("k1", col("f1"))
       .withColumn("k2", col("f1") && col("f2"))
       .withColumn("k3", col("f1") && col("f2") && col("f3"))
-      .withColumn("k4", col("f1") && col("f2") && col("f3") && col("f4"))
-      .withColumn("k5",
-        col("f1") && col("f2") && col("f3") && col("f4") && col("f5"))
+      .withColumn("km", col("f1") && col("f2") && col("f3") && col("fm"))
+      .withColumn("k4",
+        col("f1") && col("f2") && col("f3") && col("fm") && col("f4"))
+      .withColumn("k5", col("f1") && col("f2") && col("f3") && col("fm") &&
+        col("f4") && col("f5"))
       .withColumn("k6", pre7)
       .withColumn("k7", f7)
 
@@ -166,12 +187,13 @@ object CorpusPipelineQuery {
         sum(col("k1").cast("long")).as("s1"),
         sum(col("k2").cast("long")).as("s2"),
         sum(col("k3").cast("long")).as("s3"),
+        sum(col("km").cast("long")).as("sm"),
         sum(col("k4").cast("long")).as("s4"),
         sum(col("k5").cast("long")).as("s5"),
         sum(col("k6").cast("long")).as("s6"),
         sum(col("k7").cast("long")).as("s7"),
-        cSum("k1"), cSum("k2"), cSum("k3"), cSum("k4"), cSum("k5"),
-        cSum("k6"), cSum("k7"),
+        cSum("k1"), cSum("k2"), cSum("k3"), cSum("km"), cSum("k4"),
+        cSum("k5"), cSum("k6"), cSum("k7"),
         sum(col("dup_grp").cast("long")).as("d1"),
         countDistinct(when(col("k2"), col("lang"))).as("d3"),
         sum((col("k5") && !col("is_eval") && col("contam").isNotNull)
@@ -179,15 +201,16 @@ object CorpusPipelineQuery {
         countDistinct(when(col("k7"), col("lang"))).as("d7"),
         countDistinct(when(col("k7"), col("shard"))).as("d8"))
       .selectExpr(
-        """stack(8,
+        """stack(9,
           |  1, 'exact_dedup',     n0, s1, ck1, d1,
           |  2, 'near_dedup',      s1, s2, ck2, CAST(NULL AS BIGINT),
           |  3, 'lang',            s2, s3, ck3, d3,
-          |  4, 'quality',         s3, s4, ck4, CAST(NULL AS BIGINT),
-          |  5, 'repetition',      s4, s5, ck5, CAST(NULL AS BIGINT),
-          |  6, 'decontaminate',   s5, s6, ck6, d6,
-          |  7, 'temperature_mix', s6, s7, ck7, d7,
-          |  8, 'shard',           s7, s7, ck7, d8)
+          |  4, 'media',           s3, sm, ckm, CAST(NULL AS BIGINT),
+          |  5, 'quality',         sm, s4, ck4, CAST(NULL AS BIGINT),
+          |  6, 'repetition',      s4, s5, ck5, CAST(NULL AS BIGINT),
+          |  7, 'decontaminate',   s5, s6, ck6, d6,
+          |  8, 'temperature_mix', s6, s7, ck7, d7,
+          |  9, 'shard',           s7, s7, ck7, d8)
           |AS (stage, gate, n_in, n_kept, chars_kept, detail)""".stripMargin)
       .withColumn("n_drop", col("n_in") - col("n_kept"))
       .orderBy("stage")
@@ -274,6 +297,13 @@ object CorpusPipelineQuery {
        |  JOIN slim s ON d.doc_id = s.doc_id WHERE s.f1),
        |$simhashPairCtes,
        |dropped AS (SELECT DISTINCT id_b AS doc_id FROM ndpairs),
+       |mok AS (
+       |  SELECT doc_id,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN ((n_chars % 28 + 4) * (n_chars % 20 + 4)) >= 100
+       |      WHEN 1 THEN (n_chars % 480 + 32) >= 100
+       |      ELSE (n_chars % 24 + 1) >= 2 END AS media_ok
+       |  FROM documents),
        |evalh AS (
        |  SELECT DISTINCT sh5 FROM (${gram5("(SELECT * FROM documents WHERE doc_id % 97 = 0)")})),
        |contam AS (
@@ -282,15 +312,17 @@ object CorpusPipelineQuery {
        |flags AS (
        |  SELECT s.*,
        |    (s.f1 AND dr.doc_id IS NULL) AS f2,
+       |    COALESCE(m.media_ok, FALSE) AS fm,
        |    (NOT s.is_eval AND c.doc_id IS NULL) AS f6,
        |    (c.doc_id IS NOT NULL) AS contam
        |  FROM slim s
        |  LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
-       |  LEFT JOIN contam c ON s.doc_id = c.doc_id),
+       |  LEFT JOIN contam c ON s.doc_id = c.doc_id
+       |  LEFT JOIN mok m ON s.doc_id = m.doc_id),
        |w AS (
        |  SELECT lang, COUNT(*) AS n_docs,
        |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w_q
-       |  FROM flags WHERE f1 AND f2 AND f3 AND f4 AND f5 AND f6 GROUP BY lang),
+       |  FROM flags WHERE f1 AND f2 AND f3 AND fm AND f4 AND f5 AND f6 GROUP BY lang),
        |tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w),
        |r AS (
        |  SELECT lang, CAST(LEAST(10000, ($MixTarget::HUGEINT * w_q * 10000) // (sum_w::HUGEINT * n_docs)) AS BIGINT) AS rate_bp
@@ -299,10 +331,11 @@ object CorpusPipelineQuery {
        |  SELECT f.*,
        |    f.f1 AS k1, (f.f1 AND f.f2) AS k2,
        |    (f.f1 AND f.f2 AND f.f3) AS k3,
-       |    (f.f1 AND f.f2 AND f.f3 AND f.f4) AS k4,
-       |    (f.f1 AND f.f2 AND f.f3 AND f.f4 AND f.f5) AS k5,
-       |    (f.f1 AND f.f2 AND f.f3 AND f.f4 AND f.f5 AND f.f6) AS k6,
-       |    (f.f1 AND f.f2 AND f.f3 AND f.f4 AND f.f5 AND f.f6
+       |    (f.f1 AND f.f2 AND f.f3 AND f.fm) AS km,
+       |    (f.f1 AND f.f2 AND f.f3 AND f.fm AND f.f4) AS k4,
+       |    (f.f1 AND f.f2 AND f.f3 AND f.fm AND f.f4 AND f.f5) AS k5,
+       |    (f.f1 AND f.f2 AND f.f3 AND f.fm AND f.f4 AND f.f5 AND f.f6) AS k6,
+       |    (f.f1 AND f.f2 AND f.f3 AND f.fm AND f.f4 AND f.f5 AND f.f6
        |      AND f.bucket < COALESCE(r.rate_bp, 0)) AS k7
        |  FROM flags f LEFT JOIN r ON f.lang = r.lang),
        |agg AS (
@@ -310,6 +343,7 @@ object CorpusPipelineQuery {
        |    CAST(SUM(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
        |    CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
        |    CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+       |    CAST(SUM(CASE WHEN km THEN 1 ELSE 0 END) AS BIGINT) AS sm,
        |    CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
        |    CAST(SUM(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT) AS s5,
        |    CAST(SUM(CASE WHEN k6 THEN 1 ELSE 0 END) AS BIGINT) AS s6,
@@ -317,6 +351,7 @@ object CorpusPipelineQuery {
        |    CAST(COALESCE(SUM(CASE WHEN k1 THEN n_chars END), 0) AS BIGINT) AS ck1,
        |    CAST(COALESCE(SUM(CASE WHEN k2 THEN n_chars END), 0) AS BIGINT) AS ck2,
        |    CAST(COALESCE(SUM(CASE WHEN k3 THEN n_chars END), 0) AS BIGINT) AS ck3,
+       |    CAST(COALESCE(SUM(CASE WHEN km THEN n_chars END), 0) AS BIGINT) AS ckm,
        |    CAST(COALESCE(SUM(CASE WHEN k4 THEN n_chars END), 0) AS BIGINT) AS ck4,
        |    CAST(COALESCE(SUM(CASE WHEN k5 THEN n_chars END), 0) AS BIGINT) AS ck5,
        |    CAST(COALESCE(SUM(CASE WHEN k6 THEN n_chars END), 0) AS BIGINT) AS ck6,
@@ -333,11 +368,12 @@ object CorpusPipelineQuery {
        |    ck1 AS chars_kept, d1 AS detail FROM agg
        |  UNION ALL SELECT 2, 'near_dedup', s1, s2, ck2, NULL FROM agg
        |  UNION ALL SELECT 3, 'lang', s2, s3, ck3, d3 FROM agg
-       |  UNION ALL SELECT 4, 'quality', s3, s4, ck4, NULL FROM agg
-       |  UNION ALL SELECT 5, 'repetition', s4, s5, ck5, NULL FROM agg
-       |  UNION ALL SELECT 6, 'decontaminate', s5, s6, ck6, d6 FROM agg
-       |  UNION ALL SELECT 7, 'temperature_mix', s6, s7, ck7, d7 FROM agg
-       |  UNION ALL SELECT 8, 'shard', s7, s7, ck7, d8 FROM agg)
+       |  UNION ALL SELECT 4, 'media', s3, sm, ckm, NULL FROM agg
+       |  UNION ALL SELECT 5, 'quality', sm, s4, ck4, NULL FROM agg
+       |  UNION ALL SELECT 6, 'repetition', s4, s5, ck5, NULL FROM agg
+       |  UNION ALL SELECT 7, 'decontaminate', s5, s6, ck6, d6 FROM agg
+       |  UNION ALL SELECT 8, 'temperature_mix', s6, s7, ck7, d7 FROM agg
+       |  UNION ALL SELECT 9, 'shard', s7, s7, ck7, d8 FROM agg)
        |ORDER BY stage""".stripMargin
   }
 

@@ -17,7 +17,8 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("stages chain: each gate's input is the previous gate's survivors") {
     assert(rows.map(_._2).toSeq === Seq("exact_dedup", "near_dedup", "lang",
-      "quality", "repetition", "decontaminate", "temperature_mix", "shard"))
+      "media", "quality", "repetition", "decontaminate", "temperature_mix",
+      "shard"))
     rows.sliding(2).foreach { case Array(prev, next) =>
       assert(next._3 === prev._4, s"stage ${next._1} n_in != stage ${prev._1} n_kept")
     }
@@ -33,11 +34,13 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("per-stage attrition at sf0.001 is pinned") {
     // deterministic end-to-end: exact dedup finds no byte-level dups
-    // in this corpus, near-dedup drops 35, the lang gate 69, quality
-    // 121, decontamination 5 (the eval slice itself), and the
-    // temperature mix prunes to 126 (target 120) — regression-pins
+    // in this corpus, near-dedup drops 35, the lang gate 69, the
+    // media gate 51 (decoded media below the size bounds), quality
+    // 111, decontamination 5 (the eval slice itself), and the
+    // temperature mix prunes to 127 (target 120) — regression-pins
     // every composed kernel at once
-    assert(rows.map(_._4).toSeq === Seq(500L, 465L, 396L, 275L, 275L, 270L, 126L, 126L))
+    assert(rows.map(_._4).toSeq ===
+      Seq(500L, 465L, 396L, 345L, 234L, 234L, 229L, 127L, 127L))
   }
 
   test("stage 1 agrees with the standalone normalized-dedup query") {
@@ -51,7 +54,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // each lang's kept count is within rate granularity of its quota:
     // total kept ∈ [target - |langs|·ε, input]; with 4 surviving langs
     // and basis-point rates the slack is tiny
-    val mixed = rows(6)
+    val mixed = rows(7)
     assert(mixed._4 <= mixed._3)
     assert(mixed._4 >= 100L && mixed._4 <= 140L,
       s"mix kept ${mixed._4}, expected ~120")
