@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -71,6 +71,51 @@ case class PolyHash(child: Expression, base: Long) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
+}
+
+/** Morton (Z-order) interleave of the low `bits` bits of two
+  * non-negative longs: x's bit b lands at z-bit 2b, y's at 2b+1 —
+  * the space-filling-curve key that makes ONE sorted / range-split
+  * layout cluster BOTH dimensions at once, so a 100 TB scan prunes
+  * files on either column's predicate (`q_zorder_layout`). Pure bit
+  * arithmetic, codegen'd; the DuckDB oracle replays it with a
+  * `list_transform(range(0, bits), …)` shift-or fold. */
+case class MortonInterleave(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "morton_interleave"
+
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val xv = x.asInstanceOf[Long]
+    val yv = y.asInstanceOf[Long]
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      z |= ((xv >> b) & 1L) << (2 * b)
+      z |= ((yv >> b) & 1L) << (2 * b + 1)
+      b += 1
+    }
+    z
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val z = ctx.freshName("z")
+      val b = ctx.freshName("b")
+      s"""
+         |long $z = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  $z |= (($x >> $b) & 1L) << (2 * $b);
+         |  $z |= (($y >> $b) & 1L) << (2 * $b + 1);
+         |}
+         |${ev.value} = $z;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonInterleave =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-wide MinHash signature of an `array<string>` shingle set, in one
@@ -962,6 +1007,8 @@ object F {
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def polyHash(s: Column, base: Long = Poly.Base): Column = c(PolyHash(e(s), base))
+  def morton(x: Column, y: Column, bits: Int = 16): Column =
+    c(MortonInterleave(e(x), e(y), bits))
   def shingleHashes(text: Column, n: Int, base: Long = Poly.Base): Column =
     c(ShingleHashes(e(text), n, base))
   def shingleHashesAll(text: Column, n: Int, base: Long = Poly.Base): Column =
