@@ -147,6 +147,43 @@ object DecisionQueries {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ----------------------------------------------------------- bloom prune
+
+  /** Bloom-filter join pruning ([[graft.ops.Bloom]]): lineitem ⋈
+    * selective orders as a SHUFFLE join (hinted — the regime where the
+    * build side outgrows any broadcast), with the probe side
+    * pre-filtered by the build keys' 8 KB bit array before the
+    * exchange. The oracle is the PLAIN join — the filter admits false
+    * positives (eliminated by the real join) but never false
+    * negatives, so the results are row-identical; what the bloom tier
+    * buys is the shuffle moving ~matches instead of the whole probe
+    * table (BloomPruneSpec measures the survivor fraction live). */
+  private def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lut = graft.ops.Bloom.buildLut(build.select("o_orderkey"), "o_orderkey")
+    val probe = graft.ops.Bloom.prune(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), Num.cents(col("l_extendedprice")).as("price_c")),
+      "l_orderkey", lut)
+    probe.join(build.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("price_c").as("sum_price_c"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bloomPruneSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  CAST(SUM(${NumSql.cents("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+       |  COUNT(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // --------------------------------------------------------- lateral top-k
 
   /** Correlated LATERAL top-k: for every region, its 3 richest
@@ -185,6 +222,7 @@ object DecisionQueries {
     Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
     Q("q_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
+    Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
   )
 }

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Bloom]] + `q_bloom_prune` — the oracle hash-verifies the join
+  * result equals the plain join; these tests pin the filter's two
+  * defining properties live: NO false negatives (ever), and real
+  * pruning (survivors ≪ probe). */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val build = graft.tables.Tables.orders(spark, sf0001)
+    .filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 250000.0)
+    .select("o_orderkey")
+  private lazy val probe = graft.tables.Tables.lineitem(spark, sf0001)
+    .select("l_orderkey")
+  private lazy val lut = Bloom.buildLut(build, "o_orderkey")
+
+  test("no false negatives: every probe row with a matching key survives the prune") {
+    val buildKeys = build.as[Long].collect().toSet
+    val trueMatches = probe.as[Long].collect().count(buildKeys)
+    val survivingMatches = Bloom.prune(probe, "l_orderkey", lut)
+      .as[Long].collect().count(buildKeys)
+    assert(trueMatches > 0, "degenerate fixture: no matches at all")
+    assert(survivingMatches == trueMatches)
+  }
+
+  test("the prune actually prunes: survivors are a small fraction of the probe") {
+    val total = probe.count()
+    val kept = Bloom.prune(probe, "l_orderkey", lut).count()
+    // at n ≈ 133 build keys in a 64 Kibit filter the FP rate is ~1e-4;
+    // survivors ≈ true matches (~9% of lineitem here)
+    assert(kept < total / 5, s"kept $kept of $total")
+    assert(kept >= build.count(), "fewer survivors than build keys — impossible")
+  }
+
+  test("false positives exist in principle but never change the join result") {
+    val joinedPruned = Bloom.prune(probe, "l_orderkey", lut)
+      .join(build, col("l_orderkey") === col("o_orderkey")).count()
+    val joinedPlain = probe
+      .join(build, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joinedPruned == joinedPlain)
+  }
+
+  test("lut is bounded by construction: 1024 longs regardless of build size") {
+    assert(lut.length == Bloom.Cells)
+    assert(lut.exists(_ != 0L), "filter came out empty")
+  }
+}
