@@ -267,11 +267,25 @@ object Dedup {
     * flat. Fixpoint = every component is a star rooted at its min id,
     * so the result is IDENTICAL to [[connectedComponents]] (min id of
     * component), which the spec asserts and the shared oracle
-    * hash-verifies. The fixpoint test is one (count, xor-of-edge-hash)
-    * aggregate — bytes of state, vs the two-sided `except` it
-    * replaces (4 extra shuffles per check). A 64-bit xor collision
-    * could stop one round early (~2⁻⁶⁴); the downstream min-label
-    * join and the oracle would both expose it.
+    * hash-verifies.
+    *
+    * Convergence is detected STRUCTURALLY on the round's own output
+    * (round-10 trim — saves the whole final no-op round the previous
+    * changed-since-last-round signature needed): a canon'd edge set
+    * is the fixpoint iff it IS a disjoint min-rooted star forest,
+    * i.e. every `d` appears exactly once (one parent per member) and
+    * no `s` appears as a `d` (centers are roots; with canon's s < d
+    * orientation the center is then automatically its star's min,
+    * and d-uniqueness + flatness make the stars node-disjoint). The
+    * d-uniqueness half piggybacks on the round-materializing
+    * aggregate; the s∩d≠∅ semi-join only runs when d-uniqueness
+    * already holds (at most the last round or two) over the
+    * just-materialized checkpoint. Exact — no hash-collision caveat.
+    * (Running MULTIPLE rounds per check was tried and rejected twice:
+    * with only batch-end checks a batch of b overshoots up to 2b-1
+    * rounds; with lazy-checkpointed inner rounds the next round's
+    * DOUBLE scan of its input races to compute the unmaterialized
+    * checkpoint and duplicates the inner round's work.)
     *
     * Toy-scale trim, scale-neutral (round-8 verdict: the query was
     * 7.6% of the whole bench, all stage scheduling): the two star
@@ -280,11 +294,7 @@ object Dedup {
     * checkpoint per round instead of two. Duplicates between the
     * phases are harmless under min() and the round-end canon removes
     * them, so this halves the per-round materialization count
-    * without changing the fixpoint. (Batching several rounds per
-    * signature check was tried and rejected: equality only becomes
-    * visible one full batch AFTER the fixpoint, so a batch of b
-    * costs up to 2b-1 overshoot rounds — measurably slower than the
-    * per-round check it saves.)
+    * without changing the fixpoint.
     *
     * Toy-scale cost note: at sf0.1 (1.4k edges) the query still
     * spends most of its time in per-stage scheduling — the price of
@@ -301,10 +311,16 @@ object Dedup {
       .select(least(col("s"), col("d")).as("s"),
         greatest(col("s"), col("d")).as("d"))
       .distinct()
-    def sig(df: DataFrame): (Long, Long) = {
+    // Fixpoint ⇔ the edge set IS a disjoint min-rooted star forest:
+    // every d has exactly one parent AND no s appears as a d. The
+    // aggregate doubles as the round's materialization action; the
+    // semi-join only runs once the cheap half already holds.
+    def isStarForest(df: DataFrame): Boolean = {
       val r = df.selectExpr("count(*) AS n",
-        "coalesce(bit_xor(xxhash64(s, d)), 0L) AS x").head()
-      (r.getLong(0), r.getLong(1))
+        "count(DISTINCT d) AS nd").head()
+      r.getLong(0) == r.getLong(1) && df
+        .join(df.select(col("d").as("s")).distinct(), Seq("s"), "left_semi")
+        .isEmpty
     }
     // One fused round: large-star then small-star, ONE canon + ONE
     // lazy checkpoint at the end. Intermediate duplicates/self-loops
@@ -333,38 +349,41 @@ object Dedup {
     // single materialization point, so a batch of b rounds runs ONE
     // job (the eager default ran a separate job per phase — 3
     // jobs/round of pure stage-scheduling overhead at test scale)
-    // The raw projection is CHECKPOINTED once so the (typically
-    // expensive — e.g. [[simhashPairs]]) pair source is computed a
-    // single time; canon edges AND the self-loop-only node set both
-    // derive from it. Nodes appearing ONLY as (x, x) thus still get a
-    // singleton output row — the public contract — even though canon
-    // drops self-loop edges (in-repo pair sources emit id_a < id_b,
-    // so the case only matters for external callers).
-    val rawProj = pairs.select(col(idA).as("s"), col(idB).as("d"))
-      .localCheckpoint(false)
-    val selfLoopNodes = rawProj.filter(col("s") === col("d"))
+    // ONE materialization seeds everything: the oriented-dedup'd
+    // projection (self-loops RETAINED as (x, x) rows) is checkpointed,
+    // and both the working edge set (self-loops filtered — cheap reads
+    // of the materialized blocks, no second checkpoint) and the
+    // self-loop-only node set derive from it. Nodes appearing ONLY as
+    // (x, x) thus still get a singleton output row — the public
+    // contract — while the (typically expensive — e.g.
+    // [[simhashPairs]]) pair source is computed exactly once.
+    val canon0 = pairs
+      .select(least(col(idA), col(idB)).as("s"),
+        greatest(col(idA), col(idB)).as("d"))
+      .distinct().localCheckpoint(false)
+    val selfLoopNodes = canon0.filter(col("s") === col("d"))
       .select(col("s").as("id")).distinct()
-    var edges = canon(rawProj).localCheckpoint(false)
+    var edges = canon0.filter(col("s") =!= col("d"))
     val edges0 = edges
-    var edgeSig = sig(edges)
-    var changed = true
+    // the input may ALREADY be a star forest (the [[wccMerge]]
+    // re-entry fast path: prior labelings re-enter as stars) — check
+    // before running any round; the check also materializes canon0
+    var converged = isStarForest(edges)
     var iter = 0
     val maxIter = 100
-    while (changed && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
-      val next = round(edges)
-      val nextSig = sig(next)
-      changed = nextSig != edgeSig
-      edges = next
-      edgeSig = nextSig
+      edges = round(edges)
+      converged = isStarForest(edges)
       iter += 1
       if (sys.env.contains("GRAFT_WCC_DEBUG"))
-        println(f"[wcc] round $iter sig=$nextSig ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        println(f"[wcc] round $iter converged=$converged " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // a non-converged graph is NOT a forest of stars — the labeling
     // below would silently assign intermediate roots. Fail loudly
     // instead (the cap is far above the O(log² n) bound in practice).
-    require(!changed,
+    require(converged,
       s"wccStar did not converge within $maxIter rounds")
     // fixpoint: every edge is (root = component min, member)
     val nodes = edges0.select(col("s").as("id"))
