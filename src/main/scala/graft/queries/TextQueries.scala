@@ -1096,10 +1096,10 @@ object TextQueries {
     // exponentially — ~4^K parquet scans blew the fd limit at K = 8.
     def pCte(r: Int) =
       s"""p$r AS MATERIALIZED (
-         |  SELECT pr, COUNT(*) AS n FROM (
+         |  SELECT pr, SUM(wn) AS n FROM (
          |    SELECT unnest(list_transform(range(1, len(s)),
-         |      i -> s[i] || ' ' || s[i + 1])) AS pr
-         |    FROM (SELECT string_split(trim(w), '  ') AS s FROM w${r - 1}))
+         |      i -> s[i] || ' ' || s[i + 1])) AS pr, wn
+         |    FROM (SELECT string_split(trim(w), '  ') AS s, wn FROM w${r - 1}))
          |  WHERE pr ~ '^[a-z0-9]+ [a-z0-9]+$$' GROUP BY pr)""".stripMargin
     def mCte(r: Int) =
       s"m$r AS MATERIALIZED (SELECT $r AS rk, pr, n FROM p$r ORDER BY n DESC, pr LIMIT 1)"
@@ -1107,17 +1107,22 @@ object TextQueries {
       s"""w$r AS MATERIALIZED (
          |  SELECT regexp_replace(w,
          |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$r) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$r) || ' ',
-         |    ' ' || (SELECT replace(pr, ' ', '') FROM m$r) || ' ', 'g') AS w
+         |    ' ' || (SELECT replace(pr, ' ', '') FROM m$r) || ' ', 'g') AS w, wn
          |  FROM w${r - 1})""".stripMargin
     val rounds = (1 to BpeTrainK).flatMap { r =>
       Seq(pCte(r), mCte(r)) ++ (if (r < BpeTrainK) Seq(wCte(r)) else Nil)
     }
     val union = (1 to BpeTrainK).map(r => s"SELECT * FROM m$r")
       .mkString(" UNION ALL ")
+    // wcnt = the distinct-word frequency dict (the [[graft.text.Bpe]]
+    // collapse): pair totals weighted by wn are identical to counting
+    // over every word occurrence, at |vocab| rows per round
     s"""WITH wrds AS MATERIALIZED (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), wcnt AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM wrds GROUP BY word
        |), w0 AS MATERIALIZED (
-       |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w FROM wrds
+       |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, wn FROM wcnt
        |), ${rounds.mkString(",\n")}
        |SELECT rk, pr AS pair, CAST(n AS BIGINT) AS n
        |FROM ($union) ORDER BY rk""".stripMargin

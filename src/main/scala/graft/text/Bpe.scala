@@ -38,8 +38,20 @@ object Bpe {
   /** Run `k` sequential merge rounds over `words` (one string column
     * named `word`). Returns (pair "a b", count-at-selection) in merge
     * order; stops early if the corpus runs out of alphanumeric
-    * pairs. */
+    * pairs.
+    *
+    * The corpus is first collapsed to the DISTINCT-WORD frequency
+    * table — the classic BPE formulation: a word's pairs are weighted
+    * by its occurrence count, which yields IDENTICAL pair totals
+    * while every round scans |vocab| rows instead of |corpus| words
+    * (the published reference implementations train on exactly this
+    * dict). One groupBy shuffle up front, persisted; natural-language
+    * vocabularies follow Zipf, so |vocab| ≪ corpus words by orders of
+    * magnitude and the K per-round regex folds run over a frame that
+    * no longer grows with the corpus at all. */
   def train(words: DataFrame, k: Int): Seq[(String, Long)] = {
+    val wc = graft.ops.SideCache.persist(
+      words.groupBy("word").agg(count(lit(1)).as("wn")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var stream: Column = regexp_replace(col("word"), "(.)", " $1 ")
     var r = 0
@@ -51,9 +63,9 @@ object Bpe {
         transform(sequence(lit(1), size(syms) - 1),
           i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
         .otherwise(array())
-      val top = words.select(explode(pairs).as("pr"))
+      val top = wc.select(explode(pairs).as("pr"), col("wn"))
         .filter(col("pr").rlike("^[a-z0-9]+ [a-z0-9]+$"))
-        .groupBy("pr").agg(count(lit(1)).as("n"))
+        .groupBy("pr").agg(sum("wn").as("n"))
         .orderBy(col("n").desc, col("pr"))
         .limit(1).collect()
       if (top.isEmpty) return out.toSeq
