@@ -176,6 +176,77 @@ object CoreQueries {
       |  MIN(z) AS min_z, MAX(z) AS max_z
       |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Data-skipping PLANNER over the z-order layout — the read side of
+    * `q_zorder_layout`: given a 2-D predicate box (both bounds
+    * domain-proportional so the probe is meaningful at every SF), emit
+    * per file (n_rows, candidate, n_match) where `candidate` is the
+    * manifest-level intersection test a lake reader runs at FILE
+    * LISTING time and `n_match` is the true matching-row count. The
+    * hashed result therefore carries the data-skipping SAFETY
+    * invariant itself: every non-candidate file shows n_match = 0 —
+    * skipping reads no row it shouldn't — while candidate files ≪ all
+    * files is the payoff (the spec asserts both). Same plan as the
+    * layout: one broadcast max aggregate + one projection + one
+    * groupBy(file_id); no write needed to PLAN the skip. */
+  private def zorderPrune(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir).select(
+      col("l_partkey").cast(LongType).as("x"),
+      col("l_suppkey").cast(LongType).as("y"))
+    val mx = src.agg(max("x").as("max_x"), max("y").as("max_y"))
+    src.crossJoin(broadcast(mx))
+      .withColumn("xs", expr("(x * 65535) div max_x"))
+      .withColumn("ys", expr("(y * 65535) div max_y"))
+      .withColumn("z", graft.functions.F.morton(col("xs"), col("ys")))
+      .withColumn("file_id", shiftright(col("z"), 28).cast(IntegerType))
+      .withColumn("x_lo", expr("max_x div 8"))
+      .withColumn("x_hi", expr("max_x div 3"))
+      .withColumn("y_lo", expr("max_y div 8"))
+      .withColumn("y_hi", expr("max_y div 3"))
+      .withColumn("hit", col("x").between(col("x_lo"), col("x_hi")) &&
+        col("y").between(col("y_lo"), col("y_hi")))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_xf"),
+        min("y").as("min_y"), max("y").as("max_yf"),
+        sum(col("hit").cast(LongType)).as("n_match"),
+        min("x_lo").as("x_lo"), min("x_hi").as("x_hi"),
+        min("y_lo").as("y_lo"), min("y_hi").as("y_hi"))
+      .select(col("file_id"), col("n_rows"),
+        (!(col("max_xf") < col("x_lo") || col("min_x") > col("x_hi") ||
+          col("max_yf") < col("y_lo") || col("min_y") > col("y_hi")))
+          .as("candidate"),
+        col("n_match"))
+      .orderBy("file_id")
+  }
+
+  private val zorderPruneSql =
+    """WITH src AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+      |  FROM lineitem),
+      |mx AS (SELECT MAX(x) AS max_x, MAX(y) AS max_y FROM src),
+      |sc AS (
+      |  SELECT x, y, (x * 65535) // max_x AS xs, (y * 65535) // max_y AS ys,
+      |    max_x // 8 AS x_lo, max_x // 3 AS x_hi,
+      |    max_y // 8 AS y_lo, max_y // 3 AS y_hi
+      |  FROM src CROSS JOIN mx),
+      |zz AS (
+      |  SELECT x, y, x_lo, x_hi, y_lo, y_hi,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      b -> (((xs >> b) & 1) << (2*b)) + (((ys >> b) & 1) << (2*b + 1))))
+      |      AS BIGINT) AS z
+      |  FROM sc),
+      |pf AS (
+      |  SELECT CAST(z >> 28 AS INT) AS file_id, COUNT(*) AS n_rows,
+      |    MIN(x) AS min_x, MAX(x) AS max_xf, MIN(y) AS min_y, MAX(y) AS max_yf,
+      |    CAST(SUM(CASE WHEN x BETWEEN x_lo AND x_hi
+      |                   AND y BETWEEN y_lo AND y_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |    MIN(x_lo) AS x_lo, MIN(x_hi) AS x_hi, MIN(y_lo) AS y_lo, MIN(y_hi) AS y_hi
+      |  FROM zz GROUP BY 1)
+      |SELECT file_id, n_rows,
+      |  NOT (max_xf < x_lo OR min_x > x_hi OR max_yf < y_lo OR min_y > y_hi) AS candidate,
+      |  n_match
+      |FROM pf ORDER BY file_id""".stripMargin
+
   /** JSON-lines source/sink roundtrip: documents metadata written as
     * NDJSON, read back with an explicit schema (schema-on-read, no
     * inference pass — at scale inference means reading the data
@@ -488,6 +559,7 @@ object CoreQueries {
     Q("q_scan_orc", scanOrc, Some(scanOrcSql)),
     Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
+    Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     Q("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
     Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
     Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),

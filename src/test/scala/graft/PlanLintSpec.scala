@@ -32,9 +32,10 @@ class PlanLintSpec extends SparkSpec {
     // epoch mixing: the same 1-row totals aggregate crossed into the
     // |sources|-row weight table
     "q_epoch_mix",
-    // z-order layout: the 1-row (max_x, max_y) grid-scaling aggregate
-    // broadcast-crossed into the scan
-    "q_zorder_layout",
+    // z-order layout + its data-skipping planner: the 1-row
+    // (max_x, max_y) grid-scaling aggregate broadcast-crossed into
+    // the scan
+    "q_zorder_layout", "q_zorder_prune",
     // NB classifier: 1-row vocab/doc-total aggregates crossed into
     // the |langs|-row model, and the 5-row model params crossed into
     // every scored doc (per-doc per-class base score)

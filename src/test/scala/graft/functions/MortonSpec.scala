@@ -65,4 +65,20 @@ class MortonSpec extends SparkSpec {
     assert(wideFiles >= xsorted.length / 2,
       "x-sorted layout unexpectedly bounded y — corpus not a valid control")
   }
+
+  test("q_zorder_prune: skipping is safe (no match in a skipped file) and real (files skipped)") {
+    val rows = graft.SparkEntry.queries("q_zorder_prune")(spark, sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    // SAFETY: a file the manifest test skips contains ZERO matching rows
+    rows.filter(!_._3).foreach { case (f, _, _, m) =>
+      assert(m == 0L, s"skipped file $f holds $m matching rows")
+    }
+    // PAYOFF: the 2-D box prunes files — and matches exist, so the
+    // skip decision is not vacuous
+    assert(rows.exists(!_._3), "no file skipped — probe box degenerate")
+    assert(rows.map(_._4).sum > 0, "no matching rows — probe box empty")
+    assert(rows.count(_._3) < rows.length,
+      "every file is a candidate — pruning bought nothing")
+  }
 }
