@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.F
 import graft.tables.Tables
 import graft.text.{TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators — the steps between "raw corpus"
@@ -269,6 +269,68 @@ object PipelineQueries {
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** RENDEZVOUS (highest-random-weight) sharding — the rebalance
+    * story `q_shard_assign`'s `mod K` cannot tell: when the shard
+    * count grows 64 → 80, mod-hashing moves ~79/80 of all documents
+    * (every doc's residue changes), a full 100 TB rewrite; rendezvous
+    * hashing (shard = argmax over s of h(doc, s)) moves ONLY the docs
+    * some NEW shard now wins — 16/80 = 20% in expectation, and
+    * NOTHING ever moves between two old shards (growing the shard set
+    * only ADDS candidate hashes, so an old argmax stays the winner
+    * unless a new shard beats it — the defining monotonicity, visible
+    * in the output: n_arrived = 0 on every old shard; spec asserts it
+    * and the mod-hash control). h is the exact-integer [[F.polyHash]]
+    * of "doc_id:s" passed through a quadratic scramble
+    * (h² + 7919·h mod 2³¹−1): the raw polynomial hash is nearly
+    * MONOTONE in the trailing digit on strings this short (no modular
+    * wrap), which made argmax collapse onto the largest-suffix shard;
+    * squaring wraps thousands of times and restores avalanche while
+    * staying exact-integer on both engines (h < 2³¹ ⇒ h² < 2⁶², no
+    * BIGINT overflow). Scale shape: the double assignment is a scan
+    * projection (80+64 short hashes/doc — a native batch expression
+    * would fold this into one pass at real scale), the output an
+    * 80-row map-side aggregate. */
+  private val OldShards = 64
+  private val NewShards = 80
+
+  private def shardRendezvous(spark: SparkSession, dir: String): DataFrame = {
+    def hrw(n: Int): Column = {
+      def hs = transform(
+        transform(sequence(lit(0), lit(n - 1)),
+          s => F.polyHash(concat(col("doc_id").cast("string"), lit(":"),
+            s.cast("string")))),
+        h => pmod(h * h + lit(7919L) * h, lit(2147483647L)))
+      (array_position(hs, array_max(hs)) - 1).cast("long")
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hrw(OldShards).as("old_shard"),
+        hrw(NewShards).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("old_shard") =!= col("shard")).cast("long")).as("n_arrived"))
+      .orderBy("shard")
+  }
+
+  private val shardRendezvousSql = {
+    def polyKS = OracleSqlFrag.poly("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")
+    def mixed(n: Int) =
+      s"list_transform(list_transform(range(0, $n), s -> $polyKS), " +
+        s"hv -> (hv * hv + 7919 * hv) % 2147483647)"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${mixed(OldShards)} AS h64,
+       |    ${mixed(NewShards)} AS h80
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id,
+       |    CAST(list_position(h64, list_max(h64)) - 1 AS BIGINT) AS old_shard,
+       |    CAST(list_position(h80, list_max(h80)) - 1 AS BIGINT) AS shard
+       |  FROM h)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN old_shard <> shard THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived
+       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+  }
 
   /** Per-source document cap — the absolute-ceiling companion to
     * q_temperature_mix's proportional rates: no single source (one
@@ -746,6 +808,7 @@ object PipelineQueries {
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
     Q("q_shard_assign", shardAssign, Some(shardAssignSql)),
+    Q("q_shard_rendezvous", shardRendezvous, Some(shardRendezvousSql)),
     Q("q_source_cap", sourceCap, Some(sourceCapSql)),
     Q("q_weighted_sample", weightedSample, Some(weightedSampleSql)),
     Q("q_record_linkage", recordLinkage, Some(recordLinkageSql)),
