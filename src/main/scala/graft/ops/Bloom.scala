@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   * plain join) and `BloomPruneSpec`'s no-false-negatives assertion. */
 object Bloom {
 
-  /** 64 Kibit filter = 1024 longs = 8 KB. At n build keys the
+  /** 64 Kibit filter ≈ 1041 longs ≈ 8 KB. At n build keys the
     * false-positive rate is (1 − e^(−2n/65536))²: ~0.1% at n = 1e3,
-    * ~11% at n = 1.3e4 — size M with the build side, not the probe. */
+    * ~11% at n = 1.3e4 — size M with the build side, not the probe.
+    * Cells pack 63 bits per long: bit 63 stays unused because DuckDB
+    * range-checks `1 << 63` (the oracle replays the bit array
+    * verbatim in `q_bloom_fpr`), while Spark silently wraps — the
+    * one layout both engines agree on. */
   val Bits = 65536
-  val Cells: Int = Bits / 64
+  val Cells: Int = (Bits + 62) / 63
   private val Mod = 2147483647L
   val Hashes: Seq[(Long, Long)] = Seq((131L, 7L), (137L, 11L))
 
@@ -45,8 +49,8 @@ object Bloom {
     val cells = keys
       .select(explode(array(Hashes.map { case (a, b) =>
         expr(posSql(key, a, b)) }: _*)).as("p"))
-      .select(expr("CAST(p div 64 AS INT)").as("cell"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").as("m"))
+      .select(expr("CAST(p div 63 AS INT)").as("cell"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
       .groupBy("cell").agg(expr("bit_or(m)").as("bits"))
       .collect()
     val lut = Array.fill(Cells)(0L)
@@ -58,8 +62,8 @@ object Bloom {
     * set) — a codegen'd scan-level predicate, zero shuffle. */
   def prune(probe: DataFrame, key: String, lut: Seq[Long]): DataFrame = {
     def hit(a: Long, b: Long): Column = expr(
-      s"""(shiftright(element_at(bloom_lut, CAST(${posSql(key, a, b)} div 64 AS INT) + 1),
-         |CAST(${posSql(key, a, b)} % 64 AS INT)) & 1) = 1"""
+      s"""(shiftright(element_at(bloom_lut, CAST(${posSql(key, a, b)} div 63 AS INT) + 1),
+         |CAST(${posSql(key, a, b)} % 63 AS INT)) & 1) = 1"""
         .stripMargin.replace("\n", " "))
     probe.withColumn("bloom_lut", typedlit(lut))
       .filter(Hashes.map { case (a, b) => hit(a, b) }.reduce(_ && _))

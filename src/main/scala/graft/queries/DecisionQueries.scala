@@ -184,6 +184,65 @@ object DecisionQueries {
        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Bloom ACCURACY CONTRACT — the `q_minhash_est_err` pattern on the
+    * filter tier: measure the filter's empirical false-positive rate
+    * on TRUE NEGATIVES (probe keys provably absent from the build
+    * set). The oracle replays the whole construction in SQL — the bit
+    * array is exact integer arithmetic, so cells, bit tests, and the
+    * FP count are all hash-verified, not trusted. Output: one row
+    * (n_build, n_neg, n_fp, fpr_bp); the spec compares fpr against
+    * the (1 − e^(−kn/m))^k theory bound, which stays OUT of the
+    * hashed result because `exp` is not correctly-rounded
+    * cross-engine. */
+  private def bloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey")).distinct()
+    val lut = graft.ops.Bloom.buildLut(build, "o_orderkey")
+    val neg = graft.ops.SideCache.persist(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"))
+        .join(build, col("l_orderkey") === col("o_orderkey"), "left_anti"))
+    val nBuild = build.count()
+    neg.agg(count(lit(1)).as("n_neg")).crossJoin(
+        graft.ops.Bloom.prune(neg, "l_orderkey", lut)
+          .agg(count(lit(1)).as("n_fp")))
+      .select(lit(nBuild).as("n_build"), col("n_neg"), col("n_fp"),
+        expr("(n_fp * 10000) div n_neg").as("fpr_bp"))
+  }
+
+  private val bloomFprSql = {
+    val mod = 2147483647L
+    val bits = graft.ops.Bloom.Bits
+    // keys/products are positive, so DuckDB's sign-of-dividend % is
+    // exactly Spark's pmod here
+    def pos(a: Long, b: Long) =
+      s"(((CAST(k AS BIGINT) * $a + $b) % $mod) % $bits)"
+    s"""WITH bk AS (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000),
+       |cells AS (
+       |  SELECT p // 63 AS cell, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+       |  FROM (SELECT ${pos(131, 7)} AS p FROM bk
+       |        UNION ALL SELECT ${pos(137, 11)} AS p FROM bk)
+       |  GROUP BY 1),
+       |neg AS (
+       |  SELECT l_orderkey AS k FROM lineitem
+       |  WHERE l_orderkey NOT IN (SELECT k FROM bk)),
+       |probe AS (
+       |  SELECT k, ${pos(131, 7)} AS p1, ${pos(137, 11)} AS p2 FROM neg),
+       |fp AS (
+       |  SELECT p.k FROM probe p
+       |  JOIN cells c1 ON c1.cell = p.p1 // 63
+       |  JOIN cells c2 ON c2.cell = p.p2 // 63
+       |  WHERE ((c1.bits >> CAST(p.p1 % 63 AS INT)) & 1) = 1
+       |    AND ((c2.bits >> CAST(p.p2 % 63 AS INT)) & 1) = 1)
+       |SELECT (SELECT COUNT(*) FROM bk) AS n_build,
+       |  (SELECT COUNT(*) FROM neg) AS n_neg,
+       |  (SELECT COUNT(*) FROM fp) AS n_fp,
+       |  ((SELECT COUNT(*) FROM fp) * 10000) // (SELECT COUNT(*) FROM neg) AS fpr_bp""".stripMargin
+  }
+
   // --------------------------------------------------------- lateral top-k
 
   /** Correlated LATERAL top-k: for every region, its 3 richest
@@ -223,6 +282,7 @@ object DecisionQueries {
     Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
     Q("q_bitmap_distinct", bitmapDistinct, Some(bitmapDistinctSql)),
     Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
   )
 }

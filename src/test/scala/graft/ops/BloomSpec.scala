@@ -44,8 +44,19 @@ class BloomSpec extends SparkSpec {
     assert(joinedPruned == joinedPlain)
   }
 
-  test("lut is bounded by construction: 1024 longs regardless of build size") {
+  test("lut is bounded by construction: ~1K longs regardless of build size") {
     assert(lut.length == Bloom.Cells)
     assert(lut.exists(_ != 0L), "filter came out empty")
+  }
+
+  test("q_bloom_fpr: empirical FP rate respects the (1-e^(-kn/m))^k theory bound") {
+    val r = graft.SparkEntry.queries("q_bloom_fpr")(spark, sf0001).head()
+    val (nBuild, nNeg, nFp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nNeg > 0 && nBuild > 0)
+    val theory = math.pow(1.0 - math.exp(-2.0 * nBuild / Bloom.Bits), 2)
+    val fpr = nFp.toDouble / nNeg
+    // 3x slack + one count of Poisson noise on a tiny expected count
+    assert(fpr <= 3 * theory + 1.5 / nNeg,
+      s"fpr $fpr ($nFp of $nNeg) vs theory $theory at n=$nBuild")
   }
 }
