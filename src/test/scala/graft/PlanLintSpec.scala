@@ -26,6 +26,9 @@ class PlanLintSpec extends SparkSpec {
     // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight
     "q_window_filter", "q_tfidf", "q_bm25", "q_cdc_apply",
     "q_temperature_mix",
+    // bloom FPR contract: two 1-row count aggregates crossed into the
+    // single summary row
+    "q_bloom_fpr",
     // corpus-pipeline flagship: q_temperature_mix's 1-row total-weight
     // cross, redeployed over the funnel survivors
     "q_corpus_pipeline",
