@@ -3,7 +3,7 @@ package graft.queries
 import graft.ops.{Num, NumSql}
 import graft.tables.Tables
 import graft.text.{Dedup, TextFunctions => TF}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -1089,11 +1089,17 @@ object TextQueries {
       .orderBy("rk")
   }
 
-  private val bpeTrainSql = {
-    // every per-round CTE is MATERIALIZED: each w_r is referenced by
-    // BOTH p_{r+1} and w_{r+1} (and m_r three times from w_r's scalar
-    // subqueries), so default inlining would expand the chain
-    // exponentially — ~4^K parquet scans blew the fd limit at K = 8.
+  /** The shared training-recurrence CTE body (wrds → wcnt → w0 →
+    * p/m/w rounds): every per-round CTE is MATERIALIZED — each w_r is
+    * referenced by BOTH p_{r+1} and w_{r+1} (and m_r three times from
+    * w_r's scalar subqueries), so default inlining would expand the
+    * chain exponentially (~4^K parquet scans blew the fd limit at
+    * K = 8). wcnt = the distinct-word frequency dict (the
+    * [[graft.text.Bpe]] collapse): pair totals weighted by wn are
+    * identical to counting every word occurrence, at |vocab| rows per
+    * round. Reused by `q_bpe_train` (emits the table) and
+    * `q_bpe_pipeline` (applies it). */
+  private lazy val bpeTrainCtes: String = {
     def pCte(r: Int) =
       s"""p$r AS MATERIALIZED (
          |  SELECT pr, SUM(wn) AS n FROM (
@@ -1112,20 +1118,69 @@ object TextQueries {
     val rounds = (1 to BpeTrainK).flatMap { r =>
       Seq(pCte(r), mCte(r)) ++ (if (r < BpeTrainK) Seq(wCte(r)) else Nil)
     }
-    val union = (1 to BpeTrainK).map(r => s"SELECT * FROM m$r")
-      .mkString(" UNION ALL ")
-    // wcnt = the distinct-word frequency dict (the [[graft.text.Bpe]]
-    // collapse): pair totals weighted by wn are identical to counting
-    // over every word occurrence, at |vocab| rows per round
-    s"""WITH wrds AS MATERIALIZED (
+    s"""wrds AS MATERIALIZED (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |), wcnt AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM wrds GROUP BY word
        |), w0 AS MATERIALIZED (
        |  SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS w, wn FROM wcnt
-       |), ${rounds.mkString(",\n")}
+       |), ${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val bpeTrainSql = {
+    val union = (1 to BpeTrainK).map(r => s"SELECT * FROM m$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes
        |SELECT rk, pr AS pair, CAST(n AS BIGINT) AS n
        |FROM ($union) ORDER BY rk""".stripMargin
+  }
+
+  /** TRAIN → APPLY under ONE hash — the full tokenizer lifecycle as a
+    * single query: run the K iterative merge rounds of `q_bpe_train`,
+    * then encode EVERY document with the trained table (merges applied
+    * in learned order as left-to-right non-overlapping replaces — the
+    * `q_bpe_encode` kernel, but over merges the one-shot ranking could
+    * not have learned, including multi-character symbols like `t·he`).
+    * Output: per-doc token counts. The oracle chains the training
+    * recurrence CTEs into the encode folds (24 scalar subqueries over
+    * the 1-row m_k tables), so a divergence ANYWHERE — a wrong round,
+    * a wrong argmax, a wrong replace order — breaks the hash. Scale
+    * shape: training cost is |vocab|-proportional per round
+    * ([[graft.text.Bpe]]); the apply side is one corpus scan with the
+    * learned table folded in as literals. */
+  private def bpePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val merges = graft.text.Bpe.train(words, BpeTrainK)
+    require(merges.length == BpeTrainK,
+      s"corpus yields only ${merges.length} of $BpeTrainK merge rounds")
+    def encode(c: Column) =
+      merges.foldLeft(regexp_replace(c, "(.)", " $1 ")) {
+        case (acc, (pr, _)) =>
+          val Array(a, b) = pr.split(" ")
+          regexp_replace(acc, s" $a  $b ", s" $a$b ")
+      }
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        size(split(trim(encode(col("word"))), "  ")).as("n_tok"))
+      .groupBy("doc_id").agg(sum("n_tok").as("n_tok_bpe"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val bpePipelineSql = {
+    def chain(e: String): String =
+      (1 to BpeTrainK).foldLeft(s"regexp_replace($e, '(.)', ' \\1 ', 'g')") { (acc, k) =>
+        s"""regexp_replace($acc,
+           |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$k) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$k) || ' ',
+           |    ' ' || (SELECT replace(pr, ' ', '') FROM m$k) || ' ', 'g')""".stripMargin
+      }
+    s"""WITH $bpeTrainCtes,
+       |dwords AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(SUM(len(string_split(trim(${chain("word")}), '  '))) AS BIGINT) AS n_tok_bpe
+       |FROM dwords GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Unicode text normalization — the canonicalization pass that MUST
@@ -1345,6 +1400,7 @@ object TextQueries {
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
