@@ -42,21 +42,33 @@ object Bloom {
   private def posSql(key: String, a: Long, b: Long): String =
     s"pmod(pmod(CAST($key AS BIGINT) * $a + $b, $Mod), $Bits)"
 
-  /** Build the bit array from the build side's key column: one
-    * map-side-collapsing shuffle of ≤ [[Cells]] rows, one bounded
-    * collect. */
-  def buildLut(keys: DataFrame, key: String): Seq[Long] = {
-    val cells = keys
+  /** The (cell, bits) frame the filter aggregates to. Exposed because
+    * `bit_or` is ALGEBRAIC: the same declarative aggregation maintains
+    * these cells incrementally under Structured Streaming
+    * ([[graft.streaming.EventStream.bloomCells]] — bits only ever turn
+    * on, so the maintained state is bit-equal to a from-scratch batch
+    * build over the same prefix, and ≤ [[Cells]] rows forever). */
+  def cells(keys: DataFrame, key: String): DataFrame =
+    keys
       .select(explode(array(Hashes.map { case (a, b) =>
         expr(posSql(key, a, b)) }: _*)).as("p"))
       .select(expr("CAST(p div 63 AS INT)").as("cell"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
       .groupBy("cell").agg(expr("bit_or(m)").as("bits"))
-      .collect()
+
+  /** Assemble the fixed-width lut from collected cell rows. */
+  def lutOf(cellRows: Seq[(Int, Long)]): Seq[Long] = {
     val lut = Array.fill(Cells)(0L)
-    cells.foreach(r => lut(r.getInt(0)) = r.getLong(1))
+    cellRows.foreach { case (c, bits) => lut(c) = bits }
     lut.toSeq
   }
+
+  /** Build the bit array from the build side's key column: one
+    * map-side-collapsing shuffle of ≤ [[Cells]] rows, one bounded
+    * collect. */
+  def buildLut(keys: DataFrame, key: String): Seq[Long] =
+    lutOf(cells(keys, key).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq)
 
   /** Keep only probe rows whose key MIGHT be in the filter (both bits
     * set) — a codegen'd scan-level predicate, zero shuffle. */

@@ -220,6 +220,20 @@ object EventStream {
     }.reduce(_ unionByName _)
       .groupBy("d", "w").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming Bloom-filter MAINTENANCE — the streaming twin of
+    * `q_bloom_prune`'s build side ([[graft.ops.Bloom]]): the (cell,
+    * bits) table runs under streaming aggregation with `bit_or`,
+    * which is algebraic and MONOTONE (bits only ever turn on), so the
+    * maintained state is bit-equal to a from-scratch batch build over
+    * the same key prefix, needs no watermark and never evicts, and is
+    * bounded at ≤ Bloom.Cells rows forever. This is how a long-lived
+    * join-pruning filter tracks a growing build table: each
+    * micro-batch ORs its new keys' bits in, and any moment's snapshot
+    * assembles into a valid lut (no false negatives on every key seen
+    * so far — StreamingSpec proves both properties live). */
+  def bloomCells(keys: DataFrame, keyCol: String): DataFrame =
+    graft.ops.Bloom.cells(keys, keyCol)
+
   /** Streaming KMV distinct sketch per key — the streaming twin of
     * batch `q_kmv_distinct`. The same [[graft.functions.KmvSketch]]
     * TypedImperativeAggregate runs under streaming aggregation: state

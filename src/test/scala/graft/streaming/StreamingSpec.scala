@@ -85,6 +85,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Bloom cells equal the batch build; snapshot lut has no false negatives") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[Long]
+    val q = EventStream.bloomCells(in.toDF().toDF("k"), "k")
+      .writeStream.format("memory").queryName("bloomcells")
+      .outputMode("complete").start()
+    try {
+      val b1 = Seq(10L, 20L, 30L, 4096L)
+      val b2 = Seq(40L, 20L, 50L, 70000L)
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = s.table("bloomcells")
+        .as[(Int, Long)].collect().sorted
+      val batch = graft.ops.Bloom.cells((b1 ++ b2).toDF("k"), "k")
+        .as[(Int, Long)].collect().sorted
+      // monotone algebraic state: maintained cells bit-equal the
+      // from-scratch build, bounded row count
+      assert(streamed.toSeq === batch.toSeq)
+      assert(streamed.length <= graft.ops.Bloom.Cells)
+      // a snapshot of the maintained cells is a VALID filter: every
+      // key streamed so far passes the prune (no false negatives)
+      val lut = graft.ops.Bloom.lutOf(streamed.toSeq)
+      val keys = (b1 ++ b2).distinct
+      val kept = graft.ops.Bloom.prune(keys.toDF("k"), "k", lut).count()
+      assert(kept == keys.size.toLong)
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch equals the batch build over the same prefix") {
     val s = spark
     import s.implicits._
