@@ -195,6 +195,103 @@ object ExtensionQueries {
          |ORDER BY q_idx""".stripMargin)
   }
 
+  // --------------------------------------------------------------- HLL
+
+  /** HyperLogLog registers (Flajolet et al. 2007) built FROM SCRATCH
+    * as two map-side-collapsing aggregates — the white-box twin of
+    * `q_approx_distinct`'s opaque HLL++ sketch, fully hash-verified
+    * because every step is integer arithmetic:
+    *
+    *  - 31-bit poly hash of the key, then TWO Lehmer/MINSTD mix steps
+    *    (h·48271 mod M, then ·69621 mod M — injective, M prime): the
+    *    rolling poly hash of short keys has no avalanche (same-length
+    *    keys land in one narrow band, leaving the top bits constant),
+    *    and one multiplicative step only stretches the band into an
+    *    arithmetic progression; the second wraps it around M so the
+    *    top 6 bits go uniform. They pick one of m=64 registers, the
+    *    low 25 bits w set the observation
+    *    rho = (leading zeros of w in 25-bit width) + 1 — computed as
+    *    26 − bitlength(w) via the engines' shared binary-string
+    *    primitive (Spark `bin`, DuckDB `printf('%b')`), no float log;
+    *  - register value = MAX(rho) per (group, bucket): an algebraic
+    *    aggregate, so partial combine collapses each group to ≤ m
+    *    rows map-side — at 100 TB the shuffle carries registers, not
+    *    keys, and registers from disjoint shards MERGE by the same
+    *    MAX (the production shape: registers as incremental state);
+    *  - the harmonic-mean denominator Σ 2^(−reg) is kept EXACT by
+    *    scaling to the integer Σ 2^(26−reg) (absent buckets contribute
+    *    2^26): max 64·2^26 < 2^33, so the sum is order-independent
+    *    BIGINT math, and the estimate α·m²·2^26 / sum_scaled is one
+    *    correctly-rounded double division — bit-identical cross-engine.
+    *
+    * No small-range correction on purpose: each group holds ~1300
+    * distinct keys at sf0.01, 20× past the 2.5·m boundary (the raw
+    * estimator's valid range); ExtensionSpec pins err_pct ≤ 50 (HLL
+    * σ = 1.04/√64 ≈ 13%). `reg_checksum` hashes the whole register
+    * table, so the oracle equality verifies the SKETCH STATE, not
+    * just the estimate. */
+  private val HllEstNum: Double =
+    0.7213 / (1 + 1.079 / 64.0) * 4096.0 * 67108864.0
+
+  private def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val rho = when(col("w") === 0, lit(26))
+      .otherwise(lit(26) - length(bin(col("w"))))
+    val reg = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"),
+        graft.functions.F.polyHash(col("o_custkey").cast("string")).as("h0"))
+      .select(col("grp"),
+        expr("(h0 * 48271 % 2147483647) * 69621 % 2147483647").as("h"))
+      .select(col("grp"), expr("h div 33554432").as("bucket"),
+        expr("h % 33554432").as("w"))
+      .groupBy("grp", "bucket").agg(max(rho).cast("long").as("reg"))
+    val st = reg.groupBy("grp").agg(
+      count(lit(1)).as("n_buckets"),
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(26 - reg AS INT))")) +
+        (lit(64L) - count(lit(1))) * lit(67108864L)).as("sum_scaled"),
+      sum(col("reg") * (col("bucket") + 1)).as("reg_checksum"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    st.join(broadcast(exact), "grp")
+      .withColumn("est",
+        Num.floorEps(lit(HllEstNum) / col("sum_scaled").cast("double")))
+      .withColumn("err_pct", Num.floorEps(
+        abs(col("est") - col("n_exact")) * 100.0 / col("n_exact")))
+      .select("grp", "n_buckets", "reg_checksum", "n_exact", "est", "err_pct")
+      .orderBy("grp")
+  }
+
+  private val hllDistinctSql = {
+    val poly = OracleSqlFrag.poly("CAST(o_custkey AS VARCHAR)")
+    s"""WITH h0 AS (
+       |  SELECT o_orderpriority AS grp, $poly AS h0 FROM orders),
+       |h AS (
+       |  SELECT grp, (h0 * 48271 % 2147483647) * 69621 % 2147483647 AS h
+       |  FROM h0),
+       |b AS (
+       |  SELECT grp, h // 33554432 AS bucket, h % 33554432 AS w FROM h),
+       |reg AS (
+       |  SELECT grp, bucket, CAST(MAX(CASE WHEN w = 0 THEN 26
+       |    ELSE 26 - length(printf('%b', w)) END) AS BIGINT) AS reg
+       |  FROM b GROUP BY grp, bucket),
+       |st AS (
+       |  SELECT grp, COUNT(*) AS n_buckets,
+       |    SUM(1::BIGINT << CAST(26 - reg AS INT))
+       |      + (64 - COUNT(*)) * 67108864 AS sum_scaled,
+       |    CAST(SUM(reg * (bucket + 1)) AS BIGINT) AS reg_checksum
+       |  FROM reg GROUP BY grp),
+       |ex AS (
+       |  SELECT o_orderpriority AS grp, COUNT(DISTINCT o_custkey) AS n_exact
+       |  FROM orders GROUP BY 1),
+       |est AS (
+       |  SELECT grp, n_buckets, reg_checksum, n_exact,
+       |    ${NumSql.floorEps(s"$HllEstNum / CAST(sum_scaled AS DOUBLE)")} AS est
+       |  FROM st JOIN ex USING (grp))
+       |SELECT grp, n_buckets, reg_checksum, n_exact, est,
+       |  ${NumSql.floorEps("abs(est - n_exact) * 100.0 / n_exact")} AS err_pct
+       |FROM est ORDER BY grp""".stripMargin
+  }
+
   /** Pivot: long→wide event-type counts per user. Explicit value list
     * (the production rule — value discovery costs an extra job and
     * breaks plan caching); one partial+final agg pass underneath. */
@@ -220,6 +317,7 @@ object ExtensionQueries {
     Q("q_grouping_sets", groupingSetsPricing, Some(groupingSetsPricingSql)),
     Q("q_approx_distinct", approxDistinct, None),
     Q("q_approx_distinct_err", approxDistinctErr, Some(approxDistinctErrSql)),
+    Q("q_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("q_approx_quantiles", approxQuantiles, None),
     Q("q_approx_quantiles_err", approxQuantilesErr, Some(approxQuantilesErrSql)),
     Q("q_join_salted", joinSalted, Some(joinSaltedSql)),

@@ -323,6 +323,90 @@ object TextQueries {
       |WHERE inter * 2 >= (sa.n + sb.n - inter)
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Prefix-filtered EXACT similarity join (the AllPairs/PPJoin
+    * family — Bayardo et al. WWW'07, Xiao et al. WWW'08): every pair
+    * of documents with 3-shingle-set Jaccard ≥ 50%, with NO df cap, NO
+    * sketch approximation — the lossless exact tier between
+    * `q_ngram_jaccard` (df-capped: drops pairs whose only shared
+    * shingles are frequent) and `q_dedup_minhash` (probabilistic).
+    *
+    * The losslessness argument (and why it scales): order the shingle
+    * universe globally by (df asc, token asc) — rarest first. If
+    * J(a,b) ≥ τ then |a∩b| ≥ ⌈τ·max(|a|,|b|)⌉ =: α, and the smallest
+    * common token under that order must sit within the first
+    * |x| − α + 1 tokens of BOTH docs (were it deeper in either, fewer
+    * than α tokens could follow it there, contradicting the overlap).
+    * So indexing only each doc's first |x| − ⌈τ·|x|⌉ + 1 ≥ |x| − α + 1
+    * tokens (τ = ½ ⇒ ⌊n/2⌋ + 1 of them) finds every qualifying pair.
+    * Because the global order puts the RAREST tokens in the prefixes,
+    * the inverted-index join fans out on low-df keys — the candidate
+    * bound comes from the ordering itself, not from dropping data.
+    * A pair-independent length filter (2·min(n_a,n_b) ≥ max — necessary
+    * for J ≥ ½ since inter ≤ min and union ≥ max) prunes at candidate
+    * emission. Exact verify joins candidates back to the per-doc
+    * sorted token arrays and intersects — output-proportional.
+    *
+    * The DuckDB oracle is the BRUTE-FORCE O(n²) join, so the hash
+    * compare is a machine-checked proof that the prefix filter lost
+    * nothing (TextDedupSpec additionally pins candidates ≪ n²/2).
+    * Plan: 2 corpus scans (tokens, verify arrays); shuffles on token
+    * (df agg + index join) and doc_id (prefix ranking) — all either
+    * map-side-collapsing or output-proportional at 100 TB. */
+  private def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arrs = docs.select(col("doc_id"),
+      graft.functions.F.shingleHashes(col("text"), 3).as("ts"))
+    val toks = arrs.select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+      explode(col("ts")).as("token"))
+    val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val pref = toks.join(df, "token")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("token"))))
+      .filter(col("rk") <= expr("n div 2") + 1)
+      .select(col("doc_id"), col("n"), col("token"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.n"), col("b.n")) <= least(col("a.n"), col("b.n")) * 2)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(arrs.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(arrs.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long").as("inter"),
+        size(col("ts_a")).cast("long").as("n_a"),
+        size(col("ts_b")).cast("long").as("n_b"))
+      // union > 0 guards the degenerate empty-shingle-set pair (< 3
+      // tokens each): Spark would NULL the 0/0 pct where DuckDB errors.
+      .filter(col("inter") * 2 >= col("n_a") + col("n_b") - col("inter") &&
+        col("n_a") + col("n_b") - col("inter") > 0)
+      .withColumn("jaccard_pct",
+        floor(col("inter") * 100.0 / (col("n_a") + col("n_b") - col("inter")) + lit(1e-6)))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val prefixJoinSql =
+    s"""WITH spl AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), toks AS (
+       |  SELECT doc_id, list_distinct(list_transform(CASE WHEN len(t) >= 3
+       |    THEN list_transform(generate_series(1, len(t)-2), pji -> t[pji] || ' ' || t[pji+1] || ' ' || t[pji+2])
+       |    ELSE CAST([] AS VARCHAR[]) END, pjt -> ${OracleSqlFrag.poly("pjt")})) AS ts
+       |  FROM spl
+       |), pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+       |    CAST(len(a.ts) AS BIGINT) AS n_a, CAST(len(b.ts) AS BIGINT) AS n_b
+       |  FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, inter, n_a, n_b,
+       |  CAST(floor(100.0 * inter / (n_a + n_b - inter) + 0.000001) AS BIGINT) AS jaccard_pct
+       |FROM pairs
+       |WHERE inter * 2 >= n_a + n_b - inter AND n_a + n_b - inter > 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH near-dup pairs. The polynomial hash family
     * ([[graft.functions.MinHashSig]]) is exact integer arithmetic, so
     * the oracle replicates the whole pipeline — shingles, signatures,
@@ -1411,6 +1495,7 @@ object TextQueries {
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
+    Q("q_prefix_join", prefixJoin, Some(prefixJoinSql)),
     Q("q_containment", containment, Some(containmentSql)),
     Q("q_dedup_minhash", dedupMinhash, Some(dedupMinhashSql)),
     Q("q_minhash_est_err", minhashEstErr, Some(minhashEstErrSql)),

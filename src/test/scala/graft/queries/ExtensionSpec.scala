@@ -23,6 +23,23 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("from-scratch HLL estimate stays within 50% of exact per group") {
+    // m = 64 ⇒ σ ≈ 13%; the 50% band is the fail-loud contract. The
+    // groups hold ~130 distinct keys at sf0.001 — right at the raw
+    // estimator's 2.5·m boundary, where its bias is still well inside
+    // the band (the sf0.01 oracle runs at ~1300, deep in-range; no
+    // small-range correction by design — documented in the query).
+    val out = SparkEntry.queries("q_hll_distinct")(spark, sf0001)
+      .select("grp", "n_buckets", "n_exact", "est", "err_pct")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (grp, nb, exact, est, errPct) =>
+      assert(nb >= 1 && nb <= 64, s"$grp: n_buckets $nb")
+      assert(exact > 100, s"$grp: exact $exact below the raw-range floor")
+      assert(errPct <= 50, s"$grp: est=$est exact=$exact err=$errPct%")
+    }
+  }
+
   test("salted join aggregates equal the unsalted join exactly") {
     val salted = SparkEntry.queries("q_join_salted")(spark, sf0001)
       .as[(String, Long, Long)].collect().toSeq
