@@ -237,11 +237,111 @@ object ProfilingQueries {
        |ORDER BY tbl""".stripMargin
   }
 
+  // -------------------------------------------------------- k-anonymity
+
+  /** k-anonymity audit with a generalization LADDER (Sweeney 2002 /
+    * Samarati's minimal generalization, the privacy gate a training
+    * pipeline runs before releasing user-derived tables): every
+    * customer row is generalized to the MOST SPECIFIC level of
+    *   L0 (nation, segment, balance-band) → L1 (nation, segment) →
+    *   L2 (region, segment) → L3 (region) → L4 '*' (suppressed)
+    * at which its quasi-identifier group reaches k = $KanonK rows, and
+    * the result is the per-level accounting: rows settled, distinct
+    * groups, worst (min) group size, avg group size.
+    *
+    * Scale shape — the key move is that a row's settle level is a
+    * FUNCTION OF ITS L0 GROUP (coarser counts are sums over L0 cells
+    * sharing the coarser key): ONE map-side-collapsing groupBy takes
+    * the corpus to |QI₀| cells, every coarser level re-aggregates the
+    * CELL table (tiny), labels attach to cells, and the final
+    * accounting weights by cell count — the corpus is scanned once,
+    * shuffled once, and never touched again. All-integer ⇒ fully
+    * hash-verified. */
+  private val KanonK = 5
+
+  private def kanonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        col("n_regionkey").cast("long").as("reg"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("bal_b"))
+      .groupBy("nat", "seg", "reg", "bal_b")
+      .agg(count(lit(1)).as("n0"))
+    val c1 = cells.groupBy("nat", "seg").agg(sum("n0").as("n1"))
+    val c2 = cells.groupBy("reg", "seg").agg(sum("n0").as("n2"))
+    val c3 = cells.groupBy("reg").agg(sum("n0").as("n3"))
+    val lab = cells
+      .join(broadcast(c1), Seq("nat", "seg"))
+      .join(broadcast(c2), Seq("reg", "seg"))
+      .join(broadcast(c3), Seq("reg"))
+      .withColumn("level",
+        when(col("n0") >= KanonK, 0).when(col("n1") >= KanonK, 1)
+          .when(col("n2") >= KanonK, 2).when(col("n3") >= KanonK, 3)
+          .otherwise(4))
+      .withColumn("gkey", expr(
+        """CASE level
+          |  WHEN 0 THEN concat(nat, '|', seg, '|', bal_b)
+          |  WHEN 1 THEN concat(nat, '|', seg)
+          |  WHEN 2 THEN concat('r', reg, '|', seg)
+          |  WHEN 3 THEN concat('r', reg)
+          |  ELSE '*' END""".stripMargin.replace("\n", " ")))
+      .withColumn("gn", expr(
+        """CASE level WHEN 0 THEN n0 WHEN 1 THEN n1
+          |  WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n0 END"""
+          .stripMargin.replace("\n", " ")))
+    lab.groupBy("level")
+      .agg(sum("n0").as("n_rows"), countDistinct("gkey").as("n_groups"),
+        min("gn").as("min_group"))
+      .withColumn("avg_group_x100",
+        Num.floorEps(col("n_rows") * 100.0 / col("n_groups")))
+      .orderBy("level")
+  }
+
+  private val kanonAuditSql =
+    s"""WITH cells AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+       |    CAST(n_regionkey AS BIGINT) AS reg,
+       |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_b,
+       |    COUNT(*) AS n0
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2, 3, 4),
+       |c1 AS (SELECT nat, seg, CAST(SUM(n0) AS BIGINT) AS n1 FROM cells GROUP BY 1, 2),
+       |c2 AS (SELECT reg, seg, CAST(SUM(n0) AS BIGINT) AS n2 FROM cells GROUP BY 1, 2),
+       |c3 AS (SELECT reg, CAST(SUM(n0) AS BIGINT) AS n3 FROM cells GROUP BY 1),
+       |lab AS (
+       |  SELECT cells.*, n1, n2, n3,
+       |    CASE WHEN n0 >= $KanonK THEN 0 WHEN n1 >= $KanonK THEN 1
+       |      WHEN n2 >= $KanonK THEN 2 WHEN n3 >= $KanonK THEN 3
+       |      ELSE 4 END AS level
+       |  FROM cells JOIN c1 USING (nat, seg) JOIN c2 USING (reg, seg)
+       |    JOIN c3 USING (reg)),
+       |g AS (
+       |  SELECT level,
+       |    CASE level
+       |      WHEN 0 THEN concat(nat, '|', seg, '|', bal_b)
+       |      WHEN 1 THEN concat(nat, '|', seg)
+       |      WHEN 2 THEN concat('r', reg, '|', seg)
+       |      WHEN 3 THEN concat('r', reg)
+       |      ELSE '*' END AS gkey,
+       |    CASE level WHEN 0 THEN n0 WHEN 1 THEN n1
+       |      WHEN 2 THEN n2 WHEN 3 THEN n3 ELSE n0 END AS gn,
+       |    n0
+       |  FROM lab)
+       |SELECT level, CAST(SUM(n0) AS BIGINT) AS n_rows,
+       |  COUNT(DISTINCT gkey) AS n_groups,
+       |  CAST(MIN(gn) AS BIGINT) AS min_group,
+       |  ${NumSql.floorEps("SUM(n0) * 100.0 / COUNT(DISTINCT gkey)")} AS avg_group_x100
+       |FROM g GROUP BY level ORDER BY level""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_window_nav", windowNav, Some(windowNavSql)),
     Q("q_histogram", histogram, Some(histogramSql)),
     Q("q_profile", profile, Some(profileSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    Q("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
   )
 }

@@ -540,6 +540,92 @@ object SimilarityQueries {
       |  FROM embeddings)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------ int8 quantization
+
+  /** Scalar int8 quantization of the embedding store — the 4×
+    * compression (float32 → uint8) every 100 TB vector corpus applies
+    * before PQ-level compression is worth its codebook: per-dimension
+    * affine codes `round((x − mn_d)·255/(mx_d − mn_d))`.
+    *
+    * Plan shape: the per-dim (min,max) table is ONE map-side-collapsing
+    * aggregate to 64 rows, collected driver-side (1 KB — the ANN
+    * family's driver-held-codebook pattern) and re-entering the scan
+    * as two array literals; coding is then a pure projection — the
+    * corpus is scanned once and never shuffled. Constant dimensions
+    * (mx = mn) code to 0 by convention (guarded division).
+    *
+    * Everything is hash-verified, including the LOSS: codes are
+    * integer; the reconstruction error Σ(x − x̂)² folds
+    * left-to-right in both engines (identical IEEE operand order ⇒
+    * identical bits), surfaced as `err_nano`. `code_sum` /
+    * `code_checksum` pin the full code table, so the oracle equality
+    * covers the quantizer itself, not a summary. SimilaritySpec pins
+    * the analytic bound err ≤ d·(Δ/2)² per vector. */
+  private def sq8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mnLit = typedlit(stats.map(_.getDouble(1)).toSeq)
+    val mxLit = typedlit(stats.map(_.getDouble(2)).toSeq)
+    emb.select(col("vec_id"), col("embedding"))
+      .withColumn("mn", mnLit).withColumn("mx", mxLit)
+      .withColumn("codes", expr(
+        """transform(embedding, (x, i) ->
+          |  CASE WHEN element_at(mx, i+1) = element_at(mn, i+1)
+          |    THEN CAST(0 AS BIGINT)
+          |  ELSE CAST(floor((CAST(x AS DOUBLE) - element_at(mn, i+1)) * 255.0
+          |    / (element_at(mx, i+1) - element_at(mn, i+1)) + 0.500000001)
+          |    AS BIGINT) END)""".stripMargin.replace("\n", " ")))
+      .withColumn("err", expr(
+        """aggregate(sequence(0, size(embedding)-1), CAST(0 AS DOUBLE),
+          |  (acc, i) -> acc +
+          |   (CAST(element_at(embedding, i+1) AS DOUBLE)
+          |     - (element_at(mn, i+1) + CAST(element_at(codes, i+1) AS DOUBLE)
+          |        * (element_at(mx, i+1) - element_at(mn, i+1)) / 255.0))
+          | * (CAST(element_at(embedding, i+1) AS DOUBLE)
+          |     - (element_at(mn, i+1) + CAST(element_at(codes, i+1) AS DOUBLE)
+          |        * (element_at(mx, i+1) - element_at(mn, i+1)) / 255.0)))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("vec_id"),
+        size(col("codes")).as("n_dims"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c)").as("code_sum"),
+        expr("aggregate(sequence(0, size(codes)-1), CAST(0 AS BIGINT)," +
+          " (a, i) -> a + element_at(codes, i+1) * (i+1))").as("code_checksum"),
+        floor(col("err") * 1e9 + lit(1e-6)).cast("long").as("err_nano"))
+      .orderBy("vec_id")
+  }
+
+  private val sq8QuantizeSql =
+    s"""WITH stats AS (
+       |  SELECT i, min(x) AS mn, max(x) AS mx FROM (
+       |    SELECT unnest(list_transform(embedding, sqe -> CAST(sqe AS DOUBLE))) AS x,
+       |           unnest(generate_series(1, len(embedding))) AS i
+       |    FROM embeddings) GROUP BY i),
+       |s AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM stats),
+       |c AS (
+       |  SELECT vec_id, embedding, mns, mxs,
+       |    list_transform(generate_series(1, len(embedding)), sqi ->
+       |      CASE WHEN mxs[sqi] = mns[sqi] THEN 0::BIGINT
+       |      ELSE CAST(floor((CAST(embedding[sqi] AS DOUBLE) - mns[sqi]) * 255.0
+       |        / (mxs[sqi] - mns[sqi]) + 0.500000001) AS BIGINT) END) AS codes
+       |  FROM embeddings CROSS JOIN s)
+       |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+       |  list_reduce(list_prepend(0::BIGINT, codes), (sqa, sqb) -> sqa + sqb) AS code_sum,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    list_transform(generate_series(1, len(codes)), sqi -> codes[sqi] * sqi)),
+       |    (sqa, sqb) -> sqa + sqb) AS code_checksum,
+       |  CAST(floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(generate_series(1, len(codes)), sqi ->
+       |      (CAST(embedding[sqi] AS DOUBLE)
+       |        - (mns[sqi] + CAST(codes[sqi] AS DOUBLE) * (mxs[sqi] - mns[sqi]) / 255.0))
+       |      * (CAST(embedding[sqi] AS DOUBLE)
+       |        - (mns[sqi] + CAST(codes[sqi] AS DOUBLE) * (mxs[sqi] - mns[sqi]) / 255.0)))),
+       |    (sqa, sqb) -> sqa + sqb) * 1000000000.0 + 0.000001) AS BIGINT) AS err_nano
+       |FROM c ORDER BY vec_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_filtered", annFiltered, Some(annFilteredSql)),
@@ -553,5 +639,6 @@ object SimilarityQueries {
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_ann_dedup", annDedup, Some(annDedupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
+    Q("q_sq8_quantize", sq8Quantize, Some(sq8QuantizeSql)),
   )
 }

@@ -320,4 +320,22 @@ class SimilaritySpec extends SparkSpec {
     shared.foreach(r =>
       assert(r._4 === bruteCos((r._1, r._2)), s"cos mismatch for $r"))
   }
+
+  test("sq8 codes are in [0,255] and reconstruction error meets the analytic bound") {
+    val out = graft.SparkEntry.queries("q_sq8_quantize")(spark, sf0001)
+      .select("vec_id", "n_dims", "code_sum", "code_checksum", "err_nano")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(out.length === emb.count())
+    // per-dim quantization step from the data itself
+    val stats = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg((max(col("x").cast("double")) - min(col("x").cast("double")))
+        .as("range")).select("range").as[Double].collect()
+    // round-to-nearest ⇒ per-dim |x − x̂| ≤ Δ/2 (+ half an ulp guard)
+    val bound = stats.map(r => math.pow(r / 255.0 / 2.0, 2) * 1.0001 + 1e-12).sum
+    out.foreach { case (id, nDims, codeSum, _, errNano) =>
+      assert(nDims === stats.length, s"vec $id dims")
+      assert(codeSum >= 0 && codeSum <= 255L * nDims, s"vec $id code_sum $codeSum")
+      assert(errNano <= math.ceil(bound * 1e9).toLong + 1, s"vec $id err $errNano > bound")
+    }
+  }
 }
