@@ -453,6 +453,101 @@ object CorpusQueries {
        |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin
   }
 
+  // -------------------------------------------------------- passage dedup
+
+  /** Words per disjoint passage in [[passageDedup]]. */
+  private val PassW = 8
+
+  /** Disjoint `PassW`-word passages of a document, in order:
+    * (passage_index, passage_text). Single-pass JIT kernel for the
+    * same reason as [[graft.text.TextFunctions]]' shingleUdf — the
+    * `transform`+`concat_ws` higher-order formulation is interpreted
+    * (no codegen) and measured ~20× slower on this corpus. */
+  private val passageUdf = udf((text: String) => {
+    val toks = if (text == null) Array.empty[String] else text.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var s = 0
+    var ix = 0
+    while (s < toks.length) {
+      val e = math.min(s + PassW, toks.length)
+      out += ((ix, toks.slice(s, e).mkString(" ")))
+      ix += 1
+      s += PassW
+    }
+    out.toSeq
+  })
+
+  /** Passage-level rewrite dedup (the "deduplicating training data"
+    * recipe of Lee et al. 2022, at disjoint-chunk granularity): cut
+    * every document into disjoint `PassW`-word passages, keep only
+    * the globally FIRST occurrence of each distinct passage (ordered
+    * by (doc_id, passage_index)), and reassemble each document from
+    * its surviving passages — removing boilerplate and quoted
+    * passages from every later document that repeats them, not just
+    * flagging them (`q_repeated_passages` is the report-only twin).
+    *
+    * Scale anatomy for a 100 TB corpus: the passage table is the
+    * corpus re-keyed, so the rewrite inherently moves the text twice
+    * — once keyed by passage (the window that picks first
+    * occurrences; dedup keys on the passage TEXT itself, which is
+    * exact, and costs nothing extra because the passage must ride
+    * the shuffle anyway for reassembly) and once keyed by doc_id
+    * (the reassembly group-by). The per-doc totals side is a
+    * text-free scan projection joined on doc_id, aligned with the
+    * reassembly partitioning. No plan step is ever quadratic and no
+    * driver state exists. At real scale the window key would be a
+    * 128-bit passage fingerprint (collision odds ~n²/2¹²⁸) to cut
+    * sort-key bytes; with this engine's 31-bit teaching hash that
+    * trade would admit real collisions, so text-keying is the exact
+    * choice. */
+  private def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val chunks = docs
+      .select(col("doc_id"), explode(passageUdf(col("text"))).as("c"))
+      .select(col("doc_id"), col("c._1").cast("long").as("idx"),
+        col("c._2").as("passage"))
+    val w = Window.partitionBy("passage").orderBy("doc_id", "idx")
+    val kept = chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val re = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("idx"), col("passage")))),
+        s => s.getField("passage"))).as("new_text"))
+    val totals = docs.select(col("doc_id"),
+      floor((size(split(col("text"), " ")) + lit(PassW - 1)) / lit(PassW.toDouble))
+        .cast("long").as("n_passages"))
+    totals.join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_passages") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+      .orderBy("doc_id")
+  }
+
+  private val passageDedupSql =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |ch AS (
+       |  SELECT doc_id, s // $PassW AS idx,
+       |    array_to_string(list_slice(tk, s + 1, least(s + $PassW, len(tk))), ' ') AS passage
+       |  FROM (SELECT doc_id, tk,
+       |          unnest(generate_series(0, len(tk) - 1, $PassW)) AS s FROM t)),
+       |kept AS (
+       |  SELECT doc_id, idx, passage,
+       |    row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) AS rn
+       |  FROM ch),
+       |re AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(passage, ' ' ORDER BY idx) AS new_text
+       |  FROM kept WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, (len(tk) + ${PassW - 1}) // $PassW AS n_passages FROM t)
+       |SELECT tot.doc_id, n_passages,
+       |  COALESCE(n_kept, 0) AS n_kept,
+       |  n_passages - COALESCE(n_kept, 0) AS n_dropped,
+       |  COALESCE(new_text, '') AS new_text
+       |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     Q("q_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
@@ -461,5 +556,6 @@ object CorpusQueries {
     Q("q_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("q_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     Q("q_winsorize", winsorize, Some(winsorizeSql)),
+    Q("q_passage_dedup", passageDedup, Some(passageDedupSql)),
   )
 }

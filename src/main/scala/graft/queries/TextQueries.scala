@@ -960,6 +960,151 @@ object TextQueries {
        |  CAST(floor(CAST(sum_lp_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT) AS avg_lp_micro
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ perplexity
+
+  /** All adjacent token pairs of a document, in order (non-distinct).
+    * Single-pass JIT kernel (the shingleUdf precedent — interpreted
+    * higher-order lambdas are ~20× slower on this corpus). */
+  private val bigramPairUdf = udf((text: String) => {
+    val t = if (text == null) Array.empty[String] else text.split(' ')
+    if (t.length < 2) Seq.empty[(String, String)]
+    else (0 until t.length - 1).map(i => (t(i), t(i + 1)))
+  })
+
+  /** CCNet-style perplexity filtering with an in-engine LM: train a
+    * conditional bigram word model with add-one smoothing on the
+    * corpus itself — p(r|l) = (c(l,r)+1)/(c(l·)+V) — and score every
+    * document by its average negative log-likelihood, bucketed for
+    * the keep/flag/drop ladder ([[lmScore]] is the simpler
+    * frequency-prior twin; this one is a real conditional LM, the
+    * shape CCNet runs with KenLM).
+    *
+    * Determinism: each bigram's log-prob quantizes to µ-nats FIRST
+    * (`floorEps(1e6·ln(p))` — ln of an identical double ratio on
+    * both engines, ulp-guarded), so every downstream sum/divide is
+    * exact integer arithmetic (`div`), immune to FP ordering.
+    *
+    * Scale anatomy at 100 TB: the only corpus-sized shuffle is the
+    * (doc_id, l, r) multiplicity group-by (map-side combined — token
+    * pairs within a doc repeat). The model itself (c2/c1/lp) lives
+    * in distinct-bigram space, orders of magnitude smaller, and the
+    * per-doc scoring join keys the doc-level multiplicity table by
+    * (l, r) against that model — never doc × vocab. V is a 1-row
+    * broadcast cross (allowlisted scalar-subquery pattern). */
+  private def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bg = docs.select(col("doc_id"), explode(bigramPairUdf(col("text"))).as("b"))
+      .select(col("doc_id"), col("b._1").as("l"), col("b._2").as("r"))
+    val m = bg.groupBy("doc_id", "l", "r").agg(count(lit(1)).as("m"))
+    val c2 = m.groupBy("l", "r").agg(sum("m").as("c2"))
+    val c1 = c2.groupBy("l").agg(sum("c2").as("c1"))
+    val v = docs.select(explode(TF.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w").as("vocab"))
+    val lp = c2.join(c1, "l").crossJoin(broadcast(v))
+      .select(col("l"), col("r"), Num.floorEps(
+        log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("vocab")).cast("double")) * 1e6)
+        .cast("long").as("lp_q"))
+    val agg = m.join(lp, Seq("l", "r"))
+      .groupBy("doc_id")
+      .agg(sum("m").as("n_bigrams"), (-sum(col("m") * col("lp_q"))).as("nll_micro"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        coalesce(expr("nll_micro div n_bigrams"), lit(0L)).as("avg_nll_micro"))
+      .withColumn("ppl_bucket", expr("avg_nll_micro div 100000"))
+      .orderBy("doc_id")
+  }
+
+  private val perplexitySql =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, t[i] AS l, t[i+1] AS r
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+       |        FROM tk WHERE len(t) >= 2)),
+       |m AS (SELECT doc_id, l, r, COUNT(*) AS m FROM bg GROUP BY 1, 2, 3),
+       |c2 AS (SELECT l, r, CAST(SUM(m) AS BIGINT) AS c2 FROM m GROUP BY 1, 2),
+       |c1 AS (SELECT l, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS vocab
+       |      FROM (SELECT unnest(t) AS w FROM tk)),
+       |lp AS (SELECT c2.l, c2.r,
+       |  ${NumSql.floorEps("ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.vocab AS DOUBLE)) * 1000000")} AS lp_q
+       |  FROM c2 JOIN c1 USING (l) CROSS JOIN v),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       |    CAST(-SUM(m * lp_q) AS BIGINT) AS nll_micro
+       |  FROM m JOIN lp USING (l, r) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(nll_micro, 0) AS nll_micro,
+       |  COALESCE(nll_micro // n_bigrams, 0) AS avg_nll_micro,
+       |  COALESCE(nll_micro // n_bigrams, 0) // 100000 AS ppl_bucket
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------- PMI collocation
+
+  /** Pointwise-mutual-information collocation mining: the top-50
+    * adjacent word pairs whose co-occurrence beats chance —
+    * PMI = ln(p(l,r) / (p(l)·p(r))) with a min-support gate (the
+    * classic phrase/collocation detector used to build tokenizer
+    * merge seeds and phrase tables).
+    *
+    * Determinism: the probability ratio is a fixed chain of
+    * correctly-rounded double ops — (c2/B) / ((c1_l/T)·(c1_r/T)) in
+    * that exact association order on both engines — so the double is
+    * bit-identical, and the µ-nat quantization is ulp-guarded
+    * (`floorEps`). Integer products like c2·T² would overflow BIGINT
+    * at corpus scale, so the ratio form is the 100 TB-safe one.
+    *
+    * Scale anatomy: unigram and bigram counts are map-side-combined
+    * group-bys collapsing to vocab / distinct-bigram space; the PMI
+    * join runs entirely in that model space (never corpus-sized);
+    * T and B are 1-row broadcast crosses; the top-50 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  private def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val uni = docs.select(explode(TF.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tTok = uni.agg(sum("c").as("t_tok"))
+    val c2 = docs.select(explode(bigramPairUdf(col("text"))).as("b"))
+      .select(col("b._1").as("l"), col("b._2").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n_pair"))
+    val bTok = c2.agg(sum("n_pair").as("b_tok"))
+    c2.filter(col("n_pair") >= 5)
+      .join(uni.select(col("w").as("l"), col("c").as("cl")), Seq("l"))
+      .join(uni.select(col("w").as("r"), col("c").as("cr")), Seq("r"))
+      .crossJoin(broadcast(tTok)).crossJoin(broadcast(bTok))
+      .select(col("l"), col("r"), col("n_pair"), Num.floorEps(
+        log((col("n_pair").cast("double") / col("b_tok")) /
+          ((col("cl").cast("double") / col("t_tok")) *
+            (col("cr").cast("double") / col("t_tok")))) * 1e6)
+        .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("l"), col("r"))
+      .limit(50)
+  }
+
+  private val pmiSql =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |uni AS (SELECT w, COUNT(*) AS c
+       |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+       |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tok FROM uni),
+       |bg AS (SELECT t[i] AS l, t[i+1] AS r
+       |       FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+       |             FROM tk WHERE len(t) >= 2)),
+       |c2 AS (SELECT l, r, COUNT(*) AS n_pair FROM bg GROUP BY 1, 2),
+       |btot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b_tok FROM c2)
+       |SELECT l, r, n_pair,
+       |  ${NumSql.floorEps(
+      "ln((CAST(n_pair AS DOUBLE) / b_tok) / " +
+        "((CAST(ul.c AS DOUBLE) / t_tok) * (CAST(ur.c AS DOUBLE) / t_tok))) * 1000000")} AS pmi_micro
+       |FROM c2
+       |JOIN uni ul ON c2.l = ul.w
+       |JOIN uni ur ON c2.r = ur.w
+       |CROSS JOIN tot CROSS JOIN btot
+       |WHERE n_pair >= 5
+       |ORDER BY pmi_micro DESC, l, r LIMIT 50""".stripMargin
+
   /** Sequence packing (concat-and-chunk): documents are laid out
     * end-to-end in doc_id order and cut into fixed `PackCapacity`-token
     * training bins — the standard pretraining sample-packing layout
@@ -1487,6 +1632,8 @@ object TextQueries {
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
+    Q("q_perplexity", perplexity, Some(perplexitySql)),
+    Q("q_pmi", pmi, Some(pmiSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_entropy", entropy, Some(entropySql)),

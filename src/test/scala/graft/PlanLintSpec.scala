@@ -26,6 +26,12 @@ class PlanLintSpec extends SparkSpec {
     // corpus-wide BM25 stats, CDC cutoff timestamp, total mix weight
     "q_window_filter", "q_tfidf", "q_bm25", "q_cdc_apply",
     "q_temperature_mix",
+    // perplexity LM: the 1-row vocab-size aggregate crossed into the
+    // distinct-bigram model table (smoothing denominator)
+    "q_perplexity",
+    // PMI: the 1-row token/bigram totals crossed into the
+    // distinct-bigram model table
+    "q_pmi",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",

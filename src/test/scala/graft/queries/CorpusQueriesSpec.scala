@@ -199,4 +199,29 @@ class CorpusQueriesSpec extends SparkSpec {
       .select(graft.ops.Num.floorEps(col("value") * 1e6)).as[Long].collect()
     assert(got.map(_._1).sum === raw.length.toLong)
   }
+
+  test("q_passage_dedup equals the brute-force global first-occurrence rewrite") {
+    val got = run("q_passage_dedup")
+      .select("doc_id", "n_passages", "n_kept", "n_dropped", "new_text")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+
+    // driver-side reimplementation: chunk every doc into disjoint
+    // 8-word passages, keep the globally first (doc_id, idx) occurrence
+    // of each distinct passage text, reassemble in order
+    val chunked = docs.sortBy(_._1).map { case (id, t) =>
+      id -> t.split(' ').grouped(8).map(_.mkString(" ")).toVector
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val brute = chunked.map { case (id, ps) =>
+      val kept = ps.filter(p => seen.add(p))
+      (id, ps.size.toLong, kept.size.toLong, (ps.size - kept.size).toLong,
+        kept.mkString(" "))
+    }
+    assert(got.toSeq === brute)
+    // the rewrite must actually drop something on this corpus (repeated
+    // passages exist by construction) and keep the majority
+    val (tot, keptN) = (brute.map(_._2).sum, brute.map(_._3).sum)
+    assert(keptN < tot)
+    assert(keptN > 0)
+  }
 }

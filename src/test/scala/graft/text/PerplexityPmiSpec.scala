@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the bigram-LM perplexity filter (q_perplexity)
+  * and PMI collocation miner (q_pmi). The DuckDB oracle pins exact
+  * values; these pin the SEMANTICS against independent driver-side
+  * recomputes of the same model. */
+class PerplexityPmiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: Seq[(Long, Array[String])] =
+    graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .toSeq.map { case (id, t) => id -> t.split(' ') }
+
+  test("q_perplexity equals the brute-force add-one bigram LM") {
+    val got = SparkEntry.queries("q_perplexity")(spark, sf0001)
+      .select("doc_id", "n_bigrams", "nll_micro", "avg_nll_micro", "ppl_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    val bigrams = docs.flatMap { case (id, t) =>
+      t.iterator.sliding(2).withPartial(false).map(p => (id, p(0), p(1)))
+    }
+    val c2 = bigrams.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val vocab = docs.flatMap(_._2).distinct.size.toLong
+    def lpQ(l: String, r: String): Long =
+      graft.ops.Num.floorEpsLong(
+        math.log((c2((l, r)) + 1).toDouble / (c1(l) + vocab).toDouble) * 1e6)
+    val brute = docs.sortBy(_._1).map { case (id, t) =>
+      val bs = t.iterator.sliding(2).withPartial(false).toSeq
+      val nll = -bs.map(p => lpQ(p(0), p(1))).sum
+      val n = bs.size.toLong
+      val avg = if (n == 0) 0L else nll / n
+      (id, n, nll, avg, avg / 100000L)
+    }
+    assert(got.toSeq === brute)
+    // signal sanity: NLLs are positive (log-probs strictly negative)
+    assert(got.forall(r => r._2 == 0 || r._3 > 0))
+  }
+
+  test("q_pmi equals the brute-force PMI top-50 and beats-chance holds") {
+    val got = SparkEntry.queries("q_pmi")(spark, sf0001)
+      .select("l", "r", "n_pair", "pmi_micro")
+      .as[(String, String, Long, Long)].collect().toSeq
+
+    val toks = docs.flatMap(_._2)
+    val uni = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTok = toks.size.toLong
+    val pairs = docs.flatMap(_._2.iterator.sliding(2).withPartial(false)
+      .map(p => (p(0), p(1))))
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bTok = pairs.size.toLong
+    val brute = c2.toSeq.filter(_._2 >= 5).map { case ((l, r), n) =>
+      val pmi = graft.ops.Num.floorEpsLong(math.log(
+        (n.toDouble / bTok) /
+          ((uni(l).toDouble / tTok) * (uni(r).toDouble / tTok))) * 1e6)
+      (l, r, n, pmi)
+    }.sortBy(t => (-t._4, t._1, t._2)).take(50)
+    assert(got === brute)
+    // every reported collocation genuinely beats chance or the list is
+    // exhausted below 50 (PMI can be negative only if fewer than 50
+    // positive pairs exist)
+    assert(got.size == 50 || got.forall(_._4 > 0))
+  }
+}
