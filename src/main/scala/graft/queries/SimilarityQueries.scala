@@ -626,6 +626,156 @@ object SimilarityQueries {
        |    (sqa, sqb) -> sqa + sqb) * 1000000000.0 + 0.000001) AS BIGINT) AS err_nano
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ hybrid retrieval
+
+  private val HyMod = 100L  // query cohort: doc_id ≡ 0 (mod HyMod)
+  private val HyK = 10      // fused top-k (and per-channel pool size)
+  private val HyQTerms = 3  // keywords extracted per query doc
+  private val HyRrfK = 60L  // the standard RRF dampening constant
+  private val HyK1 = 1.2    // BM25 params (same as q_bm25)
+  private val HyB = 0.75
+
+  /** HYBRID retrieval — the production RAG serving shape: a lexical
+    * BM25 channel and a dense cosine channel retrieve top-k
+    * independently, then reciprocal-rank fusion (RRF, Cormack et al.)
+    * merges them: score(d) = Σ_channels 1/(60 + rank_channel(d)).
+    * Queries are the `doc_id ≡ 0 (mod HyMod)` cohort; each query's
+    * lexical form is its top-3 keywords by (tf desc, term) — the
+    * deterministic keyword-extraction step that bounds posting-join
+    * fan-out (a doc-as-query bag over a tiny vocabulary would touch
+    * every posting list).
+    *
+    * Determinism: BM25 contributions quantize to integers before the
+    * order-free sum (the q_bm25 convention); cosines are sequential
+    * double reductions (bit-equal cross-engine); RRF terms are exact
+    * integer division 10⁶ div (60 + rank); every rank breaks ties on
+    * the unique id.
+    *
+    * Scale anatomy at 100 TB: the (doc, term, tf) table and df are
+    * map-side-combined aggregates; the Q×3 keyword table BROADCASTS
+    * into the posting join whose output is Σ matched posting lengths
+    * (the inherent cost of lexical retrieval — impact-ordered index
+    * pruning would drop in here); per-(qid, doc) scores map-side
+    * combine before the per-qid top-k window (WindowGroupLimit). The
+    * dense channel is `Similarity.bruteTopK`'s zero-corpus-shuffle
+    * broadcast scan. Fusion joins two Q·k-row lists — negligible. */
+  private def hybridRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // per-query keyword extraction: top-3 terms by (tf desc, term)
+    val wq = Window.partitionBy("qid").orderBy(col("qtf").desc, col("term"))
+    val qterms = tf.filter(col("doc_id") % HyMod === 0)
+      .select(col("doc_id").as("qid"), col("term"), col("tf").as("qtf"))
+      .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= HyQTerms)
+      .select("qid", "term")
+    // lexical channel: BM25 over matched postings, integer-quantized
+    val lexScored = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("qid"))
+      .join(df, Seq("term")).join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib_q",
+        floor(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (HyK1 + 1)) /
+          (col("tf") + lit(HyK1) * (lit(1 - HyB) + lit(HyB) * col("dl") / col("avgdl")))
+          * 10000 + lit(1e-6)).cast("long"))
+      .groupBy("qid", "doc_id").agg(sum("contrib_q").as("lex_score"))
+    val wl = Window.partitionBy("qid").orderBy(col("lex_score").desc, col("doc_id"))
+    val lex = lexScored.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= HyK).select("qid", "doc_id", "lex_rank")
+    // dense channel: exact cosine top-k (vec_id domain == doc_id domain)
+    val vec = Similarity.bruteTopK(Tables.embeddings(spark, dir), HyMod, HyK)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rank").cast("long").as("vec_rank"))
+    // reciprocal-rank fusion: exact integer RRF terms, re-ranked
+    val fused = lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        coalesce(col("lex_rank").cast("long"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"))
+      .withColumn("rrf_micro",
+        when(col("lex_rank") > 0, expr(s"1000000 div (${HyRrfK}+lex_rank)")).otherwise(0L) +
+          when(col("vec_rank") > 0, expr(s"1000000 div (${HyRrfK}+vec_rank)")).otherwise(0L))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .filter(col("fused_rank") <= HyK)
+      .orderBy("qid", "fused_rank")
+  }
+
+  private val hybridRetrievalSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+       |         FROM documents),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM lens),
+       |qterms AS (
+       |  SELECT qid, term FROM (
+       |    SELECT doc_id AS qid, term,
+       |      row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrn
+       |    FROM tf WHERE doc_id % $HyMod = 0)
+       |  WHERE qrn <= $HyQTerms),
+       |lex_scored AS (
+       |  SELECT q.qid, t.doc_id, CAST(SUM(CAST(floor(
+       |    ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |    (t.tf * ${HyK1 + 1}) /
+       |    (t.tf + $HyK1 * (1 - $HyB + $HyB * lens.dl / avgdl))
+       |    * 10000 + 0.000001) AS BIGINT)) AS BIGINT) AS lex_score
+       |  FROM tf t JOIN qterms q USING (term)
+       |  JOIN df USING (term) JOIN lens ON t.doc_id = lens.doc_id
+       |  CROSS JOIN stats
+       |  WHERE t.doc_id <> q.qid
+       |  GROUP BY q.qid, t.doc_id),
+       |lex AS (
+       |  SELECT qid, doc_id, lex_rank FROM (
+       |    SELECT qid, doc_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY lex_score DESC, doc_id) AS lex_rank
+       |    FROM lex_scored)
+       |  WHERE lex_rank <= $HyK),
+       |base AS (SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
+       |      FROM base WHERE vec_id % $HyMod = 0),
+       |scored AS (
+       |  SELECT q.qid, b.vec_id,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
+       |vec AS (
+       |  SELECT qid, vec_id AS doc_id, vec_rank FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS vec_rank
+       |    FROM scored)
+       |  WHERE vec_rank <= $HyK),
+       |fused AS (
+       |  SELECT COALESCE(l.qid, v.qid) AS qid,
+       |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    COALESCE(v.vec_rank, 0) AS vec_rank
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON l.qid = v.qid AND l.doc_id = v.doc_id),
+       |rrf AS (
+       |  SELECT qid, doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       |    CAST(vec_rank AS BIGINT) AS vec_rank,
+       |    (CASE WHEN lex_rank > 0 THEN 1000000 // ($HyRrfK + lex_rank) ELSE 0 END +
+       |     CASE WHEN vec_rank > 0 THEN 1000000 // ($HyRrfK + vec_rank) ELSE 0 END) AS rrf_micro
+       |  FROM fused)
+       |SELECT qid, doc_id, lex_rank, vec_rank,
+       |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  CAST(fused_rank AS BIGINT) AS fused_rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id) AS fused_rank
+       |  FROM rrf)
+       |WHERE fused_rank <= $HyK
+       |ORDER BY qid, fused_rank""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_ann_topk", annTopK, Some(annTopKSql)),
     Q("q_ann_filtered", annFiltered, Some(annFilteredSql)),
@@ -640,5 +790,6 @@ object SimilarityQueries {
     Q("q_ann_dedup", annDedup, Some(annDedupSql)),
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
     Q("q_sq8_quantize", sq8Quantize, Some(sq8QuantizeSql)),
+    Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
   )
 }

@@ -32,6 +32,9 @@ class PlanLintSpec extends SparkSpec {
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",
+    // hybrid retrieval: the dense channel is q_ann_topk's broadcast
+    // query cross; the lexical channel crosses the 1-row BM25 stats
+    "q_hybrid_retrieval",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",
