@@ -334,4 +334,44 @@ object EventStream {
         batch.collect().foreach(cdcFold(store, _))
         ()
       }
+
+  // ---- streaming per-group priority reservoir ----
+
+  case class DocIn(doc_id: Long, lang: String, n_chars: Long, prio_q: Long)
+  case class ReservoirOut(lang: String, doc_id: Long, n_chars: Long,
+                          prio_q: Long, rk: Int)
+
+  /** Streaming twin of the batch `q_group_weighted_sample` operator:
+    * the per-language k-smallest-priority reservoir (priority
+    * sampling: u/w with hash-uniform u — the same `prio_q` key, so
+    * the maintained sample IS the batch sample) kept incrementally.
+    *
+    * State per language is the ≤k best (prio_q, doc_id, n_chars)
+    * triples — CONSTANT, independent of stream length, exactly the
+    * O(k)-per-stratum bound the batch plan gets from
+    * WindowGroupLimit. Each micro-batch merges its rows, re-sorts the
+    * ≤2k candidates, truncates to k, and re-emits the group's current
+    * reservoir (Update output — downstream upserts by (lang, rk)).
+    *
+    * Order-independence contract (ReservoirStreamSpec): the final
+    * reservoir is a pure min-k over everything seen, so batch
+    * boundaries, arrival order, and at-least-once replays (the merge
+    * dedups on (prio_q, doc_id)) cannot change it — after the last
+    * batch it is bit-equal to the batch query on the same rows. */
+  def reservoirStream(in: Dataset[DocIn], k: Int = 20): Dataset[ReservoirOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.lang)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], ReservoirOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (lang, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          val merged =
+            (state.getOption.getOrElse(Nil) ++
+              rows.map(d => (d.prio_q, d.doc_id, d.n_chars)))
+              .distinct.sortBy(t => (t._1, t._2)).take(k)
+          state.update(merged)
+          merged.zipWithIndex.map { case ((p, id, nc), i) =>
+            ReservoirOut(lang, id, nc, p, i + 1)
+          }.iterator
+      }
+  }
 }
