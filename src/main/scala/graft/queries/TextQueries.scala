@@ -1105,6 +1105,58 @@ object TextQueries {
        |WHERE n_pair >= 5
        |ORDER BY pmi_micro DESC, l, r LIMIT 50""".stripMargin
 
+  // ------------------------------------------------------ hash vectorizer
+
+  private val HvDim = 16 // hashed feature dimension (2^18+ at real scale)
+
+  /** Feature-hashing vectorizer (the "hashing trick", Weinberger et
+    * al. 2009 — sklearn's HashingVectorizer shape): each token
+    * occurrence lands in bucket `h mod D` with sign `±1` from the
+    * next hash bit, so a document becomes a fixed-D sparse integer
+    * vector with NO vocabulary pass, no driver state, and no
+    * train/serve skew — the text→vector step that feeds the
+    * prefix-filter and ANN machinery. Output is the sparse row form
+    * (doc_id, bucket, v≠0) carrying the per-doc squared norm
+    * (everything downstream cosine needs).
+    *
+    * Exactness: hash, bucket, sign, counts, and norms are all
+    * integer arithmetic — no floats anywhere, bit-equal cross-engine
+    * by construction.
+    *
+    * Scale anatomy: one scan + explode, a (doc_id, bucket) group-by
+    * that map-side combines to ≤D rows per doc, and a doc-bounded
+    * window for the norm (≤D rows per frame, riding the same
+    * doc-keyed exchange). Output ≤ D·n rows. D=16 suits the 31-word
+    * fixture vocabulary; a real corpus raises D to 2¹⁸⁺ — same plan,
+    * sign-cancellation keeps E[collision bias] at zero. */
+  private def hashVectorize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ent = docs
+      .select(col("doc_id"),
+        explode(TF.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), graft.functions.F.polyHash(col("w")).as("h"))
+      .select(col("doc_id"), (col("h") % HvDim).as("bucket"),
+        when(expr(s"(h div $HvDim) % 2") === 0, 1L).otherwise(-1L).as("s"))
+      .groupBy("doc_id", "bucket").agg(sum("s").as("v"))
+      .filter(col("v") =!= 0)
+    ent.withColumn("norm2",
+      sum(col("v") * col("v")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .orderBy("doc_id", "bucket")
+  }
+
+  private val hashVectorizeSql =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |hh AS (SELECT doc_id, ${OracleSqlFrag.poly("w")} AS h FROM tok),
+       |ent AS (
+       |  SELECT doc_id, h % $HvDim AS bucket,
+       |    CAST(SUM(CASE WHEN (h // $HvDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+       |  FROM hh GROUP BY 1, 2)
+       |SELECT doc_id, bucket, v,
+       |  CAST(SUM(v * v) OVER (PARTITION BY doc_id) AS BIGINT) AS norm2
+       |FROM ent WHERE v <> 0
+       |ORDER BY doc_id, bucket""".stripMargin
+
   /** Sequence packing (concat-and-chunk): documents are laid out
     * end-to-end in doc_id order and cut into fixed `PackCapacity`-token
     * training bins — the standard pretraining sample-packing layout
@@ -1634,6 +1686,7 @@ object TextQueries {
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_perplexity", perplexity, Some(perplexitySql)),
     Q("q_pmi", pmi, Some(pmiSql)),
+    Q("q_hash_vectorize", hashVectorize, Some(hashVectorizeSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
     Q("q_entropy", entropy, Some(entropySql)),

@@ -65,4 +65,25 @@ class PerplexityPmiSpec extends SparkSpec {
     // positive pairs exist)
     assert(got.size == 50 || got.forall(_._4 > 0))
   }
+
+  test("q_hash_vectorize equals the brute hashing-trick recompute") {
+    val got = SparkEntry.queries("q_hash_vectorize")(spark, sf0001)
+      .select("doc_id", "bucket", "v", "norm2")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+
+    val brute = docs.sortBy(_._1).flatMap { case (id, t) =>
+      val ent = t.map { w =>
+        val h = graft.functions.Poly.hashBytes(
+          w.getBytes("UTF-8"), graft.functions.Poly.Base)
+        (h % 16, if ((h / 16) % 2 == 0) 1L else -1L)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        .filter(_._2 != 0).sortBy(_._1)
+      val n2 = ent.map(e => e._2 * e._2).sum
+      ent.map { case (b, v) => (id, b, v, n2) }
+    }
+    assert(got === brute)
+    // sign cancellation must actually be possible but not dominant:
+    // every doc keeps at least one non-zero bucket
+    assert(got.map(_._1).distinct.size === docs.size)
+  }
 }
