@@ -336,6 +336,69 @@ object ProfilingQueries {
        |  ${NumSql.floorEps("SUM(n0) * 100.0 / COUNT(DISTINCT gkey)")} AS avg_group_x100
        |FROM g GROUP BY level ORDER BY level""".stripMargin
 
+  // --------------------------------------------------------- DP-style noise
+
+  /** e^(−ε) for ε = 0.5, as an exact decimal literal so both engines
+    * parse the identical double (exp() is not guaranteed correctly
+    * rounded on either side). */
+  private val DpAlphaLit = "0.6065306597126334"
+
+  /** Geometric-mechanism noisy counts (Ghosh et al.'s universally
+    * utility-maximizing mechanism for counting queries): per
+    * (lang, source) cell, the true document count plus two-sided
+    * geometric noise P(|k|=m) ∝ α^m with α = e^(−ε), ε = 0.5,
+    * clamped at zero — the privacy-release twin of `q_kanon_audit`'s
+    * suppression ladder.
+    *
+    * The noise here is DERIVED, not random: the cell key hashes
+    * through the quadratic scramble (the `q_shard_rendezvous`
+    * convention), one bit picks the sign, and the remaining 30 bits
+    * form u ∈ (0,1] (exact: integer over 2³⁰) whose inverse CDF
+    * m = ⌊ln(u)/ln(α)⌋ yields the geometric magnitude. That makes
+    * the release REPRODUCIBLE — the mechanism-shape demo a
+    * deterministic oracle can verify — while a production deployment
+    * swaps only the uniform source for real randomness (and keeps
+    * the inverse CDF, the integer post-processing, and the clamp,
+    * none of which touch the privacy analysis).
+    *
+    * Scale shape: one map-side-combined group-by to |lang×source|
+    * cells; the noise is a per-cell scalar projection. Nothing else
+    * moves. */
+  private def dpCount(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.F.polyHash(
+      concat_ws("|", col("lang"), col("source"), lit("dp1")))
+    val s = pmod(h * h + lit(7919L) * h, lit(2147483647L))
+    val u = (expr("s div 2") + lit(1L)).cast("double") / lit(1073741824.0)
+    Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_true"))
+      .withColumn("s", s)
+      .withColumn("noise",
+        (when(col("s") % 2 === 0, 1L).otherwise(-1L) *
+          Num.floorEps(log(u) / log(lit(DpAlphaLit).cast("double")))).cast("long"))
+      .select(col("lang"), col("source"), col("n_true"), col("noise"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_noisy"))
+      .orderBy("lang", "source")
+  }
+
+  private val dpCountSql = {
+    val h = OracleSqlFrag.poly("lang || '|' || source || '|dp1'")
+    s"""WITH cells AS (
+       |  SELECT lang, source, COUNT(*) AS n_true FROM documents GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT lang, source, n_true,
+       |    ($h * $h + 7919 * $h) % 2147483647 AS s
+       |  FROM cells),
+       |nz AS (
+       |  SELECT lang, source, n_true,
+       |    (CASE WHEN s % 2 = 0 THEN 1 ELSE -1 END) *
+       |      ${NumSql.floorEps(
+        s"ln(CAST(s // 2 + 1 AS DOUBLE) / 1073741824.0) / ln(CAST($DpAlphaLit AS DOUBLE))")} AS noise
+       |  FROM sc)
+       |SELECT lang, source, n_true, CAST(noise AS BIGINT) AS noise,
+       |  GREATEST(n_true + noise, 0) AS n_noisy
+       |FROM nz ORDER BY lang, source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_window_nav", windowNav, Some(windowNavSql)),
@@ -343,5 +406,6 @@ object ProfilingQueries {
     Q("q_profile", profile, Some(profileSql)),
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
+    Q("q_dp_count", dpCount, Some(dpCountSql)),
   )
 }

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** q_dp_count invariants: the noise is the exact inverse-CDF
+  * geometric the Scaladoc claims (brute recompute from the cell
+  * hash), the clamp holds, and the mechanism actually perturbs —
+  * both signs occur across the release. */
+class DpCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_dp_count equals the brute inverse-CDF geometric recompute") {
+    val got = SparkEntry.queries("q_dp_count")(spark, sf0001)
+      .select("lang", "source", "n_true", "noise", "n_noisy")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+      .sortBy(r => (r._1, r._2))
+
+    val cells = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+
+    val alpha = "0.6065306597126334".toDouble
+    val brute = cells.map { case (lang, src, n) =>
+      val h = graft.functions.Poly.hashBytes(
+        s"$lang|$src|dp1".getBytes("UTF-8"), graft.functions.Poly.Base)
+      val s = (h * h + 7919L * h) % 2147483647L
+      val u = (s / 2 + 1).toDouble / 1073741824.0
+      val m = graft.ops.Num.floorEpsLong(math.log(u) / math.log(alpha))
+      val noise = (if (s % 2 == 0) 1L else -1L) * m
+      (lang, src, n, noise, math.max(n + noise, 0L))
+    }
+    assert(got === brute)
+    // the mechanism perturbs in both directions somewhere in the release
+    assert(got.exists(_._4 > 0) && got.exists(_._4 < 0))
+    // clamp: never negative
+    assert(got.forall(_._5 >= 0))
+  }
+}
