@@ -797,6 +797,68 @@ object PipelineQueries {
        |    // 1000 AS BIGINT) AS eff_chars
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------- shuffle shard
+
+  private val ShufShardSize = 64L // docs per training shard
+
+  /** Deterministic global training shuffle + sequential sharding —
+    * the "shuffle once, then read shards in order" layout every
+    * pretraining run wants: each document gets a pseudo-random but
+    * REPRODUCIBLE position (scrambled hash of its id; ties broken by
+    * id), and shards are cut sequentially from that order, so shard
+    * s is exactly rows [s·S, (s+1)·S) of the shuffled corpus — the
+    * property that makes mid-epoch resume and per-shard manifests
+    * trivial (`q_shard_assign`'s mod-hash gives balanced shards but
+    * no defined read order; this gives both).
+    *
+    * The global position is computed the scale-correct way (the
+    * `q_pack_sequences` pattern): range-partition on the shuffle
+    * key, per-partition row counts collected (ONE row per
+    * partition), prefix offsets broadcast back, local `row_number`
+    * per partition — no single-partition global window. Cost: one
+    * range exchange of (id, key) pairs; the text never moves. */
+  private def shuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = F.polyHash(concat(col("doc_id").cast("string"), lit(":shuf")))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(h * h + lit(7919L) * h, lit(2147483647L)).as("sk"))
+    val parts = graft.ops.SideCache.persist(
+      keyed.repartitionByRange(col("sk"), col("doc_id"))
+        .sortWithinPartitions("sk", "doc_id")
+        .withColumn("pid", spark_partition_id()))
+    val totals = parts.groupBy("pid").agg(count(lit(1)).as("tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val prefix = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, tot)) =>
+      (pid, acc + tot)
+    }.init.map { case (_, off) => off }
+    val prefixDf = totals.map(_._1).zip(prefix).toSeq.toDF("pid", "part_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy("sk", "doc_id")
+    parts.join(broadcast(prefixDf), Seq("pid"))
+      .withColumn("pos",
+        row_number().over(w).cast("long") + col("part_off") - 1)
+      .select(col("doc_id"), col("sk"), col("pos"),
+        expr(s"pos div $ShufShardSize").as("shard"),
+        pmod(col("pos"), lit(ShufShardSize)).as("pos_in_shard"))
+      .orderBy("doc_id")
+  }
+
+  private val shuffleShardSql = {
+    val h = OracleSqlFrag.poly("CAST(doc_id AS VARCHAR) || ':shuf'")
+    s"""WITH k AS (
+       |  SELECT doc_id, ($h * $h + 7919 * $h) % 2147483647 AS sk
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, sk,
+       |    row_number() OVER (ORDER BY sk, doc_id) - 1 AS pos
+       |  FROM k)
+       |SELECT doc_id, sk, CAST(pos AS BIGINT) AS pos,
+       |  CAST(pos // $ShufShardSize AS BIGINT) AS shard,
+       |  CAST(pos % $ShufShardSize AS BIGINT) AS pos_in_shard
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_epoch_mix", epochMix, Some(epochMixSql)),
     Q("q_fim_split", fimSplit, Some(fimSplitSql)),
@@ -804,6 +866,7 @@ object PipelineQueries {
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),
     Q("q_contamination", contamination, Some(contaminationSql)),
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
+    Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
