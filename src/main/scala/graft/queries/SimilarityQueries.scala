@@ -626,6 +626,72 @@ object SimilarityQueries {
        |    (sqa, sqb) -> sqa + sqb) * 1000000000.0 + 0.000001) AS BIGINT) AS err_nano
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- MIPS
+
+  /** Maximum-inner-product search (the recommender / last-layer
+    * retrieval objective: score = x·q, NOT cosine — a long vector
+    * is genuinely a better match) with the norm-augmentation
+    * reduction (Bachrach et al. 2014) made visible: append
+    * sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus norm)
+    * and 0 to the query, and every augmented corpus vector has norm
+    * exactly M — so augmented cosine = x·q / (M·‖q‖), a fixed
+    * positive rescale of the inner product, and the existing cosine
+    * ANN machinery (IVF, PQ, LSH buckets) indexes MIPS unchanged.
+    * Ranking here keys on the exact inner product (bit-identical
+    * sequential doubles cross-engine; ranking on the rescaled double
+    * could collide two distinct ips after division), and the
+    * augmented cosine is emitted alongside — the oracle recomputes
+    * both, and MipsSpec proves rank-equivalence of the two orderings
+    * plus the constant-augmented-norm identity.
+    *
+    * Scale shape: identical to `q_ann_topk` — queries and the 1-row
+    * max-norm broadcast against one corpus scan, per-partition
+    * top-k heaps, zero corpus shuffle. */
+  private def annMips(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val mrow = base.agg(max(col("nrm")).as("mmax"))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ip").desc, col("vec_id"))
+    base.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ip", Similarity.dot(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .crossJoin(broadcast(mrow))
+      .select(col("qid"), col("vec_id"), col("rank").cast("int").as("rank"),
+        floor(col("ip") * 10000 + lit(0.5)).cast("long").as("ip_x10k"),
+        floor(col("ip") / (col("mmax") * col("qnorm")) * 10000 + lit(0.5))
+          .cast("long").as("aug_cos_x10k"))
+      .orderBy("qid", "rank")
+  }
+
+  private val annMipsSql =
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), mrow AS (SELECT MAX(nrm) AS mmax FROM base
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
+       |  FROM base WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT q.qid, b.vec_id, q.qnorm,
+       |    ${dot("b.embedding", "q.qvec")} AS ip
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT qid, vec_id, qnorm, ip,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id) AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(ip * 10000 + 0.5) AS BIGINT) AS ip_x10k,
+       |  CAST(floor(ip / (mmax * qnorm) * 10000 + 0.5) AS BIGINT) AS aug_cos_x10k
+       |FROM ranked CROSS JOIN mrow WHERE rnk <= 10
+       |ORDER BY qid, rnk""".stripMargin
+
   // ------------------------------------------------------ hybrid retrieval
 
   private val HyMod = 100L  // query cohort: doc_id ≡ 0 (mod HyMod)
@@ -791,5 +857,6 @@ object SimilarityQueries {
     Q("q_embed_stats", embedStats, Some(embedStatsSql)),
     Q("q_sq8_quantize", sq8Quantize, Some(sq8QuantizeSql)),
     Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
+    Q("q_ann_mips", annMips, Some(annMipsSql)),
   )
 }

@@ -35,6 +35,8 @@ class PlanLintSpec extends SparkSpec {
     // hybrid retrieval: the dense channel is q_ann_topk's broadcast
     // query cross; the lexical channel crosses the 1-row BM25 stats
     "q_hybrid_retrieval",
+    // MIPS: q_ann_topk's broadcast query cross + the 1-row max-norm
+    "q_ann_mips",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",

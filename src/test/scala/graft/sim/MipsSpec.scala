@@ -1,0 +1,55 @@
+package graft.sim
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** q_ann_mips: the norm-augmentation reduction's two defining
+  * identities, verified against the raw vectors — (1) every augmented
+  * corpus vector has norm exactly M, (2) ranking by augmented cosine
+  * is the ranking by inner product. Plus a brute-force top-10. */
+class MipsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("augmented-cosine order == inner-product order; brute top-10 matches") {
+    val embs = graft.tables.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val vecs = embs.toMap
+    val norms = embs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val m = norms.values.max
+
+    // (1) augmentation really produces constant norm M (exact algebra:
+    // ||x||^2 + (M^2 - ||x||^2) = M^2), checked numerically
+    embs.foreach { case (id, v) =>
+      val aug = math.sqrt(dot(v, v) + (m * m - dot(v, v)))
+      assert(math.abs(aug - m) < 1e-12, s"vec $id augmented norm $aug != $m")
+    }
+
+    val got = SparkEntry.queries("q_ann_mips")(spark, sf0001)
+      .select("qid", "vec_id", "rank", "ip_x10k", "aug_cos_x10k")
+      .as[(Long, Long, Int, Long, Long)].collect().toSeq
+
+    // (2) + brute force: top-10 by ip == top-10 by augmented cosine
+    val qids = embs.map(_._1).filter(_ % 50 == 0)
+    val brute = qids.flatMap { q =>
+      val scored = embs.map(_._1).filter(_ != q)
+        .map(d => (d, dot(vecs(d), vecs(q))))
+      val byIp = scored.sortBy { case (d, ip) => (-ip, d.toDouble) }.take(10)
+      val byAug = scored.map { case (d, ip) => (d, ip / (m * norms(q))) }
+        .sortBy { case (d, c) => (-c, d.toDouble) }.take(10).map(_._1)
+      assert(byIp.map(_._1).toSeq === byAug.toSeq,
+        s"qid $q: ip order != augmented-cosine order")
+      byIp.zipWithIndex.map { case ((d, ip), i) =>
+        (q, d, i + 1,
+          math.floor(ip * 10000 + 0.5).toLong,
+          math.floor(ip / (m * norms(q)) * 10000 + 0.5).toLong)
+      }
+    }
+    assert(got === brute.toSeq)
+  }
+}
