@@ -692,6 +692,147 @@ object SimilarityQueries {
        |FROM ranked CROSS JOIN mrow WHERE rnk <= 10
        |ORDER BY qid, rnk""".stripMargin
 
+  // ----------------------------------------------------------- MMR rerank
+
+  private val MmrPool = 20   // relevance pool per query (cosine top-20)
+  private val MmrK = 5       // diversified picks per query
+  // λ = 0.7 as exact integer weights: score_q = ⌊10⁶(0.7·rel − 0.3·pen)⌋
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the diversity pass retrieval stacks run after top-k:
+    * from each query's cosine top-[[MmrPool]] pool, greedily pick
+    * [[MmrK]] documents maximizing
+    * λ·cos(q,d) − (1−λ)·max_{s∈picked} cos(d,s), so near-duplicate
+    * hits can't crowd the result page. Greedy is inherently
+    * sequential in k — but k is 5 and the pool is 20/query, so each
+    * round is a join over Q·20 rows (query-proportional, never
+    * corpus-proportional; the corpus-sized work already happened in
+    * the pool stage, which is `q_ann_topk`'s zero-shuffle scan).
+    *
+    * Determinism: relevance and pairwise cosines are bit-identical
+    * sequential doubles; each round quantizes the MMR score to
+    * µ-units (`floorEps`) BEFORE the argmax, ties break on vec_id,
+    * and the oracle unrolls the same 5 rounds as MATERIALIZED CTEs
+    * (the q_pagerank pattern). */
+  private def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    // relevance pool: cosine top-20 per query, vectors carried
+    val pool = graft.ops.SideCache.persist(
+      Similarity.bruteTopK(emb, queryMod = 50L, k = MmrPool)
+        .select(col("qid"), col("vec_id").as("id"))
+        .join(base.select(col("vec_id").as("id"), col("embedding"), col("nrm")),
+          Seq("id")))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnorm"))
+    val cand = graft.ops.SideCache.persist(
+      pool.join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("id"),
+          (Similarity.dot(col("embedding"), col("qvec")) /
+            (col("nrm") * col("qnorm"))).as("rel"),
+          col("embedding"), col("nrm")))
+    // pairwise candidate-candidate cosines within each query's pool
+    val a = cand.select(col("qid"), col("id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = cand.select(col("qid"), col("id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = graft.ops.SideCache.persist(
+      a.join(b, Seq("qid")).filter(col("a") =!= col("b"))
+        .select(col("qid"), col("a"), col("b"),
+          (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+            .as("cosab")))
+    val slim = cand.select("qid", "id", "rel")
+    // greedy rounds: argmax of quantized λ·rel − (1−λ)·maxpen
+    var selected = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pick",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("mmr_q",
+          org.apache.spark.sql.types.LongType))))
+    for (k <- 1 to MmrK) {
+      val remaining = slim.join(selected.select("qid", "id"), Seq("qid", "id"),
+        "left_anti")
+      val pen = remaining
+        .join(pairs.join(selected.select(col("qid"), col("id").as("b")),
+          Seq("qid", "b")).select(col("qid"), col("a").as("id"), col("cosab")),
+          Seq("qid", "id"), "left")
+        .groupBy("qid", "id")
+        .agg(first("rel").as("rel"), max("cosab").as("maxpen"))
+      val scoredRound = pen.withColumn("mmr_q",
+        graft.ops.Num.floorEps((col("rel") * 0.7 -
+          coalesce(col("maxpen"), lit(0.0)) * 0.3) * 1e6).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("mmr_q").desc, col("id"))
+      val picked = scoredRound.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("id"), lit(k).as("pick"), col("mmr_q"))
+      selected = graft.ops.SideCache.persist(selected.union(picked))
+    }
+    selected
+      .select(col("qid"), col("id").as("vec_id"), col("pick"), col("mmr_q"))
+      .orderBy("qid", "pick")
+  }
+
+  private val mmrRerankSql = {
+    val mkRound = (k: Int) => {
+      val selUnion = (1 until k).map(j => s"SELECT qid, id FROM s$j")
+        .mkString(" UNION ALL ")
+      val penJoin =
+        if (k == 1) "SELECT c.qid, c.id, c.rel, NULL AS maxpen FROM cand c"
+        else
+          s"""SELECT c.qid, c.id, c.rel, MAX(p.cosab) AS maxpen
+             |    FROM cand c
+             |    LEFT JOIN (SELECT pr.qid, pr.a AS id, pr.cosab
+             |               FROM pairs pr JOIN ($selUnion) sel
+             |                 ON pr.qid = sel.qid AND pr.b = sel.id) p
+             |      ON c.qid = p.qid AND c.id = p.id
+             |    WHERE NOT EXISTS (SELECT 1 FROM ($selUnion) s
+             |                      WHERE s.qid = c.qid AND s.id = c.id)
+             |    GROUP BY c.qid, c.id, c.rel""".stripMargin
+      s"""s$k AS MATERIALIZED (
+         |  SELECT qid, id, $k AS pick, mmr_q FROM (
+         |    SELECT qid, id, mmr_q,
+         |      row_number() OVER (PARTITION BY qid ORDER BY mmr_q DESC, id) AS rn
+         |    FROM (
+         |      SELECT qid, id,
+         |        ${graft.ops.NumSql.floorEps("(rel * 0.7 - COALESCE(maxpen, 0.0) * 0.3) * 1000000")} AS mmr_q
+         |      FROM ($penJoin)))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val rounds = (1 to MmrK).map(mkRound).mkString(",\n")
+    val out = (1 to MmrK).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
+       |  FROM base WHERE vec_id % 50 = 0
+       |), scored AS (
+       |  SELECT q.qid, b.vec_id AS id, b.embedding, b.nrm,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS rel
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+       |), cand AS MATERIALIZED (
+       |  SELECT qid, id, rel, embedding, nrm FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rnk
+       |    FROM scored) WHERE rnk <= $MmrPool
+       |), pairs AS MATERIALIZED (
+       |  SELECT x.qid, x.id AS a, y.id AS b,
+       |    ${dot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cosab
+       |  FROM cand x JOIN cand y ON x.qid = y.qid AND x.id <> y.id
+       |),
+       |$rounds
+       |SELECT qid, id AS vec_id, CAST(pick AS INT) AS pick,
+       |  CAST(mmr_q AS BIGINT) AS mmr_q
+       |FROM ($out) ORDER BY qid, pick""".stripMargin
+  }
+
   // ------------------------------------------------------ hybrid retrieval
 
   private val HyMod = 100L  // query cohort: doc_id ≡ 0 (mod HyMod)
@@ -858,5 +999,6 @@ object SimilarityQueries {
     Q("q_sq8_quantize", sq8Quantize, Some(sq8QuantizeSql)),
     Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
     Q("q_ann_mips", annMips, Some(annMipsSql)),
+    Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
   )
 }

@@ -37,6 +37,8 @@ class PlanLintSpec extends SparkSpec {
     "q_hybrid_retrieval",
     // MIPS: q_ann_topk's broadcast query cross + the 1-row max-norm
     "q_ann_mips",
+    // MMR: the pool stage is q_ann_topk's broadcast query cross
+    "q_mmr_rerank",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",
