@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CorpusPipelineQuery, CorpusQueries, DecisionQueries, ExtensionQueries, GeoQueries, GraphQueries, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CorpusPipelineQuery, CorpusQueries, DecisionQueries, ExtensionQueries, GeoQueries, GraphQueries, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RagPipelineQuery, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
       BehaviorQueries.all ++ TemporalQueries.all ++
       TextQueries.all ++ PipelineQueries.all ++ SimilarityQueries.all ++
       GeoQueries.all ++ MultimodalQueries.all ++ GraphQueries.all ++
-      DecisionQueries.all ++ CorpusQueries.all ++ CorpusPipelineQuery.all
+      DecisionQueries.all ++ CorpusQueries.all ++ CorpusPipelineQuery.all ++
+      RagPipelineQuery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -458,25 +458,6 @@ object CorpusQueries {
   /** Words per disjoint passage in [[passageDedup]]. */
   private val PassW = 8
 
-  /** Disjoint `PassW`-word passages of a document, in order:
-    * (passage_index, passage_text). Single-pass JIT kernel for the
-    * same reason as [[graft.text.TextFunctions]]' shingleUdf — the
-    * `transform`+`concat_ws` higher-order formulation is interpreted
-    * (no codegen) and measured ~20× slower on this corpus. */
-  private val passageUdf = udf((text: String) => {
-    val toks = if (text == null) Array.empty[String] else text.split(' ')
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    var s = 0
-    var ix = 0
-    while (s < toks.length) {
-      val e = math.min(s + PassW, toks.length)
-      out += ((ix, toks.slice(s, e).mkString(" ")))
-      ix += 1
-      s += PassW
-    }
-    out.toSeq
-  })
-
   /** Passage-level rewrite dedup (the "deduplicating training data"
     * recipe of Lee et al. 2022, at disjoint-chunk granularity): cut
     * every document into disjoint `PassW`-word passages, keep only
@@ -503,7 +484,8 @@ object CorpusQueries {
   private def passageDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val chunks = docs
-      .select(col("doc_id"), explode(passageUdf(col("text"))).as("c"))
+      .select(col("doc_id"),
+        explode(graft.text.TextFunctions.passages(col("text"), PassW)).as("c"))
       .select(col("doc_id"), col("c._1").cast("long").as("idx"),
         col("c._2").as("passage"))
     val w = Window.partitionBy("passage").orderBy("doc_id", "idx")

@@ -45,6 +45,28 @@ object TextFunctions {
   /** Column form of the distinct word-n-gram shingle kernel. */
   def shingleUdfCol(text: Column, n: Int): Column = shingleUdf(text, lit(n))
 
+  /** Disjoint `w`-word passages of a document, in order, as
+    * (passage_index, passage_text) pairs. Single-pass JIT kernel for
+    * the same reason as [[shingleUdf]] (interpreted higher-order
+    * lambdas are ~20× slower on this corpus). Shared by
+    * `q_passage_dedup` (w=8 rewrite dedup) and the RAG-indexing
+    * flagship's chunker (w=32). */
+  private val passagesUdf = udf((text: String, w: Int) => {
+    val toks = if (text == null) Array.empty[String] else text.split(' ')
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var s = 0
+    var ix = 0
+    while (s < toks.length) {
+      val e = math.min(s + w, toks.length)
+      out += ((ix, toks.slice(s, e).mkString(" ")))
+      ix += 1
+      s += w
+    }
+    out.toSeq
+  })
+
+  def passages(text: Column, w: Int): Column = passagesUdf(text, lit(w))
+
   /** Count of tokens present in a fixed lexicon (duplicates counted). */
   def lexiconCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(words), t)))

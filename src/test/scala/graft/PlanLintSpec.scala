@@ -39,6 +39,9 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_mips",
     // MMR: the pool stage is q_ann_topk's broadcast query cross
     "q_mmr_rerank",
+    // RAG-indexing flagship: per-stage 1-row accounting aggregates
+    // crossed into the 4-row result
+    "q_rag_pipeline",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",
