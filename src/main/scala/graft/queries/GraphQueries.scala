@@ -392,11 +392,110 @@ object GraphQueries {
        |ORDER BY na.n_nationkey""".stripMargin
   }
 
+  // ------------------------------------------------------------------ SSSP
+
+  private val SsspRounds = 6
+
+  /** Directed trade edges with an inverse-intensity cost: pairs that
+    * trade often are "close" (w = 10⁶ div n_trades + 1, exact
+    * integer). Same fact⋈fact extraction as [[tradeEdges]] but
+    * keeping the multiplicity before the collapse. */
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.table(spark, dir, "lineitem")
+    val orders = Tables.table(spark, dir, "orders")
+    val customer = Tables.table(spark, dir, "customer")
+    val supplier = Tables.table(spark, dir, "supplier")
+    lineitem.select("l_orderkey", "l_suppkey")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").cast("long").as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), expr("1000000 div cnt + 1").as("w"))
+      .localCheckpoint(false)
+  }
+
+  /** Weighted single-source shortest paths (supply-chain hop cost
+    * from the lowest-id supplying nation — derived from the edge
+    * set, not hard-coded: at small SF many nations have no
+    * suppliers, and a sourceless SSSP is vacuous) by
+    * Bellman-Ford-style iterative
+    * relaxation — the third Pregel-plan exemplar next to PageRank
+    * (fixed-point numeric) and WCC (fixed-point labels): each round
+    * is ONE join of the current distance table with the edge list
+    * (messages) and ONE min-aggregate (combiner), distances exact
+    * integers throughout. [[SsspRounds]] rounds bound the longest
+    * useful path; SsspSpec proves convergence (the result equals the
+    * exact driver-side shortest paths, so more rounds change
+    * nothing).
+    *
+    * Scale anatomy: per round, the distance table (≤\|V\| rows)
+    * joins edges on src — at web scale a shuffle join co-partitioned
+    * with the edge list's layout; messages combine map-side before
+    * the min. Per-round lazy checkpoint + materialization truncates
+    * the iterative lineage (the wccStar rule: a lazily-checkpointed
+    * frame must be materialized before two consumers race on it). */
+  private def sssp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = weightedEdges(spark, dir)
+    // bounded collect: ONE scalar (the q_ann codebook pattern)
+    val source = edges.agg(min("src")).as[Long].head()
+    var dist: DataFrame = spark.range(1)
+      .select(lit(source).as("n"), lit(0L).as("dist"))
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = dist.join(edges, col("n") === col("src"))
+        .select(col("dst").as("n"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("n").agg(min("dist").as("dist"))
+        .localCheckpoint(false)
+      dist.count() // materialize: next round reads it twice
+    }
+    Tables.table(spark, dir, "nation")
+      .join(broadcast(dist), col("n_nationkey").cast("long") === col("n"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy("n_nationkey")
+  }
+
+  private val ssspSql = {
+    val rounds = (1 to SsspRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT n, MIN(dd) AS dist FROM (
+         |    SELECT n, dist AS dd FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS n, d.dist + e.w AS dd
+         |    FROM d${k - 1} d JOIN e ON d.n = e.src)
+         |  GROUP BY n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT src, dst, 1000000 // cnt + 1 AS w FROM (
+       |    SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+       |      CAST(c.c_nationkey AS BIGINT) AS dst, COUNT(*) AS cnt
+       |    FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN customer c ON o.o_custkey = c.c_custkey
+       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |    WHERE s.s_nationkey <> c.c_nationkey
+       |    GROUP BY 1, 2)),
+       |d0(n, dist) AS (SELECT MIN(src), CAST(0 AS BIGINT) FROM e),
+       |$rounds
+       |SELECT na.n_nationkey, na.n_name, COALESCE(d.dist, -1) AS dist
+       |FROM nation na LEFT JOIN d$SsspRounds d
+       |  ON CAST(na.n_nationkey AS BIGINT) = d.n
+       |ORDER BY na.n_nationkey""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_pagerank", pagerankQ, Some(pagerankSql)),
     Q("q_label_prop", labelPropagationQ, Some(labelPropagationSql)),
     Q("q_pagerank_scale", pagerankScaleQ, Some(pagerankSql)),
     Q("q_triangle_count", triangleCount, Some(triangleCountSql)),
     Q("q_triangle_degree", triangleDegree, Some(triangleDegreeSql)),
+    Q("q_sssp", sssp, Some(ssspSql)),
   )
 }
