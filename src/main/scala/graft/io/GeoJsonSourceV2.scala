@@ -90,11 +90,50 @@ class GeoJsonTable(rawPaths: Seq[String], tableSchema: StructType)
 
 class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** PARTIAL aggregate pushdown (`supportCompletePushDown` stays
+    * false — the default): ungrouped COUNT(*)/MIN/MAX fold to ONE row
+    * per FILE inside the parser, so the exchange feeding the final
+    * aggregate carries |files| rows instead of |features| — and a
+    * COUNT(*) or property-only MIN/MAX never decodes a single
+    * coordinate. Declined whenever grouping columns exist, any filter
+    * was pushed (this source returns every filter as a residual, so
+    * Spark's rule already bails — the guard here is belt and braces),
+    * or an aggregate targets the geometry / a non-atomic column:
+    * declining is always safe, Spark falls back to the row scan. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty || pushed.nonEmpty ||
+      aggregation.aggregateExpressions.isEmpty) return false
+    val ok = aggregation.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => aggField(m.column).isDefined
+      case m: Max => aggField(m.column).isDefined
+      case _ => false
+    }
+    if (ok) pushedAgg = Some(aggregation)
+    ok
+  }
+
+  private def aggField(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case ref: NamedReference if ref.fieldNames.length == 1 =>
+      full.fields.find(f => f.name == ref.fieldNames.head &&
+        f.name != GeoJsonSourceV2.GeometryField &&
+        (f.dataType match {
+          case LongType | IntegerType | DoubleType | StringType => true
+          case _ => false
+        }))
+    case _ => None
+  }
   /** Property predicates push into the parser. The reader's evaluation
     * is CONSERVATIVE (a row is skipped only when the predicate is
     * definitely false under 3-valued logic), so every filter is also
@@ -106,13 +145,136 @@ class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
     filters // all residual
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
-  override def build(): Scan = new GeoJsonScan(paths, full, required, pushed,
+  override def build(): Scan = {
     // capture the DRIVER's session Hadoop conf here (build() runs on the
     // driver): executors must see session-level spark.hadoop.* settings
     // (s3a credentials, endpoints) that a bare `new Configuration()`
     // would silently drop — same mechanism as the built-in file sources
-    new SerializableConfiguration(
-      SparkSession.active.sessionState.newHadoopConf()))
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    pushedAgg match {
+      case Some(agg) => new GeoJsonAggScan(paths, full, agg, conf)
+      case None => new GeoJsonScan(paths, full, required, pushed, conf)
+    }
+  }
+}
+
+/** Scan for a pushed ungrouped aggregate: one output row per file,
+  * schema = the aggregate buffer columns in expression order (Spark's
+  * partial-pushdown contract is positional). */
+class GeoJsonAggScan(paths: Seq[String], full: StructType,
+                     agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+                     conf: SerializableConfiguration)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames.head
+  private def fieldOf(name: String): StructField =
+    full.fields.find(_.name == name).get
+
+  val aggSchema: StructType = StructType(agg.aggregateExpressions.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case m: Min =>
+      val f = fieldOf(refName(m.column)); StructField(s"min(${f.name})", f.dataType)
+    case m: Max =>
+      val f = fieldOf(refName(m.column)); StructField(s"max(${f.name})", f.dataType)
+    case other => throw new IllegalStateException(s"unpushable aggregate $other")
+  })
+
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    paths.map(p => GeoJsonInputPartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoJsonAggReaderFactory(full, agg, conf)
+  override def description(): String =
+    s"GeoJsonScan files=${paths.length} " +
+      s"PushedAggregates: [${agg.aggregateExpressions.mkString(", ")}]"
+}
+
+class GeoJsonAggReaderFactory(full: StructType,
+                              agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+                              conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoJsonAggPartitionReader(
+      partition.asInstanceOf[GeoJsonInputPartition].path, full, agg, conf)
+}
+
+/** Folds one file to one aggregate row by driving the ordinary row
+  * reader over ONLY the referenced property columns (geometry is
+  * never in that set, so no coordinate is ever decoded) and
+  * min/max/count-folding in place. Empty file → count 0, min/max
+  * NULL — exactly the per-partition partial state Spark's final
+  * aggregate expects. */
+class GeoJsonAggPartitionReader(path: String, full: StructType,
+                                agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+                                conf: SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames.head
+
+  private val needed: Seq[String] = agg.aggregateExpressions.toSeq.collect {
+    case m: Min => refName(m.column)
+    case m: Max => refName(m.column)
+  }.distinct
+  private val neededSchema =
+    StructType(needed.map(n => full.fields.find(_.name == n).get))
+
+  private def cmp(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new IllegalStateException(s"unorderable pushed-agg type $other")
+  }
+
+  private var done = false
+  private var result: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    val rows = new GeoJsonPartitionReader(path, full, neededSchema,
+      Array.empty, conf)
+    var count = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    try {
+      while (rows.next()) {
+        val row = rows.get()
+        count += 1
+        var i = 0
+        while (i < needed.length) {
+          val dt = neededSchema.fields(i).dataType
+          val v = row.get(i, dt)
+          if (v != null) {
+            val n = needed(i)
+            if (!mins.contains(n) || cmp(dt, v, mins(n)) < 0) mins(n) = v
+            if (!maxs.contains(n) || cmp(dt, v, maxs(n)) > 0) maxs(n) = v
+          }
+          i += 1
+        }
+      }
+    } finally rows.close()
+    val out = new GenericInternalRow(agg.aggregateExpressions.length)
+    agg.aggregateExpressions.zipWithIndex.foreach {
+      case (_: CountStar, i) => out.update(i, count)
+      case (m: Min, i) => out.update(i, mins.getOrElse(refName(m.column), null))
+      case (m: Max, i) => out.update(i, maxs.getOrElse(refName(m.column), null))
+      case (other, _) => throw new IllegalStateException(s"unpushable $other")
+    }
+    result = out
+    done = true
+    true
+  }
+
+  override def get(): InternalRow = result
+  override def close(): Unit = ()
 }
 
 class GeoJsonScan(paths: Seq[String], full: StructType,

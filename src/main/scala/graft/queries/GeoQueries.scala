@@ -415,6 +415,36 @@ object GeoQueries {
       |FROM ranked WHERE rk = 1
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Aggregate pushdown through the DSv2 connector (round 10): write
+    * the squares layer, then run ungrouped COUNT(*)/MIN/MAX through
+    * `spark.read.format("geojson")` — the ScanBuilder's
+    * `SupportsPushDownAggregates` folds each FILE to one partial row
+    * inside the parser (no per-feature rows cross the source
+    * boundary, no coordinate is ever decoded), and Spark's final
+    * aggregate merges |files| rows. GeoJsonSourceV2Spec pins the plan
+    * shape (`PushedAggregates` present; grouped/filtered aggregates
+    * decline); this query pins the VALUES against DuckDB. */
+  private def geojsonAggPush(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_geojson_agg_push.json"
+    graft.io.GeoJsonIO.writeFeatureCollection(
+      squares(spark, dir).select(col("c_custkey"), col("c_nationkey"), col("geometry")),
+      path)
+    spark.read.format("geojson").load(path).agg(
+      count(lit(1)).as("n_features"),
+      min(col("c_custkey")).cast("long").as("min_key"),
+      max(col("c_custkey")).cast("long").as("max_key"),
+      min(col("c_nationkey")).cast("long").as("min_nat"),
+      max(col("c_nationkey")).cast("long").as("max_nat"))
+  }
+
+  private val geojsonAggPushSql =
+    """SELECT COUNT(*) AS n_features,
+      |  CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+      |  CAST(MIN(c_nationkey) AS BIGINT) AS min_nat,
+      |  CAST(MAX(c_nationkey) AS BIGINT) AS max_nat
+      |FROM customer""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_spatial_knn", spatialKnn, Some(spatialKnnSql)),
     Q("q_dissolve", dissolve, None),
@@ -427,5 +457,6 @@ object GeoQueries {
     Q("q_write_geojson_lines", writeGeojsonLines, Some(writeGeojsonSql)),
     Q("q_write_geojson_v2", writeGeojsonV2, Some(writeGeojsonSql)),
     Q("q_spatial_join", spatialJoin, Some(spatialJoinSql)),
+    Q("q_geojson_agg_push", geojsonAggPush, Some(geojsonAggPushSql)),
   )
 }

@@ -320,4 +320,42 @@ class GeoJsonSourceV2Spec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 2)
     assert(df.select("id").as[Long].collect().sorted === Seq(1L, 2L, 3L))
   }
+
+  test("aggregate pushdown: COUNT/MIN/MAX fold per file inside the parser") {
+    val dir = s"$tmp/geojson_v2_aggpush"
+    new java.io.File(dir).mkdirs()
+    write(s"$dir/a.json", fixture)
+    write(s"$dir/b.json",
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":7,"name":"z","score":0.5},
+        | "geometry":{"type":"Point","coordinates":[9,9]}}
+        |]}""".stripMargin)
+    val df = spark.read.format("geojson").load(dir)
+    val agg = df.agg(count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx"), max("name").as("mxn"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"), plan)
+    val row = agg.collect().head
+    assert(row.getLong(0) === 4L)
+    assert(row.getLong(1) === 1L && row.getLong(2) === 7L)
+    assert(row.getString(3) === "z")
+    // empty file contributes (0, null, null) partial state harmlessly
+    write(s"$dir/c.json", """{"type":"FeatureCollection","features":[]}""")
+    val agg2 = spark.read.format("geojson").load(dir)
+      .agg(count(lit(1)), min("score"), max("score"))
+    val r2 = agg2.collect().head
+    assert(r2.getLong(0) === 4L && r2.getDouble(1) === 0.5 && r2.getDouble(2) === 3.0)
+    // grouped aggregates DECLINE pushdown and stay correct
+    val grouped = spark.read.format("geojson").load(dir)
+      .groupBy("name").agg(count(lit(1)).as("n"))
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(!gplan.contains("PushedAggregates"), gplan)
+    assert(grouped.where(col("name") === "z").select("n").as[Long].head() === 1L)
+    // a filtered aggregate also declines (filters are residual here)
+    val filtered = spark.read.format("geojson").load(dir)
+      .where(col("id") > 1).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    assert(filtered.collect().head.getLong(0) === 3L)
+  }
 }
