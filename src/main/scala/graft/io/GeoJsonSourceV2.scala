@@ -90,13 +90,25 @@ class GeoJsonTable(rawPaths: Seq[String], tableSchema: StructType)
 
 class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 
   private var required: StructType = full
   private var pushed: Array[sources.Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var limit: Int = Int.MaxValue
+
+  /** PARTIAL limit pushdown (`isPartiallyPushed` stays true): each
+    * file stops PARSING after `limit` surviving features — a
+    * `df.limit(5)` over a million-feature layer parses five
+    * geometries per file, not a million — and Spark's own Limit
+    * still runs on top (per-file limit × files rows reach it).
+    * Spark only offers the pushdown when no residual Filter sits
+    * between Limit and the scan, so pushed-filter interaction cannot
+    * arise (this source keeps every filter as a residual). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -154,7 +166,7 @@ class GeoJsonScanBuilder(paths: Seq[String], full: StructType)
       SparkSession.active.sessionState.newHadoopConf())
     pushedAgg match {
       case Some(agg) => new GeoJsonAggScan(paths, full, agg, conf)
-      case None => new GeoJsonScan(paths, full, required, pushed, conf)
+      case None => new GeoJsonScan(paths, full, required, pushed, conf, limit)
     }
   }
 }
@@ -279,17 +291,19 @@ class GeoJsonAggPartitionReader(path: String, full: StructType,
 
 class GeoJsonScan(paths: Seq[String], full: StructType,
                   required: StructType, pushed: Array[sources.Filter],
-                  conf: SerializableConfiguration)
+                  conf: SerializableConfiguration,
+                  limit: Int = Int.MaxValue)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     paths.map(p => GeoJsonInputPartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoJsonReaderFactory(full, required, pushed, conf)
+    new GeoJsonReaderFactory(full, required, pushed, conf, limit)
   override def description(): String =
     s"GeoJsonScan files=${paths.length} ReadSchema: ${required.simpleString}" +
-      s" PushedFilters: [${pushed.mkString(", ")}]"
+      s" PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit != Int.MaxValue) s" PushedLimit: $limit" else "")
 
   /** On-disk byte size of the matched files (driver-side listing, no
     * data read). Without this a DSv2 relation falls back to
@@ -317,12 +331,13 @@ case class GeoJsonInputPartition(path: String) extends InputPartition
 
 class GeoJsonReaderFactory(full: StructType, required: StructType,
                            pushed: Array[sources.Filter],
-                           conf: SerializableConfiguration)
+                           conf: SerializableConfiguration,
+                           limit: Int = Int.MaxValue)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoJsonPartitionReader(
       partition.asInstanceOf[GeoJsonInputPartition].path, full, required,
-      pushed, conf)
+      pushed, conf, limit)
 }
 
 /** One task = one FeatureCollection file. The document is parsed once;
@@ -333,8 +348,10 @@ class GeoJsonReaderFactory(full: StructType, required: StructType,
 class GeoJsonPartitionReader(path: String, full: StructType,
                              required: StructType,
                              pushed: Array[sources.Filter],
-                             conf: SerializableConfiguration)
+                             conf: SerializableConfiguration,
+                             limit: Int = Int.MaxValue)
     extends PartitionReader[InternalRow] {
+  private var emitted = 0
 
   // executor-side: the serialized DRIVER conf, so session-level
   // spark.hadoop.* settings apply here exactly as they did during
@@ -364,6 +381,9 @@ class GeoJsonPartitionReader(path: String, full: StructType,
     }
 
   override def next(): Boolean = {
+    // pushed limit: stop PARSING once this file has yielded its quota
+    // (Spark's own Limit still runs on top — partial-push contract)
+    if (emitted >= limit) return false
     while (features.hasNext) {
       val f = features.next()
       // pushed predicates run BEFORE geometry decode: a skipped feature
@@ -385,6 +405,7 @@ class GeoJsonPartitionReader(path: String, full: StructType,
           i += 1
         }
         current = row
+        emitted += 1
         return true
       }
     }

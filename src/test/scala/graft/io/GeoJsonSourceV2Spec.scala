@@ -358,4 +358,32 @@ class GeoJsonSourceV2Spec extends SparkSpec {
       .contains("PushedAggregates"))
     assert(filtered.collect().head.getLong(0) === 3L)
   }
+
+  test("limit pushdown: parsing stops at the per-file quota") {
+    val p = s"$tmp/geojson_v2_limit.json"
+    write(p, fixture)
+    val limited = spark.read.format("geojson").load(p).select("id").limit(2)
+    val plan = limited.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2"), plan)
+    assert(limited.count() === 2L)
+    // correctness under the pushdown: a limit larger than the file
+    // yields everything, and the 3rd feature's bad geometry is never
+    // parsed when limit 2 stops before it
+    val bad = s"$tmp/geojson_v2_limit_bad.json"
+    write(bad,
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":1},
+        | "geometry":{"type":"Point","coordinates":[1,1]}},
+        |{"type":"Feature","properties":{"id":2},
+        | "geometry":{"type":"Point","coordinates":[2,2]}},
+        |{"type":"Feature","properties":{"id":3},
+        | "geometry":{"type":"Nonsense","coordinates":[]}}
+        |]}""".stripMargin)
+    val two = spark.read.format("geojson").load(bad)
+      .select("id", "geometry").limit(2)
+    assert(two.collect().length === 2) // bad geometry past the quota: unparsed
+    intercept[Exception] {
+      spark.read.format("geojson").load(bad).select("id", "geometry").collect()
+    }
+  }
 }
