@@ -399,6 +399,65 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ----------------------------------------------------------- MAD anomaly
+
+  /** Robust anomaly detection by modified z-score (Iglewicz–Hoaglin):
+    * per event type, median and MAD of the µ-quantized value, and the
+    * count of points with 0.6745·|v−med|/MAD > 3.5 — evaluated as the
+    * EXACT integer inequality 6745·|v−med| > 35000·MAD, so the flag
+    * is immune to FP division on both engines. The mean/σ z-score
+    * (`q_rolling_zscore`'s family) breaks down when outliers inflate
+    * σ; median/MAD has a 50% breakdown point. MAD = 0 (a constant
+    * majority) flags every non-median point — the standard caveat,
+    * inherited deliberately.
+    *
+    * Scale shape: same two-broadcast-pass recipe as `q_winsorize` —
+    * medians reduce to \|event_type\| rows and broadcast back, the
+    * deviation pass derives MAD the same way, the final flag pass is
+    * a projection + map-side count. Exact percentile is the oracle
+    * convention; at 100 TB the drop-in is `q_approx_quantiles`'
+    * mergeable sketch, same plan. */
+  private def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), Num.floorEps(col("value") * 1e6).as("v"))
+    val med = base.groupBy("event_type")
+      .agg(Num.floorEps(percentile(col("v"), lit(0.5))).as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("d", abs(col("v") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(Num.floorEps(percentile(col("d"), lit(0.5))).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("med").as("med_micro"),
+        min("mad").as("mad_micro"),
+        sum(when(lit(6745L) * col("d") > lit(35000L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("d").as("max_absdev"))
+      .orderBy("event_type")
+  }
+
+  private val anomalyMadSql = {
+    val v = NumSql.floorEps("value * 1000000.0")
+    s"""WITH base AS (
+       |  SELECT event_type, $v AS v FROM events WHERE value IS NOT NULL),
+       |med AS (
+       |  SELECT event_type, ${NumSql.floorEps("quantile_cont(v, 0.5)")} AS med
+       |  FROM base GROUP BY event_type),
+       |dev AS (
+       |  SELECT b.event_type, b.v, m.med, ABS(b.v - m.med) AS d
+       |  FROM base b JOIN med m USING (event_type)),
+       |mad AS (
+       |  SELECT event_type, ${NumSql.floorEps("quantile_cont(d, 0.5)")} AS mad
+       |  FROM dev GROUP BY event_type)
+       |SELECT d.event_type, COUNT(*) AS n,
+       |  MIN(d.med) AS med_micro, MIN(m.mad) AS mad_micro,
+       |  CAST(SUM(CASE WHEN 6745 * d.d > 35000 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  MAX(d.d) AS max_absdev
+       |FROM dev d JOIN mad m USING (event_type)
+       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_window_nav", windowNav, Some(windowNavSql)),
@@ -407,5 +466,6 @@ object ProfilingQueries {
     Q("q_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     Q("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
     Q("q_dp_count", dpCount, Some(dpCountSql)),
+    Q("q_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
   )
 }

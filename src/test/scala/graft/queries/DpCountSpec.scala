@@ -36,4 +36,36 @@ class DpCountSpec extends SparkSpec {
     // clamp: never negative
     assert(got.forall(_._5 >= 0))
   }
+
+  test("q_anomaly_mad equals the brute modified-z recompute") {
+    val got = SparkEntry.queries("q_anomaly_mad")(spark, sf0001)
+      .select("event_type", "n", "med_micro", "mad_micro", "n_outliers", "max_absdev")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1)
+
+    val vals = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("event_type"), graft.ops.Num.floorEps(col("value") * 1e6))
+      .as[(String, Long)].collect().toSeq.groupBy(_._1)
+
+    def medianCont(xs: Seq[Long]): Long = { // quantile_cont(0.5) then floorEps
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      graft.ops.Num.floorEpsLong(lo + (hi - lo) * (pos - pos.toInt))
+    }
+    val brute = vals.toSeq.sortBy(_._1).map { case (t, rows) =>
+      val xs = rows.map(_._2)
+      val med = medianCont(xs)
+      val ds = xs.map(v => math.abs(v - med))
+      val mad = medianCont(ds)
+      (t, xs.size.toLong, med, mad,
+        ds.count(d => 6745L * d > 35000L * mad).toLong, ds.max)
+    }
+    assert(got === brute)
+    // the detector actually fires somewhere but never flags a majority
+    assert(got.exists(_._5 > 0))
+    got.foreach { r => assert(r._5 * 2 < r._2, s"${r._1} flags a majority") }
+  }
 }
