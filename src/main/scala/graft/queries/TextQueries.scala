@@ -1464,6 +1464,68 @@ object TextQueries {
        |FROM dwords GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Tokenizer FERTILITY per language — the multilingual-equity
+    * metric a tokenizer change is judged by (Ács 2019; languages the
+    * merge table never saw pay more tokens per word, i.e. more
+    * compute and less effective context): train the BPE merge table
+    * in-engine ([[graft.text.Bpe.train]], the `q_bpe_pipeline`
+    * recurrence verbatim), encode every word with it, and report per
+    * lang tokens-per-word and chars-per-token as exact integer
+    * permille ratios (`div`).
+    *
+    * Scale shape: training is the audited \|vocab\|-per-round plan;
+    * scoring is ONE corpus scan with the learned table folded in as
+    * regex literals, reduced map-side to \|langs\| rows. (This
+    * fixture's langs share one latin vocabulary, so the per-lang
+    * gaps are small — on a real multilingual corpus the unserved
+    * scripts' fertility blows up, which is the point of the metric;
+    * the spec pins the arithmetic and the merges-fired contract.) */
+  private def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+    val merges = graft.text.Bpe.train(words, BpeTrainK)
+    require(merges.length == BpeTrainK,
+      s"corpus yields only ${merges.length} of $BpeTrainK merge rounds")
+    def encode(c: Column) =
+      merges.foldLeft(regexp_replace(c, "(.)", " $1 ")) {
+        case (acc, (pr, _)) =>
+          val Array(a, b) = pr.split(" ")
+          regexp_replace(acc, s" $a  $b ", s" $a$b ")
+      }
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .select(col("lang"), length(col("word")).cast("long").as("wc"),
+        size(split(trim(encode(col("word"))), "  ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"), sum("wc").as("sum_chars"),
+        sum("n_tok").as("sum_tok"))
+      .select(col("lang"), col("n_words"), col("sum_chars"), col("sum_tok"),
+        expr("(sum_tok * 1000) div n_words").as("fert_milli"),
+        expr("(sum_chars * 1000) div sum_tok").as("chars_per_tok_milli"))
+      .orderBy("lang")
+  }
+
+  private lazy val tokenizerFertilitySql = {
+    def chain(e: String): String =
+      (1 to BpeTrainK).foldLeft(s"regexp_replace($e, '(.)', ' \\1 ', 'g')") { (acc, k) =>
+        s"""regexp_replace($acc,
+           |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$k) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$k) || ' ',
+           |    ' ' || (SELECT replace(pr, ' ', '') FROM m$k) || ' ', 'g')""".stripMargin
+      }
+    s"""WITH $bpeTrainCtes,
+       |dwords AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+       |), scored AS (
+       |  SELECT lang, CAST(len(word) AS BIGINT) AS wc,
+       |    CAST(len(string_split(trim(${chain("word")}), '  ')) AS BIGINT) AS n_tok
+       |  FROM dwords)
+       |SELECT lang, COUNT(*) AS n_words,
+       |  CAST(SUM(wc) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |  CAST((SUM(n_tok) * 1000) // COUNT(*) AS BIGINT) AS fert_milli,
+       |  CAST((SUM(wc) * 1000) // SUM(n_tok) AS BIGINT) AS chars_per_tok_milli
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Unicode text normalization — the canonicalization pass that MUST
     * precede any hashing/dedup step: NFC composition (decomposed
     * `e`+U+0301 and composed `é` are the SAME text but hash apart),
@@ -1682,6 +1744,7 @@ object TextQueries {
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
+    Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_perplexity", perplexity, Some(perplexitySql)),

@@ -76,4 +76,27 @@ class BpeTrainSpec extends SparkSpec {
     val ns = Bpe.train(words, 8).map(_._2)
     assert(ns.zip(ns.drop(1)).forall { case (a, b) => a >= b })
   }
+
+  test("q_tokenizer_fertility: merges fired everywhere; ratios self-consistent") {
+    val got = graft.SparkEntry.queries("q_tokenizer_fertility")(spark, sf0001)
+      .select("lang", "n_words", "sum_chars", "sum_tok", "fert_milli",
+        "chars_per_tok_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+
+    assert(got.map(_._1).sorted === Seq("de", "en", "es", "fr", "zh"))
+    got.foreach { case (l, nw, sc, st, fert, cpt) =>
+      // merges fired: better than one-token-per-char, worse than
+      // one-token-per-word
+      assert(cpt > 1000, s"$l: merges never fired (chars/tok <= 1)")
+      assert(st > nw, s"$l: fewer tokens than words is impossible here")
+      // the permille ratios are exactly the integer div of the sums
+      assert(fert === st * 1000 / nw)
+      assert(cpt === sc * 1000 / st)
+    }
+    // cross-check the corpus-wide token total against q_bpe_pipeline
+    val totPipeline = graft.SparkEntry.queries("q_bpe_pipeline")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_tok_bpe"))
+      .as[Long].head()
+    assert(got.map(_._4).sum === totPipeline)
+  }
 }
