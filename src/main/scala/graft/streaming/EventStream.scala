@@ -335,6 +335,34 @@ object EventStream {
         ()
       }
 
+  // ---- windowed heavy hitters ----
+
+  /** CMS cells PER event-time WINDOW with watermark eviction — the
+    * streaming frequent-items monitor over an unbounded token stream
+    * ([[cmsCells]] is the run-forever global twin; this one answers
+    * "what was hot BETWEEN 9 and 10" and lets the engine drop a
+    * window's d·w cells once the watermark passes its end, so state
+    * is O(d·w · open-windows) instead of growing with history).
+    * Append output: a window's cells emit exactly once, when it
+    * closes — the contract that lets a downstream sink treat each
+    * window's sketch as immutable. The per-window cell values are
+    * the same algebraic counts as the batch build, so a closed
+    * window's sketch is bit-equal to a from-scratch batch CMS over
+    * that window's rows (StreamingSpec proves it). */
+  def cmsWindowed(toks: DataFrame,
+                  watermarkDelay: String = "10 minutes",
+                  windowLen: String = "1 hour",
+                  bases: Seq[Long] = Seq(131L, 137L, 139L),
+                  width: Long = 64L): DataFrame =
+    bases.zipWithIndex.map { case (b, d) =>
+      toks.select(col("ts"), lit(d).as("d"),
+        pmod(graft.functions.F.polyHash(col("tok"), b), lit(width)).as("w"))
+    }.reduce(_ unionByName _)
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen).as("win"), col("d"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("win.start").as("w_start"), col("d"), col("w"), col("cnt"))
+
   // ---- streaming per-group priority reservoir ----
 
   case class DocIn(doc_id: Long, lang: String, n_chars: Long, prio_q: Long)

@@ -46,6 +46,46 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n") == 1)
   }
 
+  test("windowed CMS: a closed window's cells equal the batch sketch of its rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val toks = in.toDF().toDF("ts", "tok")
+    val q = EventStream.cmsWindowed(toks, "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("cmsw")
+      .outputMode("append").start()
+    try {
+      // window [0,10): a hot token + noise; [10,20): different mix
+      val w1 = Seq.fill(5)((ts(2), "hot")) ++ Seq((ts(3), "a"), (ts(7), "b"))
+      val w2 = Seq((ts(12), "hot"), (ts(13), "c"))
+      in.addData(w1 ++ w2: _*)
+      q.processAllAvailable()
+      in.addData((ts(40), "later")) // watermark closes [0,10) and [10,20)
+      q.processAllAvailable()
+      val streamed = s.table("cmsw")
+        .select("w_start", "d", "w", "cnt")
+        .as[(Timestamp, Int, Long, Long)].collect().toSet
+
+      // batch twin per closed window
+      def batchCells(rows: Seq[(Timestamp, String)], start: Timestamp) =
+        EventStream.cmsCells(rows.map(_._2).toDF("tok"))
+          .as[(Int, Long, Long)].collect().toSet
+          .map((t: (Int, Long, Long)) => (start, t._1, t._2, t._3))
+      val expected = batchCells(w1, ts(0)) ++ batchCells(w2, ts(10))
+      assert(streamed.filter(r => r._1 == ts(0) || r._1 == ts(10)) === expected)
+      // the CMS point-estimate contract survives the windowing: the
+      // hot token's min-over-rows count in [0,10) is exactly 5
+      val hotEst = (0 until 3).map { d =>
+        val w = Math.floorMod(graft.functions.Poly.hashBytes(
+          "hot".getBytes("UTF-8"), Seq(131L, 137L, 139L)(d)), 64L)
+        streamed.find(r => r._1 == ts(0) && r._2 == d && r._3 == w).map(_._4)
+          .getOrElse(0L)
+      }.min
+      assert(hotEst === 5L)
+    } finally q.stop()
+  }
+
   test("streaming CMS cells equal the batch sketch over the same prefix") {
     val s = spark
     import s.implicits._
