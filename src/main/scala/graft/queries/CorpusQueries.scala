@@ -3,7 +3,7 @@ package graft.queries
 import graft.functions.F
 import graft.ops.{Num, NumSql}
 import graft.tables.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -405,6 +405,106 @@ object CorpusQueries {
        |FROM lab ORDER BY src_a, src_b""".stripMargin
   }
 
+  // --------------------------------------------------------- sketch rollup
+
+  /** KMV sketch ROLLUP — distinct-bigram cardinalities up a
+    * (lang, source) → lang → global hierarchy computed by MERGING
+    * SKETCHES, never rescanning rows: sketch(∪ cells) is the K
+    * smallest of the union of the cells' kept sets (any of the
+    * union's K minima ranks ≤ K inside its own cell, so nothing is
+    * ever lost — the property that makes KMV/HLL the OLAP-cube
+    * aggregate at 100 TB: one corpus scan builds the finest cells,
+    * every coarser total is array arithmetic on KB-sized sketch
+    * rows). The global tier re-merges the LANG-tier merges,
+    * demonstrating associativity. Exact distincts at each tier are
+    * kept only to hash-verify the estimates (the `q_kmv_distinct`
+    * convention); err_pct is part of the hashed result.
+    *
+    * Scale shape: one scan + one (lang, source)-keyed sketch
+    * aggregate (the native KmvSketch TypedImperativeAggregate,
+    * map-side merging); both rollup tiers group ≤\|cells\| KB rows.
+    * The exact tier is the thing the sketch replaces in production. */
+  private def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
+    def estOf(ksCol: Column): Seq[Column] = {
+      val kept = slice(array_sort(array_distinct(ksCol)), 1, KmvK)
+      val kth = element_at(kept, size(kept))
+      Seq(when(size(kept) < KmvK, size(kept).cast("long"))
+        .otherwise(Num.floorEps(
+          lit(estConst) / greatest(kth, lit(1L)).cast("double"))).as("est"),
+        kept.as("kept"))
+    }
+    val base = graft.ops.SideCache.persist(
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          explode(F.shingleHashes(col("text"), 2)).as("h"))
+        .distinct())
+    val cells = graft.ops.SideCache.persist(
+      base.groupBy("lang", "source")
+        .agg(F.kmvSketch(col("h"), KmvK).as("sk"))
+        .select(col("lang"), col("source"), col("sk.ks").as("ks")))
+    val langMerged = graft.ops.SideCache.persist(
+      cells.groupBy("lang").agg(flatten(collect_list(col("ks"))).as("ksu"))
+        .select(Seq(col("lang")) ++ estOf(col("ksu")): _*))
+    val globalMerged = langMerged
+      .agg(flatten(collect_list(col("kept"))).as("ksu"))
+      .select(estOf(col("ksu")): _*)
+    val exactLang = base.groupBy("lang").agg(countDistinct("h").as("n_exact"))
+    val exactGlobal = base.agg(countDistinct("h").as("n_exact"))
+    val langRows = exactLang.join(langMerged, Seq("lang"))
+      .select(lit("lang").as("level"), col("lang").as("key"),
+        col("n_exact"), col("est"))
+    val globalRow = exactGlobal.crossJoin(broadcast(globalMerged))
+      .select(lit("all").as("level"), lit("*").as("key"),
+        col("n_exact"), col("est"))
+    langRows.union(globalRow)
+      .withColumn("err_pct", Num.floorEps(
+        abs(col("est") - col("n_exact")) * 100.0 / col("n_exact")))
+      .orderBy("level", "key")
+  }
+
+  private val sketchRollupSql = {
+    val estConst = (KmvK - 1).toDouble * OracleSqlFrag.Mod
+    s"""WITH toks AS (
+       |  SELECT lang, source, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 2
+       |      THEN list_transform(generate_series(1, len(t)-1),
+       |        i -> t[i] || ' ' || t[i+1])
+       |      ELSE CAST([] AS VARCHAR[]) END,
+       |    shs -> ${OracleSqlFrag.poly("shs")}))) AS h
+       |  FROM (SELECT lang, source, string_split(text, ' ') AS t FROM documents)),
+       |d AS (SELECT DISTINCT lang, h FROM toks),
+       |rkl AS (
+       |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+       |  FROM d),
+       |stl AS (
+       |  SELECT lang, COUNT(*) AS n_exact,
+       |    COUNT(CASE WHEN rnk <= $KmvK THEN 1 END) AS n_kept,
+       |    MAX(CASE WHEN rnk <= $KmvK THEN h END) AS kth
+       |  FROM rkl GROUP BY lang),
+       |lv AS (
+       |  SELECT 'lang' AS level, lang AS key, CAST(n_exact AS BIGINT) AS n_exact,
+       |    CASE WHEN n_kept < $KmvK THEN n_kept
+       |      ELSE ${NumSql.floorEps(s"$estConst / greatest(kth, 1)")} END AS est
+       |  FROM stl),
+       |dg AS (SELECT DISTINCT h FROM toks),
+       |rkg AS (SELECT h, row_number() OVER (ORDER BY h) AS rnk FROM dg),
+       |stg AS (
+       |  SELECT COUNT(*) AS n_exact,
+       |    COUNT(CASE WHEN rnk <= $KmvK THEN 1 END) AS n_kept,
+       |    MAX(CASE WHEN rnk <= $KmvK THEN h END) AS kth
+       |  FROM rkg),
+       |gv AS (
+       |  SELECT 'all' AS level, '*' AS key, CAST(n_exact AS BIGINT) AS n_exact,
+       |    CASE WHEN n_kept < $KmvK THEN n_kept
+       |      ELSE ${NumSql.floorEps(s"$estConst / greatest(kth, 1)")} END AS est
+       |  FROM stg)
+       |SELECT level, key, n_exact, CAST(est AS BIGINT) AS est,
+       |  ${NumSql.floorEps("abs(est - n_exact) * 100.0 / n_exact")} AS err_pct
+       |FROM (SELECT * FROM lv UNION ALL SELECT * FROM gv)
+       |ORDER BY level, key""".stripMargin
+  }
+
   // ------------------------------------------------------------- winsorize
 
   /** Winsorized (percentile-clamped) robust aggregation: per event
@@ -539,5 +639,6 @@ object CorpusQueries {
     Q("q_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     Q("q_winsorize", winsorize, Some(winsorizeSql)),
     Q("q_passage_dedup", passageDedup, Some(passageDedupSql)),
+    Q("q_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
   )
 }

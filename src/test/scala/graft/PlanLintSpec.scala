@@ -42,6 +42,9 @@ class PlanLintSpec extends SparkSpec {
     // RAG-indexing flagship: per-stage 1-row accounting aggregates
     // crossed into the 4-row result
     "q_rag_pipeline",
+    // sketch rollup: the 1-row global-tier sketch crossed into the
+    // 1-row exact-global aggregate
+    "q_sketch_rollup",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",

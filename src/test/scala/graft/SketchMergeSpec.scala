@@ -69,4 +69,22 @@ class SketchMergeSpec extends SparkSpec {
         s"q=$q est=$est rank=$rank target=$target n=$n")
     }
   }
+
+  test("q_sketch_rollup: merged-tier estimates equal recompute and bound error") {
+    // the DuckDB oracle recomputes every tier FROM ROWS while the
+    // engine MERGES cell sketches upward — the hash gate already
+    // proves merge == recompute; here we pin the numeric contract
+    val rows = SparkEntry.queries("q_sketch_rollup")(spark, sf0001)
+      .select("level", "key", "n_exact", "est", "err_pct")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    val langs = rows.filter(_._1 == "lang")
+    val all = rows.filter(_._1 == "all")
+    assert(langs.size === 5 && all.size === 1)
+    // hierarchy sanity: the global exact is at most the sum of lang
+    // exacts (hash sets overlap across langs) and at least their max
+    assert(all.head._3 <= langs.map(_._3).sum)
+    assert(all.head._3 >= langs.map(_._3).max)
+    // K=256 KMV: relative error within ~4/sqrt(K) ≈ 25% on every tier
+    rows.foreach { r => assert(r._5 <= 25, s"${r._2}: err ${r._5}%") }
+  }
 }
