@@ -797,6 +797,96 @@ object PipelineQueries {
        |    // 1000 AS BIGINT) AS eff_chars
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ------------------------------------------------------------- PII Luhn
+
+  /** Luhn mod-10 total of a 16-digit number held as BIGINT, as a SQL
+    * expression string over variable `n` — a FIXED 16-term integer
+    * sum (digit k = (n div 10^k) % 10, doubled-and-folded on odd k
+    * from the right), so it stays whole-stage-codegen on Spark and
+    * is byte-identical logic in DuckDB (`div` vs `//` is the only
+    * dialect difference, parameterized). */
+  private def luhnTotalSql(nVar: String, divOp: String): String =
+    (0 until 16).map { k =>
+      val p = BigInt(10).pow(k)
+      val d = s"(($nVar $divOp $p) % 10)"
+      if (k % 2 == 1) s"(CASE WHEN $d * 2 > 9 THEN $d * 2 - 9 ELSE $d * 2 END)"
+      else d
+    }.mkString("(", " + ", ")")
+
+  /** Checksum-VALIDATED credit-card detection (the PII tier
+    * `q_pii_scrub`'s regexes cannot reach): a 16-digit run is only
+    * PII if its Luhn mod-10 checksum holds — the gate that stops a
+    * scrubber mangling order ids, timestamps, and hashes that merely
+    * look like PANs (regex-only scrubbers over-redact exactly those).
+    * Planted per doc: a VALID card (check digit computed in-engine
+    * by the same Luhn machinery) on doc_id ≡ 0 (mod 10), and a
+    * near-miss with a wrong check digit on doc_id ≡ 0 (mod 15) —
+    * so the query proves both detection AND rejection, hash-exactly.
+    *
+    * Scale shape: one codegen projection — candidates from one
+    * regexp pass, each validated by a fixed 16-term integer sum
+    * inside a bounded array fold (≤ a few candidates per doc). */
+  private def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    val lt = (v: String) => luhnTotalSql(v, "div")
+    val planted =
+      s"""concat(text,
+         |  CASE WHEN doc_id % 10 = 0 THEN concat(' card ', CAST(vcard AS STRING), ' ok') ELSE '' END,
+         |  CASE WHEN doc_id % 15 = 0 THEN concat(' ref ', CAST(icard AS STRING), ' end') ELSE '' END)""".stripMargin
+    Tables.documents(spark, dir)
+      .withColumn("n0", expr(
+        "(400000000000000 + (doc_id * 987654321) % 100000000000000) * 10"))
+      .withColumn("chk", expr(s"(10 - ${lt("n0")} % 10) % 10"))
+      .withColumn("vcard", expr("n0 + chk"))
+      .withColumn("icard", expr("n0 + (chk + 5) % 10"))
+      .withColumn("t", expr(planted))
+      .withColumn("cands", expr(
+        "transform(regexp_extract_all(t, '[0-9]{16}', 0), c -> CAST(c AS BIGINT))"))
+      .withColumn("valids", expr(
+        s"filter(cands, n -> ${lt("n")} % 10 = 0)"))
+      .select(col("doc_id"),
+        expr("CAST(size(cands) AS BIGINT)").as("n_cand"),
+        expr("CAST(size(valids) AS BIGINT)").as("n_valid"),
+        expr("CAST(size(cands) - size(valids) AS BIGINT)").as("n_invalid"),
+        expr("aggregate(valids, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+          .as("sum_valid_cards"))
+      .orderBy("doc_id")
+  }
+
+  private val piiLuhnSql = {
+    val lt = (v: String) => luhnTotalSql(v, "//")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    (400000000000000 + (doc_id * 987654321) % 100000000000000) * 10 AS n0
+       |  FROM documents),
+       |cards AS (
+       |  SELECT doc_id, text, n0,
+       |    (10 - ${lt("n0")} % 10) % 10 AS chk
+       |  FROM base),
+       |pl AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 10 = 0
+       |         THEN ' card ' || CAST(n0 + chk AS VARCHAR) || ' ok' ELSE '' END
+       |    || CASE WHEN doc_id % 15 = 0
+       |         THEN ' ref ' || CAST(n0 + (chk + 5) % 10 AS VARCHAR) || ' end' ELSE '' END
+       |    AS t
+       |  FROM cards),
+       |cc AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_extract_all(t, '[0-9]{16}'),
+       |      c -> CAST(c AS BIGINT)) AS cands
+       |  FROM pl),
+       |vv AS (
+       |  SELECT doc_id, cands,
+       |    list_filter(cands, n -> ${lt("n")} % 10 = 0) AS valids
+       |  FROM cc)
+       |SELECT doc_id,
+       |  CAST(len(cands) AS BIGINT) AS n_cand,
+       |  CAST(len(valids) AS BIGINT) AS n_valid,
+       |  CAST(len(cands) - len(valids) AS BIGINT) AS n_invalid,
+       |  CAST(COALESCE(list_sum(valids), 0) AS BIGINT) AS sum_valid_cards
+       |FROM vv ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------- shuffle shard
 
   private val ShufShardSize = 64L // docs per training shard
@@ -867,6 +957,7 @@ object PipelineQueries {
     Q("q_contamination", contamination, Some(contaminationSql)),
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
+    Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),
