@@ -630,6 +630,92 @@ object TextQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------------- delta ingestion
+
+  /** Nightly-INGEST dedup — the incremental shape every production
+    * corpus runs instead of re-deduping history: an incoming batch
+    * (doc_id ≡ 0 mod 7 here) is admitted against the EXISTING corpus
+    * only. Two tiers with precedence: byte-exact on the normalized
+    * content hash (`q_dedup_normalized`'s kernel), then SimHash
+    * hamming ≤ 3 near-dup (`q_dedup_simhash`'s kernel) restricted to
+    * incoming×existing pairs — within-batch duplicates are NOT
+    * resolved here (they are tomorrow's "existing", the standard
+    * nightly contract). Verdict per incoming doc: exact_dup /
+    * near_dup / new, with the minimum matching existing id.
+    *
+    * Scale shape: at 100 TB the existing side's hashes and
+    * fingerprints are yesterday's PERSISTED artifacts — only the
+    * delta is normalized/fingerprinted, the exact tier is a
+    * delta-proportional hash join (Bloom-prunable probe,
+    * `q_bloom_prune`'s build side IS this hash set), and the LSH
+    * block join touches only buckets containing a delta member. The
+    * fixture recomputes both sides in one pass for the oracle's
+    * sake; the pair volume is output-proportional either way. */
+  private def deltaIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nh = graft.ops.SideCache.persist(docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h")))
+    val inc = nh.filter(col("doc_id") % 7 === 0)
+    val ex = nh.filter(col("doc_id") % 7 =!= 0)
+    val exact = inc.join(ex.select(col("h"), col("doc_id").as("m0")), Seq("h"))
+      .groupBy("doc_id").agg(min("m0").as("mx"))
+    val prs = graft.ops.SideCache.persist(
+      Dedup.simhashPairs(docs, maxHamming = 3))
+    val near = prs
+      .filter(col("id_a") % 7 === 0 && col("id_b") % 7 =!= 0)
+      .select(col("id_a").as("doc_id"), col("id_b").as("p"))
+      .union(prs.filter(col("id_b") % 7 === 0 && col("id_a") % 7 =!= 0)
+        .select(col("id_b").as("doc_id"), col("id_a").as("p")))
+      .groupBy("doc_id").agg(min("p").as("mn"))
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("mx").isNotNull, "exact_dup")
+          .when(col("mn").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("mx"), col("mn"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val deltaIngestSql = {
+    val pairCtes = dedupSimhashSql
+      .stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT id_a, id_b, hamming FROM \\(.*$", "")
+    s"""WITH $pairCtes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3
+       |), nh AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |  FROM documents),
+       |inc AS (SELECT * FROM nh WHERE doc_id % 7 = 0),
+       |ex AS (SELECT * FROM nh WHERE doc_id % 7 <> 0),
+       |exact AS (
+       |  SELECT i.doc_id, MIN(e.doc_id) AS mx
+       |  FROM inc i JOIN ex e USING (h) GROUP BY i.doc_id),
+       |near AS (
+       |  SELECT doc_id, MIN(p) AS mn FROM (
+       |    SELECT id_a AS doc_id, id_b AS p FROM prs
+       |    WHERE id_a % 7 = 0 AND id_b % 7 <> 0
+       |    UNION ALL
+       |    SELECT id_b AS doc_id, id_a AS p FROM prs
+       |    WHERE id_b % 7 = 0 AND id_a % 7 <> 0)
+       |  GROUP BY doc_id)
+       |SELECT i.doc_id,
+       |  CASE WHEN x.mx IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.mn IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+       |  CAST(COALESCE(x.mx, n.mn, -1) AS BIGINT) AS match_id
+       |FROM inc i
+       |LEFT JOIN exact x ON i.doc_id = x.doc_id
+       |LEFT JOIN near n ON i.doc_id = n.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
   private val dedupSimhashSql = {
     // bit k (k<31) from poly base 131; bit 31+k from poly base 137
     val bitTerms =
@@ -1745,6 +1831,7 @@ object TextQueries {
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
+    Q("q_delta_ingest", deltaIngest, Some(deltaIngestSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_perplexity", perplexity, Some(perplexitySql)),
