@@ -157,10 +157,92 @@ object BehaviorQueries {
       |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
       |FROM c ORDER BY prev_type, event_type""".stripMargin
 
+  // ------------------------------------------------------------ attribution
+
+  /** Multi-touch conversion ATTRIBUTION — first-touch, last-touch, and
+    * linear credit for every purchase's preceding click/view touches
+    * (same user, within a 3-day lookback), the marketing-analytics
+    * shape next to `q_funnel`'s step counts and
+    * `q_markov_transitions`' flow model. Credit is integer permille:
+    * first/last give the whole 1000 to one touch; linear gives each
+    * touch 1000 div n with the remainder assigned to the FIRST touch
+    * (a deterministic allocation — credits per conversion always sum
+    * to exactly 1000, asserted in spec).
+    *
+    * Scale shape: the touch⋈conversion candidate join is a bounded
+    * date-band join on the USER equality key (the `q_join_range`
+    * shape — never a time-only nested loop); per-conversion ranking
+    * windows partition on conversion id (bounded frames); the three
+    * model taggings are projections of ONE ranked table unioned, and
+    * the final rollup map-side combines to \|models × touch types\|
+    * rows. */
+  private def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+    val touch = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts").as("tts"), col("event_id").as("tid"),
+        col("event_type"))
+    val cand = touch.join(conv, Seq("user_id"))
+      .filter(col("tts") < col("cts") &&
+        col("tts") >= expr("cts - INTERVAL 3 DAYS"))
+    val wAsc = Window.partitionBy("cid").orderBy("tts", "tid")
+    val ranked = graft.ops.SideCache.persist(
+      cand.withColumn("rn", row_number().over(wAsc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("cid"))))
+    val first = ranked.filter(col("rn") === 1)
+      .select(lit("first_touch").as("model"), col("event_type"),
+        lit(1000L).as("credit"))
+    val last = ranked.filter(col("rn") === col("n"))
+      .select(lit("last_touch").as("model"), col("event_type"),
+        lit(1000L).as("credit"))
+    val linear = ranked.select(lit("linear").as("model"), col("event_type"),
+      (expr("1000 div n") +
+        when(col("rn") === 1, expr("1000 % n")).otherwise(0L)).as("credit"))
+    first.union(last).union(linear)
+      .groupBy("model", "event_type")
+      .agg(sum("credit").as("credit_milli"),
+        count(lit(1)).as("n_touches_credited"))
+      .orderBy("model", "event_type")
+  }
+
+  private val attributionSql =
+    """WITH conv AS (
+      |  SELECT user_id, ts AS cts, event_id AS cid FROM events
+      |  WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT user_id, ts AS tts, event_id AS tid, event_type FROM events
+      |  WHERE event_type IN ('click', 'view')),
+      |cand AS (
+      |  SELECT t.event_type, c.cid, t.tts, t.tid
+      |  FROM touch t JOIN conv c ON t.user_id = c.user_id
+      |  WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
+      |ranked AS (
+      |  SELECT event_type, cid, tts, tid,
+      |    row_number() OVER (PARTITION BY cid ORDER BY tts, tid) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cid) AS n
+      |  FROM cand),
+      |credits AS (
+      |  SELECT 'first_touch' AS model, event_type, CAST(1000 AS BIGINT) AS credit
+      |  FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT 'last_touch', event_type, CAST(1000 AS BIGINT)
+      |  FROM ranked WHERE rn = n
+      |  UNION ALL
+      |  SELECT 'linear', event_type,
+      |    CAST(1000 // n + CASE WHEN rn = 1 THEN 1000 % n ELSE 0 END AS BIGINT)
+      |  FROM ranked)
+      |SELECT model, event_type,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_milli,
+      |  COUNT(*) AS n_touches_credited
+      |FROM credits GROUP BY model, event_type
+      |ORDER BY model, event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("q_funnel", funnel, Some(funnelSql)),
     Q("q_decay_score", decayScore, Some(decayScoreSql)),
     Q("q_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
+    Q("q_attribution", attribution, Some(attributionSql)),
   )
 }

@@ -59,4 +59,33 @@ class BehaviorQueriesSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(m.map(_._3).sum === events.map(_._2 - 1).sum)
   }
+
+  test("q_attribution: every model distributes exactly 1000 per attributed conversion") {
+    val out = graft.SparkEntry.queries("q_attribution")(spark, sf0001)
+      .select("model", "event_type", "credit_milli", "n_touches_credited")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.map(_._1).toSet === Set("first_touch", "last_touch", "linear"))
+
+    // conversions with >=1 touch, recomputed independently
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    val convs = ev.filter(_._4 == "purchase")
+    val touches = ev.filter(e => e._4 == "click" || e._4 == "view")
+    val attributed = convs.count { c =>
+      touches.exists(t => t._1 == c._1 && t._2.getTime < c._2.getTime &&
+        t._2.getTime >= c._2.getTime - 3L * 86400000L)
+    }
+    assert(attributed > 0)
+    // each model's total credit = 1000 * attributed conversions (the
+    // conservation law deterministic remainder allocation guarantees)
+    Seq("first_touch", "last_touch", "linear").foreach { m =>
+      assert(out.filter(_._1 == m).map(_._3).sum === 1000L * attributed, m)
+    }
+    // first/last credit exactly one touch per conversion; linear >= that
+    Seq("first_touch", "last_touch").foreach { m =>
+      assert(out.filter(_._1 == m).map(_._4).sum === attributed.toLong, m)
+    }
+    assert(out.filter(_._1 == "linear").map(_._4).sum >= attributed.toLong)
+  }
 }
