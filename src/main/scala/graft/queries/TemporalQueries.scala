@@ -866,7 +866,77 @@ object TemporalQueries {
        |  CAST(abs(COALESCE(z_milli, 0)) >= 2000 AS INT) AS is_anom
        |FROM scored ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------------------------------ seasonal decompose
+
+  /** Classical additive seasonal DECOMPOSITION of the daily event
+    * series (trend = 7-day centered moving average; seasonal = per
+    * day-of-week mean of the detrended series; residual = the rest) —
+    * the time-series triage every metrics pipeline runs before
+    * anomaly-flagging a "drop" that is just a weekend. Only days with
+    * a full centered window are emitted, so every column is total −
+    * trend − seasonal exact.
+    *
+    * Determinism: day totals are integer cents; every mean is
+    * `floorEps(sum/count)` through identical expression trees — NOT
+    * integer `div`, because detrended values go negative and Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors (a
+    * sign-dependent off-by-one found designing this query).
+    *
+    * Scale shape: the corpus-sized work is ONE map-side-combined
+    * group-by to \|days\| rows; the windows and the dow aggregate run
+    * on that tiny post-agg frame (the `q_daily_sums` convention — a
+    * decade of days is 3 653 rows). */
+  private def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Num.cents(col("value"))).as("total_c"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    // persisted: the detrended frame feeds the dow aggregate AND the
+    // final join — without it the corpus-sized daily reduce runs twice
+    val trended = graft.ops.SideCache.persist(daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("trend_c",
+        Num.floorEps(sum("total_c").over(w).cast("double") / lit(7.0)))
+      .filter(col("n_win") === 7)
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+      .withColumn("detr", col("total_c") - col("trend_c")))
+    val seasonal = trended.groupBy("dow")
+      .agg(Num.floorEps(sum("detr").cast("double") / count(lit(1))).as("seasonal_c"))
+    trended.join(broadcast(seasonal), "dow")
+      .select(col("day"), col("total_c"), col("trend_c"), col("dow"),
+        col("seasonal_c"),
+        (col("total_c") - col("trend_c") - col("seasonal_c")).as("resid_c"))
+      .orderBy("day")
+  }
+
+  private val seasonalDecomposeSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${graft.ops.NumSql.cents("value")}) AS BIGINT) AS total_c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |win AS (
+       |  SELECT day, total_c,
+       |    COUNT(*) OVER w AS n_win,
+       |    ${graft.ops.NumSql.floorEps("CAST(SUM(total_c) OVER w AS DOUBLE) / 7.0")} AS trend_c
+       |  FROM daily
+       |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |full_days AS (
+       |  SELECT day, total_c, trend_c,
+       |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+       |    total_c - trend_c AS detr
+       |  FROM win WHERE n_win = 7),
+       |seas AS (
+       |  SELECT dow,
+       |    ${graft.ops.NumSql.floorEps("CAST(SUM(detr) AS DOUBLE) / COUNT(*)")} AS seasonal_c
+       |  FROM full_days GROUP BY dow)
+       |SELECT day, total_c, trend_c, f.dow, seasonal_c,
+       |  total_c - trend_c - seasonal_c AS resid_c
+       |FROM full_days f JOIN seas s ON f.dow = s.dow
+       |ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
     Q("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql)),
     Q("q_interpolate", interpolate, Some(interpolateSql)),
     Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

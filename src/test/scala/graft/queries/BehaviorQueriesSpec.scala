@@ -88,4 +88,40 @@ class BehaviorQueriesSpec extends SparkSpec {
     }
     assert(out.filter(_._1 == "linear").map(_._4).sum >= attributed.toLong)
   }
+
+  test("q_seasonal_decompose equals the brute decomposition; residuals bounded") {
+    val got = graft.SparkEntry.queries("q_seasonal_decompose")(spark, sf0001)
+      .select("day", "total_c", "trend_c", "dow", "seasonal_c", "resid_c")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)].collect().toSeq
+      .sortBy(_._1.getTime)
+
+    // brute: daily cents totals -> centered MA7 -> dow means -> residual
+    val daily = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(graft.ops.Num.cents(col("value"))).as("t"))
+      .as[(java.sql.Date, Long)].collect().toSeq.sortBy(_._1.getTime)
+    val full = daily.indices.drop(3).dropRight(3).map { i =>
+      val win = daily.slice(i - 3, i + 4).map(_._2)
+      val trend = graft.ops.Num.floorEpsLong(win.sum.toDouble / 7.0)
+      (daily(i)._1, daily(i)._2, trend, daily(i)._2 - trend)
+    }
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    def dow(d: java.sql.Date): Long = {
+      cal.setTimeInMillis(d.getTime); cal.get(java.util.Calendar.DAY_OF_WEEK).toLong
+    }
+    val seas = full.groupBy(r => dow(r._1)).view.mapValues { rs =>
+      graft.ops.Num.floorEpsLong(rs.map(_._4).sum.toDouble / rs.size)
+    }.toMap
+    val brute = full.map { case (d, t, tr, detr) =>
+      (d, t, tr, dow(d), seas(dow(d)), detr - seas(dow(d)))
+    }
+    assert(got === brute)
+    // per-dow residual mass is the floor remainder: 0 <= sum < count
+    got.groupBy(_._4).foreach { case (dw, rs) =>
+      val s = rs.map(_._6).sum
+      assert(s >= 0 && s < rs.size, s"dow $dw residual sum $s")
+    }
+  }
 }
