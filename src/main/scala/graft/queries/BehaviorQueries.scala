@@ -157,6 +157,89 @@ object BehaviorQueries {
       |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
       |FROM c ORDER BY prev_type, event_type""".stripMargin
 
+  // -------------------------------------------------------------------- RFM
+
+  /** RFM customer segmentation (recency / frequency / monetary) —
+    * the classic behavioral scoring: per user, days since last
+    * purchase (relative to the cohort's latest purchase date),
+    * purchase count, and cents total, each mapped to a 1–5 quintile
+    * score by deterministic rank arithmetic
+    * (5 − (rank−1)·5 div n, ties broken on user_id — NOT ntile,
+    * whose tie placement is engine-defined), plus the standard
+    * segment labels as a CASE over the scores.
+    *
+    * Scale shape: one map-side-combined group-by takes the event
+    * corpus to \|users\| rows; the quintile windows and the 1-row
+    * "today" aggregate run on that post-agg frame (global windows on
+    * a key-reduced frame — the `q_daily_sums` convention). */
+  private def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(Num.cents(col("value"))).as("monetary_c"))
+    val today = p.agg(max("last_d").as("today"))
+    val base = p.crossJoin(broadcast(today))
+      .select(col("user_id"),
+        datediff(col("today"), col("last_d")).cast("long").as("recency_days"),
+        col("freq"), col("monetary_c"))
+    val n = Window.partitionBy(lit(1))
+    val ranked = base
+      .withColumn("n_users", count(lit(1)).over(n))
+      .withColumn("rn_r", row_number().over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("rn_f", row_number().over(
+        Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("rn_m", row_number().over(
+        Window.orderBy(col("monetary_c").desc, col("user_id"))))
+      .withColumn("r_score", expr("5 - ((rn_r - 1) * 5) div n_users"))
+      .withColumn("f_score", expr("5 - ((rn_f - 1) * 5) div n_users"))
+      .withColumn("m_score", expr("5 - ((rn_m - 1) * 5) div n_users"))
+    ranked.select(col("user_id"), col("recency_days"), col("freq"),
+      col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
+      expr("""CASE
+        | WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+        | WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        | WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+        | ELSE 'regular' END""".stripMargin).as("segment"))
+      .orderBy("user_id")
+  }
+
+  private val rfmSql =
+    s"""WITH p AS (
+       |  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(${graft.ops.NumSql.cents("value")}) AS BIGINT) AS monetary_c
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+       |t AS (SELECT MAX(last_d) AS today FROM p),
+       |base AS (
+       |  SELECT user_id, CAST(today - last_d AS BIGINT) AS recency_days,
+       |    freq, monetary_c
+       |  FROM p CROSS JOIN t),
+       |ranked AS (
+       |  SELECT *,
+       |    COUNT(*) OVER () AS n_users,
+       |    row_number() OVER (ORDER BY recency_days, user_id) AS rn_r,
+       |    row_number() OVER (ORDER BY freq DESC, user_id) AS rn_f,
+       |    row_number() OVER (ORDER BY monetary_c DESC, user_id) AS rn_m
+       |  FROM base),
+       |scored AS (
+       |  SELECT user_id, recency_days, freq, monetary_c,
+       |    5 - ((rn_r - 1) * 5) // n_users AS r_score,
+       |    5 - ((rn_f - 1) * 5) // n_users AS f_score,
+       |    5 - ((rn_m - 1) * 5) // n_users AS m_score
+       |  FROM ranked)
+       |SELECT user_id, recency_days, freq, monetary_c,
+       |  CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       |  CAST(m_score AS BIGINT) AS m_score,
+       |  CASE
+       |    WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+       |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |    WHEN r_score >= 4 AND f_score <= 2 THEN 'recent_light'
+       |    ELSE 'regular' END AS segment
+       |FROM scored ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ attribution
 
   /** Multi-touch conversion ATTRIBUTION — first-touch, last-touch, and
@@ -244,5 +327,6 @@ object BehaviorQueries {
     Q("q_decay_score", decayScore, Some(decayScoreSql)),
     Q("q_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
+    Q("q_rfm", rfm, Some(rfmSql)),
   )
 }

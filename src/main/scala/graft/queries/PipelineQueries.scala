@@ -797,6 +797,59 @@ object PipelineQueries {
        |    // 1000 AS BIGINT) AS eff_chars
        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------- novelty
+
+  /** Per-document NOVELTY — the share of a doc's distinct 6-gram
+    * shingles that occur in NO other document (`q_repeated_passages`
+    * inverted to a per-doc rate): the uniqueness/memorization-risk
+    * signal curation uses to up-weight genuinely novel text and to
+    * spot near-boilerplate that slipped every dedup bar (novelty ≈ 0
+    * without being a dup). Permille is exact integer division
+    * (counts are positive, so Spark `div` and DuckDB `//` agree).
+    *
+    * Scale shape: the codegen'd distinct-shingle projection feeds ONE
+    * integer-keyed partial+final count (df), which joins back to the
+    * per-doc shingle table on the 8-byte hash; both aggregates
+    * map-side combine. Docs too short for one shingle report 0/0/0
+    * via the left join. */
+  private def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = graft.ops.SideCache.persist(
+      docs.select(col("doc_id"), explode(F.shingleHashes(col("text"), 6)).as("h")))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val per = sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(expr("(n_unique * 1000) div n_sh"), lit(0L)).as("novelty_milli"))
+      .orderBy("doc_id")
+  }
+
+  private val noveltySql =
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    CASE WHEN len(t) >= 6
+       |      THEN list_transform(generate_series(1, len(t)-5),
+       |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5])
+       |      ELSE CAST([] AS VARCHAR[]) END,
+       |    shs -> ${OracleSqlFrag.poly("shs")}))) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |df AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY h),
+       |per AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |  FROM sh JOIN df USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(n_sh, 0) AS n_sh,
+       |  COALESCE(n_unique, 0) AS n_unique,
+       |  COALESCE((n_unique * 1000) // n_sh, 0) AS novelty_milli
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------- PII Luhn
 
   /** Luhn mod-10 total of a 16-digit number held as BIGINT, as a SQL
@@ -958,6 +1011,7 @@ object PipelineQueries {
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
+    Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),
     Q("q_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     Q("q_temperature_mix", temperatureMix, Some(temperatureMixSql)),

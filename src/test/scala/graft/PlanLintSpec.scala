@@ -45,6 +45,9 @@ class PlanLintSpec extends SparkSpec {
     // sketch rollup: the 1-row global-tier sketch crossed into the
     // 1-row exact-global aggregate
     "q_sketch_rollup",
+    // RFM: the 1-row "today" (max purchase date) aggregate crossed
+    // into the |users|-row frame
+    "q_rfm",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",

@@ -1,0 +1,61 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for q_novelty (brute recompute) and q_rfm
+  * (quintile arithmetic + segment consistency). */
+class NoveltyRfmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_novelty equals the brute distinct-shingle df recompute") {
+    val got = SparkEntry.queries("q_novelty")(spark, sf0001)
+      .select("doc_id", "n_sh", "n_unique", "novelty_milli")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    def shingles(t: String): Set[Long] =
+      t.split(" ", -1).sliding(6).filter(_.length == 6)
+        .map(w => graft.functions.Poly.hashBytes(
+          w.mkString(" ").getBytes("UTF-8"), graft.functions.Poly.Base))
+        .toSet
+    val perDoc = docs.map { case (id, t) => id -> shingles(t) }
+    val dfm = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val brute = perDoc.sortBy(_._1).map { case (id, sh) =>
+      val u = sh.count(h => dfm(h) == 1).toLong
+      val n = sh.size.toLong
+      (id, n, u, if (n == 0) 0L else u * 1000 / n)
+    }
+    assert(got === brute)
+    // the signal spreads: both highly-novel and boilerplate-ish docs exist
+    assert(got.exists(_._4 > 500) && got.exists(_._4 < 500))
+  }
+
+  test("q_rfm: scores are 1..5 rank-quintiles; segments consistent") {
+    val got = SparkEntry.queries("q_rfm")(spark, sf0001)
+      .select("user_id", "recency_days", "freq", "monetary_c",
+        "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect().toSeq
+
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      Seq(r._5, r._6, r._7).foreach(s => assert(s >= 1 && s <= 5))
+      // segment CASE replay
+      val exp =
+        if (r._5 >= 4 && r._6 >= 4 && r._7 >= 4) "champion"
+        else if (r._5 <= 2 && r._6 >= 3) "at_risk"
+        else if (r._5 >= 4 && r._6 <= 2) "recent_light"
+        else "regular"
+      assert(r._8 === exp, s"user ${r._1}")
+    }
+    // quintile arithmetic: the best-ranked user on each metric scores 5
+    assert(got.minBy(r => (r._2, r._1))._5 === 5)  // most recent
+    assert(got.maxBy(r => (r._3, -r._1))._6 === 5) // most frequent
+    assert(got.maxBy(r => (r._4, -r._1))._7 === 5) // highest spend
+    // recomputed quintile for every user on the frequency metric
+    val byF = got.sortBy(r => (-r._3, r._1)).zipWithIndex
+    val n = got.size
+    byF.foreach { case (r, i) => assert(r._6 === 5 - (i.toLong * 5) / n) }
+  }
+}
