@@ -399,6 +399,66 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ----------------------------------------------------------- skew profile
+
+  /** JOIN-KEY SKEW detector — the pre-join diagnostic that decides
+    * whether `q_join_salted`'s replication (or AQE skew splitting) is
+    * worth paying, run over every candidate join key at once: per
+    * key column, row/key counts, the hottest key's share (basis
+    * points), the p99 per-key count, and top1-over-average ×100 —
+    * with a 'skewed' verdict above 10× average. A key whose hottest
+    * value holds 10% of a 100 TB fact is the difference between a
+    * straggler-free join and one task running for hours; this query
+    * is how you find out BEFORE the join.
+    *
+    * Scale shape: one map-side-combined count per key column (the
+    * same shuffle the join itself would do, but reducing to \|keys\|
+    * rows), then a 1-row stats aggregate each; the five profiles
+    * union to five rows. Exact p99 is the oracle convention —
+    * `q_approx_quantiles`' sketch is the at-scale drop-in. */
+  private def skewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.groupBy(col(keyCol).cast("long").as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("top1_cnt"),
+          Num.floorEps(percentile(col("c"), lit(0.99))).as("p99_cnt"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("top1_cnt"),
+          Num.floorEps(col("top1_cnt").cast("double") * 10000 / col("n_rows"))
+            .as("top1_share_bp"),
+          col("p99_cnt"),
+          Num.floorEps((col("top1_cnt") * col("n_keys")).cast("double") * 100
+            / col("n_rows")).as("top1_over_avg_x100"))
+        .withColumn("verdict",
+          when(col("top1_over_avg_x100") > 1000, "skewed").otherwise("ok"))
+    val li = Tables.table(spark, dir, "lineitem")
+    profile(li, "l_orderkey", "lineitem.l_orderkey")
+      .union(profile(li, "l_suppkey", "lineitem.l_suppkey"))
+      .union(profile(li, "l_partkey", "lineitem.l_partkey"))
+      .union(profile(Tables.table(spark, dir, "orders"), "o_custkey",
+        "orders.o_custkey"))
+      .union(profile(Tables.events(spark, dir), "user_id", "events.user_id"))
+      .orderBy("key_col")
+  }
+
+  private val skewProfileSql = {
+    def one(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS key_col,
+         |  CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+         |  CAST(MAX(c) AS BIGINT) AS top1_cnt,
+         |  ${NumSql.floorEps("CAST(MAX(c) AS DOUBLE) * 10000 / SUM(c)")} AS top1_share_bp,
+         |  ${NumSql.floorEps("quantile_cont(c, 0.99)")} AS p99_cnt,
+         |  ${NumSql.floorEps("CAST(MAX(c) * COUNT(*) AS DOUBLE) * 100 / SUM(c)")} AS top1_over_avg_x100,
+         |  CASE WHEN ${NumSql.floorEps("CAST(MAX(c) * COUNT(*) AS DOUBLE) * 100 / SUM(c)")} > 1000
+         |    THEN 'skewed' ELSE 'ok' END AS verdict
+         |FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key)""".stripMargin
+    Seq(("lineitem", "l_orderkey"), ("lineitem", "l_suppkey"),
+      ("lineitem", "l_partkey"), ("orders", "o_custkey"),
+      ("events", "user_id"))
+      .map { case (t, k) => one(t, k) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+  }
+
   // ----------------------------------------------------------- MAD anomaly
 
   /** Robust anomaly detection by modified z-score (Iglewicz–Hoaglin):
@@ -467,5 +527,6 @@ object ProfilingQueries {
     Q("q_kanon_audit", kanonAudit, Some(kanonAuditSql)),
     Q("q_dp_count", dpCount, Some(dpCountSql)),
     Q("q_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
+    Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
   )
 }

@@ -58,4 +58,34 @@ class NoveltyRfmSpec extends SparkSpec {
     val n = got.size
     byF.foreach { case (r, i) => assert(r._6 === 5 - (i.toLong * 5) / n) }
   }
+
+  test("q_skew_profile equals the brute per-key count stats") {
+    val got = SparkEntry.queries("q_skew_profile")(spark, sf0001)
+      .select("key_col", "n_rows", "n_keys", "top1_cnt", "top1_share_bp",
+        "p99_cnt", "top1_over_avg_x100", "verdict")
+      .as[(String, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.size === 5)
+
+    def brute(keys: Seq[Long]): (Long, Long, Long, Long) = {
+      val counts = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+      val n = keys.size.toLong
+      val top = counts.max
+      val pos = 0.99 * (counts.size - 1)
+      val lo = counts(pos.toInt); val hi = counts(math.ceil(pos).toInt)
+      val p99 = graft.ops.Num.floorEpsLong(lo + (hi - lo) * (pos - pos.toInt))
+      (n, counts.size.toLong, top, p99)
+    }
+    val li = graft.tables.Tables.table(spark, sf0001, "lineitem")
+      .selectExpr("CAST(l_orderkey AS BIGINT)").as[Long].collect().toSeq
+    val (n, k, top, p99) = brute(li)
+    val r = got("lineitem.l_orderkey")
+    assert((r._2, r._3, r._4, r._6) === ((n, k, top, p99)))
+    assert(r._5 === graft.ops.Num.floorEpsLong(top.toDouble * 10000 / n))
+    assert(r._7 === graft.ops.Num.floorEpsLong((top * k).toDouble * 100 / n))
+    // verdict replay everywhere
+    got.values.foreach { r =>
+      assert(r._8 === (if (r._7 > 1000) "skewed" else "ok"))
+    }
+  }
 }
