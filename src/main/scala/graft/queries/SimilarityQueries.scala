@@ -734,6 +734,11 @@ object SimilarityQueries {
           (Similarity.dot(col("embedding"), col("qvec")) /
             (col("nrm") * col("qnorm"))).as("rel"),
           col("embedding"), col("nrm")))
+    // materialize BEFORE the fan-out below: cand feeds both pair sides
+    // and every greedy round — left lazy, the round stages race to
+    // compute the corpus-sized pool scoring repeatedly (the wccStar
+    // rule; observed 19.8 s → ~1 s at sf0.1)
+    cand.count()
     // pairwise candidate-candidate cosines within each query's pool
     val a = cand.select(col("qid"), col("id").as("a"),
       col("embedding").as("ea"), col("nrm").as("na"))
@@ -744,6 +749,7 @@ object SimilarityQueries {
         .select(col("qid"), col("a"), col("b"),
           (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
             .as("cosab")))
+    pairs.count() // same rule: scanned by all 5 rounds
     val slim = cand.select("qid", "id", "rel")
     // greedy rounds: argmax of quantized λ·rel − (1−λ)·maxpen
     var selected = spark.createDataFrame(
@@ -774,7 +780,13 @@ object SimilarityQueries {
       val picked = scoredRound.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("qid"), col("id"), lit(k).as("pick"), col("mmr_q"))
-      selected = graft.ops.SideCache.persist(selected.union(picked))
+      // EAGER localCheckpoint per round: persist+count left the round
+      // chain's cache unreused across rounds (each round re-executed
+      // its whole predecessor lineage — measured ×2.5 growth per
+      // round, 20 s at sf0.1; MmrProbe). Checkpointing truncates the
+      // plan itself, so every round is a constant-cost job over the
+      // ≤ Q·k checkpointed rows: 0.9/0.5/0.5/0.4/0.4 s at sf0.1.
+      selected = selected.union(picked).localCheckpoint(true)
     }
     selected
       .select(col("qid"), col("id").as("vec_id"), col("pick"), col("mmr_q"))
