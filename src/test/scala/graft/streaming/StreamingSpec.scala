@@ -215,6 +215,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed stream: dedup -> fingerprint suppress -> windowed counts in ONE incremental query") {
+    // operators COMPOSE under incremental execution: exactly-once id
+    // dedup, then SimHash near-dup suppression, then tumbling-window
+    // counts — one watermark drives all three stateful stages, and
+    // the closed window's counts equal the batch run of the same
+    // composed pipeline on the deduped rows
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .withColumn("fp", graft.functions.F.simhash64(
+        graft.text.TextFunctions.tokens(col("text"))))
+      .dropDuplicatesWithinWatermark("fp")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+    val q = pipeline(in.toDF().toDF("event_id", "ts", "text"))
+      .writeStream.format("memory").queryName("composed")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts(1), "alpha beta gamma delta"),
+        (1L, ts(2), "alpha beta gamma delta"),   // exact id dup: dropped
+        (2L, ts(3), "alpha beta gamma delta"),   // same fingerprint: dropped
+        (3L, ts(4), "wholly different words here"),
+        (4L, ts(12), "second window content"))
+      q.processAllAvailable()
+      in.addData((9L, ts(40), "closer"))         // advance watermark
+      q.processAllAvailable()
+      val closed = s.table("composed")
+        .select("w_start", "n").as[(Timestamp, Long)].collect().toMap
+      assert(closed(ts(0)) === 2L)  // ids 1 and 3 survive in [0,10)
+      assert(closed(ts(10)) === 1L) // id 4 in [10,20)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on watermark timeout") {
     val s = spark
     import s.implicits._
