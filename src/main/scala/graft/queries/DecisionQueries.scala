@@ -277,6 +277,96 @@ object DecisionQueries {
        |  LIMIT 3) t ON true
        |ORDER BY r.r_name, t.bal_c DESC, t.s_name""".stripMargin
 
+  // ---------------------------------------------------------------- A/B test
+
+  /** Two-proportion z-test experiment readout — the A/B decision
+    * primitive: users split into arms by id parity (the deterministic
+    * stand-in for an assignment service), conversion = ≥1 purchase,
+    * and the pooled two-proportion z-statistic with a ±1.96
+    * significance verdict. The z is a fixed chain of correctly-
+    * rounded double ops over exact integer counts, quantized to
+    * milli-units (`floorEps`) before the verdict comparison, so the
+    * whole readout — lift, z, and the ship/no-ship call — is
+    * hash-verified cross-engine.
+    *
+    * Scale shape: one corpus scan reduces map-side to \|users\| rows
+    * (conversion flags), then to 2 arm rows, then to the 1-row
+    * readout. Nothing else moves. */
+  private def abtest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = purchase count strictly above the GLOBAL median —
+    // self-calibrating at any SF (a fixed "≥1 purchase" bar is
+    // degenerate on this fixture: every user purchases, p̂ = 1 and
+    // the pooled variance is zero)
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+    val med = counts.agg(
+      Num.floorEps(percentile(col("np"), lit(0.5))).as("med"))
+    val conv = counts.crossJoin(broadcast(med))
+      .select((col("user_id") % 2).as("arm"),
+        when(col("np") > col("med"), 1L).otherwise(0L).as("converted"))
+    val arms = conv.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("converted").as("x"))
+    arms.agg(
+      sum(when(col("arm") === 0, col("n"))).as("n_c"),
+      sum(when(col("arm") === 0, col("x"))).as("x_c"),
+      sum(when(col("arm") === 1, col("n"))).as("n_t"),
+      sum(when(col("arm") === 1, col("x"))).as("x_t"))
+      .select(col("n_c"), col("x_c"), col("n_t"), col("x_t"),
+        Num.floorEps((col("x_t").cast("double") / col("n_t") -
+          col("x_c").cast("double") / col("n_c")) * 10000).as("lift_bp"),
+        // zero-variance guard: if every (or no) user converts, z is
+        // undefined — report 0 on both engines instead of inf/error
+        when(col("x_c") + col("x_t") === 0 ||
+          col("x_c") + col("x_t") === col("n_c") + col("n_t"), lit(0L))
+          .otherwise(Num.floorEps(
+            (col("x_t").cast("double") / col("n_t") -
+              col("x_c").cast("double") / col("n_c")) /
+              sqrt(((col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t"))) *
+                (lit(1.0) - (col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t"))) *
+                (lit(1.0) / col("n_c") + lit(1.0) / col("n_t"))) * 1000))
+          .as("z_milli"))
+      .withColumn("verdict",
+        when(abs(col("z_milli")) > 1960, "significant").otherwise("inconclusive"))
+  }
+
+  private val abtestSql =
+    s"""WITH counts AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM events GROUP BY user_id),
+       |med AS (SELECT ${NumSql.floorEps("quantile_cont(np, 0.5)")} AS med FROM counts),
+       |conv AS (
+       |  SELECT user_id % 2 AS arm,
+       |    CASE WHEN np > med THEN 1 ELSE 0 END AS converted
+       |  FROM counts CROSS JOIN med),
+       |arms AS (
+       |  SELECT arm, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS x
+       |  FROM conv GROUP BY arm),
+       |wide AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_c,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x_c,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_t,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x_t
+       |  FROM arms),
+       |z AS (
+       |  SELECT n_c, x_c, n_t, x_t,
+       |    ${NumSql.floorEps(
+      "(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) * 10000")} AS lift_bp,
+       |    CASE WHEN x_c + x_t = 0 OR x_c + x_t = n_c + n_t THEN CAST(0 AS BIGINT)
+       |      ELSE ${NumSql.floorEps(
+      "(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) / " +
+        "sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * " +
+        "(1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * " +
+        "(1.0 / n_c + 1.0 / n_t)) * 1000")} END AS z_milli
+       |  FROM wide)
+       |SELECT n_c, x_c, n_t, x_t, lift_bp, z_milli,
+       |  CASE WHEN abs(z_milli) > 1960
+       |    THEN 'significant' ELSE 'inconclusive' END AS verdict
+       |FROM z""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
@@ -284,5 +374,6 @@ object DecisionQueries {
     Q("q_bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
+    Q("q_abtest", abtest, Some(abtestSql)),
   )
 }

@@ -866,6 +866,54 @@ object TemporalQueries {
        |  CAST(abs(COALESCE(z_milli, 0)) >= 2000 AS INT) AS is_anom
        |FROM scored ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------------------------------------------- OHLC
+
+  /** OHLC downsampling — the canonical lossy time-series compaction
+    * (finance bars, metrics rollups): per hour, the opening value
+    * (first by event time), the high/low, the closing value (last),
+    * and the volume. First/last are window row-numbers over
+    * (ts, event_id) — a unique total order, NOT min_by/max_by on the
+    * bare timestamp, whose tie-breaking is engine-defined.
+    *
+    * Scale shape: one corpus scan; the two row-number windows and the
+    * aggregate share the hour-keyed exchange (the window partition IS
+    * the group-by key), so the whole bar build is one shuffle. */
+  private def ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), Num.cents(col("value")).as("vc"))
+    val asc = Window.partitionBy("hour").orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy("hour")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("vc"))).as("open_c"),
+        max("vc").as("high_c"), min("vc").as("low_c"),
+        max(when(col("rn_d") === 1, col("vc"))).as("close_c"))
+      .orderBy("hour")
+  }
+
+  private val ohlcSql =
+    s"""WITH base AS (
+       |  SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+       |    ${graft.ops.NumSql.cents("value")} AS vc
+       |  FROM events WHERE value IS NOT NULL),
+       |rn AS (
+       |  SELECT hour, vc,
+       |    row_number() OVER (PARTITION BY hour ORDER BY ts, event_id) AS rn_a,
+       |    row_number() OVER (PARTITION BY hour ORDER BY ts DESC, event_id DESC) AS rn_d
+       |  FROM base)
+       |SELECT hour, COUNT(*) AS n,
+       |  CAST(MAX(CASE WHEN rn_a = 1 THEN vc END) AS BIGINT) AS open_c,
+       |  CAST(MAX(vc) AS BIGINT) AS high_c,
+       |  CAST(MIN(vc) AS BIGINT) AS low_c,
+       |  CAST(MAX(CASE WHEN rn_d = 1 THEN vc END) AS BIGINT) AS close_c
+       |FROM rn GROUP BY hour ORDER BY hour""".stripMargin
+
   // ------------------------------------------------------ seasonal decompose
 
   /** Classical additive seasonal DECOMPOSITION of the daily event
@@ -937,6 +985,7 @@ object TemporalQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_seasonal_decompose", seasonalDecompose, Some(seasonalDecomposeSql)),
+    Q("q_ohlc", ohlc, Some(ohlcSql)),
     Q("q_rolling_zscore", rollingZscore, Some(rollingZscoreSql)),
     Q("q_interpolate", interpolate, Some(interpolateSql)),
     Q("q_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

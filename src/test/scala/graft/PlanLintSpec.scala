@@ -48,6 +48,9 @@ class PlanLintSpec extends SparkSpec {
     // RFM: the 1-row "today" (max purchase date) aggregate crossed
     // into the |users|-row frame
     "q_rfm",
+    // A/B test: the 1-row median-conversion-bar aggregate crossed
+    // into the |users|-row frame
+    "q_abtest",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",

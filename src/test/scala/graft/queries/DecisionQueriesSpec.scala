@@ -69,4 +69,59 @@ class DecisionQueriesSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(got === expected)
   }
+
+  test("q_abtest equals the brute two-proportion z recompute") {
+    val got = graft.SparkEntry.queries("q_abtest")(spark, sf0001)
+      .select("n_c", "x_c", "n_t", "x_t", "lift_bp", "z_milli", "verdict")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().head
+
+    val perUser = graft.tables.Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .as[(Long, Long)].collect().toSeq
+    val counts = perUser.map(_._2).sorted
+    val pos = 0.5 * (counts.size - 1)
+    val med = graft.ops.Num.floorEpsLong(
+      counts(pos.toInt) + (counts(math.ceil(pos).toInt) - counts(pos.toInt)) *
+        (pos - pos.toInt))
+    val conv = perUser.map { case (u, np) => (u % 2, if (np > med) 1L else 0L) }
+    val (nc, xc) = (conv.count(_._1 == 0).toLong,
+      conv.filter(_._1 == 0).map(_._2).sum)
+    val (nt, xt) = (conv.count(_._1 == 1).toLong,
+      conv.filter(_._1 == 1).map(_._2).sum)
+    assert((got._1, got._2, got._3, got._4) === ((nc, xc, nt, xt)))
+    val lift = (xt.toDouble / nt - xc.toDouble / nc)
+    assert(got._5 === graft.ops.Num.floorEpsLong(lift * 10000))
+    val pbar = (xc + xt).toDouble / (nc + nt)
+    val z = lift / math.sqrt(pbar * (1.0 - pbar) * (1.0 / nc + 1.0 / nt))
+    assert(got._6 === graft.ops.Num.floorEpsLong(z * 1000))
+    assert(got._7 === (if (math.abs(got._6) > 1960) "significant" else "inconclusive"))
+    // the median split guarantees a non-degenerate pooled rate
+    assert(xc + xt > 0 && xc + xt < nc + nt)
+  }
+
+  test("q_ohlc equals the brute per-hour bars") {
+    val got = graft.SparkEntry.queries("q_ohlc")(spark, sf0001)
+      .select("hour", "n", "open_c", "high_c", "low_c", "close_c")
+      .as[(java.sql.Timestamp, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1.getTime)
+
+    val rows = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("ts"), col("event_id"), graft.ops.Num.cents(col("value")))
+      .as[(java.sql.Timestamp, Long, Long)].collect().toSeq
+    val brute = rows.groupBy(r => r._1.getTime / 3600000L).toSeq
+      .map { case (h, rs) =>
+        val sorted = rs.sortBy(r => (r._1.getTime, r._2))
+        (new java.sql.Timestamp(h * 3600000L), rs.size.toLong,
+          sorted.head._3, rs.map(_._3).max, rs.map(_._3).min, sorted.last._3)
+      }.sortBy(_._1.getTime)
+    assert(got === brute)
+    // bar invariants: low <= open/close <= high, nonempty
+    got.foreach { case (_, n, open, high, low, close) =>
+      assert(n >= 1)
+      assert(low <= open && open <= high)
+      assert(low <= close && close <= high)
+    }
+  }
 }
