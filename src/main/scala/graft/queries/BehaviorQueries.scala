@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Num
+import graft.ops.{Num, NumSql}
 import graft.tables.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -156,6 +156,108 @@ object BehaviorQueries {
       |SELECT prev_type, event_type, n,
       |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
       |FROM c ORDER BY prev_type, event_type""".stripMargin
+
+  // ------------------------------------------------------------ event paths
+
+  /** PATH analysis — the top-10 most-traveled 3-step event sequences
+    * (`q_markov_transitions` is the 1-step flow model; this surfaces
+    * whole journeys like view→click→purchase vs view→error→view):
+    * per user, events order by (ts, event_id) and every consecutive
+    * type triple counts once per traversal.
+    *
+    * Scale shape: ONE user-keyed window shuffle derives both leads;
+    * the triple count map-side combines to ≤\|types\|³ rows; top-10
+    * is TakeOrderedAndProject. */
+  private def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s2", lead("event_type", 1).over(w))
+      .withColumn("s3", lead("event_type", 2).over(w))
+      .filter(col("s3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("s2"), col("s3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  private val eventPathsSql =
+    """WITH seq AS (
+      |  SELECT event_type AS s1,
+      |    lead(event_type, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS s3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT s1 || '>' || s2 || '>' || s3 AS path, COUNT(*) AS n
+      |FROM seq WHERE s3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+
+  /** TIME-TO-CONVERT distribution — `q_funnel` tells how many users
+    * pass each gate; this tells how LONG the passage takes: per
+    * funnel edge (first view → first later click, that click → first
+    * later purchase), the exact p50/p90 of the duration in seconds
+    * plus the fastest/slowest, over the users who completed the edge.
+    * Durations are exact integer seconds (timestamp arithmetic);
+    * quantiles are exact-percentile floorEps (the oracle convention;
+    * the sketch tier is the at-scale drop-in).
+    *
+    * Scale shape: the three first-timestamp tiers are `q_funnel`'s
+    * own map-side aggregates; the duration stats reduce \|users\|
+    * rows to 2. */
+  private def funnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min(col("ts")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min(col("ts")).as("t3"))
+    def edge(df: DataFrame, from: String, to: String, name: String) =
+      df.select((unix_timestamp(col(to)) - unix_timestamp(col(from))).as("d"))
+        .agg(count(lit(1)).as("n_users"),
+          min("d").as("min_s"),
+          Num.floorEps(percentile(col("d"), lit(0.5))).as("p50_s"),
+          Num.floorEps(percentile(col("d"), lit(0.9))).as("p90_s"),
+          max("d").as("max_s"))
+        .select(lit(name).as("edge"), col("n_users"), col("min_s"),
+          col("p50_s"), col("p90_s"), col("max_s"))
+    edge(c.join(v, Seq("user_id")), "t1", "t2", "1_view_to_click")
+      .union(edge(p.join(c, Seq("user_id")), "t2", "t3", "2_click_to_purchase"))
+      .orderBy("edge")
+  }
+
+  private val funnelTimeSql =
+    s"""WITH v AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+       |), c AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+       |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+       |), p AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+       |), e1 AS (
+       |  SELECT CAST(date_diff('second', v.t1, c.t2) AS BIGINT) AS d
+       |  FROM c JOIN v USING (user_id)
+       |), e2 AS (
+       |  SELECT CAST(date_diff('second', c.t2, p.t3) AS BIGINT) AS d
+       |  FROM p JOIN c USING (user_id))
+       |SELECT edge, n_users, min_s, p50_s, p90_s, max_s FROM (
+       |  SELECT '1_view_to_click' AS edge, COUNT(*) AS n_users,
+       |    CAST(MIN(d) AS BIGINT) AS min_s,
+       |    ${NumSql.floorEps("quantile_cont(d, 0.5)")} AS p50_s,
+       |    ${NumSql.floorEps("quantile_cont(d, 0.9)")} AS p90_s,
+       |    CAST(MAX(d) AS BIGINT) AS max_s
+       |  FROM e1
+       |  UNION ALL
+       |  SELECT '2_click_to_purchase', COUNT(*),
+       |    CAST(MIN(d) AS BIGINT),
+       |    ${NumSql.floorEps("quantile_cont(d, 0.5)")},
+       |    ${NumSql.floorEps("quantile_cont(d, 0.9)")},
+       |    CAST(MAX(d) AS BIGINT)
+       |  FROM e2)
+       |ORDER BY edge""".stripMargin
 
   // -------------------------------------------------------------------- RFM
 
@@ -328,5 +430,7 @@ object BehaviorQueries {
     Q("q_markov_transitions", markovTransitions, Some(markovTransitionsSql)),
     Q("q_attribution", attribution, Some(attributionSql)),
     Q("q_rfm", rfm, Some(rfmSql)),
+    Q("q_event_paths", eventPaths, Some(eventPathsSql)),
+    Q("q_funnel_time", funnelTime, Some(funnelTimeSql)),
   )
 }

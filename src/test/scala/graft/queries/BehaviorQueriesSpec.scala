@@ -89,6 +89,35 @@ class BehaviorQueriesSpec extends SparkSpec {
     assert(out.filter(_._1 == "linear").map(_._4).sum >= attributed.toLong)
   }
 
+  test("q_event_paths equals the brute 3-gram count; q_funnel_time consistent with q_funnel") {
+    val got = graft.SparkEntry.queries("q_event_paths")(spark, sf0001)
+      .select("path", "n").as[(String, Long)].collect().toSeq
+
+    val ev = graft.tables.Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect().toSeq
+    val brute = ev.groupBy(_._1).values.flatMap { rows =>
+      rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+        .sliding(3).filter(_.size == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got === brute)
+
+    // funnel_time edges count exactly the users q_funnel admits
+    val ft = graft.SparkEntry.queries("q_funnel_time")(spark, sf0001)
+      .select("edge", "n_users", "min_s", "p50_s", "p90_s", "max_s")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val funnel = graft.SparkEntry.queries("q_funnel")(spark, sf0001)
+      .select("stage", "n_users").as[(String, Long)].collect().toMap
+    assert(ft("1_view_to_click")._2 === funnel("2_click"))
+    assert(ft("2_click_to_purchase")._2 === funnel("3_purchase"))
+    ft.values.foreach { e =>
+      assert(e._3 >= 1 && e._3 <= e._4 && e._4 <= e._5 && e._5 <= e._6,
+        s"${e._1}: duration order")
+    }
+  }
+
   test("q_seasonal_decompose equals the brute decomposition; residuals bounded") {
     val got = graft.SparkEntry.queries("q_seasonal_decompose")(spark, sf0001)
       .select("day", "total_c", "trend_c", "dow", "seasonal_c", "resid_c")
