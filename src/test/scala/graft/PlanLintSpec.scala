@@ -51,6 +51,9 @@ class PlanLintSpec extends SparkSpec {
     // A/B test: the 1-row median-conversion-bar aggregate crossed
     // into the |users|-row frame
     "q_abtest",
+    // journey flagship: per-stage 1-row accounting aggregates crossed
+    // into the 4-row result
+    "q_journey_pipeline",
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",
