@@ -1128,6 +1128,60 @@ object TextQueries {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -------------------------------------------------------- signal agreement
+
+  /** QUALITY-SIGNAL AGREEMENT — tie-broken-rank Spearman correlation
+    * between the heuristic quality score (`q_quality_score`) and the
+    * bigram-LM average NLL (`q_perplexity`): the meta-measurement a
+    * curation pipeline runs before trusting a cheap filter as a proxy
+    * for an expensive one (CCNet's perplexity vs Gopher's rules). A
+    * strong NEGATIVE rho means the heuristic agrees with the LM
+    * (higher quality ↔ lower NLL); near zero means the two gates cut
+    * different corpora and both earn their place in the funnel.
+    *
+    * Determinism: ranks are row_numbers over (value, doc_id) — exact
+    * tie-broken ranks, not average-rank Spearman, so everything is
+    * integer until the single final division (floorEps µ-units).
+    * Σd² ≤ n³ fits BIGINT to n ≈ 2M docs; beyond that the numerator
+    * widens to DECIMAL(38,0) (the `q_epoch_mix` convention).
+    *
+    * Scale shape: both signal queries are their own audited plans;
+    * the correlation adds two |docs|-row rank windows (single
+    * ordering key each — at 100 TB these become the range-partition
+    * + offset pattern of `q_shuffle_shard`) and a 1-row aggregate. */
+  private def signalCorr(spark: SparkSession, dir: String): DataFrame = {
+    val qa = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+    val qb = perplexity(spark, dir).select(col("doc_id"), col("avg_nll_micro"))
+    val joined = qa.join(qb, "doc_id")
+      .withColumn("ra", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
+      .withColumn("rb", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("avg_nll_micro"), col("doc_id"))).cast("long"))
+      .withColumn("d", col("ra") - col("rb"))
+    joined.agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        Num.floorEps((lit(1.0) -
+          lit(6.0) * col("sum_d2") / (col("n") * (col("n") * col("n") - 1)))
+          * 1e6).as("rho_micro"))
+  }
+
+  private lazy val signalCorrSql =
+    s"""WITH qa AS ($qualityScoreSql),
+       |qb AS ($perplexitySql),
+       |j AS (
+       |  SELECT qa.doc_id, qa.quality, qb.avg_nll_micro
+       |  FROM qa JOIN qb ON qa.doc_id = qb.doc_id),
+       |rk AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) AS ra,
+       |    CAST(row_number() OVER (ORDER BY avg_nll_micro, doc_id) AS BIGINT) AS rb
+       |  FROM j)
+       |SELECT COUNT(*) AS n,
+       |  CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+       |  ${NumSql.floorEps(
+      "(1.0 - 6.0 * SUM((ra - rb) * (ra - rb)) / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) * 1000000")} AS rho_micro
+       |FROM rk""".stripMargin
+
   // ------------------------------------------------------- PMI collocation
 
   /** Pointwise-mutual-information collocation mining: the top-50
@@ -1832,6 +1886,7 @@ object TextQueries {
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     Q("q_delta_ingest", deltaIngest, Some(deltaIngestSql)),
+    Q("q_signal_corr", signalCorr, Some(signalCorrSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_perplexity", perplexity, Some(perplexitySql)),

@@ -29,6 +29,8 @@ class PlanLintSpec extends SparkSpec {
     // perplexity LM: the 1-row vocab-size aggregate crossed into the
     // distinct-bigram model table (smoothing denominator)
     "q_perplexity",
+    // signal agreement: embeds q_perplexity's vocab cross
+    "q_signal_corr",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -86,4 +86,26 @@ class PerplexityPmiSpec extends SparkSpec {
     // every doc keeps at least one non-zero bucket
     assert(got.map(_._1).distinct.size === docs.size)
   }
+
+  test("q_signal_corr equals the brute tie-broken-rank Spearman") {
+    val got = SparkEntry.queries("q_signal_corr")(spark, sf0001)
+      .select("n", "sum_d2", "rho_micro")
+      .as[(Long, Long, Long)].collect().head
+
+    val qa = SparkEntry.queries("q_quality_score")(spark, sf0001)
+      .select("doc_id", "quality").as[(Long, Long)].collect().toMap
+    val qb = SparkEntry.queries("q_perplexity")(spark, sf0001)
+      .select("doc_id", "avg_nll_micro").as[(Long, Long)].collect().toMap
+    val ids = qa.keySet.intersect(qb.keySet).toSeq
+    def ranks(m: Map[Long, Long]): Map[Long, Long] =
+      ids.sortBy(id => (m(id), id)).zipWithIndex
+        .map { case (id, i) => id -> (i + 1).toLong }.toMap
+    val (ra, rb) = (ranks(qa), ranks(qb))
+    val n = ids.size.toLong
+    val sumD2 = ids.map(id => { val d = ra(id) - rb(id); d * d }).sum
+    assert(got._1 === n && got._2 === sumD2)
+    val rho = 1.0 - 6.0 * sumD2 / (n * (n * n - 1))
+    assert(got._3 === graft.ops.Num.floorEpsLong(rho * 1e6))
+    assert(math.abs(got._3) <= 1000000L) // |rho| <= 1
+  }
 }
