@@ -1128,6 +1128,136 @@ object TextQueries {
        |FROM documents d LEFT JOIN agg USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------------------------------- LSH curve
+
+  /** Empirical LSH S-CURVE — the design contract of the banding
+    * scheme, MEASURED: for each cohort document (doc_id ≡ 0 mod 5)
+    * and each mutation level m ∈ 1..9, a deterministic twin replaces
+    * every token whose (token, position, doc) hash lands below m/10
+    * with a unique junk marker, sweeping pairs across the whole
+    * similarity spectrum (natural pairs can't probe the midrange —
+    * measured: corpus pairs sit at Jaccard < 10% or ≥ 90% only). Per
+    * exact-3-gram-Jaccard decile, the fraction of pairs the 16×4
+    * MinHash banding emits as candidates. Theory: 1−(1−s⁴)¹⁶,
+    * threshold near s ≈ (1/16)^(1/4) ≈ 0.5 — `q_minhash_est_err`
+    * contracts the estimator, this contracts the CANDIDATE GENERATOR,
+    * and the spec pins the S-bend (low deciles ≈ 0, high ≈ 100%,
+    * monotone through the middle).
+    *
+    * Deciles are exact integer arithmetic ((inter·10) div union);
+    * mutation, shingles, signatures, and band folds are the
+    * oracle-replicated integer kernels; the probe is
+    * O(\|cohort\|·9) pairs by construction — never all-pairs. */
+  private def lshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def bandsOf(sh: DataFrame, id: String): DataFrame =
+      Dedup.minhashSignature(sh, id, "sh").select(col(id),
+        array((0 until Dedup.Bands).map(b => Dedup.bandHash(col("sig"), b)): _*)
+          .as("bh"))
+    val orig = graft.ops.SideCache.persist(
+      TF.shingleTable(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", 3).filter(size(col("sh")) > 0))
+    val origB = bandsOf(orig, "doc_id")
+    // mutation-level twins: token i survives iff its hash clears m/10
+    val mutants = graft.ops.SideCache.persist(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), explode(typedlit((1 to 9).toList)).as("m"),
+          split(col("text"), " ").as("toks"))
+        .withColumn("mtext", concat_ws(" ",
+          transform(col("toks"), (t, i) =>
+            when(pmod(graft.functions.F.polyHash(
+              concat_ws(":", t, (i + 1).cast("string"),
+                col("doc_id").cast("string"))), lit(10L)) < col("m"),
+              concat(lit("zz"), col("m"))).otherwise(t))))
+        .select(col("doc_id"), col("m"),
+          TF.shingleUdfCol(col("mtext"), 3).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val pairs = orig.select(col("doc_id"), col("sh").as("sh_a"))
+      .join(mutants.select(col("doc_id"), col("m"), col("sh").as("sh_b")),
+        Seq("doc_id"))
+    val withJac = pairs
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .withColumn("decile", least(expr("(inter * 10) div uni"), lit(9L)))
+      .select("doc_id", "m", "decile")
+    val mutBands = mutants
+      .select(col("doc_id"), col("m"),
+        array((0 until Dedup.Bands).map(b =>
+          Dedup.bandHash(graft.functions.F.minhashSig(col("sh"),
+            Dedup.permA, Dedup.permB), b)): _*).as("bh_b"))
+    withJac
+      .join(origB.select(col("doc_id"), col("bh").as("bh_a")), Seq("doc_id"))
+      .join(mutBands, Seq("doc_id", "m"))
+      .withColumn("cand",
+        when(exists(zip_with(col("bh_a"), col("bh_b"), (x, y) => x === y),
+          b => b), 1L).otherwise(0L))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"), sum("cand").as("n_cand"))
+      .withColumn("rate_bp", expr("(n_cand * 10000) div n_pairs"))
+      .orderBy("decile")
+  }
+
+  private lazy val lshCurveSql = {
+    val M = OracleSqlFrag.Mod
+    val sigList = (0 until Dedup.NumHashes).map { k =>
+      s"list_min(list_transform(h, mh -> (${Dedup.permA(k)} * mh + ${Dedup.permB(k)}) % $M))"
+    }.mkString("[\n      ", ",\n      ", "]")
+    def bandHashB(b: Int): String =
+      (0 until Dedup.RowsPerBand).foldLeft("0") { (acc, r) =>
+        s"(($acc * 131 + sig[${b * Dedup.RowsPerBand + r + 1}]) % $M)"
+      }
+    val bhList = (0 until Dedup.Bands).map(bandHashB)
+      .mkString("[\n      ", ",\n      ", "]")
+    def shOf(list: String): String =
+      s"""list_distinct(CASE WHEN len($list) >= 3
+         |      THEN list_transform(generate_series(1, len($list)-2),
+         |        i -> $list[i] || ' ' || $list[i+1] || ' ' || $list[i+2])
+         |      ELSE CAST([] AS VARCHAR[]) END)""".stripMargin
+    s"""WITH cohort AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 5 = 0
+       |), orig AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, ${shOf("t")} AS sh FROM cohort)
+       |  WHERE len(sh) > 0
+       |), ha AS (
+       |  SELECT doc_id, list_transform(sh, s -> ${OracleSqlFrag.poly("s")}) AS h FROM orig
+       |), siga AS (SELECT doc_id, $sigList AS sig FROM ha
+       |), bha AS MATERIALIZED (SELECT doc_id, $bhList AS bh FROM siga
+       |), mut AS (
+       |  SELECT c.doc_id, ms.m,
+       |    list_transform(generate_series(1, len(t)), i ->
+       |      CASE WHEN (${OracleSqlFrag.poly(
+      "t[i] || ':' || CAST(i AS VARCHAR) || ':' || CAST(c.doc_id AS VARCHAR)")} % 10) < ms.m
+       |        THEN 'zz' || CAST(ms.m AS VARCHAR) ELSE t[i] END) AS mt
+       |  FROM cohort c CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS m) ms
+       |), msh AS (
+       |  SELECT doc_id, m, sh FROM (
+       |    SELECT doc_id, m, ${shOf("mt")} AS sh FROM mut)
+       |  WHERE len(sh) > 0
+       |), hb AS (
+       |  SELECT doc_id, m, list_transform(sh, s -> ${OracleSqlFrag.poly("s")}) AS h FROM msh
+       |), sigb AS (SELECT doc_id, m, $sigList AS sig FROM hb
+       |), bhb AS MATERIALIZED (SELECT doc_id, m, $bhList AS bh FROM sigb
+       |), jac AS (
+       |  SELECT o.doc_id, s.m,
+       |    LEAST((CAST(len(list_intersect(o.sh, s.sh)) AS BIGINT) * 10) //
+       |      (CAST(len(o.sh) + len(s.sh) AS BIGINT) - len(list_intersect(o.sh, s.sh))), 9) AS decile
+       |  FROM orig o JOIN msh s ON o.doc_id = s.doc_id
+       |), cand AS (
+       |  SELECT j.decile,
+       |    CASE WHEN list_contains(list_transform(generate_series(1, ${Dedup.Bands}),
+       |      i -> a.bh[i] = b.bh[i]), true) THEN 1 ELSE 0 END AS c
+       |  FROM jac j
+       |  JOIN bha a ON a.doc_id = j.doc_id
+       |  JOIN bhb b ON b.doc_id = j.doc_id AND b.m = j.m)
+       |SELECT decile, COUNT(*) AS n_pairs,
+       |  CAST(SUM(c) AS BIGINT) AS n_cand,
+       |  (CAST(SUM(c) AS BIGINT) * 10000) // COUNT(*) AS rate_bp
+       |FROM cand GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   // -------------------------------------------------------- signal agreement
 
   /** QUALITY-SIGNAL AGREEMENT — tie-broken-rank Spearman correlation
@@ -1887,6 +2017,7 @@ object TextQueries {
     Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     Q("q_delta_ingest", deltaIngest, Some(deltaIngestSql)),
     Q("q_signal_corr", signalCorr, Some(signalCorrSql)),
+    Q("q_lsh_curve", lshCurve, Some(lshCurveSql)),
     Q("q_pack_sequences", packSequences, Some(packSequencesSql)),
     Q("q_lm_score", lmScore, Some(lmScoreSql)),
     Q("q_perplexity", perplexity, Some(perplexitySql)),

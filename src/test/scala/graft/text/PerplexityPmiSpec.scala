@@ -108,4 +108,29 @@ class PerplexityPmiSpec extends SparkSpec {
     assert(got._3 === graft.ops.Num.floorEpsLong(rho * 1e6))
     assert(math.abs(got._3) <= 1000000L) // |rho| <= 1
   }
+
+  test("q_lsh_curve: the measured banding curve S-bends like 1-(1-s^4)^16") {
+    val got = SparkEntry.queries("q_lsh_curve")(spark, sf0001)
+      .select("decile", "n_pairs", "n_cand", "rate_bp")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // the mutation probe populates the whole spectrum
+    assert(got.size >= 8, s"only ${got.size} deciles populated")
+    val rates = got.map(r => r._1 -> r._4).toMap
+    // the S-curve's two flats: near-disjoint pairs almost never
+    // collide, near-identical pairs almost always do
+    assert(rates(0L) <= 500)
+    assert(rates(got.last._1) >= 9500)
+    // monotone up to sampling noise
+    got.map(_._4).sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 500, s"rate dipped $a -> $b")
+    }
+    // quantitative: deciles with decent support track the theoretical
+    // curve 1-(1-s^4)^16 at the bucket midpoint within 30%
+    got.filter(_._2 >= 30).foreach { case (d, _, _, rate) =>
+      val s = (d + 0.5) / 10.0
+      val theory = 1.0 - math.pow(1.0 - math.pow(s, 4), 16)
+      assert(math.abs(rate / 10000.0 - theory) <= 0.3,
+        s"decile $d: measured ${rate / 10000.0} vs theory $theory")
+    }
+  }
 }
