@@ -626,6 +626,65 @@ object SimilarityQueries {
        |    (sqa, sqb) -> sqa + sqb) * 1000000000.0 + 0.000001) AS BIGINT) AS err_nano
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- recall
+
+  /** ANN RECALL@10 table — the evaluation harness run as a query:
+    * every approximate tier (IVF, PQ-ADC, IVF×PQ) scored against the
+    * exact brute-force top-10 in one hash-verified readout — the
+    * number an index configuration is accepted or rejected by
+    * (SimilaritySpec asserts per-tier bounds; this makes the
+    * measurement itself part of the driver's correctness gate, the
+    * `q_minhash_est_err` / `q_bloom_fpr` / `q_lsh_curve` genre).
+    * recall_bp = hits·10⁴ div \|brute rows\|, exact integers.
+    *
+    * Scale shape: each tier is its own audited plan; hits are three
+    * joins of Q·10-row lists. The oracle nests each tier's full SQL
+    * as a subquery, so every tier's derivation is re-proven inside
+    * this query's hash. */
+  private def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val brute = graft.ops.SideCache.persist(
+      Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+        .select("qid", "vec_id"))
+    val tiers = Seq(
+      "ivf" -> Similarity.ivfTopK(emb, queryMod = 50L, k = 10)
+        .select("qid", "vec_id"),
+      "ivf_pq" -> Similarity.ivfPqTopK(emb, queryMod = 50L, k = 10,
+        centroidMod = 61, nProbe = 2, cbMod = 29, cbK = 16, m = 8)
+        .select("qid", "vec_id"),
+      "pq" -> Similarity.pqTopK(emb, queryMod = 50L, k = 10,
+        cbMod = 29, cbK = 16, m = 8).select("qid", "vec_id"))
+    tiers.map { case (name, df) =>
+      df.join(brute, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(name).as("variant"), col("n_exact"), col("hits"),
+          expr("(hits * 10000) div n_exact").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy("variant")
+  }
+
+  private lazy val annRecallSql = {
+    def tier(name: String, sql: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT COUNT(*) FROM brute) AS n_exact,
+         |  (SELECT COUNT(*) FROM (SELECT qid, vec_id FROM ($sql) x
+         |    ) t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) AS hits,
+         |  ((SELECT COUNT(*) FROM (SELECT qid, vec_id FROM ($sql) x
+         |    ) t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) * 10000)
+         |    // (SELECT COUNT(*) FROM brute) AS recall_bp""".stripMargin
+    s"""WITH brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z
+       |)
+       |SELECT variant, n_exact, CAST(hits AS BIGINT) AS hits,
+       |  CAST(recall_bp AS BIGINT) AS recall_bp FROM (
+       |  ${tier("ivf", annIvfSql)}
+       |  UNION ALL
+       |  ${tier("ivf_pq", annIvfPqSql)}
+       |  UNION ALL
+       |  ${tier("pq", annPqSql)})
+       |ORDER BY variant""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product search (the recommender / last-layer
@@ -1012,5 +1071,6 @@ object SimilarityQueries {
     Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    Q("q_ann_recall", annRecall, Some(annRecallSql)),
   )
 }

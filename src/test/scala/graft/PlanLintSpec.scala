@@ -41,6 +41,9 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_mips",
     // MMR: the pool stage is q_ann_topk's broadcast query cross
     "q_mmr_rerank",
+    // recall harness: every ANN tier's broadcast query cross + the
+    // 1-row brute-count accounting cross
+    "q_ann_recall",
     // RAG-indexing flagship: per-stage 1-row accounting aggregates
     // crossed into the 4-row result
     "q_rag_pipeline",

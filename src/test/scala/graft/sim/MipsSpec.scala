@@ -52,4 +52,30 @@ class MipsSpec extends SparkSpec {
     }
     assert(got === brute.toSeq)
   }
+
+  test("q_ann_recall equals recomputation from the component queries") {
+    val got = SparkEntry.queries("q_ann_recall")(spark, sf0001)
+      .select("variant", "n_exact", "hits", "recall_bp")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("ivf", "ivf_pq", "pq"))
+
+    val brute = SparkEntry.queries("q_ann_topk")(spark, sf0001)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    def hitsOf(q: String): Long =
+      SparkEntry.queries(q)(spark, sf0001)
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .count(brute.contains).toLong
+    Seq("ivf" -> "q_ann_ivf", "ivf_pq" -> "q_ann_ivf_pq", "pq" -> "q_ann_pq")
+      .foreach { case (v, q) =>
+        val r = got(v)
+        assert(r._2 === brute.size.toLong, v)
+        assert(r._3 === hitsOf(q), v)
+        assert(r._4 === r._3 * 10000 / r._2, v)
+        assert(r._4 > 0 && r._4 <= 10000, v)
+      }
+    // quantization only ever loses recall on top of the coarse tier
+    assert(got("ivf")._4 >= got("ivf_pq")._4)
+    assert(got("pq")._4 >= got("ivf_pq")._4)
+  }
 }
