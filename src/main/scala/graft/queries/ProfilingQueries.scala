@@ -399,6 +399,83 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ------------------------------------------------------------------ CUSUM
+
+  /** CUSUM change-point chart over the daily event series (Page 1954)
+    * — the drift detector that fires on a SUSTAINED small shift long
+    * before a per-point outlier rule (`q_anomaly_mad` is the
+    * point-wise twin; `q_seasonal_decompose` explains what CUSUM
+    * flags). The textbook recursion S⁺_t = max(0, S⁺_{t−1} + dev_t)
+    * is not window-expressible, but its closed form is:
+    * S⁺_t = cum_t − min(0, min_{i≤t} cum_i) over the running
+    * deviation sum — two stock window aggregates, exact integers
+    * end-to-end (the mean is floorEps'd once; deviations, running
+    * sums, prefix minima, and the alarm compare are all BIGINT).
+    * Alarm when either side exceeds h = 4·mean|dev|.
+    *
+    * Scale shape: one map-side group-by to \|days\| rows; the
+    * windows and the two 1-row stats run on that tiny frame (the
+    * `q_daily_sums` convention). */
+  private def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Num.cents(col("value"))).as("total_c"))
+    val stats = daily.agg(
+      Num.floorEps(sum("total_c").cast("double") / count(lit(1))).as("mu"))
+    val run = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withDev = daily.crossJoin(broadcast(stats))
+      .withColumn("dev", col("total_c") - col("mu"))
+      .withColumn("cum", sum("dev").over(run))
+      .withColumn("s_pos", col("cum") - least(lit(0L), min("cum").over(run)))
+      .withColumn("s_neg",
+        greatest(lit(0L), max("cum").over(run)) - col("cum"))
+    val h = withDev.agg(
+      (Num.floorEps(sum(abs(col("dev"))).cast("double") / count(lit(1))) * 4)
+        .as("h"))
+    withDev.crossJoin(broadcast(h))
+      .select(col("day"), col("total_c"), col("dev"), col("s_pos"),
+        col("s_neg"), col("h"),
+        when(col("s_pos") > col("h") || col("s_neg") > col("h"), 1L)
+          .otherwise(0L).as("alarm"))
+      .orderBy("day")
+  }
+
+  private val cusumSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${NumSql.cents("value")}) AS BIGINT) AS total_c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |stats AS (
+       |  SELECT ${NumSql.floorEps("CAST(SUM(total_c) AS DOUBLE) / COUNT(*)")} AS mu
+       |  FROM daily),
+       |dev AS (
+       |  SELECT day, total_c, total_c - mu AS dev
+       |  FROM daily CROSS JOIN stats),
+       |cm0 AS (
+       |  SELECT day, total_c, dev,
+       |    CAST(SUM(dev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM dev),
+       |cm AS (
+       |  SELECT day, total_c, dev, cum,
+       |    CAST(MIN(cum) OVER w AS BIGINT) AS min_cum,
+       |    CAST(MAX(cum) OVER w AS BIGINT) AS max_cum
+       |  FROM cm0
+       |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+       |ss AS (
+       |  SELECT day, total_c, dev,
+       |    cum - LEAST(CAST(0 AS BIGINT), min_cum) AS s_pos,
+       |    GREATEST(CAST(0 AS BIGINT), max_cum) - cum AS s_neg
+       |  FROM cm),
+       |hh AS (
+       |  SELECT ${NumSql.floorEps("CAST(SUM(abs(dev)) AS DOUBLE) / COUNT(*)")} * 4 AS h
+       |  FROM ss)
+       |SELECT day, total_c, dev, s_pos, s_neg, CAST(h AS BIGINT) AS h,
+       |  CASE WHEN s_pos > h OR s_neg > h THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS alarm
+       |FROM ss CROSS JOIN hh ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------- skew profile
 
   /** JOIN-KEY SKEW detector — the pre-join diagnostic that decides
@@ -528,5 +605,6 @@ object ProfilingQueries {
     Q("q_dp_count", dpCount, Some(dpCountSql)),
     Q("q_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
+    Q("q_cusum", cusum, Some(cusumSql)),
   )
 }

@@ -31,6 +31,9 @@ class PlanLintSpec extends SparkSpec {
     "q_perplexity",
     // signal agreement: embeds q_perplexity's vocab cross
     "q_signal_corr",
+    // CUSUM: the 1-row mean and threshold aggregates crossed into the
+    // |days|-row frame
+    "q_cusum",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

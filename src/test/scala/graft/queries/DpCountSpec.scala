@@ -68,4 +68,25 @@ class DpCountSpec extends SparkSpec {
     assert(got.exists(_._5 > 0))
     got.foreach { r => assert(r._5 * 2 < r._2, s"${r._1} flags a majority") }
   }
+
+  test("q_cusum equals the textbook max-recursion (the prefix-min identity)") {
+    val got = SparkEntry.queries("q_cusum")(spark, sf0001)
+      .select("day", "total_c", "dev", "s_pos", "s_neg", "h", "alarm")
+      .as[(java.sql.Date, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1.getTime)
+
+    // recompute the RECURSIVE definition directly: the query's
+    // window-closed-form must equal it on every day
+    var sp = 0L; var sn = 0L
+    got.foreach { case (d, _, dev, gotSp, gotSn, h, alarm) =>
+      sp = math.max(0L, sp + dev)
+      sn = math.max(0L, sn - dev)
+      assert(gotSp === sp, s"$d s_pos")
+      assert(gotSn === sn, s"$d s_neg")
+      assert(alarm === (if (sp > h || sn > h) 1L else 0L), s"$d alarm")
+    }
+    // deviations sum to ~0 by construction (mean-centred, floor slack)
+    val n = got.size
+    assert(math.abs(got.map(_._3).sum) <= n.toLong)
+  }
 }
