@@ -626,6 +626,61 @@ object SimilarityQueries {
        |    (sqa, sqb) -> sqa + sqb) * 1000000000.0 + 0.000001) AS BIGINT) AS err_nano
        |FROM c ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- drift
+
+  /** EMBEDDING DISTRIBUTION DRIFT — the model-monitoring readout
+    * ("did the production embedding distribution move away from the
+    * index's?") over two deterministic halves (vec_id parity standing
+    * in for reference vs live): per dimension, counts, integer-micro
+    * component sums, and the mean shift — computed CROSS-MULTIPLIED
+    * (\|sumA·nB − sumB·nA\|) so the comparison is exact integer
+    * arithmetic with no division until the final readability scaling.
+    * Components quantize to micros PER ROW (deterministic scalar op)
+    * before any sum, so the aggregate is order-free — a raw float
+    * SUM across rows would be partition-order-dependent and
+    * hash-unverifiable.
+    *
+    * Scale shape: one corpus scan + posexplode, one (dim)-keyed
+    * map-side-combined aggregate to 64 rows. At a billion vectors
+    * the micro sums approach BIGINT range at dim-sum ~9·10¹²
+    * vectors — far beyond any embedding store; DECIMAL(38,0) is the
+    * drop-in beyond. */
+  private def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 2 === 0).as("ref"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("ref"), col("dim").cast("long").as("dim"),
+        graft.ops.Num.floorEps(col("x").cast("double") * 1e6).as("xq"))
+      .groupBy("dim")
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ref"), col("xq")).otherwise(0L)).as("sum_a"),
+        sum(when(!col("ref"), col("xq")).otherwise(0L)).as("sum_b"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        graft.ops.Num.floorEps(
+          abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+            .cast("double") / (col("n_a") * col("n_b"))).as("drift_micro"))
+      .orderBy("dim")
+  }
+
+  private val embeddingDriftSql =
+    s"""WITH ex AS (
+       |  SELECT vec_id % 2 = 0 AS ref, i - 1 AS dim,
+       |    ${graft.ops.NumSql.floorEps("CAST(embedding[i] AS DOUBLE) * 1000000")} AS xq
+       |  FROM embeddings, (SELECT unnest(generate_series(1, ${Similarity.Dim})) AS i)),
+       |agg AS (
+       |  SELECT dim,
+       |    CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN ref THEN xq ELSE 0 END) AS BIGINT) AS sum_a,
+       |    CAST(SUM(CASE WHEN NOT ref THEN xq ELSE 0 END) AS BIGINT) AS sum_b
+       |  FROM ex GROUP BY dim)
+       |SELECT dim, n_a, n_b, sum_a, sum_b,
+       |  ${graft.ops.NumSql.floorEps(
+      "CAST(abs(sum_a * n_b - sum_b * n_a) AS DOUBLE) / (n_a * n_b)")} AS drift_micro
+       |FROM agg ORDER BY dim""".stripMargin
+
   // --------------------------------------------------------------- recall
 
   /** ANN RECALL@10 table — the evaluation harness run as a query:
@@ -1072,5 +1127,6 @@ object SimilarityQueries {
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
+    Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 }

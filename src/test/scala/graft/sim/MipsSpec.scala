@@ -78,4 +78,29 @@ class MipsSpec extends SparkSpec {
     assert(got("ivf")._4 >= got("ivf_pq")._4)
     assert(got("pq")._4 >= got("ivf_pq")._4)
   }
+
+  test("q_embedding_drift equals the brute per-dim micro-sum recompute") {
+    val got = SparkEntry.queries("q_embedding_drift")(spark, sf0001)
+      .select("dim", "n_a", "n_b", "sum_a", "sum_b", "drift_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+    val embs = graft.tables.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+    val dim = embs.head._2.length
+    val brute = (0 until dim).map { d =>
+      val a = embs.filter(_._1 % 2 == 0)
+        .map(e => graft.ops.Num.floorEpsLong(e._2(d).toDouble * 1e6))
+      val b = embs.filter(_._1 % 2 != 0)
+        .map(e => graft.ops.Num.floorEpsLong(e._2(d).toDouble * 1e6))
+      val drift = graft.ops.Num.floorEpsLong(
+        math.abs(a.sum * b.length - b.sum * a.length).toDouble /
+          (a.length.toLong * b.length))
+      (d.toLong, a.length.toLong, b.length.toLong, a.sum, b.sum, drift)
+    }
+    assert(got === brute)
+    // parity halves of one distribution: drift stays small relative to
+    // the component scale (sanity, not a tight bound)
+    assert(got.map(_._6).max < 200000L, "parity halves should not 'drift'")
+  }
 }
