@@ -367,6 +367,194 @@ object DecisionQueries {
        |    THEN 'significant' ELSE 'inconclusive' END AS verdict
        |FROM z""".stripMargin
 
+  // ------------------------------------------------------- association rules
+
+  /** Market-basket association rules over order baskets: support,
+    * directional confidence, and lift for every part pair co-bought
+    * in ≥2 orders, reported as the top-50 rules by lift (ties broken
+    * on the pair key). Every ratio is an exact integral division
+    * quantized to ppm; lift's numerator is widened to DECIMAL(38,0)
+    * because 1e6·s_xy·N overflows BIGINT once basket counts reach
+    * fleet scale (~1e10 orders).
+    *
+    * Scale shape: candidate pairs come from a per-order self-join —
+    * baskets are bounded (~4 items at every SF), so candidates are
+    * O(\|orders\|·k²), never all-pairs over the catalog. One shuffle
+    * counts pair support; item support is \|catalog\|-sized and
+    * broadcast to the survivors; the 1-row basket count rides a
+    * deliberate broadcast cross (PlanLint allowlist). The top-50 is
+    * a `TakeOrderedAndProject` — per-partition heaps, no global
+    * sort. */
+  private def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
+      .distinct()
+    val nbask = items.agg(count_distinct(col("ok")).as("n"))
+    val isup = items.groupBy(col("it")).agg(count(lit(1)).as("s"))
+    val psup = items.as("a")
+      .join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+      .agg(count(lit(1)).as("s_xy"))
+      .where(col("s_xy") >= 2)
+    psup
+      .join(broadcast(isup.select(col("it").as("x"), col("s").as("s_x"))), "x")
+      .join(broadcast(isup.select(col("it").as("y"), col("s").as("s_y"))), "y")
+      .crossJoin(broadcast(nbask))
+      .select(col("x"), col("y"), col("s_xy"), col("s_x"), col("s_y"),
+        expr("1000000 * s_xy div s_x").as("conf_xy_ppm"),
+        expr("1000000 * s_xy div s_y").as("conf_yx_ppm"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * s_xy * n div " +
+          "(CAST(s_x AS DECIMAL(38,0)) * s_y)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+      .limit(50)
+  }
+
+  private val assocRulesSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+      |nbask AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+      |isup AS (SELECT it, COUNT(*) AS s FROM items GROUP BY it),
+      |psup AS (
+      |  SELECT a.it AS x, b.it AS y, COUNT(*) AS s_xy
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.it < b.it
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT p.x, p.y, p.s_xy, sx.s AS s_x, sy.s AS s_y,
+      |  CAST(1000000 * p.s_xy // sx.s AS BIGINT) AS conf_xy_ppm,
+      |  CAST(1000000 * p.s_xy // sy.s AS BIGINT) AS conf_yx_ppm,
+      |  CAST((CAST(1000000 AS HUGEINT) * p.s_xy * n.n) //
+      |    (CAST(sx.s AS HUGEINT) * sy.s) AS BIGINT) AS lift_ppm
+      |FROM psup p
+      |JOIN isup sx ON p.x = sx.it
+      |JOIN isup sy ON p.y = sy.it
+      |CROSS JOIN nbask n
+      |ORDER BY lift_ppm DESC, x, y LIMIT 50""".stripMargin
+
+  // ----------------------------------------------------------------- gini
+
+  /** Gini coefficient of customer revenue within each nation — the
+    * concentration/inequality readout every marketplace and corpus-
+    * source audit wants ("is 1% of sources 90% of the tokens?").
+    * Uses the rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    * per-customer revenue cents ranked ascending (ties broken on
+    * custkey), all in DECIMAL(38,0)/HUGEINT — rank·cents reaches
+    * ~1e16 per row and its sum overflows BIGINT at fleet scale —
+    * then one exact integral division to ppm.
+    *
+    * Scale shape: orders reduce map-side to one row per customer,
+    * the customer⋈nation join shuffles on custkey, and the rank is
+    * a per-nation window (25 partitions here; for a skewed partition
+    * key the [[skyline]]-style two-phase local/global split applies).
+    * Output is \|nations\| rows. */
+  private def gini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(Num.cents(col("o_totalprice"))).as("cents"))
+    val ranked = rev
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nk")),
+        col("ck") === col("c_custkey"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("nk").orderBy(col("cents"), col("ck"))))
+    val byNation = ranked.groupBy("nk").agg(
+      count(lit(1)).as("n_cust"),
+      sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s"),
+      sum(expr("CAST(i AS DECIMAL(38,0)) * cents")).as("ws"))
+    byNation
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n_cust"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * (2 * ws - (n_cust + 1) * s) " +
+          "div (CAST(n_cust AS DECIMAL(38,0)) * s)").as("gini_ppm"))
+      .orderBy("n_name")
+  }
+
+  private val giniSql =
+    s"""WITH rev AS (
+       |  SELECT o_custkey AS ck,
+       |    SUM(${NumSql.cents("o_totalprice")}) AS cents
+       |  FROM orders GROUP BY o_custkey),
+       |ranked AS (
+       |  SELECT c.c_nationkey AS nk, r.cents,
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY c.c_nationkey ORDER BY r.cents, r.ck) AS i
+       |  FROM rev r JOIN customer c ON r.ck = c.c_custkey),
+       |agg AS (
+       |  SELECT nk, COUNT(*) AS n_cust,
+       |    SUM(CAST(cents AS HUGEINT)) AS s,
+       |    SUM(CAST(i AS HUGEINT) * cents) AS ws
+       |  FROM ranked GROUP BY nk)
+       |SELECT n.n_name, a.n_cust,
+       |  CAST((CAST(1000000 AS HUGEINT) * (2 * a.ws - (a.n_cust + 1) * a.s)) //
+       |    (CAST(a.n_cust AS HUGEINT) * a.s) AS BIGINT) AS gini_ppm
+       |FROM agg a JOIN nation n ON a.nk = n.n_nationkey
+       |ORDER BY n.n_name""".stripMargin
+
+  // -------------------------------------------------------------- benford
+
+  /** Benford's-law screen over order totals: the leading-digit
+    * distribution of the amount column against the log₁₀(1+1/d)
+    * expectation — the classic fraud/synthetic-data smell test. The
+    * leading digit comes from the decimal rendering of exact integer
+    * cents (identical in both engines — no float log10 near a power-
+    * of-ten boundary), and the expected ppm values are pinned
+    * literals (floor(1e6·log₁₀(1+1/d)), asserted against math.log10
+    * in spec) rather than engine-computed doubles.
+    *
+    * Scale shape: the corpus reduces map-side to ≤9 digit counts;
+    * the 9-row expectation table and the 1-row total ride broadcast
+    * joins (the cross is PlanLint-allowlisted). Nothing but the scan
+    * touches the data. */
+  private def benford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 0)
+      .select(Num.cents(col("o_totalprice")).as("c"))
+      .select(expr("CAST(substring(CAST(c AS STRING), 1, 1) AS BIGINT)")
+        .as("d"))
+    val obs = digits.groupBy("d").agg(count(lit(1)).as("cnt"))
+    val tot = digits.agg(count(lit(1)).as("n"))
+    val expected = spark.createDataFrame(benfordExpectedPpm).toDF("d", "exp_ppm")
+    expected
+      .join(obs, Seq("d"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("d"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"),
+        expr("1000000 * coalesce(cnt, 0) div n").as("obs_ppm"),
+        col("exp_ppm"),
+        abs(expr("1000000 * coalesce(cnt, 0) div n") - col("exp_ppm"))
+          .as("dev_ppm"))
+      .orderBy("d")
+  }
+
+  /** floor(1e6·log₁₀(1+1/d)) for d = 1..9, pinned so neither engine
+    * evaluates a float log near a rounding boundary. */
+  private[graft] val benfordExpectedPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301029L, 2L -> 176091L, 3L -> 124938L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66946L, 7L -> 57991L, 8L -> 51152L, 9L -> 45757L)
+
+  private val benfordSql = {
+    val values = benfordExpectedPpm
+      .map { case (d, p) => s"($d, $p)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT ${NumSql.cents("o_totalprice")} AS c
+       |  FROM orders WHERE o_totalprice > 0),
+       |digits AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS d
+       |  FROM cents),
+       |obs AS (SELECT d, COUNT(*) AS cnt FROM digits GROUP BY d),
+       |tot AS (SELECT COUNT(*) AS n FROM digits),
+       |expected AS (SELECT * FROM (VALUES $values) AS t(d, exp_ppm))
+       |SELECT CAST(e.d AS BIGINT) AS d,
+       |  CAST(COALESCE(o.cnt, 0) AS BIGINT) AS cnt,
+       |  CAST(1000000 * COALESCE(o.cnt, 0) // t.n AS BIGINT) AS obs_ppm,
+       |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       |  CAST(abs(1000000 * COALESCE(o.cnt, 0) // t.n - e.exp_ppm) AS BIGINT)
+       |    AS dev_ppm
+       |FROM expected e LEFT JOIN obs o ON e.d = o.d CROSS JOIN tot t
+       |ORDER BY e.d""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_skyline", skyline, Some(skylineSql)),
     Q("q_outlier_iqr", outlierIqr, Some(outlierIqrSql)),
@@ -375,5 +563,8 @@ object DecisionQueries {
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     Q("q_abtest", abtest, Some(abtestSql)),
+    Q("q_assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("q_gini", gini, Some(giniSql)),
+    Q("q_benford", benford, Some(benfordSql)),
   )
 }

@@ -65,6 +65,12 @@ class PlanLintSpec extends SparkSpec {
     // bloom FPR contract: two 1-row count aggregates crossed into the
     // single summary row
     "q_bloom_fpr",
+    // association rules: the 1-row basket-count aggregate crossed
+    // into the bounded (support-filtered) rule table
+    "q_assoc_rules",
+    // Benford screen: the 1-row total-count aggregate crossed into
+    // the 9-row digit table
+    "q_benford",
     // corpus-pipeline flagship: q_temperature_mix's 1-row total-weight
     // cross, redeployed over the funnel survivors
     "q_corpus_pipeline",

@@ -124,4 +124,82 @@ class DecisionQueriesSpec extends SparkSpec {
       assert(low <= close && close <= high)
     }
   }
+
+  test("q_assoc_rules equals the brute-force top-50 rules by lift") {
+    val got = run("q_assoc_rules")
+      .select("x", "y", "s_xy", "s_x", "s_y",
+        "conf_xy_ppm", "conf_yx_ppm", "lift_ppm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+
+    val items = graft.tables.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().toSet
+    val n = items.map(_._1).size.toLong
+    val isup = items.groupBy(_._2).map { case (it, rs) =>
+      it -> rs.map(_._1).size.toLong }
+    val byOrder = items.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val psup = byOrder.values.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    val brute = psup.toSeq.map { case (Seq(x, y), sXy) =>
+      val (sX, sY) = (isup(x), isup(y))
+      (x, y, sXy, sX, sY,
+        1000000L * sXy / sX, 1000000L * sXy / sY,
+        (BigInt(1000000) * sXy * n / (BigInt(sX) * sY)).toLong)
+    }.sortBy { case (x, y, _, _, _, _, _, lift) => (-lift, x, y) }.take(50)
+    assert(got === brute)
+    // the measurement is non-degenerate: real co-purchase lift > 1
+    assert(got.head._8 > 1000000L)
+  }
+
+  test("q_gini equals the brute-force rank-identity Gini per nation") {
+    val got = run("q_gini")
+      .select("n_name", "n_cust", "gini_ppm")
+      .as[(String, Long, Long)].collect()
+      .map { case (nm, nc, g) => nm -> ((nc, g)) }.toMap
+
+    val rev = graft.tables.Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.ops.Num.cents(col("o_totalprice"))).as("cents"))
+      .as[(Long, Long)].collect().toMap
+    val custNation = graft.tables.Tables.customer(spark, sf0001)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Long)].collect().toMap
+    val names = graft.tables.Tables.nation(spark, sf0001)
+      .select(col("n_nationkey"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val brute = rev.toSeq
+      .map { case (ck, c) => (custNation(ck), ck, c) }
+      .groupBy(_._1).map { case (nk, rs) =>
+        val xs = rs.sortBy(r => (r._3, r._2)).map(_._3)
+        val nc = BigInt(xs.size)
+        val s = xs.map(BigInt(_)).sum
+        val ws = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+        names(nk) -> ((xs.size.toLong,
+          (BigInt(1000000) * (2 * ws - (nc + 1) * s) / (nc * s)).toLong))
+      }
+    assert(got === brute)
+    assert(got.size === 25)
+    got.values.foreach { case (_, g) => assert(g >= 0L && g < 1000000L) }
+  }
+
+  test("q_benford: pinned expectation table and exact deviation accounting") {
+    // the pinned literals ARE floor(1e6 * log10(1 + 1/d))
+    DecisionQueries.benfordExpectedPpm.foreach { case (d, ppm) =>
+      assert(ppm === math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+    }
+    val got = run("q_benford")
+      .select("d", "cnt", "obs_ppm", "exp_ppm", "dev_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === (1L to 9L))
+    val total = got.map(_._2).sum
+    assert(total === graft.tables.Tables.orders(spark, sf0001)
+      .where(col("o_totalprice") > 0).count())
+    got.foreach { case (_, cnt, obs, exp, dev) =>
+      assert(obs === 1000000L * cnt / total)
+      assert(dev === math.abs(obs - exp))
+    }
+  }
 }
