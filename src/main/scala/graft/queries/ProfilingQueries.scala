@@ -595,6 +595,107 @@ object ProfilingQueries {
        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------- KS test
+
+  /** Two-sample Kolmogorov–Smirnov drift test: each language's doc-
+    * length distribution against the `en` reference cohort, plus one
+    * PLANTED drifted cohort (`en_x2` — the reference lengths doubled)
+    * so the alarm demonstrably fires on this fixture (the natural
+    * langs share one generator and correctly read `same`). Where
+    * [[graft.queries.SimilarityQueries]]'s drift monitor compares
+    * MEANS, KS compares the whole distribution: D = max over pooled
+    * values of \|ECDF_ref − ECDF_cohort\|, computed CROSS-MULTIPLIED
+    * (\|ca·nb − cb·na\| in DECIMAL(38,0)/HUGEINT — exact integers, no
+    * division until the final ppm readout). The α=0.05 critical value
+    * 1.358·√((na+nb)/(na·nb)) is the one double chain, floor-quantized
+    * identically on both engines before the verdict comparison.
+    *
+    * Scale shape: the reference cohort is replicated once per cohort
+    * (bounded: ≤\|langs\| rows broadcast-crossed — PlanLint
+    * allowlist), the ECDF is a RANGE-frame running sum per cohort
+    * (peer rows at equal v share one ECDF step on both engines), and
+    * each cohort reduces to one row. At 100 TB you would bin v into a
+    * bounded histogram first and run the same plan over bin edges —
+    * the formulation is unchanged. */
+  private def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("v"))
+    val cohorts = vals.where(col("lang") =!= "en")
+      .select(col("lang").as("cohort")).distinct()
+      .union(spark.range(1).select(lit("en_x2").as("cohort")))
+    val ref = vals.where(col("lang") === "en")
+    val pooled = ref.crossJoin(broadcast(cohorts))
+      .select(col("cohort"), col("v"), lit(1L).as("a"), lit(0L).as("b"))
+      .union(vals.where(col("lang") =!= "en")
+        .select(col("lang").as("cohort"), col("v"),
+          lit(0L).as("a"), lit(1L).as("b")))
+      .union(ref.select(lit("en_x2").as("cohort"), (col("v") * 2).as("v"),
+        lit(0L).as("a"), lit(1L).as("b")))
+    // default frame with an ORDER BY is RANGE …CURRENT ROW: ties at v
+    // share one ECDF step, matching DuckDB's window semantics
+    val wCum = Window.partitionBy("cohort").orderBy("v")
+    val wAll = Window.partitionBy("cohort")
+    val agg = pooled
+      .withColumn("ca", sum(col("a")).over(wCum))
+      .withColumn("cb", sum(col("b")).over(wCum))
+      .withColumn("na", sum(col("a")).over(wAll))
+      .withColumn("nb", sum(col("b")).over(wAll))
+      .groupBy("cohort")
+      .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_coh"),
+        max(abs(expr("CAST(ca AS DECIMAL(38,0)) * nb - " +
+          "CAST(cb AS DECIMAL(38,0)) * na"))).as("d_dec"))
+    val crit = Num.floorEps(lit(1.358) *
+      sqrt((col("n_ref") + col("n_coh")).cast("double") /
+        (col("n_ref").cast("double") * col("n_coh"))) * 1e6)
+    agg
+      .select(col("cohort"), col("n_ref"), col("n_coh"),
+        col("d_dec").cast("long").as("d_num"),
+        expr("CAST(1000000 AS DECIMAL(38,0)) * d_dec div " +
+          "(CAST(n_ref AS DECIMAL(38,0)) * n_coh)").as("ks_ppm"),
+        crit.as("crit_ppm"))
+      .withColumn("verdict",
+        when(col("ks_ppm") > col("crit_ppm"), "drift").otherwise("same"))
+      .orderBy("cohort")
+  }
+
+  private val ksTestSql = {
+    val crit = NumSql.floorEps("1.358 * sqrt(CAST(n_ref + n_coh AS DOUBLE) " +
+      "/ (CAST(n_ref AS DOUBLE) * n_coh)) * 1000000")
+    s"""WITH vals AS (SELECT lang, n_chars AS v FROM documents),
+       |cohorts AS (
+       |  SELECT DISTINCT lang AS cohort FROM vals WHERE lang <> 'en'
+       |  UNION ALL SELECT 'en_x2'),
+       |pooled AS (
+       |  SELECT c.cohort, r.v, CAST(1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b
+       |  FROM vals r CROSS JOIN cohorts c WHERE r.lang = 'en'
+       |  UNION ALL
+       |  SELECT lang, v, 0, 1 FROM vals WHERE lang <> 'en'
+       |  UNION ALL
+       |  SELECT 'en_x2', v * 2, 0, 1 FROM vals WHERE lang = 'en'),
+       |cum AS (
+       |  SELECT cohort, v,
+       |    SUM(a) OVER (PARTITION BY cohort ORDER BY v) AS ca,
+       |    SUM(b) OVER (PARTITION BY cohort ORDER BY v) AS cb,
+       |    SUM(a) OVER (PARTITION BY cohort) AS na,
+       |    SUM(b) OVER (PARTITION BY cohort) AS nb
+       |  FROM pooled),
+       |agg AS (
+       |  SELECT cohort, CAST(MAX(na) AS BIGINT) AS n_ref,
+       |    CAST(MAX(nb) AS BIGINT) AS n_coh,
+       |    MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+       |      AS d_dec
+       |  FROM cum GROUP BY cohort),
+       |readout AS (
+       |  SELECT cohort, n_ref, n_coh, CAST(d_dec AS BIGINT) AS d_num,
+       |    CAST((CAST(1000000 AS HUGEINT) * d_dec) //
+       |      (CAST(n_ref AS HUGEINT) * n_coh) AS BIGINT) AS ks_ppm,
+       |    $crit AS crit_ppm
+       |  FROM agg)
+       |SELECT cohort, n_ref, n_coh, d_num, ks_ppm, crit_ppm,
+       |  CASE WHEN ks_ppm > crit_ppm THEN 'drift' ELSE 'same' END AS verdict
+       |FROM readout ORDER BY cohort""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_table_checksum", tableChecksum, Some(tableChecksumSql)),
     Q("q_window_nav", windowNav, Some(windowNavSql)),
@@ -606,5 +707,6 @@ object ProfilingQueries {
     Q("q_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_cusum", cusum, Some(cusumSql)),
+    Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

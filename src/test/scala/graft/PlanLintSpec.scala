@@ -71,6 +71,9 @@ class PlanLintSpec extends SparkSpec {
     // Benford screen: the 1-row total-count aggregate crossed into
     // the 9-row digit table
     "q_benford",
+    // KS test: the ≤|langs|-row cohort list broadcast-crossed into
+    // the reference cohort (bounded replication by design)
+    "q_ks_test",
     // corpus-pipeline flagship: q_temperature_mix's 1-row total-weight
     // cross, redeployed over the funnel survivors
     "q_corpus_pipeline",
