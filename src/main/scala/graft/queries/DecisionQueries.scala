@@ -386,9 +386,12 @@ object DecisionQueries {
     * a `TakeOrderedAndProject` — per-partition heaps, no global
     * sort. */
   private def assocRules(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+    // persisted: the deduped basket table feeds four consumers (basket
+    // count, item support, both sides of the pair self-join) — without
+    // the cache mark each one re-runs the scan+distinct shuffle
+    val items = graft.ops.SideCache.persist(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct()
+      .distinct())
     val nbask = items.agg(count_distinct(col("ok")).as("n"))
     val isup = items.groupBy(col("it")).agg(count(lit(1)).as("s"))
     val psup = items.as("a")
