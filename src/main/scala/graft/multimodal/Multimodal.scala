@@ -390,7 +390,16 @@ object Multimodal {
     * dstDim` → re-encode PNG / re-assemble `vpng`); metadata-level
     * for audio, whose width/height are vestigial. The sample map is
     * exact integer arithmetic, so resized-pixel histograms stay
-    * DuckDB-oracle-able via [[pixelAt]] / [[framePixelAt]]. */
+    * DuckDB-oracle-able via [[pixelAt]] / [[framePixelAt]].
+    *
+    * CALLERS MUST PRE-FILTER `kind` BEFORE calling: the typed
+    * mapPartitions kernel below is an optimizer barrier, so Catalyst
+    * CANNOT push a post-resize `kind` filter beneath it — a
+    * `resize(media).filter(kind === "image")` pays full per-frame
+    * video decode/resample/re-encode for rows it then discards
+    * (measured 4.1x at sf0.1; the round-10 q_resize_pixels
+    * regression). Filter first; resize is row-wise, so the result on
+    * the filtered subset is identical. */
   def resize(media: DataFrame, maxDim: Int): DataFrame = {
     import media.sparkSession.implicits._
     val scale = least(

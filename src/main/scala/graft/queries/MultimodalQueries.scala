@@ -191,8 +191,12 @@ object MultimodalQueries {
     * encode breaks the hash. */
   private def resizePixels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Multimodal.resize(media(spark, dir), maxDim = 16)
-      .filter(col("kind") === "image")
+    // kind filter BEFORE resize: the typed mapPartitions kernel is an
+    // optimizer barrier, so a post-resize filter cannot be pushed down
+    // and every video would be per-frame decoded/resampled/re-encoded
+    // then discarded (the round-10 4.1x regression).
+    Multimodal.resize(media(spark, dir).filter(col("kind") === "image"),
+        maxDim = 16)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>

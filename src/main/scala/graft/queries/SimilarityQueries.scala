@@ -641,10 +641,11 @@ object SimilarityQueries {
     * hash-unverifiable.
     *
     * Scale shape: one corpus scan + posexplode, one (dim)-keyed
-    * map-side-combined aggregate to 64 rows. At a billion vectors
-    * the micro sums approach BIGINT range at dim-sum ~9·10¹²
-    * vectors — far beyond any embedding store; DECIMAL(38,0) is the
-    * drop-in beyond. */
+    * map-side-combined aggregate to 64 rows. The micro SUMS hold in
+    * BIGINT to ~9·10¹² vectors, but the cross-multiplication
+    * sum·n would wrap (non-ANSI, silently) at only ~6M vectors per
+    * half — so it is widened to DECIMAL(38,0) (HUGEINT in the
+    * oracle), the q_ks_test convention, which holds to ~10²⁸. */
   private def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     Tables.embeddings(spark, dir)
@@ -659,7 +660,8 @@ object SimilarityQueries {
         sum(when(!col("ref"), col("xq")).otherwise(0L)).as("sum_b"))
       .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
         graft.ops.Num.floorEps(
-          abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+          abs(col("sum_a").cast("decimal(38,0)") * col("n_b") -
+              col("sum_b").cast("decimal(38,0)") * col("n_a"))
             .cast("double") / (col("n_a") * col("n_b"))).as("drift_micro"))
       .orderBy("dim")
   }
@@ -678,7 +680,7 @@ object SimilarityQueries {
        |  FROM ex GROUP BY dim)
        |SELECT dim, n_a, n_b, sum_a, sum_b,
        |  ${graft.ops.NumSql.floorEps(
-      "CAST(abs(sum_a * n_b - sum_b * n_a) AS DOUBLE) / (n_a * n_b)")} AS drift_micro
+      "CAST(abs(CAST(sum_a AS HUGEINT) * n_b - CAST(sum_b AS HUGEINT) * n_a) AS DOUBLE) / (n_a * n_b)")} AS drift_micro
        |FROM agg ORDER BY dim""".stripMargin
 
   // --------------------------------------------------------------- recall
@@ -885,7 +887,10 @@ object SimilarityQueries {
           Seq("qid", "b")).select(col("qid"), col("a").as("id"), col("cosab")),
           Seq("qid", "id"), "left")
         .groupBy("qid", "id")
-        .agg(first("rel").as("rel"), max("cosab").as("maxpen"))
+        // min, not first: rel is constant within each (qid,id) group so
+        // the value is identical, but first() is contractually
+        // non-deterministic — determinism must hold by contract here.
+        .agg(min("rel").as("rel"), max("cosab").as("maxpen"))
       val scoredRound = pen.withColumn("mmr_q",
         graft.ops.Num.floorEps((col("rel") * 0.7 -
           coalesce(col("maxpen"), lit(0.0)) * 0.3) * 1e6).cast("long"))
