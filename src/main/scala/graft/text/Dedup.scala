@@ -305,22 +305,35 @@ object Dedup {
     * edge set dwarfs scheduling overhead. */
   def wccStar(pairs: DataFrame, idA: String = "id_a",
               idB: String = "id_b"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, greatest, least, min}
+    import org.apache.spark.sql.functions.{col, greatest, least, min, sum}
     def canon(df: DataFrame): DataFrame = df
       .filter(col("s") =!= col("d"))
       .select(least(col("s"), col("d")).as("s"),
         greatest(col("s"), col("d")).as("d"))
       .distinct()
     // Fixpoint ⇔ the edge set IS a disjoint min-rooted star forest:
-    // every d has exactly one parent AND no s appears as a d. The
-    // aggregate doubles as the round's materialization action; the
-    // semi-join only runs once the cheap half already holds.
+    // every d has exactly one parent AND no s appears as a d. ONE
+    // job: tag each edge endpoint, group by node, fold to three
+    // counters — n (Σ d-occurrences = |edges|) vs |distinct d|, plus
+    // the s∩d overlap — replacing the former aggregate +
+    // conditional semi-join (TWO jobs in the final round) with a
+    // single action that also doubles as the round's
+    // checkpoint-materialization point. explode, NOT a self-union:
+    // a union would scan the not-yet-materialized lazy checkpoint
+    // twice in one job and the scans race to compute it (the
+    // "Block already exists" duplicate-work pitfall, SURVEY lesson 6).
     def isStarForest(df: DataFrame): Boolean = {
-      val r = df.selectExpr("count(*) AS n",
-        "count(DISTINCT d) AS nd").head()
-      r.getLong(0) == r.getLong(1) && df
-        .join(df.select(col("d").as("s")).distinct(), Seq("s"), "left_semi")
-        .isEmpty
+      val r = df.selectExpr(
+        "explode(array(struct(s AS x, CAST(1 AS BIGINT) AS es, " +
+          "CAST(0 AS BIGINT) AS ed), struct(d AS x, CAST(0 AS BIGINT) " +
+          "AS es, CAST(1 AS BIGINT) AS ed))) AS t")
+        .select(col("t.x").as("x"), col("t.es").as("es"), col("t.ed").as("ed"))
+        .groupBy("x").agg(sum("es").as("ns"), sum("ed").as("nd"))
+        .selectExpr("CAST(SUM(nd) AS BIGINT) AS n",
+          "COUNT(CASE WHEN nd > 0 THEN 1 END) AS dnodes",
+          "COUNT(CASE WHEN ns > 0 AND nd > 0 THEN 1 END) AS overlap")
+        .head()
+      r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L
     }
     // One fused round: large-star then small-star, ONE canon + ONE
     // lazy checkpoint at the end. Intermediate duplicates/self-loops
