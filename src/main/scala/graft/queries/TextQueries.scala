@@ -716,27 +716,153 @@ object TextQueries {
        |ORDER BY i.doc_id""".stripMargin
   }
 
-  private val dedupSimhashSql = {
-    // bit k (k<31) from poly base 131; bit 31+k from poly base 137
+  /** Nightly-ingest dedup SERVED FROM THE STORED ARTIFACT — the same
+    * admission contract as `q_delta_ingest`, but with a genuine
+    * write->read boundary inside the plan: the EXISTING corpus's
+    * fingerprint table (doc_id, normalized-content md5, simhash) is
+    * computed in one pass, written with the partitioned parquet sink
+    * (`q_write_partitioned`'s machinery), read BACK from disk, and
+    * the incoming delta is admitted against the STORED table only.
+    * Only the delta is normalized/fingerprinted at serve time; the
+    * exact tier is a delta-proportional hash join against stored `h`,
+    * and the near tier joins the delta's 4 pigeonhole blocks against
+    * blocks derived from the STORED simhash — only buckets containing
+    * a delta member are touched, so serve cost ∝ |delta|, never
+    * |corpus|.
+    *
+    * Layout note: the artifact is shard-partitioned on doc_id here;
+    * at 100 TB the table would be BUCKETED on `h` so tomorrow's
+    * exact-tier probe co-locates without a shuffle, and the block
+    * table would be materialized alongside (block, block_val)-
+    * partitioned for listing-level pruning. The un-capped block join
+    * below inherits `q_dedup_simhash`'s bucket-cap caveat: a
+    * pathological bucket is bounded by the same CappedMinIds
+    * machinery, applied orthogonally.
+    *
+    * Planted exact twins: the fixture corpus holds ZERO byte-exact
+    * duplicates anywhere (probed at sf0.001 and sf0.01), so a purely
+    * natural delta would never fire the exact tier — a vacuous
+    * measurement. The incoming batch therefore also carries one
+    * exact copy (doc_id + 10⁶, identical text) of every existing doc
+    * with doc_id % 50 == 1: the exact tier AND its precedence over
+    * the (also-firing, hamming-0) near tier are hash-verified.
+    *
+    * DeltaIngestStoredSpec asserts bit-equality with an in-memory
+    * recompute and that the executed plan scans the stored artifact
+    * path. */
+  private def deltaIngestStored(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_delta_index"
+    val docs = Tables.documents(spark, dir)
+    def normHash(c: Column) =
+      md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
+    def fourBlocks(df: DataFrame, idAs: String, fpAs: String): DataFrame =
+      df.select(col("doc_id"), col("simhash"), posexplode(
+          array((0 until 4).map(b =>
+            pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
+        .toDF(idAs, fpAs, "block", "block_val")
+    // ---- nightly BUILD: one pass over the existing corpus computes
+    // BOTH tiers' keys; overwrite = the nightly refresh.
+    val ex = docs.filter(col("doc_id") % 7 =!= 0)
+    ex.select(col("doc_id"), normHash(col("text")).as("h"),
+        graft.functions.F.simhash64(TF.tokens(col("text"))).as("simhash"),
+        pmod(col("doc_id"), lit(8L)).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // ---- serve: delta admission against the STORED table. persisted:
+    // the stored frame feeds the exact tier and the block join; the
+    // delta frame feeds both tiers and the verdict spine.
+    val stored = graft.ops.SideCache.persist(spark.read.parquet(path))
+    val incDocs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs
+        .filter(col("doc_id") % 7 =!= 0 && pmod(col("doc_id"), lit(50L)) === 1)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val inc = graft.ops.SideCache.persist(
+      incDocs.select(col("doc_id"), normHash(col("text")).as("h"),
+        graft.functions.F.simhash64(TF.tokens(col("text"))).as("simhash")))
+    val exact = inc.select(col("doc_id"), col("h"))
+      .join(stored.select(col("h"), col("doc_id").as("m0")), Seq("h"))
+      .groupBy("doc_id").agg(min("m0").as("mx"))
+    // candidate pairs may repeat across up to 4 shared blocks; min()
+    // is duplicate-insensitive, so no distinct is needed.
+    val near = fourBlocks(inc, "i_id", "i_fp")
+      .join(fourBlocks(stored, "e_id", "e_fp"), Seq("block", "block_val"))
+      .filter(bit_count(col("i_fp").bitwiseXOR(col("e_fp"))) <= 3)
+      .groupBy(col("i_id").as("doc_id")).agg(min("e_id").as("mn"))
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("mx").isNotNull, "exact_dup")
+          .when(col("mn").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("mx"), col("mn"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val deltaIngestStoredSql = {
+    s"""WITH inc_docs AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 7 <> 0 AND doc_id % 50 = 1),
+       |ex_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+       |${simhashCteChain("inc_docs", "i")},
+       |${simhashCteChain("ex_docs", "e")},
+       |inh AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |  FROM inc_docs),
+       |enh AS (
+       |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |  FROM ex_docs),
+       |exact AS (
+       |  SELECT i.doc_id, MIN(e.doc_id) AS mx
+       |  FROM inh i JOIN enh e ON i.h = e.h GROUP BY i.doc_id),
+       |near AS (
+       |  SELECT i.doc_id, MIN(e.doc_id) AS mn
+       |  FROM iblocks i JOIN eblocks e
+       |    ON i.block = e.block AND i.block_val = e.block_val
+       |  WHERE bit_count(xor(i.simhash, e.simhash)) <= 3
+       |  GROUP BY i.doc_id)
+       |SELECT i.doc_id,
+       |  CASE WHEN x.mx IS NOT NULL THEN 'exact_dup'
+       |       WHEN n.mn IS NOT NULL THEN 'near_dup' ELSE 'new' END AS verdict,
+       |  CAST(COALESCE(x.mx, n.mn, -1) AS BIGINT) AS match_id
+       |FROM (SELECT doc_id FROM inc_docs) i
+       |LEFT JOIN exact x ON i.doc_id = x.doc_id
+       |LEFT JOIN near n ON i.doc_id = n.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
+  /** SimHash fingerprint CTE chain (toks→hs→fp→blocks) over an
+    * arbitrary source relation with a name prefix — oracles needing
+    * TWO independently fingerprinted sides (e.g. the stored-artifact
+    * delta ingest: incoming incl. planted twins vs existing) emit the
+    * chain twice. Bit k (k<31) from poly base 131; bit 31+k from
+    * poly base 137 — identical to [[graft.functions.SimHash64]]. */
+  private def simhashCteChain(src: String, pre: String): String = {
     val bitTerms =
       (0 until 31).map { k =>
         s"CASE WHEN list_sum(list_transform(h1, x -> CASE WHEN ((x >> $k) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $k) ELSE 0 END"
       } ++ (0 until 31).map { k =>
         s"CASE WHEN list_sum(list_transform(h2, x -> CASE WHEN ((x >> $k) & 1) = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << ${31 + k}) ELSE 0 END"
       }
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-       |), hs AS (
+    s"""${pre}toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $src
+       |), ${pre}hs AS (
        |  SELECT doc_id,
        |    list_transform(t, s -> ${OracleSqlFrag.poly("s", 131L)}) AS h1,
        |    list_transform(t, s -> ${OracleSqlFrag.poly("s", 137L)}) AS h2
-       |  FROM toks
-       |), fp AS (
-       |  SELECT doc_id, ${bitTerms.mkString("\n    + ")} AS simhash FROM hs
-       |), blocks AS (
+       |  FROM ${pre}toks
+       |), ${pre}fp AS (
+       |  SELECT doc_id, ${bitTerms.mkString("\n    + ")} AS simhash FROM ${pre}hs
+       |), ${pre}blocks AS (
        |  SELECT doc_id, simhash, block, (simhash >> (16 * block)) % 65536 AS block_val
-       |  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS block)
-       |)
+       |  FROM ${pre}fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS block)
+       |)""".stripMargin
+  }
+
+  private val dedupSimhashSql = {
+    s"""WITH ${simhashCteChain("documents", "")}
        |SELECT id_a, id_b, hamming FROM (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -2039,6 +2165,7 @@ object TextQueries {
     Q("q_edit_distance", editDistance, Some(editDistanceSql)),
     Q("q_oov_rate", oovRate, Some(oovRateSql)),
     Q("q_chunking", chunking, Some(chunkingSql)),
+    Q("q_delta_ingest_stored", deltaIngestStored, Some(deltaIngestStoredSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
