@@ -440,6 +440,26 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
+  /** Build-once/serve-many: the IVF×PQ index PERSISTED
+    * ([[Similarity.ivfPqIndexWrite]]: bucket-partitioned codes table +
+    * cents + seeds under the parquet sink), then `q_ann_rerank`'s
+    * two-stage retrieval served FROM the stored index
+    * ([[Similarity.ivfPqServeStored]]) — stage 1's ADC scan reads the
+    * codes TABLE (file-listing-prunable by bucket), and the corpus
+    * embeddings are touched only by stage 2's exact gather of the
+    * Q·kCand candidate list. Same oracle as `q_ann_rerank`: the serve
+    * path must land on bit-identical results (AnnServeSpec also
+    * asserts equality against the in-memory build and that the plan
+    * scans the index path). */
+  private def annServe(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index"
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqIndexWrite(emb, path)
+    Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10)
+      .orderBy("qid", "rank")
+  }
+
   /** Dedup-before-indexing — the similarity-side composition twin of
     * `q_corpus_pipeline`: semantic near-dup clusters (`q_embed_neardup`
     * pairs → `q_semantic_cluster` components) reduce the corpus to one
@@ -1123,6 +1143,7 @@ object SimilarityQueries {
     Q("q_ann_pq", annPq, Some(annPqSql)),
     Q("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     Q("q_ann_rerank", annRerank, Some(annRerankSql)),
+    Q("q_ann_serve", annServe, Some(annRerankSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_ann_dedup", annDedup, Some(annDedupSql)),

@@ -447,6 +447,132 @@ object Similarity {
         floor(col("adc") * 10000 + lit(0.5)).as("adc_x10k"))
   }
 
+  /** BUILD-ONCE: persist the IVF×PQ index — the production serving
+    * shape where indexing cost is paid once and amortized over every
+    * query batch. Three parquet tables under `path`:
+    *   - `codes/`  (vec_id, codes, cid) — one row per corpus vector,
+    *     PARTITIONED BY the IVF bucket id `cid`, so a probe list
+    *     prunes whole directories at the file-listing level (the
+    *     on-disk analogue of ivfPqTopK's in-memory bucket join); a
+    *     single repartition(cid) exchange precedes the write so each
+    *     bucket lands in one file, not one file per task×bucket.
+    *   - `cents/`  (cid, cvec, cnorm) — |C| rows, the coarse
+    *     quantizer; collected driver-side at serve time.
+    *   - `seeds/`  (seed_id, svec) — cbK rows; the PQ codebook is a
+    *     pure reshape of the seed vectors, so storing seeds keeps the
+    *     artifact self-describing (m and cbK are recoverable).
+    * Same centroid/seed/codes derivation as [[ivfPqTopK]] — byte
+    * identical index content. */
+  def ivfPqIndexWrite(emb: DataFrame, path: String,
+                      centroidMod: Long = 61, cbMod: Long = 29,
+                      cbK: Int = 16, m: Int = 8): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = Dim / m
+    val base = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val centRows = base.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val cids = centRows.map(_._1).toSeq
+    val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
+    val cnorms = centRows.map(_._3).toSeq
+    val seeds = emb.filter(col("vec_id") % cbMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(cbK)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map { mi =>
+        seeds.toSeq.map { case (_, v) =>
+          (0 until subDim).map(i => v(mi * subDim + i).toDouble)
+        }
+      }
+    base.select(col("vec_id"),
+        F.vecNearestCid(col("embedding"), col("norm"), cids, cvecs, cnorms)
+          .as("cid"),
+        F.vecPqCodes(col("embedding"), codebook).as("codes"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    centRows.toSeq.toDF("cid", "cvec", "cnorm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
+    seeds.toSeq.toDF("seed_id", "svec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
+  }
+
+  /** SERVE-MANY: two-stage retrieval ([[ivfPqRerank]]'s contract)
+    * answered FROM the index persisted by [[ivfPqIndexWrite]] —
+    * stage 1 scans the STORED codes table (never the embeddings);
+    * the corpus embeddings are touched only by stage 2's exact
+    * gather of the Q·kCand candidate list. Centroids and the PQ
+    * codebook are reconstructed from the stored cents/seeds tables
+    * via bounded collects (|C| and cbK rows — index metadata, not
+    * corpus). m and cbK are read off the stored shapes, so a serve
+    * node needs only the path. Bit-equal to the in-memory
+    * [[ivfPqRerank]] with the same parameters (AnnServeSpec). */
+  def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
+                       kCand: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // index metadata: bounded collects over the small stored tables
+    val centRows = spark.read.parquet(s"$path/cents")
+      .select(col("cid"), col("cvec"), col("cnorm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val seeds = spark.read.parquet(s"$path/seeds")
+      .select(col("seed_id"), col("svec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val cbK = seeds.length
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
+    val m = codes.select(size(col("codes"))).head().getInt(0)
+    val subDim = Dim / m
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map { mi =>
+        seeds.toSeq.map { case (_, v) =>
+          (0 until subDim).map(i => v(mi * subDim + i).toDouble)
+        }
+      }
+    // query workload: embeddings of the query set only (Q rows)
+    val qbase = emb.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        l2norm(col("embedding")).as("qnorm"))
+    val qs = qbase.withColumn("lut", F.vecPqLut(col("qvec"), codebook))
+    // cvec stays array<float> — the exact type the in-memory path's
+    // centRows.toDF produces; a double cast would change vecDot's
+    // operand widening and break bit-equality with ivfPqRerank.
+    val cents = centRows.toSeq.toDF("cid", "cvec", "cnorm")
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("pcos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("pcos",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cid"), col("lut"))
+    // stage 1: ADC over the STORED codes (bucket-pruned by the join)
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val cand = codes.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        F.vecPqAdc(col("codes"), col("lut"), cbK).as("adc"))
+      .withColumn("rank", row_number().over(wCand))
+      .filter(col("rank") <= kCand)
+      .select(col("qid"), col("vec_id"))
+    // stage 2: exact gather — the ONLY corpus-embedding touch
+    val gather = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("norm"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    cand.join(gather, Seq("vec_id"))
+      .join(broadcast(qbase), Seq("qid"))
+      .withColumn("cos",
+        dot(col("embedding"), col("qvec")) / (col("norm") * col("qnorm")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("cos") * 10000 + lit(0.5)).as("cos_x10k"))
+  }
+
   // ---- random-hyperplane LSH ----
 
   val Tables = 4        // independent hash tables...

@@ -17,6 +17,10 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_topk", "q_ann_ivf", "q_ann_ivf_trained", "q_ann_pq",
     "q_ann_ivf_pq", "q_ann_kmeans", "q_ann_filtered", "q_ann_rerank",
     "q_ann_dedup",
+    // stored-index serving: same probe-list broadcast cross as
+    // q_ann_rerank (queries x |C| centroids), stage 1 scans the
+    // persisted codes table
+    "q_ann_serve",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term

@@ -1,0 +1,39 @@
+package graft.sim
+
+import graft.{SparkEntry, SparkSpec}
+import graft.tables.Tables
+
+/** q_ann_serve: two-stage retrieval answered from the PERSISTED
+  * IVF×PQ index must be bit-equal to the in-memory build
+  * (ivfPqRerank with identical parameters), and the serve plan must
+  * genuinely scan the stored index — the build-once/serve-many
+  * roundtrip, not a recompute wearing a new name. */
+class AnnServeSpec extends SparkSpec {
+
+  test("serve-from-stored-index bit-equals the in-memory ivfPqRerank") {
+    val served = SparkEntry.queries("q_ann_serve")(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val mem = Similarity.ivfPqRerank(Tables.embeddings(spark, sf0001),
+        queryMod = 50L, kCand = 100, k = 10)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(served.nonEmpty)
+    assert(served.toSeq == mem.toSeq,
+      "stored-index serving diverged from the in-memory build")
+  }
+
+  test("the serve plan scans the stored codes table") {
+    val served = SparkEntry.queries("q_ann_serve")(spark, sf0001)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ann_index"),
+      "executed plan must contain a FileScan over the stored index")
+  }
+
+  test("the stored codes table is bucket-partitioned (one dir per cid)") {
+    SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
+    val codesDir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ann_index/codes")
+    val buckets = codesDir.listFiles().filter(_.getName.startsWith("cid="))
+    assert(buckets.length > 1,
+      "codes table must be partitioned by IVF bucket id")
+  }
+}
