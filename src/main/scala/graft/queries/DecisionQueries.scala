@@ -384,8 +384,18 @@ object DecisionQueries {
     * broadcast to the survivors; the 1-row basket count rides a
     * deliberate broadcast cross (PlanLint allowlist). The top-50 is
     * a `TakeOrderedAndProject` — per-partition heaps, no global
-    * sort. */
-  private def assocRules(spark: SparkSession, dir: String): DataFrame = {
+    * sort.
+    *
+    * `atScale`: broadcast is right for a TPC-H-sized parts catalog
+    * but a 10⁹-item catalog would not fit an executor —
+    * `q_assoc_rules_scale` runs the IDENTICAL computation with the
+    * item-support joins hinted `shuffle_hash` (pair-support side is
+    * already key-partitioned on x/y, so the hash join adds one
+    * exchange of the \|catalog\|-sized support table and never
+    * builds a driver-side broadcast). Same oracle; DecisionQueriesSpec
+    * asserts bit-equal output and the shuffled-join plan shape. */
+  private def assocRules(spark: SparkSession, dir: String,
+                         atScale: Boolean = false): DataFrame = {
     // persisted: the deduped basket table feeds four consumers (basket
     // count, item support, both sides of the pair self-join) — without
     // the cache mark each one re-runs the scan+distinct shuffle
@@ -400,9 +410,13 @@ object DecisionQueries {
       .groupBy(col("a.it").as("x"), col("b.it").as("y"))
       .agg(count(lit(1)).as("s_xy"))
       .where(col("s_xy") >= 2)
+    def side(as: String, sAs: String) = {
+      val t = isup.select(col("it").as(as), col("s").as(sAs))
+      if (atScale) t.hint("shuffle_hash") else broadcast(t)
+    }
     psup
-      .join(broadcast(isup.select(col("it").as("x"), col("s").as("s_x"))), "x")
-      .join(broadcast(isup.select(col("it").as("y"), col("s").as("s_y"))), "y")
+      .join(side("x", "s_x"), "x")
+      .join(side("y", "s_y"), "y")
       .crossJoin(broadcast(nbask))
       .select(col("x"), col("y"), col("s_xy"), col("s_x"), col("s_y"),
         expr("1000000 * s_xy div s_x").as("conf_xy_ppm"),
@@ -566,7 +580,9 @@ object DecisionQueries {
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     Q("q_abtest", abtest, Some(abtestSql)),
-    Q("q_assoc_rules", assocRules, Some(assocRulesSql)),
+    Q("q_assoc_rules", (sp, d) => assocRules(sp, d), Some(assocRulesSql)),
+    Q("q_assoc_rules_scale", (sp, d) => assocRules(sp, d, atScale = true),
+      Some(assocRulesSql)),
     Q("q_gini", gini, Some(giniSql)),
     Q("q_benford", benford, Some(benfordSql)),
   )

@@ -71,7 +71,7 @@ class PlanLintSpec extends SparkSpec {
     "q_bloom_fpr",
     // association rules: the 1-row basket-count aggregate crossed
     // into the bounded (support-filtered) rule table
-    "q_assoc_rules",
+    "q_assoc_rules", "q_assoc_rules_scale",
     // Benford screen: the 1-row total-count aggregate crossed into
     // the 9-row digit table
     "q_benford",

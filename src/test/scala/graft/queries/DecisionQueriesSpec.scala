@@ -185,6 +185,21 @@ class DecisionQueriesSpec extends SparkSpec {
     got.values.foreach { case (_, g) => assert(g >= 0L && g < 1000000L) }
   }
 
+  test("q_assoc_rules_scale: bit-equal rules from a shuffle-capable support join") {
+    val base = run("q_assoc_rules").collect().map(_.toSeq)
+    val scale = run("q_assoc_rules_scale")
+    val got = scale.collect().map(_.toSeq)
+    assert(got.toSeq === base.toSeq,
+      "shuffle_hash twin diverged from the broadcast plan")
+    // plan shape: the item-support joins must be shuffled hash joins,
+    // never a driver-side broadcast of the catalog-sized table (the
+    // 1-row nbask cross stays broadcast by design)
+    val plan = scale.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      "support joins must plan as ShuffledHashJoin at scale")
+    graft.ops.SideCache.releaseAll()
+  }
+
   test("q_benford: pinned expectation table and exact deviation accounting") {
     // the pinned literals ARE floor(1e6 * log10(1 + 1/d))
     DecisionQueries.benfordExpectedPpm.foreach { case (d, ppm) =>
