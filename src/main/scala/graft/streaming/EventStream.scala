@@ -313,6 +313,52 @@ object EventStream {
       }
   }
 
+  case class CusumEv(key: Long, t: Long, dev: Long)
+  case class CusumOut(key: Long, t: Long, cum: Long, s_pos: Long,
+                      s_neg: Long, alarm: Long)
+
+  /** Streaming twin of the batch `q_cusum` monitor: per-key one-sided
+    * CUSUM charts maintained incrementally with CONSTANT state —
+    * (running cum, prefix-min of cum, prefix-max of cum), three
+    * longs per key regardless of stream length — and the alarm
+    * emitted ON ARRIVAL of the observation that crosses h, not at
+    * the next batch recompute (the point of running the monitor
+    * live).
+    *
+    * Deviations arrive pre-centered (dev = x − μ) and `h` is a
+    * parameter: μ and the alarm threshold are FITTED OFFLINE on a
+    * reference window — the monitoring deployment shape (the batch
+    * query fits them in-query only so its oracle is self-contained).
+    * The emitted values satisfy the identical closed form the batch
+    * query computes with two running windows:
+    * S⁺ = cum − min(0, min_{i≤t} cum_i), S⁻ = max(0, max cum) − cum
+    * — the prefix clamps at 0 make the (0,0,0) initial state exact,
+    * so batch equality is bit-level (StreamingSpec).
+    *
+    * Ordering contract: same as [[decayScoreStream]] — within a
+    * micro-batch rows sort by event time; across batches delivery is
+    * per-key in-order (a recurrence cannot retract in Append mode). */
+  def cusumStream(in: Dataset[CusumEv], h: Long): Dataset[CusumOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Long, Long), CusumOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[(Long, Long, Long)]) =>
+          var (cum, mn, mx) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = rows.toSeq.sortBy(_.t).map { e =>
+            cum += e.dev
+            mn = math.min(mn, cum)
+            mx = math.max(mx, cum)
+            val sPos = cum - math.min(0L, mn)
+            val sNeg = math.max(0L, mx) - cum
+            CusumOut(key, e.t, cum, sPos, sNeg,
+              if (sPos > h || sNeg > h) 1L else 0L)
+          }
+          state.update((cum, mn, mx))
+          out.iterator
+      }
+  }
+
   /** The `q_cdc_apply` merge as an INCREMENTAL sink: each micro-batch
     * folds its change rows into a keyed store under [[cdcFold]]'s
     * precedence, so arrival order — within a batch, across batches,
