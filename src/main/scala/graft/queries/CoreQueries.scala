@@ -219,6 +219,95 @@ object CoreQueries {
       .orderBy("file_id")
   }
 
+  /** Compaction / OPTIMIZE primitive — the lakehouse maintenance
+    * operator that pairs with `q_zorder_layout`: the partitioned
+    * sink's small files are bin-packed into target-size outputs and
+    * the compaction ACTUALLY RUNS (write small → plan bins → rewrite
+    * compacted → manifest read back from the compacted table).
+    *
+    * Packing discipline: files in day order, bin = (cumulative bytes
+    * of PRECEDING files) div T — the ORDER-PRESERVING cumulative
+    * split every production compactor uses (Spark's own file
+    * coalescing, Delta/Iceberg OPTIMIZE bin planning). Deliberately
+    * NOT lookback first-fit: preserving day contiguity keeps each
+    * output file's day min/max tight, so partition-prune-ability
+    * SURVIVES compaction (a lookback fit mixes distant days into one
+    * file and destroys pruning), it is window-expressible (one
+    * running sum over the \|files\|-row manifest — no driver loop),
+    * and it has the tight analytic bound n_bins = ⌈total/T⌉ with
+    * per-bin bytes < T + max_file (CompactManifestSpec pins both,
+    * plus 1-file-per-bin on disk after the rewrite).
+    *
+    * Sizes are LOGICAL bytes (fixed field widths + string length) —
+    * physical parquet bytes are encoder-dependent and not
+    * oracle-replicable; the packing math is identical. T scales as
+    * total div 8 + 1 so the packing is non-degenerate at every SF
+    * (~8 bins of ~4 day-files each; a fixed byte target collapses to
+    * one bin at sf0.001 or one file per bin at sf0.1).
+    *
+    * Scale shape: manifest = one map-side day aggregate (\|days\|
+    * rows); the bin plan is a window on that tiny frame; the rewrite
+    * is one repartition(bin) exchange of the corpus — the same cost
+    * any OPTIMIZE pays; the output manifest re-aggregates the
+    * compacted table, proving the rewrite content-preserving inside
+    * the query's own hash. */
+  private def compactManifest(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val srcPath = s"$tmp/graft_compact_src"
+    val outPath = s"$tmp/graft_compact_out"
+    val logicalBytes = (lit(32) + length(col("event_type"))).cast("long")
+    // 1. the small-files fixture: one file per day
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("day"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(srcPath)
+    val sink = spark.read.parquet(srcPath)
+    // 2. per-file manifest + cumulative-split bin plan (|days| rows)
+    val manifest = sink.groupBy("day")
+      .agg(count(lit(1)).as("n_rows"), sum(logicalBytes).as("bytes"))
+    val tot = manifest.agg(sum("bytes").as("total"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val plan = manifest.crossJoin(broadcast(tot))
+      .withColumn("cum_before",
+        coalesce(sum("bytes").over(wCum), lit(0L)))
+      .withColumn("bin",
+        expr("cum_before div (total div 8 + 1)"))
+      .select(col("day"), col("bin"))
+    // 3. the rewrite: one exchange, one file per bin
+    sink.join(broadcast(plan), Seq("day"))
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outPath)
+    // 4. AFTER manifest, read back from the COMPACTED table
+    spark.read.parquet(outPath)
+      .groupBy(col("bin").cast("long").as("bin"))
+      .agg(countDistinct(col("day")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        sum(logicalBytes).as("bytes"),
+        min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+      .orderBy("bin")
+  }
+
+  private val compactManifestSql =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+      |    CAST(SUM(32 + length(event_type)) AS BIGINT) AS bytes
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM daily),
+      |binned AS (
+      |  SELECT day, n_rows, bytes,
+      |    CAST(COALESCE(SUM(bytes) OVER
+      |        (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0) AS BIGINT) // (total // 8 + 1) AS bin
+      |  FROM daily CROSS JOIN tot)
+      |SELECT bin, COUNT(*) AS n_files,
+      |  CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      |  CAST(SUM(bytes) AS BIGINT) AS bytes,
+      |  MIN(day) AS d_min, MAX(day) AS d_max
+      |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+
   private val zorderPruneSql =
     """WITH src AS (
       |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
@@ -560,6 +649,7 @@ object CoreQueries {
     Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
+    Q("q_compact_manifest", compactManifest, Some(compactManifestSql)),
     Q("q_scan_jsonl", scanJsonl, Some(scanJsonlSql)),
     Q("q_filter_nullcity", filterNullCity, Some(filterNullCitySql)),
     Q("q_area_reconcile", areaReconcile, Some(areaReconcileSql)),
