@@ -30,6 +30,12 @@ object Bloom {
   /** 64 Kibit filter ≈ 1041 longs ≈ 8 KB. At n build keys the
     * false-positive rate is (1 − e^(−2n/65536))²: ~0.1% at n = 1e3,
     * ~11% at n = 1.3e4 — size M with the build side, not the probe.
+    * An UNDER-sized filter degrades gracefully, never incorrectly:
+    * false positives only waste shuffle rows, the pruned join stays
+    * row-for-row equal to the plain join at ANY load (BloomSpec's
+    * hostile case pins this at n ≈ 1.3e4, the ~11% regime — the
+    * safety invariant is load-independent; only the pruning RATIO
+    * decays).
     * Cells pack 63 bits per long: bit 63 stays unused because DuckDB
     * range-checks `1 << 63` (the oracle replays the bit array
     * verbatim in `q_bloom_fpr`), while Spark silently wraps — the

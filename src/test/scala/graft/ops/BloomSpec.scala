@@ -49,6 +49,32 @@ class BloomSpec extends SparkSpec {
     assert(lut.exists(_ != 0L), "filter came out empty")
   }
 
+  test("hostile high-FPR regime (~11%): pruned join still equals the plain join") {
+    // n = 13000 build keys in 64 Kibit: FPR = (1-e^(-2n/65536))^2 = ~11%
+    // — the under-sized-filter regime. False positives must only waste
+    // rows, never change the join; and no false negative may appear.
+    val bigBuild = spark.range(0L, 13000L).toDF("k")
+    val bigProbe = spark.range(10000L, 60000L).toDF("pk")
+    val hotLut = Bloom.buildLut(bigBuild, "k")
+    val pruned = Bloom.prune(bigProbe, "pk", hotLut)
+    // the regime is genuinely hostile: measurable false positives.
+    // (sequential keys under the affine hashes underfill vs the
+    // random-key theory — measured ~3.8% here, still ~400x the
+    // design-point 1e-4)
+    val nonMembers = 60000L - 13000L
+    val fpKept = pruned.filter(col("pk") >= 13000L).count()
+    val fpr = fpKept.toDouble / nonMembers
+    assert(fpr > 0.02, s"expected a high-FPR regime, measured $fpr")
+    // no false negatives: every true member survives
+    assert(pruned.filter(col("pk") < 13000L).count() === 3000L)
+    // and the join result is bit-identical to the unpruned join
+    val prunedJoin = pruned.join(bigBuild, col("pk") === col("k"))
+      .select("pk").as[Long].collect().sorted
+    val plainJoin = bigProbe.join(bigBuild, col("pk") === col("k"))
+      .select("pk").as[Long].collect().sorted
+    assert(prunedJoin.toSeq === plainJoin.toSeq)
+  }
+
   test("q_bloom_fpr: empirical FP rate respects the (1-e^(-kn/m))^k theory bound") {
     val r = graft.SparkEntry.queries("q_bloom_fpr")(spark, sf0001).head()
     val (nBuild, nNeg, nFp) = (r.getLong(0), r.getLong(1), r.getLong(2))
