@@ -241,10 +241,20 @@ object Multimodal {
     * `n_frames` per-frame PNGs from the frame-pixel formula. Metadata
     * is truthful for images and video (frame dims match
     * `meta.width/height`, frame count matches `meta.n_frames`); audio
-    * length lives in-band in the WAV header. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    * length lives in-band in the WAV header.
+    *
+    * `kinds`: restrict generation to the named kinds. The PAYLOAD
+    * encoders live behind a typed mapPartitions barrier, so a
+    * downstream `kind` filter cannot be pushed beneath them — a query
+    * that wants only images would still pay every video's per-frame
+    * PNG encode. The kind column is declarative BEFORE the barrier,
+    * so this filter prunes at generation: single-kind consumers
+    * (q_resize_pixels) must pass it rather than filter after. */
+  def mediaFromDocuments(docs: DataFrame,
+                         kinds: Seq[String] = Seq("image", "audio", "video"))
+      : DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs.select(
+    val base0 = docs.select(
       col("doc_id"),
       element_at(typedlit(Seq("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
@@ -255,6 +265,9 @@ object Multimodal {
         (col("n_chars") % 20 + 4).cast(IntegerType).as("height"),
         (col("n_chars") % 24 + 1).cast(IntegerType).as("n_frames")).as("meta"),
       col("n_chars"))
+    val base =
+      if (kinds.toSet == Set("image", "audio", "video")) base0
+      else base0.filter(col("kind").isin(kinds: _*))
     base.as[MediaGen].mapPartitions { it =>
       it.map { r =>
         val payload = r.kind match {

@@ -191,11 +191,15 @@ object MultimodalQueries {
     * encode breaks the hash. */
   private def resizePixels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // kind filter BEFORE resize: the typed mapPartitions kernel is an
-    // optimizer barrier, so a post-resize filter cannot be pushed down
-    // and every video would be per-frame decoded/resampled/re-encoded
-    // then discarded (the round-10 4.1x regression).
-    Multimodal.resize(media(spark, dir).filter(col("kind") === "image"),
+    // single-kind generation: BOTH the payload encoders and the resize
+    // kernel are typed-mapPartitions optimizer barriers, so the kind
+    // restriction must enter at the generator (a post-hoc filter still
+    // paid every video's per-frame PNG encode — and before round 11's
+    // fix, its decode/resample/re-encode too: the round-10 4.1x
+    // regression).
+    Multimodal.resize(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, dir),
+          kinds = Seq("image")),
         maxDim = 16)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
