@@ -476,6 +476,87 @@ object ProfilingQueries {
        |    ELSE CAST(0 AS BIGINT) END AS alarm
        |FROM ss CROSS JOIN hh ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------ changepoint
+
+  /** Change-point LOCALIZATION — the binary-segmentation step that
+    * answers the question `q_cusum`'s alarm raises: WHERE did the
+    * level shift? The standard CUSUM estimator: the split day k* =
+    * argmax\|cum_k\| over the running deviation sum (ties → earliest
+    * day), reported with the pre/post segment means and their delta —
+    * the one-row readout an incident review starts from. Same daily
+    * frame, same floorEps'd mean, exact integers throughout; the
+    * argmax is a 1-row `TakeOrderedAndProject` over the \|days\|
+    * frame and re-enters the segment aggregate as a broadcast cross
+    * (PlanLint allowlist).
+    *
+    * Scale shape: identical to `q_cusum` — one map-side day aggregate
+    * to \|days\| rows; everything after runs on that tiny frame. */
+  private def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(Num.cents(col("value"))).as("total_c"))
+    val stats = daily.agg(
+      Num.floorEps(sum("total_c").cast("double") / count(lit(1))).as("mu"))
+    val run = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cm = graft.ops.SideCache.persist(
+      daily.crossJoin(broadcast(stats))
+        .withColumn("cum", sum(col("total_c") - col("mu")).over(run)))
+    cm.count() // materialize: split and the segment aggregate both scan
+    val split = cm
+      .orderBy(abs(col("cum")).desc, col("day"))
+      .limit(1)
+      .select(col("day").as("split_day"), abs(col("cum")).as("cusum_abs"))
+    cm.crossJoin(broadcast(split))
+      .groupBy(col("split_day"), col("cusum_abs"))
+      .agg(
+        sum(when(col("day") <= col("split_day"), 1L).otherwise(0L)).as("n_pre"),
+        sum(when(col("day") > col("split_day"), 1L).otherwise(0L)).as("n_post"),
+        Num.floorEps(
+          sum(when(col("day") <= col("split_day"), col("total_c")))
+            .cast("double") /
+          sum(when(col("day") <= col("split_day"), 1L))).as("mean_pre_c"),
+        Num.floorEps(
+          sum(when(col("day") > col("split_day"), col("total_c")))
+            .cast("double") /
+          sum(when(col("day") > col("split_day"), 1L))).as("mean_post_c"))
+      .select(col("split_day"), col("cusum_abs"), col("n_pre"), col("n_post"),
+        col("mean_pre_c"), col("mean_post_c"),
+        (col("mean_post_c") - col("mean_pre_c")).as("delta_c"))
+  }
+
+  private val changepointSql =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(SUM(${NumSql.cents("value")}) AS BIGINT) AS total_c
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |stats AS (
+       |  SELECT ${NumSql.floorEps("CAST(SUM(total_c) AS DOUBLE) / COUNT(*)")} AS mu
+       |  FROM daily),
+       |cm AS (
+       |  SELECT day, total_c,
+       |    CAST(SUM(total_c - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM daily CROSS JOIN stats),
+       |split AS (
+       |  SELECT day AS split_day, abs(cum) AS cusum_abs
+       |  FROM cm ORDER BY abs(cum) DESC, day LIMIT 1),
+       |segs AS (
+       |  SELECT split_day, cusum_abs,
+       |    CAST(SUM(CASE WHEN day <= split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+       |    CAST(SUM(CASE WHEN day > split_day THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+       |    ${NumSql.floorEps(
+      "CAST(SUM(CASE WHEN day <= split_day THEN total_c END) AS DOUBLE) / " +
+        "SUM(CASE WHEN day <= split_day THEN 1 END)")} AS mean_pre_c,
+       |    ${NumSql.floorEps(
+      "CAST(SUM(CASE WHEN day > split_day THEN total_c END) AS DOUBLE) / " +
+        "SUM(CASE WHEN day > split_day THEN 1 END)")} AS mean_post_c
+       |  FROM cm CROSS JOIN split
+       |  GROUP BY split_day, cusum_abs)
+       |SELECT split_day, cusum_abs, n_pre, n_post, mean_pre_c, mean_post_c,
+       |  mean_post_c - mean_pre_c AS delta_c
+       |FROM segs""".stripMargin
+
   // ----------------------------------------------------------- skew profile
 
   /** JOIN-KEY SKEW detector — the pre-join diagnostic that decides
@@ -707,6 +788,7 @@ object ProfilingQueries {
     Q("q_anomaly_mad", anomalyMad, Some(anomalyMadSql)),
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_cusum", cusum, Some(cusumSql)),
+    Q("q_changepoint", changepoint, Some(changepointSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

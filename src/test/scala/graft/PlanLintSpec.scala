@@ -38,6 +38,9 @@ class PlanLintSpec extends SparkSpec {
     // CUSUM: the 1-row mean and threshold aggregates crossed into the
     // |days|-row frame
     "q_cusum",
+    // changepoint: the 1-row mean and the 1-row argmax split crossed
+    // into the |days|-row frame
+    "q_changepoint",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

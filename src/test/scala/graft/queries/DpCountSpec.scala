@@ -89,4 +89,33 @@ class DpCountSpec extends SparkSpec {
     val n = got.size
     assert(math.abs(got.map(_._3).sum) <= n.toLong)
   }
+
+  test("q_changepoint localizes the argmax |cum| split with correct segment means") {
+    val r = SparkEntry.queries("q_changepoint")(spark, sf0001).head()
+    val (splitDay, cusumAbs, nPre, nPost, meanPre, meanPost, delta) =
+      (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))
+    // brute recompute from the cusum chart's own day frame
+    val days = SparkEntry.queries("q_cusum")(spark, sf0001)
+      .select("day", "total_c", "dev")
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .sortBy(_._1.getTime)
+    var cum = 0L
+    val cums = days.map { case (d, _, dev) => cum += dev; (d.toLocalDate, cum) }
+    val best = cums.maxBy(c => (math.abs(c._2), -c._1.toEpochDay))
+    assert(splitDay === best._1, "argmax split day")
+    assert(cusumAbs === math.abs(best._2))
+    val (pre, post) = days.partition(!_._1.toLocalDate.isAfter(splitDay))
+    assert(nPre === pre.size.toLong && nPost === post.size.toLong)
+    assert(meanPre ===
+      math.floor(pre.map(_._2).sum.toDouble / pre.size + 1e-6).toLong)
+    assert(meanPost ===
+      math.floor(post.map(_._2).sum.toDouble / post.size + 1e-6).toLong)
+    assert(delta === meanPost - meanPre)
+    // the phenomenon must occur: a genuine level shift, both segments
+    // non-empty and the split strictly interior
+    assert(nPre > 0 && nPost > 0)
+    assert(delta !== 0L, "fixture must show a real level shift")
+    graft.ops.SideCache.releaseAll()
+  }
 }
