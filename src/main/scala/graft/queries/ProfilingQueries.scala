@@ -476,6 +476,101 @@ object ProfilingQueries {
        |    ELSE CAST(0 AS BIGINT) END AS alarm
        |FROM ss CROSS JOIN hh ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------- expectation suite
+
+  /** Data-quality EXPECTATION SUITE (the dbt-test / Great-Expectations
+    * operator): six declarative contracts over the lineitem fact
+    * evaluated in one pass each — key non-null, positive quantity,
+    * discount domain, primary-key uniqueness, referential integrity
+    * to orders, and the cross-table ordering invariant ship-date ≥
+    * order-date — emitted as one verdict row per check
+    * (n_checked, n_viol, pass). The fixture genuinely FAILS two of
+    * them (duplicate (orderkey, linenumber) pairs and ships before
+    * the order date) while the other four pass, so both verdict paths
+    * are hash-verified, not vacuous.
+    *
+    * Scale shape: the four scalar checks share ONE map-side scan
+    * (conditional aggregates → 1 row); pk-uniqueness is one
+    * (key)-shuffle; the two relational checks share ONE left join
+    * against orders (orphans and date violations counted in the same
+    * pass). Six checks, three jobs, none touching more than the
+    * fact + the |orders| build side. */
+  private def dqExpectations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    def verdict(df: DataFrame): DataFrame = df
+      .select(col("check_name"), col("n_checked"), col("n_viol"),
+        when(col("n_viol") === 0L, "pass").otherwise("fail").as("pass"))
+    val scalars = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("v_disc"))
+    val scalarRows = verdict(scalars.select(explode(array(
+      struct(lit("key_not_null").as("check_name"),
+        col("n").as("n_checked"), col("v_null").as("n_viol")),
+      struct(lit("quantity_positive").as("check_name"),
+        col("n").as("n_checked"), col("v_qty").as("n_viol")),
+      struct(lit("discount_domain").as("check_name"),
+        col("n").as("n_checked"), col("v_disc").as("n_viol")))).as("c"))
+      .select(col("c.check_name"), col("c.n_checked"), col("c.n_viol")))
+    val pk = verdict(li
+      .groupBy("l_orderkey", "l_linenumber").agg(count(lit(1)).as("cnt"))
+      .agg(lit("pk_unique").as("check_name"),
+        sum("cnt").as("n_checked"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("n_viol")))
+    val rel = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+        sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+          .as("v_date"))
+    val relRows = verdict(rel.select(explode(array(
+      struct(lit("fk_orders").as("check_name"),
+        col("n").as("n_checked"), col("v_fk").as("n_viol")),
+      struct(lit("ships_after_order").as("check_name"),
+        col("n").as("n_checked"), col("v_date").as("n_viol")))).as("c"))
+      .select(col("c.check_name"), col("c.n_checked"), col("c.n_viol")))
+    scalarRows.unionAll(pk).unionAll(relRows).orderBy("check_name")
+  }
+
+  private val dqExpectationsSql =
+    """WITH scalars AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |    CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+      |  FROM lineitem),
+      |pk AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS v
+      |  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+      |        GROUP BY l_orderkey, l_linenumber)),
+      |rel AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_fk,
+      |    CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v_date
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |checks AS (
+      |  SELECT 'key_not_null' AS check_name, n AS n_checked, v_null AS n_viol FROM scalars
+      |  UNION ALL
+      |  SELECT 'quantity_positive', n, v_qty FROM scalars
+      |  UNION ALL
+      |  SELECT 'discount_domain', n, v_disc FROM scalars
+      |  UNION ALL
+      |  SELECT 'pk_unique', n, v FROM pk
+      |  UNION ALL
+      |  SELECT 'fk_orders', n, v_fk FROM rel
+      |  UNION ALL
+      |  SELECT 'ships_after_order', n, v_date FROM rel)
+      |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_viol AS BIGINT) AS n_viol,
+      |  CASE WHEN n_viol = 0 THEN 'pass' ELSE 'fail' END AS pass
+      |FROM checks ORDER BY check_name""".stripMargin
+
   // ------------------------------------------------------------ changepoint
 
   /** Change-point LOCALIZATION — the binary-segmentation step that
@@ -789,6 +884,7 @@ object ProfilingQueries {
     Q("q_skew_profile", skewProfile, Some(skewProfileSql)),
     Q("q_cusum", cusum, Some(cusumSql)),
     Q("q_changepoint", changepoint, Some(changepointSql)),
+    Q("q_dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

@@ -118,4 +118,31 @@ class DpCountSpec extends SparkSpec {
     assert(delta !== 0L, "fixture must show a real level shift")
     graft.ops.SideCache.releaseAll()
   }
+
+  test("q_dq_expectations: six checks, both verdict paths genuinely exercised") {
+    val got = SparkEntry.queries("q_dq_expectations")(spark, sf0001)
+      .select("check_name", "n_checked", "n_viol", "pass")
+      .as[(String, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq("discount_domain", "fk_orders",
+      "key_not_null", "pk_unique", "quantity_positive", "ships_after_order"))
+    got.foreach { case (name, n, v, pass) =>
+      assert(n > 0, s"$name checked nothing")
+      assert(v >= 0 && v <= n)
+      assert(pass === (if (v == 0) "pass" else "fail"))
+    }
+    // non-vacuous: the fixture FAILS pk_unique and ships_after_order
+    // and PASSES the other four
+    val verdicts = got.map(r => r._1 -> r._4).toMap
+    assert(verdicts("pk_unique") === "fail")
+    assert(verdicts("ships_after_order") === "fail")
+    assert(Seq("discount_domain", "fk_orders", "key_not_null",
+      "quantity_positive").forall(verdicts(_) === "pass"))
+    // brute cross-check of one failing and one passing count
+    val li = graft.tables.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber")
+      .as[(Long, Int)].collect().toSeq
+    val dupRows = li.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+    assert(got.find(_._1 == "pk_unique").get._3 === dupRows.toLong)
+    assert(got.find(_._1 == "quantity_positive").get._3 === 0L)
+  }
 }
