@@ -940,6 +940,88 @@ object PipelineQueries {
        |FROM vv ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------ delete propagate
+
+  /** Right-to-be-forgotten CASCADE (the GDPR/CCPA deletion operator a
+    * lakehouse pipeline must run on schedule): a deletion list of
+    * customers (c_custkey ≡ 0 mod 13 — ~8% of the table at every SF)
+    * propagates through the foreign-key chain customer → orders →
+    * lineitem, and the query emits the compliance accounting: per
+    * table (n_total, n_deleted, n_remaining) plus the bit_xor
+    * checksum of the deleted keys — the tombstone-manifest integrity
+    * a deletion audit replays (xor is order- and partition-
+    * independent, so the checksum is hash-verifiable cross-engine).
+    *
+    * Scale shape: the deletion list broadcasts to orders (\|list\| ∝
+    * deletion requests, small by law); the deleted-order key set is
+    * delta-proportional and reaches lineitem as one left-semi shuffle
+    * join — at 100 TB the probe side would be Bloom-pruned first
+    * (`q_bloom_prune`'s build side IS this key set). Each table is
+    * scanned once; totals and deleted counts share the scan. */
+  private def deletePropagate(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val delC = graft.ops.SideCache.persist(
+      cust.filter(pmod(col("c_custkey"), lit(13L)) === 0))
+    delC.count() // materialize before the multi-consumer scans race
+    val delO = graft.ops.SideCache.persist(
+      orders.join(broadcast(delC), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey")))
+    delO.count()
+    val delL = li.join(delO, col("l_orderkey") === col("o_orderkey"),
+        "left_semi")
+      .select((col("l_orderkey") * 31 + col("l_linenumber")).as("k"))
+    def row(tbl: String, total: DataFrame, totalKey: Column,
+            del: DataFrame, delKey: Column): DataFrame = {
+      val t = total.agg(count(lit(1)).as("n_total"))
+      val d = del.agg(count(lit(1)).as("n_deleted"),
+        coalesce(expr(s"bit_xor(${delKey.toString})"), lit(0L))
+          .as("del_key_xor"))
+      t.crossJoin(d).select(lit(tbl).as("tbl"), col("n_total"),
+        col("n_deleted"),
+        (col("n_total") - col("n_deleted")).as("n_remaining"),
+        col("del_key_xor"))
+    }
+    row("customer", cust, col("c_custkey"), delC, col("c_custkey"))
+      .unionAll(row("orders", orders, col("o_orderkey"),
+        delO, col("o_orderkey")))
+      .unionAll(row("lineitem", li, col("k"), delL, col("k")))
+      .orderBy("tbl")
+  }
+
+  private val deletePropagateSql =
+    """WITH delc AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+      |delo AS (
+      |  SELECT o_orderkey FROM orders o
+      |  JOIN delc c ON o.o_custkey = c.c_custkey),
+      |dell AS (
+      |  SELECT l_orderkey * 31 + l_linenumber AS k FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM delo)),
+      |rows_ AS (
+      |  SELECT 'customer' AS tbl,
+      |    (SELECT COUNT(*) FROM customer) AS n_total,
+      |    (SELECT COUNT(*) FROM delc) AS n_deleted,
+      |    (SELECT COALESCE(bit_xor(c_custkey), 0) FROM delc) AS del_key_xor
+      |  UNION ALL
+      |  SELECT 'orders',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM delo),
+      |    (SELECT COALESCE(bit_xor(o_orderkey), 0) FROM delo)
+      |  UNION ALL
+      |  SELECT 'lineitem',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM dell),
+      |    (SELECT COALESCE(bit_xor(k), 0) FROM dell))
+      |SELECT tbl, CAST(n_total AS BIGINT) AS n_total,
+      |  CAST(n_deleted AS BIGINT) AS n_deleted,
+      |  CAST(n_total - n_deleted AS BIGINT) AS n_remaining,
+      |  CAST(del_key_xor AS BIGINT) AS del_key_xor
+      |FROM rows_ ORDER BY tbl""".stripMargin
+
   // --------------------------------------------------------- shuffle shard
 
   private val ShufShardSize = 64L // docs per training shard
@@ -1010,6 +1092,7 @@ object PipelineQueries {
     Q("q_contamination", contamination, Some(contaminationSql)),
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
+    Q("q_delete_propagate", deletePropagate, Some(deletePropagateSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),

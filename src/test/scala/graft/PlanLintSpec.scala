@@ -41,6 +41,9 @@ class PlanLintSpec extends SparkSpec {
     // changepoint: the 1-row mean and the 1-row argmax split crossed
     // into the |days|-row frame
     "q_changepoint",
+    // delete cascade accounting: each table's 1-row total crossed with
+    // its 1-row deleted aggregate (three 1x1 crosses)
+    "q_delete_propagate",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -293,4 +293,37 @@ class PipelineSpec extends SparkSpec {
     assert(totEff <= 2L * totChars, "over budget")
     assert(totEff >= (2L * totChars * 8) / 10, s"budget underfilled: $totEff vs ${2L * totChars}")
   }
+
+  test("q_delete_propagate: the cascade is closed and consistent") {
+    val got = run("q_delete_propagate")
+      .select("tbl", "n_total", "n_deleted", "n_remaining", "del_key_xor")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("customer", "orders", "lineitem"))
+    // totals match the raw tables; remaining = total - deleted
+    assert(got("customer")._2 ===
+      graft.tables.Tables.customer(spark, sf0001).count())
+    got.values.foreach { case (t, n, d, rem, _) =>
+      assert(rem === n - d, s"$t accounting")
+      assert(d > 0, s"$t cascade must actually delete rows")
+      assert(rem > 0, s"$t must not be wiped out")
+    }
+    // brute cascade: every order of a deleted customer, every lineitem
+    // of a deleted order — counts and xor checksums must agree
+    val delC = graft.tables.Tables.customer(spark, sf0001)
+      .select("c_custkey").as[Long].collect().filter(_ % 13 == 0).toSet
+    val delO = graft.tables.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey").as[(Long, Long)].collect()
+      .filter(o => delC(o._2)).map(_._1).toSet
+    val delL = graft.tables.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect()
+      .filter(l => delO(l._1)).map(l => l._1 * 31 + l._2)
+    assert(got("customer")._3 === delC.size.toLong)
+    assert(got("orders")._3 === delO.size.toLong)
+    assert(got("lineitem")._3 === delL.length.toLong)
+    assert(got("customer")._5 === delC.foldLeft(0L)(_ ^ _))
+    assert(got("orders")._5 === delO.foldLeft(0L)(_ ^ _))
+    assert(got("lineitem")._5 === delL.foldLeft(0L)(_ ^ _))
+    graft.ops.SideCache.releaseAll()
+  }
 }
