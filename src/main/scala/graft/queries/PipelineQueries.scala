@@ -940,6 +940,63 @@ object PipelineQueries {
        |FROM vv ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------- Neyman allocation
+
+  /** NEYMAN ALLOCATION — the sampling-design step `q_stratified_sample`
+    * executes with FIXED quotas: given a total budget, how many samples
+    * should each stratum (lang) get? Optimal allocation is
+    * n_h ∝ N_h·S_h (Neyman 1934): strata that are larger OR more
+    * internally varied earn more of the budget. Emits per stratum
+    * N_h, the n_chars standard deviation (population, in milli), the
+    * weight, and the per-mille allocation alloc_pm =
+    * floor(1000·N_h·S_h / Σ N_g·S_g) — the table a sampler consumes.
+    * Variance comes from the one-pass (n, Σx, Σx²) triple — exact
+    * BIGINT moments, one map-side aggregate to \|strata\| rows;
+    * sqrt is the floorEps'd double chain; the 1-row Σ weight re-enters
+    * as a broadcast cross (PlanLint allowlist).
+    *
+    * Fixture check (probed): allocations span ~140-440‰ across langs
+    * at both gate SFs — the en stratum genuinely earns more (bigger
+    * N_h), so the design signal is non-degenerate. */
+  private def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("ss"))
+      .withColumn("sd_milli", graft.ops.Num.floorEps(
+        sqrt((col("n_docs") * col("ss") - col("s") * col("s"))
+          .cast("double") / (col("n_docs") * col("n_docs")).cast("double"))
+          * 1000))
+      .withColumn("w_milli", col("n_docs") * col("sd_milli"))
+    val totw = strata.agg(sum("w_milli").as("tw"))
+    strata.crossJoin(broadcast(totw))
+      .select(col("lang"), col("n_docs"), col("sd_milli"), col("w_milli"),
+        graft.ops.Num.floorEps(
+          col("w_milli").cast("double") * 1000 / col("tw")).as("alloc_pm"))
+      .orderBy("lang")
+  }
+
+  private val neymanAllocSql =
+    s"""WITH strata AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS s,
+       |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+       |  FROM documents GROUP BY lang),
+       |sd AS (
+       |  SELECT lang, n_docs,
+       |    ${graft.ops.NumSql.floorEps(
+      "sqrt(CAST(n_docs * ss - s * s AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)) * 1000")} AS sd_milli
+       |  FROM strata),
+       |w AS (
+       |  SELECT lang, n_docs, sd_milli,
+       |    CAST(n_docs * sd_milli AS BIGINT) AS w_milli
+       |  FROM sd),
+       |tw AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS tw FROM w)
+       |SELECT lang, n_docs, sd_milli, w_milli,
+       |  ${graft.ops.NumSql.floorEps("CAST(w_milli AS DOUBLE) * 1000 / tw")} AS alloc_pm
+       |FROM w CROSS JOIN tw ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------ delete propagate
 
   /** Right-to-be-forgotten CASCADE (the GDPR/CCPA deletion operator a
@@ -1093,6 +1150,7 @@ object PipelineQueries {
     Q("q_repeated_passages", repeatedPassages, Some(repeatedPassagesSql)),
     Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     Q("q_delete_propagate", deletePropagate, Some(deletePropagateSql)),
+    Q("q_neyman_alloc", neymanAlloc, Some(neymanAllocSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),

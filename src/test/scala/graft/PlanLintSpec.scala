@@ -44,6 +44,9 @@ class PlanLintSpec extends SparkSpec {
     // delete cascade accounting: each table's 1-row total crossed with
     // its 1-row deleted aggregate (three 1x1 crosses)
     "q_delete_propagate",
+    // Neyman allocation: the 1-row total-weight aggregate crossed into
+    // the |strata|-row frame
+    "q_neyman_alloc",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

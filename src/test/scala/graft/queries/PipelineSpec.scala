@@ -326,4 +326,31 @@ class PipelineSpec extends SparkSpec {
     assert(got("lineitem")._5 === delL.foldLeft(0L)(_ ^ _))
     graft.ops.SideCache.releaseAll()
   }
+
+  test("q_neyman_alloc: variance-optimal quotas, brute-recomputed and non-degenerate") {
+    val got = run("q_neyman_alloc")
+      .select("lang", "n_docs", "sd_milli", "w_milli", "alloc_pm")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select("lang", "n_chars").as[(String, Long)].collect()
+    val brute = docs.groupBy(_._1).toSeq.map { case (lang, rows) =>
+      val n = rows.size.toLong
+      val sum = rows.map(_._2).sum
+      val ss = rows.map(r => r._2 * r._2).sum
+      val sd = math.sqrt((n * ss - sum * sum).toDouble / (n * n))
+      (lang, n, math.floor(sd * 1000 + 1e-6).toLong)
+    }.sortBy(_._1)
+    val tw = brute.map { case (_, n, sdm) => n * sdm }.sum
+    got.zip(brute).foreach { case ((gl, gn, gsd, gw, ga), (bl, bn, bsd)) =>
+      assert(gl === bl && gn === bn && gsd === bsd)
+      assert(gw === bn * bsd)
+      assert(ga === math.floor(gw.toDouble * 1000 / tw + 1e-6).toLong)
+    }
+    // design signal is real: every stratum funded, budget ~spent, and
+    // the allocation genuinely differs across strata
+    assert(got.forall(_._5 > 0))
+    val total = got.map(_._5).sum
+    assert(total <= 1000 && total > 1000 - got.size.toLong)
+    assert(got.map(_._5).distinct.size > 1, "allocation must discriminate")
+  }
 }
