@@ -367,6 +367,73 @@ object DecisionQueries {
        |    THEN 'significant' ELSE 'inconclusive' END AS verdict
        |FROM z""".stripMargin
 
+  // --------------------------------------------------------------------- AUC
+
+  /** Rank AUC (Mann–Whitney U) — the threshold-free evaluation number
+    * every quality/dedup/contamination classifier in this engine
+    * should be judged by. AUC = P(score⁺ > score⁻) + ½·P(tie),
+    * computed exactly from the SCORE HISTOGRAM: group scores, then
+    * 2U = Σ_s np(s)·(2·nn_below(s) + nn_at(s)) — all BIGINT, ties
+    * handled by construction, auc_ppm = floor(10⁶·2U / (2·np·nn)).
+    *
+    * The classifier under evaluation is synthetic with a KNOWN
+    * mid-range operating point (the `q_lsh_curve` planted-twin
+    * convention): positives (event_id ≡ 0 mod 5) carry a +50.00
+    * score boost over the value distribution — AUC lands at ~0.81 at
+    * every SF (probed), so the rank machinery is exercised away from
+    * both the 0.5 no-signal and the 1.0 separable degeneracies (a
+    * REAL fixture pair — value predicting purchase — measures 0.50:
+    * no usable signal to verify against).
+    *
+    * Scale shape: one map-side (score)-histogram shuffle; the running
+    * negative count is a window over the \|distinct scores\| frame —
+    * at 100 TB scores are quantized (cents here), so the histogram
+    * frame is bounded by the score domain, not the row count; the
+    * final fold is a 1-row aggregate. */
+  private def auc(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(
+        (Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+    val h = e.groupBy("s")
+      .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("nb", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum(col("np") * (col("nb") * 2 + col("nn"))).as("u2"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        Num.floorEps(col("u2").cast("double") * 1000000 /
+          (col("n_pos") * col("n_neg") * 2)).as("auc_ppm"))
+  }
+
+  private val aucSql =
+    s"""WITH e AS (
+       |  SELECT ${NumSql.cents("value")}
+       |      + CASE WHEN event_id % 5 = 0 THEN 5000 ELSE 0 END AS s,
+       |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |h AS (
+       |  SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+       |    CAST(SUM(1 - y) AS BIGINT) AS nn
+       |  FROM e GROUP BY s),
+       |w AS (
+       |  SELECT s, np, nn,
+       |    CAST(COALESCE(SUM(nn) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nb
+       |  FROM h),
+       |t AS (
+       |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |    CAST(SUM(nn) AS BIGINT) AS n_neg,
+       |    CAST(SUM(np * (nb * 2 + nn)) AS BIGINT) AS u2
+       |  FROM w)
+       |SELECT n_pos, n_neg, u2,
+       |  ${NumSql.floorEps(
+      "CAST(u2 AS DOUBLE) * 1000000 / (n_pos * n_neg * 2)")} AS auc_ppm
+       |FROM t""".stripMargin
+
   // ------------------------------------------------------- association rules
 
   /** Market-basket association rules over order baskets: support,
@@ -580,6 +647,7 @@ object DecisionQueries {
     Q("q_bloom_fpr", bloomFpr, Some(bloomFprSql)),
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     Q("q_abtest", abtest, Some(abtestSql)),
+    Q("q_auc", auc, Some(aucSql)),
     Q("q_assoc_rules", (sp, d) => assocRules(sp, d), Some(assocRulesSql)),
     Q("q_assoc_rules_scale", (sp, d) => assocRules(sp, d, atScale = true),
       Some(assocRulesSql)),

@@ -200,6 +200,32 @@ class DecisionQueriesSpec extends SparkSpec {
     graft.ops.SideCache.releaseAll()
   }
 
+  test("q_auc equals the brute pairwise P(s+ > s-) + half-ties recompute") {
+    val r = run("q_auc").head()
+    val (np, nn, u2, aucPpm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val scored = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(
+        (graft.ops.Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+      .as[(Long, Long)].collect()
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    assert(np === pos.length.toLong && nn === neg.length.toLong)
+    // brute O(np*nn) comparison — the definition itself
+    var wins2 = 0L
+    for (p <- pos; n <- neg)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    assert(u2 === wins2)
+    assert(aucPpm ===
+      math.floor(wins2.toDouble * 1000000 / (np * nn * 2) + 1e-6).toLong)
+    // planted operating point: mid-range skill, away from both the
+    // 0.5 no-signal and 1.0 separable degeneracies
+    assert(aucPpm > 700000L && aucPpm < 950000L, s"auc_ppm $aucPpm")
+  }
+
   test("q_benford: pinned expectation table and exact deviation accounting") {
     // the pinned literals ARE floor(1e6 * log10(1 + 1/d))
     DecisionQueries.benfordExpectedPpm.foreach { case (d, ppm) =>
