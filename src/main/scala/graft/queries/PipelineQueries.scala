@@ -997,6 +997,72 @@ object PipelineQueries {
        |  ${graft.ops.NumSql.floorEps("CAST(w_milli AS DOUBLE) * 1000 / tw")} AS alloc_pm
        |FROM w CROSS JOIN tw ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------- quantile normalization
+
+  /** QUANTILE NORMALIZATION onto a reference stratum — the
+    * distribution-matching rebalance (Bolstad et al., the microarray/
+    * corpus-balancing standard): every non-`en` doc's n_chars is
+    * replaced by the `en` value at the SAME quantile, so all strata
+    * share the reference length distribution while each doc keeps its
+    * rank within its stratum. Deterministic: ranks break ties on
+    * (n_chars, doc_id); the reference index is
+    * ridx = floor(rk·(n_ref−1)/(n_h−1) + ε) (singleton strata pin to
+    * 0); the probed fixture remaps ~97% of non-en values, so the
+    * operator measurably changes the data.
+    *
+    * Scale shape: source ranks are one lang-partitioned window (one
+    * key exchange); the reference ranks are a window over the single
+    * `en` stratum (bounded by the stratum, the `q_color_quantiles`
+    * convention); the mapping is one shuffle join on ridx against the
+    * \|ref\|-row table (broadcastable when the reference stratum
+    * fits). */
+  private def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val ref = d.filter(col("lang") === "en")
+      .select(col("n_chars").as("norm_chars"),
+        (row_number().over(Window.orderBy("n_chars", "doc_id")) - 1)
+          .cast("long").as("ridx"))
+    val refN = d.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_ref"))
+    val src = d.filter(col("lang") =!= "en")
+      .withColumn("rk", (row_number().over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")) - 1)
+        .cast("long"))
+      .withColumn("n_h", count(lit(1)).over(
+        Window.partitionBy("lang")))
+    src.crossJoin(broadcast(refN))
+      .withColumn("ridx", when(col("n_h") === 1, 0L)
+        .otherwise(graft.ops.Num.floorEps(
+          col("rk").cast("double") * (col("n_ref") - 1) / (col("n_h") - 1))))
+      .join(ref, Seq("ridx"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("norm_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val quantileNormSql =
+    s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+       |ref AS (
+       |  SELECT n_chars AS norm_chars,
+       |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS ridx
+       |  FROM d WHERE lang = 'en'),
+       |refn AS (SELECT COUNT(*) AS n_ref FROM d WHERE lang = 'en'),
+       |src AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) - 1 AS rk,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n_h
+       |  FROM d WHERE lang <> 'en'),
+       |m AS (
+       |  SELECT s.doc_id, s.lang, s.n_chars,
+       |    CASE WHEN s.n_h = 1 THEN 0
+       |      ELSE ${graft.ops.NumSql.floorEps(
+      "CAST(s.rk AS DOUBLE) * (r.n_ref - 1) / (s.n_h - 1)")} END AS ridx
+       |  FROM src s CROSS JOIN refn r)
+       |SELECT m.doc_id, m.lang, m.n_chars, ref.norm_chars
+       |FROM m JOIN ref ON m.ridx = ref.ridx
+       |ORDER BY m.doc_id""".stripMargin
+
   // ------------------------------------------------------ delete propagate
 
   /** Right-to-be-forgotten CASCADE (the GDPR/CCPA deletion operator a
@@ -1151,6 +1217,7 @@ object PipelineQueries {
     Q("q_shuffle_shard", shuffleShard, Some(shuffleShardSql)),
     Q("q_delete_propagate", deletePropagate, Some(deletePropagateSql)),
     Q("q_neyman_alloc", neymanAlloc, Some(neymanAllocSql)),
+    Q("q_quantile_norm", quantileNorm, Some(quantileNormSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),

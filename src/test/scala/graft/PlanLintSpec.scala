@@ -47,6 +47,9 @@ class PlanLintSpec extends SparkSpec {
     // Neyman allocation: the 1-row total-weight aggregate crossed into
     // the |strata|-row frame
     "q_neyman_alloc",
+    // quantile normalization: the 1-row reference-count aggregate
+    // crossed into the source scan
+    "q_quantile_norm",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -353,4 +353,30 @@ class PipelineSpec extends SparkSpec {
     assert(total <= 1000 && total > 1000 - got.size.toLong)
     assert(got.map(_._5).distinct.size > 1, "allocation must discriminate")
   }
+
+  test("q_quantile_norm: distribution transplanted, ranks preserved, data changed") {
+    val got = run("q_quantile_norm")
+      .select("doc_id", "lang", "n_chars", "norm_chars")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val docs = graft.tables.Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)].collect()
+    val en = docs.filter(_._2 == "en").map(r => (r._3, r._1)).sorted.map(_._1)
+    // per stratum: rank order preserved and every mapped value is an
+    // exact en quantile at the right index
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      val nh = ordered.size
+      ordered.zipWithIndex.foreach { case ((id, _, _, norm), rk) =>
+        val ridx = if (nh == 1) 0
+        else math.floor(rk.toDouble * (en.length - 1) / (nh - 1) + 1e-6).toInt
+        assert(norm === en(ridx), s"$lang doc $id rank $rk")
+      }
+      // monotone: normalized values are non-decreasing in source rank
+      assert(ordered.map(_._4) === ordered.map(_._4).sorted)
+    }
+    // the operator measurably changes the data (~97% probed)
+    val changed = got.count(r => r._3 != r._4)
+    assert(changed > got.size / 2, s"only $changed of ${got.size} changed")
+    assert(!got.exists(_._2 == "en"), "the reference stratum is not remapped")
+  }
 }
