@@ -354,12 +354,16 @@ object SimilarityQueries {
     * relation — the final SELECT differs between `q_ann_ivf_pq`
     * (top-10 by ADC) and `q_ann_rerank` (top-100 candidates → exact
     * re-score). */
-  private val ivfPqRankedCtes = {
+  /** `quantFilter`: extra predicate restricting which vectors may
+    * train the quantizers (centroids + codebook seeds) — the
+    * frozen-quantizer upsert oracle trains on the EXISTING subset
+    * while assignment/codes/serving still cover the full corpus. */
+  private def ivfPqRankedCtesWith(quantFilter: String): String = {
     val sub = Similarity.Dim / 8
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
        |), cents AS (
-       |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm FROM base WHERE vec_id % 61 = 0
+       |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm FROM base WHERE vec_id % 61 = 0$quantFilter
        |), assigned AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT b.vec_id, c.cid,
@@ -370,7 +374,7 @@ object SimilarityQueries {
        |), seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, embedding
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 16)
+       |        WHERE vec_id % 29 = 0$quantFilter ORDER BY vec_id LIMIT 16)
        |), cw AS (
        |  SELECT ms.m, s.k, s.embedding[(ms.m * $sub + 1):(ms.m * $sub + $sub)] AS cvec
        |  FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) ms
@@ -409,6 +413,8 @@ object SimilarityQueries {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rnk
        |  FROM scored)""".stripMargin
   }
+
+  private val ivfPqRankedCtes = ivfPqRankedCtesWith("")
 
   private val annIvfPqSql =
     s"""$ivfPqRankedCtes
@@ -459,6 +465,47 @@ object SimilarityQueries {
         kCand = 100, k = 10)
       .orderBy("qid", "rank")
   }
+
+  /** Incremental index MAINTENANCE — the upsert that keeps
+    * `q_ann_serve`'s stored index current without a rebuild: the base
+    * index is built on the EXISTING corpus (vec_id % 9 ≠ 0, quantizers
+    * trained there and FROZEN), the delta (≡ 0 mod 9) is assigned +
+    * encoded with the STORED quantizers and lands as its own
+    * `codes_delta/` segment (the Lucene/FAISS segment model — no
+    * in-place append, idempotent under re-run, base files untouched),
+    * and the two-stage retrieval then serves the FULL corpus from the
+    * segment union. The oracle is the complete two-stage SQL with the
+    * quantizer-training CTEs restricted to the existing subset —
+    * hash equality proves frozen-quantizer upsert loses nothing vs
+    * single-shot indexing with the same quantizers. AnnServeSpec
+    * additionally pins segment isolation and the re-encode identity. */
+  private def annUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_upsert"
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
+    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta"))
+      .orderBy("qid", "rank")
+  }
+
+  private val annUpsertSql =
+    s"""${ivfPqRankedCtesWith(" AND vec_id % 9 <> 0")},
+       |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
+       |rescored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ${dot("b.embedding", "q2.qvec")} / (b.nrm * q2.qnorm) AS cos
+       |  FROM cand c
+       |  JOIN base b ON b.vec_id = c.vec_id
+       |  JOIN q q2 ON q2.qid = c.qid),
+       |reranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rrn
+       |  FROM rescored)
+       |SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
+       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
   /** Dedup-before-indexing — the similarity-side composition twin of
     * `q_corpus_pipeline`: semantic near-dup clusters (`q_embed_neardup`
@@ -1144,6 +1191,7 @@ object SimilarityQueries {
     Q("q_ann_ivf_pq", annIvfPq, Some(annIvfPqSql)),
     Q("q_ann_rerank", annRerank, Some(annRerankSql)),
     Q("q_ann_serve", annServe, Some(annRerankSql)),
+    Q("q_ann_upsert", annUpsert, Some(annUpsertSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_ann_dedup", annDedup, Some(annDedupSql)),

@@ -499,6 +499,47 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
   }
 
+  /** UPSERT a delta segment into the stored index with FROZEN
+    * quantizers — the nightly index-maintenance shape (Lucene/FAISS
+    * segment model): the coarse centroids and the PQ codebook are NOT
+    * retrained on arrival; the delta is assigned + encoded with the
+    * STORED quantizers (read back via bounded collects) and written
+    * as its own `codes_delta/` segment — never an in-place append, so
+    * the operation is idempotent under re-run and the base segment's
+    * files are untouched. Serving unions the segments
+    * ([[ivfPqServeStored]]'s `segments` parameter). Retraining is a
+    * separate, rarer rebuild — exactly the production cadence. */
+  def ivfPqUpsertDelta(delta: DataFrame, path: String): Unit = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val centRows = spark.read.parquet(s"$path/cents")
+      .select(col("cid"), col("cvec"), col("cnorm"))
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    val seeds = spark.read.parquet(s"$path/seeds")
+      .select(col("seed_id"), col("svec"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val m = 8
+    val subDim = Dim / m
+    val codebook: Seq[Seq[Seq[Double]]] =
+      (0 until m).map { mi =>
+        seeds.toSeq.map { case (_, v) =>
+          (0 until subDim).map(i => v(mi * subDim + i).toDouble)
+        }
+      }
+    val cids = centRows.map(_._1).toSeq
+    val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
+    val cnorms = centRows.map(_._3).toSeq
+    delta.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("norm"))
+      .select(col("vec_id"),
+        F.vecNearestCid(col("embedding"), col("norm"), cids, cvecs, cnorms)
+          .as("cid"),
+        F.vecPqCodes(col("embedding"), codebook).as("codes"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(s"$path/codes_delta")
+  }
+
   /** SERVE-MANY: two-stage retrieval ([[ivfPqRerank]]'s contract)
     * answered FROM the index persisted by [[ivfPqIndexWrite]] —
     * stage 1 scans the STORED codes table (never the embeddings);
@@ -510,7 +551,8 @@ object Similarity {
     * node needs only the path. Bit-equal to the in-memory
     * [[ivfPqRerank]] with the same parameters (AnnServeSpec). */
   def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
-                       kCand: Int, k: Int, nProbe: Int = 2): DataFrame = {
+                       kCand: Int, k: Int, nProbe: Int = 2,
+                       segments: Seq[String] = Seq("codes")): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // index metadata: bounded collects over the small stored tables
@@ -521,8 +563,13 @@ object Similarity {
       .select(col("seed_id"), col("svec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     val cbK = seeds.length
-    val codes = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("cid").cast("long").as("cid"), col("codes"))
+    // one partition-discovered read per segment, then a union — Spark
+    // refuses multi-root partitioned reads in a single load
+    val codes = segments.map { seg =>
+      spark.read.parquet(s"$path/$seg")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("codes"))
+    }.reduce(_ unionAll _)
     val m = codes.select(size(col("codes"))).head().getInt(0)
     val subDim = Dim / m
     val codebook: Seq[Seq[Seq[Double]]] =

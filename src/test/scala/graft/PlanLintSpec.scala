@@ -19,8 +19,8 @@ class PlanLintSpec extends SparkSpec {
     "q_ann_dedup",
     // stored-index serving: same probe-list broadcast cross as
     // q_ann_rerank (queries x |C| centroids), stage 1 scans the
-    // persisted codes table
-    "q_ann_serve",
+    // persisted codes table (q_ann_upsert adds the delta segment)
+    "q_ann_serve", "q_ann_upsert",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term

@@ -28,6 +28,33 @@ class AnnServeSpec extends SparkSpec {
       "executed plan must contain a FileScan over the stored index")
   }
 
+  test("q_ann_upsert: segments are isolated, idempotent, and complete") {
+    import spark.implicits._
+    val first = SparkEntry.queries("q_ann_upsert")(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(first.nonEmpty)
+    // idempotent: a re-run (fresh overwrite of both segments) is bit-equal
+    val second = SparkEntry.queries("q_ann_upsert")(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(first.toSeq == second.toSeq, "upsert must be idempotent")
+    // the serve plan reads the delta segment
+    val plan = SparkEntry.queries("q_ann_upsert")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("codes_delta"))
+    // segment isolation + completeness: base holds exactly the
+    // existing vectors, delta exactly the delta, no overlap
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_upsert"
+    val base = spark.read.parquet(s"$root/codes").select("vec_id")
+      .as[Long].collect().toSet
+    val delta = spark.read.parquet(s"$root/codes_delta").select("vec_id")
+      .as[Long].collect().toSet
+    val all = Tables.embeddings(spark, sf0001).select("vec_id")
+      .as[Long].collect().toSet
+    assert(base === all.filter(_ % 9 != 0))
+    assert(delta === all.filter(_ % 9 == 0))
+    assert((base & delta).isEmpty)
+  }
+
   test("the stored codes table is bucket-partitioned (one dir per cid)") {
     SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
     val codesDir = new java.io.File(
