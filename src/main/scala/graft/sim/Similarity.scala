@@ -548,7 +548,11 @@ object Similarity {
     * codebook are reconstructed from the stored cents/seeds tables
     * via bounded collects (|C| and cbK rows — index metadata, not
     * corpus). m and cbK are read off the stored shapes, so a serve
-    * node needs only the path. Bit-equal to the in-memory
+    * node needs only the path. Because codes is PARTITIONED BY cid
+    * and the probe list broadcasts, Catalyst inserts a DYNAMIC
+    * partition-pruning filter on the codes scan (AnnServeSpec
+    * asserts it) — at scale only the nProbe bucket directories a
+    * query batch touches are read at all. Bit-equal to the in-memory
     * [[ivfPqRerank]] with the same parameters (AnnServeSpec). */
   def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
                        kCand: Int, k: Int, nProbe: Int = 2,

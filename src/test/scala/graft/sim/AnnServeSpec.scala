@@ -21,11 +21,17 @@ class AnnServeSpec extends SparkSpec {
       "stored-index serving diverged from the in-memory build")
   }
 
-  test("the serve plan scans the stored codes table") {
+  test("the serve plan scans the stored codes table WITH dynamic partition pruning") {
     val served = SparkEntry.queries("q_ann_serve")(spark, sf0001)
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("graft_ann_index"),
       "executed plan must contain a FileScan over the stored index")
+    // the broadcast probe list must reach the bucket-partitioned codes
+    // scan as a DYNAMIC partition filter — at scale this is what turns
+    // "scan the whole codes table" into "read only the nProbe bucket
+    // directories each query batch touches"
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "codes scan must carry a dynamic partition-pruning filter")
   }
 
   test("q_ann_upsert: segments are isolated, idempotent, and complete") {
