@@ -997,6 +997,137 @@ object PipelineQueries {
        |  ${graft.ops.NumSql.floorEps("CAST(w_milli AS DOUBLE) * 1000 / tw")} AS alloc_pm
        |FROM w CROSS JOIN tw ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- data card
+
+  /** CORPUS DATA CARD — the datasheet (Gebru et al.) a training corpus
+    * ships with, emitted as ONE hash-verified long-format table
+    * (section, key, metric, value): corpus totals (docs, tokens,
+    * chars), the language composition with per-mille shares and a
+    * quantized-integer entropy (per-lang −p·ln p terms are floorEps'd
+    * to micro-nats BEFORE the sum, so the fold is BIGINT — a raw
+    * double Σ would be partition-order-dependent), per-lang median
+    * lengths, the global length decile ladder, and the PII and
+    * exact-dup incidence rates (the fixture's planted emails read
+    * 100‰; the dup rate is an HONEST zero — this corpus has no exact
+    * dups, and a datasheet that says so is correct, the non-vacuity
+    * burden lies on the metrics that vary).
+    *
+    * Scale shape: ONE slim per-doc projection (lang, chars, tokens,
+    * has_email) is persisted and feeds every section — the
+    * `q_corpus_pipeline` convention: adding a metric adds a column or
+    * a bounded aggregate, never a second corpus scan. All sections
+    * reduce map-side to ≤ \|langs\|+10 rows before the union. */
+  private def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    // the raw fixture has no PII; the card measures the corpus AS THE
+    // SCRUB PATH SEES IT — the q_pii_scrub planted-email expression,
+    // so the incidence metric is non-vacuous (100 per mille)
+    val planted = concat(col("text"),
+      when(col("doc_id") % 10 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+        .otherwise(lit("")))
+    val slim = graft.ops.SideCache.persist(
+      Tables.documents(spark, dir).select(
+        col("lang"), col("n_chars"),
+        size(TF.tokens(col("text"))).cast("long").as("n_tok"),
+        when(regexp_extract(planted, EmailRe, 0) =!= "", 1L)
+          .otherwise(0L).as("has_email"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+          .as("h")))
+    slim.count()
+    def row(section: String, key: Column, metric: String, v: Column) =
+      struct(lit(section).as("section"), key.as("key"),
+        lit(metric).as("metric"), v.cast("long").as("value"))
+    val totals = slim.agg(count(lit(1)).as("n"), sum("n_tok").as("tok"),
+        sum("n_chars").as("ch"), sum("has_email").as("em"))
+    val corpus = totals.select(explode(array(
+      row("corpus", lit("all"), "n_docs", col("n")),
+      row("corpus", lit("all"), "n_tokens", col("tok")),
+      row("corpus", lit("all"), "n_chars", col("ch")),
+      row("quality", lit("pii"), "email_docs_pm",
+        col("em") * 1000 / col("n")))).as("r"))
+    val dups = slim.groupBy("h").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("d"),
+        sum("c").as("n"))
+      .select(explode(array(row("quality", lit("dup"), "exact_dup_pm",
+        col("d") * 1000 / col("n")))).as("r"))
+    val langs = slim.groupBy("lang")
+      .agg(count(lit(1)).as("nh"),
+        graft.ops.Num.floorEps(percentile(col("n_chars"), lit(0.5))).as("p50"))
+      .crossJoin(broadcast(totals.select(col("n"))))
+      .select(explode(array(
+        row("lang", col("lang"), "n_docs", col("nh")),
+        row("lang", col("lang"), "share_pm", col("nh") * 1000 / col("n")),
+        row("lang", col("lang"), "p50_chars", col("p50")),
+        row("lang", col("lang"), "entropy_term_micro",
+          graft.ops.Num.floorEps(expr(
+            "-(CAST(nh AS DOUBLE) / n) * ln(CAST(nh AS DOUBLE) / n) * 1000000"
+          ))))).as("r"))
+    val deciles = slim.agg(
+      percentile_approx(col("n_chars"),
+        typedlit((1 to 9).map(_ / 10.0)), lit(1000000)).as("qs"))
+      .select(posexplode(col("qs")))
+      .select(explode(array(row("length",
+        concat(lit("d"), (col("pos") + 1).cast("string")), "chars",
+        col("col")))).as("r"))
+    corpus.unionAll(dups).unionAll(langs).unionAll(deciles)
+      .select(col("r.section"), col("r.key"), col("r.metric"),
+        col("r.value"))
+      .orderBy("section", "key", "metric")
+  }
+
+  private val dataCardSql =
+    s"""WITH slim AS (
+       |  SELECT lang, n_chars,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CASE WHEN regexp_extract(text ||
+       |      CASE WHEN doc_id % 10 = 0
+       |        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+       |        ELSE '' END, '$EmailRe', 0) <> '' THEN 1 ELSE 0 END AS has_email,
+       |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+       |  FROM documents),
+       |totals AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(n_tok) AS BIGINT) AS tok,
+       |    CAST(SUM(n_chars) AS BIGINT) AS ch,
+       |    CAST(SUM(has_email) AS BIGINT) AS em
+       |  FROM slim),
+       |dupagg AS (
+       |  SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(c) AS BIGINT) AS n
+       |  FROM (SELECT COUNT(*) AS c FROM slim GROUP BY h)),
+       |langs AS (
+       |  SELECT lang, COUNT(*) AS nh,
+       |    ${graft.ops.NumSql.floorEps("quantile_cont(n_chars, 0.5)")} AS p50
+       |  FROM slim GROUP BY lang),
+       |rows_ AS (
+       |  SELECT 'corpus' AS section, 'all' AS key, 'n_docs' AS metric,
+       |    CAST(n AS BIGINT) AS value FROM totals
+       |  UNION ALL SELECT 'corpus', 'all', 'n_tokens', tok FROM totals
+       |  UNION ALL SELECT 'corpus', 'all', 'n_chars', ch FROM totals
+       |  UNION ALL SELECT 'quality', 'pii', 'email_docs_pm',
+       |    CAST(em * 1000 // n AS BIGINT) FROM totals
+       |  UNION ALL SELECT 'quality', 'dup', 'exact_dup_pm',
+       |    CAST(d * 1000 // n AS BIGINT) FROM dupagg
+       |  UNION ALL SELECT 'lang', lang, 'n_docs', CAST(nh AS BIGINT) FROM langs
+       |  UNION ALL SELECT 'lang', lang, 'share_pm',
+       |    CAST(nh * 1000 // (SELECT n FROM totals) AS BIGINT) FROM langs
+       |  UNION ALL SELECT 'lang', lang, 'p50_chars', p50 FROM langs
+       |  UNION ALL SELECT 'lang', lang, 'entropy_term_micro',
+       |    ${graft.ops.NumSql.floorEps(
+      "-(CAST(nh AS DOUBLE) / (SELECT n FROM totals)) * " +
+        "ln(CAST(nh AS DOUBLE) / (SELECT n FROM totals)) * 1000000")}
+       |  FROM langs
+       |  UNION ALL SELECT 'length', 'd1', 'chars', CAST(quantile_disc(n_chars, 0.1) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd2', 'chars', CAST(quantile_disc(n_chars, 0.2) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd3', 'chars', CAST(quantile_disc(n_chars, 0.3) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd4', 'chars', CAST(quantile_disc(n_chars, 0.4) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd5', 'chars', CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd6', 'chars', CAST(quantile_disc(n_chars, 0.6) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd7', 'chars', CAST(quantile_disc(n_chars, 0.7) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd8', 'chars', CAST(quantile_disc(n_chars, 0.8) AS BIGINT) FROM slim
+       |  UNION ALL SELECT 'length', 'd9', 'chars', CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM slim)
+       |SELECT section, key, metric, value
+       |FROM rows_ ORDER BY section, key, metric""".stripMargin
+
   // --------------------------------------------------- quantile normalization
 
   /** QUANTILE NORMALIZATION onto a reference stratum — the
@@ -1218,6 +1349,7 @@ object PipelineQueries {
     Q("q_delete_propagate", deletePropagate, Some(deletePropagateSql)),
     Q("q_neyman_alloc", neymanAlloc, Some(neymanAllocSql)),
     Q("q_quantile_norm", quantileNorm, Some(quantileNormSql)),
+    Q("q_data_card", dataCard, Some(dataCardSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),

@@ -50,6 +50,9 @@ class PlanLintSpec extends SparkSpec {
     // quantile normalization: the 1-row reference-count aggregate
     // crossed into the source scan
     "q_quantile_norm",
+    // data card: the 1-row corpus-totals aggregate crossed into the
+    // |langs|-row composition frame
+    "q_data_card",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -379,4 +379,32 @@ class PipelineSpec extends SparkSpec {
     assert(changed > got.size / 2, s"only $changed of ${got.size} changed")
     assert(!got.exists(_._2 == "en"), "the reference stratum is not remapped")
   }
+
+  test("q_data_card: sections coherent, shares sum, entropy positive, PII planted rate") {
+    val got = run("q_data_card")
+      .select("section", "key", "metric", "value")
+      .as[(String, String, String, Long)].collect().toSeq
+    def metric(sec: String, key: String, m: String): Long =
+      got.find(r => r._1 == sec && r._2 == key && r._3 == m).get._4
+    val nDocs = metric("corpus", "all", "n_docs")
+    assert(nDocs === graft.tables.Tables.documents(spark, sf0001).count())
+    // lang shares sum to ~1000 per mille; doc counts sum exactly
+    val langRows = got.filter(r => r._1 == "lang")
+    val langs = langRows.map(_._2).distinct
+    assert(langs.size >= 4)
+    assert(langRows.filter(_._3 == "n_docs").map(_._4).sum === nDocs)
+    val shareSum = langRows.filter(_._3 == "share_pm").map(_._4).sum
+    assert(shareSum <= 1000 && shareSum > 1000 - langs.size.toLong)
+    // entropy terms positive (multi-lang corpus), bounded by ln|L|
+    val h = langRows.filter(_._3 == "entropy_term_micro").map(_._4).sum
+    assert(h > 0 && h <= math.ceil(math.log(langs.size.toDouble) * 1e6).toLong)
+    // length deciles are a non-decreasing ladder
+    val dec = got.filter(_._1 == "length").sortBy(_._2).map(_._4)
+    assert(dec.size === 9 && dec === dec.sorted)
+    // planted PII reads exactly the plant rate (doc_id % 10 == 0)
+    assert(metric("quality", "pii", "email_docs_pm") === 100L)
+    // honest zero: this corpus has no exact dups
+    assert(metric("quality", "dup", "exact_dup_pm") === 0L)
+    graft.ops.SideCache.releaseAll()
+  }
 }
