@@ -571,6 +571,60 @@ object ProfilingQueries {
       |  CASE WHEN n_viol = 0 THEN 'pass' ELSE 'fail' END AS pass
       |FROM checks ORDER BY check_name""".stripMargin
 
+  // ---------------------------------------------------------------- quarantine
+
+  /** QUARANTINE ROUTING — the act side of `q_dq_expectations`: every
+    * fact row is routed to exactly ONE bucket under rule precedence
+    * (pk_dup first — a duplicated key is unusable regardless of other
+    * faults — then ships_early, else clean), and the router emits the
+    * accounting a pipeline run records: per bucket the row count and
+    * the bit_xor checksum of the routed keys (the partition-
+    * independent manifest `q_delete_propagate` established). The
+    * whole-group-quarantine convention for dups: ALL rows of a
+    * duplicated (orderkey, linenumber) key quarantine — keeping "the
+    * first" of a duplicate pair is exactly the nondeterminism a DQ
+    * gate exists to stop.
+    *
+    * Scale shape: one (key)-window over the fact (the dup flag), one
+    * broadcast-probed left join against orders (the date flag), one
+    * 3-row aggregate. Nothing leaves the executor except the
+    * accounting. */
+  private def dqQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey", "l_linenumber")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("dup", count(lit(1)).over(w) > 1)
+    val routed = li
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .select(
+        when(col("dup"), "pk_dup")
+          .when(col("l_shipdate") < col("o_orderdate"), "ships_early")
+          .otherwise("clean").as("bucket"),
+        (col("l_orderkey") * 31 + col("l_linenumber")).as("k"))
+    routed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(k)"), lit(0L)).as("key_xor"))
+      .orderBy("bucket")
+  }
+
+  private val dqQuarantineSql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber, l_shipdate,
+      |    COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) > 1 AS dup
+      |  FROM lineitem),
+      |routed AS (
+      |  SELECT CASE WHEN li.dup THEN 'pk_dup'
+      |           WHEN li.l_shipdate < o.o_orderdate THEN 'ships_early'
+      |           ELSE 'clean' END AS bucket,
+      |    li.l_orderkey * 31 + li.l_linenumber AS k
+      |  FROM li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey)
+      |SELECT bucket, COUNT(*) AS n_rows,
+      |  CAST(COALESCE(bit_xor(k), 0) AS BIGINT) AS key_xor
+      |FROM routed GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------ changepoint
 
   /** Change-point LOCALIZATION — the binary-segmentation step that
@@ -885,6 +939,7 @@ object ProfilingQueries {
     Q("q_cusum", cusum, Some(cusumSql)),
     Q("q_changepoint", changepoint, Some(changepointSql)),
     Q("q_dq_expectations", dqExpectations, Some(dqExpectationsSql)),
+    Q("q_dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

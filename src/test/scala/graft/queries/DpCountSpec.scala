@@ -145,4 +145,34 @@ class DpCountSpec extends SparkSpec {
     assert(got.find(_._1 == "pk_unique").get._3 === dupRows.toLong)
     assert(got.find(_._1 == "quantity_positive").get._3 === 0L)
   }
+
+  test("q_dq_quarantine: precedence routing is a partition of the fact table") {
+    val got = SparkEntry.queries("q_dq_quarantine")(spark, sf0001)
+      .select("bucket", "n_rows", "key_xor")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set("clean", "pk_dup", "ships_early"))
+    // a partition: bucket counts sum to the fact row count
+    val li = graft.tables.Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+    assert(got.values.map(_._1).sum === li.length.toLong)
+    // brute routing with the same precedence
+    val dupKeys = li.groupBy(r => (r._1, r._2)).filter(_._2.size > 1).keySet
+    val orderDate = graft.tables.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect().toMap
+    val brute = li.groupBy { r =>
+      if (dupKeys((r._1, r._2))) "pk_dup"
+      else if (orderDate.get(r._1).exists(d => r._3.before(d))) "ships_early"
+      else "clean"
+    }.map { case (b, rows) =>
+      b -> (rows.size.toLong,
+        rows.map(r => r._1 * 31 + r._2).foldLeft(0L)(_ ^ _))
+    }
+    assert(got === brute)
+    // all three buckets genuinely populated (this fixture quarantines
+    // heavily: ~40% dup rows + ~20% early-ship of the remainder)
+    assert(got("pk_dup")._1 > 0 && got("ships_early")._1 > 0)
+    assert(got("clean")._1 > 0)
+  }
 }
