@@ -399,6 +399,108 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ------------------------------------------------------------ bootstrap CI
+
+  /** Poisson(1) cumulative-distribution thresholds, pinned literals
+    * shared verbatim by both engines (the `benfordExpectedPpm`
+    * convention): P(K ≤ k) for k = 0..5; weights cap at 6. */
+  val poissonCdf: Seq[(Int, String)] = Seq(
+    0 -> "0.36787944117144233", 1 -> "0.7357588823428847",
+    2 -> "0.9196986029286058", 3 -> "0.9810118431238462",
+    4 -> "0.9963401531726563", 5 -> "0.9994058151824183")
+
+  private val BootB = 64
+
+  /** BOOTSTRAP confidence interval for the mean event value — by the
+    * POISSON bootstrap (Owen/Eckles, Kleiner et al.), the resampling
+    * scheme that actually runs at 100 TB: classic with-replacement
+    * resampling needs a global multinomial draw per replica, but
+    * Poisson(1) per-row weights are iid, so every replica is a pure
+    * per-row projection — B = 64 replicas are generated map-side (one
+    * `sequence` explode, one hash per (replica, row)), each replica
+    * folds with ordinary map-side combine, and only B partial rows
+    * ever shuffle. Weights are DERIVED randomness (the `q_dp_count`
+    * inverse-CDF convention): u from the squared-polyhash uniform,
+    * K from the pinned [[poissonCdf]] thresholds — bit-reproducible
+    * cross-engine, so even the CI bounds hash-verify. Output: the
+    * full-sample mean, the 2.5/97.5 percentile bounds over the B
+    * replica means, and the replica spread (max − min, a sanity
+    * check that resampling genuinely varied).
+    *
+    * The CI brackets the point estimate by construction of the
+    * percentile bounds unless the bootstrap distribution is wildly
+    * skewed; BootstrapSpec asserts bracketing and a positive spread. */
+  private def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.SideCache.persist(
+      Tables.events(spark, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), Num.cents(col("value")).as("x")))
+    base.count()
+    val h = graft.functions.F.polyHash(
+      concat_ws(":", col("b"), col("event_id"), lit("boot")))
+    val sRand = pmod(h * h + lit(7919L) * h, lit(2147483647L))
+    val u = (expr("s div 2") + lit(1L)).cast("double") / lit(1073741824.0)
+    val k = poissonCdf.foldRight(lit(6L): Column) { case ((kk, thr), acc) =>
+      when(col("u") <= expr(thr), kk.toLong).otherwise(acc)
+    }
+    val means = base
+      .select(col("event_id"), col("x"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("s", sRand)
+      .withColumn("u", u)
+      .withColumn("k", k)
+      .groupBy("b")
+      .agg(sum(col("k") * col("x")).as("num"), sum("k").as("den"))
+      .select(when(col("den") === 0, 0L)
+        .otherwise(Num.floorEps(col("num").cast("double") / col("den")))
+        .as("mean_c"))
+    val full = base.agg(count(lit(1)).as("n_rows"),
+      Num.floorEps(sum("x").cast("double") / count(lit(1))).as("mean_full_c"))
+    means.agg(count(lit(1)).as("b_reps"),
+        Num.floorEps(percentile(col("mean_c"), lit(0.025))).as("lo_c"),
+        Num.floorEps(percentile(col("mean_c"), lit(0.975))).as("hi_c"),
+        (max("mean_c") - min("mean_c")).as("spread_c"))
+      .crossJoin(broadcast(full))
+      .select(col("b_reps"), col("n_rows"), col("mean_full_c"),
+        col("lo_c"), col("hi_c"), col("spread_c"))
+  }
+
+  private val bootstrapCiSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR) || ':boot'")
+    val kCase = poissonCdf.map { case (kk, thr) =>
+      s"WHEN u <= $thr THEN $kk"
+    }.mkString("CASE ", " ", " ELSE 6 END")
+    s"""WITH base AS (
+       |  SELECT event_id, ${NumSql.cents("value")} AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |rep AS (
+       |  SELECT event_id, x, b FROM base
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${BootB - 1})) AS b)),
+       |uw AS (
+       |  SELECT b, x,
+       |    CAST((($h * $h + 7919 * $h) % 2147483647) // 2 + 1 AS DOUBLE)
+       |      / 1073741824.0 AS u
+       |  FROM rep),
+       |kw AS (SELECT b, x, $kCase AS k FROM uw),
+       |means AS (
+       |  SELECT b,
+       |    CASE WHEN SUM(k) = 0 THEN CAST(0 AS BIGINT)
+       |      ELSE ${NumSql.floorEps(
+      "CAST(SUM(k * x) AS DOUBLE) / SUM(k)")} END AS mean_c
+       |  FROM kw GROUP BY b),
+       |full_ AS (
+       |  SELECT COUNT(*) AS n_rows,
+       |    ${NumSql.floorEps("CAST(SUM(x) AS DOUBLE) / COUNT(*)")} AS mean_full_c
+       |  FROM base)
+       |SELECT COUNT(*) AS b_reps, (SELECT n_rows FROM full_) AS n_rows,
+       |  (SELECT mean_full_c FROM full_) AS mean_full_c,
+       |  ${NumSql.floorEps("quantile_cont(mean_c, 0.025)")} AS lo_c,
+       |  ${NumSql.floorEps("quantile_cont(mean_c, 0.975)")} AS hi_c,
+       |  CAST(MAX(mean_c) - MIN(mean_c) AS BIGINT) AS spread_c
+       |FROM means""".stripMargin
+  }
+
   // ------------------------------------------------------------------ CUSUM
 
   /** CUSUM change-point chart over the daily event series (Page 1954)
@@ -940,6 +1042,7 @@ object ProfilingQueries {
     Q("q_changepoint", changepoint, Some(changepointSql)),
     Q("q_dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("q_dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
+    Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

@@ -53,6 +53,9 @@ class PlanLintSpec extends SparkSpec {
     // data card: the 1-row corpus-totals aggregate crossed into the
     // |langs|-row composition frame
     "q_data_card",
+    // bootstrap CI: the 1-row full-sample mean crossed into the 1-row
+    // percentile fold
+    "q_bootstrap_ci",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

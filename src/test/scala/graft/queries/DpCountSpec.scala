@@ -175,4 +175,35 @@ class DpCountSpec extends SparkSpec {
     assert(got("pk_dup")._1 > 0 && got("ships_early")._1 > 0)
     assert(got("clean")._1 > 0)
   }
+
+  test("q_bootstrap_ci: CI brackets the mean; replica 0 brute-recomputes") {
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, sf0001).head()
+    val (b, n, mean, lo, hi, spread) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(b === 64L)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] must bracket $mean")
+    assert(spread > 0L, "resampling must genuinely vary the replicas")
+    assert(hi - lo < spread + 1, "percentile CI is within the spread")
+    // brute replica 0: same hash -> uniform -> pinned Poisson inverse CDF
+    val rows = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select(col("event_id"),
+        graft.ops.Num.cents(col("value")).as("x"),
+        graft.functions.F.polyHash(
+          concat_ws(":", lit(0), col("event_id"), lit("boot"))).as("h"))
+      .as[(Long, Long, Long)].collect()
+    val cdf = ProfilingQueries.poissonCdf.map { case (k, t) => (k, t.toDouble) }
+    var num = 0L; var den = 0L
+    rows.foreach { case (_, x, h) =>
+      val sr = math.floorMod(h * h + 7919L * h, 2147483647L)
+      val u = (sr / 2 + 1).toDouble / 1073741824.0
+      val k = cdf.find(u <= _._2).map(_._1.toLong).getOrElse(6L)
+      num += k * x; den += k
+    }
+    // replica weights average ~1: effective sample within 20% of n
+    assert(den > n * 8 / 10 && den < n * 12 / 10, s"den $den vs n $n")
+    val rep0 = math.floor(num.toDouble / den + 1e-6).toLong
+    // replica 0's mean must lie inside the replica spread the query saw
+    assert(rep0 >= lo - spread && rep0 <= hi + spread)
+  }
 }
