@@ -399,6 +399,114 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ----------------------------------------------------------------------- PSI
+
+  /** POPULATION STABILITY INDEX — the binned-divergence drift metric
+    * (the credit-scoring/ML-monitoring industry standard) completing
+    * the drift tier: `q_anomaly_mad` catches a point, `q_cusum` a
+    * sustained shift, `q_ks_test` a whole-distribution change by
+    * sup-distance, PSI prices the change as a symmetrized KL over the
+    * REFERENCE's own decile bins — the number teams alert on with the
+    * canonical <0.1 stable / <0.25 moderate / ≥0.25 shifted ladder.
+    *
+    * Bin edges are the `en` reference's deciles as DATA VALUES
+    * (percentile_approx ↔ quantile_disc, the `q_data_card` pairing —
+    * integer edges, so bin membership is exact integer comparison);
+    * shares are Laplace-smoothed (c+1)/(n+10) so empty bins stay
+    * finite; each (q−p)·ln(q/p) term is floorEps'd to micro BEFORE
+    * the per-cohort BIGINT fold (the data-card entropy trick — a raw
+    * double Σ is partition-order-dependent). The `en` self-PSI is an
+    * exact 0 (control); the PLANTED `en_x2` cohort (lengths doubled —
+    * the `q_ks_test` convention) must read `shifted`, proving the
+    * alarm side on a fixture whose natural langs share one generator.
+    *
+    * Scale shape: one 1-row reference-decile aggregate broadcast into
+    * the cohort scan; one (cohort, bin) map-side count to ≤
+    * (\|cohorts\|·10) rows; everything after is tiny. */
+  private def psi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ref = docs.filter(col("lang") === "en")
+      .select(col("n_chars").as("v"))
+    val edges = ref.agg(percentile_approx(col("v"),
+      typedlit((1 to 9).map(_ / 10.0)), lit(1000000)).as("edges"))
+    val cohorts = docs.select(col("lang").as("cohort"), col("n_chars").as("v"))
+      .union(ref.select(lit("en_x2").as("cohort"), (col("v") * 2).as("v")))
+    val binned = cohorts.crossJoin(broadcast(edges))
+      .select(col("cohort"),
+        size(filter(col("edges"), e => col("v") > e)).cast("long").as("bin"))
+    val counts = graft.ops.SideCache.persist(
+      binned.groupBy("cohort", "bin").agg(count(lit(1)).as("c")))
+    counts.count()
+    val grid = counts.select(col("cohort")).distinct()
+      .crossJoin(spark.range(0, 10).select(col("id").as("bin")))
+    val refCounts = counts.filter(col("cohort") === "en")
+      .select(col("bin"), col("c").as("rc"))
+    val refN = counts.filter(col("cohort") === "en")
+      .agg(sum("c").as("rn"))
+    val cohN = counts.groupBy("cohort").agg(sum("c").as("cn"))
+    val terms = grid
+      .join(counts, Seq("cohort", "bin"), "left")
+      .join(refCounts, Seq("bin"), "left")
+      .join(cohN, Seq("cohort"))
+      .crossJoin(broadcast(refN))
+      .select(col("cohort"), col("cn"),
+        ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("cn") + 10)).as("qs"),
+        ((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+          (col("rn") + 10)).as("ps"))
+      .select(col("cohort"), col("cn"),
+        Num.floorEps((col("qs") - col("ps")) * log(col("qs") / col("ps"))
+          * 1000000).as("term_micro"))
+    terms.groupBy("cohort")
+      .agg(min("cn").as("n"), sum("term_micro").as("psi_micro"))
+      .select(col("cohort"), col("n"), col("psi_micro"),
+        when(col("psi_micro") < 100000, "stable")
+          .when(col("psi_micro") < 250000, "moderate")
+          .otherwise("shifted").as("verdict"))
+      .orderBy("cohort")
+  }
+
+  private val psiSql = {
+    val edgeList = (1 to 9).map(k =>
+      s"(SELECT quantile_disc(n_chars, 0.$k) FROM documents WHERE lang = 'en')")
+      .mkString("[", ", ", "]")
+    s"""WITH cohorts AS (
+       |  SELECT lang AS cohort, n_chars AS v FROM documents
+       |  UNION ALL
+       |  SELECT 'en_x2', n_chars * 2 FROM documents WHERE lang = 'en'),
+       |binned AS (
+       |  SELECT cohort,
+       |    CAST(len(list_filter($edgeList, e -> v > e)) AS BIGINT) AS bin
+       |  FROM cohorts),
+       |counts AS (
+       |  SELECT cohort, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.cohort, b.bin
+       |  FROM (SELECT DISTINCT cohort FROM counts) d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b),
+       |refc AS (SELECT bin, c AS rc FROM counts WHERE cohort = 'en'),
+       |refn AS (SELECT CAST(SUM(c) AS BIGINT) AS rn FROM counts WHERE cohort = 'en'),
+       |cohn AS (SELECT cohort, CAST(SUM(c) AS BIGINT) AS cn FROM counts GROUP BY 1),
+       |terms AS (
+       |  SELECT g.cohort, n.cn,
+       |    ${NumSql.floorEps(
+      "((CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (n.cn + 10)) - " +
+        "(CAST(COALESCE(r.rc, 0) + 1 AS DOUBLE) / (rf.rn + 10))) * " +
+        "ln((CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (n.cn + 10)) / " +
+        "(CAST(COALESCE(r.rc, 0) + 1 AS DOUBLE) / (rf.rn + 10))) * 1000000")} AS term_micro
+       |  FROM grid g
+       |  LEFT JOIN counts c ON c.cohort = g.cohort AND c.bin = g.bin
+       |  LEFT JOIN refc r ON r.bin = g.bin
+       |  JOIN cohn n ON n.cohort = g.cohort
+       |  CROSS JOIN refn rf)
+       |SELECT cohort, MIN(cn) AS n,
+       |  CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+       |  CASE WHEN SUM(term_micro) < 100000 THEN 'stable'
+       |       WHEN SUM(term_micro) < 250000 THEN 'moderate'
+       |       ELSE 'shifted' END AS verdict
+       |FROM terms GROUP BY cohort ORDER BY cohort""".stripMargin
+  }
+
   // ------------------------------------------------------------ bootstrap CI
 
   /** Poisson(1) cumulative-distribution thresholds, pinned literals
@@ -1043,6 +1151,7 @@ object ProfilingQueries {
     Q("q_dq_expectations", dqExpectations, Some(dqExpectationsSql)),
     Q("q_dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
+    Q("q_psi", psi, Some(psiSql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }

@@ -56,6 +56,9 @@ class PlanLintSpec extends SparkSpec {
     // bootstrap CI: the 1-row full-sample mean crossed into the 1-row
     // percentile fold
     "q_bootstrap_ci",
+    // PSI: the 1-row reference-decile array and 1-row reference count
+    // crossed into the cohort scan / the 10-row bin grid
+    "q_psi",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -46,4 +46,35 @@ class KsTestSpec extends SparkSpec {
     got.filterKeys(_ != "en_x2").values.foreach(r => assert(r._7 === "same"))
     assert(got.size === cohorts.size)
   }
+
+  test("q_psi: control is exact zero, planted cohort alarms, naturals never do") {
+    val got = graft.SparkEntry.queries("q_psi")(spark, sf0001)
+      .select("cohort", "n", "psi_micro", "verdict")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // self-comparison control: en vs en is an EXACT integer zero
+    assert(got("en")._3 === 0L && got("en")._4 === "stable")
+    // the planted doubled cohort must cross the canonical 0.25 bar
+    assert(got("en_x2")._3 > 250000L && got("en_x2")._4 === "shifted")
+    // natural langs share one generator: none may read 'shifted'
+    got.filterKeys(k => k != "en_x2").values.foreach { case (c, _, p, v) =>
+      assert(v != "shifted", s"$c psi=$p")
+      assert(p >= 0L, "smoothed PSI terms are non-negative in aggregate")
+    }
+    // brute PSI for the planted cohort from raw lengths
+    val en = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en").select("n_chars")
+      .as[Long].collect().sorted
+    val edges = (1 to 9).map(k => en((math.ceil(k / 10.0 * en.length) - 1).toInt))
+    def bins(vs: Seq[Long]) =
+      (0 until 10).map(b => vs.count(v => edges.count(v > _) == b).toLong)
+    val rb = bins(en.toSeq); val qb = bins(en.toSeq.map(_ * 2))
+    val rn = en.length + 10; val qn = en.length + 10
+    val brute = (0 until 10).map { i =>
+      val p = (rb(i) + 1).toDouble / rn
+      val q = (qb(i) + 1).toDouble / qn
+      math.floor((q - p) * math.log(q / p) * 1e6 + 1e-6).toLong
+    }.sum
+    assert(got("en_x2")._3 === brute)
+  }
 }
