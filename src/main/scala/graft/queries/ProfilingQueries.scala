@@ -399,6 +399,52 @@ object ProfilingQueries {
        |FROM nz ORDER BY lang, source""".stripMargin
   }
 
+  // ----------------------------------------------------------- l-diversity
+
+  /** L-DIVERSITY AUDIT — `q_kanon_audit`'s attack-model complement:
+    * k-anonymity counts group SIZES, but a large group whose rows all
+    * share one sensitive value still leaks it (the homogeneity
+    * attack, Machanavajjhala et al.). Quasi-identifier groups =
+    * (nation, acctbal band — the kanon banding); sensitive attribute
+    * = market segment. Per distinct-l the audit emits the group
+    * count, covered rows, and the WORST top-share (ppm of a group's
+    * rows holding its modal sensitive value — 10⁶ ⇔ fully
+    * homogeneous). The fixture genuinely contains l = 1 groups at
+    * both gate SFs (probed), so the finding the audit exists to
+    * surface actually occurs.
+    *
+    * Scale shape: one (qid, sensitive) map-side count, one (qid)
+    * re-aggregate, one \|distinct l\|-row fold — the `q_kanon_audit`
+    * shape, nothing wider than the cell table shuffles. */
+  private def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nat"),
+        expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("bal_b"),
+        col("c_mktsegment").as("seg"))
+      .groupBy("nat", "bal_b", "seg")
+      .agg(count(lit(1)).as("c"))
+    cells.groupBy("nat", "bal_b")
+      .agg(count(lit(1)).as("l"), sum("c").as("n"), max("c").as("mx"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), sum("n").as("n_rows"),
+        max(expr("1000000 * mx div n")).as("max_top_share_ppm"))
+      .orderBy("l")
+  }
+
+  private val lDiversitySql =
+    """WITH cells AS (
+      |  SELECT c_nationkey AS nat,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_b,
+      |    c_mktsegment AS seg, COUNT(*) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |grp AS (
+      |  SELECT nat, bal_b, COUNT(*) AS l,
+      |    CAST(SUM(c) AS BIGINT) AS n, CAST(MAX(c) AS BIGINT) AS mx
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT l, COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  CAST(MAX(1000000 * mx // n) AS BIGINT) AS max_top_share_ppm
+      |FROM grp GROUP BY l ORDER BY l""".stripMargin
+
   // ----------------------------------------------------------------------- PSI
 
   /** POPULATION STABILITY INDEX — the binned-divergence drift metric
@@ -1152,6 +1198,7 @@ object ProfilingQueries {
     Q("q_dq_quarantine", dqQuarantine, Some(dqQuarantineSql)),
     Q("q_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
     Q("q_psi", psi, Some(psiSql)),
+    Q("q_l_diversity", lDiversity, Some(lDiversitySql)),
     Q("q_ks_test", ksTest, Some(ksTestSql)),
   )
 }
