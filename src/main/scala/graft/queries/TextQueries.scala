@@ -779,6 +779,11 @@ object TextQueries {
     val inc = graft.ops.SideCache.persist(
       incDocs.select(col("doc_id"), normHash(col("text")).as("h"),
         graft.functions.F.simhash64(TF.tokens(col("text"))).as("simhash")))
+    // materialize both multi-consumer frames: each is scanned by the
+    // exact tier AND the block join inside ONE final job — unmaterialized
+    // lazy caches would race (the "Block already exists" pitfall)
+    stored.count()
+    inc.count()
     val exact = inc.select(col("doc_id"), col("h"))
       .join(stored.select(col("h"), col("doc_id").as("m0")), Seq("h"))
       .groupBy("doc_id").agg(min("m0").as("mx"))
