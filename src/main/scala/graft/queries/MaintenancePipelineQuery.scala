@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.ops.{Num, NumSql}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `q_maintenance_pipeline` — the LAKEHOUSE MAINTENANCE flagship: the
+  * nightly table-service cycle every partitioned fact table runs,
+  * composed into ONE accounting query whose output hash pins every
+  * stage. Four stages over the events fact:
+  *
+  *   1. INGEST — the day-partitioned sink (one file per day: the
+  *      small-files state a streaming/hourly writer leaves behind).
+  *   2. COMPACT — `q_compact_manifest`'s order-preserving
+  *      cumulative-split bin packing, REWRITTEN for real (one
+  *      repartition(bin) exchange, one file per bin).
+  *   3. RETAIN — the retention sweep (keep day-of-month ≤ 20) applied
+  *      to the COMPACTED table and rewritten.
+  *   4. DELETE accounting — the tombstone row for what the sweep
+  *      dropped.
+  *
+  * Each stage emits (stage, n_files, n_rows, xor_hash, content_sum):
+  * the `q_table_checksum` order-free triple (count + bit_xor of a
+  * canonical per-row polyhash + integer content sum), so the hashed
+  * result itself proves the two invariants a maintenance run must
+  * certify — COMPACTION PRESERVES CONTENT (stage 2's triple equals
+  * stage 1's while n_files drops from \|days\| to ⌈total/T⌉) and the
+  * RETENTION SWEEP IS A PARTITION (stage 3 + stage 4 counts sum to
+  * stage 1's; their xors fold back to stage 1's xor, which the spec
+  * asserts explicitly). NULL values enter the row hash as −1
+  * (`concat_ws` skips nulls where `||` nulls out — COALESCE is the
+  * one spelling both engines agree on).
+  *
+  * Scale shape: three writes (each one exchange), four accounting
+  * aggregates that are map-side triples over scans, and a bin-plan
+  * window on the \|days\|-row manifest. No stage shuffles more than
+  * the rewrite exchange any OPTIMIZE pays; checksums add bytes of
+  * state per partition, not rows.
+  *
+  * Reference anchor: the reference pipeline re-derives its whole
+  * output tree every run (`il_analysis_git.py:171-213` rewrites
+  * every export file); this flagship is the at-scale replacement —
+  * rewrite only what maintenance must touch, and certify content
+  * preservation by checksum instead of by faith. */
+object MaintenancePipelineQuery {
+
+  private def root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_maint"
+
+  /** Canonical per-row content hash + metric (vc with NULL → −1). */
+  private def rowHash: Column =
+    graft.functions.F.polyHash(concat_ws("|",
+      col("event_id"), col("event_type"), col("vc")))
+
+  private def acct(stage: String, df: DataFrame, fileKey: Column,
+                   nFilesOverride: Option[Column] = None): DataFrame = {
+    val base = df.agg(count(lit(1)).as("n_rows"),
+      coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+      coalesce(sum("vc"), lit(0L)).as("content_sum"),
+      countDistinct(fileKey).as("nf"))
+    base.select(lit(stage).as("stage"),
+      nFilesOverride.getOrElse(col("nf")).as("n_files"),
+      col("n_rows"), col("xor_hash"), col("content_sum"))
+  }
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    // ---- stage 1: ingest, one file per day
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
+        to_date(col("ts")).as("day"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/ingest")
+    val ingest = graft.ops.SideCache.persist(
+      spark.read.parquet(s"$root/ingest").withColumn("h", rowHash))
+    ingest.count()
+    // ---- stage 2: compact (cumulative split, T = total div 8 + 1)
+    val manifest = ingest.groupBy("day")
+      .agg(sum(lit(24) + length(col("event_type"))).as("bytes"))
+    val tot = manifest.agg(sum("bytes").as("total"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val plan = manifest.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum("bytes").over(wCum), lit(0L)))
+      .withColumn("bin", expr("cum_before div (total div 8 + 1)"))
+      .select(col("day"), col("bin"))
+    ingest.join(broadcast(plan), Seq("day"))
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/compact")
+    val compact = graft.ops.SideCache.persist(
+      spark.read.parquet(s"$root/compact"))
+    compact.count()
+    // ---- stage 3: retention sweep on the COMPACTED table
+    compact.filter(dayofmonth(col("day")) <= 20)
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/retained")
+    val retained = spark.read.parquet(s"$root/retained")
+    // ---- stage 4: tombstone accounting (no files written)
+    val deleted = compact.filter(dayofmonth(col("day")) > 20)
+    acct("1_ingest", ingest, col("day"))
+      .unionAll(acct("2_compact", compact, col("bin")))
+      .unionAll(acct("3_retained", retained, col("bin")))
+      .unionAll(acct("4_deleted", deleted, col("bin"),
+        nFilesOverride = Some(lit(0L))))
+      .orderBy("stage")
+  }
+
+  private val sql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |hashed AS (SELECT *, $h AS h FROM base),
+       |daily AS (
+       |  SELECT day, CAST(SUM(24 + length(event_type)) AS BIGINT) AS bytes
+       |  FROM base GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM daily),
+       |plan_ AS (
+       |  SELECT day,
+       |    CAST(COALESCE(SUM(bytes) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // (total // 8 + 1) AS bin
+       |  FROM daily CROSS JOIN tot),
+       |binned AS (
+       |  SELECT h.*, p.bin FROM hashed h JOIN plan_ p ON h.day = p.day),
+       |rows_ AS (
+       |  SELECT '1_ingest' AS stage,
+       |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_files,
+       |    COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash,
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS content_sum
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT '2_compact', CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT '3_retained', CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned WHERE EXTRACT(day FROM day) <= 20
+       |  UNION ALL
+       |  SELECT '4_deleted', 0, COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned WHERE EXTRACT(day FROM day) > 20)
+       |SELECT stage, n_files, n_rows, xor_hash, content_sum
+       |FROM rows_ ORDER BY stage""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(Q("q_maintenance_pipeline", run, Some(sql)))
+}
