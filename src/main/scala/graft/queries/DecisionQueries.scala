@@ -434,6 +434,56 @@ object DecisionQueries {
       "CAST(u2 AS DOUBLE) * 1000000 / (n_pos * n_neg * 2)")} AS auc_ppm
        |FROM t""".stripMargin
 
+  // --------------------------------------------------------------- calibration
+
+  /** RELIABILITY TABLE — `q_auc`'s companion readout: AUC says the
+    * ranker orders well, calibration says WHERE the positives
+    * concentrate. The same planted mid-range classifier's scores are
+    * cut at their own deciles (edges as DATA VALUES —
+    * percentile_approx ↔ quantile_disc, integer comparisons), and
+    * each decile bin reports (n, n_pos, pos_rate_pm) — the table a
+    * threshold decision is read from. The planted +50.00 boost makes
+    * the top bins visibly positive-rich while the bottom stays near
+    * the base rate (spec asserts the top-vs-bottom gap), so the
+    * measurement is exercised away from the flat no-signal shape.
+    *
+    * Scale shape: one 1-row decile aggregate broadcast into the
+    * scan, one (bin) map-side count to ≤10 rows. */
+  private def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(
+        (Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+    val edges = scored.agg(percentile_approx(col("s"),
+      typedlit((1 to 9).map(_ / 10.0)), lit(1000000)).as("edges"))
+    scored.crossJoin(broadcast(edges))
+      .select(size(filter(col("edges"), e => col("s") > e))
+        .cast("long").as("bin"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("1000 * n_pos div n").as("pos_rate_pm"))
+      .orderBy("bin")
+  }
+
+  private val calibrationSql = {
+    val edgeList = (1 to 9).map(k =>
+      s"(SELECT quantile_disc(s, 0.$k) FROM scored)").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT ${NumSql.cents("value")}
+       |      + CASE WHEN event_id % 5 = 0 THEN 5000 ELSE 0 END AS s,
+       |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |binned AS (
+       |  SELECT CAST(len(list_filter($edgeList, e -> s > e)) AS BIGINT) AS bin, y
+       |  FROM scored)
+       |SELECT bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |  CAST(1000 * SUM(y) // COUNT(*) AS BIGINT) AS pos_rate_pm
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   // ------------------------------------------------------- association rules
 
   /** Market-basket association rules over order baskets: support,
@@ -648,6 +698,7 @@ object DecisionQueries {
     Q("q_lateral_topk", lateralTopk, Some(lateralTopkSql)),
     Q("q_abtest", abtest, Some(abtestSql)),
     Q("q_auc", auc, Some(aucSql)),
+    Q("q_calibration", calibration, Some(calibrationSql)),
     Q("q_assoc_rules", (sp, d) => assocRules(sp, d), Some(assocRulesSql)),
     Q("q_assoc_rules_scale", (sp, d) => assocRules(sp, d, atScale = true),
       Some(assocRulesSql)),

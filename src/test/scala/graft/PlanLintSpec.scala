@@ -59,6 +59,8 @@ class PlanLintSpec extends SparkSpec {
     // PSI: the 1-row reference-decile array and 1-row reference count
     // crossed into the cohort scan / the 10-row bin grid
     "q_psi",
+    // calibration: the 1-row decile-edge array crossed into the scan
+    "q_calibration",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -226,6 +226,38 @@ class DecisionQueriesSpec extends SparkSpec {
     assert(aucPpm > 700000L && aucPpm < 950000L, s"auc_ppm $aucPpm")
   }
 
+  test("q_calibration: positives concentrate in the top deciles; brute bins agree") {
+    val got = run("q_calibration")
+      .select("bin", "n", "n_pos", "pos_rate_pm")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === (0L to 9L))
+    // balanced decile cut: every bin within ±2 of n/10
+    val total = got.map(_._2).sum
+    got.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - total / 10) <= 2, s"bin $b size $n")
+    }
+    // the planted boost concentrates positives: bottom decile near the
+    // floor, top decile far above it
+    assert(got.head._4 < 50, "bottom decile must be positive-poor")
+    assert(got.last._4 > 250, "top decile must be positive-rich")
+    // brute recompute from raw scores
+    val scored = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select((graft.ops.Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+      .as[(Long, Long)].collect()
+    val sorted = scored.map(_._1).sorted
+    val edges = (1 to 9).map(k =>
+      sorted((math.ceil(k / 10.0 * sorted.length) - 1).toInt))
+    val brute = scored.groupBy { case (sc, _) => edges.count(sc > _) }
+      .map { case (b, rows) =>
+        (b.toLong, rows.size.toLong, rows.map(_._2).sum,
+          1000L * rows.map(_._2).sum / rows.size)
+      }.toSeq.sortBy(_._1)
+    assert(got === brute)
+  }
+
   test("q_benford: pinned expectation table and exact deviation accounting") {
     // the pinned literals ARE floor(1e6 * log10(1 + 1/d))
     DecisionQueries.benfordExpectedPpm.foreach { case (d, ppm) =>
