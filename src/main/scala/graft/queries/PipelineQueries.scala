@@ -964,8 +964,13 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("s"),
         sum(col("n_chars") * col("n_chars")).as("ss"))
+      // variance numerator n·Σx² − (Σx)²: s is a per-stratum char SUM,
+      // so s·s wraps BIGINT once a stratum holds ~3e9 chars (a few
+      // thousand docs) — widened to DECIMAL(38,0) (HUGEINT in the
+      // oracle), the q_embedding_drift convention.
       .withColumn("sd_milli", graft.ops.Num.floorEps(
-        sqrt((col("n_docs") * col("ss") - col("s") * col("s"))
+        sqrt((col("n_docs").cast("decimal(38,0)") * col("ss") -
+            col("s").cast("decimal(38,0)") * col("s"))
           .cast("double") / (col("n_docs") * col("n_docs")).cast("double"))
           * 1000))
       .withColumn("w_milli", col("n_docs") * col("sd_milli"))
@@ -986,7 +991,7 @@ object PipelineQueries {
        |sd AS (
        |  SELECT lang, n_docs,
        |    ${graft.ops.NumSql.floorEps(
-      "sqrt(CAST(n_docs * ss - s * s AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)) * 1000")} AS sd_milli
+      "sqrt(CAST(CAST(n_docs AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)) * 1000")} AS sd_milli
        |  FROM strata),
        |w AS (
        |  SELECT lang, n_docs, sd_milli,

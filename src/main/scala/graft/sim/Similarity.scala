@@ -459,8 +459,10 @@ object Similarity {
     *   - `cents/`  (cid, cvec, cnorm) — |C| rows, the coarse
     *     quantizer; collected driver-side at serve time.
     *   - `seeds/`  (seed_id, svec) — cbK rows; the PQ codebook is a
-    *     pure reshape of the seed vectors, so storing seeds keeps the
-    *     artifact self-describing (m and cbK are recoverable).
+    *     pure reshape of the seed vectors, so the artifact is
+    *     self-describing: cbK = the seeds row count and m = the
+    *     stored codes array width (seeds alone do NOT encode m — a
+    *     seed is a full Dim-wide vector for every m).
     * Same centroid/seed/codes derivation as [[ivfPqTopK]] — byte
     * identical index content. */
   def ivfPqIndexWrite(emb: DataFrame, path: String,
@@ -518,7 +520,13 @@ object Similarity {
     val seeds = spark.read.parquet(s"$path/seeds")
       .select(col("seed_id"), col("svec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val m = 8
+    // m is NOT recoverable from the seeds (a seed is a full Dim-wide
+    // vector regardless of m) — read it off the stored codes row
+    // shape, exactly as ivfPqServeStored does, so a base index built
+    // with a non-default sub-quantizer count gets its delta encoded
+    // with the SAME m (a hardcoded m here would silently corrupt ADC).
+    val m = spark.read.parquet(s"$path/codes")
+      .select(size(col("codes"))).head().getInt(0)
     val subDim = Dim / m
     val codebook: Seq[Seq[Seq[Double]]] =
       (0 until m).map { mi =>

@@ -329,7 +329,7 @@ object Dedup {
           "AS es, CAST(1 AS BIGINT) AS ed))) AS t")
         .select(col("t.x").as("x"), col("t.es").as("es"), col("t.ed").as("ed"))
         .groupBy("x").agg(sum("es").as("ns"), sum("ed").as("nd"))
-        .selectExpr("CAST(SUM(nd) AS BIGINT) AS n",
+        .selectExpr("CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n",
           "COUNT(CASE WHEN nd > 0 THEN 1 END) AS dnodes",
           "COUNT(CASE WHEN ns > 0 AND nd > 0 THEN 1 END) AS overlap")
         .head()

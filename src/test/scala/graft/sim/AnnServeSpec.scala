@@ -61,6 +61,34 @@ class AnnServeSpec extends SparkSpec {
     assert((base & delta).isEmpty)
   }
 
+  test("upsert derives m from the stored codes shape (non-default m base)") {
+    import org.apache.spark.sql.functions.col
+    // regression: a hardcoded m = 8 in ivfPqUpsertDelta silently
+    // mis-encoded deltas for any base built with m != 8. Build a base
+    // with m = 4, upsert a delta, and demand the two-segment index be
+    // byte-identical to single-shot indexing of the full corpus.
+    // The base is built over the FULL corpus at m = 4, then a subset
+    // re-arrives as a delta: with the stored (frozen) quantizers the
+    // delta rows must re-encode bit-identical to the codes the base
+    // already holds for the same vec_ids — true iff upsert inherits
+    // the base's m (and centroids/codebook) rather than assuming 8.
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_m4"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.ivfPqIndexWrite(emb, s"$root/seg", m = 4)
+    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0),
+      s"$root/seg")
+    def codesOf(p: String) = spark.read.parquet(p)
+      .select("vec_id", "cid", "codes").collect()
+      .map(r => (r.getLong(0), r.get(1).toString.toLong,
+        r.getSeq[Any](2).toList)).sortBy(_._1).toSeq
+    val delta = codesOf(s"$root/seg/codes_delta")
+    val baseById = codesOf(s"$root/seg/codes").map(r => r._1 -> r).toMap
+    assert(delta.nonEmpty && delta.forall(_._3.size == 4),
+      "delta rows must carry the base's m = 4 code width")
+    assert(delta.forall(r => baseById(r._1) === r),
+      "delta re-encoding must be bit-equal to the m = 4 base rows")
+  }
+
   test("the stored codes table is bucket-partitioned (one dir per cid)") {
     SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
     val codesDir = new java.io.File(

@@ -67,6 +67,18 @@ class DedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("wccStar/wccMerge survive an empty edge set (SUM-over-zero-rows NULL)") {
+    // regression: isStarForest's Σnd over an empty grouped relation is
+    // NULL; without COALESCE the fold NPEs. Reachable via wccMerge
+    // when the state is all singletons and the batch adds no pairs.
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.wccStar(empty).count() === 0L)
+    val singles = Seq(1L -> 1L, 2L -> 2L).toDF("doc_id", "cluster_id")
+    val merged = Dedup.wccMerge(singles, empty)
+      .as[(Long, Long)].collect().sorted
+    assert(merged === Array(1L -> 1L, 2L -> 2L))
+  }
+
   test("q_containment finds every planted excerpt that symmetric Jaccard would miss") {
     val rows = graft.SparkEntry.queries("q_containment")(spark, sf0001)
       .select("id_a", "id_b", "cont_pct", "jaccard_pct")
