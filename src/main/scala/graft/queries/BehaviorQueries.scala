@@ -271,9 +271,13 @@ object BehaviorQueries {
     * segment labels as a CASE over the scores.
     *
     * Scale shape: one map-side-combined group-by takes the event
-    * corpus to \|users\| rows; the quintile windows and the 1-row
-    * "today" aggregate run on that post-agg frame (global windows on
-    * a key-reduced frame — the `q_daily_sums` convention). */
+    * corpus to \|users\| rows — but \|users\| is itself
+    * corpus-proportional (10⁹ at fleet scale), so the three quintile
+    * ranks use the distributed range-partition + offset pattern
+    * (`graft.ops.Ranks`, chained — each rank's exchange carries the
+    * previous rank columns; never a single-partition window), and the
+    * user count is a 1-row broadcast-cross aggregate (PlanLint
+    * allowlist), not a `partitionBy(lit(1))` window. */
   private def rfm(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -282,19 +286,21 @@ object BehaviorQueries {
         count(lit(1)).as("freq"),
         sum(Num.cents(col("value"))).as("monetary_c"))
     val today = p.agg(max("last_d").as("today"))
-    val base = p.crossJoin(broadcast(today))
-      .select(col("user_id"),
-        datediff(col("today"), col("last_d")).cast("long").as("recency_days"),
-        col("freq"), col("monetary_c"))
-    val n = Window.partitionBy(lit(1))
-    val ranked = base
-      .withColumn("n_users", count(lit(1)).over(n))
-      .withColumn("rn_r", row_number().over(
-        Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("rn_f", row_number().over(
-        Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("rn_m", row_number().over(
-        Window.orderBy(col("monetary_c").desc, col("user_id"))))
+    // persisted: scanned once by the user-count aggregate and once by
+    // the rank chain's first range exchange (one events scan total)
+    val base = graft.ops.SideCache.persist(
+      p.crossJoin(broadcast(today))
+        .select(col("user_id"),
+          datediff(col("today"), col("last_d")).cast("long").as("recency_days"),
+          col("freq"), col("monetary_c")))
+    val nUsers = base.agg(count(lit(1)).as("n_users"))
+    val ranked = graft.ops.Ranks.globalRowNumber(
+      graft.ops.Ranks.globalRowNumber(
+        graft.ops.Ranks.globalRowNumber(base,
+          "rn_r", Seq(col("recency_days"), col("user_id"))),
+        "rn_f", Seq(col("freq").desc, col("user_id"))),
+      "rn_m", Seq(col("monetary_c").desc, col("user_id")))
+      .crossJoin(broadcast(nUsers))
       .withColumn("r_score", expr("5 - ((rn_r - 1) * 5) div n_users"))
       .withColumn("f_score", expr("5 - ((rn_f - 1) * 5) div n_users"))
       .withColumn("m_score", expr("5 - ((rn_m - 1) * 5) div n_users"))

@@ -1146,28 +1146,33 @@ object PipelineQueries {
     * 0); the probed fixture remaps ~97% of non-en values, so the
     * operator measurably changes the data.
     *
-    * Scale shape: source ranks are one lang-partitioned window (one
-    * key exchange); the reference ranks are a window over the single
-    * `en` stratum (bounded by the stratum, the `q_color_quantiles`
-    * convention); the mapping is one shuffle join on ridx against the
-    * \|ref\|-row table (broadcastable when the reference stratum
-    * fits). */
+    * Scale shape: BOTH rank sides use the distributed
+    * range-partition + per-partition-row_number + broadcast-offset
+    * pattern (`graft.ops.Ranks` — no stratum ever funnels through a
+    * single-partition window; strata are corpus-proportional, so a
+    * per-lang window would be one task's sort at 100×). Source ranks
+    * come from ONE global rank on (lang, n_chars, doc_id) minus the
+    * per-lang min rank — the per-lang offset table is \|langs\| rows,
+    * broadcast, and doubles as the stratum-size (n_h) source. The
+    * mapping is one shuffle join on ridx against the \|ref\|-row
+    * table (broadcastable when the reference stratum fits). */
   private def quantileNorm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val ref = d.filter(col("lang") === "en")
+    val ref = graft.ops.Ranks.globalRowNumber(
+        d.filter(col("lang") === "en"), "ridx1",
+        Seq(col("n_chars"), col("doc_id")))
       .select(col("n_chars").as("norm_chars"),
-        (row_number().over(Window.orderBy("n_chars", "doc_id")) - 1)
-          .cast("long").as("ridx"))
+        (col("ridx1") - 1).as("ridx"))
     val refN = d.filter(col("lang") === "en")
       .agg(count(lit(1)).as("n_ref"))
-    val src = d.filter(col("lang") =!= "en")
-      .withColumn("rk", (row_number().over(
-        Window.partitionBy("lang").orderBy("n_chars", "doc_id")) - 1)
-        .cast("long"))
-      .withColumn("n_h", count(lit(1)).over(
-        Window.partitionBy("lang")))
+    val srcRanked = graft.ops.Ranks.globalRowNumber(
+      d.filter(col("lang") =!= "en"), "grk",
+      Seq(col("lang"), col("n_chars"), col("doc_id")))
+    val langOff = srcRanked.groupBy("lang")
+      .agg(min("grk").as("lang_min"), count(lit(1)).as("n_h"))
+    val src = srcRanked.join(broadcast(langOff), Seq("lang"))
+      .withColumn("rk", col("grk") - col("lang_min"))
     src.crossJoin(broadcast(refN))
       .withColumn("ridx", when(col("n_h") === 1, 0L)
         .otherwise(graft.ops.Num.floorEps(

@@ -1407,17 +1407,18 @@ object TextQueries {
     * widens to DECIMAL(38,0) (the `q_epoch_mix` convention).
     *
     * Scale shape: both signal queries are their own audited plans;
-    * the correlation adds two |docs|-row rank windows (single
-    * ordering key each — at 100 TB these become the range-partition
-    * + offset pattern of `q_shuffle_shard`) and a 1-row aggregate. */
+    * the two \|docs\|-row ranks use the distributed
+    * range-partition + offset pattern (`graft.ops.Ranks` — never a
+    * single-partition window), chained so the second rank's exchange
+    * carries the first's column; then a 1-row aggregate. */
   private def signalCorr(spark: SparkSession, dir: String): DataFrame = {
     val qa = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
     val qb = perplexity(spark, dir).select(col("doc_id"), col("avg_nll_micro"))
-    val joined = qa.join(qb, "doc_id")
-      .withColumn("ra", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
-      .withColumn("rb", row_number().over(org.apache.spark.sql.expressions
-        .Window.orderBy(col("avg_nll_micro"), col("doc_id"))).cast("long"))
+    val joined = graft.ops.Ranks.globalRowNumber(
+      graft.ops.Ranks.globalRowNumber(
+        qa.join(qb, "doc_id"),
+        "ra", Seq(col("quality"), col("doc_id"))),
+      "rb", Seq(col("avg_nll_micro"), col("doc_id")))
       .withColumn("d", col("ra") - col("rb"))
     joined.agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),
