@@ -357,8 +357,12 @@ object SimilarityQueries {
   /** `quantFilter`: extra predicate restricting which vectors may
     * train the quantizers (centroids + codebook seeds) — the
     * frozen-quantizer upsert oracle trains on the EXISTING subset
-    * while assignment/codes/serving still cover the full corpus. */
-  private def ivfPqRankedCtesWith(quantFilter: String): String = {
+    * while assignment/codes/serving still cover the full corpus.
+    * `candFilter`: extra predicate on the stage-1 candidate rows
+    * (alias `a`) — the deletion-mask oracle restricts scoring to
+    * surviving vectors while quantizers/assignment stay corpus-wide. */
+  private def ivfPqRankedCtesWith(quantFilter: String,
+                                  candFilter: String = ""): String = {
     val sub = Similarity.Dim / 8
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
@@ -406,7 +410,7 @@ object SimilarityQueries {
        |  JOIN probes p ON a.cid = p.cid
        |  JOIN codes cd ON cd.vec_id = a.vec_id
        |  JOIN lut l ON l.qid = p.qid AND l.m = cd.m AND l.k = cd.code
-       |  WHERE a.vec_id <> p.qid
+       |  WHERE a.vec_id <> p.qid$candFilter
        |  GROUP BY p.qid, cd.vec_id
        |), ranked AS (
        |  SELECT qid, vec_id, adc,
@@ -506,6 +510,123 @@ object SimilarityQueries {
        |SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
+
+  /** Right-to-be-forgotten for the SERVING tier — the missing half of
+    * `q_delete_propagate`'s cascade (round-11 verdict, "What's
+    * missing" #1): tombstoned vectors must stop being retrievable
+    * from the STORED ANN index. Same segment layout as
+    * `q_ann_upsert` (base `codes/` + `codes_delta/`, frozen
+    * quantizers), same tombstone convention as the relational cascade
+    * (key ≡ 0 mod 13). Two tiers, both emitted under one hash:
+    *
+    *  - `serve_masked`: [[Similarity.ivfPqServeStored]] with the
+    *    broadcast tombstone anti-join on the stage-1 codes scan — the
+    *    immediate tier (deletion takes effect at the next query, the
+    *    codes rows still exist on disk).
+    *  - `serve_compact`: [[Similarity.ivfPqCompactDelete]] rewrites
+    *    each segment minus the tombstones into `<seg>_live` (original
+    *    files untouched — crash-safe swap), then serves from the live
+    *    segments with NO mask. Bit-equal rows prove the compaction
+    *    dropped exactly the tombstone set and nothing else.
+    *  - `audit` rows, per segment, read from the STORED tables (not
+    *    recomputed from the corpus): n_before (old segment),
+    *    n_dropped + the bit_xor tombstone checksum
+    *    (`q_delete_propagate`'s manifest convention), n_after (live
+    *    segment) — the oracle recomputes all four from first
+    *    principles, so the hash certifies the on-disk rewrite.
+    *
+    * Scale shape: the tombstone list broadcasts everywhere it
+    * appears; compaction is one scan + one bucket exchange per
+    * segment (DPP-preserving layout); the serve plans are
+    * `q_ann_serve`'s. AnnDeleteSpec pins "a deleted vector is never
+    * served" on both tiers and base-segment isolation. */
+  private def annDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete"
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
+    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    val del = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    val masked = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+      kCand = 100, k = 10, segments = Seq("codes", "codes_delta"),
+      exclude = Some(del))
+    Similarity.ivfPqCompactDelete(spark, path, del,
+      Seq("codes", "codes_delta"))
+    val compacted = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+      kCand = 100, k = 10,
+      segments = Seq("codes_live", "codes_delta_live"))
+    val nullL = lit(null).cast("long")
+    def serveRows(part: String, df: DataFrame): DataFrame =
+      df.select(lit(part).as("part"), lit("").as("seg"), col("qid"),
+        col("vec_id"), col("rank"), col("cos_x10k"),
+        nullL.as("n_before"), nullL.as("n_dropped"), nullL.as("n_after"),
+        nullL.as("del_xor"))
+    def segAudit(seg: String): DataFrame = {
+      val before = spark.read.parquet(s"$path/$seg").select("vec_id")
+      val dropped = before.join(broadcast(del), Seq("vec_id"), "left_semi")
+      val after = spark.read.parquet(s"$path/${seg}_live").select("vec_id")
+      before.agg(count(lit(1)).as("n_before"))
+        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped"),
+          coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("del_xor")))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .select(lit("audit").as("part"), lit(seg).as("seg"),
+          nullL.as("qid"), nullL.as("vec_id"),
+          lit(null).cast("int").as("rank"), nullL.as("cos_x10k"),
+          col("n_before"), col("n_dropped"), col("n_after"),
+          col("del_xor"))
+    }
+    serveRows("serve_compact", compacted)
+      .unionAll(serveRows("serve_masked", masked))
+      .unionAll(segAudit("codes"))
+      .unionAll(segAudit("codes_delta"))
+      .orderBy("part", "seg", "qid", "rank")
+  }
+
+  private val annDeleteSql = {
+    def segSql(seg: String, segPred: String): String =
+      s"""SELECT 'audit' AS part, '$seg' AS seg,
+         |    CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS vec_id,
+         |    CAST(NULL AS INT) AS "rank", CAST(NULL AS BIGINT) AS cos_x10k,
+         |    (SELECT COUNT(*) FROM embeddings WHERE $segPred) AS n_before,
+         |    (SELECT COUNT(*) FROM embeddings WHERE $segPred AND vec_id % 13 = 0) AS n_dropped,
+         |    (SELECT COUNT(*) FROM embeddings WHERE $segPred AND vec_id % 13 <> 0) AS n_after,
+         |    (SELECT COALESCE(bit_xor(vec_id), 0) FROM embeddings
+         |     WHERE $segPred AND vec_id % 13 = 0) AS del_xor""".stripMargin
+    s"""${ivfPqRankedCtesWith(" AND vec_id % 9 <> 0", " AND a.vec_id % 13 <> 0")},
+       |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
+       |rescored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ${dot("b.embedding", "q2.qvec")} / (b.nrm * q2.qnorm) AS cos
+       |  FROM cand c
+       |  JOIN base b ON b.vec_id = c.vec_id
+       |  JOIN q q2 ON q2.qid = c.qid),
+       |reranked AS (
+       |  SELECT qid, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rrn
+       |  FROM rescored),
+       |serve AS (
+       |  SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
+       |    CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
+       |  FROM reranked WHERE rrn <= 10)
+       |SELECT part, seg, qid, vec_id, "rank", cos_x10k,
+       |  CAST(n_before AS BIGINT) AS n_before,
+       |  CAST(n_dropped AS BIGINT) AS n_dropped,
+       |  CAST(n_after AS BIGINT) AS n_after,
+       |  CAST(del_xor AS BIGINT) AS del_xor
+       |FROM (
+       |  SELECT 'serve_compact' AS part, '' AS seg, qid, vec_id, "rank",
+       |    cos_x10k, CAST(NULL AS BIGINT) AS n_before,
+       |    CAST(NULL AS BIGINT) AS n_dropped,
+       |    CAST(NULL AS BIGINT) AS n_after, CAST(NULL AS BIGINT) AS del_xor
+       |  FROM serve
+       |  UNION ALL
+       |  SELECT 'serve_masked', '', qid, vec_id, "rank", cos_x10k,
+       |    NULL, NULL, NULL, NULL
+       |  FROM serve
+       |  UNION ALL ${segSql("codes", "vec_id % 9 <> 0")}
+       |  UNION ALL ${segSql("codes_delta", "vec_id % 9 = 0")})
+       |ORDER BY part, seg, qid, "rank"""".stripMargin
+  }
 
   /** Dedup-before-indexing — the similarity-side composition twin of
     * `q_corpus_pipeline`: semantic near-dup clusters (`q_embed_neardup`
@@ -1192,6 +1313,7 @@ object SimilarityQueries {
     Q("q_ann_rerank", annRerank, Some(annRerankSql)),
     Q("q_ann_serve", annServe, Some(annRerankSql)),
     Q("q_ann_upsert", annUpsert, Some(annUpsertSql)),
+    Q("q_ann_delete", annDelete, Some(annDeleteSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),
     Q("q_ann_dedup", annDedup, Some(annDedupSql)),

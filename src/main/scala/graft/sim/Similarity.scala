@@ -548,6 +548,38 @@ object Similarity {
       .parquet(s"$path/codes_delta")
   }
 
+  /** DELETE propagation into the stored index — the durable tier of
+    * the right-to-be-forgotten story ([[ivfPqServeStored]]'s
+    * `exclude` mask is the immediate tier): each listed segment is
+    * rewritten MINUS the tombstoned vec_ids into a NEW `<seg>_live`
+    * segment — the original segment's files are never touched (the
+    * Lucene tombstone-then-merge model: readers swap to the live
+    * segments atomically; the old generation is retired separately),
+    * so the rewrite is idempotent and a crash mid-compaction leaves
+    * the serving index intact. Bucket partitioning is preserved
+    * (one repartition(cid) exchange per segment), so serving from the
+    * live segments keeps dynamic partition pruning. The deletion list
+    * broadcasts (\|tombstones\| ∝ deletion requests, small by law);
+    * each segment is scanned once.
+    *
+    * Privacy boundary, stated plainly: the coarse centroids and PQ
+    * seeds are corpus-sampled VECTORS — if a tombstoned id trained a
+    * quantizer, full erasure additionally requires the (rarer)
+    * quantizer rebuild; what this guarantees is that no deleted
+    * vector is retrievable: its codes rows are gone and it can never
+    * be served. */
+  def ivfPqCompactDelete(spark: org.apache.spark.sql.SparkSession,
+                         path: String, deleted: DataFrame,
+                         segments: Seq[String]): Unit =
+    segments.foreach { seg =>
+      spark.read.parquet(s"$path/$seg")
+        .join(broadcast(deleted.select("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("codes"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$path/${seg}_live")
+    }
+
   /** SERVE-MANY: two-stage retrieval ([[ivfPqRerank]]'s contract)
     * answered FROM the index persisted by [[ivfPqIndexWrite]] —
     * stage 1 scans the STORED codes table (never the embeddings);
@@ -564,7 +596,8 @@ object Similarity {
     * [[ivfPqRerank]] with the same parameters (AnnServeSpec). */
   def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
                        kCand: Int, k: Int, nProbe: Int = 2,
-                       segments: Seq[String] = Seq("codes")): DataFrame = {
+                       segments: Seq[String] = Seq("codes"),
+                       exclude: Option[DataFrame] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     // index metadata: bounded collects over the small stored tables
@@ -577,11 +610,18 @@ object Similarity {
     val cbK = seeds.length
     // one partition-discovered read per segment, then a union — Spark
     // refuses multi-root partitioned reads in a single load
-    val codes = segments.map { seg =>
+    val codesAll = segments.map { seg =>
       spark.read.parquet(s"$path/$seg")
         .select(col("vec_id"), col("cid").cast("long").as("cid"),
           col("codes"))
     }.reduce(_ unionAll _)
+    // serve-time deletion MASK: the tombstone list (small by law)
+    // broadcast anti-joins the codes scan BEFORE stage-1 ranking, so
+    // a deleted vector can never reach the candidate list (filtering
+    // the final top-k instead would both leak rank positions and
+    // return short lists). The durable tier is [[ivfPqCompactDelete]].
+    val codes = exclude.fold(codesAll)(d =>
+      codesAll.join(broadcast(d.select("vec_id")), Seq("vec_id"), "left_anti"))
     val m = codes.select(size(col("codes"))).head().getInt(0)
     val subDim = Dim / m
     val codebook: Seq[Seq[Seq[Double]]] =

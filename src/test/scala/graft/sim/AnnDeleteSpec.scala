@@ -1,0 +1,82 @@
+package graft.sim
+
+import graft.{SparkEntry, SparkSpec}
+import graft.tables.Tables
+import org.apache.spark.sql.functions.col
+
+/** q_ann_delete: tombstoned vectors must be unretrievable from BOTH
+  * deletion tiers (serve-time mask and segment compaction), the
+  * compaction must drop exactly the tombstone set into new `_live`
+  * segments, and the ORIGINAL segments must be untouched — the
+  * crash-safe swap contract. */
+class AnnDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = SparkEntry.queries("q_ann_delete")(spark, sf0001)
+    .collect().toSeq
+  private val root =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete"
+
+  test("a deleted vector is never served, on either tier") {
+    val served = rows.filter(r => r.getString(0).startsWith("serve_"))
+    assert(served.nonEmpty)
+    val offenders = served.filter(_.getLong(3) % 13 == 0)
+    assert(offenders.isEmpty,
+      s"tombstoned vec_ids served: ${offenders.take(5)}")
+    // and the deletion is non-vacuous: the masked top-k differs from
+    // an unmasked serve of the same segments
+    val unmasked = Similarity.ivfPqServeStored(
+        Tables.embeddings(spark, sf0001), root, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta"))
+      .collect().map(_.toSeq).toSet
+    val masked = rows.filter(_.getString(0) == "serve_masked")
+      .map(r => Seq(r.get(2), r.get(3), r.get(4), r.get(5))).toSet
+    assert(masked != unmasked, "deletion changed no top-k list")
+  }
+
+  test("both tiers serve identical survivor rankings") {
+    def tier(p: String) = rows.filter(_.getString(0) == p)
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))
+      .sorted
+    assert(tier("serve_masked") === tier("serve_compact"))
+  }
+
+  test("compaction drops exactly the tombstones; originals untouched") {
+    rows // force the query (writes all segments)
+    val del = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 13 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    for (seg <- Seq("codes", "codes_delta")) {
+      val before = spark.read.parquet(s"$root/$seg")
+        .select("vec_id").as[Long].collect().toSet
+      val live = spark.read.parquet(s"$root/${seg}_live")
+        .select("vec_id").as[Long].collect().toSet
+      // base-segment isolation: the original still holds its
+      // tombstoned rows (only the _live generation changed)
+      assert((before & del).nonEmpty, s"$seg lost rows in place")
+      assert(live === before -- del, s"${seg}_live is not before \\ del")
+    }
+    // audit rows agree with the stored segments
+    val audits = rows.filter(_.getString(0) == "audit")
+    assert(audits.size === 2)
+    audits.foreach { a =>
+      assert(a.getLong(6) - a.getLong(7) === a.getLong(8),
+        s"${a.getString(1)}: n_before - n_dropped != n_after")
+      assert(a.getLong(7) > 0, s"${a.getString(1)}: vacuous deletion")
+    }
+  }
+
+  test("the compacted segments keep bucket partitioning (DPP survives)") {
+    rows
+    val dir = new java.io.File(s"$root/codes_live")
+    assert(dir.listFiles().count(_.getName.startsWith("cid=")) > 1,
+      "live segment lost its cid partitioning")
+    val plan = Similarity.ivfPqServeStored(
+        Tables.embeddings(spark, sf0001), root, queryMod = 50L,
+        kCand = 100, k = 10,
+        segments = Seq("codes_live", "codes_delta_live"))
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "live-segment serve lost dynamic partition pruning")
+  }
+}
