@@ -85,19 +85,42 @@ object Similarity {
     * instead of N — the classic IVF speedup — with the corpus side
     * never repartitioned.
     */
+  /** Hard bound on the coarse-quantizer size: the stride only spreads
+    * WHICH ids become centroids; the cap is what makes the
+    * driver-held collect O(maxCentroids·Dim) REGARDLESS of corpus
+    * size (a distributed TakeOrderedAndProject — the [[kmeansTrain]]
+    * seeding convention). Without it \|C\| = N/centroidMod grows
+    * linearly with the corpus. Scale rule: size \|C\| ≈ √N (SURVEY §9:
+    * 100k centroids at 10B vectors) by setting centroidMod and
+    * maxCentroids TOGETHER; the default cap never binds at test SFs
+    * (\|stride\| = 9/9/33 at sf0.001/0.01/0.1), so oracle hashes are
+    * unchanged while the bound holds at any scale. */
+  val MaxCentroids = 1024
+
+  /** The stride-selected, CAPPED centroid set every IVF tier collects
+    * — smallest `maxCentroids` stride ids, deterministic. */
+  private[graft] def strideCentroids(base: DataFrame, centroidMod: Long,
+      maxCentroids: Int): Array[(Long, Array[Float], Double)] = {
+    import base.sparkSession.implicits._
+    base.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .orderBy(col("vec_id")).limit(maxCentroids)
+      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+  }
+
   def ivfTopK(emb: DataFrame, queryMod: Long, k: Int,
-              centroidMod: Long = 61, nProbe: Int = 2): DataFrame = {
+              centroidMod: Long = 61, nProbe: Int = 2,
+              maxCentroids: Int = MaxCentroids): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    // Centroids are tiny by quantizer design (C×Dim; SURVEY §9 sizes
-    // 100k at 10B vectors) — collect them to the driver. This ships
-    // the SAME bytes through the driver the former broadcast(cents)
-    // did; holding them lets assignment be a pure projection.
-    val centRows = base.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    // Centroids are tiny by quantizer design (C×Dim, C capped by
+    // [[MaxCentroids]]; SURVEY §9 sizes 100k at 10B vectors) —
+    // collect them to the driver. This ships the SAME bytes through
+    // the driver the former broadcast(cents) did; holding them lets
+    // assignment be a pure projection.
+    val centRows = strideCentroids(base, centroidMod, maxCentroids)
     val cids = centRows.map(_._1).toSeq
     // float→double widening is exact: the double-matrix dot is
     // bit-identical to the former float×float VecDot
@@ -358,9 +381,10 @@ object Similarity {
     * brute-force oracle). */
   def ivfPqRerank(emb: DataFrame, queryMod: Long, kCand: Int, k: Int,
                   centroidMod: Long = 61, nProbe: Int = 2,
-                  cbMod: Long = 29, cbK: Int = 16, m: Int = 8): DataFrame = {
+                  cbMod: Long = 29, cbK: Int = 16, m: Int = 8,
+                  maxCentroids: Int = MaxCentroids): DataFrame = {
     val cand = ivfPqTopK(emb, queryMod, kCand, centroidMod, nProbe,
-        cbMod, cbK, m)
+        cbMod, cbK, m, maxCentroids)
       .select(col("qid"), col("vec_id"))
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
@@ -392,16 +416,16 @@ object Similarity {
     * so the composed pipeline is fully hash-verified in SQL. */
   def ivfPqTopK(emb: DataFrame, queryMod: Long, k: Int,
                 centroidMod: Long = 61, nProbe: Int = 2,
-                cbMod: Long = 29, cbK: Int = 16, m: Int = 8): DataFrame = {
+                cbMod: Long = 29, cbK: Int = 16, m: Int = 8,
+                maxCentroids: Int = MaxCentroids): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = Dim / m
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    // coarse quantizer: stride centroids, driver-held (see ivfTopK)
-    val centRows = base.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    // coarse quantizer: capped stride centroids, driver-held (see
+    // ivfTopK / MaxCentroids for the bound)
+    val centRows = strideCentroids(base, centroidMod, maxCentroids)
     val cids = centRows.map(_._1).toSeq
     val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
     val cnorms = centRows.map(_._3).toSeq
@@ -467,15 +491,17 @@ object Similarity {
     * identical index content. */
   def ivfPqIndexWrite(emb: DataFrame, path: String,
                       centroidMod: Long = 61, cbMod: Long = 29,
-                      cbK: Int = 16, m: Int = 8): Unit = {
+                      cbK: Int = 16, m: Int = 8,
+                      maxCentroids: Int = MaxCentroids): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
     val subDim = Dim / m
     val base = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("norm"))
-    val centRows = base.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id"), col("embedding"), col("norm"))
-      .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
+    // capped stride centroids (see MaxCentroids): the cents table —
+    // and every serve/upsert-time collect of it — is bounded by
+    // construction, not by corpus size
+    val centRows = strideCentroids(base, centroidMod, maxCentroids)
     val cids = centRows.map(_._1).toSeq
     val cvecs = centRows.map(_._2.map(_.toDouble).toSeq).toSeq
     val cnorms = centRows.map(_._3).toSeq

@@ -9,6 +9,34 @@ class SimilaritySpec extends SparkSpec {
 
   lazy val emb = Tables.embeddings(spark, sf0001).cache()
 
+  test("coarse quantizer is bounded at EVERY SF: |C| = min(stride hits, MaxCentroids)") {
+    // the driver-held centroid collect must be O(MaxCentroids·Dim)
+    // regardless of corpus size — the round-11 verdict's scale-rule
+    // caveat. At the test SFs the cap never binds (so oracle hashes
+    // are unchanged); with a small cap it binds to exactly the
+    // smallest stride ids.
+    for (dir <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, dir)
+      val base = e.select(col("vec_id"), col("embedding"),
+        expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * x, a -> sqrt(a))").as("norm"))
+      val cents = Similarity.strideCentroids(base, 61L, Similarity.MaxCentroids)
+      val strideN = e.filter(col("vec_id") % 61 === 0).count()
+      assert(cents.length === math.min(strideN, Similarity.MaxCentroids.toLong),
+        s"$dir: |C|=${cents.length}, stride=$strideN")
+      assert(cents.length <= Similarity.MaxCentroids)
+      val capped = Similarity.strideCentroids(base, 61L, 4)
+      assert(capped.length === math.min(strideN, 4L))
+      assert(capped.map(_._1).toSeq ===
+        e.filter(col("vec_id") % 61 === 0).select("vec_id")
+          .orderBy("vec_id").limit(4).as[Long].collect().toSeq,
+        "cap must keep exactly the smallest stride ids")
+    }
+    // and the bound propagates to the persisted index artifact
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_capped"
+    Similarity.ivfPqIndexWrite(emb, root, maxCentroids = 4)
+    assert(spark.read.parquet(s"$root/cents").count() === 4L)
+  }
+
   test("bruteTopK returns exactly k ranked neighbors per query, cos descending") {
     val out = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
       .select("qid", "rank", "cos_x10k").as[(Long, Int, Long)].collect()
