@@ -484,6 +484,94 @@ object DecisionQueries {
        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ------------------------------------------------------------ PR curve
+
+  /** THRESHOLD-SWEEP PRECISION/RECALL/F1 — the operating-point table
+    * a curation gate is actually tuned from (round-11 verdict,
+    * "What's missing" #3): `q_auc` says the ranker orders well,
+    * `q_calibration` says where positives concentrate; this emits,
+    * per decile threshold of the SAME planted mid-range classifier,
+    * the confusion counts and the derived rates — the row a filter
+    * operator reads to pick its cut when positives are rare (the
+    * curation regime). Predict positive ⇔ s > threshold (the
+    * calibration bin convention); thresholds are the score deciles AS
+    * DATA VALUES (percentile_approx ↔ quantile_disc on integer cents,
+    * exact equality), and every output is integer: tp/fp/fn BIGINT,
+    * precision_pm = 1000·tp div (tp+fp), recall_pm = 1000·tp div
+    * n_pos, f1_pm = 2000·tp div (2·tp+fp+fn) (the harmonic mean
+    * without ever leaving integers). Probed: edges are 9 distinct
+    * values and ≥10% of rows clear the top edge at every SF, so no
+    * division guard is needed and the sweep is non-degenerate.
+    *
+    * Scale shape: one map-side score-histogram shuffle (bounded by
+    * the quantized score DOMAIN, not rows — the `q_auc` convention),
+    * a 1-row decile aggregate, then the ≤9-row threshold list
+    * replicated against the histogram (a deliberate broadcast
+    * non-equi join over two bounded frames — PlanLint allowlist) and
+    * a ≤9-row fold; the 1-row positive total broadcast-crosses in
+    * for fn/recall. */
+  private def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.events(spark, dir)
+      .where(col("value").isNotNull)
+      .select(
+        (Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+    val scoredP = graft.ops.SideCache.persist(scored)
+    val h = graft.ops.SideCache.persist(
+      scoredP.groupBy("s")
+        .agg(sum("y").as("np"), sum(lit(1L) - col("y")).as("nn")))
+    val tot = h.agg(sum("np").as("n_pos"))
+    // deciles are ROW-weighted (over scored, not the deduped
+    // histogram — distinct-score deciles would be a different curve)
+    val thr = scoredP.agg(percentile_approx(col("s"),
+        typedlit((1 to 9).map(_ / 10.0)), lit(1000000)).as("edges"))
+      .select(posexplode(col("edges")).as(Seq("k", "threshold")))
+      .select((col("k") + 1).cast("long").as("decile"), col("threshold"))
+    val conf = thr.join(broadcast(h), col("s") > col("threshold"), "left")
+      .groupBy("decile", "threshold")
+      .agg(coalesce(sum("np"), lit(0L)).as("tp"),
+        coalesce(sum("nn"), lit(0L)).as("fp"))
+    conf.crossJoin(broadcast(tot))
+      .select(col("decile"), col("threshold"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        expr("1000 * tp div (tp + fp)").as("precision_pm"),
+        expr("1000 * tp div n_pos").as("recall_pm"),
+        expr("2000 * tp div (2 * tp + fp + (n_pos - tp))").as("f1_pm"))
+      .orderBy("decile")
+  }
+
+  private val prCurveSql = {
+    val edgeList = (1 to 9).map(k =>
+      s"(SELECT quantile_disc(s, 0.$k) FROM scored)").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT ${NumSql.cents("value")}
+       |      + CASE WHEN event_id % 5 = 0 THEN 5000 ELSE 0 END AS s,
+       |    CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |h AS (
+       |  SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+       |    CAST(SUM(1 - y) AS BIGINT) AS nn
+       |  FROM scored GROUP BY s),
+       |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos FROM h),
+       |thr AS (
+       |  SELECT CAST(k AS BIGINT) AS decile, e[k] AS threshold
+       |  FROM (SELECT $edgeList AS e),
+       |       (SELECT unnest(generate_series(1, 9)) AS k)),
+       |conf AS (
+       |  SELECT t.decile, t.threshold,
+       |    CAST(COALESCE(SUM(h.np), 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(SUM(h.nn), 0) AS BIGINT) AS fp
+       |  FROM thr t LEFT JOIN h ON h.s > t.threshold
+       |  GROUP BY t.decile, t.threshold)
+       |SELECT decile, threshold, tp, fp,
+       |  CAST(n_pos - tp AS BIGINT) AS fn,
+       |  CAST(1000 * tp // (tp + fp) AS BIGINT) AS precision_pm,
+       |  CAST(1000 * tp // n_pos AS BIGINT) AS recall_pm,
+       |  CAST(2000 * tp // (2 * tp + fp + (n_pos - tp)) AS BIGINT) AS f1_pm
+       |FROM conf CROSS JOIN tot ORDER BY decile""".stripMargin
+  }
+
   // ------------------------------------------------------- association rules
 
   /** Market-basket association rules over order baskets: support,
@@ -699,6 +787,7 @@ object DecisionQueries {
     Q("q_abtest", abtest, Some(abtestSql)),
     Q("q_auc", auc, Some(aucSql)),
     Q("q_calibration", calibration, Some(calibrationSql)),
+    Q("q_pr_curve", prCurve, Some(prCurveSql)),
     Q("q_assoc_rules", (sp, d) => assocRules(sp, d), Some(assocRulesSql)),
     Q("q_assoc_rules_scale", (sp, d) => assocRules(sp, d, atScale = true),
       Some(assocRulesSql)),

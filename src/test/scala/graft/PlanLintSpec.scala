@@ -64,6 +64,10 @@ class PlanLintSpec extends SparkSpec {
     "q_psi",
     // calibration: the 1-row decile-edge array crossed into the scan
     "q_calibration",
+    // PR curve: the ≤9-row threshold list replicated against the
+    // score-domain-bounded histogram (non-equi s > thr), plus the
+    // 1-row positive-total cross — two bounded frames by design
+    "q_pr_curve",
     // PMI: the 1-row token/bigram totals crossed into the
     // distinct-bigram model table
     "q_pmi",

@@ -275,4 +275,38 @@ class DecisionQueriesSpec extends SparkSpec {
       assert(dev === math.abs(obs - exp))
     }
   }
+
+  test("q_pr_curve equals the brute per-threshold confusion recompute") {
+    val got = run("q_pr_curve")
+      .select("decile", "threshold", "tp", "fp", "fn",
+        "precision_pm", "recall_pm", "f1_pm")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === (1L to 9L))
+    val scored = graft.tables.Tables.events(spark, sf0001)
+      .where(col("value").isNotNull)
+      .select((graft.ops.Num.cents(col("value")) +
+          when(col("event_id") % 5 === 0, 5000L).otherwise(0L)).as("s"),
+        when(col("event_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+      .as[(Long, Long)].collect()
+    val sorted = scored.map(_._1).sorted
+    val nPos = scored.map(_._2).sum
+    val brute = (1 to 9).map { k =>
+      val thr = sorted((math.ceil(k / 10.0 * sorted.length) - 1).toInt)
+      val above = scored.filter(_._1 > thr)
+      val tp = above.map(_._2).sum
+      val fp = above.length - tp
+      (k.toLong, thr, tp, fp, nPos - tp,
+        1000L * tp / (tp + fp), 1000L * tp / nPos,
+        2000L * tp / (2 * tp + fp + (nPos - tp)))
+    }
+    assert(got === brute)
+    // the sweep is a genuine tradeoff curve: recall monotone
+    // non-increasing in the threshold, and the planted signal makes
+    // precision at the top threshold beat the base rate
+    assert(got.map(_._7).sliding(2).forall(p => p.head >= p.last))
+    val baseRatePm = 1000L * nPos / scored.length
+    assert(got.last._6 > baseRatePm,
+      s"top-threshold precision ${got.last._6} <= base rate $baseRatePm")
+  }
 }
