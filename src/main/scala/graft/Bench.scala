@@ -18,14 +18,21 @@ object Bench {
     // here (not later) matters: after warmup the 1-min average mostly
     // measures our own executors, so this is the only point where
     // "< 1.0" cleanly means "external contention gone".
+    // Adaptive cap (round-11 verdict #6 — two consecutive driver
+    // artifacts started loaded and the 120 s cap expired with load
+    // still high): a heavily loaded host (> 2.0) gets a 5-minute
+    // budget; the mild case keeps 2 minutes. Still bounded — the
+    // bench always runs — but a decaying foreign JVM (the common
+    // cause) gets time to leave the 1-min average.
     var quiesceWaitSec = 0
     if (loadStart > 1.0) {
-      while (quiesceWaitSec < 120 && osBean.getSystemLoadAverage > 1.0) {
+      val capSec = if (loadStart > 2.0) 300 else 120
+      while (quiesceWaitSec < capSec && osBean.getSystemLoadAverage > 1.0) {
         Thread.sleep(5000L)
         quiesceWaitSec += 5
       }
       System.err.println(f"[bench] quiesce-wait: ${quiesceWaitSec}s " +
-        f"(load $loadStart%.2f -> ${osBean.getSystemLoadAverage}%.2f)")
+        f"(cap ${capSec}s, load $loadStart%.2f -> ${osBean.getSystemLoadAverage}%.2f)")
     }
     val loadAfterWait = osBean.getSystemLoadAverage
     // Bench environment contract: local[32] (all cores of the single
@@ -147,6 +154,18 @@ object Bench {
     if (contention)
       System.err.println(s"[bench] CONTENTION SUSPECTED: ${noisy.length} queries " +
         f"with >${spreadLimit}%.1fx rep spread after escalation; load@start $loadStart%.1f")
+    // name the noisy entries (round-11 verdict #6): the artifact (and
+    // its stderr log) must say WHICH queries to distrust, not just
+    // how many
+    val escalatedNames = results.filter(_._3.length > reps).map(_._1)
+    if (escalatedNames.nonEmpty)
+      System.err.println(s"[bench] escalated: ${escalatedNames.mkString(", ")}")
+    if (noisy.nonEmpty)
+      System.err.println(s"[bench] noisy after escalation: " +
+        noisy.map { case (n, _, ts) =>
+          f"$n(${ts.max / ts.min}%.1fx)" }.mkString(", "))
+    def nameList(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // Locale.ROOT: f"$t%.3f" renders "0,123" on comma-decimal locales,
@@ -160,6 +179,8 @@ object Bench {
       s""","rep_times":$repJson,"load_avg_start":$loadStart,"load_avg_end":$loadEnd""" +
       s""","quiesce_wait_sec":$quiesceWaitSec,"load_avg_after_wait":$loadAfterWait""" +
       s""","cores":$cpus,"reps":$reps,"escalated_queries":$escalated""" +
+      s""","escalated_names":${nameList(escalatedNames)}""" +
+      s""","noisy_names":${nameList(noisy.map(_._1))}""" +
       s""","loaded_host_at_start":$loadedHostAtStart,"loaded_host_after_wait":$loadedHost""" +
       s""","noisy_after_escalation":${noisy.length},"contention_suspected":$contention}""")
     // The driver captures only the TAIL of stdout, so the long audit
