@@ -755,11 +755,6 @@ object TextQueries {
     val docs = Tables.documents(spark, dir)
     def normHash(c: Column) =
       md5(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")))
-    def fourBlocks(df: DataFrame, idAs: String, fpAs: String): DataFrame =
-      df.select(col("doc_id"), col("simhash"), posexplode(
-          array((0 until 4).map(b =>
-            pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
-        .toDF(idAs, fpAs, "block", "block_val")
     // ---- nightly BUILD: one pass over the existing corpus computes
     // BOTH tiers' keys; overwrite = the nightly refresh.
     val ex = docs.filter(col("doc_id") % 7 =!= 0)
@@ -784,23 +779,9 @@ object TextQueries {
     // lazy caches would race (the "Block already exists" pitfall)
     stored.count()
     inc.count()
-    val exact = inc.select(col("doc_id"), col("h"))
-      .join(stored.select(col("h"), col("doc_id").as("m0")), Seq("h"))
-      .groupBy("doc_id").agg(min("m0").as("mx"))
-    // candidate pairs may repeat across up to 4 shared blocks; min()
-    // is duplicate-insensitive, so no distinct is needed.
-    val near = fourBlocks(inc, "i_id", "i_fp")
-      .join(fourBlocks(stored, "e_id", "e_fp"), Seq("block", "block_val"))
-      .filter(bit_count(col("i_fp").bitwiseXOR(col("e_fp"))) <= 3)
-      .groupBy(col("i_id").as("doc_id")).agg(min("e_id").as("mn"))
-    inc.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        when(col("mx").isNotNull, "exact_dup")
-          .when(col("mn").isNotNull, "near_dup")
-          .otherwise("new").as("verdict"),
-        coalesce(col("mx"), col("mn"), lit(-1L)).as("match_id"))
+    // the shared admission kernel (graft.text.Dedup.admitDelta) — the
+    // SAME verdict logic the live micro-batch twin runs per batch
+    graft.text.Dedup.admitDelta(stored, inc)
       .orderBy("doc_id")
   }
 

@@ -440,6 +440,47 @@ object Dedup {
     merged.union(untouchedSingles)
   }
 
+  /** Delta-ADMISSION kernel — the serve side of
+    * `q_delta_ingest_stored`, factored so the nightly batch query and
+    * the live micro-batch admission (`StreamingSpec`'s foreachBatch
+    * twin) run the SAME verdict logic: `stored` and `inc` both carry
+    * (doc_id, h, simhash); each incoming doc gets
+    * (doc_id, verdict ∈ {exact_dup, near_dup, new}, match_id) —
+    * exact tier = hash join on stored `h` (min match id), near tier =
+    * the 4-block simhash pigeonhole join with hamming ≤ 3, exact
+    * taking precedence. Verdicts are PER-DOC independent of the rest
+    * of the delta, which is exactly what makes the admission
+    * arbitrarily micro-batchable: any partition of the delta,
+    * admitted batch-by-batch against the same stored table, composes
+    * to the one-shot result (spec-pinned across shuffled batches).
+    * Cost ∝ \|inc\|: only delta blocks probe the stored block table.
+    * Callers materialize multi-consumer frames first (both inputs are
+    * scanned by two tiers plus the verdict spine). */
+  def admitDelta(stored: DataFrame, inc: DataFrame): DataFrame = {
+    def fourBlocks(df: DataFrame, idAs: String, fpAs: String): DataFrame =
+      df.select(col("doc_id"), col("simhash"), posexplode(
+          array((0 until 4).map(b =>
+            pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)))
+        .toDF(idAs, fpAs, "block", "block_val")
+    val exact = inc.select(col("doc_id"), col("h"))
+      .join(stored.select(col("h"), col("doc_id").as("m0")), Seq("h"))
+      .groupBy("doc_id").agg(min("m0").as("mx"))
+    // candidate pairs may repeat across up to 4 shared blocks; min()
+    // is duplicate-insensitive, so no distinct is needed.
+    val near = fourBlocks(inc, "i_id", "i_fp")
+      .join(fourBlocks(stored, "e_id", "e_fp"), Seq("block", "block_val"))
+      .filter(bit_count(col("i_fp").bitwiseXOR(col("e_fp"))) <= 3)
+      .groupBy(col("i_id").as("doc_id")).agg(min("e_id").as("mn"))
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("mx").isNotNull, "exact_dup")
+          .when(col("mn").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("mx"), col("mn"), lit(-1L)).as("match_id"))
+  }
+
   def simhash(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     docs.select(col(id), F.simhash64(TextFunctions.tokens(col(text))).as("simhash"))
 

@@ -480,6 +480,60 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); graft.ops.SideCache.releaseAll() }
   }
 
+  test("streaming delta-ingest admission: shuffled micro-batches against the STORED artifact equal the batch verdicts") {
+    // q_delta_ingest_stored's admission run LIVE: incoming docs
+    // arrive in micro-batches (deterministically shuffled — arrival
+    // order must not matter), each batch admitted in foreachBatch
+    // against the SAME stored (h, simhash) artifact via the shared
+    // kernel Dedup.admitDelta; the accumulated verdict table must be
+    // bit-equal to the one-shot batch query.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // the batch run builds the stored artifact AND is the expectation
+    val expected = graft.SparkEntry.queries("q_delta_ingest_stored")(s, sf0001)
+      .as[(Long, String, Long)].collect().toSeq
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.ops.SideCache.releaseAll(); s.catalog.clearCache()
+    val stored = s.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_delta_index").cache()
+    stored.count()
+    // the same incoming set the query admits (natural delta + planted
+    // exact twins), fingerprinted with the same derivations
+    val docs = graft.tables.Tables.documents(s, sf0001)
+    val incDocs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs
+        .filter(col("doc_id") % 7 =!= 0 && pmod(col("doc_id"), lit(50L)) === 1)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+    val inc = incDocs.select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("h"),
+        graft.functions.F.simhash64(
+          graft.text.TextFunctions.tokens(col("text"))).as("simhash"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(inc.size === expected.size)
+    val shuffled = new scala.util.Random(17).shuffle(inc)
+    val state = scala.collection.concurrent.TrieMap.empty[Long, (String, Long)]
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("doc_id", "h", "simhash").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.text.Dedup.admitDelta(stored, batch)
+          .as[(Long, String, Long)].collect()
+          .foreach { case (id, v, m) => state(id) = (v, m) }
+        ()
+      }
+      .start()
+    try {
+      shuffled.grouped(math.max(shuffled.length / 4, 1)).foreach { chunk =>
+        in.addData(chunk); q.processAllAvailable()
+      }
+      assert(state.toMap === expected)
+      // the verdict mix is non-degenerate (planted twins fired)
+      assert(state.values.count(_._1 == "exact_dup") > 0)
+      assert(state.values.count(_._1 == "new") > 0)
+    } finally { q.stop(); stored.unpersist() }
+  }
+
   test("file-source streaming: readStream over the parquet events dir equals batch") {
     val s = spark
     import s.implicits._
