@@ -53,6 +53,10 @@ object Bench {
     // target SF, not one-time JVM compilation (which at 100 TB scale
     // amortizes to zero). Data at the target SF stays cold: warmup
     // reads sf0.001, and the cache is dropped after.
+    // local-iteration convenience: SPARK_GRAFT_BENCH_ONLY=q_a,q_b
+    // restricts the timed set AND the per-query warmup passes
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     try {
       Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "embeddings")
@@ -64,7 +68,9 @@ object Bench {
         else sfDir
       }
       if (warmDir != sfDir)
-        SparkEntry.queries.foreach { case (name, fn) =>
+        SparkEntry.queries
+          .filter { case (name, _) => only.forall(_.contains(name)) }
+          .foreach { case (name, fn) =>
           try { fn(spark, warmDir).count() }
           catch { case _: Throwable => () }
           finally {
@@ -79,7 +85,9 @@ object Bench {
       // isolation: q_agg_pricing 0.58 s steady vs 3.1 s as the first
       // timed query). One full-size pass drains the queue and touches
       // the target-SF code paths before anything is measured.
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() }
         catch { case _: Throwable => () }
         finally {
@@ -132,7 +140,9 @@ object Bench {
       spark.catalog.clearCache()
       dt
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val base = (1 to reps).map(_ => runOnce(fn))
       val times =
         if ((loadedHost || base.max / base.min > spreadLimit) && maxReps > reps)

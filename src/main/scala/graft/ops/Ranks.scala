@@ -41,9 +41,14 @@ object Ranks {
                       order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persisted: the ranked frame is scanned once for the counts and
-    // once for the ranked output — SideCache lifecycle (caller
-    // releases between queries, the repo-wide convention)
+    // persisted: the sorted frame is scanned by the counts job and by
+    // the ranked output — SideCache lifecycle (caller releases between
+    // queries, the repo convention). Toy-scale cost note, measured
+    // (RankProbe, sf0.1): one rank costs ~3 bounded jobs (the range
+    // sampler, the counts collect, the consumer's scan) ≈ 0.7 s of
+    // fixed scheduling on 6k rows — the price of never funneling a
+    // corpus-proportional frame through one task; at real scale the
+    // same three jobs amortize over the data they move.
     val parts = SideCache.persist(
       df.repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)
