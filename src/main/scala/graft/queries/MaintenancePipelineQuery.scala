@@ -186,7 +186,13 @@ object MaintenancePipelineQuery {
   private def ttRoot: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_timetravel"
 
-  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+  /** Commit the three-generation version chain under `root`:
+    * v0 ingest (day-partitioned) → v1 compacted (cumulative-split
+    * bins) → v2 retention-swept, plus the base version manifest. One
+    * overwrite per run (idempotent) — shared by `q_time_travel` (the
+    * versioned READ) and `q_vacuum` (the generation EXPIRY). */
+  private[queries] def commitGenerations(spark: SparkSession, dir: String,
+                                         root: String): Unit = {
     import spark.implicits._
     // ---- commit v0: ingest, one file per day
     Tables.events(spark, dir)
@@ -194,9 +200,9 @@ object MaintenancePipelineQuery {
         coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
         to_date(col("ts")).as("day"))
       .repartition(col("day"))
-      .write.mode("overwrite").partitionBy("day").parquet(s"$ttRoot/v0")
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/v0")
     val v0 = graft.ops.SideCache.persist(
-      spark.read.parquet(s"$ttRoot/v0"))
+      spark.read.parquet(s"$root/v0"))
     v0.count()
     // ---- commit v1: compact (q_compact_manifest's cumulative split)
     val manifest = v0.groupBy("day")
@@ -211,18 +217,23 @@ object MaintenancePipelineQuery {
       .select(col("day"), col("bin"))
     v0.join(broadcast(plan), Seq("day"))
       .repartition(col("bin"))
-      .write.mode("overwrite").partitionBy("bin").parquet(s"$ttRoot/v1")
-    val v1 = graft.ops.SideCache.persist(spark.read.parquet(s"$ttRoot/v1"))
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/v1")
+    val v1 = graft.ops.SideCache.persist(spark.read.parquet(s"$root/v1"))
     v1.count()
     // ---- commit v2: retention sweep on the compacted generation
     v1.filter(dayofmonth(col("day")) <= 20)
       .repartition(col("bin"))
-      .write.mode("overwrite").partitionBy("bin").parquet(s"$ttRoot/v2")
-    // ---- the version manifest: one overwrite per run (idempotent),
-    // one row per commit — the log a reader resolves against
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/v2")
+    // ---- the version manifest: one row per commit — the log a
+    // reader resolves against
     Seq((0L, "ingest", "v0"), (1L, "compact", "v1"), (2L, "retain", "v2"))
       .toDF("version", "op", "path")
-      .coalesce(1).write.mode("overwrite").parquet(s"$ttRoot/manifest")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+  }
+
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    commitGenerations(spark, dir, ttRoot)
     // ---- manifest-resolved versioned reads (the actual primitive)
     val log = spark.read.parquet(s"$ttRoot/manifest")
       .select(col("version"), col("op"), col("path"))
@@ -291,7 +302,132 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY version""".stripMargin
   }
 
+  // ------------------------------------------------------------- vacuum
+
+  /** `q_vacuum` — GENERATION EXPIRY, the lifecycle step `q_time_travel`
+    * creates the need for: immutable rewrites accumulate old
+    * generations forever unless something reclaims them (Delta's
+    * VACUUM / Iceberg's expire_snapshots). Retention policy: keep the
+    * newest 2 generations; everything older is swept. The operator
+    *
+    *   1. commits the same v0→v1→v2 chain (shared
+    *      [[commitGenerations]]),
+    *   2. takes the PRE-SWEEP audit of every generation — file count
+    *      from the actual on-disk listing, row count + the
+    *      `q_table_checksum` xor from a read of the generation (you
+    *      record what you delete BEFORE deleting it),
+    *   3. deletes the expired generation's directory,
+    *   4. rewrites the manifest with the audit + status columns —
+    *      the log row SURVIVES the sweep (Delta keeps history rows;
+    *      only the files go), and
+    *   5. returns a READ of the stored post-vacuum manifest — the
+    *      output hash certifies the on-disk lifecycle end-state.
+    *
+    * The oracle predicts every audited number from the raw events
+    * (files-per-generation = the partition counts the writers
+    * produce; rows/xor from the same hashed CTE as the maintenance
+    * flagship), so a sweep that touched the wrong generation, or a
+    * writer that split partitions into multiple files, hash-fails.
+    * VacuumSpec pins: the expired directory is GONE, survivors still
+    * readable (and the manifest-resolved as-of now lands on v1 for
+    * every v ≤ 1), idempotent re-run.
+    *
+    * Scale shape: the audit is one scan per generation (the sweep of
+    * a 100 TB table is file-listing + delete, data never read); the
+    * manifest is \|versions\| rows. */
+  private def vacRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+
+  def vacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    commitGenerations(spark, dir, vacRoot)
+    val log = spark.read.parquet(s"$vacRoot/manifest")
+      .select(col("version"), col("op"), col("path"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val keepNewest = 2
+    val expired = log.sortBy(-_._1).drop(keepNewest).map(_._1).toSet
+    def parquetFiles(p: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val d = new java.io.File(p)
+      if (d.exists()) walk(d).filter(_.getName.endsWith(".parquet")) else Nil
+    }
+    // pre-sweep audit: record what will be deleted before deleting it
+    val audit = log.map { case (v, op, p) =>
+      val nf = parquetFiles(s"$vacRoot/$p").size.toLong
+      val r = spark.read.parquet(s"$vacRoot/$p").withColumn("h", rowHash)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"))
+        .head()
+      val status = if (expired(v)) "vacuumed" else "live"
+      (v, op, p, status, nf, if (expired(v)) 0L else nf,
+        r.getLong(0), r.getLong(1))
+    }
+    // the sweep: files go, the log row stays
+    expired.foreach { v =>
+      val p = log.find(_._1 == v).get._3
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(s"$vacRoot/$p"))
+    }
+    audit.toSeq
+      .toDF("version", "op", "path", "status", "n_files_before",
+        "n_files_after", "n_rows", "xor_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vacRoot/manifest")
+    spark.read.parquet(s"$vacRoot/manifest").orderBy("version")
+  }
+
+  private val vacuumSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |hashed AS (SELECT *, $h AS h FROM base),
+       |daily AS (
+       |  SELECT day, CAST(SUM(24 + length(event_type)) AS BIGINT) AS bytes
+       |  FROM base GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(bytes) AS BIGINT) AS total FROM daily),
+       |plan_ AS (
+       |  SELECT day,
+       |    CAST(COALESCE(SUM(bytes) OVER (ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      // (total // 8 + 1) AS bin
+       |  FROM daily CROSS JOIN tot),
+       |binned AS (
+       |  SELECT h.*, p.bin FROM hashed h JOIN plan_ p ON h.day = p.day),
+       |rows_ AS (
+       |  SELECT 0 AS version, 'ingest' AS op, 'v0' AS path,
+       |    'vacuumed' AS status,
+       |    CAST(COUNT(DISTINCT day) AS BIGINT) AS n_files_before,
+       |    CAST(0 AS BIGINT) AS n_files_after,
+       |    COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT 1, 'compact', 'v1', 'live',
+       |    CAST(COUNT(DISTINCT bin) AS BIGINT),
+       |    CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT)
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT 2, 'retain', 'v2', 'live',
+       |    CAST(COUNT(DISTINCT bin) AS BIGINT),
+       |    CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT)
+       |  FROM binned WHERE EXTRACT(day FROM day) <= 20)
+       |SELECT CAST(version AS BIGINT) AS version, op, path, status,
+       |  n_files_before, n_files_after, n_rows, xor_hash
+       |FROM rows_ ORDER BY version""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
-    Q("q_time_travel", timeTravel, Some(timeTravelSql)))
+    Q("q_time_travel", timeTravel, Some(timeTravelSql)),
+    Q("q_vacuum", vacuum, Some(vacuumSql)))
 }
