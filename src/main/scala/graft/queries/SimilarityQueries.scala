@@ -628,6 +628,93 @@ object SimilarityQueries {
        |ORDER BY part, seg, qid, "rank"""".stripMargin
   }
 
+  /** RANKING-QUALITY evaluation of the ANN stack — NDCG@10 of the
+    * two-stage IVF×PQ retrieval against exhaustive cosine as graded
+    * relevance (brute rank r ⇒ rel = 11−r, unranked ⇒ 0): where
+    * `q_ann_recall` counts set overlap, NDCG weights WHERE the index
+    * put the true neighbors — the number a retrieval deployment
+    * actually tracks. Natural-log discount (NDCG is log-base
+    * invariant — the base cancels in DCG/IDCG — and ln is the one
+    * transcendental with cross-engine bit-equality precedent here:
+    * `q_entropy`/`q_pmi`). Per query: hits, DCG in µ-units, NDCG in
+    * ppm; both folds are SEQUENTIAL in rank order on both engines
+    * (array_sort+aggregate ↔ list ORDER BY+list_reduce), so the
+    * doubles are bit-identical and floorEps guards the final ulp.
+    *
+    * Scale shape: brute is the |Q|·N baseline this harness exists to
+    * amortize (evaluation runs on a sampled query set — here all
+    * queries, \|Q\| = N/50); the ANN side is `q_ann_rerank`'s plan;
+    * the join is Q·10 rows; folds are 10-element arrays per query. */
+  private def annNdcg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select(col("qid"), col("vec_id"),
+        (lit(11) - col("rank")).cast("long").as("rel"))
+    val ann = Similarity.ivfPqRerank(emb, queryMod = 50L, kCand = 100, k = 10)
+      .select(col("qid"), col("vec_id"), col("rank"))
+    val terms = ann.join(brute, Seq("qid", "vec_id"), "left")
+      .select(col("qid"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val idcg = expr("aggregate(sequence(1, 10), cast(0.0 as double), " +
+      "(acc, i) -> acc + cast(11 - i as double) / ln(cast(i + 1 as double)))")
+    terms.groupBy("qid").agg(
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel_hit"),
+        expr("aggregate(array_sort(collect_list(struct(rank, rel))), " +
+          "cast(0.0 as double), (acc, x) -> acc + cast(x.rel as double)" +
+          " / ln(cast(x.rank + 1 as double)))").as("dcg"))
+      .select(col("qid"), col("n_rel_hit"),
+        graft.ops.Num.floorEps(col("dcg") * 1000000).as("dcg_micro"),
+        graft.ops.Num.floorEps(col("dcg") / idcg * 1000000).as("ndcg_ppm"))
+      .orderBy("qid")
+  }
+
+  private lazy val annNdcgSql =
+    s"""$ivfPqRankedCtes,
+       |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
+       |rescored AS (
+       |  SELECT c.qid, c.vec_id,
+       |    ${dot("b.embedding", "q2.qvec")} / (b.nrm * q2.qnorm) AS cos
+       |  FROM cand c
+       |  JOIN base b ON b.vec_id = c.vec_id
+       |  JOIN q q2 ON q2.qid = c.qid),
+       |ann AS (
+       |  SELECT qid, vec_id, rrn FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rrn
+       |    FROM rescored)
+       |  WHERE rrn <= 10),
+       |brute_scored AS (
+       |  SELECT q.qid, b.vec_id,
+       |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid),
+       |brute AS (
+       |  SELECT qid, vec_id, 11 - brnk AS rel FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS brnk
+       |    FROM brute_scored)
+       |  WHERE brnk <= 10),
+       |terms AS (
+       |  SELECT a.qid, a.rrn AS rnk, COALESCE(b.rel, 0) AS rel
+       |  FROM ann a LEFT JOIN brute b
+       |    ON a.qid = b.qid AND a.vec_id = b.vec_id),
+       |perq AS (
+       |  SELECT qid,
+       |    CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_hit,
+       |    list_reduce(list_prepend(0.0,
+       |      list(CAST(rel AS DOUBLE) / ln(CAST(rnk + 1 AS DOUBLE)) ORDER BY rnk)),
+       |      (sa, sb) -> sa + sb) AS dcg
+       |  FROM terms GROUP BY qid),
+       |idcg AS (
+       |  SELECT list_reduce(list_prepend(0.0,
+       |    list_transform(generate_series(1, 10),
+       |      i -> CAST(11 - i AS DOUBLE) / ln(CAST(i + 1 AS DOUBLE)))),
+       |    (sa, sb) -> sa + sb) AS v)
+       |SELECT qid, n_rel_hit,
+       |  ${graft.ops.NumSql.floorEps("dcg * 1000000")} AS dcg_micro,
+       |  ${graft.ops.NumSql.floorEps("dcg / (SELECT v FROM idcg) * 1000000")} AS ndcg_ppm
+       |FROM perq ORDER BY qid""".stripMargin
+
   /** Dedup-before-indexing — the similarity-side composition twin of
     * `q_corpus_pipeline`: semantic near-dup clusters (`q_embed_neardup`
     * pairs → `q_semantic_cluster` components) reduce the corpus to one
@@ -1323,6 +1410,7 @@ object SimilarityQueries {
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
+    Q("q_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 }

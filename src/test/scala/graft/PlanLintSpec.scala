@@ -81,6 +81,9 @@ class PlanLintSpec extends SparkSpec {
     // recall harness: every ANN tier's broadcast query cross + the
     // 1-row brute-count accounting cross
     "q_ann_recall",
+    // NDCG harness: the brute baseline's broadcast query cross (the
+    // graded-relevance side) + q_ann_rerank's probe cross
+    "q_ndcg",
     // RAG-indexing flagship: per-stage 1-row accounting aggregates
     // crossed into the 4-row result
     "q_rag_pipeline",
