@@ -80,7 +80,7 @@ object SimilarityQueries {
     Similarity.ivfTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
-  private val annIvfSql =
+  private def annIvfSqlAt(nProbe: Int): String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
        |), cents AS (
@@ -100,7 +100,7 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
        |        ${dot("q.qvec", "c.cvec")} / (q.qnorm * c.cnorm) DESC, c.cid) AS prn
        |    FROM q CROSS JOIN cents c)
-       |  WHERE prn <= 2
+       |  WHERE prn <= $nProbe
        |), scored AS (
        |  SELECT p.qid, a.vec_id,
        |    ${dot("a.embedding", "p.qvec")} / (a.nrm * p.qnorm) AS cos
@@ -113,6 +113,8 @@ object SimilarityQueries {
        |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  private val annIvfSql = annIvfSqlAt(2)
 
   /** LSH-bucketed near-duplicate pairs at cosine ≥ 0.35 — the scale
     * path (bucket join instead of |corpus|² cross product). The
@@ -626,6 +628,58 @@ object SimilarityQueries {
        |  UNION ALL ${segSql("codes", "vec_id % 9 <> 0")}
        |  UNION ALL ${segSql("codes_delta", "vec_id % 9 = 0")})
        |ORDER BY part, seg, qid, "rank"""".stripMargin
+  }
+
+  /** IVF TUNING CURVE — recall@10 vs nProbe, the operating-point
+    * sweep an IVF deployment is tuned from (`q_lsh_curve`'s role for
+    * the LSH tier, `q_pr_curve`'s for classification): each probed
+    * bucket count {1, 2, 4} trades compute (∝ nProbe/\|C\| of the
+    * corpus scanned per query) for recall, and the emitted table is
+    * the evidence for picking the knee. Recall must be monotone
+    * non-decreasing in nProbe BY CONSTRUCTION (probe sets are nested
+    * — the same centroid ordering truncated), which the spec pins.
+    *
+    * Scale shape: one brute baseline (the evaluation harness cost,
+    * shared across tiers via persist) + one IVF plan per swept value
+    * — each is `q_ann_ivf`'s assignment-projection + probe-join
+    * shape; the sweep is 3 bounded rows. */
+  private def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val brute = graft.ops.SideCache.persist(
+      Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+        .select("qid", "vec_id"))
+    Seq(1, 2, 4).map { p =>
+      Similarity.ivfTopK(emb, queryMod = 50L, k = 10, nProbe = p)
+        .select("qid", "vec_id")
+        .join(brute, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(p.toLong).as("nprobe"), col("n_exact"), col("hits"),
+          expr("(hits * 10000) div n_exact").as("recall_bp"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  private lazy val nprobeCurveSql = {
+    def tier(p: Int): String =
+      s"""SELECT $p AS nprobe,
+         |  (SELECT COUNT(*) FROM brute) AS n_exact,
+         |  (SELECT COUNT(*) FROM (SELECT qid, vec_id FROM (${annIvfSqlAt(p)}) x
+         |    ) t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) AS hits,
+         |  ((SELECT COUNT(*) FROM (SELECT qid, vec_id FROM (${annIvfSqlAt(p)}) x
+         |    ) t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) * 10000)
+         |    // (SELECT COUNT(*) FROM brute) AS recall_bp""".stripMargin
+    s"""WITH brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z
+       |)
+       |SELECT CAST(nprobe AS BIGINT) AS nprobe, n_exact,
+       |  CAST(hits AS BIGINT) AS hits, CAST(recall_bp AS BIGINT) AS recall_bp
+       |FROM (
+       |  ${tier(1)}
+       |  UNION ALL
+       |  ${tier(2)}
+       |  UNION ALL
+       |  ${tier(4)})
+       |ORDER BY nprobe""".stripMargin
   }
 
   /** RANKING-QUALITY evaluation of the ANN stack — NDCG@10 of the
@@ -1411,6 +1465,7 @@ object SimilarityQueries {
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_ndcg", annNdcg, Some(annNdcgSql)),
+    Q("q_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 }

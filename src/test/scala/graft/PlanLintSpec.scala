@@ -84,6 +84,9 @@ class PlanLintSpec extends SparkSpec {
     // NDCG harness: the brute baseline's broadcast query cross (the
     // graded-relevance side) + q_ann_rerank's probe cross
     "q_ndcg",
+    // nProbe sweep: the brute baseline's query cross + q_ann_ivf's
+    // probe cross per swept point
+    "q_nprobe_curve",
     // RAG-indexing flagship: per-stage 1-row accounting aggregates
     // crossed into the 4-row result
     "q_rag_pipeline",

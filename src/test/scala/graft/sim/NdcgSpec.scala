@@ -41,4 +41,27 @@ class NdcgSpec extends SparkSpec {
     val mean = ndcgs.sum / ndcgs.length
     assert(mean > 200000L && mean < 900000L, s"mean ndcg $mean")
   }
+
+  test("q_nprobe_curve: recall is monotone in nProbe and each point equals the brute overlap") {
+    val got = SparkEntry.queries("q_nprobe_curve")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) === Seq(1L, 2L, 4L))
+    // nested probe sets => recall cannot decrease
+    assert(got.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    // each point recomputed: ivfTopK overlap with the brute set
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    got.foreach { case (p, nExact, hits, bp) =>
+      assert(nExact === brute.size.toLong)
+      val ivf = Similarity.ivfTopK(emb, queryMod = 50L, k = 10,
+          nProbe = p.toInt)
+        .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+      assert(hits === (ivf & brute).size.toLong, s"nprobe $p")
+      assert(bp === hits * 10000 / nExact)
+    }
+    graft.ops.SideCache.releaseAll()
+    // the sweep is a genuine curve on the fixture: the endpoints differ
+    assert(got.last._4 > got.head._4)
+  }
 }
