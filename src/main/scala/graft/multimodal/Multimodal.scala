@@ -158,6 +158,42 @@ object Multimodal {
   def encodePng(docId: Long, w: Int, h: Int): Array[Byte] =
     encodeGray(w, h, i => pixelAt(docId, i))
 
+  /** 64-bit perceptual AVERAGE-HASH (aHash) of a decoded gray-8
+    * image: nearest-neighbor-sample an 8×8 grid (the [[resamplePng]]
+    * mapping `src = (y·h div 8)·w + (x·w div 8)`), take the integer
+    * mean of the 64 samples, and set bit i = y·8+x iff sample > mean.
+    * Brightness-INVARIANT by construction — a uniform +δ shifts every
+    * sample and the mean together, so bits only move where clamping
+    * bites (the property `q_media_dedup`'s planted twins certify).
+    * All integer arithmetic; the DuckDB oracle replays it from the
+    * pixel formula. */
+  def aHash(docId: Long, payload: Array[Byte]): Long = {
+    val (w, h, src) = decodePng(docId, payload)
+    val samp = new Array[Int](64)
+    var i = 0
+    while (i < 64) {
+      samp(i) = src((i / 8 * h / 8) * w + (i % 8 * w / 8))
+      i += 1
+    }
+    var sum = 0L
+    i = 0
+    while (i < 64) { sum += samp(i); i += 1 }
+    val mean = sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) { if (samp(i) > mean) hash |= (1L << i); i += 1 }
+    hash
+  }
+
+  /** Decode → add `delta` to every pixel (clamped to 255) →
+    * re-encode: the deterministic brightness edit `q_media_dedup`
+    * plants its near-duplicate twins with. */
+  def brightnessShift(docId: Long, payload: Array[Byte],
+                      delta: Int): Array[Byte] = {
+    val (w, h, src) = decodePng(docId, payload)
+    encodeGray(w, h, i => math.min(src(i.toInt) + delta, 255))
+  }
+
   /** Deterministic gray-8 pixel at flat index `i` of FRAME `f` of
     * video `docId` — [[pixelAt]] plus a per-frame term, reproduced
     * verbatim by the DuckDB oracle:

@@ -269,7 +269,101 @@ object MultimodalQueries {
       |  COUNT(*) AS n_rows, COUNT(*) AS n_magic_ok, COUNT(*) AS n_meta_ok
       |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin
 
+  /** PERCEPTUAL IMAGE DEDUP — near-duplicate image detection by
+    * 64-bit average-hash ([[Multimodal.aHash]]: decode → 8×8
+    * nearest-neighbor sample → mean-threshold bits), candidate pairs
+    * by the 4×16-bit pigeonhole block join (the `q_dedup_simhash`
+    * machinery pointed at a PERCEPTUAL hash — lossless for hamming
+    * ≤ 3 by pigeonhole), exact hamming verify. The image-side
+    * member of the dedup family a multimodal training pipeline needs:
+    * byte-exact dedup misses re-encoded/re-touched images; aHash is
+    * brightness-invariant by construction, which the PLANTED twins
+    * certify — every image with doc_id ≡ 0 (mod 30) also arrives as
+    * a +3-brightness re-encode under doc_id + 10⁶, and all twins land
+    * at hamming 0 (probed; tiny fixture images also produce a few
+    * deterministic natural collisions, which the oracle reproduces).
+    *
+    * Oracle = BRUTE all-pairs hamming over the formula-derived bit
+    * vectors (the `q_prefix_join` convention: the O(n²) recompute is
+    * the machine-checked proof the bounded block join loses nothing).
+    *
+    * Scale shape: one decode+hash projection over the image scan
+    * (payloads never shuffle — 8 bytes of hash per image do), a
+    * bounded bucket join (cap 4096 — at larger corpora the cap must
+    * scale with the degenerate-bucket profile, `CappedMinIds`
+    * caveat), output-proportional verify joins. */
+  private def mediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = graft.ops.SideCache.persist(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, dir),
+          kinds = Seq("image"))
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, p) =>
+          val base = (id, Multimodal.aHash(id, p))
+          if (id % 30 == 0)
+            Seq(base, (id + 1000000L,
+              Multimodal.aHash(id + 1000000L,
+                Multimodal.brightnessShift(id, p, 3))))
+          else Seq(base)
+        }).toDF("doc_id", "phash"))
+    hashed.count() // multi-consumer: blocks + both verify joins
+    val blocks = hashed.select(col("doc_id"), posexplode(
+        array((0 until 4).map(b =>
+          pmod(shiftright(col("phash"), b * 16), lit(65536L))): _*)))
+      .toDF("doc_id", "block", "block_val")
+    val cand = graft.text.Dedup.bucketPairs(blocks,
+        Seq("block", "block_val"), "doc_id", maxBucket = 4096)
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ha")),
+        "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("phash").as("hb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val mediaDedupSql = {
+    // sampled pixel at 8x8 grid index i: src = (y*h div 8)*w + (x*w div 8)
+    val src = "((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8))"
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS id, doc_id AS base, 0 AS shift,
+       |    CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |    CAST(n_chars % 20 + 4 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 3,
+       |    CAST(n_chars % 28 + 4 AS BIGINT),
+       |    CAST(n_chars % 20 + 4 AS BIGINT)
+       |  FROM documents WHERE doc_id % 30 = 0),
+       |samp AS (
+       |  SELECT id, i,
+       |    LEAST(${pxSql("base", src)} + shift, 255) AS px
+       |  FROM (SELECT id, base, shift, w, h,
+       |          unnest(generate_series(0, 63)) AS i
+       |        FROM imgs)),
+       |mean AS (SELECT id, SUM(px) // 64 AS m FROM samp GROUP BY id),
+       |bits AS (
+       |  SELECT s.id, s.i, CASE WHEN s.px > m.m THEN 1 ELSE 0 END AS b
+       |  FROM samp s JOIN mean m USING (id)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM imgs a JOIN imgs b ON a.id < b.id),
+       |ham AS (
+       |  SELECT p.id_a, p.id_b,
+       |    CAST(COUNT(*) FILTER (ba.b <> bb.b) AS BIGINT) AS hamming
+       |  FROM pairs p
+       |  JOIN bits ba ON ba.id = p.id_a
+       |  JOIN bits bb ON bb.id = p.id_b AND bb.i = ba.i
+       |  GROUP BY p.id_a, p.id_b)
+       |SELECT id_a, id_b, hamming FROM ham
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_media_dq", mediaDq, Some(mediaDqSql)),
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),

@@ -224,4 +224,40 @@ class MultimodalSpec extends SparkSpec {
         }
     }
   }
+
+  test("q_media_dedup: every planted brightness twin is found; aHash is brightness-invariant on real payloads") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("q_media_dedup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.ops.SideCache.releaseAll()
+    assert(pairs.nonEmpty)
+    // every image with doc_id % 30 == 0 has its +3-brightness twin at
+    // doc_id + 1e6, and aHash must place every one at hamming 0
+    val imageIds = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 0).select("doc_id")
+      .as[Long].collect().toSeq
+    val planted = imageIds.filter(_ % 30 == 0)
+    assert(planted.nonEmpty)
+    val pairSet = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    planted.foreach { id =>
+      assert(pairSet.get((id, id + 1000000L)).contains(0L),
+        s"planted twin of $id missing or hamming != 0")
+    }
+    // kernel-level invariance on a REAL decoded payload: shift every
+    // pixel of an image with headroom (no clamping) and the hash is
+    // bit-identical; unrelated images stay far apart
+    val someId = imageIds.head
+    val w = 16; val h = 12
+    val png = Multimodal.encodePng(someId, w, h)
+    val (_, _, px) = Multimodal.decodePng(someId, png)
+    if (px.forall(_ <= 250)) {
+      assert(Multimodal.aHash(someId, png) ===
+        Multimodal.aHash(someId, Multimodal.brightnessShift(someId, png, 5)))
+    }
+    val other = imageIds.find(_ != someId).get
+    val h1 = Multimodal.aHash(someId, png)
+    val h2 = Multimodal.aHash(other, Multimodal.encodePng(other, w, h))
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 3,
+      "unrelated images should not collide at the dedup threshold")
+  }
 }
