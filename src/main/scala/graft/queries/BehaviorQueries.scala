@@ -429,7 +429,93 @@ object BehaviorQueries {
       |FROM credits GROUP BY model, event_type
       |ORDER BY model, event_type""".stripMargin
 
+  // ----------------------------------------------------------- survival
+
+  private val SurvHorizonH = 48L // administrative censoring horizon
+
+  /** KAPLAN-MEIER time-to-conversion — the survival estimator
+    * `q_cohort_retention`'s day-grid can't express: per user, hours
+    * from FIRST event to FIRST purchase, right-CENSORED at the
+    * [[SurvHorizonH]]-hour observation horizon (probed: ~⅓ of users
+    * convert after 48 h at both gate SFs, so both arms are
+    * non-degenerate). Emits the KM curve over the event-time grid:
+    * (t_h, n_risk, n_events, s_ppm) with S(t) = Π_{tᵢ ≤ t}
+    * (1 − dᵢ/nᵢ). Censored users never count as events but stay in
+    * every risk set (administrative censoring at a single horizon ≥
+    * all event times keeps them at risk throughout) — an estimator
+    * that wrongly counted them as conversions at the horizon would
+    * change every nᵢ-tail and hash-fail.
+    *
+    * Determinism: durations are integer hours (epoch-second diff div
+    * 3600); dᵢ/nᵢ are exact integer pairs carried into ONE ordered
+    * sequential double fold per output row (array_sort + aggregate ↔
+    * list ORDER BY + list_reduce — the `q_ndcg` convention), so the
+    * product is bit-identical cross-engine under the floorEps guard.
+    *
+    * Scale shape: one map-side per-user reduction takes the corpus to
+    * \|users\| rows; the curve lives on the BOUNDED event-time grid
+    * (≤ horizon rows — the `q_auc` score-domain convention), where
+    * the step table is collected into a 1-row array and crossed back
+    * (the `q_psi` reference-array pattern, PlanLint allowlist). */
+  private def survival(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val durs = e.groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(expr("(unix_timestamp(tp) - unix_timestamp(t0)) div 3600")
+        .as("dur_h"))
+    val n = durs.agg(count(lit(1)).as("n_total"))
+    // event-time histogram, bounded by the horizon
+    val hist = durs.filter(col("dur_h") <= SurvHorizonH)
+      .groupBy(col("dur_h").as("t_h"))
+      .agg(count(lit(1)).as("d"))
+    // risk set: everyone who has not converted before t (censored
+    // users stay at risk through the horizon)
+    val wPrior = Window.orderBy("t_h")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val steps = hist.crossJoin(broadcast(n))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("d").over(wPrior), lit(0L)))
+      .select(col("t_h"), col("d"), col("n_risk"))
+    val stepArr = steps.agg(sort_array(collect_list(
+      struct(col("t_h"), col("d"), col("n_risk")))).as("steps"))
+    steps.crossJoin(broadcast(stepArr))
+      .select(col("t_h"), col("n_risk"), col("d").as("n_events"),
+        Num.floorEps(expr(
+          "aggregate(filter(steps, x -> x.t_h <= t_h), cast(1.0 as double)," +
+            " (acc, x) -> acc * (1.0 - cast(x.d as double) / x.n_risk))")
+          * 1000000).as("s_ppm"))
+      .orderBy("t_h")
+  }
+
+  private val survivalSql =
+    s"""WITH durs AS (
+       |  SELECT (CAST(floor(epoch(MIN(CASE WHEN event_type = 'purchase' THEN ts END))) AS BIGINT)
+       |          - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 3600 AS dur_h
+       |  FROM events GROUP BY user_id),
+       |n AS (SELECT COUNT(*) AS n_total FROM durs),
+       |hist AS (
+       |  SELECT dur_h AS t_h, COUNT(*) AS d FROM durs
+       |  WHERE dur_h <= $SurvHorizonH GROUP BY dur_h),
+       |steps AS (
+       |  SELECT t_h, d,
+       |    n_total - CAST(COALESCE(SUM(d) OVER (ORDER BY t_h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS n_risk
+       |  FROM hist CROSS JOIN n),
+       |arr AS (
+       |  SELECT list(struct_pack(t_h := t_h, d := d, n_risk := n_risk)
+       |    ORDER BY t_h) AS steps FROM steps)
+       |SELECT s.t_h, s.n_risk, s.d AS n_events,
+       |  ${NumSql.floorEps(
+      "list_reduce(list_prepend(1.0, list_transform(" +
+        "list_filter(steps, x -> x.t_h <= s.t_h), " +
+        "x -> 1.0 - CAST(x.d AS DOUBLE) / x.n_risk)), " +
+        "(acc, v) -> acc * v) * 1000000")} AS s_ppm
+       |FROM steps s CROSS JOIN arr ORDER BY s.t_h""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_survival", survival, Some(survivalSql)),
     Q("q_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     Q("q_funnel", funnel, Some(funnelSql)),
     Q("q_decay_score", decayScore, Some(decayScoreSql)),

@@ -62,6 +62,9 @@ class PlanLintSpec extends SparkSpec {
     // PSI: the 1-row reference-decile array and 1-row reference count
     // crossed into the cohort scan / the 10-row bin grid
     "q_psi",
+    // Kaplan-Meier: the 1-row user total and the 1-row step-array
+    // crossed into the bounded event-time grid
+    "q_survival",
     // calibration: the 1-row decile-edge array crossed into the scan
     "q_calibration",
     // PR curve: the ≤9-row threshold list replicated against the

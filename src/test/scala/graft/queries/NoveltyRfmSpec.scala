@@ -88,4 +88,36 @@ class NoveltyRfmSpec extends SparkSpec {
       assert(r._8 === (if (r._7 > 1000) "skewed" else "ok"))
     }
   }
+
+  test("q_survival equals the brute Kaplan-Meier; both arms non-vacuous") {
+    val got = SparkEntry.queries("q_survival")(spark, sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // brute: per-user duration hours, administrative censor at 48 h
+    val durs = graft.tables.Tables.events(spark, sf0001)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      .select(expr("(unix_timestamp(tp) - unix_timestamp(t0)) div 3600"))
+      .as[Long].collect().toSeq
+    val horizon = 48L
+    val events = durs.filter(_ <= horizon)
+    val censored = durs.count(_ > horizon)
+    // both arms of the censoring design must genuinely occur
+    assert(events.nonEmpty && censored > 0,
+      s"degenerate censoring: ${events.size} events, $censored censored")
+    val times = events.distinct.sorted
+    var s = 1.0
+    var expect = Vector.empty[(Long, Long, Long, Long)]
+    times.foreach { t =>
+      val d = events.count(_ == t).toLong
+      val n = durs.count(_ >= t).toLong // censored stay at risk
+      s *= 1.0 - d.toDouble / n
+      expect :+= ((t, n, d, math.floor(s * 1000000 + 1e-6).toLong))
+    }
+    assert(got === expect)
+    // the curve is a genuine survival function: strictly decreasing,
+    // ending above zero BECAUSE of the censored arm
+    assert(got.map(_._4).sliding(2).forall(p => p.head > p.last))
+    assert(got.last._4 > 0)
+  }
 }
