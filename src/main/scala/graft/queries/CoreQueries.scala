@@ -119,6 +119,71 @@ object CoreQueries {
       |WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 5
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCHEMA EVOLUTION read — three writer GENERATIONS of the same
+    * table, each adding a column (w1: the baseline projection; w2:
+    * + `source`; w3: + `quality`), reconciled by ONE `mergeSchema`
+    * parquet read without rewriting a byte of the old files — the
+    * lakehouse answer to "the pipeline added a field last month and
+    * we cannot recompute history". Old generations surface the new
+    * columns as NULLs; the per-batch accounting (rows, evolved-column
+    * null counts, content sum) is what an evolved-table consumer must
+    * reason about, and its hash pins BOTH the reconciliation (a
+    * dropped or misaligned column changes a null count) and the
+    * batch→generation assignment (day ranges). `batch` rides as a
+    * PARTITION column (dir-per-writer layout), so generation filters
+    * prune at file-listing level — SchemaEvolutionSpec asserts the
+    * merged schema, all three generation scans in the plan, and the
+    * partition-pruned single-generation read.
+    *
+    * Scale shape: three one-exchange writes; the merged read is a
+    * plain scan (schema merge is footer-level metadata work, priced
+    * once at planning); the accounting is one map-side aggregate to
+    * 3 rows. */
+  private def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        Num.cents(col("value")).as("vc"),
+        dayofmonth(to_date(col("ts"))).as("dom"))
+    e.filter(col("dom") <= 10)
+      .select(col("event_id"), col("event_type"), col("vc"))
+      .write.mode("overwrite").parquet(s"$root/batch=w1")
+    e.filter(col("dom").between(11, 20))
+      .select(col("event_id"), col("event_type"), col("vc"),
+        concat(lit("s"), pmod(col("event_id"), lit(3L))).as("source"))
+      .write.mode("overwrite").parquet(s"$root/batch=w2")
+    e.filter(col("dom") > 20)
+      .select(col("event_id"), col("event_type"), col("vc"),
+        concat(lit("s"), pmod(col("event_id"), lit(3L))).as("source"),
+        pmod(coalesce(col("vc"), lit(-1L)), lit(100L)).as("quality"))
+      .write.mode("overwrite").parquet(s"$root/batch=w3")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("source").isNull.cast("long")).as("n_null_source"),
+        sum(col("quality").isNull.cast("long")).as("n_null_quality"),
+        sum("vc").as("sum_vc"))
+      .orderBy("batch")
+  }
+
+  private val schemaEvolutionSql =
+    s"""WITH e AS (
+       |  SELECT event_id, ${NumSql.cents("value")} AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |batched AS (
+       |  SELECT CASE WHEN dom <= 10 THEN 'w1'
+       |              WHEN dom <= 20 THEN 'w2' ELSE 'w3' END AS batch,
+       |    vc,
+       |    CASE WHEN dom <= 10 THEN 1 ELSE 0 END AS null_source,
+       |    CASE WHEN dom <= 20 THEN 1 ELSE 0 END AS null_quality
+       |  FROM e)
+       |SELECT batch, COUNT(*) AS n_rows,
+       |  CAST(SUM(null_source) AS BIGINT) AS n_null_source,
+       |  CAST(SUM(null_quality) AS BIGINT) AS n_null_quality,
+       |  CAST(SUM(vc) AS BIGINT) AS sum_vc
+       |FROM batched GROUP BY batch ORDER BY batch""".stripMargin
+
   /** Z-ORDER data layout ([[graft.functions.MortonInterleave]]):
     * cluster lineitem on TWO columns at once by writing it
     * range-split on the Morton interleave of (l_partkey, l_suppkey).
@@ -647,6 +712,7 @@ object CoreQueries {
     Q("q_scan_csv", scanCsv, Some(scanCsvSql)),
     Q("q_scan_orc", scanOrc, Some(scanOrcSql)),
     Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
+    Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     Q("q_compact_manifest", compactManifest, Some(compactManifestSql)),
