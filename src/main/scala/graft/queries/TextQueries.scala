@@ -168,6 +168,106 @@ object TextQueries {
        |  ELSE md5(text) END AS min_kgram
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------- length buckets
+
+  private val LenBucketW = 16L // tokens per length bucket
+
+  /** LENGTH-GROUPED BATCHING accounting — the padding-efficiency
+    * table a training dataloader is tuned from: documents bucketed by
+    * whitespace-token length (width [[LenBucketW]]), and per bucket
+    * the PADDING WASTE if every doc in the bucket is padded to the
+    * bucket max: waste_pm = 1000·(max·n − Σlen) div (max·n). The
+    * whole point of length-grouped batching is driving this number
+    * down vs one global bucket — LengthBucketsSpec computes the
+    * global-batching waste and asserts the bucketed total beats it.
+    *
+    * Scale shape: one scan-side length projection (text never moves),
+    * one map-side combine to ≤\|len domain / W\| bucket rows. */
+  private def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((size(TF.tokens(col("text"))).cast("long")).as("n_tok"))
+      .groupBy((col("n_tok") / LenBucketW).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+        max("n_tok").as("max_tok"))
+      .select(col("bucket"), col("n_docs"), col("sum_tok"), col("max_tok"),
+        expr("1000 * (max_tok * n_docs - sum_tok) div (max_tok * n_docs)")
+          .as("waste_pm"))
+      .orderBy("bucket")
+
+  private val lengthBucketsSql =
+    s"""WITH t AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok // $LenBucketW AS bucket, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       |    CAST(MAX(n_tok) AS BIGINT) AS max_tok
+       |  FROM t GROUP BY 1)
+       |SELECT bucket, n_docs, sum_tok, max_tok,
+       |  CAST(1000 * (max_tok * n_docs - sum_tok) // (max_tok * n_docs) AS BIGINT)
+       |    AS waste_pm
+       |FROM b ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------- vocab coverage
+
+  /** VOCABULARY-SIZE tuning curve — token-occurrence coverage of the
+    * top-N most frequent words for N ∈ {4, 8, 16, 32}: the table a
+    * vocabulary/tokenizer budget is picked from (the `q_nprobe_curve`
+    * role for the tokenizer tier). The fixture corpus holds ~31
+    * distinct words, so the curve genuinely saturates inside the
+    * swept range. Ranks are (count desc, word) — fully deterministic;
+    * the top-32 is a distributed TakeOrderedAndProject (never a
+    * global sort), and the per-N sums run over that ≤32-row frame.
+    *
+    * Scale shape: one explode + map-side (word) combine to \|vocab\|
+    * rows; top-32 via per-partition heaps; the coverage fold is a
+    * ≤32-row broadcast cross with the 1-row total. */
+  private def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val freq = graft.ops.SideCache.persist(
+      Tables.documents(spark, dir)
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")))
+    val total = freq.agg(sum("cnt").as("total"),
+      count(lit(1)).as("n_vocab"))
+    val top = freq.orderBy(col("cnt").desc, col("word")).limit(32)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("cnt").desc, col("word"))))
+    val ns = Seq(4, 8, 16, 32)
+    ns.map { n =>
+      top.filter(col("rnk") <= n)
+        .agg(coalesce(sum("cnt"), lit(0L)).as("covered"),
+          count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(total))
+        .select(lit(n.toLong).as("top_n"), col("n_kept"), col("n_vocab"),
+          col("covered"), col("total"),
+          expr("1000 * covered div total").as("coverage_pm"))
+    }.reduce(_ unionByName _).orderBy("top_n")
+  }
+
+  private val vocabCoverageSql = {
+    def tier(n: Int): String =
+      s"""SELECT $n AS top_n,
+         |  (SELECT COUNT(*) FROM top WHERE rnk <= $n) AS n_kept,
+         |  (SELECT COUNT(*) FROM freq) AS n_vocab,
+         |  (SELECT COALESCE(SUM(cnt), 0) FROM top WHERE rnk <= $n) AS covered,
+         |  (SELECT SUM(cnt) FROM freq) AS total""".stripMargin
+    s"""WITH freq AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY word),
+       |top AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+       |  FROM freq QUALIFY rnk <= 32)
+       |SELECT CAST(top_n AS BIGINT) AS top_n, CAST(n_kept AS BIGINT) AS n_kept,
+       |  CAST(n_vocab AS BIGINT) AS n_vocab, CAST(covered AS BIGINT) AS covered,
+       |  CAST(total AS BIGINT) AS total,
+       |  CAST(1000 * covered // total AS BIGINT) AS coverage_pm
+       |FROM (${(Seq(4, 8, 16, 32).map(tier)).mkString("\n  UNION ALL\n  ")})
+       |ORDER BY top_n""".stripMargin
+  }
+
   /** md5-of-normalized-text document fingerprint. */
   private def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -2142,6 +2242,8 @@ object TextQueries {
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
+    Q("q_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
+    Q("q_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     Q("q_dedup_exact", dedupExact, Some(dedupExactSql)),
     Q("q_ngram_jaccard", ngramJaccard, Some(ngramJaccardSql)),
     Q("q_prefix_join", prefixJoin, Some(prefixJoinSql)),

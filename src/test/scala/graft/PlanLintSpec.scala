@@ -65,6 +65,9 @@ class PlanLintSpec extends SparkSpec {
     // Kaplan-Meier: the 1-row user total and the 1-row step-array
     // crossed into the bounded event-time grid
     "q_survival",
+    // vocab curve: the 1-row (total, n_vocab) aggregate crossed into
+    // each swept point's ≤32-row coverage fold
+    "q_vocab_coverage",
     // calibration: the 1-row decile-edge array crossed into the scan
     "q_calibration",
     // PR curve: the ≤9-row threshold list replicated against the
