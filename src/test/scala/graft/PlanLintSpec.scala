@@ -141,6 +141,44 @@ class PlanLintSpec extends SparkSpec {
     // set-arithmetic stage is deliberately pair-wise
     "q_kmv_overlap")
 
+  /** Queries whose partition-less logical Windows run over frames
+    * BOUNDED by a domain, not the corpus — the only shape where a
+    * single-partition window is the right plan at any scale. Anything
+    * new that windows without a partition spec must either justify
+    * its bound here or use `graft.ops.Ranks`. */
+  private val boundedWindowAllowed: Set[String] = Set(
+    // running negative count over the quantized score DOMAIN
+    "q_auc",
+    // mean/threshold folds over the |days| date grid
+    "q_cusum",
+    // global lag over the post-aggregation |days| frame
+    "q_daily_sums",
+    // phase-2 sweep over the per-partition skyline SURVIVORS
+    // (output-proportional union of local fronts, never the corpus)
+    "q_skyline",
+    // risk-set suffix over the ≤horizon event-time grid
+    "q_survival",
+    // rank over the 32-row TakeOrdered frame (lit partition spec
+    // constant-folds away in the optimizer)
+    "q_vocab_coverage")
+
+  test("partition-less windows appear only over bounded domains (allowlisted)") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan
+      val bare = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      if (bare.nonEmpty && !boundedWindowAllowed(name))
+        offenders += s"$name: ${bare.size} partition-less Window(s)"
+      graft.ops.SideCache.releaseAll()
+    }
+    assert(offenders.isEmpty,
+      "unallowlisted single-partition windows (use graft.ops.Ranks or " +
+        "justify the bound):\n" + offenders.mkString("\n"))
+  }
+
   test("no registered query plans a cartesian product; nested loops only by design") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
