@@ -1348,7 +1348,56 @@ object PipelineQueries {
        |FROM p ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------- class weights
+
+  /** EFFECTIVE-NUMBER CLASS WEIGHTS (Cui et al. 2019, "Class-Balanced
+    * Loss") — the re-weighting table an imbalanced-training loss is
+    * built from: naive 1/n over-corrects because marginal samples
+    * overlap; the effective number Eₙ = (1 − βⁿ)/(1 − β) (β = 0.999)
+    * saturates, and weights ∝ 1/Eₙ. Per stratum (lang): n_docs,
+    * Eₙ (milli), the raw 1/Eₙ weight (micro), and the weight
+    * normalized so Σ over classes = \|classes\| (per-mille).
+    *
+    * Determinism: βⁿ is computed as exp(n·ln 0.999) — the SAME
+    * two-transcendental chain on both engines (pow() would be a
+    * different libm entry point); each row's double chain quantizes
+    * to integers BEFORE the cross-row total (the repo-wide rule that
+    * keeps double summation order out of the hash), so normalization
+    * is exact integer arithmetic.
+    *
+    * Scale shape: one map-side count to \|langs\| rows, a 1-row
+    * total cross (PlanLint allowlist). */
+  private def classWeights(spark: SparkSession, dir: String): DataFrame = {
+    val effn = expr("(1.0 - exp(cast(n_docs as double) * ln(0.999))) / 0.001")
+    val strata = Tables.documents(spark, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("eff_n_milli", graft.ops.Num.floorEps(effn * 1000))
+      .withColumn("w_micro", graft.ops.Num.floorEps(lit(1000000.0) / effn))
+    val tot = strata.agg(sum("w_micro").as("tot_w"),
+      count(lit(1)).as("n_classes"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("eff_n_milli"), col("w_micro"),
+        expr("1000 * w_micro * n_classes div tot_w").as("w_norm_pm"))
+      .orderBy("lang")
+  }
+
+  private val classWeightsSql =
+    s"""WITH strata AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    ${graft.ops.NumSql.floorEps(
+      "(1.0 - exp(CAST(COUNT(*) AS DOUBLE) * ln(0.999))) / 0.001 * 1000")} AS eff_n_milli,
+       |    ${graft.ops.NumSql.floorEps(
+      "1000000.0 / ((1.0 - exp(CAST(COUNT(*) AS DOUBLE) * ln(0.999))) / 0.001)")} AS w_micro
+       |  FROM documents GROUP BY lang),
+       |tot AS (
+       |  SELECT CAST(SUM(w_micro) AS BIGINT) AS tot_w,
+       |    COUNT(*) AS n_classes FROM strata)
+       |SELECT lang, n_docs, eff_n_milli, w_micro,
+       |  CAST(1000 * w_micro * n_classes // tot_w AS BIGINT) AS w_norm_pm
+       |FROM strata CROSS JOIN tot ORDER BY lang""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_class_weights", classWeights, Some(classWeightsSql)),
     Q("q_epoch_mix", epochMix, Some(epochMixSql)),
     Q("q_fim_split", fimSplit, Some(fimSplitSql)),
     Q("q_filter_funnel", filterFunnel, Some(filterFunnelSql)),

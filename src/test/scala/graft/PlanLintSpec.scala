@@ -50,6 +50,9 @@ class PlanLintSpec extends SparkSpec {
     // Neyman allocation: the 1-row total-weight aggregate crossed into
     // the |strata|-row frame
     "q_neyman_alloc",
+    // class weights: the 1-row (total weight, class count) aggregate
+    // crossed into the |langs|-row frame
+    "q_class_weights",
     // quantile normalization: the 1-row reference-count aggregate
     // crossed into the source scan
     "q_quantile_norm",

@@ -407,4 +407,30 @@ class PipelineSpec extends SparkSpec {
     assert(metric("quality", "dup", "exact_dup_pm") === 0L)
     graft.ops.SideCache.releaseAll()
   }
+
+  test("q_class_weights equals the brute effective-number recompute; minority up-weighted") {
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q_class_weights")(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val counts = graft.tables.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val brute = counts.toSeq.map { case (lang, n) =>
+      val effn = (1.0 - math.exp(n.toDouble * math.log(0.999))) / 0.001
+      (lang, n, math.floor(effn * 1000 + 1e-6).toLong,
+        math.floor(1000000.0 / effn + 1e-6).toLong)
+    }.sortBy(_._1)
+    val totW = brute.map(_._4).sum
+    val c = brute.size.toLong
+    val expect = brute.map { case (lang, n, em, wm) =>
+      (lang, n, em, wm, 1000L * wm * c / totW)
+    }
+    assert(got === expect)
+    // the re-weighting genuinely corrects imbalance: the largest
+    // class carries the smallest weight, and weights order inversely
+    // to counts
+    val byCount = got.sortBy(_._2)
+    assert(byCount.map(_._5).sliding(2).forall(p => p.head >= p.last),
+      "weights must be non-increasing in class size")
+    assert(got.maxBy(_._2)._5 < got.minBy(_._2)._5)
+  }
 }
