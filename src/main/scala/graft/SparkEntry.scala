@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CorpusPipelineQuery, CorpusQueries, DecisionQueries, ExtensionQueries, GeoQueries, GraphQueries, JourneyPipelineQuery, MaintenancePipelineQuery, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RagPipelineQuery, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
+import graft.queries.{AnalyticQueries, BehaviorQueries, CoreQueries, CorpusPipelineQuery, CorpusQueries, DecisionQueries, ExtensionQueries, GeoQueries, GovernancePipelineQuery, GraphQueries, JourneyPipelineQuery, MaintenancePipelineQuery, MultimodalQueries, PipelineQueries, ProfilingQueries, Q, RagPipelineQuery, RelationalQueries, SimilarityQueries, TemporalQueries, TextQueries, TypedQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
       GeoQueries.all ++ MultimodalQueries.all ++ GraphQueries.all ++
       DecisionQueries.all ++ CorpusQueries.all ++ CorpusPipelineQuery.all ++
       RagPipelineQuery.all ++ JourneyPipelineQuery.all ++
-      MaintenancePipelineQuery.all
+      MaintenancePipelineQuery.all ++ GovernancePipelineQuery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.ops.Num
+import graft.sim.Similarity
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `q_forget_pipeline` — the GOVERNANCE/ERASURE flagship: the full
+  * right-to-be-forgotten run a data platform executes on schedule,
+  * composed across every tier that can retain a key, under ONE hash.
+  * The tombstone convention is the repo-wide key ≡ 0 (mod 13)
+  * (`q_delete_propagate`, `q_ann_delete`). Five stages:
+  *
+  *   1. TOMBSTONES — the deletion list itself (count + the bit_xor
+  *      manifest checksum).
+  *   2. CASCADE — the relational propagation customer → orders →
+  *      lineitem ([[PipelineQueries.deletePropagate]]'s own frame,
+  *      re-emitted here so the flagship and the standalone query can
+  *      never drift).
+  *   3. VECTOR INDEX — a stored IVF×PQ index over the embeddings is
+  *      COMPACTED minus the vec tombstones
+  *      ([[Similarity.ivfPqCompactDelete]] into a `codes_live`
+  *      generation, original untouched); before/after counts and the
+  *      dropped-id xor are read FROM THE STORED segments.
+  *   4. FACT REWRITE — the events fact is rewritten minus the
+  *      tombstoned users' rows into a `_live` generation (the
+  *      lakehouse erasure write; old generation untouched for the
+  *      retention window, the `q_vacuum` lifecycle), with the erased
+  *      event-id xor.
+  *   5. CERTIFY — one row folding every tier: total erased keys and
+  *      the xor-of-xors composite checksum — the line an auditor
+  *      reads, reproduced from first principles by the oracle.
+  *
+  * A tier that silently retained a tombstoned key (a cascade miss, a
+  * segment that kept a code row, a fact file not rewritten) changes
+  * its count or xor and fails the hash. GovernancePipelineSpec
+  * additionally proves retention-absence ON DISK: the live segments
+  * and the live fact generation contain zero tombstoned keys, while
+  * the untouched originals still do (erasure happened by rewrite,
+  * not by editing history).
+  *
+  * Scale shape: the tombstone lists broadcast everywhere; stage 2 is
+  * `q_delete_propagate`'s shape (semi joins, Bloom-prunable); stage 3
+  * is one bucket-preserving segment rewrite; stage 4 one fact
+  * rewrite exchange; accounting rows are 1-row aggregates. Priced
+  * like the other flagships — several real writes in one query. */
+object GovernancePipelineQuery {
+
+  private def root: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_forget"
+
+  def run(spark: SparkSession, dir: String): DataFrame = {
+    val nullL = lit(null).cast("long")
+    // ---- stage 1: the tombstone list
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val delC = cust.filter(pmod(col("c_custkey"), lit(13L)) === 0)
+    val s1 = cust.agg(count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(delC.agg(count(lit(1)).as("n_erased"),
+        coalesce(expr("bit_xor(c_custkey)"), lit(0L)).as("key_xor"))))
+      .select(lit("1_tombstones").as("stage"), lit("customer").as("tier"),
+        col("n_before"), col("n_erased"),
+        (col("n_before") - col("n_erased")).as("n_after"), col("key_xor"))
+    // ---- stage 2: the relational cascade (the standalone query's frame)
+    val s2 = PipelineQueries.deletePropagate(spark, dir)
+      .select(lit("2_cascade").as("stage"), col("tbl").as("tier"),
+        col("n_total").as("n_before"), col("n_deleted").as("n_erased"),
+        col("n_remaining").as("n_after"), col("del_key_xor").as("key_xor"))
+    // ---- stage 3: stored vector index compaction
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqIndexWrite(emb, s"$root/ann")
+    val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    Similarity.ivfPqCompactDelete(spark, s"$root/ann", delV, Seq("codes"))
+    val codes = spark.read.parquet(s"$root/ann/codes").select("vec_id")
+    val live = spark.read.parquet(s"$root/ann/codes_live").select("vec_id")
+    val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
+    val s3 = codes.agg(count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),
+        coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("key_xor"))))
+      .crossJoin(broadcast(live.agg(count(lit(1)).as("n_after"))))
+      .select(lit("3_vector_index").as("stage"), lit("codes").as("tier"),
+        col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
+    // ---- stage 4: fact-table erasure rewrite (events of tombstoned users)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
+        to_date(col("ts")).as("day"))
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/events")
+    val stored = spark.read.parquet(s"$root/events")
+    stored.filter(pmod(col("user_id"), lit(13L)) =!= 0)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day")
+      .parquet(s"$root/events_live")
+    val evLive = spark.read.parquet(s"$root/events_live")
+    val evDropped = stored.filter(pmod(col("user_id"), lit(13L)) === 0)
+    val s4 = stored.agg(count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(evDropped.agg(count(lit(1)).as("n_erased"),
+        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"))))
+      .crossJoin(broadcast(evLive.agg(count(lit(1)).as("n_after"))))
+      .select(lit("4_fact_rewrite").as("stage"), lit("events").as("tier"),
+        col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
+    // ---- stage 5: the auditor's line — fold every tier
+    val tiers = s1.unionAll(s2).unionAll(s3).unionAll(s4)
+    val s5 = tiers.agg(sum("n_erased").as("n_erased"),
+        coalesce(expr("bit_xor(key_xor)"), lit(0L)).as("key_xor"))
+      .select(lit("5_certify").as("stage"), lit("all").as("tier"),
+        nullL.as("n_before"), col("n_erased"), nullL.as("n_after"),
+        col("key_xor"))
+    tiers.unionAll(s5).orderBy("stage", "tier")
+  }
+
+  private val sql = {
+    s"""WITH cascade AS (${PipelineQueries.deletePropagateSql}),
+       |tiers AS (
+       |  SELECT '1_tombstones' AS stage, 'customer' AS tier,
+       |    (SELECT COUNT(*) FROM customer) AS n_before,
+       |    (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0) AS n_erased,
+       |    (SELECT COUNT(*) FROM customer)
+       |      - (SELECT COUNT(*) FROM customer WHERE c_custkey % 13 = 0) AS n_after,
+       |    (SELECT COALESCE(bit_xor(c_custkey), 0) FROM customer
+       |     WHERE c_custkey % 13 = 0) AS key_xor
+       |  UNION ALL
+       |  SELECT '2_cascade', tbl, n_total, n_deleted, n_remaining, del_key_xor
+       |  FROM cascade
+       |  UNION ALL
+       |  SELECT '3_vector_index', 'codes',
+       |    (SELECT COUNT(*) FROM embeddings),
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 = 0),
+       |    (SELECT COUNT(*) FROM embeddings WHERE vec_id % 13 <> 0),
+       |    (SELECT COALESCE(bit_xor(vec_id), 0) FROM embeddings
+       |     WHERE vec_id % 13 = 0)
+       |  UNION ALL
+       |  SELECT '4_fact_rewrite', 'events',
+       |    (SELECT COUNT(*) FROM events),
+       |    (SELECT COUNT(*) FROM events WHERE user_id % 13 = 0),
+       |    (SELECT COUNT(*) FROM events WHERE user_id % 13 <> 0),
+       |    (SELECT COALESCE(bit_xor(event_id), 0) FROM events
+       |     WHERE user_id % 13 = 0))
+       |SELECT stage, tier, CAST(n_before AS BIGINT) AS n_before,
+       |  CAST(n_erased AS BIGINT) AS n_erased,
+       |  CAST(n_after AS BIGINT) AS n_after,
+       |  CAST(key_xor AS BIGINT) AS key_xor
+       |FROM tiers
+       |UNION ALL
+       |SELECT '5_certify', 'all', NULL,
+       |  (SELECT CAST(SUM(n_erased) AS BIGINT) FROM tiers), NULL,
+       |  (SELECT CAST(COALESCE(bit_xor(key_xor), 0) AS BIGINT) FROM tiers)
+       |ORDER BY stage, tier""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(Q("q_forget_pipeline", run, Some(sql)))
+}

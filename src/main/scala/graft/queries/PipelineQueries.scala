@@ -1222,7 +1222,7 @@ object PipelineQueries {
     * join — at 100 TB the probe side would be Bloom-pruned first
     * (`q_bloom_prune`'s build side IS this key set). Each table is
     * scanned once; totals and deleted counts share the scan. */
-  private def deletePropagate(spark: SparkSession, dir: String): DataFrame = {
+  private[queries] def deletePropagate(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select(col("c_custkey"))
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"))
@@ -1256,7 +1256,7 @@ object PipelineQueries {
       .orderBy("tbl")
   }
 
-  private val deletePropagateSql =
+  private[queries] val deletePropagateSql =
     """WITH delc AS (
       |  SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
       |delo AS (

@@ -24,6 +24,9 @@ class PlanLintSpec extends SparkSpec {
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",
+    // erasure flagship: per-stage 1-row accounting aggregates crossed
+    // into each tier's row (the flagship accounting convention)
+    "q_forget_pipeline",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term
