@@ -31,6 +31,34 @@ class RanksSpec extends SparkSpec {
     SideCache.releaseAll()
   }
 
+  test("property: globalRowNumber equals the single window on random frames (asc/desc, heavy ties, skew)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // pure ScalaCheck generators sampled with fixed seeds (the
+    // scalatest bridge isn't on the offline classpath) — the
+    // TimeSeriesPropertySpec convention
+    val frameGen: Gen[(List[(Long, Long)], Boolean)] = for {
+      n <- Gen.choose(1, 300)
+      domain <- Gen.oneOf(3L, 50L, Long.MaxValue) // heavy ties → unique
+      vs <- Gen.listOfN(n, Gen.choose(0L, domain - 1))
+      desc <- Gen.oneOf(true, false)
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, desc)
+    (1 to 8).foreach { seed =>
+      val (rows, desc) =
+        frameGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val df = rows.toDF("id", "v")
+      val order =
+        if (desc) Seq(col("v").desc, col("id")) else Seq(col("v"), col("id"))
+      val got = Ranks.globalRowNumber(df, "rnk", order)
+        .select("id", "rnk").as[(Long, Long)].collect().sorted
+      val ref = df.withColumn("rnk",
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
+        .select("id", "rnk").as[(Long, Long)].collect().sorted
+      assert(got === ref, s"seed $seed desc=$desc n=${rows.size}")
+      SideCache.releaseAll()
+    }
+  }
+
   test("globalRowNumber survives an empty frame") {
     val empty = Seq.empty[(Long, Int)].toDF("id", "v")
     assert(Ranks.globalRowNumber(empty, "rnk",
