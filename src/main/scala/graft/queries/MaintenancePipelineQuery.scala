@@ -426,8 +426,92 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY version""".stripMargin
   }
 
+  // -------------------------------------------------------- version diff
+
+  /** `q_time_travel_diff` — ROW-LEVEL diff between STORED versions:
+    * the batch flavor of a change-data-feed / `table_changes` read,
+    * and the complete answer to round-10's `q_snapshot_diff` caveat
+    * (which simulates its snapshots in-query): both sides here are
+    * manifest-resolved reads of immutable on-disk generations. Two
+    * diffs under one hash:
+    *
+    *  - v0 → v1 (ingest → compacted): added = removed = changed = 0 —
+    *    the ROW-LEVEL compaction invariant, strictly stronger than
+    *    `q_time_travel`'s checksum triple (a pair of compensating row
+    *    mutations could fool an xor; it cannot fool the keyed
+    *    anti/content joins).
+    *  - v1 → v2 (compacted → retention-swept): removals only, and the
+    *    removed-key xor is the sweep's tombstone manifest.
+    *
+    * changed = keys present in both whose canonical row hash differs
+    * (content mutation under an unchanged key). Scale shape: one scan
+    * per generation side, keyed hash joins on event_id (one exchange
+    * each) — the honest price of a row-level diff without a change
+    * log; a production CDF reads per-commit deltas instead, which is
+    * exactly what the version manifest would grow next. */
+  private def tdRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ttdiff"
+
+  def timeTravelDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    commitGenerations(spark, dir, tdRoot)
+    val log = spark.read.parquet(s"$tdRoot/manifest")
+      .select(col("version"), col("path")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    def asOf(v: Long): DataFrame = {
+      val p = log.filter(_._1 <= v).maxBy(_._1)._2
+      spark.read.parquet(s"$tdRoot/$p")
+        .select(col("event_id"), rowHash.as("h"))
+    }
+    val nullX = coalesce(expr("bit_xor(event_id)"), lit(0L))
+    def diff(fromV: Long, toV: Long): DataFrame = {
+      val a = graft.ops.SideCache.persist(asOf(fromV))
+      val b = graft.ops.SideCache.persist(asOf(toV))
+      a.count(); b.count() // multi-consumer frames, materialize once
+      val added = b.join(a, Seq("event_id"), "left_anti")
+        .agg(count(lit(1)).as("n_added"))
+      val removed = a.join(b, Seq("event_id"), "left_anti")
+        .agg(count(lit(1)).as("n_removed"), nullX.as("removed_xor"))
+      val common = a.join(b.select(col("event_id"), col("h").as("h2")),
+          Seq("event_id"))
+        .agg(count(lit(1)).as("n_common"),
+          sum((col("h") =!= col("h2")).cast("long")).as("n_changed"))
+      added.crossJoin(broadcast(removed)).crossJoin(broadcast(common))
+        .select(lit(fromV).as("from_v"), lit(toV).as("to_v"),
+          col("n_added"), col("n_removed"), col("n_changed"),
+          col("n_common"), col("removed_xor"))
+    }
+    diff(0L, 1L).unionAll(diff(1L, 2L)).orderBy("from_v")
+  }
+
+  private val timeTravelDiffSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events)
+       |SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+       |  CAST(0 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+       |  CAST(0 AS BIGINT) AS n_changed,
+       |  (SELECT COUNT(*) FROM base) AS n_common,
+       |  CAST(0 AS BIGINT) AS removed_xor
+       |UNION ALL
+       |SELECT 1, 2,
+       |  0,
+       |  (SELECT COUNT(*) FROM base WHERE EXTRACT(day FROM day) > 20),
+       |  0,
+       |  (SELECT COUNT(*) FROM base WHERE EXTRACT(day FROM day) <= 20),
+       |  (SELECT CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) FROM base
+       |   WHERE EXTRACT(day FROM day) > 20)
+       |ORDER BY from_v""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
-    Q("q_vacuum", vacuum, Some(vacuumSql)))
+    Q("q_vacuum", vacuum, Some(vacuumSql)),
+    Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)))
 }

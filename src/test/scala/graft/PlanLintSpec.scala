@@ -27,6 +27,9 @@ class PlanLintSpec extends SparkSpec {
     // erasure flagship: per-stage 1-row accounting aggregates crossed
     // into each tier's row (the flagship accounting convention)
     "q_forget_pipeline",
+    // version diff: the three 1-row added/removed/common aggregates
+    // crossed into one diff row per version pair
+    "q_time_travel_diff",
     // fuzzy-join primitive: deliberate bounded broadcast cross
     "q_string_sim",
     // 1-row aggregates crossed into every node's teleport term

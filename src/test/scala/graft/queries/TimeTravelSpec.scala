@@ -53,6 +53,31 @@ class TimeTravelSpec extends SparkSpec {
     assert(fileState("v1").keys.forall(_.contains("bin=")))
   }
 
+  test("q_time_travel_diff: row-level invariants from the STORED generations") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_time_travel_diff")(spark, sf0001)
+    val rows = df.collect().toSeq.sortBy(_.getLong(0))
+    graft.ops.SideCache.releaseAll()
+    val Seq(d01, d12) = rows
+    // compaction invariant at row level: NOTHING added/removed/changed
+    assert(d01.getLong(2) === 0L && d01.getLong(3) === 0L &&
+      d01.getLong(4) === 0L && d01.getLong(5) > 0L)
+    // the sweep removes exactly the day-of-month > 20 rows
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ttdiff"
+    val v1 = spark.read.parquet(s"$root/v1")
+    val expectRemoved = v1.filter(dayofmonth(col("day")) > 20)
+    assert(d12.getLong(3) === expectRemoved.count())
+    assert(d12.getLong(2) === 0L && d12.getLong(4) === 0L)
+    assert(d12.getLong(5) === v1.count() - d12.getLong(3))
+    import spark.implicits._
+    val xor = expectRemoved.select("event_id").as[Long].collect()
+      .foldLeft(0L)(_ ^ _)
+    assert(d12.getLong(6) === xor, "removed-key xor != tombstone manifest")
+    // both diff sides are genuine stored-generation reads
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ttdiff"))
+  }
+
   test("manifest resolution: as-of between commits returns the newest generation <= v") {
     rows
     import spark.implicits._
