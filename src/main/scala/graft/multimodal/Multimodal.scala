@@ -185,13 +185,14 @@ object Multimodal {
     hash
   }
 
-  /** Decode → add `delta` to every pixel (clamped to 255) →
-    * re-encode: the deterministic brightness edit `q_media_dedup`
-    * plants its near-duplicate twins with. */
+  /** Decode → add `delta` to every pixel (clamped to [0, 255] at BOTH
+    * ends — a negative delta must saturate at black, not wrap the
+    * pixel byte) → re-encode: the deterministic brightness edit
+    * `q_media_dedup` plants its near-duplicate twins with. */
   def brightnessShift(docId: Long, payload: Array[Byte],
                       delta: Int): Array[Byte] = {
     val (w, h, src) = decodePng(docId, payload)
-    encodeGray(w, h, i => math.min(src(i.toInt) + delta, 255))
+    encodeGray(w, h, i => math.min(math.max(src(i.toInt) + delta, 0), 255))
   }
 
   /** Deterministic gray-8 pixel at flat index `i` of FRAME `f` of

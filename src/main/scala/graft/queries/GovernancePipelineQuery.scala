@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   *      lakehouse erasure write; old generation untouched for the
   *      retention window, the `q_vacuum` lifecycle), with the erased
   *      event-id xor.
-  *   5. CERTIFY — one row folding every tier: total erased keys and
-  *      the xor-of-xors composite checksum — the line an auditor
-  *      reads, reproduced from first principles by the oracle.
+  *   5. CERTIFY — one row folding the cascade/index/fact tiers (NOT
+  *      stage 1: the tombstone list and the cascade's customer row
+  *      carry the same keys, and folding both would self-cancel the
+  *      xor): total erased keys and the xor-of-xors composite
+  *      checksum — the line an auditor reads, reproduced from first
+  *      principles by the oracle.
   *
   * A tier that silently retained a tombstoned key (a cascade miss, a
   * segment that kept a code row, a fact file not rewritten) changes
@@ -100,9 +103,14 @@ object GovernancePipelineQuery {
       .crossJoin(broadcast(evLive.agg(count(lit(1)).as("n_after"))))
       .select(lit("4_fact_rewrite").as("stage"), lit("events").as("tier"),
         col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
-    // ---- stage 5: the auditor's line — fold every tier
+    // ---- stage 5: the auditor's line — fold the CASCADE/INDEX/FACT
+    // tiers only. Stage 1 is the tombstone LIST, and stage 2's cascade
+    // re-emits the same customer keys: folding both would double-count
+    // n_erased and cancel the identical key_xors (x^x=0), leaving the
+    // composite checksum blind to customer-key drift.
     val tiers = s1.unionAll(s2).unionAll(s3).unionAll(s4)
-    val s5 = tiers.agg(sum("n_erased").as("n_erased"),
+    val folded = s2.unionAll(s3).unionAll(s4)
+    val s5 = folded.agg(sum("n_erased").as("n_erased"),
         coalesce(expr("bit_xor(key_xor)"), lit(0L)).as("key_xor"))
       .select(lit("5_certify").as("stage"), lit("all").as("tier"),
         nullL.as("n_before"), col("n_erased"), nullL.as("n_after"),
@@ -144,8 +152,10 @@ object GovernancePipelineQuery {
        |FROM tiers
        |UNION ALL
        |SELECT '5_certify', 'all', NULL,
-       |  (SELECT CAST(SUM(n_erased) AS BIGINT) FROM tiers), NULL,
-       |  (SELECT CAST(COALESCE(bit_xor(key_xor), 0) AS BIGINT) FROM tiers)
+       |  (SELECT CAST(SUM(n_erased) AS BIGINT) FROM tiers
+       |   WHERE stage <> '1_tombstones'), NULL,
+       |  (SELECT CAST(COALESCE(bit_xor(key_xor), 0) AS BIGINT) FROM tiers
+       |   WHERE stage <> '1_tombstones')
        |ORDER BY stage, tier""".stripMargin
   }
 

@@ -311,8 +311,14 @@ object MultimodalQueries {
         array((0 until 4).map(b =>
           pmod(shiftright(col("phash"), b * 16), lit(65536L))): _*)))
       .toDF("doc_id", "block", "block_val")
+    // OverCap.Star (not Drop): an overfull 16-bit block bucket —
+    // a degenerate hash block shared by thousands of images — must
+    // star-link through the bucket minimum rather than silently drop
+    // candidates the brute-force oracle keeps (a Drop here would first
+    // surface as an unexplained hash mismatch at a larger SF).
     val cand = graft.text.Dedup.bucketPairs(blocks,
-        Seq("block", "block_val"), "doc_id", maxBucket = 4096)
+        Seq("block", "block_val"), "doc_id", maxBucket = 4096,
+        graft.text.Dedup.OverCap.Star)
       .distinct()
     cand
       .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ha")),

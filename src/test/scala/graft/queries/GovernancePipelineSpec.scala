@@ -44,12 +44,22 @@ class GovernancePipelineSpec extends SparkSpec {
     graft.ops.SideCache.releaseAll()
   }
 
-  test("the certification row folds every tier exactly; every tier erased something") {
+  test("the certification row folds the cascade/index/fact tiers exactly; every tier erased something") {
     val tiers = rows.filter(_.getString(0) != "5_certify")
+    // the fold excludes stage 1: the tombstone list duplicates the
+    // cascade's customer row, and folding both would self-cancel the
+    // identical key_xors (x^x=0) — the composite would then be blind
+    // to customer-key drift
+    val folded = tiers.filter(_.getString(0) != "1_tombstones")
     val cert = rows.find(_.getString(0) == "5_certify").get
-    assert(cert.getLong(3) === tiers.map(_.getLong(3)).sum)
+    assert(cert.getLong(3) === folded.map(_.getLong(3)).sum)
     assert(cert.getLong(5) ===
-      tiers.map(_.getLong(5)).reduce(_ ^ _))
+      folded.map(_.getLong(5)).reduce(_ ^ _))
+    // and the exclusion is what keeps the composite sensitive: the
+    // all-tier fold would cancel the customer xor out entirely
+    val customerXor = tiers.find(_.getString(0) == "1_tombstones")
+      .get.getLong(5)
+    assert(customerXor != 0L)
     tiers.foreach { t =>
       assert(t.getLong(3) > 0, s"vacuous erasure in ${t.getString(1)}")
       assert(t.getLong(2) - t.getLong(3) === t.getLong(4),
