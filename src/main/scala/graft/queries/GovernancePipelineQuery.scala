@@ -73,9 +73,10 @@ object GovernancePipelineQuery {
     val emb = Tables.embeddings(spark, dir)
     Similarity.ivfPqIndexWrite(emb, s"$root/ann")
     val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
-    Similarity.ivfPqCompactDelete(spark, s"$root/ann", delV, Seq("codes"))
+    val liveSeg = Similarity.ivfPqCompactDelete(
+      spark, s"$root/ann", delV, Seq("codes")).head
     val codes = spark.read.parquet(s"$root/ann/codes").select("vec_id")
-    val live = spark.read.parquet(s"$root/ann/codes_live").select("vec_id")
+    val live = spark.read.parquet(s"$root/ann/$liveSeg").select("vec_id")
     val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
     val s3 = codes.agg(count(lit(1)).as("n_before"))
       .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),

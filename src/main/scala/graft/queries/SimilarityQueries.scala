@@ -526,10 +526,13 @@ object SimilarityQueries {
     *    immediate tier (deletion takes effect at the next query, the
     *    codes rows still exist on disk).
     *  - `serve_compact`: [[Similarity.ivfPqCompactDelete]] rewrites
-    *    each segment minus the tombstones into `<seg>_live` (original
-    *    files untouched — crash-safe swap), then serves from the live
-    *    segments with NO mask. Bit-equal rows prove the compaction
-    *    dropped exactly the tombstone set and nothing else.
+    *    each segment minus the tombstones into a fresh
+    *    `<seg>_live_g<N>` generation and commits the swap via the
+    *    livelog manifest (originals and the prior live generation
+    *    untouched until the flip — crash-safe), then serves from the
+    *    manifest-resolved live segments with NO mask. Bit-equal rows
+    *    prove the compaction dropped exactly the tombstone set and
+    *    nothing else.
     *  - `audit` rows, per segment, read from the STORED tables (not
     *    recomputed from the corpus): n_before (old segment),
     *    n_dropped + the bit_xor tombstone checksum
@@ -552,21 +555,20 @@ object SimilarityQueries {
     val masked = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
       kCand = 100, k = 10, segments = Seq("codes", "codes_delta"),
       exclude = Some(del))
-    Similarity.ivfPqCompactDelete(spark, path, del,
+    val liveSegs = Similarity.ivfPqCompactDelete(spark, path, del,
       Seq("codes", "codes_delta"))
     val compacted = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
-      kCand = 100, k = 10,
-      segments = Seq("codes_live", "codes_delta_live"))
+      kCand = 100, k = 10, segments = liveSegs)
     val nullL = lit(null).cast("long")
     def serveRows(part: String, df: DataFrame): DataFrame =
       df.select(lit(part).as("part"), lit("").as("seg"), col("qid"),
         col("vec_id"), col("rank"), col("cos_x10k"),
         nullL.as("n_before"), nullL.as("n_dropped"), nullL.as("n_after"),
         nullL.as("del_xor"))
-    def segAudit(seg: String): DataFrame = {
+    def segAudit(seg: String, liveSeg: String): DataFrame = {
       val before = spark.read.parquet(s"$path/$seg").select("vec_id")
       val dropped = before.join(broadcast(del), Seq("vec_id"), "left_semi")
-      val after = spark.read.parquet(s"$path/${seg}_live").select("vec_id")
+      val after = spark.read.parquet(s"$path/$liveSeg").select("vec_id")
       before.agg(count(lit(1)).as("n_before"))
         .crossJoin(dropped.agg(count(lit(1)).as("n_dropped"),
           coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("del_xor")))
@@ -579,8 +581,8 @@ object SimilarityQueries {
     }
     serveRows("serve_compact", compacted)
       .unionAll(serveRows("serve_masked", masked))
-      .unionAll(segAudit("codes"))
-      .unionAll(segAudit("codes_delta"))
+      .unionAll(segAudit("codes", liveSegs.head))
+      .unionAll(segAudit("codes_delta", liveSegs(1)))
       .orderBy("part", "seg", "qid", "rank")
   }
 

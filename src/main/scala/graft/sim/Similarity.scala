@@ -489,6 +489,31 @@ object Similarity {
     *     seed is a full Dim-wide vector for every m).
     * Same centroid/seed/codes derivation as [[ivfPqTopK]] — byte
     * identical index content. */
+  /** Version stamp of the stored-index layout (bumped when the layout
+    * grew the `meta/` table — readers REQUIRE it rather than inferring
+    * shape parameters from data rows). */
+  val IndexFormatVersion = 2
+
+  /** The index's shape parameters, persisted as `$path/meta` — ONE row
+    * of scalars. m is NOT recoverable from the seeds table (a seed is
+    * a full Dim-wide vector for every m) and reading it off an
+    * arbitrary codes row costs a job per open AND trusts data to
+    * describe layout; the meta table is the authority every stored
+    * read resolves against. */
+  case class IndexMeta(m: Int, cb_k: Int, dim: Int, n_centroids: Int,
+                       format_version: Int)
+
+  /** Read the index metadata; fails LOUDLY when absent — a path
+    * without `meta/` is not (or predates) a graft IVF×PQ index. */
+  def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): IndexMeta = {
+    import spark.implicits._
+    require(new java.io.File(s"$path/meta").exists(),
+      s"no index metadata at $path/meta — not a graft IVF×PQ index " +
+        s"(format_version >= $IndexFormatVersion)")
+    spark.read.parquet(s"$path/meta").as[IndexMeta].head()
+  }
+
   def ivfPqIndexWrite(emb: DataFrame, path: String,
                       centroidMod: Long = 61, cbMod: Long = 29,
                       cbK: Int = 16, m: Int = 8,
@@ -525,6 +550,8 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cents")
     seeds.toSeq.toDF("seed_id", "svec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
+    Seq(IndexMeta(m, cbK, Dim, centRows.length, IndexFormatVersion)).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** UPSERT a delta segment into the stored index with FROZEN
@@ -540,19 +567,23 @@ object Similarity {
   def ivfPqUpsertDelta(delta: DataFrame, path: String): Unit = {
     val spark = delta.sparkSession
     import spark.implicits._
+    // the delta MUST be encoded with the base's exact shape: m comes
+    // from the stored meta table (the layout authority, read FIRST —
+    // never inferred from an arbitrary data row), and a base trained
+    // on a different embedding dimensionality fails loudly here
+    // rather than silently corrupting ADC downstream.
+    val meta = readIndexMeta(spark, path)
     val centRows = spark.read.parquet(s"$path/cents")
       .select(col("cid"), col("cvec"), col("cnorm"))
       .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
     val seeds = spark.read.parquet(s"$path/seeds")
       .select(col("seed_id"), col("svec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // m is NOT recoverable from the seeds (a seed is a full Dim-wide
-    // vector regardless of m) — read it off the stored codes row
-    // shape, exactly as ivfPqServeStored does, so a base index built
-    // with a non-default sub-quantizer count gets its delta encoded
-    // with the SAME m (a hardcoded m here would silently corrupt ADC).
-    val m = spark.read.parquet(s"$path/codes")
-      .select(size(col("codes"))).head().getInt(0)
+    require(meta.dim == Dim,
+      s"stored index at $path has dim=${meta.dim}, delta vectors have dim=$Dim")
+    require(seeds.length == meta.cb_k,
+      s"stored seeds table has ${seeds.length} rows but meta says cb_k=${meta.cb_k}")
+    val m = meta.m
     val subDim = Dim / m
     val codebook: Seq[Seq[Seq[Double]]] =
       (0 until m).map { mi =>
@@ -577,12 +608,19 @@ object Similarity {
   /** DELETE propagation into the stored index — the durable tier of
     * the right-to-be-forgotten story ([[ivfPqServeStored]]'s
     * `exclude` mask is the immediate tier): each listed segment is
-    * rewritten MINUS the tombstoned vec_ids into a NEW `<seg>_live`
-    * segment — the original segment's files are never touched (the
-    * Lucene tombstone-then-merge model: readers swap to the live
-    * segments atomically; the old generation is retired separately),
-    * so the rewrite is idempotent and a crash mid-compaction leaves
-    * the serving index intact. Bucket partitioning is preserved
+    * rewritten MINUS the tombstoned vec_ids into a FRESH
+    * `<seg>_live_g<N>` generation, and the swap is committed by
+    * writing an immutable manifest pointer `livelog/v<N>` AFTERWARD
+    * (the `q_time_travel` pattern): the previously-live generation is
+    * never deleted before the new one commits, so a crash at ANY
+    * point leaves readers (who resolve through [[liveSegments]]) on a
+    * complete generation — the earlier overwrite-in-place `_live`
+    * layout had a window where a crash mid-rewrite left a
+    * partial/empty live segment with no record of what was current.
+    * Generations two or more flips old are retired after the commit.
+    * Returns the live segment names just committed (pass them to
+    * [[ivfPqServeStored]]'s `segments`). Bucket partitioning is
+    * preserved
     * (one repartition(cid) exchange per segment), so serving from the
     * live segments keeps dynamic partition pruning. The deletion list
     * broadcasts (\|tombstones\| ∝ deletion requests, small by law);
@@ -594,17 +632,84 @@ object Similarity {
     * quantizer rebuild; what this guarantees is that no deleted
     * vector is retrievable: its codes rows are gone and it can never
     * be served. */
+  /** Generation numbers of every COMMITTED live-manifest under
+    * `$path/livelog` (a manifest counts as committed only once its
+    * `_SUCCESS` marker exists — a crash mid-flip leaves a marker-less
+    * directory that readers ignore). */
+  private def committedManifests(path: String): Seq[Int] = {
+    val logDir = new java.io.File(s"$path/livelog")
+    if (!logDir.exists()) Nil
+    else logDir.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.matches("v\\d+") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .map(_.getName.drop(1).toInt)
+  }
+
+  /** Resolve each logical segment name to its CURRENT live path
+    * through the newest committed manifest; a segment never compacted
+    * (or an index with no livelog at all) resolves to itself. */
+  def liveSegments(spark: org.apache.spark.sql.SparkSession,
+                   path: String, segments: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    committedManifests(path).maxOption match {
+      case None => segments
+      case Some(n) =>
+        val live = spark.read.parquet(s"$path/livelog/v$n")
+          .select(col("segment"), col("live_path"))
+          .as[(String, String)].collect().toMap
+        segments.map(s => live.getOrElse(s, s))
+    }
+  }
+
   def ivfPqCompactDelete(spark: org.apache.spark.sql.SparkSession,
                          path: String, deleted: DataFrame,
-                         segments: Seq[String]): Unit =
-    segments.foreach { seg =>
+                         segments: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    // fresh generation number: one past the newest COMMITTED manifest
+    // (a crashed attempt's orphan gets overwritten, never resurrected)
+    val gen = committedManifests(path).maxOption.getOrElse(0) + 1
+    val livePaths = segments.map(seg => seg -> s"${seg}_live_g$gen")
+    // 1. write every compacted segment to its FRESH generation path —
+    //    the previous live generation stays intact and serving until
+    //    the manifest below commits (crash mid-rewrite = readers still
+    //    resolve the old generation; nothing was deleted)
+    livePaths.foreach { case (seg, livePath) =>
       spark.read.parquet(s"$path/$seg")
         .join(broadcast(deleted.select("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("codes"), col("cid"))
         .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/${seg}_live")
+        .parquet(s"$path/$livePath")
     }
+    // 2. FLIP: commit the manifest pointer as its own immutable
+    //    `livelog/v$gen` (the q_time_travel pattern — the _SUCCESS
+    //    marker is the commit point, so the swap is all-or-nothing)
+    livePaths.map { case (seg, livePath) => (seg, livePath, gen) }
+      .toDF("segment", "live_path", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/livelog/v$gen")
+    // 3. RETIRE generations two or more flips old (current + previous
+    //    are kept — the previous stays readable until the next commit,
+    //    which is the crash-safety window; older ones are reclaimed so
+    //    repeated compaction doesn't grow disk without bound)
+    val root = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    val liveGen = "(.+)_live_g(\\d+)".r
+    root.listFiles().toSeq.foreach { d =>
+      d.getName match {
+        case liveGen(_, g) if g.toInt <= gen - 2 => rm(d)
+        case _ => ()
+      }
+    }
+    val logDir = new java.io.File(s"$path/livelog")
+    logDir.listFiles().toSeq
+      .filter(d => d.getName.matches("v\\d+") &&
+        d.getName.drop(1).toInt <= gen - 2)
+      .foreach(rm)
+    livePaths.map(_._2)
+  }
 
   /** SERVE-MANY: two-stage retrieval ([[ivfPqRerank]]'s contract)
     * answered FROM the index persisted by [[ivfPqIndexWrite]] —
@@ -613,8 +718,10 @@ object Similarity {
     * gather of the Q·kCand candidate list. Centroids and the PQ
     * codebook are reconstructed from the stored cents/seeds tables
     * via bounded collects (|C| and cbK rows — index metadata, not
-    * corpus). m and cbK are read off the stored shapes, so a serve
-    * node needs only the path. Because codes is PARTITIONED BY cid
+    * corpus). m and cbK come from the stored `meta/` table (the
+    * layout authority — see [[IndexMeta]]) and every segment's codes
+    * width is validated against it, so a serve node needs only the
+    * path and a shape-mismatched segment fails loudly. Because codes is PARTITIONED BY cid
     * and the probe list broadcasts, Catalyst inserts a DYNAMIC
     * partition-pruning filter on the codes scan (AnnServeSpec
     * asserts it) — at scale only the nProbe bucket directories a
@@ -633,13 +740,29 @@ object Similarity {
     val seeds = spark.read.parquet(s"$path/seeds")
       .select(col("seed_id"), col("svec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val cbK = seeds.length
+    // index shape from the stored META table (the layout authority),
+    // cross-checked against the artifact tables it describes
+    val meta = readIndexMeta(spark, path)
+    require(seeds.length == meta.cb_k,
+      s"stored seeds table has ${seeds.length} rows but meta says cb_k=${meta.cb_k}")
+    require(centRows.length == meta.n_centroids,
+      s"stored cents table has ${centRows.length} rows but meta says " +
+        s"n_centroids=${meta.n_centroids}")
+    val cbK = meta.cb_k
     // one partition-discovered read per segment, then a union — Spark
-    // refuses multi-root partitioned reads in a single load
+    // refuses multi-root partitioned reads in a single load. Each
+    // segment's codes width must match meta.m: a segment encoded
+    // against a DIFFERENT index shape (a mis-copied delta, a base
+    // rebuilt under an old segment) fails LOUDLY here — ADC with a
+    // mismatched m would silently score garbage.
     val codesAll = segments.map { seg =>
-      spark.read.parquet(s"$path/$seg")
-        .select(col("vec_id"), col("cid").cast("long").as("cid"),
-          col("codes"))
+      val df = spark.read.parquet(s"$path/$seg")
+      val w = df.select(size(col("codes"))).head().getInt(0)
+      require(w == meta.m,
+        s"segment $seg has $w-wide codes but index meta at $path says " +
+          s"m=${meta.m} — the segment was encoded against a different index shape")
+      df.select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("codes"))
     }.reduce(_ unionAll _)
     // serve-time deletion MASK: the tombstone list (small by law)
     // broadcast anti-joins the codes scan BEFORE stage-1 ranking, so
@@ -648,7 +771,7 @@ object Similarity {
     // return short lists). The durable tier is [[ivfPqCompactDelete]].
     val codes = exclude.fold(codesAll)(d =>
       codesAll.join(broadcast(d.select("vec_id")), Seq("vec_id"), "left_anti"))
-    val m = codes.select(size(col("codes"))).head().getInt(0)
+    val m = meta.m
     val subDim = Dim / m
     val codebook: Seq[Seq[Seq[Double]]] =
       (0 until m).map { mi =>

@@ -18,7 +18,10 @@ class GovernancePipelineSpec extends SparkSpec {
 
   test("live artifacts retain zero tombstoned keys; originals still do") {
     rows // force the run
-    val liveVec = spark.read.parquet(s"$root/ann/codes_live")
+    val liveCodes = graft.sim.Similarity.liveSegments(
+      spark, s"$root/ann", Seq("codes")).head
+    assert(liveCodes != "codes", "ann tier was never compacted")
+    val liveVec = spark.read.parquet(s"$root/ann/$liveCodes")
       .select("vec_id").as[Long].collect()
     assert(liveVec.nonEmpty && liveVec.forall(_ % 13 != 0),
       "a tombstoned vector survived compaction")

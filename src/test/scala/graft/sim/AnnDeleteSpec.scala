@@ -47,14 +47,16 @@ class AnnDeleteSpec extends SparkSpec {
       .filter(col("vec_id") % 13 === 0)
       .select("vec_id").as[Long].collect().toSet
     for (seg <- Seq("codes", "codes_delta")) {
+      val liveSeg = Similarity.liveSegments(spark, root, Seq(seg)).head
+      assert(liveSeg != seg, s"$seg was never compacted (no manifest entry)")
       val before = spark.read.parquet(s"$root/$seg")
         .select("vec_id").as[Long].collect().toSet
-      val live = spark.read.parquet(s"$root/${seg}_live")
+      val live = spark.read.parquet(s"$root/$liveSeg")
         .select("vec_id").as[Long].collect().toSet
       // base-segment isolation: the original still holds its
       // tombstoned rows (only the _live generation changed)
       assert((before & del).nonEmpty, s"$seg lost rows in place")
-      assert(live === before -- del, s"${seg}_live is not before \\ del")
+      assert(live === before -- del, s"$liveSeg is not before \\ del")
     }
     // audit rows agree with the stored segments
     val audits = rows.filter(_.getString(0) == "audit")
@@ -68,15 +70,50 @@ class AnnDeleteSpec extends SparkSpec {
 
   test("the compacted segments keep bucket partitioning (DPP survives)") {
     rows
-    val dir = new java.io.File(s"$root/codes_live")
+    val liveSegs =
+      Similarity.liveSegments(spark, root, Seq("codes", "codes_delta"))
+    val dir = new java.io.File(s"$root/${liveSegs.head}")
     assert(dir.listFiles().count(_.getName.startsWith("cid=")) > 1,
       "live segment lost its cid partitioning")
     val plan = Similarity.ivfPqServeStored(
         Tables.embeddings(spark, sf0001), root, queryMod = 50L,
-        kCand = 100, k = 10,
-        segments = Seq("codes_live", "codes_delta_live"))
+        kCand = 100, k = 10, segments = liveSegs)
       .queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"),
       "live-segment serve lost dynamic partition pruning")
+  }
+
+  test("the livelog flip is crash-safe: an uncommitted manifest is invisible, repeats retire old generations") {
+    rows
+    // a second compaction flips to generation 2 and retires nothing
+    // newer than gen-2; the previous live generation must survive the
+    // flip (that is the crash-safety window)
+    val del = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 13 === 0).select("vec_id")
+    val gBase = Similarity.liveSegments(spark, root, Seq("codes")).head
+      .stripPrefix("codes_live_g").toInt
+    val gNext = Similarity.ivfPqCompactDelete(spark, root, del,
+      Seq("codes", "codes_delta"))
+    assert(gNext.forall(_.endsWith(s"_g${gBase + 1}")))
+    assert(new java.io.File(s"$root/codes_live_g$gBase").exists(),
+      "previous live generation must survive until the NEXT commit")
+    // the next flip retires the gBase generation
+    val gNext2 = Similarity.ivfPqCompactDelete(spark, root, del,
+      Seq("codes", "codes_delta"))
+    assert(gNext2.forall(_.endsWith(s"_g${gBase + 2}")))
+    assert(!new java.io.File(s"$root/codes_live_g$gBase").exists(),
+      "generations two flips old must be retired")
+    assert(new java.io.File(s"$root/codes_live_g${gBase + 1}").exists())
+    // simulate a crash mid-flip: an orphan manifest directory WITHOUT
+    // its _SUCCESS marker must not capture readers
+    val orphan = new java.io.File(s"$root/livelog/v${gBase + 9}")
+    orphan.mkdirs()
+    val resolved = Similarity.liveSegments(spark, root, Seq("codes"))
+    assert(resolved === Seq(s"codes_live_g${gBase + 2}"),
+      s"readers followed an uncommitted manifest: $resolved")
+    orphan.delete()
+    // and a segment never compacted resolves to itself
+    assert(Similarity.liveSegments(spark, root, Seq("cents")) ===
+      Seq("cents"))
   }
 }

@@ -89,6 +89,36 @@ class AnnServeSpec extends SparkSpec {
       "delta re-encoding must be bit-equal to the m = 4 base rows")
   }
 
+  test("the stored layout carries a meta table; shape-mismatched reads fail loudly") {
+    import org.apache.spark.sql.functions.col
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_meta"
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.ivfPqIndexWrite(emb, s"$root/m4", m = 4)
+    Similarity.ivfPqIndexWrite(emb, s"$root/m8", m = 8)
+    // the meta table is the layout authority: one row, the exact shape
+    val meta = Similarity.readIndexMeta(spark, s"$root/m4")
+    assert(meta.m === 4)
+    assert(meta.format_version === Similarity.IndexFormatVersion)
+    assert(meta.dim === Similarity.Dim)
+    // a segment encoded against a DIFFERENT index shape (here: m=8
+    // codes smuggled under an m=4 base — the mixed-generation mistake)
+    // must fail loudly at open, not silently score garbage ADC
+    spark.read.parquet(s"$root/m8/codes")
+      .write.mode("overwrite").parquet(s"$root/m4/codes_bad")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqServeStored(emb, s"$root/m4", queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_bad")).count()
+    }
+    assert(e.getMessage.contains("different index shape"))
+    // a delta against a base whose meta is missing (pre-v2 layout or
+    // not an index at all) also fails loudly rather than inferring
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0),
+        s"$root/nonexistent")
+    }
+    assert(e2.getMessage.contains("meta"))
+  }
+
   test("the stored codes table is bucket-partitioned (one dir per cid)") {
     SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
     val codesDir = new java.io.File(
