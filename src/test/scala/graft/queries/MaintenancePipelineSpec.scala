@@ -28,11 +28,11 @@ class MaintenancePipelineSpec extends SparkSpec {
     assert((ret._4 ^ del._4) === ing._4,
       "retained xor deleted must reproduce the ingest checksum")
     assert(ret._3 > 0 && del._3 > 0, "the sweep must genuinely split")
-    // the rewrites are real: compacted and retained tables on disk,
-    // one parquet file per bin directory
-    val tmp = System.getProperty("java.io.tmpdir")
-    for (sub <- Seq("compact", "retained")) {
-      val dirs = new java.io.File(s"$tmp/graft_maint/$sub")
+    // the rewrites are real: the chain's compacted and retained
+    // generations on disk, one parquet file per bin directory
+    val root = graft.ops.VersionChain.rootFor(sf0001)
+    for (sub <- Seq("gen1", "gen2")) {
+      val dirs = new java.io.File(s"$root/$sub")
         .listFiles().filter(_.getName.startsWith("bin="))
       assert(dirs.nonEmpty, s"$sub must be bin-partitioned on disk")
       dirs.foreach { d =>
