@@ -184,6 +184,72 @@ object CoreQueries {
        |  CAST(SUM(vc) AS BIGINT) AS sum_vc
        |FROM batched GROUP BY batch ORDER BY batch""".stripMargin
 
+  /** SCHEMA TYPE WIDENING read — the evolution case `mergeSchema`
+    * CANNOT reconcile (its field merge throws CANNOT_MERGE_SCHEMAS on
+    * an int/bigint or float/double conflict): an old writer
+    * generation stored `vc` as INT and `score` as FLOAT; a later
+    * writer widened them to BIGINT/DOUBLE. No byte of the old files
+    * is rewritten — the reader supplies the WIDEST schema explicitly
+    * and Spark 4's parquet readers up-cast int32→int64 / float→double
+    * per file at scan time (the Iceberg type-promotion model: the
+    * table schema evolves, data files keep their written physical
+    * types). `score` is constructed as (event_id mod 16)/16 — a
+    * dyadic rational exactly representable in float32 — so the
+    * float-written and double-written generations agree bit-exactly
+    * after widening and the whole result stays hash-verifiable
+    * against DuckDB (and the double sums are exact, order-free).
+    * `batch` rides as a partition column, so generation pruning still
+    * happens at file-listing level (SchemaWideningSpec asserts the
+    * pruned single-generation read, the merged wide schema, and that
+    * the naive mergeSchema read genuinely fails).
+    *
+    * Scale shape: two one-exchange writes (chain fixture); the read
+    * is ONE scan with footer-level per-file upcasts — no rewrite, no
+    * union-of-casts double plan; the accounting is a map-side
+    * aggregate to 2 rows. */
+  private def schemaWidening(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_schema_widen"
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
+        (pmod(col("event_id"), lit(16L)).cast(DoubleType) / 16.0d)
+          .as("score"),
+        dayofmonth(to_date(col("ts"))).as("dom"))
+    // generation 1: the NARROW writer (int vc, float score)
+    e.filter(col("dom") <= 15)
+      .select(col("event_id"), col("vc").cast(IntegerType).as("vc"),
+        col("score").cast(FloatType).as("score"))
+      .write.mode("overwrite").parquet(s"$root/batch=narrow")
+    // generation 2: the WIDE writer (bigint vc, double score)
+    e.filter(col("dom") > 15)
+      .select(col("event_id"), col("vc"), col("score"))
+      .write.mode("overwrite").parquet(s"$root/batch=wide")
+    // read-side reconcile: ONE scan under the widest schema
+    val widest = StructType(Seq(
+      StructField("event_id", LongType), StructField("vc", LongType),
+      StructField("score", DoubleType), StructField("batch", StringType)))
+    spark.read.schema(widest).parquet(root)
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"), sum("vc").as("sum_vc"),
+        sum("score").as("sum_score"),
+        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"))
+      .orderBy("batch")
+  }
+
+  private val schemaWideningSql =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(event_id % 16 AS DOUBLE) / 16.0 AS score,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events)
+       |SELECT CASE WHEN dom <= 15 THEN 'narrow' ELSE 'wide' END AS batch,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(vc) AS BIGINT) AS sum_vc,
+       |  SUM(score) AS sum_score,
+       |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Z-ORDER data layout ([[graft.functions.MortonInterleave]]):
     * cluster lineitem on TWO columns at once by writing it
     * range-split on the Morton interleave of (l_partkey, l_suppkey).
@@ -713,6 +779,7 @@ object CoreQueries {
     Q("q_scan_orc", scanOrc, Some(scanOrcSql)),
     Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
     Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
+    Q("q_schema_widening", schemaWidening, Some(schemaWideningSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     Q("q_compact_manifest", compactManifest, Some(compactManifestSql)),
