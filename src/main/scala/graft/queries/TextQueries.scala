@@ -1863,7 +1863,11 @@ object TextQueries {
     * identical to counting every word occurrence, at |vocab| rows per
     * round. Reused by `q_bpe_train` (emits the table) and
     * `q_bpe_pipeline` (applies it). */
-  private lazy val bpeTrainCtes: String = {
+  private lazy val bpeTrainCtes: String = genBpeCtes(BpeTrainK)
+
+  /** The recurrence generator, depth-parameterized: `q_fertility_sweep`
+    * unrolls it to 32 rounds over the SAME collapsed dict. */
+  private def genBpeCtes(trainK: Int): String = {
     def pCte(r: Int) =
       s"""p$r AS MATERIALIZED (
          |  SELECT pr, SUM(wn) AS n FROM (
@@ -1879,8 +1883,8 @@ object TextQueries {
          |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$r) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$r) || ' ',
          |    ' ' || (SELECT replace(pr, ' ', '') FROM m$r) || ' ', 'g') AS w, wn
          |  FROM w${r - 1})""".stripMargin
-    val rounds = (1 to BpeTrainK).flatMap { r =>
-      Seq(pCte(r), mCte(r)) ++ (if (r < BpeTrainK) Seq(wCte(r)) else Nil)
+    val rounds = (1 to trainK).flatMap { r =>
+      Seq(pCte(r), mCte(r)) ++ (if (r < trainK) Seq(wCte(r)) else Nil)
     }
     s"""wrds AS MATERIALIZED (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
@@ -2007,6 +2011,92 @@ object TextQueries {
        |  CAST((SUM(n_tok) * 1000) // COUNT(*) AS BIGINT) AS fert_milli,
        |  CAST((SUM(wc) * 1000) // SUM(n_tok) AS BIGINT) AS chars_per_tok_milli
        |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** TOKENIZER-BUDGET tuning curve (the `q_nprobe_curve` convention
+    * for the text tier): fertility and word-level OOV at
+    * K ∈ {8, 16, 32} merges, from ONE training pass — BPE's greedy
+    * recurrence is PREFIX-MONOTONE (the first 8 merges of a 32-round
+    * training ARE the 8-round table; FertilitySweepSpec pins it), so
+    * the whole sweep trains once to K = 32 and evaluates each budget
+    * with a prefix of the learned table. Scoring collapses to the
+    * distinct-word frequency dict first (token count depends only on
+    * the word; weighting by wn is identical to scanning every
+    * occurrence — the [[graft.text.Bpe]] collapse, ~8700× at sf0.1),
+    * then encodes each dict word through the 32-merge chain with
+    * token counts CHECKPOINTED at the three prefix depths in one
+    * projection. Per K: fertility (tokens/word, exact permille) and
+    * oov_pm = the permille of word occurrences NOT reduced to a
+    * single token — "in vocabulary" for a BPE budget means the whole
+    * word became one symbol. Both curves are monotone non-increasing
+    * in K (more merges never split a word further), which the spec
+    * asserts — the table a tokenizer budget is picked from.
+    *
+    * Scale shape: training is the audited \|vocab\|-per-round plan;
+    * the sweep adds ONE \|vocab\|-row projection + three 1-row
+    * aggregates. Nothing rescans the corpus per K. */
+  private val SweepKs = Seq(8, 16, 32)
+
+  private def fertilitySweep(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val merges = graft.text.Bpe.train(words, SweepKs.max)
+    require(merges.length == SweepKs.max,
+      s"corpus yields only ${merges.length} of ${SweepKs.max} merge rounds")
+    def encode(k: Int): Column =
+      merges.take(k).foldLeft(regexp_replace(col("word"), "(.)", " $1 ")) {
+        case (acc, (pr, _)) =>
+          val Array(a, b) = pr.split(" ")
+          regexp_replace(acc, s" $a  $b ", s" $a$b ")
+      }
+    def nTok(k: Int): Column =
+      size(split(trim(encode(k)), "  ")).cast("long")
+    val scored = graft.ops.SideCache.persist(
+      words.groupBy("word").agg(count(lit(1)).as("wn"))
+        .select(col("wn") +: SweepKs.map(k => nTok(k).as(s"t$k")): _*))
+    scored.count()
+    SweepKs.map { k =>
+      scored.agg(sum("wn").as("n_words"),
+          sum(col("wn") * col(s"t$k")).as("sum_tok"),
+          sum(when(col(s"t$k") === 1, col("wn")).otherwise(lit(0L)))
+            .as("n_single"))
+        .select(lit(k.toLong).as("k_merges"), col("n_words"),
+          col("sum_tok"),
+          expr("(sum_tok * 1000) div n_words").as("fert_milli"),
+          col("n_single"),
+          expr("(1000 * (n_words - n_single)) div n_words").as("oov_pm"))
+    }.reduce(_ unionAll _).orderBy("k_merges")
+  }
+
+  private lazy val fertilitySweepSql = {
+    def chain(e: String, k: Int): String =
+      (1 to k).foldLeft(s"regexp_replace($e, '(.)', ' \\1 ', 'g')") { (acc, r) =>
+        s"""regexp_replace($acc,
+           |    ' ' || (SELECT string_split(pr, ' ')[1] FROM m$r) || '  ' || (SELECT string_split(pr, ' ')[2] FROM m$r) || ' ',
+           |    ' ' || (SELECT replace(pr, ' ', '') FROM m$r) || ' ', 'g')""".stripMargin
+      }
+    def tier(k: Int): String =
+      s"""SELECT $k AS k_merges,
+         |  CAST(SUM(wn) AS BIGINT) AS n_words,
+         |  CAST(SUM(wn * t$k) AS BIGINT) AS sum_tok,
+         |  CAST((SUM(wn * t$k) * 1000) // SUM(wn) AS BIGINT) AS fert_milli,
+         |  CAST(SUM(CASE WHEN t$k = 1 THEN wn ELSE 0 END) AS BIGINT)
+         |    AS n_single,
+         |  CAST((1000 * (SUM(wn) - SUM(CASE WHEN t$k = 1 THEN wn ELSE 0 END)))
+         |    // SUM(wn) AS BIGINT) AS oov_pm
+         |FROM scored""".stripMargin
+    val tokCols = SweepKs.map(k =>
+      s"CAST(len(string_split(trim(${chain("word", k)}), '  ')) AS BIGINT) AS t$k")
+      .mkString(",\n  ")
+    s"""WITH ${genBpeCtes(SweepKs.max)},
+       |scored AS MATERIALIZED (
+       |  SELECT wn,
+       |  $tokCols
+       |  FROM wcnt)
+       |SELECT CAST(k_merges AS BIGINT) AS k_merges, n_words, sum_tok,
+       |  fert_milli, n_single, oov_pm
+       |FROM (${SweepKs.map(tier).mkString("\n  UNION ALL\n  ")})
+       |ORDER BY k_merges""".stripMargin
   }
 
   /** Unicode text normalization — the canonicalization pass that MUST
@@ -2228,6 +2318,7 @@ object TextQueries {
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
+    Q("q_fertility_sweep", fertilitySweep, Some(fertilitySweepSql)),
     Q("q_delta_ingest", deltaIngest, Some(deltaIngestSql)),
     Q("q_signal_corr", signalCorr, Some(signalCorrSql)),
     Q("q_lsh_curve", lshCurve, Some(lshCurveSql)),
