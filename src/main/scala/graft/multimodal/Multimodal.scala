@@ -92,11 +92,16 @@ object Multimodal {
     * `javax.sound.sampled` (in the JDK, no external jar — the same
     * "no audio libraries" premise-check that made the PNG path real).
     * PCM is lossless: decoded samples equal [[sampleAt]] exactly. */
-  def encodeWav(docId: Long, n: Int): Array[Byte] = {
+  def encodeWav(docId: Long, n: Int): Array[Byte] =
+    pcmToWav(Array.tabulate(n)(i => sampleAt(docId, i.toLong)))
+
+  /** Wrap signed 16-bit PCM samples in a real WAV container. */
+  def pcmToWav(samples: Array[Int]): Array[Byte] = {
+    val n = samples.length
     val bytes = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = sampleAt(docId, i.toLong)
+      val s = samples(i)
       bytes(2 * i) = (s & 0xFF).toByte
       bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
       i += 1
@@ -107,6 +112,73 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  // ------------------------------------------------ planted band cohort
+
+  /** Per-band amplitude of the PLANTED band-structured audio cohort
+    * (`q_audio_dedup`): the natural [[sampleAt]] sawtooth is
+    * fingerprint-DEGENERATE — its id term is a constant offset under
+    * the mod, so band-energy profiles collide for most clip pairs
+    * (probed: 10k of 17k pairs within hamming 3) — so the dedup
+    * cohort plants clips whose band structure genuinely varies by id
+    * (the `q_lsh_curve` convention: midrange structure the fixture
+    * lacks is planted deterministically). The inner mod 100003 wraps
+    * many times even for small doc_ids and the multiplier varies per
+    * band, so profiles carry no shared shape across ids (a plain
+    * `(id·c + f(b)) mod k` profile is just one base curve shifted —
+    * probed to collide in the hundreds). Exact integer arithmetic,
+    * reproduced verbatim by the DuckDB oracle. */
+  def plantedAmp(docId: Long, b: Int): Int =
+    (1L + ((docId * (48271L + b) + b.toLong * b * 7919L) % 100003L)
+      % 97L).toInt
+
+  /** Number of time bands in the planted clips / the band hash. */
+  val AudioBands = 16
+
+  /** Encode the planted clip for `docId`: [[AudioBands]] time bands,
+    * band `b` an alternating square wave of amplitude
+    * `plantedAmp(docId, b) * 256 >> gainShift` — `gainShift` models a
+    * re-encode at lower volume (the perceptual-twin transform: scaling
+    * every sample by the same power of two preserves the band-ratio
+    * profile exactly). */
+  def encodeBandWav(docId: Long, n: Int, gainShift: Int): Array[Byte] = {
+    require(n >= AudioBands, s"clip too short for $AudioBands bands: $n")
+    pcmToWav(Array.tabulate(n) { i =>
+      val b = (i * AudioBands / n).min(AudioBands - 1)
+      val amp = (plantedAmp(docId, b) * 256) >> gainShift
+      if (i % 2 == 0) amp else -amp
+    })
+  }
+
+  /** 64-bit GAIN-INVARIANT audio fingerprint over genuinely decoded
+    * samples: decode the WAV, take each of the [[AudioBands]] time
+    * bands' peak |amplitude|, normalize by the loudest band, quantize
+    * to a nibble (`(peak * 15) div max` — integer floor, so a uniform
+    * gain k cancels exactly: floor(15·k·a / (k·max)) = floor(15·a /
+    * max)), and pack the 16 nibbles. Volume-shifted re-encodes land
+    * at hamming 0; unrelated clips differ in many nibbles. */
+  def audioBandHash(docId: Long, payload: Array[Byte]): Long = {
+    val samples = decodeWav(docId, payload)
+    val n = samples.length
+    require(n >= AudioBands,
+      s"clip too short to band-hash for doc_id=$docId: $n samples")
+    val peak = new Array[Long](AudioBands)
+    var i = 0
+    while (i < n) {
+      val b = (i * AudioBands / n).min(AudioBands - 1)
+      val a = math.abs(samples(i).toLong)
+      if (a > peak(b)) peak(b) = a
+      i += 1
+    }
+    val mx = peak.max.max(1L)
+    var h = 0L
+    var b = 0
+    while (b < AudioBands) {
+      h |= ((peak(b) * 15L) / mx) << (b * 4)
+      b += 1
+    }
+    h
   }
 
   /** Decode a WAV payload to its PCM samples. Fails LOUDLY on

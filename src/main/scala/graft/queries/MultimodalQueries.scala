@@ -368,8 +368,98 @@ object MultimodalQueries {
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** PERCEPTUAL AUDIO DEDUP — the WAV tier of `q_media_dedup`:
+    * near-duplicate clip detection by the 64-bit gain-invariant
+    * band-profile hash ([[Multimodal.audioBandHash]]: genuine WAV
+    * decode → 16 time-band peaks → loudest-band-normalized nibble
+    * quantization), candidate pairs by the same 4×16-bit pigeonhole
+    * block join (lossless for hamming ≤ 3), exact hamming verify.
+    *
+    * The clips are the PLANTED band-structured cohort
+    * ([[Multimodal.encodeBandWav]]) rather than the natural
+    * [[Multimodal.sampleAt]] sawtooth: the sawtooth's id term is a
+    * constant offset under its mod, so any band-energy profile
+    * collides for most clip pairs (probed: 10k of 17k pairs within
+    * hamming 3 — a degenerate measurement); the planted cohort's
+    * per-band amplitudes genuinely vary by id (the `q_lsh_curve`
+    * planting convention). Every clip with doc_id ≡ 1 (mod 30) also
+    * arrives as a HALF-GAIN re-encode under doc_id + 10⁶ — all twins
+    * land at hamming 0 because uniform gain cancels exactly in the
+    * nibble quantization (probed at every SF: the hamming-0 set is
+    * exactly the twin set; a few near-pairs from quantization jitter
+    * appear at sf0.1, which the oracle reproduces).
+    *
+    * Oracle = BRUTE all-pairs hamming over the formula-derived
+    * profiles (the `q_media_dedup` convention: the O(n²) recompute is
+    * the machine-checked proof the bounded block join loses nothing).
+    *
+    * Scale shape: one synth+decode+hash projection over the audio
+    * scan (payloads never shuffle — 8 bytes of hash per clip do), a
+    * bounded bucket join (OverCap.Star at 4096), output-proportional
+    * verify joins. */
+  private def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = graft.ops.SideCache.persist(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, nc) =>
+          val n = Multimodal.nSamples(nc)
+          def row(rid: Long, shift: Int) =
+            (rid, Multimodal.audioBandHash(rid,
+              Multimodal.encodeBandWav(id, n, shift)))
+          val base = row(id, 0)
+          if (id % 30 == 1) Seq(base, row(id + 1000000L, 1)) else Seq(base)
+        }).toDF("doc_id", "phash"))
+    hashed.count() // multi-consumer: blocks + both verify joins
+    val blocks = hashed.select(col("doc_id"), posexplode(
+        array((0 until 4).map(b =>
+          pmod(shiftright(col("phash"), b * 16), lit(65536L))): _*)))
+      .toDF("doc_id", "block", "block_val")
+    val cand = graft.text.Dedup.bucketPairs(blocks,
+        Seq("block", "block_val"), "doc_id", maxBucket = 4096,
+        graft.text.Dedup.OverCap.Star)
+      .distinct()
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("phash").as("ha")),
+        "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("phash").as("hb")),
+        "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val audioDedupSql =
+    """WITH auds AS (
+      |  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id % 30 = 1),
+      |prof AS (
+      |  SELECT id, b,
+      |    1 + ((base * (48271 + b) + b * b * 7919) % 100003) % 97 AS a
+      |  FROM (SELECT id, base, unnest(generate_series(0, 15)) AS b FROM auds)),
+      |quant AS (
+      |  SELECT id, b, (a * 15) // MAX(a) OVER (PARTITION BY id) AS qv
+      |  FROM prof),
+      |hashes AS (
+      |  SELECT id,
+      |    CAST(SUM(CASE WHEN b < 8 THEN qv * (1::BIGINT << (b * 4))
+      |      ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN b >= 8 THEN qv * (1::BIGINT << ((b - 8) * 4))
+      |      ELSE 0 END) AS BIGINT) AS hi
+      |  FROM quant GROUP BY id)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |    AS BIGINT) AS hamming
+      |FROM hashes a JOIN hashes b ON a.id < b.id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
+    Q("q_audio_dedup", audioDedup, Some(audioDedupSql)),
     Q("q_media_dq", mediaDq, Some(mediaDqSql)),
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),

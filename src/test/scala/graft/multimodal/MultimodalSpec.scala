@@ -260,4 +260,54 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h1 ^ h2) > 3,
       "unrelated images should not collide at the dedup threshold")
   }
+
+  test("q_audio_dedup: hamming-0 set IS the planted half-gain twin set; block join is lossless vs brute") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("q_audio_dedup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.ops.SideCache.releaseAll()
+    val audio = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 1).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toSeq
+    val planted = audio.filter(_._1 % 30 == 1)
+    assert(planted.nonEmpty)
+    // the hamming-0 set is EXACTLY the twin set (the fingerprint is
+    // non-degenerate on this cohort — the natural sampleAt sawtooth
+    // would have collided 10k of 17k pairs here)
+    val zero = pairs.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(zero === planted.map(p => (p._1, p._1 + 1000000L)).toSet,
+      "hamming-0 pairs must be exactly the planted twins")
+    // losslessness: brute all-pairs over the same hashes finds
+    // nothing the blocked candidate join missed
+    val hashes = audio.flatMap { case (id, nc) =>
+      val n = Multimodal.nSamples(nc)
+      val base = (id, Multimodal.audioBandHash(id,
+        Multimodal.encodeBandWav(id, n, 0)))
+      if (id % 30 == 1)
+        Seq(base, (id + 1000000L, Multimodal.audioBandHash(id + 1000000L,
+          Multimodal.encodeBandWav(id, n, 1))))
+      else Seq(base)
+    }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sorted
+    assert(pairs.sorted === brute,
+      "blocked candidate join diverged from brute all-pairs")
+    // kernel-level gain invariance on real decoded payloads: ANY
+    // power-of-two gain drop hashes identically; unrelated clips far
+    val (someId, nc) = audio.head
+    val n = Multimodal.nSamples(nc)
+    val full = Multimodal.audioBandHash(someId,
+      Multimodal.encodeBandWav(someId, n, 0))
+    for (shift <- 1 to 3)
+      assert(full === Multimodal.audioBandHash(someId,
+        Multimodal.encodeBandWav(someId, n, shift)),
+        s"band hash not invariant under gain >> $shift")
+    val (otherId, nc2) = audio.find(_._1 != someId).get
+    val h2a = Multimodal.audioBandHash(otherId,
+      Multimodal.encodeBandWav(otherId, Multimodal.nSamples(nc2), 0))
+    assert(java.lang.Long.bitCount(full ^ h2a) > 3,
+      "unrelated clips should not collide at the dedup threshold")
+  }
 }
