@@ -132,6 +132,23 @@ object VersionChain {
     f.delete(); ()
   }
 
+  /** `q_compact_manifest`'s cumulative-split bin plan (day → bin):
+    * deterministic in the table content only, so a streaming twin
+    * that ingested the same rows derives the same plan — the shared
+    * kernel StreamingSpec's maintenance twin compacts with. */
+  def binPlan(v0: DataFrame): DataFrame = {
+    val man = v0.groupBy("day")
+      .agg(sum(lit(24) + length(col("event_type"))).as("bytes"))
+    val tot = man.agg(sum("bytes").as("total"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    man.crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum("bytes").over(wCum), lit(0L)))
+      .withColumn("bin", expr("cum_before div (total div 8 + 1)"))
+      .select(col("day"), col("bin"))
+  }
+
   private def commit(spark: SparkSession, dir: String,
                      root: String): Unit = {
     import spark.implicits._
@@ -145,17 +162,7 @@ object VersionChain {
     val v0 = SideCache.persist(spark.read.parquet(s"$root/gen0"))
     val n0 = v0.count()
     // ---- v1: compact (q_compact_manifest's cumulative split)
-    val man = v0.groupBy("day")
-      .agg(sum(lit(24) + length(col("event_type"))).as("bytes"))
-    val tot = man.agg(sum("bytes").as("total"))
-    val wCum = org.apache.spark.sql.expressions.Window.orderBy("day")
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val plan = man.crossJoin(broadcast(tot))
-      .withColumn("cum_before", coalesce(sum("bytes").over(wCum), lit(0L)))
-      .withColumn("bin", expr("cum_before div (total div 8 + 1)"))
-      .select(col("day"), col("bin"))
-    v0.join(broadcast(plan), Seq("day"))
+    v0.join(broadcast(binPlan(v0)), Seq("day"))
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(s"$root/gen1")
     val v1 = SideCache.persist(spark.read.parquet(s"$root/gen1"))

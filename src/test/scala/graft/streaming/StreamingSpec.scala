@@ -585,6 +585,93 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming maintenance twin: micro-batch generation commits converge to the batch chain; snapshot reads stay stable mid-stream") {
+    // the ingest -> compact -> sweep lifecycle run LIVE: event
+    // micro-batches each commit a NEW immutable ingest generation via
+    // foreachBatch (cumulative snapshot + a manifest row — the
+    // VersionChain model), then the post-stream compact + retention
+    // commits use the SAME shared kernel (VersionChain.binPlan). Two
+    // contracts: (1) an asOf(0) reader captured after the FIRST
+    // commit is bit-stable while later versions commit (snapshot
+    // isolation — old generations are never mutated), and (2) the
+    // final retained generation is bit-equal, including bin
+    // assignment, to the batch chain's gen2.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_stream_maint"
+    graft.ops.VersionChain.rmTree(new java.io.File(root))
+    val allRows = graft.tables.Tables.events(s, sf0001)
+      .select(col("event_id"), col("event_type"),
+        coalesce(graft.ops.Num.cents(col("value")), lit(-1L)).as("vc"),
+        to_date(col("ts")).as("day"))
+      .as[(Long, String, Long, java.sql.Date)].collect().toSeq
+      .sortBy(_._4.getTime) // arrival roughly by day, like an ingest
+    assert(allRows.nonEmpty)
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val in = MemoryStream[(Long, String, Long, java.sql.Date)]
+    val q = in.toDF().toDF("event_id", "event_type", "vc", "day")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = log.size.toLong
+        val cur =
+          if (log.isEmpty) batch
+          else s.read.parquet(s"$root/${log.last._2}").unionByName(batch)
+        cur.repartition(col("day"))
+          .write.mode("overwrite").partitionBy("day")
+          .parquet(s"$root/ing$v")
+        log += ((v, s"ing$v")) // the manifest row: commit AFTER the write
+        ()
+      }
+      .start()
+    def asOf(v: Long): Seq[Seq[Any]] = {
+      val p = log.filter(_._1 <= v).maxBy(_._1)._2
+      s.read.parquet(s"$root/$p")
+        .select("event_id", "event_type", "vc", "day")
+        .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    }
+    try {
+      val chunks = allRows.grouped(math.max(allRows.length / 3, 1)).toSeq
+      in.addData(chunks.head); q.processAllAvailable()
+      assert(log.size === 1)
+      // MID-STREAM: pin the v0 snapshot, then let later versions commit
+      val snap0 = asOf(0)
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      assert(log.size >= 2, "later versions must have committed")
+      // (1) snapshot-stable read: v0 resolves to the SAME generation
+      // and the SAME bits, untouched by the later commits
+      assert(asOf(0) === snap0,
+        "an asOf(0) reader drifted while later versions committed")
+      // the stream ingested everything, cumulatively
+      assert(asOf(Long.MaxValue).size === allRows.size)
+    } finally q.stop()
+    // ---- post-stream maintenance on the final ingest generation,
+    // with the SAME shared kernel the batch chain commits with
+    val v0full = s.read.parquet(s"$root/${log.last._2}")
+    v0full.join(broadcast(graft.ops.VersionChain.binPlan(v0full)),
+        Seq("day"))
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/comp")
+    val comp = s.read.parquet(s"$root/comp")
+    comp.filter(dayofmonth(col("day")) <= 20)
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(s"$root/ret")
+    // (2) bit-equality with the batch chain's retained generation,
+    // INCLUDING the bin assignment
+    val shared = graft.ops.VersionChain.ensure(s, sf0001)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("event_type"), col("vc"), col("day"),
+          col("bin").cast("long"))
+        .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    val got = keyed(s.read.parquet(s"$root/ret"))
+    val expected = keyed(s.read.parquet(s"$shared/gen2"))
+    assert(got.nonEmpty)
+    assert(got === expected,
+      "streamed lifecycle end-state diverged from the batch chain")
+    graft.ops.SideCache.releaseAll()
+  }
+
   test("intervalJoin batch twin produces the same matches") {
     val s = spark
     import s.implicits._
