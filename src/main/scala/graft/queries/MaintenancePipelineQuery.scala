@@ -436,8 +436,135 @@ object MaintenancePipelineQuery {
        |  0
        |ORDER BY from_v""".stripMargin
 
+  // ------------------------------------------------------ merge upsert
+
+  /** `q_merge_upsert` — MERGE INTO, the write-side API the
+    * change-data-feed tier implies (Delta/Iceberg MERGE): one delta
+    * batch carrying inserts, updates, and deletes applies to a keyed
+    * stored table in a SINGLE commit that writes (a) a new immutable
+    * generation and (b) the commit's CDF delta. Source rows against
+    * the customer dimension: updates for custkey ≡ 3 (mod 10), a
+    * DELETE-wins precedence for keys also matching the delete set
+    * (custkey ≡ 0 mod 13 — standard WHEN MATCHED ordering), inserts
+    * under custkey + 10⁶ for custkey ≡ 1 (mod 50). The new generation
+    * is survivors-with-updates ∪ inserts (one broadcast-delta pass
+    * over the base — the delta is small by law, the base never
+    * shuffles); the CDF records remove/update_pre/update_post/insert
+    * rows. Output: per-change-type accounting + the final table's
+    * checksum triple, all predicted by the oracle from the raw
+    * customer table — a MERGE that dropped the wrong row or recorded
+    * the wrong feed hash-fails. MergeUpsertSpec REPLAYS the stored
+    * CDF onto the stored base generation and demands bit-equality
+    * with the stored result generation — the feed is a lossless
+    * description of the commit.
+    *
+    * Scale shape: one broadcast anti/left join per tier over a single
+    * base scan; CDF is change-proportional; accounting is map-side. */
+  private def mergeRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_merge"
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = mergeRoot
+    val base = graft.tables.Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        col("c_nationkey").cast("long").as("nation"),
+        coalesce(Num.cents(col("c_acctbal")), lit(-1L)).as("bal"))
+    base.coalesce(4).write.mode("overwrite").parquet(s"$root/gen0")
+    val g0 = graft.ops.SideCache.persist(spark.read.parquet(s"$root/gen0"))
+    g0.count()
+    // the MERGE source: delete wins over update on overlapping keys
+    val delKeys = g0.filter(col("custkey") % 13 === 0).select("custkey")
+    val updates = g0.filter(col("custkey") % 10 === 3 &&
+        col("custkey") % 13 =!= 0)
+      .select(col("custkey"), col("nation"), (col("bal") + 500L).as("bal"))
+    val inserts = g0.filter(col("custkey") % 50 === 1)
+      .select((col("custkey") + 1000000L).as("custkey"), col("nation"),
+        lit(1111L).as("bal"))
+    // apply: survivors minus deletes, updates overlaid, inserts added
+    val survivors = g0.join(broadcast(delKeys), Seq("custkey"), "left_anti")
+    val updated = survivors
+      .join(broadcast(updates.select(col("custkey"),
+        col("bal").as("new_bal"))), Seq("custkey"), "left")
+      .select(col("custkey"), col("nation"),
+        coalesce(col("new_bal"), col("bal")).as("bal"))
+    updated.unionAll(inserts)
+      .coalesce(4).write.mode("overwrite").parquet(s"$root/gen1")
+    // the commit's CDF delta (the writer KNOWS its change set)
+    def asCdf(change: String, df: DataFrame): DataFrame =
+      df.select(lit(change).as("change_type"), col("custkey"),
+        col("nation"), col("bal"))
+    asCdf("remove", g0.join(broadcast(delKeys), Seq("custkey"), "left_semi"))
+      .unionAll(asCdf("update_pre",
+        g0.join(broadcast(updates.select("custkey")), Seq("custkey"),
+          "left_semi")))
+      .unionAll(asCdf("update_post", updates))
+      .unionAll(asCdf("insert", inserts))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/cdf/v1")
+    // accounting: the feed + the final state, both from STORED tables
+    val feed = spark.read.parquet(s"$root/cdf/v1")
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(custkey)"), lit(0L)).as("key_xor"),
+        coalesce(sum("bal"), lit(0L)).as("bal_sum"))
+      .select(col("change_type"), col("n_rows"), col("key_xor"),
+        col("bal_sum"))
+    val fin = spark.read.parquet(s"$root/gen1")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(custkey)"), lit(0L)).as("key_xor"),
+        coalesce(sum("bal"), lit(0L)).as("bal_sum"))
+      .select(lit("zz_final").as("change_type"), col("n_rows"),
+        col("key_xor"), col("bal_sum"))
+    feed.unionAll(fin).orderBy("change_type")
+  }
+
+  private val mergeUpsertSql =
+    s"""WITH base AS (
+       |  SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nation,
+       |    COALESCE(${NumSql.cents("c_acctbal")}, -1) AS bal
+       |  FROM customer),
+       |dels AS (SELECT custkey FROM base WHERE custkey % 13 = 0),
+       |upds AS (
+       |  SELECT custkey, nation, bal + 500 AS bal FROM base
+       |  WHERE custkey % 10 = 3 AND custkey % 13 <> 0),
+       |ins AS (
+       |  SELECT custkey + 1000000 AS custkey, nation, 1111 AS bal
+       |  FROM base WHERE custkey % 50 = 1),
+       |merged AS (
+       |  SELECT b.custkey, b.nation, COALESCE(u.bal, b.bal) AS bal
+       |  FROM base b LEFT JOIN upds u USING (custkey)
+       |  WHERE b.custkey % 13 <> 0
+       |  UNION ALL SELECT * FROM ins),
+       |rows_ AS (
+       |  SELECT 'remove' AS change_type, COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT) AS key_xor,
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT) AS bal_sum
+       |  FROM base WHERE custkey % 13 = 0
+       |  UNION ALL
+       |  SELECT 'update_pre', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |  FROM base WHERE custkey % 10 = 3 AND custkey % 13 <> 0
+       |  UNION ALL
+       |  SELECT 'update_post', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |  FROM upds
+       |  UNION ALL
+       |  SELECT 'insert', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |  FROM ins
+       |  UNION ALL
+       |  SELECT 'zz_final', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |  FROM merged)
+       |SELECT change_type, n_rows, key_xor, bal_sum
+       |FROM rows_ ORDER BY change_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
+    Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     Q("q_vacuum", vacuum, Some(vacuumSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
