@@ -1203,6 +1203,99 @@ object TextQueries {
        |GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  /** TRAIN/EVAL SPLIT LEAKAGE audit — the contamination measurement
+    * that motivates group-aware splitting (`q_group_split`'s "why"):
+    * a benchmark built from a random per-document split leaks
+    * whenever a near-duplicate pair straddles the boundary — the
+    * model has effectively seen the eval document. Over the simhash
+    * near-dup pair graph (`q_dedup_simhash`'s kernel), two schemes
+    * under one hash:
+    *
+    *  - `naive`: hash-of-doc_id 80/20 split — near-dup pairs land
+    *    cross-split at the base rate (~2·0.8·0.2), the leak;
+    *  - `grouped`: split by the pair-graph COMPONENT id
+    *    ([[Dedup.wccStar]] labels — near-dup closure), so every
+    *    component lands wholly in one split and cross-pairs are ZERO
+    *    BY CONSTRUCTION — the zero is inside the hash, not just a
+    *    spec assertion.
+    *
+    * Output per scheme: cross / within-train / within-eval pair
+    * counts + leak_pm. Scale shape: the pair graph is the already-
+    * bounded LSH output; labels are output-proportional and broadcast
+    * back onto the pairs; accounting is one map-side aggregate per
+    * scheme. */
+  private def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val prs = graft.ops.SideCache.persist(
+      Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
+        .select("id_a", "id_b"))
+    prs.count()
+    val labels = graft.ops.SideCache.persist(Dedup.wccStar(prs))
+    labels.count()
+    def sp(c: Column): Column =
+      pmod(graft.functions.F.polyHash(c.cast("string")), lit(10L))
+    def acct(scheme: String, df: DataFrame, sa: Column,
+             sb: Column): DataFrame =
+      df.agg(
+          coalesce(sum(when((sa < 8) =!= (sb < 8), 1L).otherwise(0L)),
+            lit(0L)).as("n_cross"),
+          coalesce(sum(when(sa < 8 && sb < 8, 1L).otherwise(0L)),
+            lit(0L)).as("n_train"),
+          coalesce(sum(when(sa >= 8 && sb >= 8, 1L).otherwise(0L)),
+            lit(0L)).as("n_eval"),
+          count(lit(1)).as("n_pairs"))
+        .select(lit(scheme).as("scheme"), col("n_cross"), col("n_train"),
+          col("n_eval"), col("n_pairs"),
+          expr("(1000 * n_cross) div n_pairs").as("leak_pm"))
+    val naive = acct("naive", prs, sp(col("id_a")), sp(col("id_b")))
+    val grp = prs
+      .join(broadcast(labels.select(col("doc_id").as("id_a"),
+        col("cluster_id").as("ca"))), Seq("id_a"))
+      .join(broadcast(labels.select(col("doc_id").as("id_b"),
+        col("cluster_id").as("cb"))), Seq("id_b"))
+    val grouped = acct("grouped", grp, sp(col("ca")), sp(col("cb")))
+    naive.unionAll(grouped).orderBy("scheme")
+  }
+
+  private lazy val splitLeakageSql = {
+    val pairCtes = dedupSimhashSql
+      .stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT id_a, id_b, hamming FROM \\(.*$", "")
+    def sp(e: String) = s"${OracleSqlFrag.poly(s"CAST($e AS VARCHAR)")} % 10"
+    s"""WITH RECURSIVE $pairCtes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id
+       |), cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), sided AS (
+       |  SELECT 'naive' AS scheme, ${sp("p.id_a")} AS sa, ${sp("p.id_b")} AS sb
+       |  FROM prs p
+       |  UNION ALL
+       |  SELECT 'grouped', ${sp("ca.cluster_id")}, ${sp("cb.cluster_id")}
+       |  FROM prs p
+       |  JOIN cl ca ON ca.doc_id = p.id_a
+       |  JOIN cl cb ON cb.doc_id = p.id_b)
+       |SELECT scheme,
+       |  CAST(COUNT(*) FILTER ((sa < 8) <> (sb < 8)) AS BIGINT) AS n_cross,
+       |  CAST(COUNT(*) FILTER (sa < 8 AND sb < 8) AS BIGINT) AS n_train,
+       |  CAST(COUNT(*) FILTER (sa >= 8 AND sb >= 8) AS BIGINT) AS n_eval,
+       |  COUNT(*) AS n_pairs,
+       |  CAST((1000 * COUNT(*) FILTER ((sa < 8) <> (sb < 8))) // COUNT(*)
+       |    AS BIGINT) AS leak_pm
+       |FROM sided GROUP BY scheme ORDER BY scheme""".stripMargin
+  }
+
   /** N-gram language-model fluency score (CCNet/Gopher-style quality
     * filter): corpus bigram frequencies → per-document average
     * log-frequency. Fluent text reuses common bigrams (high score);
@@ -2347,6 +2440,7 @@ object TextQueries {
     Q("q_chunking", chunking, Some(chunkingSql)),
     Q("q_delta_ingest_stored", deltaIngestStored, Some(deltaIngestStoredSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
+    Q("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
     Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),
