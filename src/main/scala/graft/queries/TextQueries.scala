@@ -2237,6 +2237,82 @@ object TextQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** HTML/boilerplate STRIP — the extraction pass every web-scraped
+    * corpus runs before any text analysis (the trafilatura/jusText
+    * stage, distilled to its deterministic core): drop script / style
+    * / nav / footer ELEMENTS with their content (boilerplate), drop
+    * comments, strip remaining tags keeping their text content,
+    * collapse whitespace. The corpus is plain text, so deterministic
+    * markup is PLANTED first (three wrapper shapes by doc_id mod 4 —
+    * full page with head/style/nav, div with script/footer, trailing
+    * comment fragment; the `q_pii_scrub` pattern): the query proves
+    * the stripper, not the corpus. Both engines run the SAME regex
+    * chain (lazy quantifiers + (?s), supported by java.util.regex and
+    * RE2 alike; no backreferences — RE2 has none). Output keeps
+    * (raw_len, clean_len, boiler_pm, 24-char tail) — enough to pin
+    * every planted case cross-engine without shipping the corpus
+    * through the ledger. Scan-speed projection; zero shuffle. */
+  private def htmlStrip(spark: SparkSession, dir: String): DataFrame = {
+    val planted = when(col("doc_id") % 4 === 0, concat(
+        lit("<html><head><title>T</title><style>body{margin:0}</style>" +
+          "</head><body><h1>Heading</h1><p>"), col("text"),
+        lit("</p><nav><a href=\"/a\">home</a> <a href=\"/b\">about</a>" +
+          "</nav></body></html>")))
+      .when(col("doc_id") % 4 === 1, concat(
+        lit("<div class=\"main\"><script>var x = 1;</script><p>"),
+        col("text"), lit("</p><footer>(c) example site</footer></div>")))
+      .when(col("doc_id") % 4 === 2,
+        concat(col("text"), lit("<br/><!-- trailing comment -->")))
+      .otherwise(col("text"))
+    val noBlocks = Seq("script", "style", "nav", "footer")
+      .foldLeft(planted) { (acc, t) =>
+        regexp_replace(acc, s"(?s)<$t[^>]*>.*?</$t>", " ")
+      }
+    val clean = trim(regexp_replace(
+      regexp_replace(regexp_replace(noBlocks, "(?s)<!--.*?-->", " "),
+        "<[^>]*>", " "),
+      "[ \t\n\r]+", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(planted).cast("long").as("raw_len"),
+        length(clean).cast("long").as("clean_len"), clean.as("c"))
+      .select(col("doc_id"), col("raw_len"), col("clean_len"),
+        expr("(1000 * (raw_len - clean_len)) div raw_len").as("boiler_pm"),
+        expr("right(c, 24)").as("clean_tail"))
+      .orderBy("doc_id")
+  }
+
+  private val htmlStripSql =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      '<html><head><title>T</title><style>body{margin:0}</style></head><body><h1>Heading</h1><p>'
+      |        || text ||
+      |      '</p><nav><a href="/a">home</a> <a href="/b">about</a></nav></body></html>'
+      |    WHEN doc_id % 4 = 1 THEN
+      |      '<div class="main"><script>var x = 1;</script><p>' || text ||
+      |      '</p><footer>(c) example site</footer></div>'
+      |    WHEN doc_id % 4 = 2 THEN text || '<br/><!-- trailing comment -->'
+      |    ELSE text END AS raw
+      |  FROM documents),
+      |cleaned AS (
+      |  SELECT doc_id, raw,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      regexp_replace(regexp_replace(regexp_replace(raw,
+      |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      |      '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+      |      '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+      |      '(?s)<!--.*?-->', ' ', 'g'),
+      |      '<[^>]*>', ' ', 'g'),
+      |      '[ \t\n\r]+', ' ', 'g')) AS c
+      |  FROM planted)
+      |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+      |  CAST(length(c) AS BIGINT) AS clean_len,
+      |  CAST((1000 * (length(raw) - length(c))) // length(raw) AS BIGINT)
+      |    AS boiler_pm,
+      |  right(c, 24) AS clean_tail
+      |FROM cleaned ORDER BY doc_id""".stripMargin
+
   /** In-engine trained multinomial Naive Bayes language classifier —
     * train and predict are BOTH relational plans, so "fit a model on
     * 100 TB" is just aggregation: the model IS a small table. Split:
@@ -2405,6 +2481,7 @@ object TextQueries {
 
   val all: Seq[Q] = Seq(
     Q("q_text_normalize", textNormalize, Some(textNormalizeSql)),
+    Q("q_html_strip", htmlStrip, Some(htmlStripSql)),
     Q("q_nb_classify", nbClassify, Some(nbClassifySql)),
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
