@@ -312,7 +312,53 @@ object ExtensionQueries {
           .mkString(",\n")}
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** BUCKETED co-located join — the scale technique for REPEATED
+    * fact⋈fact joins on one key where neither side broadcasts:
+    * both tables are written `bucketBy(8, custkey)` + `sortBy` into
+    * the session catalog (Spark's persisted bucketing: each bucket
+    * file holds one hash slice of the key space), so the sort-merge
+    * join consumes both scans' existing distribution and the plan
+    * carries NO shuffle exchange at all (ScaleTechniquesSpec asserts
+    * it on these real fixture tables; at 100 TB this converts every
+    * repeated join on the bucket key from a full-table shuffle into
+    * a local merge). A `merge` join hint pins the SMJ strategy (a
+    * session-conf toggle would not survive the lazy plan — strategy
+    * resolves at action time; and at real scale neither side
+    * broadcasts anyway). Output: the per-nation order rollup through
+    * the bucketed join, oracled by a plain SQL join. */
+  private def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"),
+        col("c_nationkey").cast("long").as("nation"))
+      .write.mode("overwrite").option("path", s"$wh/cust")
+      .bucketBy(8, "custkey").sortBy("custkey")
+      .saveAsTable("graft_bkt_cust")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"),
+        coalesce(Num.cents(col("o_totalprice")), lit(0L)).as("pc"))
+      .write.mode("overwrite").option("path", s"$wh/ord")
+      .bucketBy(8, "custkey").sortBy("custkey")
+      .saveAsTable("graft_bkt_ord")
+    spark.table("graft_bkt_cust").hint("merge")
+      .join(spark.table("graft_bkt_ord"), Seq("custkey"))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_orders"), sum("pc").as("sum_cents"),
+        countDistinct("custkey").as("n_cust"))
+      .orderBy("nation")
+  }
+
+  private val joinBucketedSql =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  COUNT(*) AS n_orders,
+       |  CAST(SUM(COALESCE(${NumSql.cents("o_totalprice")}, 0)) AS BIGINT)
+       |    AS sum_cents,
+       |  COUNT(DISTINCT c_custkey) AS n_cust
+       |FROM customer JOIN orders ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("q_join_bucketed", joinBucketed, Some(joinBucketedSql)),
     Q("q_rollup", rollupPricing, Some(rollupPricingSql)),
     Q("q_grouping_sets", groupingSetsPricing, Some(groupingSetsPricingSql)),
     Q("q_approx_distinct", approxDistinct, None),

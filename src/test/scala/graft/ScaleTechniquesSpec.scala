@@ -41,6 +41,17 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_join_bucketed: the registered query's join consumes bucketing — no exchange on the join key") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the only exchanges allowed are the post-join aggregation's
+    // (nation) and the presentation sort — never the join key
+    assert(!plan.contains("hashpartitioning(custkey"),
+      s"bucketed join still shuffled on the join key:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("spatial join plans as an equi hash join on grid cells, never a nested loop") {
     val df = SparkEntry.queries("q_spatial_join")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
