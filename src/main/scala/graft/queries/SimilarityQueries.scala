@@ -513,6 +513,33 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
+  /** SEGMENT MERGE serve — the consolidation step completing the
+    * stored-index lifecycle (build → serve → upsert → delete →
+    * MERGE): the upsert tier accumulates delta segments, each costing
+    * a partition-discovered read per serve and fragmenting bucket
+    * files; [[Similarity.ivfPqMergeSegments]] unions base + delta
+    * into ONE `codes_all` segment (quantizers frozen and shared, so
+    * the merge is a pure re-layout; one repartition(cid) exchange,
+    * bucket partitioning preserved). Serving from the merged segment
+    * must be BIT-EQUAL to serving from the parts — the oracle IS
+    * `q_ann_upsert`'s (same corpus split, same parameters), so any
+    * row the merge lost, duplicated, or re-bucketed hash-fails.
+    * AnnMergeSpec additionally pins the on-disk layout (cid dirs,
+    * n_base + n_delta = n_merged), the single-segment serve plan with
+    * DPP intact, and bit-equality with the two-segment serve. */
+  private def annMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_merge"
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
+    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    Similarity.ivfPqMergeSegments(spark, path,
+      Seq("codes", "codes_delta"), "codes_all")
+    Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes_all"))
+      .orderBy("qid", "rank")
+  }
+
   /** Right-to-be-forgotten for the SERVING tier — the missing half of
     * `q_delete_propagate`'s cascade (round-11 verdict, "What's
     * missing" #1): tombstoned vectors must stop being retrievable
@@ -1456,6 +1483,7 @@ object SimilarityQueries {
     Q("q_ann_rerank", annRerank, Some(annRerankSql)),
     Q("q_ann_serve", annServe, Some(annRerankSql)),
     Q("q_ann_upsert", annUpsert, Some(annUpsertSql)),
+    Q("q_ann_merge", annMerge, Some(annUpsertSql)),
     Q("q_ann_delete", annDelete, Some(annDeleteSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),

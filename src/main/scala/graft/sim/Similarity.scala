@@ -711,6 +711,35 @@ object Similarity {
     livePaths.map(_._2)
   }
 
+  /** SEGMENT MERGE — the consolidation step the delta-upsert tier
+    * creates the need for ([[ivfPqUpsertDelta]] accumulates small
+    * delta segments; every serve pays one partition-discovered read
+    * PER segment, and tiny deltas fragment the bucket files): union
+    * the listed segments into ONE target segment with the bucket
+    * (cid) partitioning preserved — quantizers are FROZEN and shared
+    * by construction, so the merge is a pure re-layout: serving from
+    * the merged segment is bit-equal to serving from the parts
+    * (q_ann_merge's oracle proves it end-to-end). Every source
+    * segment's code width is validated against the stored meta (the
+    * [[IndexMeta]] contract) so a foreign-shape segment can never be
+    * silently absorbed. One repartition(cid) exchange total — the
+    * Lucene segment-merge cost model. */
+  def ivfPqMergeSegments(spark: org.apache.spark.sql.SparkSession,
+                         path: String, segments: Seq[String],
+                         target: String): Unit = {
+    val meta = readIndexMeta(spark, path)
+    val merged = segments.map { seg =>
+      val df = spark.read.parquet(s"$path/$seg")
+      val w = df.select(size(col("codes"))).head().getInt(0)
+      require(w == meta.m,
+        s"segment $seg has $w-wide codes but index meta at $path says " +
+          s"m=${meta.m} — refusing to merge a foreign-shape segment")
+      df.select(col("vec_id"), col("codes"), col("cid").cast("long").as("cid"))
+    }.reduce(_ unionAll _)
+    merged.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$target")
+  }
+
   /** SERVE-MANY: two-stage retrieval ([[ivfPqRerank]]'s contract)
     * answered FROM the index persisted by [[ivfPqIndexWrite]] —
     * stage 1 scans the STORED codes table (never the embeddings);

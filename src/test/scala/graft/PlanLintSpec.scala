@@ -21,6 +21,9 @@ class PlanLintSpec extends SparkSpec {
     // q_ann_rerank (queries x |C| centroids), stage 1 scans the
     // persisted codes table (q_ann_upsert adds the delta segment)
     "q_ann_serve", "q_ann_upsert",
+    // segment merge: same serve plan as q_ann_upsert over the single
+    // consolidated segment
+    "q_ann_merge",
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",

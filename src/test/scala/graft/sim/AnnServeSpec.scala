@@ -119,6 +119,48 @@ class AnnServeSpec extends SparkSpec {
     assert(e2.getMessage.contains("meta"))
   }
 
+  test("q_ann_merge: merged segment bit-equals the two-segment serve; layout + DPP intact") {
+    import spark.implicits._
+    val merged = SparkEntry.queries("q_ann_merge")(spark, sf0001)
+    val got = merged.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got.nonEmpty)
+    // bit-equality with the two-segment serve over the same index
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_merge"
+    val two = Similarity.ivfPqServeStored(
+        Tables.embeddings(spark, sf0001), root, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got === two, "merged serve diverged from the segment parts")
+    // the merge preserved every row and the bucket layout
+    def ids(p: String) = spark.read.parquet(s"$root/$p")
+      .select("vec_id").as[Long].collect().toSeq
+    val base = ids("codes"); val delta = ids("codes_delta")
+    val all = ids("codes_all")
+    assert(all.size === base.size + delta.size)
+    assert(all.toSet === (base ++ delta).toSet)
+    val dirs = new java.io.File(s"$root/codes_all")
+      .listFiles().count(_.getName.startsWith("cid="))
+    assert(dirs > 1, "merged segment lost its cid partitioning")
+    // the serve plan reads ONLY the merged segment, with DPP
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("codes_all"))
+    assert(!plan.contains("codes_delta"),
+      "merged serve must not scan the source segments")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "merged-segment serve lost dynamic partition pruning")
+    // a foreign-shape segment can never be absorbed
+    val m4root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_meta/m4"
+    if (new java.io.File(s"$m4root/codes").exists()) {
+      spark.read.parquet(s"$m4root/codes").write.mode("overwrite")
+        .parquet(s"$root/codes_m4")
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfPqMergeSegments(spark, root,
+          Seq("codes", "codes_m4"), "codes_bad_all")
+      }
+      assert(e.getMessage.contains("foreign-shape"))
+    }
+  }
+
   test("the stored codes table is bucket-partitioned (one dir per cid)") {
     SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
     val codesDir = new java.io.File(
