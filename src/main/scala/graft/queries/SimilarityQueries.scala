@@ -513,6 +513,84 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
+  /** LATE-INTERACTION retrieval (ColBERT's MaxSim, distilled to its
+    * relational core): each vector is treated as 4 sub-vectors of 16
+    * dims (the "token embeddings" of a multi-vector document);
+    * score(q, d) = Σ over query sub-vectors of the MAX cosine against
+    * any document sub-vector — 16 sub-cosines per pair, so a document
+    * matching any facet of the query scores, where single-vector
+    * cosine averages facets away. Exact-parity arithmetic: every
+    * sub-cosine is the sequential-double dot/norm fold, `greatest`
+    * is an exact comparison, and the 4 maxes add left-to-right in
+    * both engines — the whole score is bit-reproducible, quantized
+    * ×10⁴ only at the output boundary.
+    *
+    * Scale shape: exactly `bruteTopK`'s — per-vector sub-norms are a
+    * scan-side projection, the query set broadcasts, scoring is one
+    * corpus pass (16 fused dot products per row, still
+    * codegen-friendly), top-k per qid via a partitioned window. The
+    * IVF route applies unchanged if sub-vector 0 is used for coarse
+    * routing. */
+  private def multiVector(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val F = graft.functions.F
+    def sub(c: org.apache.spark.sql.Column, m: Int) = slice(c, m * 16 + 1, 16)
+    val emb = Tables.embeddings(spark, dir)
+    val v = emb.select(Seq(col("vec_id"), col("embedding")) ++
+      (0 until 4).map(m =>
+        F.vecNorm(sub(col("embedding"), m)).as(s"n$m")): _*)
+    val q = v.filter(col("vec_id") % 50 === 0)
+      .select(Seq(col("vec_id").as("qid"), col("embedding").as("qvec")) ++
+        (0 until 4).map(m => col(s"n$m").as(s"qn$m")): _*)
+    val score = (0 until 4).map { i =>
+      greatest((0 until 4).map { j =>
+        F.vecDot(sub(col("qvec"), i), sub(col("embedding"), j)) /
+          (col(s"qn$i") * col(s"n$j"))
+      }: _*)
+    }.reduce(_ + _)
+    v.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", score)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"), col("rank"),
+        floor(col("sim") * 10000 + lit(0.5)).cast("long").as("sim_x10k"))
+      .orderBy("qid", "rank")
+  }
+
+  private val multiVectorSql = {
+    def sub(e: String, m: Int) =
+      s"list_slice($e, ${m * 16 + 1}, ${m * 16 + 16})"
+    val norms = (0 until 4)
+      .map(m => s"${norm(sub("embedding", m))} AS n$m").mkString(",\n    ")
+    val score = (0 until 4).map { i =>
+      "GREATEST(" + (0 until 4).map { j =>
+        s"${dot(sub("q.qvec", i), sub("b.embedding", j))} / (q.qn$i * b.n$j)"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    $norms
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS qid, embedding AS qvec,
+       |    n0 AS qn0, n1 AS qn1, n2 AS qn2, n3 AS qn3
+       |  FROM v WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.qid, b.vec_id, $score AS sim
+       |  FROM q CROSS JOIN v b WHERE b.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+       |      AS rnk
+       |  FROM scored)
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(sim * 10000 + 0.5) AS BIGINT) AS sim_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** SEGMENT MERGE serve — the consolidation step completing the
     * stored-index lifecycle (build → serve → upsert → delete →
     * MERGE): the upsert tier accumulates delta segments, each costing
@@ -1484,6 +1562,7 @@ object SimilarityQueries {
     Q("q_ann_serve", annServe, Some(annRerankSql)),
     Q("q_ann_upsert", annUpsert, Some(annUpsertSql)),
     Q("q_ann_merge", annMerge, Some(annUpsertSql)),
+    Q("q_multi_vector", multiVector, Some(multiVectorSql)),
     Q("q_ann_delete", annDelete, Some(annDeleteSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),

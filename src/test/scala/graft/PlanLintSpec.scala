@@ -24,6 +24,9 @@ class PlanLintSpec extends SparkSpec {
     // segment merge: same serve plan as q_ann_upsert over the single
     // consolidated segment
     "q_ann_merge",
+    // late-interaction MaxSim: the query set broadcasts against the
+    // corpus scan (bruteTopK's cross)
+    "q_multi_vector",
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",
