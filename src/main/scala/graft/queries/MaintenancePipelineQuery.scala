@@ -363,6 +363,90 @@ object MaintenancePipelineQuery {
        |FROM base WHERE EXTRACT(day FROM day) <= 20 AND event_id % 7 = 0
        |ORDER BY version, change_type""".stripMargin
 
+  // ------------------------------------------------- partition evolution
+
+  /** `q_partition_evolution` — PARTITION-SPEC evolution (Iceberg's
+    * headline trick, distilled): the same fact re-committed under a
+    * COARSER partition spec (day → 10-day period; the fixture's
+    * events span one month at every SF, so "month" would be a
+    * degenerate single partition) as a new immutable generation, with
+    * the spec recorded per commit in the manifest. The day layout was
+    * right for hourly ingest (small daily rewrites); at query time
+    * period-grain scans pay \|days\| dirs of
+    * listing overhead — the period generation fixes that WITHOUT
+    * rewriting history or breaking old readers (they resolve their
+    * pinned version's spec through the manifest). The output emits
+    * each generation's checksum triple under its own spec's partition
+    * count — identical xor/content across versions IS the proof the
+    * re-spec preserved every row. PartitionEvolutionSpec pins the
+    * pruning semantics both ways: a day filter prunes gen0 to one
+    * directory, a period filter prunes gen1 to one directory, and a
+    * day filter on gen1 honestly CANNOT prune (it scans the whole
+    * period — the cost a spec change trades away).
+    *
+    * Scale shape: one repartition exchange per re-spec commit (paid
+    * once — content-keyed skip like [[VersionChain]]); reads are
+    * generation scans with file-listing-level pruning under each
+    * generation's own spec. */
+  private def peRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_part_evo"
+
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = peRoot
+    val base = graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
+        to_date(col("ts")).as("day"))
+      .withColumn("period",
+        concat(lit("p"), expr("(dayofmonth(day) - 1) div 10")))
+    base.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$root/gen0")
+    base.repartition(col("period"))
+      .write.mode("overwrite").partitionBy("period").parquet(s"$root/gen1")
+    Seq((0L, "day", "gen0"), (1L, "period", "gen1"))
+      .toDF("version", "spec", "path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    val log = spark.read.parquet(s"$root/manifest")
+      .select(col("version"), col("spec"), col("path"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    log.map { case (v, spec, p) =>
+      spark.read.parquet(s"$root/$p").withColumn("h", rowHash)
+        .agg(countDistinct(col(spec)).as("n_parts"),
+          count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("content_sum"))
+        .select(lit(v).as("version"), lit(spec).as("spec"),
+          col("n_parts"), col("n_rows"), col("xor_hash"),
+          col("content_sum"))
+    }.reduce(_ unionAll _).orderBy("version")
+  }
+
+  private val partitionEvolutionSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |hashed AS (
+       |  SELECT *, 'p' || CAST((EXTRACT(day FROM day) - 1) // 10 AS VARCHAR)
+       |    AS period, $h AS h FROM base)
+       |SELECT CAST(0 AS BIGINT) AS version, 'day' AS spec,
+       |  COUNT(DISTINCT day) AS n_parts, COUNT(*) AS n_rows,
+       |  CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash,
+       |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS content_sum
+       |FROM hashed
+       |UNION ALL
+       |SELECT 1, 'period', COUNT(DISTINCT period), COUNT(*),
+       |  CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |  CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |FROM hashed
+       |ORDER BY version""".stripMargin
+  }
+
   // -------------------------------------------------------- version diff
 
   /** `q_time_travel_diff` — ROW-LEVEL diff between STORED versions,
@@ -565,6 +649,7 @@ object MaintenancePipelineQuery {
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("q_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     Q("q_vacuum", vacuum, Some(vacuumSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
