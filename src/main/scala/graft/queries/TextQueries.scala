@@ -65,6 +65,79 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** QUALITY-FILTER tuning curve — the table a curation threshold is
+    * picked from (the `q_pr_curve` convention for the filter tier):
+    * for EVERY distinct quality score in the corpus (the score domain
+    * is bounded to [0, 100] by construction, so the curve is a
+    * bounded frame, not a corpus-proportional one), the documents and
+    * tokens that would SURVIVE a `quality ≥ t` filter, as counts and
+    * exact permille shares. Reading the curve top-down answers the
+    * operational question directly: "keeping only docs above t costs
+    * how many tokens?" — the doc-share and token-share columns
+    * diverge exactly when quality correlates with length, which this
+    * scorer's length term guarantees (spec pins the divergence).
+    *
+    * Scale shape: one scan to (quality, n_tok), a map-side-collapsing
+    * histogram to ≤101 rows, a cumulative window over that bounded
+    * grid, and a 1-row totals cross. */
+  private def qualityFilterSweep(spark: SparkSession, dir: String): DataFrame = {
+    val t = TF.tokens(col("text"))
+    val stops = TF.Lexicons.toMap.apply("en")
+    val scored = Tables.documents(spark, dir).select(
+        size(t).as("n_tok"), TF.lexiconCount(t, stops).as("stop_cnt"))
+      .select(col("n_tok").cast("long").as("n_tok"),
+        floor(lit(50.0) * least(col("n_tok"), lit(400)) / 400 +
+          lit(50.0) * col("stop_cnt") / col("n_tok") + lit(1e-6))
+          .cast("long").as("quality"))
+    val hist = scored.groupBy("quality")
+      .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+    val tot = hist.agg(sum("nd").as("td"), sum("nt").as("tt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_docs_ge", sum("nd").over(wCum))
+      .withColumn("n_tok_ge", sum("nt").over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("quality").as("thr"), col("n_docs_ge"), col("n_tok_ge"),
+        expr("(1000 * n_docs_ge) div td").as("doc_share_pm"),
+        expr("(1000 * n_tok_ge) div tt").as("tok_share_pm"))
+      .orderBy("thr")
+  }
+
+  private val qualityFilterSweepSql = {
+    val stops = TextFunctionsSql.lexicon("en")
+    s"""WITH scored AS (
+       |  SELECT CAST(n_tok AS BIGINT) AS n_tok,
+       |    CAST(floor(50.0 * LEAST(n_tok, 400) / 400 +
+       |      50.0 * stop_cnt / n_tok + 0.000001) AS BIGINT) AS quality
+       |  FROM (
+       |    SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        x -> list_contains($stops, x))) AS INT) AS stop_cnt
+       |    FROM documents)),
+       |hist AS (
+       |  SELECT quality, COUNT(*) AS nd, CAST(SUM(n_tok) AS BIGINT) AS nt
+       |  FROM scored GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(nd) AS BIGINT) AS td, CAST(SUM(nt) AS BIGINT) AS tt
+       |  FROM hist),
+       |cum AS (
+       |  SELECT quality,
+       |    CAST(SUM(nd) OVER (ORDER BY quality DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_docs_ge,
+       |    CAST(SUM(nt) OVER (ORDER BY quality DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS n_tok_ge
+       |  FROM hist)
+       |SELECT quality AS thr, n_docs_ge, n_tok_ge,
+       |  CAST((1000 * n_docs_ge) // td AS BIGINT) AS doc_share_pm,
+       |  CAST((1000 * n_tok_ge) // tt AS BIGINT) AS tok_share_pm
+       |FROM cum CROSS JOIN tot ORDER BY thr""".stripMargin
+  }
+
   /** Per-document character-level Shannon entropy (nats) — the classic
     * gibberish / low-character-diversity filter: encrypted blobs and
     * base64 spam score near ln(alphabet), single-char runs and
@@ -2499,6 +2572,7 @@ object TextQueries {
     Q("q_hash_vectorize", hashVectorize, Some(hashVectorizeSql)),
     Q("q_text_stats", textStats, Some(textStatsSql)),
     Q("q_quality_score", qualityScore, Some(qualityScoreSql)),
+    Q("q_quality_filter_sweep", qualityFilterSweep, Some(qualityFilterSweepSql)),
     Q("q_entropy", entropy, Some(entropySql)),
     Q("q_lang_id", langId, Some(langIdSql)),
     Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),

@@ -154,7 +154,10 @@ class PlanLintSpec extends SparkSpec {
     "q_join_salted",
     // |sources|² sketch-pair cross over KB-sized KMV rows — the
     // set-arithmetic stage is deliberately pair-wise
-    "q_kmv_overlap")
+    "q_kmv_overlap",
+    // quality-filter sweep: the 1-row totals aggregate crossed into
+    // the bounded (<=101-row) quality-grid curve
+    "q_quality_filter_sweep")
 
   /** Queries whose partition-less logical Windows run over frames
     * BOUNDED by a domain, not the corpus — the only shape where a
@@ -175,7 +178,9 @@ class PlanLintSpec extends SparkSpec {
     "q_survival",
     // rank over the 32-row TakeOrdered frame (lit partition spec
     // constant-folds away in the optimizer)
-    "q_vocab_coverage")
+    "q_vocab_coverage",
+    // cumulative survivors over the [0,100]-bounded quality grid
+    "q_quality_filter_sweep")
 
   test("partition-less windows appear only over bounded domains (allowlisted)") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
