@@ -184,7 +184,10 @@ object TextQueries {
 
   /** Language-ID heuristic: per-language function-word hit counts,
     * argmax with fixed tie-break order (en,fr,es,de,zh). */
-  private def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared lang-id frame: per doc the per-lexicon scores and the
+    * argmax prediction (first-wins tie break, the `q_lang_id`
+    * kernel). */
+  private def langIdFrame(spark: SparkSession, dir: String): DataFrame = {
     val t = TF.tokens(col("text"))
     val scored = Tables.documents(spark, dir).select(
       Seq(col("doc_id"), col("lang")) ++
@@ -196,7 +199,110 @@ object TextQueries {
           .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
         when(gte, lit(l)).otherwise(elseCol)
     }
-    scored.withColumn("predicted", pred).orderBy("doc_id")
+    scored.withColumn("predicted", pred)
+  }
+
+  private def langId(spark: SparkSession, dir: String): DataFrame =
+    langIdFrame(spark, dir).orderBy("doc_id")
+
+  /** CLASSIFIER EVALUATION of the lang-id heuristic against the
+    * corpus's stored labels — the confusion MATRIX, row-normalized:
+    * per (true lang, predicted lang) cell, the count and its permille
+    * share of the true lang's documents (recall sits on the
+    * diagonal). On THIS fixture the matrix honestly reads "mostly
+    * en": the langs share one latin vocabulary (FIXTURES.md), so a
+    * lexicon-overlap classifier collapses towards the first-wins
+    * tie-break — exactly the failure mode a confusion matrix exists
+    * to expose before anyone trusts per-lang corpus stats downstream.
+    * Scale shape: the lang-id scan (codegen lexicon counts), one
+    * map-side-collapsing groupBy to ≤\|langs\|² rows, a partitioned
+    * window over that bounded frame. */
+  /** CLASSIFIER EVALUATION of the lang-id heuristic against the
+    * corpus's stored labels — the confusion MATRIX, row-normalized:
+    * per (true lang, cohort, predicted) cell, the count and its
+    * permille share of the true lang's documents. The natural fixture
+    * is TOTALLY degenerate here — the langs share one latin
+    * vocabulary (FIXTURES.md), so the lexicon-overlap classifier
+    * collapses every row to `en` (probed: all five rows 1000 permille
+    * en) — so one third of the docs (doc_id ≡ 0 mod 3) are PLANTED
+    * with their true lang's lexicon markers (the `q_lsh_curve`
+    * planting convention): the matrix then shows BOTH phenomena — the
+    * diagonal firing for marked docs, the shared-vocab en-collapse
+    * for the natural rest — exactly the two-population readout a
+    * fixture-vs-classifier audit needs before anyone trusts per-lang
+    * corpus stats downstream.
+    *
+    * Scale shape: the lang-id scan (codegen lexicon counts over one
+    * projection), a map-side-collapsing groupBy to ≤ 2·\|langs\|²
+    * rows, a partitioned window over that bounded frame. */
+  private def langMarkers: Map[String, String] =
+    TF.Lexicons.map { case (l, ws) =>
+      l -> Seq.fill(8)(ws.take(4).mkString(" ")).mkString(" ")
+    }.toMap
+
+  private def langIdConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val mk = langMarkers
+    val langs = TF.Lexicons.map(_._1)
+    val marked = langs.tail
+      .foldLeft(when(col("lang") === langs.head, lit(mk(langs.head)))) {
+        (acc, l) => acc.when(col("lang") === l, lit(mk(l)))
+      }
+    val planted = when(col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" "), marked)).otherwise(col("text"))
+    val t = TF.tokens(planted)
+    val scored = Tables.documents(spark, dir).select(
+      Seq(col("doc_id"), col("lang")) ++
+        TF.Lexicons.map { case (l, words) =>
+          TF.lexiconCount(t, words).as(s"s_$l") }: _*)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elseCol) =>
+        val gte = langs.drop(i + 1)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(gte, lit(l)).otherwise(elseCol)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    scored.withColumn("predicted", pred)
+      .withColumn("cohort",
+        when(col("doc_id") % 3 === 0, "marked").otherwise("natural"))
+      .groupBy("lang", "cohort", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum("n").over(w))
+      .select(col("lang"), col("cohort"), col("predicted"), col("n"),
+        expr("(1000 * n) div lang_total").as("row_pm"))
+      .orderBy("lang", "cohort", "predicted")
+  }
+
+  private val langIdConfusionSql = {
+    val langs = TF.Lexicons.map(_._1)
+    val mk = langMarkers
+    val markCase = langs.map(l => s"WHEN lang = '$l' THEN '${mk(l)}'")
+      .mkString(" ")
+    val scoreCols = TF.Lexicons.map { case (l, _) =>
+      s"CAST(len(list_filter(string_split(t, ' '), x -> list_contains(${TextFunctionsSql.lexicon(l)}, x))) AS INT) AS s_$l"
+    }.mkString(",\n    ")
+    val pred = langs.init.zipWithIndex.map { case (l, i) =>
+      val gte = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $gte THEN '$l'"
+    }.mkString(" ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN text || ' ' || (CASE $markCase END)
+       |      ELSE text END AS t
+       |  FROM documents),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'marked' ELSE 'natural' END
+       |      AS cohort,
+       |    CASE $pred ELSE '${langs.last}' END AS predicted
+       |  FROM (SELECT doc_id, lang, $scoreCols FROM planted)),
+       |cells AS (
+       |  SELECT lang, cohort, predicted, COUNT(*) AS n
+       |  FROM p GROUP BY 1, 2, 3)
+       |SELECT lang, cohort, predicted, n,
+       |  CAST((1000 * n) // SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+       |    AS row_pm
+       |FROM cells ORDER BY lang, cohort, predicted""".stripMargin
   }
 
   private val langIdSql = {
@@ -2575,6 +2681,7 @@ object TextQueries {
     Q("q_quality_filter_sweep", qualityFilterSweep, Some(qualityFilterSweepSql)),
     Q("q_entropy", entropy, Some(entropySql)),
     Q("q_lang_id", langId, Some(langIdSql)),
+    Q("q_langid_confusion", langIdConfusion, Some(langIdConfusionSql)),
     Q("q_fingerprint", fingerprintQ, Some(fingerprintSql)),
     Q("q_token_count", tokenCount, Some(tokenCountSql)),
     Q("q_length_buckets", lengthBuckets, Some(lengthBucketsSql)),
