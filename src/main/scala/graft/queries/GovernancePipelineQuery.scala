@@ -71,12 +71,17 @@ object GovernancePipelineQuery {
         col("n_remaining").as("n_after"), col("del_key_xor").as("key_xor"))
     // ---- stage 3: stored vector index compaction
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfPqIndexWrite(emb, s"$root/ann")
+    // the SHARED content-keyed full-corpus index (built once per
+    // dataset); the compaction is additive — fresh live generations
+    // plus the livelog flip — so the base segments other consumers
+    // read stay byte-identical
+    val annPath = Similarity.ensureStoredIndex(spark, emb, dir,
+      split9 = false)
     val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
     val liveSeg = Similarity.ivfPqCompactDelete(
-      spark, s"$root/ann", delV, Seq("codes")).head
-    val codes = spark.read.parquet(s"$root/ann/codes").select("vec_id")
-    val live = spark.read.parquet(s"$root/ann/$liveSeg").select("vec_id")
+      spark, annPath, delV, Seq("codes")).head
+    val codes = spark.read.parquet(s"$annPath/codes").select("vec_id")
+    val live = spark.read.parquet(s"$annPath/$liveSeg").select("vec_id")
     val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
     val s3 = codes.agg(count(lit(1)).as("n_before"))
       .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),

@@ -464,9 +464,8 @@ object SimilarityQueries {
     * asserts equality against the in-memory build and that the plan
     * scans the index path). */
   private def annServe(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_index"
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfPqIndexWrite(emb, path)
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = false)
     Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
         kCand = 100, k = 10)
       .orderBy("qid", "rank")
@@ -486,11 +485,8 @@ object SimilarityQueries {
     * single-shot indexing with the same quantizers. AnnServeSpec
     * additionally pins segment isolation and the re-encode identity. */
   private def annUpsert(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_upsert"
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
-    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
     Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
         kCand = 100, k = 10, segments = Seq("codes", "codes_delta"))
       .orderBy("qid", "rank")
@@ -606,11 +602,8 @@ object SimilarityQueries {
     * n_base + n_delta = n_merged), the single-segment serve plan with
     * DPP intact, and bit-equality with the two-segment serve. */
   private def annMerge(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_merge"
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
-    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
     Similarity.ivfPqMergeSegments(spark, path,
       Seq("codes", "codes_delta"), "codes_all")
     Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
@@ -652,10 +645,8 @@ object SimilarityQueries {
     * served" on both tiers and base-segment isolation. */
   private def annDelete(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, expr, lit}
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete"
     val emb = Tables.embeddings(spark, dir)
-    Similarity.ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), path)
-    Similarity.ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), path)
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
     val del = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
     val masked = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
       kCand = 100, k = 10, segments = Seq("codes", "codes_delta"),

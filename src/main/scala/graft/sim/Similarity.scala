@@ -711,6 +711,60 @@ object Similarity {
     livePaths.map(_._2)
   }
 
+  /** Bumped when the stored-index FIXTURE layout/derivation changes —
+    * an older marker fails validation and the fixture recommits. */
+  val IndexFixtureVersion = 1
+
+  /** Root of the shared content-keyed stored-index fixture for a
+    * dataset: `full` = one base segment over the whole corpus;
+    * `split9` = base (vec_id % 9 ≠ 0) + frozen-quantizer delta
+    * (≡ 0 mod 9) — the `q_ann_upsert` layout. */
+  def indexRoot(dir: String, split9: Boolean): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val variant = if (split9) "split9" else "full"
+    s"${System.getProperty("java.io.tmpdir")}/graft_annix_${variant}_$key"
+  }
+
+  /** CONTENT-KEYED stored-index commit (the `VersionChain.ensure`
+    * precedent, blessed for the maintenance tier in round 13): the
+    * serve/upsert/merge/delete queries all read the SAME immutable
+    * base(+delta) index per dataset, built once behind a marker
+    * written LAST (a crashed build recommits). Validation on reuse:
+    * fixture version + dataset + every segment's `_SUCCESS` + the
+    * meta table + a footer-only count of the codes rows. Consumers
+    * that MUTATE state do so additively (compaction writes fresh
+    * `_live_g<N>` generations + livelog; merge writes its own target
+    * segment) — the base segments are never touched, which is what
+    * makes the sharing sound. At 100 TB this is not a test
+    * convenience but the design: indexes are built once and served
+    * many times; re-deriving one per query run was pricing the wrong
+    * thing. */
+  def ensureStoredIndex(spark: org.apache.spark.sql.SparkSession,
+                        emb: DataFrame, dir: String,
+                        split9: Boolean): String = synchronized {
+    val root = indexRoot(dir, split9)
+    val marker = new java.io.File(root, "_INDEX_OK")
+    val head = s"$IndexFixtureVersion\n$dir\n$split9\n"
+    if (marker.exists()) {
+      val txt = java.nio.file.Files.readString(marker.toPath)
+      val segs = Seq("codes", "cents", "seeds", "meta") ++
+        (if (split9) Seq("codes_delta") else Nil)
+      val ok = txt.startsWith(head) && txt.split("\n", -1).length >= 4 &&
+        segs.forall(s1 => new java.io.File(s"$root/$s1/_SUCCESS").exists()) &&
+        spark.read.parquet(s"$root/codes").count() ==
+          txt.split("\n", -1)(3).toLong
+      if (ok) return root
+      marker.delete()
+    }
+    if (split9) {
+      ivfPqIndexWrite(emb.filter(col("vec_id") % 9 =!= 0), root)
+      ivfPqUpsertDelta(emb.filter(col("vec_id") % 9 === 0), root)
+    } else ivfPqIndexWrite(emb, root)
+    val n = spark.read.parquet(s"$root/codes").count()
+    java.nio.file.Files.writeString(marker.toPath, s"$head$n\n")
+    root
+  }
+
   /** SEGMENT MERGE — the consolidation step the delta-upsert tier
     * creates the need for ([[ivfPqUpsertDelta]] accumulates small
     * delta segments; every serve pays one partition-discovered read

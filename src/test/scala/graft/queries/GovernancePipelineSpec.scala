@@ -18,14 +18,15 @@ class GovernancePipelineSpec extends SparkSpec {
 
   test("live artifacts retain zero tombstoned keys; originals still do") {
     rows // force the run
+    val annRoot = graft.sim.Similarity.indexRoot(sf0001, split9 = false)
     val liveCodes = graft.sim.Similarity.liveSegments(
-      spark, s"$root/ann", Seq("codes")).head
+      spark, annRoot, Seq("codes")).head
     assert(liveCodes != "codes", "ann tier was never compacted")
-    val liveVec = spark.read.parquet(s"$root/ann/$liveCodes")
+    val liveVec = spark.read.parquet(s"$annRoot/$liveCodes")
       .select("vec_id").as[Long].collect()
     assert(liveVec.nonEmpty && liveVec.forall(_ % 13 != 0),
       "a tombstoned vector survived compaction")
-    val origVec = spark.read.parquet(s"$root/ann/codes")
+    val origVec = spark.read.parquet(s"$annRoot/codes")
       .select("vec_id").as[Long].collect()
     assert(origVec.exists(_ % 13 == 0),
       "the original segment should be untouched until retirement")

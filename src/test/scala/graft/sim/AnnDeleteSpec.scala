@@ -14,8 +14,7 @@ class AnnDeleteSpec extends SparkSpec {
 
   private lazy val rows = SparkEntry.queries("q_ann_delete")(spark, sf0001)
     .collect().toSeq
-  private val root =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ann_delete"
+  private lazy val root = Similarity.indexRoot(sf0001, split9 = true)
 
   test("a deleted vector is never served, on either tier") {
     val served = rows.filter(r => r.getString(0).startsWith("serve_"))

@@ -24,7 +24,7 @@ class AnnServeSpec extends SparkSpec {
   test("the serve plan scans the stored codes table WITH dynamic partition pruning") {
     val served = SparkEntry.queries("q_ann_serve")(spark, sf0001)
     val plan = served.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_ann_index"),
+    assert(plan.contains("graft_annix_full"),
       "executed plan must contain a FileScan over the stored index")
     // the broadcast probe list must reach the bucket-partitioned codes
     // scan as a DYNAMIC partition filter — at scale this is what turns
@@ -49,7 +49,7 @@ class AnnServeSpec extends SparkSpec {
     assert(plan.contains("codes_delta"))
     // segment isolation + completeness: base holds exactly the
     // existing vectors, delta exactly the delta, no overlap
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_upsert"
+    val root = Similarity.indexRoot(sf0001, split9 = true)
     val base = spark.read.parquet(s"$root/codes").select("vec_id")
       .as[Long].collect().toSet
     val delta = spark.read.parquet(s"$root/codes_delta").select("vec_id")
@@ -125,7 +125,7 @@ class AnnServeSpec extends SparkSpec {
     val got = merged.collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(got.nonEmpty)
     // bit-equality with the two-segment serve over the same index
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_ann_merge"
+    val root = Similarity.indexRoot(sf0001, split9 = true)
     val two = Similarity.ivfPqServeStored(
         Tables.embeddings(spark, sf0001), root, queryMod = 50L,
         kCand = 100, k = 10, segments = Seq("codes", "codes_delta"))
@@ -164,7 +164,7 @@ class AnnServeSpec extends SparkSpec {
   test("the stored codes table is bucket-partitioned (one dir per cid)") {
     SparkEntry.queries("q_ann_serve")(spark, sf0001).count()
     val codesDir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ann_index/codes")
+      s"${Similarity.indexRoot(sf0001, split9 = false)}/codes")
     val buckets = codesDir.listFiles().filter(_.getName.startsWith("cid="))
     assert(buckets.length > 1,
       "codes table must be partitioned by IVF bucket id")
