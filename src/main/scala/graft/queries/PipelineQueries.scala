@@ -759,6 +759,67 @@ object PipelineQueries {
     * (the `q_rolling_zscore` widening convention). Scale shape: one
     * map-side agg to |sources| rows; the corpus is scanned once and
     * never shuffled. */
+  /** CURRICULUM schedule — quality-annealed sampling over epochs
+    * (Bengio et al. 2009, the data-side reading): early epochs
+    * oversample high-quality bands, the last epoch samples the corpus
+    * as-is. Per (epoch e ∈ {1,2,3}, quality band b ∈ 0..3 — the
+    * `q_quality_score` value div 5, capped): integer weight
+    * w = (b+1)^(3−e) (e = 3 ⇒ uniform BY CONSTRUCTION — the anneal
+    * endpoint is inside the hash, not a tuning accident), and the
+    * band's sampling share ∝ n_docs·w as exact permille. The spec
+    * pins the two curriculum invariants: the top band's share is
+    * non-increasing in e, and epoch 3's shares equal the plain
+    * document shares.
+    *
+    * Scale shape: one quality scan, a map-side histogram to ≤4 rows,
+    * a 12-row epoch×band grid with a per-epoch partitioned window —
+    * nothing corpus-proportional past the first aggregate. */
+  private def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val t = TF.tokens(col("text"))
+    val stops = TF.Lexicons.toMap.apply("en")
+    val hist = Tables.documents(spark, dir)
+      .select(size(t).as("n_tok"), TF.lexiconCount(t, stops).as("stop_cnt"))
+      .select(floor(lit(50.0) * least(col("n_tok"), lit(400)) / 400 +
+          lit(50.0) * col("stop_cnt") / col("n_tok") + lit(1e-6))
+          .cast("long").as("q"))
+      .select(expr("least(q div 5, 3)").as("band"))
+      .groupBy("band").agg(count(lit(1)).as("n_docs"))
+    val epochs = spark.range(1, 4).select(col("id").as("epoch"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("epoch")
+    hist.crossJoin(broadcast(epochs))
+      .withColumn("wgt", pow(col("band") + 1, lit(3L) - col("epoch"))
+        .cast("long"))
+      .withColumn("mass", col("n_docs") * col("wgt"))
+      .withColumn("tot", sum("mass").over(w))
+      .select(col("epoch"), col("band"), col("n_docs"), col("wgt"),
+        expr("(1000 * mass) div tot").as("share_pm"))
+      .orderBy("epoch", "band")
+  }
+
+  private val curriculumSql = {
+    val stops = TextFunctionsSql.lexicon("en")
+    s"""WITH hist AS (
+       |  SELECT LEAST(CAST(floor(50.0 * LEAST(n_tok, 400) / 400 +
+       |      50.0 * stop_cnt / n_tok + 0.000001) AS BIGINT) // 5, 3) AS band,
+       |    COUNT(*) AS n_docs
+       |  FROM (
+       |    SELECT CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       |      CAST(len(list_filter(string_split(text, ' '),
+       |        x -> list_contains($stops, x))) AS INT) AS stop_cnt
+       |    FROM documents)
+       |  GROUP BY 1),
+       |grid AS (
+       |  SELECT e.epoch, h.band, h.n_docs,
+       |    CAST(power(h.band + 1, 3 - e.epoch) AS BIGINT) AS wgt
+       |  FROM hist h
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS epoch) e)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, band, n_docs, wgt,
+       |  CAST((1000 * (n_docs * wgt)) //
+       |    SUM(n_docs * wgt) OVER (PARTITION BY epoch) AS BIGINT)
+       |    AS share_pm
+       |FROM grid ORDER BY epoch, band""".stripMargin
+  }
+
   private val MaxRepeatMilli = 10000L // 10-epoch upsampling cap
 
   private def epochMix(spark: SparkSession, dir: String): DataFrame = {
@@ -1399,6 +1460,7 @@ object PipelineQueries {
   val all: Seq[Q] = Seq(
     Q("q_class_weights", classWeights, Some(classWeightsSql)),
     Q("q_epoch_mix", epochMix, Some(epochMixSql)),
+    Q("q_curriculum", curriculum, Some(curriculumSql)),
     Q("q_fim_split", fimSplit, Some(fimSplitSql)),
     Q("q_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     Q("q_pii_scrub", piiScrub, Some(piiScrubSql)),

@@ -157,7 +157,10 @@ class PlanLintSpec extends SparkSpec {
     "q_kmv_overlap",
     // quality-filter sweep: the 1-row totals aggregate crossed into
     // the bounded (<=101-row) quality-grid curve
-    "q_quality_filter_sweep")
+    "q_quality_filter_sweep",
+    // curriculum: the 3-row epoch grid crossed into the <=4-row
+    // quality-band histogram
+    "q_curriculum")
 
   /** Queries whose partition-less logical Windows run over frames
     * BOUNDED by a domain, not the corpus — the only shape where a
