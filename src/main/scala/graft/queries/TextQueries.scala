@@ -1404,11 +1404,14 @@ object TextQueries {
     * back onto the pairs; accounting is one map-side aggregate per
     * scheme. */
   private def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    // the audit consumes the STORED pair graph (in production the
+    // dedup pipeline's byproduct) — content-keyed commit, read here
+    val root = Dedup.ensurePairGraph(spark, dir)
     val prs = graft.ops.SideCache.persist(
-      Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 3)
-        .select("id_a", "id_b"))
+      spark.read.parquet(s"$root/pairs"))
     prs.count()
-    val labels = graft.ops.SideCache.persist(Dedup.wccStar(prs))
+    val labels = graft.ops.SideCache.persist(
+      spark.read.parquet(s"$root/labels"))
     labels.count()
     def sp(c: Column): Column =
       pmod(graft.functions.F.polyHash(c.cast("string")), lit(10L))
