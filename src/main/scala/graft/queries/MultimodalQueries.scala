@@ -457,9 +457,136 @@ object MultimodalQueries {
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** PERCEPTUAL VIDEO DEDUP — completes the modality triad
+    * (`q_media_dedup` images, `q_audio_dedup` WAV): a video's
+    * fingerprint is the aHash of THREE deterministically sampled
+    * frames (first / middle / last — the keyframe-sketch convention:
+    * temporal structure without decoding every frame), compared by
+    * SUMMED hamming over the 192 bits. Brightness-twin invariance is
+    * inherited per frame from aHash; candidates come from the
+    * pigeonhole block join over all 12 16-bit blocks (lossless for
+    * total hamming ≤ 3: at most 3 of 12 blocks can differ), exact
+    * hamming verify, brute all-pairs oracle re-deriving every frame
+    * hash from the frame-pixel formula (with the clamp modeled).
+    * Every video with doc_id ≡ 2 (mod 30) also arrives as a
+    * +3-brightness re-encode of EVERY frame (genuine per-frame
+    * decode → shift → PNG re-encode → container reassembly) under
+    * doc_id + 10⁶.
+    *
+    * Scale shape: per video only the 3 sampled frames decode (the
+    * stride discipline of `q_frame_sample`); payloads never shuffle —
+    * 24 bytes of hashes do; bounded bucket join; output-proportional
+    * verify. */
+  private def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = graft.ops.SideCache.persist(
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, nc) =>
+          val w = Multimodal.imgWidth(nc); val h = Multimodal.imgHeight(nc)
+          val n = (nc % 24 + 1).toInt
+          val frames = Multimodal.splitVideoFrames(id,
+            Multimodal.encodeVideo(id, w, h, n))
+          val picks = Seq(0, (n - 1) / 2, n - 1)
+          def hashesOf(rid: Long, fs: Seq[Array[Byte]]) =
+            picks.map(f => Multimodal.aHash(rid, fs(f)))
+          val base = (id, hashesOf(id, frames.toSeq))
+          if (id % 30 == 2) {
+            val shifted = frames.toSeq.map(f =>
+              Multimodal.brightnessShift(id, f, 3))
+            Seq(base, (id + 1000000L, hashesOf(id + 1000000L, shifted)))
+          } else Seq(base)
+        }).map { case (id, hs) => (id, hs(0), hs(1), hs(2)) }
+        .toDF("doc_id", "h0", "h1", "h2"))
+    hashed.count()
+    val blocks = hashed.select(col("doc_id"), posexplode(array(
+        (for (s <- 0 until 3; b <- 0 until 4) yield
+          pmod(shiftright(col(s"h$s"), b * 16), lit(65536L))): _*)))
+      .toDF("doc_id", "block", "block_val")
+    val cand = graft.text.Dedup.bucketPairs(blocks,
+        Seq("block", "block_val"), "doc_id", maxBucket = 4096,
+        graft.text.Dedup.OverCap.Star)
+      .distinct()
+    val ham = (0 until 3).map(s =>
+        bit_count(col(s"a$s").bitwiseXOR(col(s"b$s"))).cast("long"))
+      .reduce(_ + _)
+    cand
+      .join(hashed.select(col("doc_id").as("id_a"), col("h0").as("a0"),
+        col("h1").as("a1"), col("h2").as("a2")), "id_a")
+      .join(hashed.select(col("doc_id").as("id_b"), col("h0").as("b0"),
+        col("h1").as("b1"), col("h2").as("b2")), "id_b")
+      .select(col("id_a"), col("id_b"), ham.as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val videoDedupSql = {
+    // sampled pixel at 8x8 grid index i of frame f: the aHash sample
+    // of the frame-pixel formula, with the +shift brightness twin
+    // clamped at 255
+    val src = "((((i // 8) * h) // 8) * w + (((i % 8) * w) // 8))"
+    s"""WITH vids AS (
+       |  SELECT doc_id AS id, doc_id AS base, 0 AS shift,
+       |    CAST(n_chars % 28 + 4 AS BIGINT) AS w,
+       |    CAST(n_chars % 20 + 4 AS BIGINT) AS h,
+       |    CAST(n_chars % 24 + 1 AS BIGINT) AS nf
+       |  FROM documents WHERE doc_id % 3 = 2
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id, 3,
+       |    CAST(n_chars % 28 + 4 AS BIGINT),
+       |    CAST(n_chars % 20 + 4 AS BIGINT),
+       |    CAST(n_chars % 24 + 1 AS BIGINT)
+       |  FROM documents WHERE doc_id % 30 = 2),
+       |samp AS (
+       |  SELECT id, slot, i,
+       |    LEAST(${fpxSql("base", "f", src)} + shift, 255) AS px
+       |  FROM (SELECT id, base, shift, w, h,
+       |          sl.slot,
+       |          CASE sl.slot WHEN 0 THEN 0
+       |            WHEN 1 THEN (nf - 1) // 2 ELSE nf - 1 END AS f,
+       |          unnest(generate_series(0, 63)) AS i
+       |        FROM vids
+       |        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS slot) sl)),
+       |mean AS (
+       |  SELECT id, slot, SUM(px) // 64 AS m FROM samp GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT s.id, s.slot, s.i,
+       |    CASE WHEN s.px > m.m THEN 1 ELSE 0 END AS b
+       |  FROM samp s JOIN mean m ON m.id = s.id AND m.slot = s.slot),
+       |hashes AS (
+       |  SELECT id, slot,
+       |    CAST(SUM(CASE WHEN i < 32 THEN b * (1::BIGINT << i)
+       |      ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN i >= 32 THEN b * (1::BIGINT << (i - 32))
+       |      ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY 1, 2),
+       |vhash AS (
+       |  SELECT id,
+       |    MAX(CASE WHEN slot = 0 THEN lo END) AS lo0,
+       |    MAX(CASE WHEN slot = 0 THEN hi END) AS hi0,
+       |    MAX(CASE WHEN slot = 1 THEN lo END) AS lo1,
+       |    MAX(CASE WHEN slot = 1 THEN hi END) AS hi1,
+       |    MAX(CASE WHEN slot = 2 THEN lo END) AS lo2,
+       |    MAX(CASE WHEN slot = 2 THEN hi END) AS hi2
+       |  FROM hashes GROUP BY id),
+       |ham AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.lo0, b.lo0)) AS BIGINT)
+       |      + CAST(bit_count(xor(a.hi0, b.hi0)) AS BIGINT)
+       |      + CAST(bit_count(xor(a.lo1, b.lo1)) AS BIGINT)
+       |      + CAST(bit_count(xor(a.hi1, b.hi1)) AS BIGINT)
+       |      + CAST(bit_count(xor(a.lo2, b.lo2)) AS BIGINT)
+       |      + CAST(bit_count(xor(a.hi2, b.hi2)) AS BIGINT) AS hamming
+       |  FROM vhash a JOIN vhash b ON a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM ham
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_media_dedup", mediaDedup, Some(mediaDedupSql)),
     Q("q_audio_dedup", audioDedup, Some(audioDedupSql)),
+    Q("q_video_dedup", videoDedup, Some(videoDedupSql)),
     Q("q_media_dq", mediaDq, Some(mediaDqSql)),
     Q("q_media_meta", mediaMeta, Some(mediaMetaSql)),
     Q("q_media_resize", mediaResize, Some(mediaResizeSql)),

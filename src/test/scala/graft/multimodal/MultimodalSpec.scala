@@ -261,6 +261,47 @@ class MultimodalSpec extends SparkSpec {
       "unrelated images should not collide at the dedup threshold")
   }
 
+  test("q_video_dedup: every planted brightness twin found at hamming 0; block join lossless vs brute") {
+    import spark.implicits._
+    val pairs = graft.SparkEntry.queries("q_video_dedup")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().toSeq
+    graft.ops.SideCache.releaseAll()
+    val vids = graft.tables.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 2).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toSeq
+    val planted = vids.filter(_._1 % 30 == 2)
+    assert(planted.nonEmpty)
+    val pairMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    planted.foreach { case (id, _) =>
+      assert(pairMap.get((id, id + 1000000L)).contains(0L),
+        s"planted video twin of $id missing or hamming != 0")
+    }
+    // brute all-pairs over the same frame hashes: block join lossless
+    def hashes(id: Long, nc: Long, shift: Int): Seq[Long] = {
+      val w = Multimodal.imgWidth(nc); val h = Multimodal.imgHeight(nc)
+      val n = (nc % 24 + 1).toInt
+      val fr = Multimodal.splitVideoFrames(id,
+        Multimodal.encodeVideo(id, w, h, n))
+      Seq(0, (n - 1) / 2, n - 1).map { f =>
+        val png = if (shift == 0) fr(f)
+          else Multimodal.brightnessShift(id, fr(f), shift)
+        Multimodal.aHash(id, png)
+      }
+    }
+    val all = vids.flatMap { case (id, nc) =>
+      val base = (id, hashes(id, nc, 0))
+      if (id % 30 == 2) Seq(base, (id + 1000000L, hashes(id, nc, 3)))
+      else Seq(base)
+    }
+    val brute = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b
+      d = ha.zip(hb).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum if d <= 3
+    } yield (a, b, d.toLong)).sorted
+    assert(pairs.sorted === brute,
+      "video blocked candidate join diverged from brute all-pairs")
+  }
+
   test("q_audio_dedup: hamming-0 set IS the planted half-gain twin set; block join is lossless vs brute") {
     import spark.implicits._
     val pairs = graft.SparkEntry.queries("q_audio_dedup")(spark, sf0001)
