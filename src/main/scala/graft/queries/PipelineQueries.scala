@@ -759,6 +759,66 @@ object PipelineQueries {
     * (the `q_rolling_zscore` widening convention). Scale shape: one
     * map-side agg to |sources| rows; the corpus is scanned once and
     * never shuffled. */
+  /** DATASET-CARD DIFF — the release gate between two corpus
+    * versions: did last night's ingest change the corpus MIX? The
+    * "old" cohort models the pre-ingest corpus and the ingest is
+    * deliberately SKEWED (it added only `en` documents — doc_id ≡ 0
+    * mod 7 ∧ lang = en; a uniform delta would leave every share flat
+    * and the gate vacuous, the fixture-planting convention): per
+    * lang, both versions' doc counts and permille shares, the share
+    * delta, and the verdict ladder (|Δ| < 25‰ stable, else drifted) —
+    * probed: `en` drifts +44‰, every other lang reads stable at
+    * −10..−12‰, so BOTH verdicts are inside the hash. This is
+    * `q_data_card`'s composition section turned into a longitudinal
+    * comparison (what `q_psi` does for numeric distributions, at the
+    * categorical release-audit grain).
+    *
+    * Scale shape: two map-side lang histograms over one scan each
+    * (the cohorts differ by a pushed-down predicate), a \|langs\|-row
+    * join, 1-row totals broadcast. */
+  private def dataCardDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val oldC = docs.filter(!(col("doc_id") % 7 === 0 && col("lang") === "en"))
+      .groupBy("lang").agg(count(lit(1)).as("old_docs"))
+    val newC = docs.groupBy("lang").agg(count(lit(1)).as("new_docs"))
+    val tot = oldC.agg(sum("old_docs").as("ot"))
+      .crossJoin(newC.agg(sum("new_docs").as("nt")))
+    oldC.join(newC, Seq("lang"), "full")
+      .na.fill(0L, Seq("old_docs", "new_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("old_docs"), col("new_docs"),
+        expr("(1000 * old_docs) div ot").as("old_share_pm"),
+        expr("(1000 * new_docs) div nt").as("new_share_pm"))
+      .withColumn("delta_pm", col("new_share_pm") - col("old_share_pm"))
+      .withColumn("verdict",
+        when(abs(col("delta_pm")) < 25, "stable").otherwise("drifted"))
+      .orderBy("lang")
+  }
+
+  private val dataCardDiffSql =
+    """WITH old_ AS (
+      |  SELECT lang, COUNT(*) AS old_docs FROM documents
+      |  WHERE NOT (doc_id % 7 = 0 AND lang = 'en') GROUP BY 1),
+      |new_ AS (SELECT lang, COUNT(*) AS new_docs FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT CAST(SUM(old_docs) AS BIGINT) FROM old_) AS ot,
+      |         (SELECT CAST(SUM(new_docs) AS BIGINT) FROM new_) AS nt),
+      |j AS (
+      |  SELECT COALESCE(o.lang, n.lang) AS lang,
+      |    COALESCE(o.old_docs, 0) AS old_docs,
+      |    COALESCE(n.new_docs, 0) AS new_docs
+      |  FROM old_ o FULL OUTER JOIN new_ n ON o.lang = n.lang),
+      |sh AS (
+      |  SELECT lang, old_docs, new_docs,
+      |    CAST((1000 * old_docs) // ot AS BIGINT) AS old_share_pm,
+      |    CAST((1000 * new_docs) // nt AS BIGINT) AS new_share_pm
+      |  FROM j CROSS JOIN tot)
+      |SELECT lang, old_docs, new_docs, old_share_pm, new_share_pm,
+      |  new_share_pm - old_share_pm AS delta_pm,
+      |  CASE WHEN abs(new_share_pm - old_share_pm) < 25 THEN 'stable'
+      |       ELSE 'drifted' END AS verdict
+      |FROM sh ORDER BY lang""".stripMargin
+
   /** CURRICULUM schedule — quality-annealed sampling over epochs
     * (Bengio et al. 2009, the data-side reading): early epochs
     * oversample high-quality bands, the last epoch samples the corpus
@@ -1471,6 +1531,7 @@ object PipelineQueries {
     Q("q_neyman_alloc", neymanAlloc, Some(neymanAllocSql)),
     Q("q_quantile_norm", quantileNorm, Some(quantileNormSql)),
     Q("q_data_card", dataCard, Some(dataCardSql)),
+    Q("q_data_card_diff", dataCardDiff, Some(dataCardDiffSql)),
     Q("q_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     Q("q_novelty", novelty, Some(noveltySql)),
     Q("q_repetition", repetition, Some(repetitionSql)),

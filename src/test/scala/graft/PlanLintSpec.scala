@@ -160,7 +160,10 @@ class PlanLintSpec extends SparkSpec {
     "q_quality_filter_sweep",
     // curriculum: the 3-row epoch grid crossed into the <=4-row
     // quality-band histogram
-    "q_curriculum")
+    "q_curriculum",
+    // data-card diff: the 1-row cohort totals crossed into the
+    // |langs|-row comparison frame
+    "q_data_card_diff")
 
   /** Queries whose partition-less logical Windows run over frames
     * BOUNDED by a domain, not the corpus — the only shape where a
