@@ -672,6 +672,65 @@ class StreamingSpec extends SparkSpec {
     graft.ops.SideCache.releaseAll()
   }
 
+  test("streaming CDF consumer: tailing the stored per-commit deltas reconstructs asOf(3) exactly") {
+    // the live READ side of the change-data-feed: a downstream table
+    // subscribes to the feed and applies each commit's delta as a
+    // micro-batch (insert/remove/update_post upserts into a keyed
+    // store — Delta's table_changes consumer loop). After draining
+    // commits 0..3 in order, the reconstructed table must be
+    // bit-equal to the manifest-resolved asOf(3) snapshot — proving
+    // the stored deltas are a complete replication stream, not just
+    // audit rows.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = graft.ops.VersionChain.ensure(s, sf0001)
+    val log = graft.ops.VersionChain.manifest(s, root)
+    def feedOf(v: Long): Seq[(String, Long, String, Long)] = {
+      val c = log.find(_.version == v).get
+      if (c.cdf_mode == "full_insert")
+        s.read.parquet(s"$root/${c.path}")
+          .select(lit("insert").as("change_type"), col("event_id"),
+            col("event_type"), col("vc"))
+          .as[(String, Long, String, Long)].collect().toSeq
+      else s.read.parquet(s"$root/${c.cdf_path}")
+        .select("change_type", "event_id", "event_type", "vc")
+        .as[(String, Long, String, Long)].collect().toSeq
+    }
+    val store =
+      scala.collection.concurrent.TrieMap.empty[Long, (String, Long)]
+    val in = MemoryStream[(String, Long, String, Long)]
+    val q = in.toDF().toDF("change_type", "event_id", "event_type", "vc")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("change_type", "event_id", "event_type", "vc")
+          .collect().foreach { r =>
+            r.getString(0) match {
+              case "insert" | "update_post" =>
+                store(r.getLong(1)) = (r.getString(2), r.getLong(3))
+              case "remove" => store.remove(r.getLong(1)); ()
+              case "update_pre" => () // pre-image: audit only
+            }
+          }
+        ()
+      }
+      .start()
+    try {
+      (0L to 3L).foreach { v =>
+        val f = feedOf(v)
+        if (f.nonEmpty) { in.addData(f); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    val got = store.toSeq.map { case (k, (t, vc)) => (k, t, vc) }.sorted
+    val expected = graft.ops.VersionChain.asOf(s, root, log, 3L)._2
+      .select("event_id", "event_type", "vc")
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(expected.nonEmpty)
+    assert(got === expected,
+      "CDF replay stream diverged from the asOf(3) snapshot")
+    graft.ops.SideCache.releaseAll()
+  }
+
   test("intervalJoin batch twin produces the same matches") {
     val s = spark
     import s.implicits._
