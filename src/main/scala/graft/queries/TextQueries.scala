@@ -1478,6 +1478,80 @@ object TextQueries {
        |FROM sided GROUP BY scheme ORDER BY scheme""".stripMargin
   }
 
+  /** DEDUP YIELD forecast — the question a dedup run is budgeted by:
+    * "how many documents will near-dup collapse actually remove?" Per
+    * CLUSTER SIZE over the stored near-dup component labels
+    * ([[Dedup.ensurePairGraph]] — the dedup pipeline's byproduct):
+    * how many clusters, how many docs they hold, and how many a
+    * keep-one-per-cluster policy removes (size − 1 each); the size-1
+    * row is the singleton mass (docs in no pair). The histogram IS
+    * the dedup cost/benefit table: heavy tails mean a few huge
+    * near-dup families dominate the yield (and the LSH bucket caps),
+    * a flat size-2 profile means pair-twins only.
+    *
+    * Scale shape: one read of the output-proportional stored labels,
+    * two map-side-collapsing aggregates (labels → sizes → histogram),
+    * a 1-row corpus count for the singleton row. */
+  private def dedupYield(spark: SparkSession, dir: String): DataFrame = {
+    val root = Dedup.ensurePairGraph(spark, dir)
+    val labels = graft.ops.SideCache.persist(
+      spark.read.parquet(s"$root/labels"))
+    labels.count()
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"))
+    val hist = sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removed"))
+    val singletons = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("total"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("paired"))))
+      .select(lit(1L).as("cluster_size"),
+        (col("total") - col("paired")).as("n_clusters"),
+        (col("total") - col("paired")).as("n_docs"),
+        lit(0L).as("n_removed"))
+    hist.unionAll(singletons).orderBy("cluster_size")
+  }
+
+  private lazy val dedupYieldSql = {
+    val pairCtes = dedupSimhashSql
+      .stripPrefix("WITH ")
+      .replaceAll("(?s)\\nSELECT id_a, id_b, hamming FROM \\(.*$", "")
+    s"""WITH RECURSIVE $pairCtes,
+       |prs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    FROM blocks a JOIN blocks b
+       |      ON a.block = b.block AND a.block_val = b.block_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= 3
+       |), edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION SELECT id_b, id_a FROM prs
+       |), reach AS (
+       |  SELECT s AS id, s AS r FROM edges
+       |  UNION
+       |  SELECT e.d, re.r FROM reach re JOIN edges e ON e.s = re.id
+       |), cl AS (
+       |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), sizes AS (
+       |  SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY 1
+       |), hist AS (
+       |  SELECT sz AS cluster_size, COUNT(*) AS n_clusters,
+       |    CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removed
+       |  FROM sizes GROUP BY sz
+       |  UNION ALL
+       |  SELECT 1,
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl),
+       |    (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM cl),
+       |    0)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters, n_docs, n_removed
+       |FROM hist ORDER BY cluster_size""".stripMargin
+  }
+
   /** N-gram language-model fluency score (CCNet/Gopher-style quality
     * filter): corpus bigram frequencies → per-document average
     * log-frequency. Fluent text reuses common bigrams (high score);
@@ -2702,6 +2776,7 @@ object TextQueries {
     Q("q_delta_ingest_stored", deltaIngestStored, Some(deltaIngestStoredSql)),
     Q("q_dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Q("q_split_leakage", splitLeakage, Some(splitLeakageSql)),
+    Q("q_dedup_yield", dedupYield, Some(dedupYieldSql)),
     Q("q_wcc_star", wccStarQ, Some(dedupClusterSql)),
     Q("q_tfidf", tfidf, Some(tfidfSql)),
     Q("q_bm25", bm25, Some(bm25Sql)),

@@ -163,7 +163,9 @@ class PlanLintSpec extends SparkSpec {
     "q_curriculum",
     // data-card diff: the 1-row cohort totals crossed into the
     // |langs|-row comparison frame
-    "q_data_card_diff")
+    "q_data_card_diff",
+    // dedup yield: two 1-row counts crossed into the singleton row
+    "q_dedup_yield")
 
   /** Queries whose partition-less logical Windows run over frames
     * BOUNDED by a domain, not the corpus — the only shape where a
