@@ -509,6 +509,102 @@ object SimilarityQueries {
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
 
+  /** EMBEDDING-HEALTH audit — ANISOTROPY (Ethayarajh 2019: the
+    * average pairwise cosine of the normalized embeddings; a healthy
+    * isotropic space reads near 0, a collapsed one near 1 — collapsed
+    * embeddings silently break every downstream ANN/cluster/dedup
+    * stage) plus the DOMINANT-DIMENSION variance share (a rogue
+    * dimension carrying most of the variance is the other classic
+    * collapse mode). Both are computed EXACTLY: each normalized
+    * coordinate is quantized to integer 2⁻²⁰ units (identical
+    * double-divide + floor on both engines), after which
+    *
+    *   Σ_{a≠b} x̂_a·x̂_b  =  ‖Σ x̂‖² − Σ‖x̂‖²
+    *
+    * turns the O(n²) pairwise average into per-dimension INTEGER sums
+    * (order-free — no cross-row float fold ever happens), widened to
+    * DECIMAL(38,0) where squares pass 2⁶³ (the `q_gini` convention).
+    * Per-dim variance n·Σx² − S² gives the top dim and its permille
+    * share of total variance.
+    *
+    * Scale shape: one scan with a normalize+quantize projection, a
+    * map-side combine to the 64-row per-dimension frame, and a
+    * bounded fold — the n² pairwise definition never materializes. */
+  private def embedAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val Q = 1048576L // 2^20 quantization units per 1.0
+    val emb = Tables.embeddings(spark, dir)
+    val nrm = graft.functions.F.vecNorm(col("embedding"))
+    val dims = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "e")), nrm.as("nr"))
+      .select(col("dim"),
+        floor(col("e").cast("double") / col("nr") * Q).cast("long").as("xq"))
+    val perDim = dims.groupBy("dim")
+      .agg(sum("xq").as("s"), sum(col("xq") * col("xq")).as("q2"))
+    val n = emb.count() // bounded driver scalar: |corpus| row count
+    val agg = perDim.agg(
+      sum(expr("CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+        .as("s2"),
+      sum(expr("CAST(q2 AS DECIMAL(38,0))")).as("t"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("vr").desc, col("dim"))
+    val top = perDim
+      .withColumn("vr", expr(
+        s"CAST($n AS DECIMAL(38,0)) * CAST(q2 AS DECIMAL(38,0)) - " +
+          "CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("tot_vr", sum("vr").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      .filter(col("rk") === 1)
+      .select(col("dim").as("top_dim"),
+        expr("CAST((1000 * vr) div tot_vr AS BIGINT)").as("top_share_pm"))
+    agg.crossJoin(broadcast(top))
+      .select(lit(n).as("n_vecs"),
+        expr(s"""CAST((1000000 * (s2 - t)) div
+                 |(CAST($n AS DECIMAL(38,0)) * ${n - 1} * $Q * $Q)
+                 |AS BIGINT)""".stripMargin.replace("\n", " "))
+          .as("aniso_ppm"),
+        col("top_dim"), col("top_share_pm"))
+  }
+
+  private val embedAnisotropySql = {
+    val Q = 1048576L
+    // HUGEINT (int128) everywhere past the per-dim sums: DECIMAL //
+    // in DuckDB ROUNDS (probed: 18.73 -> 19) where HUGEINT // and
+    // Spark's div both truncate toward zero.
+    s"""WITH xq AS (
+       |  SELECT vec_id, ei - 1 AS dim,
+       |    CAST(floor(CAST(embedding[ei] AS DOUBLE) /
+       |      ${norm("embedding")} * $Q) AS BIGINT) AS xq
+       |  FROM embeddings,
+       |    (SELECT unnest(generate_series(1, 64)) AS ei)),
+       |per_dim AS (
+       |  SELECT dim, CAST(SUM(xq) AS BIGINT) AS s,
+       |    CAST(SUM(xq * xq) AS BIGINT) AS q2
+       |  FROM xq GROUP BY dim),
+       |n_ AS (SELECT COUNT(*) AS n FROM embeddings),
+       |agg AS (
+       |  SELECT SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS s2,
+       |    SUM(CAST(q2 AS HUGEINT)) AS t
+       |  FROM per_dim),
+       |vrs AS (
+       |  SELECT dim,
+       |    (SELECT CAST(n AS HUGEINT) FROM n_) * CAST(q2 AS HUGEINT)
+       |      - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS vr
+       |  FROM per_dim),
+       |top AS (
+       |  SELECT dim AS top_dim,
+       |    CAST((1000 * vr) // (SELECT SUM(vr) FROM vrs) AS BIGINT)
+       |      AS top_share_pm
+       |  FROM vrs ORDER BY vr DESC, dim LIMIT 1)
+       |SELECT (SELECT n FROM n_) AS n_vecs,
+       |  CAST((1000000 * (s2 - t)) //
+       |    ((SELECT CAST(n AS HUGEINT) FROM n_) *
+       |     (SELECT n - 1 FROM n_) * $Q * $Q) AS BIGINT) AS aniso_ppm,
+       |  top_dim, top_share_pm
+       |FROM agg CROSS JOIN top""".stripMargin
+  }
+
   /** LATE-INTERACTION retrieval (ColBERT's MaxSim, distilled to its
     * relational core): each vector is treated as 4 sub-vectors of 16
     * dims (the "token embeddings" of a multi-vector document);
@@ -1554,6 +1650,7 @@ object SimilarityQueries {
     Q("q_ann_upsert", annUpsert, Some(annUpsertSql)),
     Q("q_ann_merge", annMerge, Some(annUpsertSql)),
     Q("q_multi_vector", multiVector, Some(multiVectorSql)),
+    Q("q_embed_anisotropy", embedAnisotropy, Some(embedAnisotropySql)),
     Q("q_ann_delete", annDelete, Some(annDeleteSql)),
     Q("q_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("q_semantic_cluster", semanticCluster, Some(semanticClusterSql)),

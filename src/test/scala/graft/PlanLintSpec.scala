@@ -165,7 +165,10 @@ class PlanLintSpec extends SparkSpec {
     // |langs|-row comparison frame
     "q_data_card_diff",
     // dedup yield: two 1-row counts crossed into the singleton row
-    "q_dedup_yield")
+    "q_dedup_yield",
+    // anisotropy: the 1-row (s2, t) fold crossed with the 1-row
+    // top-dimension row
+    "q_embed_anisotropy")
 
   /** Queries whose partition-less logical Windows run over frames
     * BOUNDED by a domain, not the corpus — the only shape where a
@@ -188,7 +191,9 @@ class PlanLintSpec extends SparkSpec {
     // constant-folds away in the optimizer)
     "q_vocab_coverage",
     // cumulative survivors over the [0,100]-bounded quality grid
-    "q_quality_filter_sweep")
+    "q_quality_filter_sweep",
+    // rank + total over the 64-row per-dimension variance frame
+    "q_embed_anisotropy")
 
   test("partition-less windows appear only over bounded domains (allowlisted)") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
