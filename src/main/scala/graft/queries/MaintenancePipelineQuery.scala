@@ -646,8 +646,65 @@ object MaintenancePipelineQuery {
        |SELECT change_type, n_rows, key_xor, bal_sum
        |FROM rows_ ORDER BY change_type""".stripMargin
 
+  // --------------------------------------------- materialized view
+
+  /** `q_mv_maintain` — INCREMENTAL MATERIALIZED-VIEW maintenance
+    * under RETRACTIONS, the hard half of IVM (`q_incremental_agg`
+    * covers the append-only half): a per-event-type (count, sum) view
+    * over the versioned table is maintained from v1 to v3 by applying
+    * ONLY the stored change-data-feed deltas — the sweep's `remove`
+    * rows retract (−1, −vc), the update's pre/post pairs retract and
+    * re-assert — never rescanning the table. The output carries the
+    * maintained figures NEXT TO a full recompute over the asOf(3)
+    * snapshot: the oracle derives both columns from the same base
+    * arithmetic (they are equal by definition), so the hash passes
+    * IFF the engine's delta-maintained view converged to the
+    * recomputed truth — count/sum drift anywhere breaks it.
+    *
+    * Scale shape: the maintenance side reads the base view (\|types\|
+    * rows) + the change-proportional deltas; the recompute side is
+    * the audit (production skips it — the `q_ann_recall` convention
+    * of carrying the expensive truth only to certify the cheap
+    * path). */
+  def mvMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionChain.ensure(spark, dir)
+    // the stored base view: the aggregate as of v1
+    val mv1 = spark.read.parquet(s"$root/gen1")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("s"))
+    // delta aggregates from the FEED only (change-proportional)
+    def deltaOf(path: String): DataFrame =
+      spark.read.parquet(s"$root/$path")
+        .select(col("event_type"),
+          when(col("change_type").isin("remove", "update_pre"), -1L)
+            .otherwise(1L).as("sgn"), col("vc"))
+        .groupBy("event_type")
+        .agg(sum("sgn").as("n"), sum(col("sgn") * col("vc")).as("s"))
+    val maintained = mv1.unionAll(deltaOf("cdf/v2")).unionAll(deltaOf("cdf/v3"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_maint"), sum("s").as("sum_maint"))
+      .filter(col("n_maint") > 0)
+    val full = spark.read.parquet(s"$root/gen3")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"), sum("vc").as("sum_full"))
+    maintained.join(full, Seq("event_type"), "full")
+      .na.fill(-1L, Seq("n_maint", "sum_maint", "n_full", "sum_full"))
+      .orderBy("event_type")
+  }
+
+  private val mvMaintainSql =
+    s"""$chainCte
+       |SELECT f.event_type, f.n AS n_maint, f.s AS sum_maint,
+       |  f.n AS n_full, f.s AS sum_full
+       |FROM (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    CAST(SUM(vc) AS BIGINT) AS s
+       |  FROM binned3 GROUP BY 1) f
+       |ORDER BY f.event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
+    Q("q_mv_maintain", mvMaintain, Some(mvMaintainSql)),
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("q_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
