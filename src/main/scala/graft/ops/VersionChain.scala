@@ -82,15 +82,20 @@ object VersionChain {
     val root = rootFor(dir)
     val m = markerFile(root)
     if (m.exists()) {
-      val txt = java.nio.file.Files.readString(m.toPath)
-      val lines = txt.split("\n", -1)
-      val storedOk = lines.length >= 3 &&
-        lines(0) == ChainVersion.toString && lines(1) == dir &&
-        (gens :+ "manifest").forall(g =>
-          new java.io.File(s"$root/$g/_SUCCESS").exists()) &&
-        // checksum: the stored v0 must still hold the committed row
-        // count (parquet footer count — metadata-only, no data read)
-        spark.read.parquet(s"$root/gen0").count() == lines(2).toLong
+      // a torn/corrupt marker (crash mid-writeString) must read as
+      // INVALID and recommit, never throw — Try absorbs parse/read
+      // failures into the same recommit path as a clean mismatch
+      val storedOk = scala.util.Try {
+        val txt = java.nio.file.Files.readString(m.toPath)
+        val lines = txt.split("\n", -1)
+        lines.length >= 3 &&
+          lines(0) == ChainVersion.toString && lines(1) == dir &&
+          (gens :+ "manifest").forall(g =>
+            new java.io.File(s"$root/$g/_SUCCESS").exists()) &&
+          // checksum: the stored v0 must still hold the committed row
+          // count (parquet footer count — metadata-only, no data read)
+          spark.read.parquet(s"$root/gen0").count() == lines(2).toLong
+      }.getOrElse(false)
       if (storedOk) return root
       m.delete()
     }

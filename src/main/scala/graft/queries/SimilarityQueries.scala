@@ -556,7 +556,7 @@ object SimilarityQueries {
       .withColumn("tot_vr", sum("vr").over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
       .filter(col("rk") === 1)
-      .select(col("dim").as("top_dim"),
+      .select(col("dim").cast("long").as("top_dim"),
         expr("CAST((1000 * vr) div tot_vr AS BIGINT)").as("top_share_pm"))
     agg.crossJoin(broadcast(top))
       .select(lit(n).as("n_vecs"),

@@ -607,17 +607,25 @@ object Similarity {
 
   /** DELETE propagation into the stored index — the durable tier of
     * the right-to-be-forgotten story ([[ivfPqServeStored]]'s
-    * `exclude` mask is the immediate tier): each listed segment is
-    * rewritten MINUS the tombstoned vec_ids into a FRESH
-    * `<seg>_live_g<N>` generation, and the swap is committed by
-    * writing an immutable manifest pointer `livelog/v<N>` AFTERWARD
-    * (the `q_time_travel` pattern): the previously-live generation is
-    * never deleted before the new one commits, so a crash at ANY
-    * point leaves readers (who resolve through [[liveSegments]]) on a
-    * complete generation — the earlier overwrite-in-place `_live`
-    * layout had a window where a crash mid-rewrite left a
-    * partial/empty live segment with no record of what was current.
-    * Generations two or more flips old are retired after the commit.
+    * `exclude` mask is the immediate tier): each listed segment's
+    * CURRENT LIVE generation (resolved through the newest committed
+    * manifest, so earlier compactions' tombstones stay erased even
+    * when this call's delete set differs) is rewritten MINUS the
+    * tombstoned vec_ids into a FRESH `<seg>_live_g<N>` generation, and
+    * the swap is committed by writing an immutable manifest pointer
+    * `livelog/v<N>` AFTERWARD (the `q_time_travel` pattern): the
+    * previously-live generation is never deleted before the new one
+    * commits, so a crash at ANY point leaves readers (who resolve
+    * through [[liveSegments]]) on a complete generation — the earlier
+    * overwrite-in-place `_live` layout had a window where a crash
+    * mid-rewrite left a partial/empty live segment with no record of
+    * what was current. The committed manifest is CUMULATIVE: segments
+    * compacted in an earlier generation but not listed here carry
+    * their live pointers forward, so a partial-segment compaction can
+    * never resurrect deletions by letting an omitted segment resolve
+    * back to its tombstone-bearing base. Unreferenced generations two
+    * or more flips old are retired after the commit (carried-forward
+    * live paths stay referenced and are never swept).
     * Returns the live segment names just committed (pass them to
     * [[ivfPqServeStored]]'s `segments`). Bucket partitioning is
     * preserved
@@ -663,18 +671,35 @@ object Similarity {
 
   def ivfPqCompactDelete(spark: org.apache.spark.sql.SparkSession,
                          path: String, deleted: DataFrame,
-                         segments: Seq[String]): Seq[String] = {
+                         segments: Seq[String]): Seq[String] =
+    Similarity.synchronized { // same lock as ensureStoredIndex: concurrent
+      // suites in one JVM share the content-keyed root; two compactions
+      // racing would compute the same gen and clobber each other's writes
     import spark.implicits._
     // fresh generation number: one past the newest COMMITTED manifest
     // (a crashed attempt's orphan gets overwritten, never resurrected)
-    val gen = committedManifests(path).maxOption.getOrElse(0) + 1
+    val prevGen = committedManifests(path).maxOption
+    val gen = prevGen.getOrElse(0) + 1
+    // the previously committed segment→live mapping: compaction reads
+    // FROM the current live generation (so earlier tombstones stay
+    // erased even when this call's delete set differs) and the new
+    // manifest CARRIES FORWARD segments this call doesn't mention — a
+    // partial-segment compaction can never resurrect a deleted vector
+    // by letting an omitted segment fall back to its base.
+    val prevLive: Map[String, String] = prevGen match {
+      case None => Map.empty
+      case Some(n) =>
+        spark.read.parquet(s"$path/livelog/v$n")
+          .select(col("segment"), col("live_path"))
+          .as[(String, String)].collect().toMap
+    }
     val livePaths = segments.map(seg => seg -> s"${seg}_live_g$gen")
     // 1. write every compacted segment to its FRESH generation path —
     //    the previous live generation stays intact and serving until
     //    the manifest below commits (crash mid-rewrite = readers still
     //    resolve the old generation; nothing was deleted)
     livePaths.foreach { case (seg, livePath) =>
-      spark.read.parquet(s"$path/$seg")
+      spark.read.parquet(s"$path/${prevLive.getOrElse(seg, seg)}")
         .join(broadcast(deleted.select("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("codes"), col("cid"))
         .repartition(col("cid"))
@@ -683,14 +708,21 @@ object Similarity {
     }
     // 2. FLIP: commit the manifest pointer as its own immutable
     //    `livelog/v$gen` (the q_time_travel pattern — the _SUCCESS
-    //    marker is the commit point, so the swap is all-or-nothing)
-    livePaths.map { case (seg, livePath) => (seg, livePath, gen) }
+    //    marker is the commit point, so the swap is all-or-nothing).
+    //    The manifest is CUMULATIVE: segments compacted in earlier
+    //    generations but not in this one keep their live pointers.
+    val carried = (prevLive -- segments).toSeq
+      .map { case (seg, lp) => (seg, lp, gen) }
+    (livePaths.map { case (seg, livePath) => (seg, livePath, gen) } ++ carried)
       .toDF("segment", "live_path", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/livelog/v$gen")
-    // 3. RETIRE generations two or more flips old (current + previous
-    //    are kept — the previous stays readable until the next commit,
-    //    which is the crash-safety window; older ones are reclaimed so
-    //    repeated compaction doesn't grow disk without bound)
+    // 3. RETIRE stale generation directories: anything older than the
+    //    previous flip AND not referenced by the current or previous
+    //    committed manifest (the previous stays readable until the
+    //    next commit — the crash-safety window; carried-forward live
+    //    paths stay referenced and are never swept).
+    val referenced: Set[String] =
+      (livePaths.map(_._2) ++ carried.map(_._2) ++ prevLive.values).toSet
     val root = new java.io.File(path)
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
@@ -699,7 +731,8 @@ object Similarity {
     val liveGen = "(.+)_live_g(\\d+)".r
     root.listFiles().toSeq.foreach { d =>
       d.getName match {
-        case liveGen(_, g) if g.toInt <= gen - 2 => rm(d)
+        case liveGen(_, g)
+          if g.toInt <= gen - 2 && !referenced(d.getName) => rm(d)
         case _ => ()
       }
     }
@@ -746,13 +779,16 @@ object Similarity {
     val marker = new java.io.File(root, "_INDEX_OK")
     val head = s"$IndexFixtureVersion\n$dir\n$split9\n"
     if (marker.exists()) {
-      val txt = java.nio.file.Files.readString(marker.toPath)
       val segs = Seq("codes", "cents", "seeds", "meta") ++
         (if (split9) Seq("codes_delta") else Nil)
-      val ok = txt.startsWith(head) && txt.split("\n", -1).length >= 4 &&
-        segs.forall(s1 => new java.io.File(s"$root/$s1/_SUCCESS").exists()) &&
-        spark.read.parquet(s"$root/codes").count() ==
-          txt.split("\n", -1)(3).toLong
+      // torn/corrupt marker ⇒ invalid ⇒ recommit (never throw)
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) && txt.split("\n", -1).length >= 4 &&
+          segs.forall(s1 => new java.io.File(s"$root/$s1/_SUCCESS").exists()) &&
+          spark.read.parquet(s"$root/codes").count() ==
+            txt.split("\n", -1)(3).toLong
+      }.getOrElse(false)
       if (ok) return root
       marker.delete()
     }
@@ -780,7 +816,9 @@ object Similarity {
     * Lucene segment-merge cost model. */
   def ivfPqMergeSegments(spark: org.apache.spark.sql.SparkSession,
                          path: String, segments: Seq[String],
-                         target: String): Unit = {
+                         target: String): Unit =
+    Similarity.synchronized { // shared content-keyed root: a concurrent
+      // merge overwriting the target mid-read would corrupt a serve
     val meta = readIndexMeta(spark, path)
     val merged = segments.map { seg =>
       val df = spark.read.parquet(s"$path/$seg")

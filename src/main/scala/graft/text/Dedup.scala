@@ -509,12 +509,15 @@ object Dedup {
     val marker = new java.io.File(root, "_PAIRS_OK")
     val head = s"$PairGraphVersion\n$dir\n"
     if (marker.exists()) {
-      val txt = java.nio.file.Files.readString(marker.toPath)
-      val ok = txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
-        Seq("pairs", "labels").forall(t =>
-          new java.io.File(s"$root/$t/_SUCCESS").exists()) &&
-        spark.read.parquet(s"$root/pairs").count() ==
-          txt.split("\n", -1)(2).toLong
+      // torn/corrupt marker ⇒ invalid ⇒ recommit (never throw)
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+          Seq("pairs", "labels").forall(t =>
+            new java.io.File(s"$root/$t/_SUCCESS").exists()) &&
+          spark.read.parquet(s"$root/pairs").count() ==
+            txt.split("\n", -1)(2).toLong
+      }.getOrElse(false)
       if (ok) return root
       marker.delete()
     }

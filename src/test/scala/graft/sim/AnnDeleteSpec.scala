@@ -115,4 +115,51 @@ class AnnDeleteSpec extends SparkSpec {
     assert(Similarity.liveSegments(spark, root, Seq("cents")) ===
       Seq("cents"))
   }
+
+  test("partial-segment compaction carries forward, never resurrects") {
+    rows
+    // compaction is CUMULATIVE (it rewrites from the current live
+    // generation), so this test's foreign %17 tombstones must never
+    // touch the shared content-keyed root other consumers serve from —
+    // it runs on a file-level copy (the q_vacuum isolation convention)
+    val copy =
+      s"${System.getProperty("java.io.tmpdir")}/graft_anndel_partial"
+    graft.ops.VersionChain.copyTo(root, copy)
+    val root2 = copy
+    val del13 = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 13 === 0).select("vec_id")
+    // establish a full flip so both segments have live generations
+    Similarity.ivfPqCompactDelete(spark, root2, del13,
+      Seq("codes", "codes_delta"))
+    val deltaLiveBefore =
+      Similarity.liveSegments(spark, root2, Seq("codes_delta")).head
+    // now compact ONLY `codes`, with a DIFFERENT tombstone set — the
+    // pre-fix code rebuilt from base segments and wholly replaced the
+    // manifest, so this call used to (a) resurrect the %13 deletions
+    // inside codes and (b) drop codes_delta's live pointer entirely
+    val del17 = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 17 === 1).select("vec_id")
+    Similarity.ivfPqCompactDelete(spark, root2, del17, Seq("codes"))
+    val resolved = Similarity.liveSegments(
+      spark, root2, Seq("codes", "codes_delta"))
+    // carry-forward: the omitted segment keeps its committed pointer
+    assert(resolved(1) === deltaLiveBefore,
+      s"codes_delta fell back to ${resolved(1)} — manifest not cumulative")
+    // no resurrection: BOTH delete sets stay erased from the live codes
+    val liveIds = spark.read.parquet(s"$root2/${resolved.head}")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!liveIds.exists(_ % 13 == 0),
+      "earlier tombstones resurrected by a later partial compaction")
+    assert(!liveIds.exists(_ % 17 == 1), "this call's tombstones survive")
+    // refcount-aware retirement: two MORE partial flips on `codes`
+    // retire old codes generations but must never sweep the
+    // still-referenced carried-forward codes_delta generation
+    Similarity.ivfPqCompactDelete(spark, root2, del17, Seq("codes"))
+    Similarity.ivfPqCompactDelete(spark, root2, del17, Seq("codes"))
+    assert(new java.io.File(s"$root2/$deltaLiveBefore").exists(),
+      "retirement swept a generation the manifest still references")
+    assert(Similarity.liveSegments(spark, root2, Seq("codes_delta")).head
+      === deltaLiveBefore)
+    graft.ops.VersionChain.rmTree(new java.io.File(root2))
+  }
 }
