@@ -522,129 +522,272 @@ object MaintenancePipelineQuery {
 
   // ------------------------------------------------------ merge upsert
 
-  /** `q_merge_upsert` — MERGE INTO, the write-side API the
-    * change-data-feed tier implies (Delta/Iceberg MERGE): one delta
-    * batch carrying inserts, updates, and deletes applies to a keyed
-    * stored table in a SINGLE commit that writes (a) a new immutable
-    * generation and (b) the commit's CDF delta. Source rows against
-    * the customer dimension: updates for custkey ≡ 3 (mod 10), a
-    * DELETE-wins precedence for keys also matching the delete set
-    * (custkey ≡ 0 mod 13 — standard WHEN MATCHED ordering), inserts
-    * under custkey + 10⁶ for custkey ≡ 1 (mod 50). The new generation
-    * is survivors-with-updates ∪ inserts (one broadcast-delta pass
-    * over the base — the delta is small by law, the base never
-    * shuffles); the CDF records remove/update_pre/update_post/insert
-    * rows. Output: per-change-type accounting + the final table's
-    * checksum triple, all predicted by the oracle from the raw
-    * customer table — a MERGE that dropped the wrong row or recorded
-    * the wrong feed hash-fails. MergeUpsertSpec REPLAYS the stored
-    * CDF onto the stored base generation and demands bit-equality
-    * with the stored result generation — the feed is a lossless
-    * description of the commit.
+  /** `q_merge_upsert` — FILE-GRANULARITY MERGE INTO (copy-on-write),
+    * the write-side API the change-data-feed tier implies
+    * (Delta/Iceberg MERGE): one delta batch carrying inserts, updates,
+    * and deletes applies to a keyed stored table in a SINGLE commit
+    * that (a) rewrites ONLY the files containing matched keys,
+    * (b) carries every untouched file into the new version's FILE
+    * MANIFEST by reference — verbatim path, zero bytes moved — and
+    * (c) records the commit's CDF delta. This is the delta-
+    * proportional shape: the base is range-bucketed into ~16 files
+    * (`bucket = (custkey−1) div width`, width = ⌈maxkey/16⌉); the
+    * MERGE delta is LOCALIZED to the hot tail (bucket ≥ 12 — the
+    * CDC-realistic "recent partitions churn, old ones are cold"):
+    * deletes custkey ≡ 0 (mod 13), updates ≡ 3 (mod 10) with
+    * DELETE-wins precedence on overlap (standard WHEN MATCHED
+    * ordering), and inserts under CONTIGUOUS fresh keys
+    * maxkey + 1 + rank (new data appends into the last/new bucket,
+    * never fanning out over cold files). The commit rewrites 4–5
+    * bucket files and carries 12 by reference at every SF — the
+    * round-13 version rewrote 100% of rows for a 0.1%-of-keys delta.
     *
-    * Scale shape: one broadcast anti/left join per tier over a single
-    * base scan; CDF is change-proportional; accounting is map-side. */
-  private def mergeRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_merge"
+    * Output: per-change-type feed accounting, plus `carry` / `commit`
+    * / `zz_final` rows whose n_files column puts the FILE accounting
+    * itself under the oracle hash — carried files + rewritten files
+    * and their row/xor/sum triples are all predicted from the raw
+    * customer table, so a MERGE that rewrote a cold file (or dropped
+    * one from the manifest) hash-fails, not just spec-fails.
+    * MergeUpsertSpec additionally pins: strictly fewer data files
+    * written than the base holds, carried file NAMES survive into the
+    * new manifest verbatim, the rewrite's base scan partition-prunes
+    * to the touched buckets, and CDF replay onto the base reproduces
+    * the manifest-resolved v1 read bit-for-bit.
+    *
+    * The whole fixture (base + commit + manifests + feed) is
+    * deterministic in the dataset, so it commits ONCE per dataset
+    * behind a content-keyed `_MERGE_OK` marker (the [[VersionChain]]
+    * discipline) and the query reads stored state.
+    *
+    * Scale shape: touched-file identification is a broadcast-delta
+    * distinct over |buckets|; the rewrite scans ONLY the touched
+    * bucket directories (partition-pruned read); the manifest is
+    * |files| rows; CDF is change-proportional. */
+  val MergeFixtureVersion = 1
 
-  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val root = mergeRoot
-    val base = graft.tables.Tables.customer(spark, dir)
+  def mergeRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_merge_$key"
+  }
+
+  /** One file-manifest row: a data file of the table at some version. */
+  final case class MergeFile(bucket: Long, file: String, rewritten: Boolean)
+
+  /** Commit the merge fixture for `dir` unless a validated one is
+    * stored; returns the root. Layout: `gen0/pbucket=b/` base files,
+    * `gen1/pbucket=b/` ONLY rewritten/new buckets, `filemanifest/v1`
+    * (bucket, file, rewritten) listing every data file of v1 —
+    * carried entries point into gen0 verbatim — and `cdf/v1`. */
+  def ensureMerge(spark: SparkSession, dir: String): String = synchronized {
+    import spark.implicits._
+    val root = mergeRoot(dir)
+    val marker = new java.io.File(root, "_MERGE_OK")
+    val head = s"$MergeFixtureVersion\n$dir\n"
+    if (marker.exists()) {
+      // torn/corrupt marker ⇒ invalid ⇒ recommit (never throw)
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+          Seq("gen0", "gen1", "filemanifest/v1", "cdf/v1").forall(p =>
+            new java.io.File(s"$root/$p/_SUCCESS").exists()) &&
+          spark.read.parquet(s"$root/gen0").count() ==
+            txt.split("\n", -1)(2).toLong
+      }.getOrElse(false)
+      if (ok) return root
+      marker.delete()
+    }
+    val raw = graft.tables.Tables.customer(spark, dir)
       .select(col("c_custkey").as("custkey"),
         col("c_nationkey").cast("long").as("nation"),
         coalesce(Num.cents(col("c_acctbal")), lit(-1L)).as("bal"))
-    base.coalesce(4).write.mode("overwrite").parquet(s"$root/gen0")
+    // range bucketing: width = ⌈maxkey/16⌉ (bounded driver scalar)
+    val maxKey = raw.agg(max("custkey")).head().getLong(0)
+    val width = 1 + (maxKey - 1) / 16
+    val base = raw
+      .withColumn("bucket", expr(s"(custkey - 1) div $width"))
+      .withColumn("pbucket", col("bucket")) // partition col duplicated
+    base.repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$root/gen0")
     val g0 = graft.ops.SideCache.persist(spark.read.parquet(s"$root/gen0"))
-    g0.count()
-    // the MERGE source: delete wins over update on overlapping keys
-    val delKeys = g0.filter(col("custkey") % 13 === 0).select("custkey")
+    val n0 = g0.count()
+    // the MERGE delta, localized to the hot tail; delete wins on overlap
+    val hot = col("bucket") >= 12
+    val delKeys = g0.filter(col("custkey") % 13 === 0 && hot)
+      .select("custkey", "bucket")
     val updates = g0.filter(col("custkey") % 10 === 3 &&
-        col("custkey") % 13 =!= 0)
-      .select(col("custkey"), col("nation"), (col("bal") + 500L).as("bal"))
+        col("custkey") % 13 =!= 0 && hot)
+      .select(col("custkey"), col("nation"), (col("bal") + 500L).as("bal"),
+        col("bucket"))
     val inserts = g0.filter(col("custkey") % 50 === 1)
-      .select((col("custkey") + 1000000L).as("custkey"), col("nation"),
-        lit(1111L).as("bal"))
-    // apply: survivors minus deletes, updates overlaid, inserts added
-    val survivors = g0.join(broadcast(delKeys), Seq("custkey"), "left_anti")
-    val updated = survivors
+      .select((lit(maxKey + 1) + expr("(custkey - 1) div 50")).as("custkey"),
+        col("nation"), lit(1111L).as("bal"))
+      .withColumn("bucket", expr(s"(custkey - 1) div $width"))
+    // touched buckets: distinct over the delta only (≤ |buckets| rows)
+    val touched = delKeys.select("bucket")
+      .unionAll(updates.select("bucket")).unionAll(inserts.select("bucket"))
+      .distinct().as[Long].collect().toSet
+    val baseBuckets = g0.select(col("pbucket").cast("long"))
+      .distinct().as[Long].collect().toSet
+    // rewrite ONLY the touched base buckets (partition-pruned scan of
+    // gen0 — MergeUpsertSpec asserts the pruning), then the new
+    // generation holds rewritten buckets ∪ insert buckets ONLY
+    val touchedBase = spark.read.parquet(s"$root/gen0")
+      .filter(col("pbucket").isin(touched.toSeq: _*))
+    val survivors = touchedBase
+      .join(broadcast(delKeys.select("custkey")), Seq("custkey"), "left_anti")
+    val rewritten = survivors
       .join(broadcast(updates.select(col("custkey"),
         col("bal").as("new_bal"))), Seq("custkey"), "left")
       .select(col("custkey"), col("nation"),
-        coalesce(col("new_bal"), col("bal")).as("bal"))
-    updated.unionAll(inserts)
-      .coalesce(4).write.mode("overwrite").parquet(s"$root/gen1")
+        coalesce(col("new_bal"), col("bal")).as("bal"), col("bucket"))
+      .unionAll(inserts)
+      .withColumn("pbucket", col("bucket"))
+    rewritten.repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(s"$root/gen1")
+    // v1 FILE MANIFEST: carried base files by VERBATIM reference +
+    // the rewritten/new files (driver FS listing — |files| bounded)
+    def listFiles(gen: String, b: Long): Seq[String] = {
+      val d = new java.io.File(s"$root/$gen/pbucket=$b")
+      if (!d.exists()) Nil
+      else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+        .map(f => s"$gen/pbucket=$b/${f.getName}").sorted
+    }
+    val carried = (baseBuckets -- touched).toSeq.sorted
+      .flatMap(b => listFiles("gen0", b).map(f => MergeFile(b, f, false)))
+    val writtenBuckets = rewritten.select(col("bucket"))
+      .distinct().as[Long].collect().toSet
+    val written = writtenBuckets.toSeq.sorted
+      .flatMap(b => listFiles("gen1", b).map(f => MergeFile(b, f, true)))
+    (carried ++ written).toDF()
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/filemanifest/v1")
     // the commit's CDF delta (the writer KNOWS its change set)
     def asCdf(change: String, df: DataFrame): DataFrame =
       df.select(lit(change).as("change_type"), col("custkey"),
         col("nation"), col("bal"))
-    asCdf("remove", g0.join(broadcast(delKeys), Seq("custkey"), "left_semi"))
+    asCdf("remove", g0.join(broadcast(delKeys.select("custkey")),
+        Seq("custkey"), "left_semi"))
       .unionAll(asCdf("update_pre",
         g0.join(broadcast(updates.select("custkey")), Seq("custkey"),
           "left_semi")))
       .unionAll(asCdf("update_post", updates))
       .unionAll(asCdf("insert", inserts))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cdf/v1")
-    // accounting: the feed + the final state, both from STORED tables
+    // marker LAST (crash anywhere above ⇒ no marker ⇒ recommit)
+    java.nio.file.Files.writeString(marker.toPath, s"$head$n0\n")
+    root
+  }
+
+  /** The v1 file manifest, collected (|files| rows — bounded). */
+  def mergeManifest(spark: SparkSession, root: String): Seq[MergeFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$root/filemanifest/v1").as[MergeFile]
+      .collect().sortBy(f => (f.bucket, f.file)).toSeq
+  }
+
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureMerge(spark, dir)
     val feed = spark.read.parquet(s"$root/cdf/v1")
       .groupBy("change_type")
       .agg(count(lit(1)).as("n_rows"),
         coalesce(expr("bit_xor(custkey)"), lit(0L)).as("key_xor"),
         coalesce(sum("bal"), lit(0L)).as("bal_sum"))
-      .select(col("change_type"), col("n_rows"), col("key_xor"),
-        col("bal_sum"))
-    val fin = spark.read.parquet(s"$root/gen1")
-      .agg(count(lit(1)).as("n_rows"),
-        coalesce(expr("bit_xor(custkey)"), lit(0L)).as("key_xor"),
-        coalesce(sum("bal"), lit(0L)).as("bal_sum"))
-      .select(lit("zz_final").as("change_type"), col("n_rows"),
-        col("key_xor"), col("bal_sum"))
-    feed.unionAll(fin).orderBy("change_type")
+      .select(col("change_type").as("row_kind"), col("n_rows"),
+        col("key_xor"), col("bal_sum"), lit(-1L).as("n_files"))
+    val man = mergeManifest(spark, root)
+    val (carry, commit) = man.partition(!_.rewritten)
+    def triple(kind: String, files: Seq[MergeFile]): DataFrame =
+      spark.read.parquet(files.map(f => s"$root/${f.file}"): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(custkey)"), lit(0L)).as("key_xor"),
+          coalesce(sum("bal"), lit(0L)).as("bal_sum"))
+        .select(lit(kind).as("row_kind"), col("n_rows"), col("key_xor"),
+          col("bal_sum"), lit(files.size.toLong).as("n_files"))
+    feed.unionAll(triple("carry", carry))
+      .unionAll(triple("commit", commit))
+      // zz_final IS the manifest-resolved v1 read: carried ∪ rewritten
+      .unionAll(triple("zz_final", man))
+      .orderBy("row_kind")
   }
 
   private val mergeUpsertSql =
-    s"""WITH base AS (
+    s"""WITH raw AS (
        |  SELECT c_custkey AS custkey, CAST(c_nationkey AS BIGINT) AS nation,
        |    COALESCE(${NumSql.cents("c_acctbal")}, -1) AS bal
        |  FROM customer),
-       |dels AS (SELECT custkey FROM base WHERE custkey % 13 = 0),
+       |mx AS (SELECT MAX(custkey) AS mk,
+       |         CAST(1 + (MAX(custkey) - 1) // 16 AS BIGINT) AS width
+       |       FROM raw),
+       |base AS (
+       |  SELECT r.*, CAST((custkey - 1) // width AS BIGINT) AS bucket
+       |  FROM raw r CROSS JOIN mx),
+       |dels AS (
+       |  SELECT custkey, bucket FROM base
+       |  WHERE custkey % 13 = 0 AND bucket >= 12),
        |upds AS (
-       |  SELECT custkey, nation, bal + 500 AS bal FROM base
-       |  WHERE custkey % 10 = 3 AND custkey % 13 <> 0),
+       |  SELECT custkey, nation, bal + 500 AS bal, bucket FROM base
+       |  WHERE custkey % 10 = 3 AND custkey % 13 <> 0 AND bucket >= 12),
        |ins AS (
-       |  SELECT custkey + 1000000 AS custkey, nation, 1111 AS bal
-       |  FROM base WHERE custkey % 50 = 1),
-       |merged AS (
-       |  SELECT b.custkey, b.nation, COALESCE(u.bal, b.bal) AS bal
-       |  FROM base b LEFT JOIN upds u USING (custkey)
-       |  WHERE b.custkey % 13 <> 0
-       |  UNION ALL SELECT * FROM ins),
+       |  SELECT mk + 1 + (custkey - 1) // 50 AS custkey, nation,
+       |    CAST(1111 AS BIGINT) AS bal,
+       |    CAST((mk + (custkey - 1) // 50) // width AS BIGINT) AS bucket
+       |  FROM base CROSS JOIN mx WHERE custkey % 50 = 1),
+       |touched AS (
+       |  SELECT bucket FROM dels UNION SELECT bucket FROM upds
+       |  UNION SELECT bucket FROM ins),
+       |gen1 AS (
+       |  SELECT b.custkey, b.nation, COALESCE(u.bal, b.bal) AS bal, b.bucket
+       |  FROM base b LEFT JOIN (SELECT custkey, bal FROM upds) u
+       |    USING (custkey)
+       |  WHERE b.bucket IN (SELECT bucket FROM touched)
+       |    AND b.custkey NOT IN (SELECT custkey FROM dels)
+       |  UNION ALL SELECT custkey, nation, bal, bucket FROM ins),
+       |carried AS (
+       |  SELECT * FROM base
+       |  WHERE bucket NOT IN (SELECT bucket FROM touched)),
        |rows_ AS (
-       |  SELECT 'remove' AS change_type, COUNT(*) AS n_rows,
+       |  SELECT 'remove' AS row_kind, COUNT(*) AS n_rows,
        |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT) AS key_xor,
-       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT) AS bal_sum
-       |  FROM base WHERE custkey % 13 = 0
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT) AS bal_sum,
+       |    CAST(-1 AS BIGINT) AS n_files
+       |  FROM base WHERE custkey % 13 = 0 AND bucket >= 12
        |  UNION ALL
        |  SELECT 'update_pre', COUNT(*),
        |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
-       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
-       |  FROM base WHERE custkey % 10 = 3 AND custkey % 13 <> 0
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT), -1
+       |  FROM base
+       |  WHERE custkey % 10 = 3 AND custkey % 13 <> 0 AND bucket >= 12
        |  UNION ALL
        |  SELECT 'update_post', COUNT(*),
        |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
-       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT), -1
        |  FROM upds
        |  UNION ALL
        |  SELECT 'insert', COUNT(*),
        |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
-       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT), -1
        |  FROM ins
+       |  UNION ALL
+       |  SELECT 'carry', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT),
+       |    CAST(COUNT(DISTINCT bucket) AS BIGINT)
+       |  FROM carried
+       |  UNION ALL
+       |  SELECT 'commit', COUNT(*),
+       |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT),
+       |    CAST(COUNT(DISTINCT bucket) AS BIGINT)
+       |  FROM gen1
        |  UNION ALL
        |  SELECT 'zz_final', COUNT(*),
        |    CAST(COALESCE(bit_xor(custkey), 0) AS BIGINT),
-       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT)
-       |  FROM merged)
-       |SELECT change_type, n_rows, key_xor, bal_sum
-       |FROM rows_ ORDER BY change_type""".stripMargin
+       |    CAST(COALESCE(SUM(bal), 0) AS BIGINT),
+       |    (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM carried) +
+       |    (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM gen1)
+       |  FROM (SELECT * FROM carried UNION ALL SELECT * FROM gen1))
+       |SELECT row_kind, n_rows, key_xor, bal_sum, n_files
+       |FROM rows_ ORDER BY row_kind""".stripMargin
 
   // --------------------------------------------- materialized view
 
