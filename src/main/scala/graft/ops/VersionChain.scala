@@ -46,9 +46,11 @@ import org.apache.spark.sql.functions._
   * `q_maintenance_pipeline` prices, paid ONCE; the manifest is
   * |versions| rows; CDF deltas are change-proportional (the whole
   * point — a snapshot diff reads them instead of two full scans).
-  * Destructive consumers (`q_vacuum` deletes generations) take a
-  * file-level [[copyTo]] of the chain rather than mutating the
-  * shared root. */
+  * Destructive consumers (`q_vacuum` expires generations) take a
+  * metadata-only [[shallowClone]] of the chain — zero data files
+  * move — and generation files are physically reclaimed only via
+  * refcounted [[retireUnreferenced]], so the shared root other
+  * queries resolve is untouchable by construction. */
 object VersionChain {
 
   /** Bumped whenever the chain definition changes — a marker from an
@@ -114,12 +116,95 @@ object VersionChain {
   def asOf(spark: SparkSession, root: String, log: Seq[Commit],
            v: Long): (Commit, DataFrame) = {
     val c = log.filter(_.version <= v).maxBy(_.version)
-    (c, spark.read.parquet(s"$root/${c.path}"))
+    (c, spark.read.parquet(resolvePath(root, c.path)))
   }
 
-  /** File-level copy of the whole chain for destructive consumers —
-    * `q_vacuum` deletes generations, which must never touch the
-    * shared root other queries resolve against. */
+  // ------------------------------------------------------ shallow clone
+
+  /** `_BASE` names the DATA root a shallow clone resolves against;
+    * absent on an owning chain root. */
+  private def baseFile(root: String) = new java.io.File(root, "_BASE")
+
+  /** The root whose generation directories hold `root`'s data: the
+    * clone's recorded base, or `root` itself for an owning chain. */
+  def dataRoot(root: String): String = {
+    val b = baseFile(root)
+    if (b.exists())
+      java.nio.file.Files.readString(b.toPath).trim
+    else root
+  }
+
+  /** Resolve a manifest path against the chain's data root — the one
+    * indirection that makes a metadata-only clone readable. */
+  def resolvePath(root: String, path: String): String =
+    s"${dataRoot(root)}/$path"
+
+  /** METADATA-ONLY clone (Delta SHALLOW CLONE / Iceberg snapshot
+    * reference, distilled): copy the \|versions\|-row manifest and a
+    * `_BASE` pointer; ZERO data files move — cloning a 100 TB chain
+    * is kilobytes of metadata, where the old file-level [[copyTo]]
+    * was data-proportional. The clone registers itself in the data
+    * root's clone REGISTRY so generation retirement is REFCOUNTED:
+    * a generation's files are physically deleted only when neither
+    * the owning manifest nor any live registered clone references it
+    * ([[retireUnreferenced]]) — which is exactly why a destructive
+    * consumer on a clone can never damage the shared data. */
+  def shallowClone(root: String, dest: String): Unit = synchronized {
+    val destF = new java.io.File(dest)
+    rmTree(destF); destF.mkdirs()
+    copyTo(s"$root/manifest", s"$dest/manifest") // |versions| rows
+    val base = dataRoot(root)
+    java.nio.file.Files.writeString(baseFile(dest).toPath, base)
+    val reg = new java.io.File(s"$base/clones")
+    reg.mkdirs()
+    val key = dest.replaceAll("[^A-Za-z0-9.]+", "_")
+    java.nio.file.Files.writeString(
+      new java.io.File(reg, s"$key.ref").toPath, dest)
+  }
+
+  /** Generation paths a chain (owner or clone) still references: its
+    * manifest rows, minus any a vacuum marked swept (`status` column
+    * present only on post-vacuum manifests). */
+  private def liveRefs(spark: SparkSession, root: String): Set[String] = {
+    if (!new java.io.File(s"$root/manifest/_SUCCESS").exists()) Set.empty
+    else {
+      val df = spark.read.parquet(s"$root/manifest")
+      val live = if (df.columns.contains("status"))
+        df.filter(col("status") === "live") else df
+      live.select("path").collect().map(_.getString(0)).toSet
+    }
+  }
+
+  /** REFCOUNTED generation retirement: physically delete generation
+    * directories under the DATA root that no live manifest — the
+    * owner's or any registered clone's — still references. Stale
+    * registry entries for vanished clones are pruned. Returns the
+    * retired generation names. File-listing + delete only; at 100 TB
+    * this never reads data. */
+  def retireUnreferenced(spark: SparkSession,
+                         anyRoot: String): Seq[String] = synchronized {
+    val base = dataRoot(anyRoot)
+    val reg = new java.io.File(s"$base/clones")
+    val cloneRoots: Seq[String] =
+      if (!reg.exists()) Nil
+      else reg.listFiles().toSeq.filter(_.getName.endsWith(".ref"))
+        .flatMap { f =>
+          val dest = java.nio.file.Files.readString(f.toPath).trim
+          if (new java.io.File(dest).exists()) Some(dest)
+          else { f.delete(); None } // the clone is gone: prune its ref
+        }
+    val refs = (base +: cloneRoots).map(liveRefs(spark, _))
+      .foldLeft(Set.empty[String])(_ ++ _)
+    gens.filterNot(refs).filter { g =>
+      val d = new java.io.File(s"$base/$g")
+      if (d.exists()) { rmTree(d); true } else false
+    }
+  }
+
+  /** File-level copy of the whole chain — retained as the OWNED-chain
+    * test fixture primitive (a copy is its own data root, so zero-ref
+    * retirement can be exercised destructively); production isolation
+    * is [[shallowClone]], which moves no data. */
   def copyTo(root: String, dest: String): Unit = synchronized {
     val destF = new java.io.File(dest)
     rmTree(destF)
@@ -130,6 +215,11 @@ object VersionChain {
       } else java.nio.file.Files.copy(src.toPath, dst.toPath)
     }
     cp(new java.io.File(root), destF)
+    // a copy is its OWN standalone data root: the source's clone
+    // registry and base pointer must not ride along
+    rmTree(new java.io.File(destF, "clones"))
+    new java.io.File(destF, "_BASE").delete()
+    ()
   }
 
   def rmTree(f: java.io.File): Unit = {

@@ -202,42 +202,51 @@ object MaintenancePipelineQuery {
     * generations forever unless something reclaims them (Delta's
     * VACUUM / Iceberg's expire_snapshots). Retention policy: keep the
     * newest 2 generations; everything older is swept. The operator
-    * works on a file-level COPY of the shared chain (the sweep is
-    * destructive; the shared root other queries resolve must never be
-    * mutated), then:
+    * works on a METADATA-ONLY [[VersionChain.shallowClone]] of the
+    * shared chain (round 14 — the round-13 version file-copied the
+    * whole chain, a data-proportional primitive that at 100 TB copies
+    * 100 TB to expire metadata), then:
     *
     *   1. takes the PRE-SWEEP audit of every generation — file count
-    *      from the actual on-disk listing, row count + the
-    *      `q_table_checksum` xor from a read of the generation (you
-    *      record what you delete BEFORE deleting it),
-    *   2. deletes the expired generations' directories,
-    *   3. rewrites the manifest with the audit + status columns —
-    *      the log row SURVIVES the sweep (Delta keeps history rows;
-    *      only the files go), and
+    *      from the actual listing at the resolved data paths, row
+    *      count + the `q_table_checksum` xor from a read (you record
+    *      what you expire BEFORE expiring it),
+    *   2. rewrites the clone's manifest with the audit + status
+    *      columns — expiry DROPS THE REFERENCES (the log row
+    *      survives; Delta keeps history rows), and
+    *   3. hands physical reclamation to the REFCOUNTED
+    *      [[VersionChain.retireUnreferenced]]: a generation's files
+    *      are deleted only when no live manifest — the owner's or any
+    *      registered clone's — references them. Here the shared owner
+    *      still does, so the shared data is untouched by
+    *      construction; VacuumSpec exercises the zero-reference path
+    *      on an OWNED copy, where the expired directories really go.
     *   4. returns a READ of the stored post-vacuum manifest — the
-    *      output hash certifies the on-disk lifecycle end-state.
+    *      output hash certifies the lifecycle end-state.
     *
     * The oracle predicts every audited number from the raw events
     * (files-per-generation = the partition counts the writers
     * produce; rows/xor from the same hashed CTEs as the maintenance
     * flagship), so a sweep that touched the wrong generation, or a
     * writer that split partitions into multiple files, hash-fails.
-    * VacuumSpec pins: expired directories GONE, survivors readable
-    * (and the manifest-resolved as-of now lands on v2 for every
-    * v ≤ 2), idempotent re-run.
+    * VacuumSpec pins: ZERO data files under the clone, the shared
+    * root untouched, zero-ref retirement actually deletes on an owned
+    * chain, as-of degrading to v2 for every v ≤ 2, idempotent re-run.
     *
-    * Scale shape: the audit is one scan per generation (the sweep of
-    * a 100 TB table is file-listing + delete, data never read); the
-    * manifest is \|versions\| rows. */
-  private def vacRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+    * Scale shape: the clone is \|versions\| manifest rows; the audit
+    * is one scan per generation; expiry is a manifest rewrite;
+    * retirement is file-listing + delete — data is never copied. */
+  def vacuumRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_$key"
+  }
 
-  def vacuum(spark: SparkSession, dir: String): DataFrame = {
+  /** Audit + expire + refcounted retire over any chain root (owner or
+    * shallow clone); returns the post-vacuum manifest read. */
+  def vacuumChain(spark: SparkSession, root: String,
+                  keepNewest: Int = 2): DataFrame = {
     import spark.implicits._
-    val shared = VersionChain.ensure(spark, dir)
-    VersionChain.copyTo(shared, vacRoot)
-    val log = VersionChain.manifest(spark, vacRoot)
-    val keepNewest = 2
+    val log = VersionChain.manifest(spark, root)
     val expired = log.sortBy(-_.version).drop(keepNewest)
       .map(_.version).toSet
     def parquetFiles(p: String): Seq[java.io.File] = {
@@ -246,10 +255,11 @@ object MaintenancePipelineQuery {
       val d = new java.io.File(p)
       if (d.exists()) walk(d).filter(_.getName.endsWith(".parquet")) else Nil
     }
-    // pre-sweep audit: record what will be deleted before deleting it
+    // pre-sweep audit: record what will be expired before expiring it
     val audit = log.map { c =>
-      val nf = parquetFiles(s"$vacRoot/${c.path}").size.toLong
-      val r = spark.read.parquet(s"$vacRoot/${c.path}")
+      val data = VersionChain.resolvePath(root, c.path)
+      val nf = parquetFiles(data).size.toLong
+      val r = spark.read.parquet(data)
         .withColumn("h", rowHash)
         .agg(count(lit(1)).as("n_rows"),
           coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"))
@@ -258,15 +268,20 @@ object MaintenancePipelineQuery {
       (c.version, c.op, c.path, status, nf,
         if (expired(c.version)) 0L else nf, r.getLong(0), r.getLong(1))
     }
-    // the sweep: files go, the log row stays
-    expired.foreach { v =>
-      val p = log.find(_.version == v).get.path
-      VersionChain.rmTree(new java.io.File(s"$vacRoot/$p"))
-    }
+    // the sweep: REFERENCES go (the log row stays); physical deletion
+    // is refcounted — only zero-ref generations are reclaimed
     audit.toDF("version", "op", "path", "status", "n_files_before",
         "n_files_after", "n_rows", "xor_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vacRoot/manifest")
-    spark.read.parquet(s"$vacRoot/manifest").orderBy("version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    VersionChain.retireUnreferenced(spark, root)
+    spark.read.parquet(s"$root/manifest").orderBy("version")
+  }
+
+  def vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val shared = VersionChain.ensure(spark, dir)
+    val root = vacuumRoot(dir)
+    VersionChain.shallowClone(shared, root) // zero data files move
+    vacuumChain(spark, root)
   }
 
   private val vacuumSql =

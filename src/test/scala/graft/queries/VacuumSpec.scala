@@ -3,32 +3,47 @@ package graft.queries
 import graft.{SparkEntry, SparkSpec}
 import graft.ops.VersionChain
 
-/** q_vacuum: the expired generations' files must actually be gone,
-  * survivors must stay readable (with as-of resolution degrading
-  * gracefully), the audit must describe the pre-sweep state, a re-run
-  * must be idempotent — and the sweep must never touch the SHARED
-  * chain root the other maintenance queries resolve. */
+/** q_vacuum over a SHALLOW CLONE: the clone must hold zero data files
+  * (metadata-only isolation), the shared chain root must be untouched
+  * because the owner still references every generation (refcounted
+  * retirement), expiry must drop the clone's references with as-of
+  * resolution degrading gracefully, zero-reference retirement must
+  * actually delete on an OWNED chain, and a re-run must be
+  * idempotent. */
 class VacuumSpec extends SparkSpec {
   import spark.implicits._
 
-  private val root =
-    s"${System.getProperty("java.io.tmpdir")}/graft_vacuum"
+  private lazy val root = MaintenancePipelineQuery.vacuumRoot(sf0001)
 
   private lazy val rows = SparkEntry.queries("q_vacuum")(spark, sf0001)
     .collect().toSeq.sortBy(_.getLong(0))
 
-  test("the expired generations are gone from disk; survivors readable") {
+  private def parquetFiles(p: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val d = new java.io.File(p)
+    if (d.exists()) walk(d).filter(_.getName.endsWith(".parquet")) else Nil
+  }
+
+  test("the clone is metadata-only and the shared root is untouched") {
     rows // force the run
-    for (g <- Seq("gen0", "gen1"))
+    // ZERO data files were copied: the clone holds only its manifest
+    // (|versions| rows) — no generation directory exists under it
+    for (g <- Seq("gen0", "gen1", "gen2", "gen3"))
       assert(!new java.io.File(s"$root/$g").exists(),
-        s"vacuumed generation $g still on disk")
-    for (g <- Seq("gen2", "gen3"))
-      assert(spark.read.parquet(s"$root/$g").count() > 0, s"$g unreadable")
-    // the SHARED chain is untouched: the sweep ran on a private copy
+        s"shallow clone materialized $g — data was copied")
+    val manifestFiles = parquetFiles(root)
+    assert(manifestFiles.nonEmpty &&
+      manifestFiles.forall(_.getPath.contains("/manifest/")),
+      "clone holds parquet outside its manifest")
+    // the SHARED chain is untouched: the owner still references every
+    // generation, so refcounted retirement must not reclaim anything
     val shared = VersionChain.rootFor(sf0001)
     for (g <- Seq("gen0", "gen1", "gen2", "gen3"))
       assert(new java.io.File(s"$shared/$g/_SUCCESS").exists(),
-        s"vacuum mutated the shared chain ($g)")
+        s"vacuum reclaimed a generation the owner references ($g)")
+    // expired generations stay READABLE through other consumers
+    assert(spark.read.parquet(s"$shared/gen0").count() > 0)
   }
 
   test("audit rows describe the pre-sweep state and the policy") {
@@ -36,13 +51,12 @@ class VacuumSpec extends SparkSpec {
     assert(r0.getString(3) === "vacuumed" && r1.getString(3) === "vacuumed" &&
       r2.getString(3) === "live" && r3.getString(3) === "live")
     // expired generations' audits recorded files and content BEFORE
-    // deletion
+    // the references were dropped
     for (r <- Seq(r0, r1)) {
       assert(r.getLong(4) > 0 && r.getLong(5) === 0L)
       assert(r.getLong(6) > 0)
     }
-    // v0 and v1 carry identical content (compaction preserved it) —
-    // recorded even though both generations' files are now gone
+    // v0 and v1 carry identical content (compaction preserved it)
     assert(r0.getLong(6) === r1.getLong(6))
     assert(r0.getLong(7) === r1.getLong(7))
     // the update kept v2's row count but changed its checksum
@@ -66,9 +80,32 @@ class VacuumSpec extends SparkSpec {
     assert(resolveLive(0) === "gen2",
       "a v0 reader must degrade to the oldest live generation")
     assert(resolveLive(2) === "gen2" && resolveLive(9) === "gen3")
+    // and the resolved generation is readable THROUGH the clone
+    assert(spark.read.parquet(
+      VersionChain.resolvePath(root, resolveLive(0))).count() > 0)
   }
 
-  test("re-run is idempotent (fresh copy + re-vacuum, same audit)") {
+  test("zero-reference retirement actually deletes on an owned chain") {
+    rows
+    val shared = VersionChain.rootFor(sf0001)
+    val owned =
+      s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_owned_test"
+    VersionChain.copyTo(shared, owned) // an OWNED copy: its own data root
+    MaintenancePipelineQuery.vacuumChain(spark, owned)
+    // the owned chain's expired generations have NO remaining
+    // references (no owner row marked live, no clones) — files go
+    for (g <- Seq("gen0", "gen1"))
+      assert(!new java.io.File(s"$owned/$g").exists(),
+        s"zero-reference generation $g was not reclaimed")
+    for (g <- Seq("gen2", "gen3"))
+      assert(spark.read.parquet(s"$owned/$g").count() > 0,
+        s"live generation $g must survive retirement")
+    // ... while the shared root (referenced by its owner) is intact
+    assert(new java.io.File(s"$shared/gen0/_SUCCESS").exists())
+    VersionChain.rmTree(new java.io.File(owned))
+  }
+
+  test("re-run is idempotent (fresh clone + re-vacuum, same audit)") {
     val first = rows.map(_.toSeq)
     val second = SparkEntry.queries("q_vacuum")(spark, sf0001)
       .collect().toSeq.sortBy(_.getLong(0)).map(_.toSeq)
