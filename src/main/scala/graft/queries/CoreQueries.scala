@@ -207,8 +207,30 @@ object CoreQueries {
     * is ONE scan with footer-level per-file upcasts — no rewrite, no
     * union-of-casts double plan; the accounting is a map-side
     * aggregate to 2 rows. */
-  private def schemaWidening(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_schema_widen"
+  /** Content-keyed root of the two-generation widening fixture
+    * (dataset-keyed + marker-last commit — the round-13 version wrote
+    * a fixed path per run; interleaved multi-dataset runs in one JVM
+    * could read the other dataset's half-written fixture). */
+  def schemaWidenRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_schema_widen_$key"
+  }
+
+  private def ensureSchemaWiden(spark: SparkSession, dir: String): String =
+    CoreQueries.synchronized {
+    val root = schemaWidenRoot(dir)
+    val marker = new java.io.File(root, "_SW_OK")
+    val head = s"1\n$dir\n"
+    if (marker.exists()) {
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) &&
+          Seq("batch=narrow", "batch=wide").forall(p =>
+            new java.io.File(s"$root/$p/_SUCCESS").exists())
+      }.getOrElse(false)
+      if (ok) return root
+      marker.delete()
+    }
     val e = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
@@ -224,6 +246,12 @@ object CoreQueries {
     e.filter(col("dom") > 15)
       .select(col("event_id"), col("vc"), col("score"))
       .write.mode("overwrite").parquet(s"$root/batch=wide")
+    java.nio.file.Files.writeString(marker.toPath, head)
+    root
+  }
+
+  private def schemaWidening(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureSchemaWiden(spark, dir)
     // read-side reconcile: ONE scan under the widest schema
     val widest = StructType(Seq(
       StructField("event_id", LongType), StructField("vc", LongType),

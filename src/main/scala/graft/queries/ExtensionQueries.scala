@@ -324,24 +324,74 @@ object ExtensionQueries {
     * a local merge). A `merge` join hint pins the SMJ strategy (a
     * session-conf toggle would not survive the lazy plan — strategy
     * resolves at action time; and at real scale neither side
-    * broadcasts anyway). Output: the per-nation order rollup through
-    * the bucketed join, oracled by a plain SQL join. */
+    * broadcasts anyway). The bucketed tables are a CONTENT-KEYED
+    * fixture (round 14): written once per dataset behind a marker;
+    * later runs — including fresh sessions — re-attach by DDL ONLY
+    * (`CREATE TABLE … CLUSTERED BY … LOCATION`, schema taken verbatim
+    * from the stored footer so the bucket hash type can never drift),
+    * which restores the shuffle-free SMJ without moving a byte.
+    * Output: the per-nation order rollup through the bucketed join,
+    * oracled by a plain SQL join. */
+  def bucketedRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$key"
+  }
+
+  /** Ensure the two bucketed tables exist on disk AND in this
+    * session's catalog; returns their (dataset-keyed) table names. */
+  def ensureBucketed(spark: SparkSession,
+                     dir: String): (String, String) = synchronized {
+    val root = bucketedRoot(dir)
+    val k = dir.replaceAll("[^A-Za-z0-9]+", "_") // SQL identifier: no dots
+    val custT = s"graft_bkt_cust_$k"
+    val ordT = s"graft_bkt_ord_$k"
+    val marker = new java.io.File(root, "_BKT_OK")
+    val head = s"1\n$dir\n"
+    val stored = marker.exists() && scala.util.Try {
+      java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+        Seq("cust", "ord").forall(t =>
+          new java.io.File(s"$root/$t/_SUCCESS").exists())
+    }.getOrElse(false)
+    if (!stored) {
+      if (marker.exists()) marker.delete()
+      spark.sql(s"DROP TABLE IF EXISTS $custT")
+      spark.sql(s"DROP TABLE IF EXISTS $ordT")
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("custkey"),
+          col("c_nationkey").cast("long").as("nation"))
+        .write.mode("overwrite").option("path", s"$root/cust")
+        .bucketBy(8, "custkey").sortBy("custkey")
+        .saveAsTable(custT)
+      Tables.orders(spark, dir)
+        .select(col("o_custkey").as("custkey"),
+          coalesce(Num.cents(col("o_totalprice")), lit(0L)).as("pc"))
+        .write.mode("overwrite").option("path", s"$root/ord")
+        .bucketBy(8, "custkey").sortBy("custkey")
+        .saveAsTable(ordT)
+      java.nio.file.Files.writeString(marker.toPath, head)
+    } else {
+      // stored fixture + (possibly) fresh session: re-attach by DDL.
+      // The schema comes from the stored footer VERBATIM — a declared
+      // type differing from the written one would silently change the
+      // bucket hash (murmur3 of int ≠ of long) and mis-join buckets.
+      def attach(tbl: String, sub: String): Unit =
+        if (!spark.catalog.tableExists(tbl)) {
+          val ddl = spark.read.parquet(s"$root/$sub").schema.toDDL
+          spark.sql(
+            s"""CREATE TABLE $tbl ($ddl) USING parquet
+               |CLUSTERED BY (custkey) SORTED BY (custkey) INTO 8 BUCKETS
+               |LOCATION '$root/$sub'""".stripMargin)
+        }
+      attach(custT, "cust")
+      attach(ordT, "ord")
+    }
+    (custT, ordT)
+  }
+
   private def joinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
-    Tables.customer(spark, dir)
-      .select(col("c_custkey").as("custkey"),
-        col("c_nationkey").cast("long").as("nation"))
-      .write.mode("overwrite").option("path", s"$wh/cust")
-      .bucketBy(8, "custkey").sortBy("custkey")
-      .saveAsTable("graft_bkt_cust")
-    Tables.orders(spark, dir)
-      .select(col("o_custkey").as("custkey"),
-        coalesce(Num.cents(col("o_totalprice")), lit(0L)).as("pc"))
-      .write.mode("overwrite").option("path", s"$wh/ord")
-      .bucketBy(8, "custkey").sortBy("custkey")
-      .saveAsTable("graft_bkt_ord")
-    spark.table("graft_bkt_cust").hint("merge")
-      .join(spark.table("graft_bkt_ord"), Seq("custkey"))
+    val (custT, ordT) = ensureBucketed(spark, dir)
+    spark.table(custT).hint("merge")
+      .join(spark.table(ordT), Seq("custkey"))
       .groupBy("nation")
       .agg(count(lit(1)).as("n_orders"), sum("pc").as("sum_cents"),
         countDistinct("custkey").as("n_cust"))

@@ -399,16 +399,40 @@ object MaintenancePipelineQuery {
     * day filter on gen1 honestly CANNOT prune (it scans the whole
     * period — the cost a spec change trades away).
     *
-    * Scale shape: one repartition exchange per re-spec commit (paid
-    * once — content-keyed skip like [[VersionChain]]); reads are
-    * generation scans with file-listing-level pruning under each
-    * generation's own spec. */
-  private def peRoot: String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_part_evo"
+    * Scale shape: one repartition exchange per re-spec commit, paid
+    * ONCE per dataset behind the content-keyed `_PE_OK` marker
+    * (committed with the [[VersionChain]] marker-last discipline;
+    * round 13's scaladoc promised this skip without implementing it —
+    * every run rewrote both generations); reads are generation scans
+    * with file-listing-level pruning under each generation's own
+    * spec. */
+  val PartEvoFixtureVersion = 1
 
-  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+  def partEvoRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_part_evo_$key"
+  }
+
+  /** Commit the two-spec fixture for `dir` unless a validated one is
+    * stored (marker written LAST; torn markers recommit). */
+  def ensurePartEvo(spark: SparkSession, dir: String): String =
+    synchronized {
     import spark.implicits._
-    val root = peRoot
+    val root = partEvoRoot(dir)
+    val marker = new java.io.File(root, "_PE_OK")
+    val head = s"$PartEvoFixtureVersion\n$dir\n"
+    if (marker.exists()) {
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+          Seq("gen0", "gen1", "manifest").forall(p =>
+            new java.io.File(s"$root/$p/_SUCCESS").exists()) &&
+          spark.read.parquet(s"$root/gen0").count() ==
+            txt.split("\n", -1)(2).toLong
+      }.getOrElse(false)
+      if (ok) return root
+      marker.delete()
+    }
     val base = graft.tables.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
         coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
@@ -422,6 +446,14 @@ object MaintenancePipelineQuery {
     Seq((0L, "day", "gen0"), (1L, "period", "gen1"))
       .toDF("version", "spec", "path")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    val n0 = spark.read.parquet(s"$root/gen0").count()
+    java.nio.file.Files.writeString(marker.toPath, s"$head$n0\n")
+    root
+  }
+
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensurePartEvo(spark, dir)
     val log = spark.read.parquet(s"$root/manifest")
       .select(col("version"), col("spec"), col("path"))
       .as[(Long, String, String)].collect().sortBy(_._1)

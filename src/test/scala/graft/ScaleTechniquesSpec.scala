@@ -52,6 +52,29 @@ class ScaleTechniquesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("q_join_bucketed: DDL re-attach over the stored fixture keeps the shuffle-free SMJ") {
+    // force the content-keyed fixture, then simulate a fresh session:
+    // drop the catalog entries (external tables — files stay) and
+    // re-run; ensureBucketed must re-attach by DDL without rewriting
+    SparkEntry.queries("q_join_bucketed")(spark, sf0001).count()
+    val root = graft.queries.ExtensionQueries.bucketedRoot(sf0001)
+    val before = new java.io.File(s"$root/cust").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val k = sf0001.replaceAll("[^A-Za-z0-9]+", "_")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_cust_$k")
+    spark.sql(s"DROP TABLE IF EXISTS graft_bkt_ord_$k")
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("hashpartitioning(custkey"),
+      s"re-attached bucketed join shuffled on the join key:\n$plan")
+    assert(df.count() > 0)
+    // and not a byte moved: same files, same mtimes
+    val after = new java.io.File(s"$root/cust").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === before, "re-attach rewrote the stored bucket files")
+  }
+
   test("spatial join plans as an equi hash join on grid cells, never a nested loop") {
     val df = SparkEntry.queries("q_spatial_join")(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

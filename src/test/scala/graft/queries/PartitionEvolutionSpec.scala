@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
 class PartitionEvolutionSpec extends SparkSpec {
   import spark.implicits._
 
-  private val root =
-    s"${System.getProperty("java.io.tmpdir")}/graft_part_evo"
+  private lazy val root = MaintenancePipelineQuery.partEvoRoot(sf0001)
 
   private lazy val rows =
     SparkEntry.queries("q_partition_evolution")(spark, sf0001)

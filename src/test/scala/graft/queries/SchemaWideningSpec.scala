@@ -13,8 +13,7 @@ import org.apache.spark.sql.types._
 class SchemaWideningSpec extends SparkSpec {
   import spark.implicits._
 
-  private val root =
-    s"${System.getProperty("java.io.tmpdir")}/graft_schema_widen"
+  private lazy val root = CoreQueries.schemaWidenRoot(sf0001)
 
   private lazy val rows =
     SparkEntry.queries("q_schema_widening")(spark, sf0001)
