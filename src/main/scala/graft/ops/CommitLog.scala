@@ -1,0 +1,186 @@
+package graft.ops
+
+/** OPTIMISTIC-CONCURRENCY commit log — the concurrent-writer story
+  * the versioned tier ([[VersionChain]]) lacked: immutable
+  * generations and a manifest say nothing about TWO writers preparing
+  * the next version at once. This is the Delta/Iceberg commit
+  * protocol distilled to its filesystem core:
+  *
+  *   1. A writer snapshots the latest committed version, stages its
+  *      data files privately (never visible to readers), and builds
+  *      an [[Entry]] naming the PARTITIONS it touches.
+  *   2. `tryCommit` CLAIMS the next version slot with an atomic
+  *      directory create (POSIX mkdir — exactly one of two racing
+  *      writers wins a slot; the loser re-claims the next one), then
+  *      writes its entry INTO the claim.
+  *   3. Before finalizing, the writer VALIDATES against every claim
+  *      that landed after its snapshot: touched-partition overlap ⇒
+  *      abort own claim + throw [[CommitConflict]] (the retry-with-
+  *      rebase is the caller's policy decision, because a rebase must
+  *      re-derive data against the new base); disjoint ⇒ proceed —
+  *      two writers from the SAME snapshot both land, at distinct
+  *      versions, which is the whole point of optimistic concurrency.
+  *   4. The `_COMMIT` marker is written LAST (the [[VersionChain]]
+  *      commit-point discipline): readers see only marker-bearing
+  *      slots, so a crash at any step leaves an invisible orphan
+  *      claim, recoverable via [[abortOrphan]].
+  *
+  * Readers resolve the live table PER PARTITION: the newest committed
+  * entry touching a partition owns it (untouched partitions ride
+  * along by reference — the file-granularity carry semantics of
+  * `q_merge_upsert`'s manifest, here across an open-ended log).
+  *
+  * Scale shape: claims, entries, and validation are metadata-only —
+  * no Spark job runs inside `tryCommit` — so the commit critical
+  * section is O(|concurrent writers|) small-file reads regardless of
+  * table size; data staging happens before, outside any lock. */
+object CommitLog {
+
+  /** One committed (or staged) change: the writer, the operation, the
+    * private data path, and the partitions it claims. */
+  final case class Entry(writer: String, op: String, dataPath: String,
+                         partitions: Seq[String], baseVersion: Long)
+
+  /** Thrown when a commit's touched partitions overlap a commit that
+    * landed after the writer's snapshot — the caller decides whether
+    * to re-derive and retry or to surface the failure. */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  private def logDir(root: String) = new java.io.File(root, "commitlog")
+
+  private def slotDir(root: String, v: Long) =
+    new java.io.File(logDir(root), s"v$v")
+
+  private def slots(root: String): Seq[(Long, java.io.File)] =
+    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory && d.getName.matches("v\\d+"))
+      .map(d => d.getName.drop(1).toLong -> d)
+      .sortBy(_._1)
+
+  private def isCommitted(d: java.io.File) =
+    new java.io.File(d, "_COMMIT").exists()
+  private def isAborted(d: java.io.File) =
+    new java.io.File(d, "_ABORT").exists()
+
+  /** Versions with a `_COMMIT` marker, ascending. History may have
+    * gaps: an aborted or orphaned slot number is never reused once a
+    * later version commits, and readers skip it. */
+  def committedVersions(root: String): Seq[Long] =
+    slots(root).filter(s => isCommitted(s._2)).map(_._1)
+
+  def latestCommitted(root: String): Long =
+    committedVersions(root).maxOption.getOrElse(0L)
+
+  private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
+
+  private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit =
+    java.nio.file.Files.writeString(entryFile(d).toPath,
+      s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
+        e.partitions.mkString(",") + "\n")
+
+  /** Read a slot's entry; None while the racing writer is between
+    * mkdir and its entry write (microseconds), or on a torn file. */
+  private def readEntry(d: java.io.File): Option[(Long, Entry)] =
+    scala.util.Try {
+      val f = entryFile(d)
+      if (!f.exists()) None
+      else {
+        val p = java.nio.file.Files.readString(f.toPath).trim
+          .split("\t", -1)
+        Some((p(0).toLong, Entry(p(1), p(2), p(3),
+          if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong)))
+      }
+    }.toOption.flatten
+
+  /** The committed log, ascending by version. */
+  def readLog(root: String): Seq[(Long, Entry)] =
+    slots(root).filter(s => isCommitted(s._2))
+      .flatMap(s => readEntry(s._2))
+
+  /** Attempt to commit `e` (data already staged at `e.dataPath`).
+    * Returns the committed version, or throws [[CommitConflict]] when
+    * a commit after `e.baseVersion` touches an overlapping partition.
+    * A claim race never throws — the loser claims the next slot.
+    * Validation is conservative: an in-flight (unresolved) claim with
+    * overlapping partitions counts as a conflict, because it may
+    * commit. */
+  def tryCommit(root: String, e: Entry, maxAttempts: Int = 64): Long = {
+    logDir(root).mkdirs()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val known = slots(root)
+      val next = (known.map(_._1) :+ 0L).max + 1
+      val claim = slotDir(root, next)
+      if (claim.mkdir()) { // ATOMIC slot claim: exactly one winner
+        writeEntry(claim, next, e)
+        // validate against every slot after the snapshot (committed,
+        // in-flight, or aborted-skip) except our own
+        val rivals = slots(root)
+          .filter { case (v, _) => v > e.baseVersion && v != next }
+          .filterNot { case (_, d) => isAborted(d) }
+        val conflict = rivals.flatMap { case (v, d) =>
+          // poll briefly for a racing writer's entry to appear
+          var tries = 0
+          var got = readEntry(d)
+          while (got.isEmpty && !isAborted(d) && tries < 200) {
+            Thread.sleep(5); tries += 1; got = readEntry(d)
+          }
+          got.filter { case (_, other) =>
+            other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty
+          }.map { case (_, other) => (v, other.writer) }
+        }.headOption
+        conflict match {
+          case Some((v, w)) =>
+            // abort own claim LOUDLY — the slot stays as an aborted
+            // tombstone so rivals validating against it skip it
+            java.nio.file.Files.writeString(
+              new java.io.File(claim, "_ABORT").toPath, s"conflict v$v\n")
+            throw new CommitConflict(
+              s"${e.writer} touches partitions also written by $w at v$v " +
+                s"(snapshot was v${e.baseVersion}) — rebase required")
+          case None =>
+            // marker LAST: the commit point
+            java.nio.file.Files.writeString(
+              new java.io.File(claim, "_COMMIT").toPath, "ok\n")
+            return next
+        }
+      }
+      // lost the mkdir race: loop and claim the next free slot
+    }
+    throw new IllegalStateException(
+      s"tryCommit gave up after $maxAttempts claim attempts")
+  }
+
+  /** Janitor for a crashed writer: a claim with neither `_COMMIT` nor
+    * `_ABORT` is invisible to readers but holds its slot; marking it
+    * aborted releases rivals' conservative conflicts against it. */
+  def abortOrphan(root: String, v: Long): Boolean = {
+    val d = slotDir(root, v)
+    if (d.exists() && !isCommitted(d) && !isAborted(d)) {
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "_ABORT").toPath, "orphan\n")
+      true
+    } else false
+  }
+
+  /** Remove aborted slots whose conflict window is over (every later
+    * slot is resolved) — log hygiene so repeated rejected attempts
+    * don't grow the directory; committed history is never touched. */
+  def purgeAborted(root: String): Unit =
+    slots(root).filter(s => isAborted(s._2)).foreach { case (_, d) =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+
+  /** Partition → owning (version, dataPath): the newest committed
+    * entry touching each partition — the reader-side resolution. */
+  def resolvePartitions(root: String): Map[String, (Long, String)] =
+    readLog(root).foldLeft(Map.empty[String, (Long, String)]) {
+      case (acc, (v, e)) =>
+        acc ++ e.partitions.map(p => p -> (v, e.dataPath))
+    }
+}

@@ -836,6 +836,208 @@ object MaintenancePipelineQuery {
        |SELECT row_kind, n_rows, key_xor, bal_sum, n_files
        |FROM rows_ ORDER BY row_kind""".stripMargin
 
+  // ------------------------------------------------------ commit log
+
+  /** `q_commit_log` — OPTIMISTIC-CONCURRENCY commits
+    * ([[graft.ops.CommitLog]]): the concurrent-writer story the
+    * versioned tier lacked, run as a deterministic multi-writer
+    * scenario over the events fact and emitted as hash-verified
+    * accounting. Writer `ingest` commits v1 (all 30 day partitions);
+    * `sweeper` (purge event_id ≡ 0 mod 5 from days 1–10) and
+    * `updater` (vc += 7 where event_id ≡ 0 mod 3 in days 21–30) both
+    * prepare FROM THE SAME v1 SNAPSHOT — disjoint partitions, so BOTH
+    * land (v2, v3): that is the optimistic half. The guard proves
+    * itself on EVERY run: `conflicter` (days 5–15 — overlapping the
+    * sweeper) re-attempts its commit each run and must be rejected
+    * with [[graft.ops.CommitLog.CommitConflict]]; had it landed, the
+    * output would carry an extra version row and hash-fail. The
+    * resolved-table row reads each partition from its newest
+    * committed owner (days 1–10 from the sweeper, 11–20 from ingest,
+    * 21–30 from the updater) — partition-granularity carry, the
+    * `q_merge_upsert` manifest semantics across an open-ended log.
+    * CommitLogSpec races two REAL threads at the same slot and pins
+    * the atomic-claim, orphan-recovery, and conservative-conflict
+    * behavior.
+    *
+    * Scale shape: staging is one exchange per writer (paid once —
+    * content-keyed fixture); `tryCommit` is metadata-only (no Spark
+    * job holds the commit critical section); accounting is one scan
+    * per commit's private data; the resolution map is \|partitions\|
+    * driver rows. */
+  val CommitLogFixtureVersion = 1
+
+  def commitLogRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_commitlog_$key"
+  }
+
+  private def clogEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("vc"),
+        to_date(col("ts")).as("day"),
+        dayofmonth(to_date(col("ts"))).as("dom"))
+
+  private def daysIn(e: DataFrame, cond: Column): Seq[String] = {
+    import e.sparkSession.implicits._
+    e.filter(cond).select(col("day").cast("string"))
+      .distinct().as[String].collect().sorted.toSeq
+  }
+
+  /** Stage the four writers' data + run the three-commit scenario
+    * once per dataset (marker-last; a partial commitlog from a crash
+    * would corrupt the protocol, so an invalid root is rebuilt from
+    * scratch). */
+  def ensureCommitLog(spark: SparkSession, dir: String): String =
+    synchronized {
+    val root = commitLogRoot(dir)
+    val marker = new java.io.File(root, "_CLOG_OK")
+    val head = s"$CommitLogFixtureVersion\n$dir\n"
+    if (marker.exists()) {
+      val ok = scala.util.Try {
+        val txt = java.nio.file.Files.readString(marker.toPath)
+        txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+          Seq("ingest", "sweeper", "updater", "conflicter").forall(w =>
+            new java.io.File(s"$root/data/$w/_SUCCESS").exists()) &&
+          graft.ops.CommitLog.committedVersions(root) == Seq(1L, 2L, 3L) &&
+          spark.read.parquet(s"$root/data/ingest").count() ==
+            txt.split("\n", -1)(2).toLong
+      }.getOrElse(false)
+      if (ok) return root
+      VersionChain.rmTree(new java.io.File(root))
+    }
+    val e = graft.ops.SideCache.persist(clogEvents(spark, dir))
+    def stage(name: String, df: DataFrame): Unit =
+      df.select(col("event_id"), col("vc"), col("day"))
+        .withColumn("pday", col("day"))
+        .repartition(col("pday"))
+        .write.mode("overwrite").partitionBy("pday")
+        .parquet(s"$root/data/$name")
+    stage("ingest", e)
+    stage("sweeper", e.filter(col("dom") <= 10 && col("event_id") % 5 =!= 0))
+    stage("updater", e.filter(col("dom") >= 21)
+      .withColumn("vc", when(col("event_id") % 3 === 0, col("vc") + 7L)
+        .otherwise(col("vc"))))
+    stage("conflicter",
+      e.filter(col("dom").between(5, 15) && col("event_id") % 7 =!= 0))
+    import graft.ops.CommitLog
+    val v1 = CommitLog.tryCommit(root, CommitLog.Entry(
+      "ingest", "ingest", "data/ingest", daysIn(e, lit(true)), 0L))
+    // TWO writers from the SAME snapshot — disjoint partitions, both
+    // land: the optimistic-concurrency contract
+    val v2 = CommitLog.tryCommit(root, CommitLog.Entry(
+      "sweeper", "purge5", "data/sweeper", daysIn(e, col("dom") <= 10), v1))
+    val v3 = CommitLog.tryCommit(root, CommitLog.Entry(
+      "updater", "bump3", "data/updater", daysIn(e, col("dom") >= 21), v1))
+    require(v1 == 1L && v2 == 2L && v3 == 3L,
+      s"commit scenario landed at unexpected versions ($v1,$v2,$v3)")
+    val n = spark.read.parquet(s"$root/data/ingest").count()
+    graft.ops.SideCache.releaseAll()
+    java.nio.file.Files.writeString(marker.toPath, s"$head$n\n")
+    root
+  }
+
+  def commitLog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val root = ensureCommitLog(spark, dir)
+    val e = clogEvents(spark, dir)
+    // the guard proves itself every run: the overlapping writer must
+    // be rejected (its data was staged at ensure time; the attempt is
+    // metadata-only)
+    val confDays = daysIn(e, col("dom").between(5, 15))
+    val accepted = scala.util.Try(CommitLog.tryCommit(root,
+      CommitLog.Entry("conflicter", "purge7", "data/conflicter",
+        confDays, 1L)))
+    accepted match {
+      case scala.util.Failure(_: CommitLog.CommitConflict) => () // expected
+      case other => throw new IllegalStateException(
+        s"overlapping commit was not rejected: $other")
+    }
+    CommitLog.purgeAborted(root) // fixture hygiene: drop our tombstone
+    def acct(version: Long, writer: String, op: String, nParts: Long,
+             paths: Seq[String]): DataFrame =
+      spark.read.parquet(paths.filter(p =>
+          new java.io.File(p).exists()): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(version).as("version"), lit(writer).as("writer"),
+          lit(op).as("op"), lit(nParts).as("n_parts"), col("n_rows"),
+          col("key_xor"), col("vc_sum"))
+    val committed = CommitLog.readLog(root).map { case (v, en) =>
+      acct(v, en.writer, en.op, en.partitions.size.toLong,
+        Seq(s"$root/${en.dataPath}"))
+    }
+    val rejected = acct(-1L, "conflicter", "purge7", confDays.size.toLong,
+      Seq(s"$root/data/conflicter"))
+    // resolved table: each partition read from its newest owner
+    val owners = CommitLog.resolvePartitions(root)
+    val resolvedPaths = owners.toSeq.map { case (p, (_, dataPath)) =>
+      s"$root/$dataPath/pday=$p"
+    }
+    val resolved = acct(99L, "resolved", "table", owners.size.toLong,
+      resolvedPaths)
+    (committed :+ rejected :+ resolved).reduce(_ unionAll _)
+      .orderBy("version")
+  }
+
+  private val commitLogSql =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |rows_ AS (
+       |  SELECT CAST(-1 AS BIGINT) AS version, 'conflicter' AS writer,
+       |    'purge7' AS op,
+       |    (SELECT COUNT(DISTINCT day) FROM e WHERE dom BETWEEN 5 AND 15)
+       |      AS n_parts,
+       |    COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+       |  FROM e WHERE dom BETWEEN 5 AND 15 AND event_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT 1, 'ingest', 'ingest',
+       |    (SELECT COUNT(DISTINCT day) FROM e),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM e
+       |  UNION ALL
+       |  SELECT 2, 'sweeper', 'purge5',
+       |    (SELECT COUNT(DISTINCT day) FROM e WHERE dom <= 10),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM e WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT 3, 'updater', 'bump3',
+       |    (SELECT COUNT(DISTINCT day) FROM e WHERE dom >= 21),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(
+       |      CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END), 0)
+       |      AS BIGINT)
+       |  FROM e WHERE dom >= 21
+       |  UNION ALL
+       |  SELECT 99, 'resolved', 'table',
+       |    (SELECT COUNT(DISTINCT day) FROM e),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc2), 0) AS BIGINT)
+       |  FROM (
+       |    SELECT event_id, vc AS vc2 FROM e
+       |    WHERE dom <= 10 AND event_id % 5 <> 0
+       |    UNION ALL
+       |    SELECT event_id, vc FROM e WHERE dom BETWEEN 11 AND 20
+       |    UNION ALL
+       |    SELECT event_id,
+       |      CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END
+       |    FROM e WHERE dom >= 21))
+       |SELECT version, writer, op, n_parts, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY version""".stripMargin
+
   // --------------------------------------------- materialized view
 
   /** `q_mv_maintain` — INCREMENTAL MATERIALIZED-VIEW maintenance
@@ -896,6 +1098,7 @@ object MaintenancePipelineQuery {
     Q("q_maintenance_pipeline", run, Some(sql)),
     Q("q_mv_maintain", mvMaintain, Some(mvMaintainSql)),
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
+    Q("q_commit_log", commitLog, Some(commitLogSql)),
     Q("q_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     Q("q_vacuum", vacuum, Some(vacuumSql)),

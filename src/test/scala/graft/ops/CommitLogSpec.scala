@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CommitLog.{CommitConflict, Entry}
+
+/** The optimistic-concurrency commit protocol: two REAL threads racing
+  * the same slot must both land when their partitions are disjoint
+  * (the loser re-claims the next slot); an overlapping writer from a
+  * stale snapshot must be rejected loudly; a crashed claim must be
+  * invisible to readers and recoverable; resolution must hand each
+  * partition to its newest committed owner. Pure metadata — no Spark
+  * session needed. */
+class CommitLogSpec extends AnyFunSuite {
+
+  private def freshRoot(): String = {
+    val r = java.nio.file.Files
+      .createTempDirectory("graft_clog_spec").toString
+    r
+  }
+
+  test("two racing writers with disjoint partitions BOTH land, at distinct versions") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1", "p2", "p3"), 0L))
+    // both prepare from the SAME snapshot v1 and race the same slot;
+    // the barrier maximizes the chance they hit mkdir together
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      ("a", Seq("p1")), ("b", Seq("p3"))).map { case (w, parts) =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.put(w,
+            CommitLog.tryCommit(root, Entry(w, "op", s"data/$w", parts, 1L)))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint racer failed: ${errs.peek()}")
+    val va = results.get("a"); val vb = results.get("b")
+    assert(Set(va, vb) === Set(2L, 3L),
+      s"racers landed at ($va,$vb) — expected exactly slots 2 and 3")
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 3L))
+  }
+
+  test("an overlapping writer from a stale snapshot is rejected and leaves no commit") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1", "p2"), 0L))
+    CommitLog.tryCommit(root,
+      Entry("w1", "update", "data/w1", Seq("p1"), 1L))
+    val e = intercept[CommitConflict] {
+      CommitLog.tryCommit(root,
+        Entry("w2", "update", "data/w2", Seq("p1", "p2"), 1L))
+    }
+    assert(e.getMessage.contains("w1") && e.getMessage.contains("rebase"))
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L),
+      "a rejected commit must leave the log unchanged")
+    // the rejection is partition-precise: p2 alone (untouched by w1)
+    // commits fine from the same stale snapshot
+    val v = CommitLog.tryCommit(root,
+      Entry("w3", "update", "data/w3", Seq("p2"), 1L))
+    assert(v > 2L)
+  }
+
+  test("many concurrent disjoint writers all land exactly once") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      (1 to 8).map(i => s"p$i"), 0L))
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          results.add(CommitLog.tryCommit(root,
+            Entry(s"w$i", "op", s"data/w$i", Seq(s"p$i"), 1L)))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"a disjoint writer failed: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val vs = results.asScala.toSeq.sorted
+    assert(vs === (2L to 9L),
+      s"8 disjoint writers must land at slots 2..9, got $vs")
+  }
+
+  test("a crashed claim is invisible to readers and recoverable") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    // simulate a crash mid-commit: a claim dir without _COMMIT
+    val orphan = new java.io.File(s"$root/commitlog/v2")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "entry.tsv").toPath,
+      "2\tdead\top\tdata/dead\t1\tp1\n")
+    assert(CommitLog.committedVersions(root) === Seq(1L),
+      "readers must not see an uncommitted claim")
+    assert(CommitLog.resolvePartitions(root)("p1")._1 === 1L)
+    // a live writer touching the SAME partition conservatively
+    // conflicts with the unresolved claim (it might still commit) ...
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root,
+        Entry("w", "op", "data/w", Seq("p1"), 1L))
+    }
+    CommitLog.purgeAborted(root)
+    // ... until the janitor marks the orphan aborted, which releases it
+    assert(CommitLog.abortOrphan(root, 2L))
+    val v = CommitLog.tryCommit(root,
+      Entry("w", "op", "data/w", Seq("p1"), 1L))
+    assert(v === 3L)
+    assert(CommitLog.committedVersions(root) === Seq(1L, 3L),
+      "history keeps the gap — aborted slot numbers are never reused")
+  }
+
+  test("resolution hands each partition to its newest committed owner") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2", "p3"), 0L))
+    CommitLog.tryCommit(root, Entry("w1", "op", "data/w1", Seq("p1"), 1L))
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p1", "p3"), 2L))
+    val owners = CommitLog.resolvePartitions(root)
+    assert(owners("p1") === (3L, "data/w2"))
+    assert(owners("p2") === (1L, "data/ingest"))
+    assert(owners("p3") === (3L, "data/w2"))
+  }
+}
