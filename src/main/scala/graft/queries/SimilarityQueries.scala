@@ -20,7 +20,10 @@ object SimilarityQueries {
     Similarity.bruteTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
-  private val annTopKSql =
+  /** `corpusPred`: extra predicate on the scored corpus side (alias
+    * `b`) — queries still draw from the whole set, matching
+    * [[Similarity.bruteTopK]]'s `corpusFilter` pre-filter contract. */
+  private def bruteTopKSqlWith(corpusPred: String): String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
        |), q AS (
@@ -28,7 +31,7 @@ object SimilarityQueries {
        |), scored AS (
        |  SELECT q.qid, b.vec_id,
        |    ${dot("b.embedding", "q.qvec")} / (b.nrm * q.qnorm) AS cos
-       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+       |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid$corpusPred
        |), ranked AS (
        |  SELECT qid, vec_id, cos,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rnk
@@ -36,6 +39,8 @@ object SimilarityQueries {
        |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  private val annTopKSql = bruteTopKSqlWith("")
 
   /** FILTERED vector search — top-k under a metadata predicate, the
     * production RAG/retrieval shape ("nearest neighbors among docs
