@@ -20,15 +20,25 @@ package graft.ops
   *      re-derive data against the new base); disjoint ⇒ proceed —
   *      two writers from the SAME snapshot both land, at distinct
   *      versions, which is the whole point of optimistic concurrency.
-  *   4. The `_COMMIT` marker is written LAST (the [[VersionChain]]
-  *      commit-point discipline): readers see only marker-bearing
-  *      slots, so a crash at any step leaves an invisible orphan
-  *      claim, recoverable via [[abortOrphan]].
+  *   4. A slot's fate is decided by ONE atomically-created
+  *      `_RESOLVED` file (`CREATE_NEW` = O_EXCL — exactly one
+  *      resolver wins) whose first token is `commit` or `abort`.
+  *      Readers see only commit-resolved slots, so a crash at any
+  *      step leaves an invisible orphan claim, recoverable via
+  *      [[abortOrphan]]. Because commit and abort contend for the
+  *      SAME file, a janitor aborting a live-but-slow writer and that
+  *      writer's own commit cannot both win: whichever creates
+  *      `_RESOLVED` first decides, the loser observes the decision
+  *      (the committer throws instead of returning a version readers
+  *      will never serve), and no interleaving can yield a slot that
+  *      is committed to readers yet invisible to rival validation.
   *
   * Readers resolve the live table PER PARTITION: the newest committed
   * entry touching a partition owns it (untouched partitions ride
   * along by reference — the file-granularity carry semantics of
   * `q_merge_upsert`'s manifest, here across an open-ended log).
+  * [[resolveAsOf]] gives the same view at any historical version —
+  * snapshot-isolation time travel over the log.
   *
   * Scale shape: claims, entries, and validation are metadata-only —
   * no Spark job runs inside `tryCommit` — so the commit critical
@@ -42,8 +52,9 @@ object CommitLog {
                          partitions: Seq[String], baseVersion: Long)
 
   /** Thrown when a commit's touched partitions overlap a commit that
-    * landed after the writer's snapshot — the caller decides whether
-    * to re-derive and retry or to surface the failure. */
+    * landed after the writer's snapshot — or when a janitor aborted
+    * the writer's own claim first — the caller decides whether to
+    * re-derive and retry or to surface the failure. */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
   private def logDir(root: String) = new java.io.File(root, "commitlog")
@@ -57,14 +68,47 @@ object CommitLog {
       .map(d => d.getName.drop(1).toLong -> d)
       .sortBy(_._1)
 
-  private def isCommitted(d: java.io.File) =
-    new java.io.File(d, "_COMMIT").exists()
-  private def isAborted(d: java.io.File) =
-    new java.io.File(d, "_ABORT").exists()
+  private def resolvedFile(d: java.io.File) = new java.io.File(d, "_RESOLVED")
 
-  /** Versions with a `_COMMIT` marker, ascending. History may have
-    * gaps: an aborted or orphaned slot number is never reused once a
-    * later version commits, and readers skip it. */
+  /** A slot's fate: Some("commit") | Some("abort") | None while still
+    * in flight. The creator writes content right after the atomic
+    * create, so poll briefly on an empty file; a file still empty
+    * after the poll means the resolver crashed mid-write — safe to
+    * read as abort, because a committer that never finished writing
+    * its resolution never returned success to its caller. */
+  private def resolution(d: java.io.File): Option[String] = {
+    val f = resolvedFile(d)
+    if (!f.exists()) return None
+    var tries = 0
+    def read() = scala.util.Try(
+      java.nio.file.Files.readString(f.toPath)).getOrElse("").trim
+    var txt = read()
+    while (txt.isEmpty && tries < 200) {
+      Thread.sleep(2); tries += 1; txt = read()
+    }
+    Some(if (txt.isEmpty) "abort" else txt.split("\\s+")(0))
+  }
+
+  /** Atomically resolve a slot — first resolver wins (O_EXCL create).
+    * Returns the WINNING kind, which may differ from the requested
+    * one when a rival resolver got there first. */
+  private def resolve(d: java.io.File, kind: String, why: String): String =
+    try {
+      java.nio.file.Files.write(resolvedFile(d).toPath,
+        s"$kind $why\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      kind
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        resolution(d).getOrElse("abort")
+    }
+
+  private def isCommitted(d: java.io.File) = resolution(d).contains("commit")
+  private def isAborted(d: java.io.File) = resolution(d).contains("abort")
+
+  /** Commit-resolved versions, ascending. History may have gaps: an
+    * aborted or orphaned slot number is never reused once a later
+    * version commits, and readers skip it. */
   def committedVersions(root: String): Seq[Long] =
     slots(root).filter(s => isCommitted(s._2)).map(_._1)
 
@@ -99,7 +143,10 @@ object CommitLog {
 
   /** Attempt to commit `e` (data already staged at `e.dataPath`).
     * Returns the committed version, or throws [[CommitConflict]] when
-    * a commit after `e.baseVersion` touches an overlapping partition.
+    * a commit after `e.baseVersion` touches an overlapping partition
+    * — or when a janitor [[abortOrphan]]'d this writer's own claim
+    * before it reached its commit point (the atomic `_RESOLVED` race:
+    * abort won, so the writer must NOT report success).
     * A claim race never throws — the loser claims the next slot.
     * Validation is conservative: an in-flight (unresolved) claim with
     * overlapping partitions counts as a conflict, because it may
@@ -134,15 +181,20 @@ object CommitLog {
           case Some((v, w)) =>
             // abort own claim LOUDLY — the slot stays as an aborted
             // tombstone so rivals validating against it skip it
-            java.nio.file.Files.writeString(
-              new java.io.File(claim, "_ABORT").toPath, s"conflict v$v\n")
+            resolve(claim, "abort", s"conflict v$v")
             throw new CommitConflict(
               s"${e.writer} touches partitions also written by $w at v$v " +
                 s"(snapshot was v${e.baseVersion}) — rebase required")
           case None =>
-            // marker LAST: the commit point
-            java.nio.file.Files.writeString(
-              new java.io.File(claim, "_COMMIT").toPath, "ok\n")
+            // the commit point: atomic first-resolver-wins. A janitor
+            // that aborted this claim concurrently (abortOrphan can't
+            // distinguish crashed from live-but-slow) beats us here,
+            // and we surface the loss instead of returning a version
+            // readers will never serve.
+            if (resolve(claim, "commit", "ok") != "commit")
+              throw new CommitConflict(
+                s"${e.writer}'s claim v$next was aborted by a janitor " +
+                  "while committing — retry from a fresh snapshot")
             return next
         }
       }
@@ -152,35 +204,53 @@ object CommitLog {
       s"tryCommit gave up after $maxAttempts claim attempts")
   }
 
-  /** Janitor for a crashed writer: a claim with neither `_COMMIT` nor
-    * `_ABORT` is invisible to readers but holds its slot; marking it
-    * aborted releases rivals' conservative conflicts against it. */
+  /** Janitor for a crashed writer: a claim with no resolution is
+    * invisible to readers but holds its slot; marking it aborted
+    * releases rivals' conservative conflicts against it. The abort
+    * contends atomically with the writer's own commit — if the writer
+    * (merely slow, not crashed) resolves first, this returns false
+    * and the commit stands. */
   def abortOrphan(root: String, v: Long): Boolean = {
     val d = slotDir(root, v)
-    if (d.exists() && !isCommitted(d) && !isAborted(d)) {
-      java.nio.file.Files.writeString(
-        new java.io.File(d, "_ABORT").toPath, "orphan\n")
-      true
-    } else false
+    d.exists() && resolution(d).isEmpty &&
+      resolve(d, "abort", "orphan") == "abort"
   }
 
-  /** Remove aborted slots whose conflict window is over (every later
-    * slot is resolved) — log hygiene so repeated rejected attempts
-    * don't grow the directory; committed history is never touched. */
-  def purgeAborted(root: String): Unit =
-    slots(root).filter(s => isAborted(s._2)).foreach { case (_, d) =>
+  /** Remove aborted slots whose conflict window is over — every later
+    * slot is resolved AND a later slot exists (the highest slot is
+    * never purged, committed or not, so `tryCommit`'s `max+1` can
+    * never reuse a slot number) — log hygiene so repeated rejected
+    * attempts don't grow the directory; committed history is never
+    * touched. */
+  def purgeAborted(root: String): Unit = {
+    val all = slots(root)
+    val maxV = all.map(_._1).maxOption.getOrElse(0L)
+    all.filter { case (v, d) =>
+      isAborted(d) && v < maxV &&
+        all.forall { case (v2, d2) => v2 <= v || resolution(d2).isDefined }
+    }.foreach { case (_, d) =>
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete(); ()
       }
       rm(d)
     }
+  }
+
+  /** Partition → owning (version, dataPath) as of version `asOf`: the
+    * newest committed entry ≤ asOf touching each partition —
+    * snapshot-isolation reads over the log, the time-travel semantics
+    * [[VersionChain]] gets from immutable generations, here recovered
+    * purely from the log's per-partition ownership fold. */
+  def resolveAsOf(root: String, asOf: Long): Map[String, (Long, String)] =
+    readLog(root).filter(_._1 <= asOf)
+      .foldLeft(Map.empty[String, (Long, String)]) {
+        case (acc, (v, e)) =>
+          acc ++ e.partitions.map(p => p -> (v, e.dataPath))
+      }
 
   /** Partition → owning (version, dataPath): the newest committed
     * entry touching each partition — the reader-side resolution. */
   def resolvePartitions(root: String): Map[String, (Long, String)] =
-    readLog(root).foldLeft(Map.empty[String, (Long, String)]) {
-      case (acc, (v, e)) =>
-        acc ++ e.partitions.map(p => p -> (v, e.dataPath))
-    }
+    resolveAsOf(root, Long.MaxValue)
 }

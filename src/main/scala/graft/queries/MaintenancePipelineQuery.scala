@@ -855,8 +855,14 @@ object MaintenancePipelineQuery {
     * committed owner (days 1–10 from the sweeper, 11–20 from ingest,
     * 21–30 from the updater) — partition-granularity carry, the
     * `q_merge_upsert` manifest semantics across an open-ended log.
-    * CommitLogSpec races two REAL threads at the same slot and pins
-    * the atomic-claim, orphan-recovery, and conservative-conflict
+    * The `asof1`/`asof2` rows read [[graft.ops.CommitLog.resolveAsOf]]
+    * snapshots: asOf(1) must still be the pure ingest view and
+    * asOf(2) the ingest+sweep view AFTER v2/v3 landed —
+    * snapshot-isolation time travel over the log, inside the hash.
+    * CommitLogSpec races two REAL threads at the same slot, races a
+    * janitor against a live slow committer (the atomic `_RESOLVED`
+    * file means abort-vs-commit has exactly one winner), and pins
+    * the orphan-recovery, purge-guard, and conservative-conflict
     * behavior.
     *
     * Scale shape: staging is one exchange per writer (paid once —
@@ -864,7 +870,7 @@ object MaintenancePipelineQuery {
     * job holds the commit critical section); accounting is one scan
     * per commit's private data; the resolution map is \|partitions\|
     * driver rows. */
-  val CommitLogFixtureVersion = 1
+  val CommitLogFixtureVersion = 2 // v2: atomic _RESOLVED slot markers
 
   def commitLogRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -953,7 +959,11 @@ object MaintenancePipelineQuery {
       case other => throw new IllegalStateException(
         s"overlapping commit was not rejected: $other")
     }
-    CommitLog.purgeAborted(root) // fixture hygiene: drop our tombstone
+    // fixture hygiene: purge fully-shadowed tombstones from PRIOR
+    // runs (the guard keeps this run's max-slot abort in place, so
+    // the log holds exactly one tombstone at steady state — committed
+    // history and the hash are untouched either way)
+    CommitLog.purgeAborted(root)
     def acct(version: Long, writer: String, op: String, nParts: Long,
              paths: Seq[String]): DataFrame =
       spark.read.parquet(paths.filter(p =>
@@ -970,14 +980,22 @@ object MaintenancePipelineQuery {
     }
     val rejected = acct(-1L, "conflicter", "purge7", confDays.size.toLong,
       Seq(s"$root/data/conflicter"))
-    // resolved table: each partition read from its newest owner
-    val owners = CommitLog.resolvePartitions(root)
-    val resolvedPaths = owners.toSeq.map { case (p, (_, dataPath)) =>
-      s"$root/$dataPath/pday=$p"
-    }
-    val resolved = acct(99L, "resolved", "table", owners.size.toLong,
-      resolvedPaths)
-    (committed :+ rejected :+ resolved).reduce(_ unionAll _)
+    // resolved table: each partition read from its newest owner —
+    // plus SNAPSHOT-ISOLATION reads over the log: asOf(1) must still
+    // be the pure ingest view and asOf(2) the ingest+sweep view even
+    // though v2/v3 have landed (CommitLogSpec pins the map identity;
+    // here the time-travel row rides inside the hash)
+    def resolvedAcct(version: Long, writer: String,
+                     owners: Map[String, (Long, String)]): DataFrame =
+      acct(version, writer, "table", owners.size.toLong,
+        owners.toSeq.map { case (p, (_, dataPath)) =>
+          s"$root/$dataPath/pday=$p"
+        })
+    val asOf1 = resolvedAcct(97L, "asof1", CommitLog.resolveAsOf(root, 1L))
+    val asOf2 = resolvedAcct(98L, "asof2", CommitLog.resolveAsOf(root, 2L))
+    val resolved = resolvedAcct(99L, "resolved",
+      CommitLog.resolvePartitions(root))
+    (committed ++ Seq(rejected, asOf1, asOf2, resolved)).reduce(_ unionAll _)
       .orderBy("version")
   }
 
@@ -1020,6 +1038,24 @@ object MaintenancePipelineQuery {
        |      CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END), 0)
        |      AS BIGINT)
        |  FROM e WHERE dom >= 21
+       |  UNION ALL
+       |  SELECT 97, 'asof1', 'table',
+       |    (SELECT COUNT(DISTINCT day) FROM e),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM e
+       |  UNION ALL
+       |  SELECT 98, 'asof2', 'table',
+       |    (SELECT COUNT(DISTINCT day) FROM e),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM (
+       |    SELECT event_id, vc FROM e
+       |    WHERE dom <= 10 AND event_id % 5 <> 0
+       |    UNION ALL
+       |    SELECT event_id, vc FROM e WHERE dom > 10)
        |  UNION ALL
        |  SELECT 99, 'resolved', 'table',
        |    (SELECT COUNT(DISTINCT day) FROM e),

@@ -113,9 +113,99 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.abortOrphan(root, 2L))
     val v = CommitLog.tryCommit(root,
       Entry("w", "op", "data/w", Seq("p1"), 1L))
-    assert(v === 3L)
-    assert(CommitLog.committedVersions(root) === Seq(1L, 3L),
-      "history keeps the gap — aborted slot numbers are never reused")
+    // v3 was the rejected writer's abort tombstone; the purge-guard
+    // keeps it (it was the highest slot), so the retry lands at v4 —
+    // aborted slot numbers are NEVER reused
+    assert(v === 4L)
+    assert(CommitLog.committedVersions(root) === Seq(1L, 4L),
+      "history keeps the gaps — aborted slot numbers are never reused")
+  }
+
+  test("a janitor aborting a LIVE slow committer wins atomically — the writer throws, no slot is committed-to-readers yet invisible-to-validation") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1", "p2"), 0L))
+    // an in-flight rival claim with NO entry yet (a writer between
+    // mkdir and its entry write): the slow committer will poll it for
+    // up to ~1 s — a deterministic window to race the janitor into
+    val stall = new java.io.File(s"$root/commitlog/v2")
+    assert(stall.mkdirs())
+    val outcome = new java.util.concurrent.atomic.AtomicReference[String]()
+    val t = new Thread(() => {
+      try {
+        val v = CommitLog.tryCommit(root,
+          Entry("slow", "op", "data/slow", Seq("p2"), 1L))
+        outcome.set(s"committed v$v")
+      } catch {
+        case e: CommitConflict => outcome.set(s"conflict: ${e.getMessage}")
+      }
+    })
+    t.start()
+    Thread.sleep(200) // slow writer has claimed v3 and is polling v2
+    // janitor can't distinguish crashed from live-but-slow: it aborts
+    // the LIVE claim v3 — the exact hole the atomic _RESOLVED closes
+    assert(CommitLog.abortOrphan(root, 3L),
+      "janitor must win the resolution while the writer is stalled")
+    CommitLog.abortOrphan(root, 2L) // release the writer's poll
+    t.join(15000)
+    assert(outcome.get != null && outcome.get.startsWith("conflict"),
+      s"the aborted writer must THROW, not report success: ${outcome.get}")
+    // readers and validators agree: v3 is aborted everywhere
+    assert(CommitLog.committedVersions(root) === Seq(1L))
+    assert(CommitLog.resolvePartitions(root)("p2")._1 === 1L)
+    // and the slot is released for rivals — p2 commits cleanly now
+    val v = CommitLog.tryCommit(root,
+      Entry("w", "op", "data/w", Seq("p2"), 1L))
+    assert(v === 4L)
+  }
+
+  test("abortOrphan LOSES to a writer that already resolved — a committed slot can never be flipped") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    assert(!CommitLog.abortOrphan(root, 1L),
+      "aborting a committed slot must be a no-op")
+    assert(CommitLog.committedVersions(root) === Seq(1L))
+  }
+
+  test("purgeAborted keeps the highest slot and any abort with an unresolved later slot; purges only fully-shadowed aborts") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    // v2: aborted tombstone
+    val v2 = new java.io.File(s"$root/commitlog/v2"); assert(v2.mkdirs())
+    assert(CommitLog.abortOrphan(root, 2L))
+    // v3: unresolved in-flight claim
+    val v3 = new java.io.File(s"$root/commitlog/v3"); assert(v3.mkdirs())
+    CommitLog.purgeAborted(root)
+    assert(v2.exists(),
+      "an abort with an UNRESOLVED later slot must not be purged — " +
+        "its conflict window is still open")
+    assert(CommitLog.abortOrphan(root, 3L))
+    CommitLog.purgeAborted(root)
+    assert(!v2.exists(), "fully-shadowed abort must be purged")
+    assert(v3.exists(),
+      "the HIGHEST slot is never purged — purging it would let " +
+        "tryCommit's max+1 reuse the slot number")
+    // and indeed the next commit lands at v4, not a reused v3
+    val v = CommitLog.tryCommit(root,
+      Entry("w", "op", "data/w", Seq("p1"), 1L))
+    assert(v === 4L)
+  }
+
+  test("resolveAsOf(v) after later commits is bit-identical to the pre-commit read") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2", "p3"), 0L))
+    val atV1 = CommitLog.resolvePartitions(root)
+    CommitLog.tryCommit(root, Entry("w1", "op", "data/w1", Seq("p1"), 1L))
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p3"), 1L))
+    assert(CommitLog.resolveAsOf(root, 1L) === atV1,
+      "snapshot isolation: v1's view must not move when v2/v3 land")
+    assert(CommitLog.resolveAsOf(root, 2L)("p1") === (2L, "data/w1"))
+    assert(CommitLog.resolveAsOf(root, 2L)("p3") === (1L, "data/ingest"))
+    assert(CommitLog.resolveAsOf(root, Long.MaxValue) ===
+      CommitLog.resolvePartitions(root))
   }
 
   test("resolution hands each partition to its newest committed owner") {
