@@ -148,9 +148,13 @@ object CommitLog {
     * before it reached its commit point (the atomic `_RESOLVED` race:
     * abort won, so the writer must NOT report success).
     * A claim race never throws — the loser claims the next slot.
-    * Validation is conservative: an in-flight (unresolved) claim with
-    * overlapping partitions counts as a conflict, because it may
-    * commit. */
+    * Validation is conservative with a deterministic winner rule: a
+    * COMMITTED overlapping rival always conflicts; an IN-FLIGHT
+    * overlapping rival conflicts only from a lower slot (the earlier
+    * claim wins — the higher one will see this claim and abort
+    * itself), so two writers racing the same partitions produce
+    * exactly one winner and one [[CommitConflict]], never two
+    * aborts. */
   def tryCommit(root: String, e: Entry, maxAttempts: Int = 64): Long = {
     logDir(root).mkdirs()
     var attempt = 0
@@ -174,7 +178,15 @@ object CommitLog {
             Thread.sleep(5); tries += 1; got = readEntry(d)
           }
           got.filter { case (_, other) =>
-            other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty
+            other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty &&
+              // deterministic winner rule (earlier slot wins): a
+              // COMMITTED rival always conflicts; an in-flight rival
+              // conflicts only from a LOWER slot — the higher
+              // in-flight rival will see OUR lower unresolved claim
+              // and abort itself, so two simultaneous overlapping
+              // writers yield exactly one winner instead of both
+              // aborting (needlessly lossy, the old behavior)
+              (isCommitted(d) || (!isAborted(d) && v < next))
           }.map { case (_, other) => (v, other.writer) }
         }.headOption
         conflict match {

@@ -55,7 +55,7 @@ object VersionChain {
 
   /** Bumped whenever the chain definition changes — a marker from an
     * older layout fails validation and the chain recommits. */
-  val ChainVersion = 3
+  val ChainVersion = 4 // v4: every commit routed through CommitLog
 
   /** One manifest row: a commit of the versioned table. */
   final case class Commit(version: Long, op: String, path: String,
@@ -94,6 +94,9 @@ object VersionChain {
           lines(0) == ChainVersion.toString && lines(1) == dir &&
           (gens :+ "manifest").forall(g =>
             new java.io.File(s"$root/$g/_SUCCESS").exists()) &&
+          // every generation must be COMMIT-resolved in the log — a
+          // chain whose log is torn or missing recommits wholesale
+          CommitLog.committedVersions(root) == Seq(1L, 2L, 3L, 4L) &&
           // checksum: the stored v0 must still hold the committed row
           // count (parquet footer count — metadata-only, no data read)
           spark.read.parquet(s"$root/gen0").count() == lines(2).toLong
@@ -105,11 +108,26 @@ object VersionChain {
     root
   }
 
-  /** The stored version log, collected (|versions| rows — bounded). */
+  /** The root holding the chain's optimistic commit log: the chain's
+    * own if present (owner, file copy, or shallow clone — clones get
+    * an independent log so their future commits never write into the
+    * shared owner's), else the data root's. */
+  def commitLogRootOf(root: String): String =
+    if (new java.io.File(root, "commitlog").exists()) root
+    else dataRoot(root)
+
+  /** The stored version log, collected (|versions| rows — bounded)
+    * and GATED ON THE COMMIT LOG: a manifest row whose slot in the
+    * optimistic [[CommitLog]] is not commit-resolved (torn chain
+    * build, conflicted writer) is invisible to every reader — the
+    * parquet manifest carries the stats, the log is the commit-point
+    * authority. Chain version v lives at log slot v+1. */
   def manifest(spark: SparkSession, root: String): Seq[Commit] = {
     import spark.implicits._
+    val committed = CommitLog
+      .committedVersions(commitLogRootOf(root)).map(_ - 1).toSet
     spark.read.parquet(s"$root/manifest").as[Commit]
-      .collect().sortBy(_.version).toSeq
+      .collect().filter(c => committed(c.version)).sortBy(_.version).toSeq
   }
 
   /** Manifest-resolved versioned read: newest generation ≤ v. */
@@ -153,6 +171,11 @@ object VersionChain {
     val destF = new java.io.File(dest)
     rmTree(destF); destF.mkdirs()
     copyTo(s"$root/manifest", s"$dest/manifest") // |versions| rows
+    // the commit log rides along (kilobytes of metadata): the clone
+    // is an independent table whose future commits — vacuum's expiry,
+    // a re-compaction — land in ITS OWN log, never the shared owner's
+    cpTree(new java.io.File(commitLogRootOf(root), "commitlog"),
+      new java.io.File(dest, "commitlog"))
     val base = dataRoot(root)
     java.nio.file.Files.writeString(baseFile(dest).toPath, base)
     val reg = new java.io.File(s"$base/clones")
@@ -205,16 +228,19 @@ object VersionChain {
     * test fixture primitive (a copy is its own data root, so zero-ref
     * retirement can be exercised destructively); production isolation
     * is [[shallowClone]], which moves no data. */
+  private def cpTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      src.listFiles().foreach(f => cpTree(f, new java.io.File(dst, f.getName)))
+    } else if (src.exists())
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+    ()
+  }
+
   def copyTo(root: String, dest: String): Unit = synchronized {
     val destF = new java.io.File(dest)
     rmTree(destF)
-    def cp(src: java.io.File, dst: java.io.File): Unit = {
-      if (src.isDirectory) {
-        dst.mkdirs()
-        src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
-      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
-    }
-    cp(new java.io.File(root), destF)
+    cpTree(new java.io.File(root), destF)
     // a copy is its OWN standalone data root: the source's clone
     // registry and base pointer must not ride along
     rmTree(new java.io.File(destF, "clones"))
@@ -247,6 +273,18 @@ object VersionChain {
   private def commit(spark: SparkSession, dir: String,
                      root: String): Unit = {
     import spark.implicits._
+    // a recommit rewrites the world: the prior (torn or stale) log
+    // goes with it — slot history restarts with the data it describes
+    rmTree(new java.io.File(root, "commitlog"))
+    // every chain commit goes through the OPTIMISTIC log: partitions
+    // = the generation directory the commit writes, so a concurrent
+    // maintenance writer targeting the same generation (re-compaction
+    // vs vacuum expiry) is conflict-detected instead of silently
+    // last-writer-wins. Sequential here, but the protocol is live:
+    // MaintenanceCommitSpec races real overlapping writers through it.
+    def logCommit(op: String, gen: String, base: Long): Long =
+      CommitLog.tryCommit(root,
+        CommitLog.Entry("chain", op, gen, Seq(gen), base))
     // ---- v0: ingest, one file per day
     Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"),
@@ -256,18 +294,21 @@ object VersionChain {
       .write.mode("overwrite").partitionBy("day").parquet(s"$root/gen0")
     val v0 = SideCache.persist(spark.read.parquet(s"$root/gen0"))
     val n0 = v0.count()
+    logCommit("ingest", "gen0", 0L)
     // ---- v1: compact (q_compact_manifest's cumulative split)
     v0.join(broadcast(binPlan(v0)), Seq("day"))
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(s"$root/gen1")
     val v1 = SideCache.persist(spark.read.parquet(s"$root/gen1"))
     val n1 = v1.count()
+    logCommit("compact", "gen1", 1L)
     // ---- v2: retention sweep on the compacted generation
     v1.filter(dayofmonth(col("day")) <= 20)
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(s"$root/gen2")
     val v2 = SideCache.persist(spark.read.parquet(s"$root/gen2"))
     val n2 = v2.count()
+    logCommit("retain", "gen2", 2L)
     // ---- v3: point update (vc += 100 where event_id % 7 = 0)
     val updCond = col("event_id") % 7 === 0
     v2.withColumn("vc",
@@ -277,6 +318,7 @@ object VersionChain {
       .repartition(col("bin"))
       .write.mode("overwrite").partitionBy("bin").parquet(s"$root/gen3")
     val n3 = spark.read.parquet(s"$root/gen3").count()
+    logCommit("update", "gen3", 3L)
     // ---- per-commit CDF deltas (change-proportional; the writer
     // KNOWS its change set — no diff join is ever needed to record it)
     val cdfCols = Seq("change_type", "event_id", "event_type", "vc")

@@ -273,6 +273,15 @@ object MaintenancePipelineQuery {
     audit.toDF("version", "op", "path", "status", "n_files_before",
         "n_files_after", "n_rows", "xor_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    // the expiry is itself a COMMIT, routed through this chain's OWN
+    // optimistic log (a shallow clone carries an independent copy):
+    // its touched partitions are the generations whose references it
+    // drops, so a concurrent writer rewriting one of them would get a
+    // CommitConflict instead of a silent lost update
+    graft.ops.CommitLog.tryCommit(root, graft.ops.CommitLog.Entry(
+      "vacuum", "expire", "manifest",
+      log.filter(c => expired(c.version)).map(_.path),
+      graft.ops.CommitLog.latestCommitted(root)))
     VersionChain.retireUnreferenced(spark, root)
     spark.read.parquet(s"$root/manifest").orderBy("version")
   }
@@ -610,7 +619,7 @@ object MaintenancePipelineQuery {
     * distinct over |buckets|; the rewrite scans ONLY the touched
     * bucket directories (partition-pruned read); the manifest is
     * |files| rows; CDF is change-proportional. */
-  val MergeFixtureVersion = 1
+  val MergeFixtureVersion = 2 // v2: commits routed through CommitLog
 
   def mergeRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -637,12 +646,16 @@ object MaintenancePipelineQuery {
         txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
           Seq("gen0", "gen1", "filemanifest/v1", "cdf/v1").forall(p =>
             new java.io.File(s"$root/$p/_SUCCESS").exists()) &&
+          // both commits must be resolved in the optimistic log
+          graft.ops.CommitLog.committedVersions(root) == Seq(1L, 2L) &&
           spark.read.parquet(s"$root/gen0").count() ==
             txt.split("\n", -1)(2).toLong
       }.getOrElse(false)
       if (ok) return root
       marker.delete()
     }
+    // a rebuild rewrites the world: the stale log goes with it
+    VersionChain.rmTree(new java.io.File(root, "commitlog"))
     val raw = graft.tables.Tables.customer(spark, dir)
       .select(col("c_custkey").as("custkey"),
         col("c_nationkey").cast("long").as("nation"),
@@ -675,6 +688,10 @@ object MaintenancePipelineQuery {
       .distinct().as[Long].collect().toSet
     val baseBuckets = g0.select(col("pbucket").cast("long"))
       .distinct().as[Long].collect().toSet
+    // base ingest = log v1: claims every bucket
+    graft.ops.CommitLog.tryCommit(root, graft.ops.CommitLog.Entry(
+      "ingest", "ingest", "gen0",
+      baseBuckets.toSeq.sorted.map(_.toString), 0L))
     // rewrite ONLY the touched base buckets (partition-pruned scan of
     // gen0 — MergeUpsertSpec asserts the pruning), then the new
     // generation holds rewritten buckets ∪ insert buckets ONLY
@@ -720,15 +737,27 @@ object MaintenancePipelineQuery {
       .unionAll(asCdf("update_post", updates))
       .unionAll(asCdf("insert", inserts))
       .coalesce(1).write.mode("overwrite").parquet(s"$root/cdf/v1")
+    // the MERGE commit = log v2: claims ONLY the touched buckets and
+    // names the v1 FILE MANIFEST as its data (the Delta log→files
+    // indirection) — a concurrent writer overlapping a touched bucket
+    // would be conflict-rejected (MaintenanceCommitSpec races one)
+    graft.ops.CommitLog.tryCommit(root, graft.ops.CommitLog.Entry(
+      "merge", "merge_upsert", "filemanifest/v1",
+      touched.toSeq.sorted.map(_.toString), 1L))
     // marker LAST (crash anywhere above ⇒ no marker ⇒ recommit)
     java.nio.file.Files.writeString(marker.toPath, s"$head$n0\n")
     root
   }
 
-  /** The v1 file manifest, collected (|files| rows — bounded). */
+  /** The v1 file manifest, collected (|files| rows — bounded) —
+    * resolved THROUGH the optimistic log: the newest committed
+    * merge entry names the manifest (Delta's log→files indirection),
+    * so an uncommitted or conflict-aborted merge is invisible here. */
   def mergeManifest(spark: SparkSession, root: String): Seq[MergeFile] = {
     import spark.implicits._
-    spark.read.parquet(s"$root/filemanifest/v1").as[MergeFile]
+    val (_, entry) = graft.ops.CommitLog.readLog(root)
+      .filter(_._2.op == "merge_upsert").last
+    spark.read.parquet(s"$root/${entry.dataPath}").as[MergeFile]
       .collect().sortBy(f => (f.bucket, f.file)).toSeq
   }
 
