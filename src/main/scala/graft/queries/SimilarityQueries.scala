@@ -20,9 +20,15 @@ object SimilarityQueries {
     Similarity.bruteTopK(Tables.embeddings(spark, dir), queryMod = 50L, k = 10)
       .orderBy("qid", "rank")
 
-  /** `corpusPred`: extra predicate on the scored corpus side (alias
-    * `b`) — queries still draw from the whole set, matching
-    * [[Similarity.bruteTopK]]'s `corpusFilter` pre-filter contract. */
+  /** `corpusPred`: extra predicate on the scored corpus side —
+    * queries still draw from the whole set, matching
+    * [[Similarity.bruteTopK]]'s `corpusFilter` pre-filter contract.
+    * Contract: empty, or a leading-`" AND "` fragment over the
+    * projected corpus columns qualified as `b` (`b.vec_id`,
+    * `b.embedding`, `b.nrm`) — the `ivfPqRankedCtesWith` convention;
+    * a label-style predicate needs `annFilteredSql`'s wider base.
+    * Callers: `annTopKSql` (empty) and `annLifecycleRecallSql`'s
+    * live-survivor truth (`" AND b.vec_id % 13 <> 0"`). */
   private def bruteTopKSqlWith(corpusPred: String): String =
     s"""WITH base AS (
        |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm FROM embeddings
@@ -427,21 +433,14 @@ object SimilarityQueries {
 
   private val ivfPqRankedCtes = ivfPqRankedCtesWith("")
 
-  private val annIvfPqSql =
-    s"""$ivfPqRankedCtes
-       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
-       |  CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_x10k
-       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
-
-  /** Two-stage retrieval: IVF×PQ ADC top-100 candidates → exact
-    * cosine re-score → top-10 (see [[Similarity.ivfPqRerank]]). */
-  private def annRerank(spark: SparkSession, dir: String): DataFrame =
-    Similarity.ivfPqRerank(Tables.embeddings(spark, dir), queryMod = 50L,
-        kCand = 100, k = 10)
-      .orderBy("qid", "rank")
-
-  private val annRerankSql =
-    s"""$ivfPqRankedCtes,
+  /** Standalone two-stage-retrieval SQL (ADC top-100 candidates →
+    * exact cosine re-score → top-10): the serve contract of
+    * `q_ann_rerank`/`q_ann_serve` (no filters), `q_ann_upsert`/
+    * `q_ann_merge` (quantizers trained on the existing split), and
+    * the lifecycle-final state (candidates minus tombstones). */
+  private def twoStageServeSql(quantFilter: String,
+                               candFilter: String = ""): String =
+    s"""${ivfPqRankedCtesWith(quantFilter, candFilter)},
        |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
        |rescored AS (
        |  SELECT c.qid, c.vec_id,
@@ -456,6 +455,21 @@ object SimilarityQueries {
        |SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
        |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
        |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
+
+  private val annIvfPqSql =
+    s"""$ivfPqRankedCtes
+       |SELECT qid, vec_id, CAST(rnk AS INT) AS "rank",
+       |  CAST(floor(adc * 10000 + 0.5) AS BIGINT) AS adc_x10k
+       |FROM ranked WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** Two-stage retrieval: IVF×PQ ADC top-100 candidates → exact
+    * cosine re-score → top-10 (see [[Similarity.ivfPqRerank]]). */
+  private def annRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqRerank(Tables.embeddings(spark, dir), queryMod = 50L,
+        kCand = 100, k = 10)
+      .orderBy("qid", "rank")
+
+  private val annRerankSql = twoStageServeSql("")
 
   /** Build-once/serve-many: the IVF×PQ index PERSISTED
     * ([[Similarity.ivfPqIndexWrite]]: bucket-partitioned codes table +
@@ -498,21 +512,7 @@ object SimilarityQueries {
   }
 
   private val annUpsertSql =
-    s"""${ivfPqRankedCtesWith(" AND vec_id % 9 <> 0")},
-       |cand AS (SELECT qid, vec_id FROM ranked WHERE rnk <= 100),
-       |rescored AS (
-       |  SELECT c.qid, c.vec_id,
-       |    ${dot("b.embedding", "q2.qvec")} / (b.nrm * q2.qnorm) AS cos
-       |  FROM cand c
-       |  JOIN base b ON b.vec_id = c.vec_id
-       |  JOIN q q2 ON q2.qid = c.qid),
-       |reranked AS (
-       |  SELECT qid, vec_id, cos,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rrn
-       |  FROM rescored)
-       |SELECT qid, vec_id, CAST(rrn AS INT) AS "rank",
-       |  CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS cos_x10k
-       |FROM reranked WHERE rrn <= 10 ORDER BY qid, rrn""".stripMargin
+    twoStageServeSql(" AND vec_id % 9 <> 0")
 
   /** EMBEDDING-HEALTH audit — ANISOTROPY (Ethayarajh 2019: the
     * average pairwise cosine of the normalized embeddings; a healthy
@@ -1270,6 +1270,86 @@ object SimilarityQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  /** LIFECYCLE-FINAL RECALL CERTIFICATE — `q_ann_recall` certifies a
+    * FRESH index; nothing certified the index after the full serving
+    * lifecycle ran over it (and round 14's resurrect-deletions bug
+    * lived exactly in that composition). This query RUNS the
+    * lifecycle to its end state on the stored fixture — upsert
+    * (frozen-quantizer base + delta segments) → MERGE into one
+    * `codes_all` segment → tombstone delete (vec_id ≡ 0 mod 13) →
+    * compaction to a fresh live generation — then scores recall@10
+    * of the lifecycle-final stored serve against BRUTE COSINE OVER
+    * THE LIVE SURVIVORS, next to the same measurement for the
+    * pre-delete (fresh upsert) state vs the full corpus. Both
+    * serve derivations and both exact-truth derivations re-prove
+    * inside the oracle hash; AnnLifecycleRecallSpec pins the
+    * contract recall(lifecycle_final) ≥ recall(fresh_upsert) — the
+    * lifecycle must not degrade retrieval below the fresh floor.
+    *
+    * Scale shape: one compaction (bucket-partitioned exchange per
+    * segment) + two stored serves (DPP-pruned codes scans, corpus
+    * touched only by the exact gathers) + two brute baselines (the
+    * evaluation-harness cost, queries broadcast, corpus scanned
+    * once each); recall rows are 2 bounded aggregates. */
+  private def annLifecycleRecall(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
+    Similarity.ivfPqMergeSegments(spark, path,
+      Seq("codes", "codes_delta"), "codes_all")
+    val del = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    val liveSegs = Similarity.ivfPqCompactDelete(spark, path, del,
+      Seq("codes_all"))
+    def recallRow(variant: String, served: DataFrame,
+                  truth: DataFrame): DataFrame = {
+      val brute = graft.ops.SideCache.persist(truth.select("qid", "vec_id"))
+      served.select("qid", "vec_id")
+        .join(brute, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(brute.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(variant).as("variant"), col("n_exact"), col("hits"),
+          expr("(hits * 10000) div n_exact").as("recall_bp"))
+    }
+    val fresh = recallRow("fresh_upsert",
+      Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta")),
+      Similarity.bruteTopK(emb, queryMod = 50L, k = 10))
+    val lifecycle = recallRow("lifecycle_final",
+      Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10, segments = liveSegs),
+      Similarity.bruteTopK(emb, queryMod = 50L, k = 10,
+        corpusFilter = Some(col("vec_id") % 13 =!= 0)))
+    fresh.unionAll(lifecycle).orderBy("variant")
+  }
+
+  private lazy val annLifecycleRecallSql = {
+    def tier(name: String, serve: String, brute: String): String =
+      s"""SELECT '$name' AS variant,
+         |  (SELECT COUNT(*) FROM $brute) AS n_exact,
+         |  (SELECT COUNT(*) FROM $serve t
+         |     JOIN $brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) AS hits,
+         |  ((SELECT COUNT(*) FROM $serve t
+         |     JOIN $brute b ON t.qid = b.qid AND t.vec_id = b.vec_id) * 10000)
+         |    // (SELECT COUNT(*) FROM $brute) AS recall_bp""".stripMargin
+    s"""WITH brute_full AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (${bruteTopKSqlWith("")}) z),
+       |brute_live AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    ${bruteTopKSqlWith(" AND b.vec_id % 13 <> 0")}) z),
+       |serve_fresh AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    ${twoStageServeSql(" AND vec_id % 9 <> 0")}) z),
+       |serve_final AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    ${twoStageServeSql(" AND vec_id % 9 <> 0",
+                               " AND a.vec_id % 13 <> 0")}) z)
+       |SELECT variant, n_exact, CAST(hits AS BIGINT) AS hits,
+       |  CAST(recall_bp AS BIGINT) AS recall_bp FROM (
+       |  ${tier("fresh_upsert", "serve_fresh", "brute_full")}
+       |  UNION ALL
+       |  ${tier("lifecycle_final", "serve_final", "brute_live")})
+       |ORDER BY variant""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product search (the recommender / last-layer
@@ -1666,6 +1746,8 @@ object SimilarityQueries {
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
+    Q("q_ann_lifecycle_recall", annLifecycleRecall,
+      Some(annLifecycleRecallSql)),
     Q("q_ndcg", annNdcg, Some(annNdcgSql)),
     Q("q_nprobe_curve", nprobeCurve, Some(nprobeCurveSql)),
     Q("q_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
