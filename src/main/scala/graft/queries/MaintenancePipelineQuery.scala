@@ -619,15 +619,21 @@ object MaintenancePipelineQuery {
     * distinct over |buckets|; the rewrite scans ONLY the touched
     * bucket directories (partition-pruned read); the manifest is
     * |files| rows; CDF is change-proportional. */
-  val MergeFixtureVersion = 2 // v2: commits routed through CommitLog
+  val MergeFixtureVersion = 3 // v3: per-file min/max/rows manifest stats
 
   def mergeRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     s"${System.getProperty("java.io.tmpdir")}/graft_merge_$key"
   }
 
-  /** One file-manifest row: a data file of the table at some version. */
-  final case class MergeFile(bucket: Long, file: String, rewritten: Boolean)
+  /** One file-manifest row: a data file of the table at some version,
+    * with its DATA-SKIPPING stats (min/max key + row count — the
+    * Delta/Iceberg per-file column stats that let a point lookup
+    * prune the manifest before touching any data file; `q_merge_prune`
+    * is the consumer, `q_zorder_prune` proved the pattern). */
+  final case class MergeFile(bucket: Long, file: String,
+                             rewritten: Boolean, min_key: Long,
+                             max_key: Long, n_rows: Long)
 
   /** Commit the merge fixture for `dir` unless a validated one is
     * stored; returns the root. Layout: `gen0/pbucket=b/` base files,
@@ -716,12 +722,23 @@ object MaintenancePipelineQuery {
       else d.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
         .map(f => s"$gen/pbucket=$b/${f.getName}").sorted
     }
+    // per-file data-skipping stats: one per-file aggregate at commit
+    // time (|files| bounded, paid once behind the content key). NOT a
+    // whole-directory read keyed by input_file_name: the generation
+    // dirs are SideCache'd under the same logical plan, and Spark's
+    // cache substitution hands input_file_name an InMemoryRelation
+    // where it returns "" for every row.
+    def withStats(b: Long, f: String, rw: Boolean): MergeFile = {
+      val r = spark.read.parquet(s"$root/$f")
+        .agg(min("custkey"), max("custkey"), count(lit(1))).head()
+      MergeFile(b, f, rw, r.getLong(0), r.getLong(1), r.getLong(2))
+    }
     val carried = (baseBuckets -- touched).toSeq.sorted
-      .flatMap(b => listFiles("gen0", b).map(f => MergeFile(b, f, false)))
+      .flatMap(b => listFiles("gen0", b).map(f => withStats(b, f, false)))
     val writtenBuckets = rewritten.select(col("bucket"))
       .distinct().as[Long].collect().toSet
     val written = writtenBuckets.toSeq.sorted
-      .flatMap(b => listFiles("gen1", b).map(f => MergeFile(b, f, true)))
+      .flatMap(b => listFiles("gen1", b).map(f => withStats(b, f, true)))
     (carried ++ written).toDF()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/filemanifest/v1")
@@ -878,6 +895,84 @@ object MaintenancePipelineQuery {
        |  FROM (SELECT * FROM carried UNION ALL SELECT * FROM gen1))
        |SELECT row_kind, n_rows, key_xor, bal_sum, n_files
        |FROM rows_ ORDER BY row_kind""".stripMargin
+
+  /** `q_merge_prune` — MANIFEST DATA SKIPPING over the MERGE commit's
+    * per-file stats (round-14 verdict, missing #3): a point lookup
+    * resolves candidate files from the manifest's (min_key, max_key)
+    * alone — `q_zorder_prune`'s pattern, now on the manifest-resolved
+    * MERGE read. Three deterministic probes: key 1 (a cold carried
+    * file — one hit), maxkey+1 (the first inserted key — one hit in
+    * the insert file), and the largest hot multiple of 13 (DELETED by
+    * the merge: usually still inside its file's residual range, so a
+    * CANDIDATE with ZERO matches — the min/max false positive a stats
+    * index permits, made visible). One output row per manifest file:
+    * the stored stats themselves plus (candidate, n_match), where
+    * n_match is counted ONLY by scanning candidate files —
+    * non-candidates carry 0 BY CONSTRUCTION, while the oracle counts
+    * matches unconditionally from recomputed content; a manifest stat
+    * narrow enough to skip a file that actually held a probe would
+    * therefore hash-fail, which is the safety invariant
+    * (non-candidate ⇒ n_match = 0) inside the hash. MergePruneSpec
+    * pins candidates ≪ files and the stored-stats identity.
+    *
+    * Scale shape: candidate resolution is driver arithmetic over the
+    * \|files\| manifest (no data touched); only candidate files are
+    * scanned, each with a pushed-down IN filter. */
+  def mergePrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureMerge(spark, dir)
+    val man = mergeManifest(spark, root)
+    val mk = graft.tables.Tables.customer(spark, dir)
+      .agg(max("c_custkey")).head().getLong(0)
+    val probes = Seq(1L, mk + 1, (mk / 13) * 13)
+    val flagged = man.map(f =>
+      f -> probes.exists(pb => pb >= f.min_key && pb <= f.max_key))
+    val matchCounts: Map[String, Long] = {
+      val candFiles = flagged.collect { case (f, true) => f.file }
+      if (candFiles.isEmpty) Map.empty
+      else spark.read.parquet(candFiles.map(f => s"$root/$f"): _*)
+        .filter(col("custkey").isin(probes: _*))
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect()
+        .map { case (f, n) =>
+          f.substring(f.indexOf("/gen") + 1) -> n
+        }.toMap
+    }
+    flagged.map { case (f, cand) =>
+      (f.bucket, if (f.rewritten) 1L else 0L, f.n_rows, f.min_key,
+        f.max_key, if (cand) 1L else 0L,
+        if (cand) matchCounts.getOrElse(f.file, 0L) else 0L)
+    }.toDF("bucket", "rewritten", "n_rows", "min_key", "max_key",
+      "candidate", "n_match")
+      .orderBy("bucket", "rewritten")
+  }
+
+  private val mergePruneSql =
+    s"""$mergeCte,
+       |files AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS rewritten,
+       |    COUNT(*) AS n_rows, MIN(custkey) AS min_key,
+       |    MAX(custkey) AS max_key
+       |  FROM carried GROUP BY bucket
+       |  UNION ALL
+       |  SELECT bucket, 1, COUNT(*), MIN(custkey), MAX(custkey)
+       |  FROM gen1 GROUP BY bucket),
+       |pr AS (
+       |  SELECT unnest([CAST(1 AS BIGINT), mk + 1, (mk // 13) * 13]) AS p
+       |  FROM mx),
+       |content AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS rewritten, custkey
+       |  FROM carried
+       |  UNION ALL SELECT bucket, 1, custkey FROM gen1)
+       |SELECT f.bucket, f.rewritten, f.n_rows, f.min_key, f.max_key,
+       |  CASE WHEN EXISTS (SELECT 1 FROM pr
+       |    WHERE pr.p BETWEEN f.min_key AND f.max_key)
+       |    THEN CAST(1 AS BIGINT) ELSE 0 END AS candidate,
+       |  (SELECT COUNT(*) FROM content c JOIN pr ON c.custkey = pr.p
+       |   WHERE c.bucket = f.bucket AND c.rewritten = f.rewritten)
+       |    AS n_match
+       |FROM files f ORDER BY f.bucket, f.rewritten""".stripMargin
 
   // ------------------------------------------------- merge-on-read (DV)
 
@@ -1419,6 +1514,7 @@ object MaintenancePipelineQuery {
     Q("q_mv_maintain", mvMaintain, Some(mvMaintainSql)),
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("q_merge_dv", mergeDv, Some(mergeDvSql)),
+    Q("q_merge_prune", mergePrune, Some(mergePruneSql)),
     Q("q_commit_log", commitLog, Some(commitLogSql)),
     Q("q_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
