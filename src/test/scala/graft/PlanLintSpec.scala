@@ -24,6 +24,11 @@ class PlanLintSpec extends SparkSpec {
     // segment merge: same serve plan as q_ann_upsert over the single
     // consolidated segment
     "q_ann_merge",
+    // lifecycle recall certificate: two stored serves (q_ann_serve's
+    // probe-list cross) + two brute truths (bruteTopK's query
+    // broadcast) + the 1-row n_exact aggregate crossed into each
+    // recall row — every nested loop a bounded broadcast by design
+    "q_ann_lifecycle_recall",
     // late-interaction MaxSim: the query set broadcasts against the
     // corpus scan (bruteTopK's cross)
     "q_multi_vector",
