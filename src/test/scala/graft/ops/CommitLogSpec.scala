@@ -208,6 +208,68 @@ class CommitLogSpec extends AnyFunSuite {
       CommitLog.resolvePartitions(root))
   }
 
+  test("stress: 12 writers over 4 partitions + a janitor — every reported outcome matches reader visibility, one owner per partition") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      (1 to 4).map(i => s"p$i"), 0L))
+    val barrier = new java.util.concurrent.CyclicBarrier(13)
+    val committed =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val conflicted =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 12 writers, 3 per partition — heavy deliberate overlap
+    val writers = (1 to 12).map { i =>
+      val w = s"w$i"
+      new Thread(() => {
+        try {
+          barrier.await()
+          committed.put(w, CommitLog.tryCommit(root,
+            Entry(w, "op", s"data/$w", Seq(s"p${1 + (i % 4)}"), 1L)))
+        } catch {
+          case _: CommitConflict => conflicted.add(w)
+          case t: Throwable => errs.add(t)
+        }
+      })
+    }
+    // a janitor sweeping every slot it can see, repeatedly — it may
+    // abort LIVE slow writers; the protocol must stay consistent
+    val janitor = new Thread(() => {
+      try {
+        barrier.await()
+        for (_ <- 1 to 30) {
+          (2L to 20L).foreach(v => CommitLog.abortOrphan(root, v))
+          Thread.sleep(3)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    (writers :+ janitor).foreach(_.start())
+    (writers :+ janitor).foreach(_.join())
+    assert(errs.isEmpty, s"protocol error: ${errs.peek()}")
+    assert(committed.size + conflicted.size === 12,
+      "every writer must resolve to exactly one outcome")
+    // INVARIANT 1: reported outcomes == reader visibility, exactly
+    import scala.jdk.CollectionConverters._
+    val visible = CommitLog.committedVersions(root).toSet
+    for ((w, v) <- committed.asScala)
+      assert(visible(v), s"$w reported v$v committed but readers skip it")
+    assert(visible.size === committed.size + 1,
+      "a slot is visible that no successful writer owns")
+    // INVARIANT 2: one owner per partition, and it is a real winner
+    val owners = CommitLog.resolvePartitions(root)
+    assert(owners.keySet === (1 to 4).map(i => s"p$i").toSet)
+    for ((_, (v, _)) <- owners) assert(visible(v))
+    // INVARIANT 3: committed writers per partition never overlap —
+    // each partition's committed history beyond the ingest is a chain
+    // of non-concurrent versions (they all claimed base v1, so at
+    // most ONE overlapping writer may have won per partition)
+    val byPart = CommitLog.readLog(root).drop(1)
+      .flatMap { case (v, e) => e.partitions.map(_ -> v) }
+      .groupBy(_._1).view.mapValues(_.size)
+    for ((p, n) <- byPart)
+      assert(n <= 1, s"$p committed $n same-snapshot overlapping writers")
+  }
+
   test("resolution hands each partition to its newest committed owner") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
