@@ -55,12 +55,18 @@ object Bloom {
     * on, so the maintained state is bit-equal to a from-scratch batch
     * build over the same prefix, and ≤ [[Cells]] rows forever). */
   def cells(keys: DataFrame, key: String): DataFrame =
+    cellsBy(keys, key, Nil)
+
+  /** Per-GROUP filters in one distributed pass (≤ [[Cells]] rows per
+    * group): `q_merge_bloom`'s per-file sidecar builds one filter per
+    * manifest file this way — the Parquet bloom-filter shape. */
+  def cellsBy(keys: DataFrame, key: String, by: Seq[String]): DataFrame =
     keys
-      .select(explode(array(Hashes.map { case (a, b) =>
-        expr(posSql(key, a, b)) }: _*)).as("p"))
-      .select(expr("CAST(p div 63 AS INT)").as("cell"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"))
-      .groupBy("cell").agg(expr("bit_or(m)").as("bits"))
+      .select(by.map(col) :+ explode(array(Hashes.map { case (a, b) =>
+        expr(posSql(key, a, b)) }: _*)).as("p"): _*)
+      .select(by.map(col) :+ expr("CAST(p div 63 AS INT)").as("cell") :+
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 63 AS INT))").as("m"): _*)
+      .groupBy((by :+ "cell").map(col): _*).agg(expr("bit_or(m)").as("bits"))
 
   /** Assemble the fixed-width lut from collected cell rows. */
   def lutOf(cellRows: Seq[(Int, Long)]): Seq[Long] = {

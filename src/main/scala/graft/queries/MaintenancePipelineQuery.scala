@@ -619,7 +619,7 @@ object MaintenancePipelineQuery {
     * distinct over |buckets|; the rewrite scans ONLY the touched
     * bucket directories (partition-pruned read); the manifest is
     * |files| rows; CDF is change-proportional. */
-  val MergeFixtureVersion = 3 // v3: per-file min/max/rows manifest stats
+  val MergeFixtureVersion = 4 // v4: + per-file bloom sidecar (bloom/v1)
 
   def mergeRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -650,7 +650,8 @@ object MaintenancePipelineQuery {
       val ok = scala.util.Try {
         val txt = java.nio.file.Files.readString(marker.toPath)
         txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
-          Seq("gen0", "gen1", "filemanifest/v1", "cdf/v1").forall(p =>
+          Seq("gen0", "gen1", "filemanifest/v1", "cdf/v1",
+              "bloom/v1").forall(p =>
             new java.io.File(s"$root/$p/_SUCCESS").exists()) &&
           // both commits must be resolved in the optimistic log
           graft.ops.CommitLog.committedVersions(root) == Seq(1L, 2L) &&
@@ -742,6 +743,19 @@ object MaintenancePipelineQuery {
     (carried ++ written).toDF()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/filemanifest/v1")
+    // per-file BLOOM sidecar (the Parquet bloom-filter shape): one
+    // filter per manifest file, keyed (bucket, rewritten), built in a
+    // single distributed pass — min/max stats prune RANGES, the bloom
+    // prunes point probes the residual range still covers
+    // (q_merge_prune's deleted-key false positive; q_merge_bloom is
+    // the consumer)
+    val bloomSrc = spark.read.parquet(s"$root/gen0")
+      .filter(!col("pbucket").isin(touched.toSeq: _*))
+      .select(col("custkey"), col("bucket"), lit(false).as("rewritten"))
+      .unionAll(spark.read.parquet(s"$root/gen1")
+        .select(col("custkey"), col("bucket"), lit(true).as("rewritten")))
+    graft.ops.Bloom.cellsBy(bloomSrc, "custkey", Seq("bucket", "rewritten"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/bloom/v1")
     // the commit's CDF delta (the writer KNOWS its change set)
     def asCdf(change: String, df: DataFrame): DataFrame =
       df.select(lit(change).as("change_type"), col("custkey"),
@@ -924,6 +938,9 @@ object MaintenancePipelineQuery {
     val man = mergeManifest(spark, root)
     val mk = graft.tables.Tables.customer(spark, dir)
       .agg(max("c_custkey")).head().getLong(0)
+    // probes: a cold live key, the first inserted key, and the
+    // largest DELETED hot key (in some file's residual range but
+    // absent — the false positive range stats permit)
     val probes = Seq(1L, mk + 1, (mk / 13) * 13)
     val flagged = man.map(f =>
       f -> probes.exists(pb => pb >= f.min_key && pb <= f.max_key))
@@ -973,6 +990,137 @@ object MaintenancePipelineQuery {
        |   WHERE c.bucket = f.bucket AND c.rewritten = f.rewritten)
        |    AS n_match
        |FROM files f ORDER BY f.bucket, f.rewritten""".stripMargin
+
+  /** `q_merge_bloom` — per-file BLOOM skipping over the MERGE
+    * manifest, the probabilistic complement of `q_merge_prune`'s
+    * min/max stats (Parquet bloom filters / Delta's bloom index,
+    * distilled): range stats cannot reject a point probe that a
+    * file's residual range still covers — `q_merge_prune`'s deleted
+    * hot key stays a candidate forever. The stored per-file filter
+    * ([[graft.ops.Bloom]] cells keyed by manifest file) rejects it:
+    * the output carries BOTH verdicts per file (candidate_range,
+    * candidate_bloom) and n_match counted ONLY over files both
+    * indexes admit — the oracle rebuilds every filter bit-for-bit
+    * from recomputed content (exact integer hashes, the
+    * `q_bloom_fpr` convention) and counts matches unconditionally,
+    * so a filter with a false NEGATIVE (the unsafe direction)
+    * hash-fails. MergeBloomSpec pins: the deleted probe's file is
+    * range-candidate but bloom-rejected, live probes are never
+    * rejected, and the scanned set is a strict subset of the range
+    * candidates.
+    *
+    * Scale shape: the sidecar is ≤ 1041 cells per file (8 KB — built
+    * in one distributed pass at commit time); probe evaluation is
+    * driver arithmetic over \|files\| luts; only doubly-admitted
+    * files are scanned. */
+  def mergeBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureMerge(spark, dir)
+    val man = mergeManifest(spark, root)
+    val mk = graft.tables.Tables.customer(spark, dir)
+      .agg(max("c_custkey")).head().getLong(0)
+    // probes: a cold live key, the first inserted key, and the
+    // largest DELETED hot key (in some file's residual range but
+    // absent — the false positive range stats permit)
+    val probes = Seq(1L, mk + 1, (mk / 13) * 13)
+    // the stored per-file filters: ≤ Cells rows each — bounded collect
+    val luts: Map[(Long, Boolean), Map[Int, Long]] =
+      spark.read.parquet(s"$root/bloom/v1")
+        .select(col("bucket"), col("rewritten"), col("cell"), col("bits"))
+        .as[(Long, Boolean, Int, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> rs.map(r => r._3 -> r._4).toMap }
+    def bloomHit(lut: Map[Int, Long], key: Long): Boolean =
+      graft.ops.Bloom.Hashes.forall { case (a, b) =>
+        val pos = ((key * a + b) % 2147483647L) % graft.ops.Bloom.Bits
+        (lut.getOrElse((pos / 63).toInt, 0L) >> (pos % 63).toInt & 1L) == 1L
+      }
+    // PER-PROBE verdicts: one row per (file, probe) — the bloom's
+    // rejection of the deleted probe stays visible even when a live
+    // probe admits the same file
+    val flagged = for (f <- man; pb <- probes) yield {
+      val lut = luts.getOrElse((f.bucket, f.rewritten), Map.empty)
+      val r = pb >= f.min_key && pb <= f.max_key
+      val b = bloomHit(lut, pb)
+      (f, pb, r, b)
+    }
+    // scan ONLY (file, probe) pairs both indexes admit: per admitted
+    // file, one read collecting its probe matches (bounded)
+    val matchCounts: Map[(String, Long), Long] = {
+      import spark.implicits._
+      val scanFiles = flagged.collect { case (f, _, true, true) => f.file }
+        .distinct
+      if (scanFiles.isEmpty) Map.empty
+      else spark.read.parquet(scanFiles.map(f => s"$root/$f"): _*)
+        .filter(col("custkey").isin(probes: _*))
+        .groupBy("bucket", "custkey").count()
+        .as[(Long, Long, Long)].collect()
+        .map { case (bkt, k, n) =>
+          (man.find(m => m.bucket == bkt &&
+            scanFiles.contains(m.file)).get.file, k) -> n
+        }.toMap
+    }
+    flagged.map { case (f, pb, r, b) =>
+      (f.bucket, if (f.rewritten) 1L else 0L, pb,
+        if (r) 1L else 0L, if (b) 1L else 0L,
+        if (r && b) matchCounts.getOrElse((f.file, pb), 0L) else 0L)
+    }.toDF("bucket", "rewritten", "probe", "range_hit", "bloom_hit",
+      "n_match")
+      .orderBy("bucket", "rewritten", "probe")
+  }
+
+  private val mergeBloomSql = {
+    val mod = 2147483647L
+    val bits = graft.ops.Bloom.Bits
+    // keys are positive, so DuckDB's sign-of-dividend % == Spark pmod
+    def pos(k: String, a: Long, b: Long) =
+      s"(((CAST($k AS BIGINT) * $a + $b) % $mod) % $bits)"
+    s"""$mergeCte,
+       |files AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS rewritten,
+       |    MIN(custkey) AS min_key, MAX(custkey) AS max_key
+       |  FROM carried GROUP BY bucket
+       |  UNION ALL
+       |  SELECT bucket, 1, MIN(custkey), MAX(custkey)
+       |  FROM gen1 GROUP BY bucket),
+       |content AS (
+       |  SELECT bucket, CAST(0 AS BIGINT) AS rewritten, custkey
+       |  FROM carried
+       |  UNION ALL SELECT bucket, 1, custkey FROM gen1),
+       |cl AS (
+       |  SELECT bucket, rewritten, p // 63 AS cell,
+       |    bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+       |  FROM (SELECT bucket, rewritten, ${pos("custkey", 131, 7)} AS p
+       |        FROM content
+       |        UNION ALL
+       |        SELECT bucket, rewritten, ${pos("custkey", 137, 11)}
+       |        FROM content)
+       |  GROUP BY 1, 2, 3),
+       |ph AS (
+       |  SELECT p, ${pos("p", 131, 7)} AS p1, ${pos("p", 137, 11)} AS p2
+       |  FROM (SELECT unnest([CAST(1 AS BIGINT), mk + 1,
+       |                       (mk // 13) * 13]) AS p FROM mx)),
+       |flags AS (
+       |  SELECT f.bucket, f.rewritten, ph.p AS probe,
+       |    CASE WHEN ph.p BETWEEN f.min_key AND f.max_key
+       |      THEN 1 ELSE 0 END AS range_hit,
+       |    CASE WHEN
+       |      COALESCE((c1.bits >> CAST(ph.p1 % 63 AS INT)) & 1, 0) = 1 AND
+       |      COALESCE((c2.bits >> CAST(ph.p2 % 63 AS INT)) & 1, 0) = 1
+       |      THEN 1 ELSE 0 END AS bloom_hit
+       |  FROM files f CROSS JOIN ph
+       |  LEFT JOIN cl c1 ON c1.bucket = f.bucket
+       |    AND c1.rewritten = f.rewritten AND c1.cell = ph.p1 // 63
+       |  LEFT JOIN cl c2 ON c2.bucket = f.bucket
+       |    AND c2.rewritten = f.rewritten AND c2.cell = ph.p2 // 63)
+       |SELECT fl.bucket, fl.rewritten, fl.probe,
+       |  CAST(fl.range_hit AS BIGINT) AS range_hit,
+       |  CAST(fl.bloom_hit AS BIGINT) AS bloom_hit,
+       |  (SELECT COUNT(*) FROM content c
+       |   WHERE c.bucket = fl.bucket AND c.rewritten = fl.rewritten
+       |     AND c.custkey = fl.probe) AS n_match
+       |FROM flags fl ORDER BY fl.bucket, fl.rewritten, fl.probe""".stripMargin
+  }
 
   // ------------------------------------------------- merge-on-read (DV)
 
@@ -1515,6 +1663,7 @@ object MaintenancePipelineQuery {
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("q_merge_dv", mergeDv, Some(mergeDvSql)),
     Q("q_merge_prune", mergePrune, Some(mergePruneSql)),
+    Q("q_merge_bloom", mergeBloom, Some(mergeBloomSql)),
     Q("q_commit_log", commitLog, Some(commitLogSql)),
     Q("q_partition_evolution", partitionEvolution, Some(partitionEvolutionSql)),
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),

@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** q_merge_bloom — per-file bloom skipping over the MERGE manifest:
+  * the deleted probe must be range-admitted but bloom-rejected (the
+  * false positive min/max stats cannot kill), live probes must never
+  * be bloom-rejected anywhere they match (no false negatives), and
+  * the doubly-admitted scan set must be a strict subset of the range
+  * candidates. */
+class MergeBloomSpec extends SparkSpec {
+
+  private lazy val rows = SparkEntry.queries("q_merge_bloom")(spark, sf0001)
+    .collect().toSeq
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))) // bucket, rw, probe, range, bloom, n
+
+  test("the deleted probe is range-admitted somewhere but bloom-rejected everywhere") {
+    val deletedRows = rows.filter(_._3 % 13 == 0)
+    assert(deletedRows.exists(r => r._4 == 1L),
+      "fixture drift: the deleted probe should fall inside some " +
+        "file's residual range — otherwise the bloom has nothing to kill")
+    assert(deletedRows.forall(r => r._5 == 0L),
+      "the per-file bloom admitted a key that is in no file")
+    assert(deletedRows.forall(r => r._6 == 0L))
+  }
+
+  test("no false negatives: every matching (file, probe) pair is admitted by BOTH indexes") {
+    for (r <- rows if r._6 > 0)
+      assert(r._4 == 1L && r._5 == 1L,
+        s"probe ${r._3} matches in bucket ${r._1} but an index " +
+          "rejected it — unsafe skipping")
+    assert(rows.map(_._6).sum == 2L,
+      "exactly the cold probe and the insert probe should match")
+  }
+
+  test("the scanned set (range AND bloom) is a strict subset of the range candidates") {
+    val rangeAdmitted = rows.count(_._4 == 1L)
+    val scanned = rows.count(r => r._4 == 1L && r._5 == 1L)
+    assert(scanned < rangeAdmitted,
+      s"bloom pruned nothing: $scanned scanned of $rangeAdmitted " +
+        "range candidates")
+    assert(scanned <= 3, s"3 probes should scan at most 3 pairs, got $scanned")
+  }
+}
