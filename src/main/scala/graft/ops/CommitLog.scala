@@ -216,6 +216,34 @@ object CommitLog {
       s"tryCommit gave up after $maxAttempts claim attempts")
   }
 
+  /** The retry-with-rebase loop that completes the optimistic
+    * protocol: `prepare` derives an [[Entry]] — and stages its data —
+    * AGAINST a given base version (it must re-read the base's
+    * resolved state, not reuse stale staged data: that is what makes
+    * the retry a REBASE and not a blind re-submit). On
+    * [[CommitConflict]] the writer re-derives against the new latest
+    * and retries, up to `maxRebase` times; contention beyond that
+    * surfaces as the last conflict.
+    *
+    * Scale shape: each round is one metadata-only `tryCommit` plus
+    * whatever re-derivation `prepare` does — at 100 TB that is the
+    * delta-proportional MERGE staging, never a table rewrite. */
+  def commitWithRebase(root: String, prepare: Long => Entry,
+                       maxRebase: Int = 8): Long = {
+    var rebases = 0
+    while (true) {
+      val base = latestCommitted(root)
+      try return tryCommit(root, prepare(base))
+      catch {
+        case e: CommitConflict =>
+          rebases += 1
+          if (rebases > maxRebase) throw new CommitConflict(
+            s"gave up after $maxRebase rebases: ${e.getMessage}")
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Janitor for a crashed writer: a claim with no resolution is
     * invisible to readers but holds its slot; marking it aborted
     * releases rivals' conservative conflicts against it. The abort

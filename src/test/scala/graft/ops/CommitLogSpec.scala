@@ -270,6 +270,56 @@ class CommitLogSpec extends AnyFunSuite {
       assert(n <= 1, s"$p committed $n same-snapshot overlapping writers")
   }
 
+  test("commitWithRebase: two overlapping writers BOTH land — the loser re-derives against the winner's commit") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    // each writer's prepare() records the base it derived against —
+    // a REBASE must re-read, so the loser's final entry must name the
+    // winner's version as its base, not the stale snapshot
+    val basesSeen =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.List[Long]]()
+    def prepareFor(w: String)(base: Long): Entry = {
+      basesSeen.computeIfAbsent(w,
+        _ => new java.util.concurrent.CopyOnWriteArrayList[Long]()).add(base)
+      Entry(w, "op", s"data/$w@v$base", Seq("p1"), base)
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val landed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("a", "b").map { w =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          landed.put(w, CommitLog.commitWithRebase(root, prepareFor(w)))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"rebase loop failed: ${errs.peek()}")
+    assert(landed.size === 2, "both overlapping writers must land via rebase")
+    val log = CommitLog.readLog(root)
+    assert(log.size === 3)
+    // the second landing's committed entry is based on the first's
+    // version: the rebase genuinely re-derived
+    val Seq(_, first, second) = log.map(_._2)
+    assert(second.baseVersion === log(1)._1,
+      s"rebased commit must base on the winner's version, " +
+        s"got base v${second.baseVersion}")
+    assert(second.dataPath.endsWith(s"@v${log(1)._1}"),
+      "rebased commit must carry data STAGED against the new base")
+    assert(first.baseVersion === 1L)
+    // whether the loser hit a conflict (raced) or serialized behind
+    // the winner, its FINAL derivation must be against the winner's
+    // version — stale staged data can never land
+    import scala.jdk.CollectionConverters._
+    val loser = second.writer
+    assert(basesSeen.get(loser).asScala.toSeq.last === log(1)._1,
+      "the loser's final prepare must target the moved base")
+    // resolution serves the rebased (newest) commit
+    assert(CommitLog.resolvePartitions(root)("p1")._1 === log(2)._1)
+  }
+
   test("resolution hands each partition to its newest committed owner") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
