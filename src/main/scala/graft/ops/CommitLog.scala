@@ -113,7 +113,99 @@ object CommitLog {
     slots(root).filter(s => isCommitted(s._2)).map(_._1)
 
   def latestCommitted(root: String): Long =
-    committedVersions(root).maxOption.getOrElse(0L)
+    (committedVersions(root) ++ checkpoints(root).map(_._1))
+      .maxOption.getOrElse(0L)
+
+  // ------------------------------------------------------- checkpoints
+
+  private val CkptName = "ckpt_v(\\d+)\\.tsv".r
+
+  private def checkpoints(root: String): Seq[(Long, java.io.File)] =
+    Option(logDir(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .flatMap(f => f.getName match {
+        case CkptName(v) => Some(v.toLong -> f)
+        case _ => None
+      }).sortBy(_._1)
+
+  private def expiredBelowFile(root: String) =
+    new java.io.File(logDir(root), "_EXPIRED_BELOW")
+
+  /** The version below which slot history has been physically expired
+    * (0 = never expired). */
+  def expiredBelow(root: String): Long = {
+    val f = expiredBelowFile(root)
+    if (!f.exists()) 0L
+    else scala.util.Try(
+      java.nio.file.Files.readString(f.toPath).trim.toLong).getOrElse(0L)
+  }
+
+  /** Newest VALID checkpoint with version in [`atLeast`, `atMost`]:
+    * (version, per-partition owners). A torn file (missing its `#end`
+    * trailer — crash mid-write) is skipped, falling back to the next
+    * older checkpoint or the raw log. */
+  private def readCheckpoint(root: String,
+      atMost: Long = Long.MaxValue, atLeast: Long = 0L)
+      : Option[(Long, Map[String, (Long, String)])] =
+    checkpoints(root).reverse.view
+      .filter { case (v, _) => v <= atMost && v >= atLeast }
+      .flatMap { case (v, f) =>
+      scala.util.Try {
+        val lines = java.nio.file.Files.readString(f.toPath)
+          .split("\n", -1).toSeq
+        require(lines.head.toLong == v && lines.contains("#end"))
+        val owners = lines.tail.takeWhile(_ != "#end").filter(_.nonEmpty)
+          .map { l =>
+            val p = l.split("\t", -1)
+            p(0) -> (p(1).toLong, p(2))
+          }.toMap
+        (v, owners)
+      }.toOption
+    }.headOption
+
+  /** CHECKPOINT the log (Delta's checkpoint.parquet, distilled):
+    * materialize the per-partition resolution at the current latest
+    * committed version into one `ckpt_v<N>.tsv`, so readers fold
+    * |partitions| checkpoint rows + the slots AFTER it instead of the
+    * whole history — and so [[expireBelow]] can physically reclaim
+    * old slots. Metadata-only; the `#end` trailer is the torn-write
+    * guard (an invalid checkpoint is ignored, never trusted). */
+  def checkpoint(root: String): Long = {
+    val v = latestCommitted(root)
+    val owners = resolvePartitions(root)
+    val body = (s"$v" +:
+      owners.toSeq.sortBy(_._1).map { case (p, (ov, dp)) =>
+        s"$p\t$ov\t$dp"
+      } :+ "#end").mkString("", "\n", "\n")
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(root), s"ckpt_v$v.tsv").toPath, body)
+    v
+  }
+
+  /** Physically expire slot history at or below `v` (Delta's log
+    * retention): refuses without a valid checkpoint covering `v`, and
+    * refuses while any slot ≤ v is still unresolved (an in-flight
+    * writer's claim is never swept). Records the horizon so
+    * [[resolveAsOf]] below it fails LOUDLY instead of silently
+    * resolving from a partial log. Slot numbering stays monotone:
+    * `tryCommit` seeds `max+1` from the checkpoint version too. */
+  def expireBelow(root: String, v: Long): Seq[Long] = {
+    val ckpt = readCheckpoint(root)
+    require(ckpt.exists(_._1 >= v),
+      s"expireBelow(v$v) needs a valid checkpoint at or above v$v — " +
+        "checkpoint first")
+    val (gone, kept) = slots(root).partition(_._1 <= v)
+    require(gone.forall { case (_, d) => resolution(d).isDefined },
+      s"an unresolved claim at or below v$v is still in flight")
+    val _ = kept
+    java.nio.file.Files.writeString(expiredBelowFile(root).toPath, s"$v\n")
+    gone.map { case (sv, d) =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(d); sv
+    }
+  }
 
   private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
 
@@ -161,7 +253,10 @@ object CommitLog {
     while (attempt < maxAttempts) {
       attempt += 1
       val known = slots(root)
-      val next = (known.map(_._1) :+ 0L).max + 1
+      // seed past any checkpoint too: after history expiry the slot
+      // dirs are gone but their numbers must never be reused
+      val next = (known.map(_._1) ++
+        checkpoints(root).map(_._1) :+ 0L).max + 1
       val claim = slotDir(root, next)
       if (claim.mkdir()) { // ATOMIC slot claim: exactly one winner
         writeEntry(claim, next, e)
@@ -282,12 +377,24 @@ object CommitLog {
     * snapshot-isolation reads over the log, the time-travel semantics
     * [[VersionChain]] gets from immutable generations, here recovered
     * purely from the log's per-partition ownership fold. */
-  def resolveAsOf(root: String, asOf: Long): Map[String, (Long, String)] =
-    readLog(root).filter(_._1 <= asOf)
-      .foldLeft(Map.empty[String, (Long, String)]) {
+  def resolveAsOf(root: String, asOf: Long): Map[String, (Long, String)] = {
+    // fold from the newest usable checkpoint (complete state at its
+    // version, and nothing under it may have been expired — so it
+    // must sit at or above the expiry horizon), then overlay the
+    // committed slots after it
+    val horizon = expiredBelow(root)
+    val ck = readCheckpoint(root, atMost = asOf, atLeast = horizon)
+    if (ck.isEmpty && horizon > 0L)
+      throw new IllegalStateException(
+        s"asOf(v$asOf) reaches below the expired-history horizon " +
+          s"v$horizon with no covering checkpoint — history is gone")
+    val from = ck.map(_._1).getOrElse(0L)
+    readLog(root).filter { case (v, _) => v > from && v <= asOf }
+      .foldLeft(ck.map(_._2).getOrElse(Map.empty[String, (Long, String)])) {
         case (acc, (v, e)) =>
           acc ++ e.partitions.map(p => p -> (v, e.dataPath))
       }
+  }
 
   /** Partition → owning (version, dataPath): the newest committed
     * entry touching each partition — the reader-side resolution. */

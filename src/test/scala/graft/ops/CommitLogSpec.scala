@@ -320,6 +320,62 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.resolvePartitions(root)("p1")._1 === log(2)._1)
   }
 
+  test("checkpoint + expireBelow: resolution identical, numbering monotone, asOf below the horizon fails loudly") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2", "p3"), 0L))
+    CommitLog.tryCommit(root, Entry("w1", "op", "data/w1", Seq("p1"), 1L))
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 2L))
+    val before = CommitLog.resolvePartitions(root)
+    // expiry without a covering checkpoint refuses
+    intercept[IllegalArgumentException] { CommitLog.expireBelow(root, 3L) }
+    assert(CommitLog.checkpoint(root) === 3L)
+    // below-checkpoint asOf still works while the slots remain
+    assert(CommitLog.resolveAsOf(root, 2L)("p1")._1 === 2L)
+    assert(CommitLog.expireBelow(root, 3L) === Seq(1L, 2L, 3L))
+    // the folded view is bit-identical though every slot is gone
+    assert(CommitLog.resolvePartitions(root) === before)
+    assert(CommitLog.readLog(root).isEmpty)
+    assert(CommitLog.latestCommitted(root) === 3L)
+    // history below the horizon fails LOUDLY, never silently partial
+    intercept[IllegalStateException] { CommitLog.resolveAsOf(root, 2L) }
+    // numbering is seeded past the checkpoint: no slot reuse
+    val v = CommitLog.tryCommit(root,
+      Entry("w3", "op", "data/w3", Seq("p3"), 3L))
+    assert(v === 4L)
+    val owners = CommitLog.resolvePartitions(root)
+    assert(owners("p3") === (4L, "data/w3"),
+      "post-expiry commits overlay the checkpoint")
+    assert(owners("p1") === before("p1"),
+      "untouched partitions resolve from the checkpoint")
+    // a second checkpoint folds checkpoint + tail
+    assert(CommitLog.checkpoint(root) === 4L)
+    assert(CommitLog.resolveAsOf(root, 4L) === owners)
+  }
+
+  test("a torn checkpoint is ignored; expiry refuses over an in-flight claim") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    // torn checkpoint: no #end trailer — must be unusable
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$root/commitlog/ckpt_v1.tsv").toPath,
+      "1\np1\t1\tdata/ing")
+    intercept[IllegalArgumentException] { CommitLog.expireBelow(root, 1L) }
+    assert(CommitLog.resolvePartitions(root)("p1")._1 === 1L,
+      "resolution must fall back to the raw log past a torn checkpoint")
+    // an unresolved in-flight claim blocks expiry of its range
+    val stall = new java.io.File(s"$root/commitlog/v2")
+    assert(stall.mkdirs())
+    CommitLog.tryCommit(root, Entry("w", "op", "data/w", Seq("p9"), 1L))
+    assert(CommitLog.checkpoint(root) === 3L)
+    intercept[IllegalArgumentException] { CommitLog.expireBelow(root, 3L) }
+    // once the janitor resolves it, expiry proceeds
+    assert(CommitLog.abortOrphan(root, 2L))
+    assert(CommitLog.expireBelow(root, 3L) === Seq(1L, 2L, 3L))
+    assert(CommitLog.resolvePartitions(root)("p9")._1 === 3L)
+  }
+
   test("resolution hands each partition to its newest committed owner") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
