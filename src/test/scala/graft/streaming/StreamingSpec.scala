@@ -797,6 +797,47 @@ class StreamingSpec extends SparkSpec {
     graft.ops.SideCache.releaseAll()
   }
 
+  test("streaming commit-log tail: committed entries applied as micro-batches equal resolveAsOf at every prefix") {
+    // the log-subscriber shape for the optimistic CommitLog: a
+    // downstream replica tails committed entries in version order and
+    // maintains the per-partition ownership map incrementally; after
+    // every commit drains, the replica must be bit-equal to
+    // CommitLog.resolveAsOf(v) — the same mid-stream convention as
+    // the CDF consumer and MV twins
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val root = graft.queries.MaintenancePipelineQuery
+      .ensureCommitLog(s, sf0001)
+    val log = graft.ops.CommitLog.readLog(root)
+    assert(log.size === 3)
+    val replica =
+      scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("version", "data_path", "parts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // apply in version order WITHIN the batch: newest owner wins
+        batch.select("version", "data_path", "parts")
+          .as[(Long, String, String)].collect().sortBy(_._1)
+          .foreach { case (v, dp, parts) =>
+            parts.split(",").filter(_.nonEmpty)
+              .foreach(p => replica(p) = (v, dp))
+          }
+        ()
+      }
+      .start()
+    try {
+      for ((v, e) <- log) {
+        in.addData((v, e.dataPath, e.partitions.mkString(",")))
+        q.processAllAvailable()
+        assert(replica.toMap === graft.ops.CommitLog.resolveAsOf(root, v),
+          s"replica diverged from resolveAsOf(v$v) mid-stream")
+      }
+    } finally q.stop()
+    assert(replica.toMap === graft.ops.CommitLog.resolvePartitions(root))
+  }
+
   test("intervalJoin batch twin produces the same matches") {
     val s = spark
     import s.implicits._
