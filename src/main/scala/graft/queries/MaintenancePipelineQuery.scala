@@ -1522,7 +1522,31 @@ object MaintenancePipelineQuery {
     val asOf2 = resolvedAcct(98L, "asof2", CommitLog.resolveAsOf(root, 2L))
     val resolved = resolvedAcct(99L, "resolved",
       CommitLog.resolvePartitions(root))
-    (committed ++ Seq(rejected, asOf1, asOf2, resolved)).reduce(_ unionAll _)
+    // CHECKPOINT-FOLD row: clone the log's metadata, checkpoint, then
+    // physically EXPIRE every slot — the resolution through the fold
+    // alone must carry the exact triple the raw slots produce (the
+    // Delta checkpoint contract, re-proven under the driver hash
+    // every run; the clone's entries still name the fixture's data)
+    val ckRoot = root + "_ckfold"
+    VersionChain.rmTree(new java.io.File(ckRoot))
+    new java.io.File(ckRoot).mkdirs()
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
+      } else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
+    }
+    cp(new java.io.File(root, "commitlog"),
+      new java.io.File(ckRoot, "commitlog"))
+    val ckV = CommitLog.checkpoint(ckRoot)
+    CommitLog.expireBelow(ckRoot, ckV)
+    val ckOwners = CommitLog.resolvePartitions(ckRoot)
+    val ckFold = acct(96L, "ckptfold", "table", ckOwners.size.toLong,
+      ckOwners.toSeq.map { case (p, (_, dataPath)) =>
+        s"$root/$dataPath/pday=$p" // data stays at the fixture root
+      })
+    (committed ++ Seq(rejected, ckFold, asOf1, asOf2, resolved))
+      .reduce(_ unionAll _)
       .orderBy("version")
   }
 
@@ -1565,6 +1589,21 @@ object MaintenancePipelineQuery {
        |      CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END), 0)
        |      AS BIGINT)
        |  FROM e WHERE dom >= 21
+       |  UNION ALL
+       |  SELECT 96, 'ckptfold', 'table',
+       |    (SELECT COUNT(DISTINCT day) FROM e),
+       |    COUNT(*),
+       |    CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc2), 0) AS BIGINT)
+       |  FROM (
+       |    SELECT event_id, vc AS vc2 FROM e
+       |    WHERE dom <= 10 AND event_id % 5 <> 0
+       |    UNION ALL
+       |    SELECT event_id, vc FROM e WHERE dom BETWEEN 11 AND 20
+       |    UNION ALL
+       |    SELECT event_id,
+       |      CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END
+       |    FROM e WHERE dom >= 21)
        |  UNION ALL
        |  SELECT 97, 'asof1', 'table',
        |    (SELECT COUNT(DISTINCT day) FROM e),
