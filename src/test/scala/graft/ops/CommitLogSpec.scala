@@ -141,7 +141,13 @@ class CommitLogSpec extends AnyFunSuite {
       }
     })
     t.start()
-    Thread.sleep(200) // slow writer has claimed v3 and is polling v2
+    // wait until the slow writer has CLAIMED v3 (it then polls v2 for
+    // ~1 s) — a fixed sleep loses to suite-level CPU contention
+    var waits = 0
+    while (!new java.io.File(s"$root/commitlog/v3").exists() &&
+      waits < 1000) { Thread.sleep(5); waits += 1 }
+    assert(new java.io.File(s"$root/commitlog/v3").exists(),
+      "slow writer never claimed its slot")
     // janitor can't distinguish crashed from live-but-slow: it aborts
     // the LIVE claim v3 — the exact hole the atomic _RESOLVED closes
     assert(CommitLog.abortOrphan(root, 3L),
