@@ -1350,6 +1350,151 @@ object SimilarityQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  /** SCALAR QUANTIZATION (SQ8) retrieval — the FAISS
+    * `ScalarQuantizer` production knob the PQ tiers don't cover: each
+    * dimension is affinely quantized to a SIGNED BYTE with per-dim
+    * (lo, hi) trained on the corpus (code = round((x−lo)/scale) − 128
+    * ∈ [−128, 127]), queries quantize SYMMETRICALLY with the same
+    * params, and ranking is the pure INTEGER code dot — 4× smaller
+    * vectors and integer arithmetic in the scan, the standard memory/
+    * recall trade below PQ's compression. Emitted as the evaluation
+    * row pair the knob is judged by: recall@10 of the SQ8 ranking
+    * against the exact inner-product truth (the objective the integer
+    * dot approximates) AND against exact cosine (what the metric
+    * mismatch additionally costs). The integer scores make the
+    * ranking itself exact cross-engine; the quantizer params are the
+    * only float arithmetic and both engines run the identical
+    * double sequence. AnnSqSpec pins code range, symmetric-quantizer
+    * self-consistency, and the recall floor.
+    *
+    * Scale shape: the quantizer is 2·Dim driver doubles (one
+    * posexplode agg); corpus codes are one scan projection
+    * (zip-with-index transform, no shuffle); scoring is the
+    * `q_ann_topk` broadcast-queries shape with integer dots; the
+    * truths are the evaluation-harness cost. */
+  private def annSq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val lohi = emb
+      .select(posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy("dim")
+      .agg(min(col("e").cast("double")).as("lo"),
+        max(col("e").cast("double")).as("hi"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val loLit = typedlit(lohi.map(_._2).toSeq)
+    val scLit = typedlit(lohi.map { case (_, l, h) => (h - l) / 255.0 }.toSeq)
+    def codesOf(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(v, (x, i) => {
+      val l = element_at(loLit, i + lit(1))
+      val sc = element_at(scLit, i + lit(1))
+        when(sc === 0d, lit(0L)).otherwise(
+          floor((x.cast("double") - l) / sc + lit(0.5)).cast("long") - 128L)
+      })
+    val base = graft.ops.SideCache.persist(
+      emb.select(col("vec_id"), codesOf(col("embedding")).as("cx")))
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("cx").as("cq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("s").desc, col("vec_id"))
+    val sqTop = graft.ops.SideCache.persist(
+      base.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("s", expr(
+          "aggregate(zip_with(cx, cq, (a, b) -> a * b), 0L," +
+            " (acc, v) -> acc + v)"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("qid", "vec_id"))
+    // truths: exact inner product and exact cosine
+    val fb = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("nrm"))
+    val fq = fb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val wIp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("ip").desc, col("vec_id"))
+    val dotTruth = fb.crossJoin(broadcast(fq))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("ip", Similarity.dot(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(wIp))
+      .filter(col("rank") <= 10)
+      .select("qid", "vec_id")
+    val cosTruth = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      .select("qid", "vec_id")
+    def recallRow(name: String, truth: DataFrame): DataFrame = {
+      val t = graft.ops.SideCache.persist(truth)
+      sqTop.join(t, Seq("qid", "vec_id")).agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(t.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(name).as("variant"), col("n_exact"), col("hits"),
+          expr("(hits * 10000) div n_exact").as("recall_bp"))
+    }
+    recallRow("sq8_vs_cos", cosTruth)
+      .unionAll(recallRow("sq8_vs_dot", dotTruth))
+      .orderBy("variant")
+  }
+
+  private lazy val annSqSql = {
+    val d = Similarity.Dim
+    s"""WITH lohi AS (
+       |  SELECT i - 1 AS dim,
+       |    MIN(CAST(embedding[i] AS DOUBLE)) AS lo,
+       |    MAX(CAST(embedding[i] AS DOUBLE)) AS hi
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $d)) AS i)
+       |  GROUP BY 1),
+       |codes AS (
+       |  SELECT e.vec_id, l.dim,
+       |    CASE WHEN l.hi = l.lo THEN 0
+       |      ELSE CAST(floor(
+       |        (CAST(e.embedding[l.dim + 1] AS DOUBLE) - l.lo)
+       |          / ((l.hi - l.lo) / 255.0) + 0.5) AS BIGINT) - 128
+       |    END AS c
+       |  FROM embeddings e CROSS JOIN lohi l),
+       |qcodes AS (SELECT * FROM codes WHERE vec_id % 50 = 0),
+       |sqscored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id, SUM(q.c * c.c) AS s
+       |  FROM qcodes q
+       |  JOIN codes c ON q.dim = c.dim AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |sq AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+       |        AS rnk
+       |    FROM sqscored) WHERE rnk <= 10),
+       |fb AS (SELECT vec_id, embedding FROM embeddings),
+       |fq AS (SELECT vec_id AS qid, embedding AS qvec FROM fb
+       |       WHERE vec_id % 50 = 0),
+       |ipscored AS (
+       |  SELECT fq.qid, fb.vec_id, ${dot("fb.embedding", "fq.qvec")} AS ip
+       |  FROM fb CROSS JOIN fq WHERE fb.vec_id <> fq.qid),
+       |dot_truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ip DESC, vec_id)
+       |        AS rnk
+       |    FROM ipscored) WHERE rnk <= 10),
+       |cos_truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z)
+       |SELECT variant, n_exact, CAST(hits AS BIGINT) AS hits,
+       |  CAST(recall_bp AS BIGINT) AS recall_bp FROM (
+       |  SELECT 'sq8_vs_cos' AS variant,
+       |    (SELECT COUNT(*) FROM cos_truth) AS n_exact,
+       |    (SELECT COUNT(*) FROM sq t JOIN cos_truth b
+       |       ON t.qid = b.qid AND t.vec_id = b.vec_id) AS hits,
+       |    ((SELECT COUNT(*) FROM sq t JOIN cos_truth b
+       |       ON t.qid = b.qid AND t.vec_id = b.vec_id) * 10000)
+       |      // (SELECT COUNT(*) FROM cos_truth) AS recall_bp
+       |  UNION ALL
+       |  SELECT 'sq8_vs_dot',
+       |    (SELECT COUNT(*) FROM dot_truth),
+       |    (SELECT COUNT(*) FROM sq t JOIN dot_truth b
+       |       ON t.qid = b.qid AND t.vec_id = b.vec_id),
+       |    ((SELECT COUNT(*) FROM sq t JOIN dot_truth b
+       |       ON t.qid = b.qid AND t.vec_id = b.vec_id) * 10000)
+       |      // (SELECT COUNT(*) FROM dot_truth))
+       |ORDER BY variant""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product search (the recommender / last-layer
@@ -1744,6 +1889,7 @@ object SimilarityQueries {
     Q("q_sq8_quantize", sq8Quantize, Some(sq8QuantizeSql)),
     Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
     Q("q_ann_mips", annMips, Some(annMipsSql)),
+    Q("q_ann_sq", annSq, Some(annSqSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_ann_lifecycle_recall", annLifecycleRecall,

@@ -32,6 +32,9 @@ class PlanLintSpec extends SparkSpec {
     // late-interaction MaxSim: the query set broadcasts against the
     // corpus scan (bruteTopK's cross)
     "q_multi_vector",
+    // scalar quantization: quantized query codes broadcast against
+    // the corpus code scan + the two exact-truth harness crosses
+    "q_ann_sq",
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",
