@@ -89,19 +89,25 @@ object CommitLog {
     Some(if (txt.isEmpty) "abort" else txt.split("\\s+")(0))
   }
 
-  /** Atomically resolve a slot — first resolver wins (O_EXCL create).
-    * Returns the WINNING kind, which may differ from the requested
-    * one when a rival resolver got there first. */
-  private def resolve(d: java.io.File, kind: String, why: String): String =
+  /** Atomically resolve a slot — first resolver wins. The content is
+    * written to a private temp file and HARD-LINKED into place
+    * (link(2) fails with EEXIST if a rival won), so `_RESOLVED` never
+    * exists empty: a reader can never misclassify a live committer
+    * paused between create and write, and the winner's content is
+    * visible the instant the name is. Returns the WINNING kind, which
+    * may differ from the requested one. */
+  private def resolve(d: java.io.File, kind: String, why: String): String = {
+    val tmp = new java.io.File(d,
+      s"_resolve_tmp_${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp.toPath, s"$kind $why\n")
     try {
-      java.nio.file.Files.write(resolvedFile(d).toPath,
-        s"$kind $why\n".getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
+      java.nio.file.Files.createLink(resolvedFile(d).toPath, tmp.toPath)
       kind
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         resolution(d).getOrElse("abort")
-    }
+    } finally { tmp.delete(); () }
+  }
 
   private def isCommitted(d: java.io.File) = resolution(d).contains("commit")
   private def isAborted(d: java.io.File) = resolution(d).contains("abort")
@@ -171,13 +177,23 @@ object CommitLog {
     * guard (an invalid checkpoint is ignored, never trusted). */
   def checkpoint(root: String): Long = {
     val v = latestCommitted(root)
-    val owners = resolvePartitions(root)
+    // idempotent: never reopen (and risk tearing) a live checkpoint —
+    // after expiry it may be the only copy of the folded state
+    if (readCheckpoint(root, atMost = v, atLeast = v).isDefined) return v
+    // fold AS OF the pinned version: a commit landing concurrently
+    // must not leak into a checkpoint labeled with the older version
+    // (resolveAsOf(v) would otherwise time-travel forward)
+    val owners = resolveAsOf(root, v)
     val body = (s"$v" +:
       owners.toSeq.sortBy(_._1).map { case (p, (ov, dp)) =>
         s"$p\t$ov\t$dp"
       } :+ "#end").mkString("", "\n", "\n")
-    java.nio.file.Files.writeString(
-      new java.io.File(logDir(root), s"ckpt_v$v.tsv").toPath, body)
+    val tmp = new java.io.File(logDir(root), s"ckpt_v$v.tsv.tmp")
+    java.nio.file.Files.writeString(tmp.toPath, body)
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(logDir(root), s"ckpt_v$v.tsv").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     v
   }
 
@@ -198,13 +214,7 @@ object CommitLog {
       s"an unresolved claim at or below v$v is still in flight")
     val _ = kept
     java.nio.file.Files.writeString(expiredBelowFile(root).toPath, s"$v\n")
-    gone.map { case (sv, d) =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(d); sv
-    }
+    gone.map { case (sv, d) => rmTree(d); sv }
   }
 
   private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
@@ -221,8 +231,10 @@ object CommitLog {
       val f = entryFile(d)
       if (!f.exists()) None
       else {
-        val p = java.nio.file.Files.readString(f.toPath).trim
-          .split("\t", -1)
+        // split BEFORE any trimming: .trim would eat the trailing
+        // tab a partitions=Nil entry ends with and shift the fields
+        val p = java.nio.file.Files.readString(f.toPath)
+          .stripLineEnd.split("\t", -1)
         Some((p(0).toLong, Entry(p(1), p(2), p(3),
           if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong)))
       }
@@ -262,8 +274,14 @@ object CommitLog {
         writeEntry(claim, next, e)
         // validate against every slot after the snapshot (committed,
         // in-flight, or aborted-skip) except our own
+        // rivals: every slot after the snapshot (its commit is not in
+        // our base) plus every UNRESOLVED claim at ANY slot — a writer
+        // that claimed before our base committed may be stalled
+        // mid-commit and still land; skipping it would let both of us
+        // commit overlapping partitions (a lost update)
         val rivals = slots(root)
-          .filter { case (v, _) => v > e.baseVersion && v != next }
+          .filter { case (v, d) =>
+            v != next && (v > e.baseVersion || !isCommitted(d)) }
           .filterNot { case (_, d) => isAborted(d) }
         val conflict = rivals.flatMap { case (v, d) =>
           // poll briefly for a racing writer's entry to appear
@@ -275,12 +293,15 @@ object CommitLog {
           got.filter { case (_, other) =>
             other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty &&
               // deterministic winner rule (earlier slot wins): a
-              // COMMITTED rival always conflicts; an in-flight rival
-              // conflicts only from a LOWER slot — the higher
-              // in-flight rival will see OUR lower unresolved claim
-              // and abort itself, so two simultaneous overlapping
-              // writers yield exactly one winner instead of both
-              // aborting (needlessly lossy, the old behavior)
+              // COMMITTED rival always conflicts — a committed slot
+              // only enters the rivals list if it landed after our
+              // snapshot (v > base) or was still unresolved when we
+              // listed (so it committed after our snapshot read);
+              // an in-flight rival conflicts only from a LOWER slot —
+              // the higher in-flight rival will see OUR lower
+              // unresolved claim and abort itself, so two
+              // simultaneous overlapping writers yield exactly one
+              // winner instead of both aborting
               (isCommitted(d) || (!isAborted(d) && v < next))
           }.map { case (_, other) => (v, other.writer) }
         }.headOption
@@ -363,13 +384,12 @@ object CommitLog {
     all.filter { case (v, d) =>
       isAborted(d) && v < maxV &&
         all.forall { case (v2, d2) => v2 <= v || resolution(d2).isDefined }
-    }.foreach { case (_, d) =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-    }
+    }.foreach { case (_, d) => rmTree(d) }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Partition → owning (version, dataPath) as of version `asOf`: the

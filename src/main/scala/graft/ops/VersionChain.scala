@@ -228,7 +228,9 @@ object VersionChain {
     * test fixture primitive (a copy is its own data root, so zero-ref
     * retirement can be exercised destructively); production isolation
     * is [[shallowClone]], which moves no data. */
-  private def cpTree(src: java.io.File, dst: java.io.File): Unit = {
+  /** Recursive metadata copy shared by clones and the commit-log
+    * checkpoint-fold fixture. */
+  private[graft] def cpTree(src: java.io.File, dst: java.io.File): Unit = {
     if (src.isDirectory) {
       dst.mkdirs()
       src.listFiles().foreach(f => cpTree(f, new java.io.File(dst, f.getName)))

@@ -740,7 +740,17 @@ object MaintenancePipelineQuery {
       .distinct().as[Long].collect().toSet
     val written = writtenBuckets.toSeq.sorted
       .flatMap(b => listFiles("gen1", b).map(f => withStats(b, f, true)))
-    (carried ++ written).toDF()
+    // q_merge_prune/q_merge_bloom key their outputs (and the bloom
+    // sidecar) by (bucket, rewritten) — the repartition(pbucket)
+    // writers above guarantee one file per key; if a future layout
+    // change breaks that, fail the BUILD loudly here rather than
+    // hash-fail nondeterministically downstream
+    val manifestRows = carried ++ written
+    require(manifestRows.map(f => (f.bucket, f.rewritten)).distinct.size ==
+      manifestRows.size,
+      "merge manifest holds multiple files for one (bucket, rewritten) " +
+        "key — q_merge_prune/q_merge_bloom assume one file per key")
+    manifestRows.toDF()
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$root/filemanifest/v1")
     // per-file BLOOM sidecar (the Parquet bloom-filter shape): one
@@ -1530,13 +1540,7 @@ object MaintenancePipelineQuery {
     val ckRoot = root + "_ckfold"
     VersionChain.rmTree(new java.io.File(ckRoot))
     new java.io.File(ckRoot).mkdirs()
-    def cp(src: java.io.File, dst: java.io.File): Unit = {
-      if (src.isDirectory) {
-        dst.mkdirs()
-        src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName)))
-      } else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
-    }
-    cp(new java.io.File(root, "commitlog"),
+    VersionChain.cpTree(new java.io.File(root, "commitlog"),
       new java.io.File(ckRoot, "commitlog"))
     val ckV = CommitLog.checkpoint(ckRoot)
     CommitLog.expireBelow(ckRoot, ckV)

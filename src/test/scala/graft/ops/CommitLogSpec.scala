@@ -382,6 +382,56 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.resolvePartitions(root)("p9")._1 === 3L)
   }
 
+  test("a stalled claim BELOW a rival's base version still conflicts — no lost update through the validation window") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2"), 0L))
+    // W1 claimed slot 2 (base 1, touches p1) and STALLED mid-commit:
+    // claim + entry exist, no resolution
+    val w1 = new java.io.File(s"$root/commitlog/v2")
+    assert(w1.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "entry.tsv").toPath,
+      "2\tw1\top\tdata/w1\t1\tp1\n")
+    // a DISJOINT writer lands at v3, moving latestCommitted past W1
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 1L))
+    assert(CommitLog.latestCommitted(root) === 3L)
+    // W3 snapshots base 3 and touches p1: its base does NOT include
+    // the stalled W1, which may still commit — W3 must conflict, not
+    // silently win the partition (the lost-update window)
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("w3", "op", "data/w3", Seq("p1"), 3L))
+    }
+    // once the janitor resolves the stall, the retry lands
+    assert(CommitLog.abortOrphan(root, 2L))
+    val v = CommitLog.tryCommit(root,
+      Entry("w3", "op", "data/w3", Seq("p1"), 3L))
+    assert(v === 5L)
+    assert(CommitLog.resolvePartitions(root)("p1") === (5L, "data/w3"))
+  }
+
+  test("checkpoint is idempotent and never truncates a live checkpoint in place") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    assert(CommitLog.checkpoint(root) === 1L)
+    val f = new java.io.File(s"$root/commitlog/ckpt_v1.tsv")
+    val before = java.nio.file.Files.readString(f.toPath)
+    // re-checkpointing with no new commits must not reopen the file
+    val mtime = f.lastModified()
+    Thread.sleep(20)
+    assert(CommitLog.checkpoint(root) === 1L)
+    assert(f.lastModified() === mtime,
+      "an idempotent checkpoint must not rewrite the live file")
+    assert(java.nio.file.Files.readString(f.toPath) === before)
+    // a TORN checkpoint at the same version is atomically replaced
+    java.nio.file.Files.writeString(f.toPath, "1\np1\t1\tdata/ing")
+    assert(CommitLog.checkpoint(root) === 1L)
+    assert(java.nio.file.Files.readString(f.toPath).contains("#end"),
+      "a torn checkpoint must be replaced by a valid one")
+    assert(CommitLog.resolvePartitions(root)("p1") === (1L, "data/ingest"))
+  }
+
   test("resolution hands each partition to its newest committed owner") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
