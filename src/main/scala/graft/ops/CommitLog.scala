@@ -47,7 +47,18 @@ package graft.ops
 object CommitLog {
 
   /** One committed (or staged) change: the writer, the operation, the
-    * private data path, and the partitions it claims. */
+    * private data path, and the partitions it claims.
+    *
+    * `baseVersion` CONTRACT: it must be a STABLE snapshot — a version
+    * at which every slot ≤ it was already resolved when the writer
+    * read it (what [[stableVersion]] returns; sequential callers that
+    * base on a version they themselves just committed satisfy this
+    * trivially). Under that contract `tryCommit`'s rival filter
+    * `v > base || !isCommitted` is exhaustive: resolutions are
+    * immutable, so any slot ≤ base that is committed now was already
+    * committed — and therefore visible — at snapshot time. A base
+    * taken from [[latestCommitted]] over an unresolved lower claim
+    * VIOLATES the contract and reopens the lost-update window. */
   final case class Entry(writer: String, op: String, dataPath: String,
                          partitions: Seq[String], baseVersion: Long)
 
@@ -122,6 +133,29 @@ object CommitLog {
     (committedVersions(root) ++ checkpoints(root).map(_._1))
       .maxOption.getOrElse(0L)
 
+  /** The STABLE version: the largest committed version `v` such that
+    * every slot ≤ v is resolved RIGHT NOW — the only safe snapshot
+    * base for a writer. A scalar base cannot describe a snapshot once
+    * commits land out of slot order: with base = [[latestCommitted]],
+    * an unresolved LOWER claim that commits during the writer's
+    * staging window satisfies neither `v > base` nor `!isCommitted`
+    * in `tryCommit`'s rival filter — a lost update. Pinning the base
+    * BELOW the first unresolved slot closes the hole: the stalled
+    * claim's eventual commit always lands at `v > base` and is
+    * validated like any other rival. Resolutions are immutable, so
+    * stability is permanent — every slot ≤ stableVersion keeps its
+    * fate forever, which is also what makes [[checkpoint]] safe to
+    * fold at this version. */
+  def stableVersion(root: String): Long = {
+    val ss = slots(root)
+    val cap = ss.collectFirst {
+      case (v, d) if resolution(d).isEmpty => v - 1
+    }.getOrElse(Long.MaxValue)
+    (ss.filter { case (v, d) => v <= cap && isCommitted(d) }.map(_._1) ++
+      checkpoints(root).map(_._1).filter(_ <= cap))
+      .maxOption.getOrElse(0L)
+  }
+
   // ------------------------------------------------------- checkpoints
 
   private val CkptName = "ckpt_v(\\d+)\\.tsv".r
@@ -142,7 +176,13 @@ object CommitLog {
     val f = expiredBelowFile(root)
     if (!f.exists()) 0L
     else scala.util.Try(
-      java.nio.file.Files.readString(f.toPath).trim.toLong).getOrElse(0L)
+      java.nio.file.Files.readString(f.toPath).trim.toLong).getOrElse(
+      // an existing-but-unreadable horizon must fail LOUDLY: falling
+      // back to 0 would let resolveAsOf silently fold a partial log
+      // below the real horizon — the exact read the horizon guards
+      throw new IllegalStateException(
+        s"horizon file ${f.getPath} exists but is unreadable — " +
+          "refusing to resolve from a possibly-expired log"))
   }
 
   /** Newest VALID checkpoint with version in [`atLeast`, `atMost`]:
@@ -174,9 +214,19 @@ object CommitLog {
     * |partitions| checkpoint rows + the slots AFTER it instead of the
     * whole history — and so [[expireBelow]] can physically reclaim
     * old slots. Metadata-only; the `#end` trailer is the torn-write
-    * guard (an invalid checkpoint is ignored, never trusted). */
+    * guard (an invalid checkpoint is ignored, never trusted).
+    *
+    * Folds at [[stableVersion]], NOT [[latestCommitted]]: slots
+    * resolve out of order, so an unresolved claim BELOW the latest
+    * commit may still commit later — folding past it would bake its
+    * absence into the checkpoint permanently ([[resolveAsOf]] through
+    * a checkpoint never revisits slots ≤ its version, and
+    * [[expireBelow]] then deletes the slot, making the late commit
+    * irrecoverable even though its writer returned success). Below
+    * the stable version every resolution is immutable, so the fold
+    * can never be contradicted. */
   def checkpoint(root: String): Long = {
-    val v = latestCommitted(root)
+    val v = stableVersion(root)
     // idempotent: never reopen (and risk tearing) a live checkpoint —
     // after expiry it may be the only copy of the folded state
     if (readCheckpoint(root, atMost = v, atLeast = v).isDefined) return v
@@ -213,7 +263,14 @@ object CommitLog {
     require(gone.forall { case (_, d) => resolution(d).isDefined },
       s"an unresolved claim at or below v$v is still in flight")
     val _ = kept
-    java.nio.file.Files.writeString(expiredBelowFile(root).toPath, s"$v\n")
+    // horizon write is temp + ATOMIC_MOVE (as checkpoint()): a torn
+    // in-place rewrite during a second expiry would otherwise leave a
+    // partial file that a weaker reader could misparse as horizon 0
+    val hTmp = new java.io.File(logDir(root), "_EXPIRED_BELOW.tmp")
+    java.nio.file.Files.writeString(hTmp.toPath, s"$v\n")
+    java.nio.file.Files.move(hTmp.toPath, expiredBelowFile(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     gone.map { case (sv, d) => rmTree(d); sv }
   }
 
@@ -290,6 +347,34 @@ object CommitLog {
           while (got.isEmpty && !isAborted(d) && tries < 200) {
             Thread.sleep(5); tries += 1; got = readEntry(d)
           }
+          // a claim still entry-less AND unresolved after the poll is
+          // a writer stalled (or crashed) between mkdir and its entry
+          // write. Skipping it silently would let it land LATER
+          // against partitions we are about to commit — a lost update.
+          // Force the race instead: abort it atomically. A merely-slow
+          // writer then loses the _RESOLVED race and throws (single
+          // winner preserved); if OUR abort loses to its own commit,
+          // its entry is on disk (written before it resolved) — read
+          // it and validate it like any committed rival.
+          if (got.isEmpty && resolution(d).isEmpty &&
+              resolve(d, "abort",
+                s"entry never appeared; aborted by ${e.writer}") == "commit") {
+            tries = 0
+            got = readEntry(d)
+            while (got.isEmpty && tries < 200) {
+              Thread.sleep(5); tries += 1; got = readEntry(d)
+            }
+            if (got.isEmpty) {
+              // committed yet unreadable: cannot prove disjointness —
+              // conservative self-abort rather than a possible lost
+              // update (this state needs a torn entry AND a committed
+              // resolution, i.e. storage corruption)
+              resolve(claim, "abort", s"unreadable committed rival v$v")
+              throw new CommitConflict(
+                s"${e.writer}: committed rival v$v has no readable " +
+                  "entry — cannot validate, aborting own claim")
+            }
+          }
           got.filter { case (_, other) =>
             other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty &&
               // deterministic winner rule (earlier slot wins): a
@@ -348,7 +433,11 @@ object CommitLog {
                        maxRebase: Int = 8): Long = {
     var rebases = 0
     while (true) {
-      val base = latestCommitted(root)
+      // snapshot at the STABLE version, never latestCommitted: an
+      // unresolved lower claim that commits during prepare()'s staging
+      // (the expensive Spark job) must stay inside the validation
+      // window — see the Entry.baseVersion contract
+      val base = stableVersion(root)
       try return tryCommit(root, prepare(base))
       catch {
         case e: CommitConflict =>

@@ -359,7 +359,7 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.resolveAsOf(root, 4L) === owners)
   }
 
-  test("a torn checkpoint is ignored; expiry refuses over an in-flight claim") {
+  test("a torn checkpoint is ignored; checkpoint caps at the stable prefix; expiry refuses over an in-flight claim") {
     val root = freshRoot()
     CommitLog.tryCommit(root,
       Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
@@ -370,16 +370,133 @@ class CommitLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { CommitLog.expireBelow(root, 1L) }
     assert(CommitLog.resolvePartitions(root)("p1")._1 === 1L,
       "resolution must fall back to the raw log past a torn checkpoint")
-    // an unresolved in-flight claim blocks expiry of its range
+    // an unresolved in-flight claim WITH an entry (a stalled writer,
+    // undecided): disjoint commits proceed past it, but checkpoint
+    // must not fold over it — it may still commit at its lower slot
     val stall = new java.io.File(s"$root/commitlog/v2")
     assert(stall.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(stall, "entry.tsv").toPath,
+      "2\tstall\top\tdata/stall\t1\tpX\n")
     CommitLog.tryCommit(root, Entry("w", "op", "data/w", Seq("p9"), 1L))
-    assert(CommitLog.checkpoint(root) === 3L)
+    assert(CommitLog.latestCommitted(root) === 3L)
+    assert(CommitLog.checkpoint(root) === 1L,
+      "checkpoint must cap at the stable prefix, never fold past an " +
+        "unresolved claim")
+    // even a (hand-forged) covering checkpoint can't push expiry over
+    // the unresolved claim — expireBelow has its own guard
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$root/commitlog/ckpt_v3.tsv").toPath,
+      "3\np1\t1\tdata/ingest\np9\t3\tdata/w\n#end\n")
     intercept[IllegalArgumentException] { CommitLog.expireBelow(root, 3L) }
-    // once the janitor resolves it, expiry proceeds
+    new java.io.File(s"$root/commitlog/ckpt_v3.tsv").delete()
+    // once the janitor resolves the stall, checkpoint + expiry proceed
     assert(CommitLog.abortOrphan(root, 2L))
+    assert(CommitLog.checkpoint(root) === 3L)
     assert(CommitLog.expireBelow(root, 3L) === Seq(1L, 2L, 3L))
     assert(CommitLog.resolvePartitions(root)("p9")._1 === 3L)
+  }
+
+  test("checkpoint never folds past an unresolved claim — a late-committing lower slot stays in the fold") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2"), 0L))
+    // W1 claims slot 2 touching p1 and stalls undecided
+    val w1 = new java.io.File(s"$root/commitlog/v2")
+    assert(w1.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "entry.tsv").toPath,
+      "2\tw1\top\tdata/w1\t1\tp1\n")
+    // a disjoint writer lands at v3
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 1L))
+    // the old checkpoint(latestCommitted) would fold v3 here and lose
+    // W1's commit forever once expiry swept slot 2
+    assert(CommitLog.checkpoint(root) === 1L)
+    // W1 now COMMITS (late, at its lower slot)
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "_RESOLVED").toPath, "commit late\n")
+    assert(CommitLog.stableVersion(root) === 3L)
+    assert(CommitLog.checkpoint(root) === 3L)
+    assert(CommitLog.expireBelow(root, 3L) === Seq(1L, 2L, 3L))
+    assert(CommitLog.resolvePartitions(root)("p1") === (2L, "data/w1"),
+      "the late lower-slot commit must survive checkpoint + expiry")
+    assert(CommitLog.resolvePartitions(root)("p2") === (3L, "data/w2"))
+  }
+
+  test("a stalled claim that commits INSIDE a rival's staging window still conflicts — stableVersion pins the base below it") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2", "p3"), 0L))
+    // W1 claims slot 2 touching p1 and stalls mid-commit (its own
+    // validation ran when slots 3-4 didn't exist yet)
+    val w1 = new java.io.File(s"$root/commitlog/v2")
+    assert(w1.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "entry.tsv").toPath,
+      "2\tw1\top\tdata/w1\t1\tp1\n")
+    // disjoint writers land v3, v4 while W1 is stalled
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 1L))
+    CommitLog.tryCommit(root, Entry("w3", "op", "data/w3", Seq("p3"), 1L))
+    assert(CommitLog.latestCommitted(root) === 4L)
+    // a rival touching p1 snapshots its base the only safe way: the
+    // low-water mark stays BELOW the unresolved slot 2
+    val base = CommitLog.stableVersion(root)
+    assert(base === 1L,
+      "stableVersion must not advance past an unresolved claim")
+    // ... the rival stages (slow) — and W1 commits DURING that window
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "_RESOLVED").toPath, "commit late\n")
+    // with base = latestCommitted (4) both rival-filter disjuncts
+    // would be false for slot 2 (2 <= 4 and committed) — the lost
+    // update; with the stable base, 2 > 1 keeps W1 in the window
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root,
+        Entry("late", "op", "data/late", Seq("p1"), base))
+    }
+    // after a rebase from the NEW stable base the retry lands
+    val nb = CommitLog.stableVersion(root)
+    assert(nb === 4L, "all slots resolved: stable catches up to latest")
+    val v = CommitLog.tryCommit(root,
+      Entry("late", "op", "data/late2", Seq("p1"), nb))
+    assert(v === 6L)
+    assert(CommitLog.resolvePartitions(root)("p1") === (6L, "data/late2"))
+  }
+
+  test("an entry-less claim that outlives the poll is force-aborted, not skipped — its writer can never land afterward") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    // a claim with NO entry: a writer stalled between mkdir and its
+    // entry write (or crashed there)
+    val stall = new java.io.File(s"$root/commitlog/v2")
+    assert(stall.mkdirs())
+    // the rival's poll expires (~1 s), then force-aborts the claim
+    // instead of silently skipping it
+    val v = CommitLog.tryCommit(root,
+      Entry("w", "op", "data/w", Seq("p1"), 1L))
+    assert(v === 3L)
+    assert(!CommitLog.abortOrphan(root, 2L),
+      "the claim must already be RESOLVED by the rival's force-abort")
+    val res = java.nio.file.Files.readString(
+      new java.io.File(stall, "_RESOLVED").toPath)
+    assert(res.startsWith("abort"),
+      s"force-abort must have decided the slot, got: $res")
+    assert(CommitLog.committedVersions(root) === Seq(1L, 3L),
+      "the stalled writer lost the _RESOLVED race — it can never " +
+        "commit v2 over the rival's p1")
+  }
+
+  test("a torn _EXPIRED_BELOW horizon fails loudly instead of silently resetting to 0") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("w1", "op", "data/w1", Seq("p1"), 1L))
+    assert(CommitLog.checkpoint(root) === 2L)
+    assert(CommitLog.expireBelow(root, 2L) === Seq(1L, 2L))
+    // simulate a torn horizon rewrite
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$root/commitlog/_EXPIRED_BELOW").toPath, "2.")
+    intercept[IllegalStateException] { CommitLog.resolvePartitions(root) }
   }
 
   test("a stalled claim BELOW a rival's base version still conflicts — no lost update through the validation window") {
