@@ -1023,6 +1023,28 @@ object MaintenancePipelineQuery {
     * in one distributed pass at commit time); probe evaluation is
     * driver arithmetic over \|files\| luts; only doubly-admitted
     * files are scanned. */
+  /** Probe-match counts keyed by the REAL source file: (manifest-
+    * relative file, probe key) → matching rows, attributed via
+    * `input_file_name()` so a bucket holding several manifest files
+    * (the `q_compact_manifest` layout) can never collapse counts onto
+    * the wrong row — the attribution trap a (bucket, key) groupBy plus
+    * a bucket-keyed manifest lookup leaves open. One pushed-down IN
+    * scan over the admitted files only; \|files × probes\| bounded
+    * collect. */
+  private[queries] def probeMatchesByFile(spark: SparkSession, root: String,
+      files: Seq[String], probes: Seq[Long]): Map[(String, Long), Long] = {
+    import spark.implicits._
+    if (files.isEmpty) Map.empty
+    else spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      .filter(col("custkey").isin(probes: _*))
+      .groupBy(input_file_name().as("f"), col("custkey"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (f, k, n) =>
+        (f.substring(f.indexOf("/gen") + 1), k) -> n
+      }.toMap
+  }
+
   def mergeBloom(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = ensureMerge(spark, dir)
@@ -1057,18 +1079,9 @@ object MaintenancePipelineQuery {
     // scan ONLY (file, probe) pairs both indexes admit: per admitted
     // file, one read collecting its probe matches (bounded)
     val matchCounts: Map[(String, Long), Long] = {
-      import spark.implicits._
       val scanFiles = flagged.collect { case (f, _, true, true) => f.file }
         .distinct
-      if (scanFiles.isEmpty) Map.empty
-      else spark.read.parquet(scanFiles.map(f => s"$root/$f"): _*)
-        .filter(col("custkey").isin(probes: _*))
-        .groupBy("bucket", "custkey").count()
-        .as[(Long, Long, Long)].collect()
-        .map { case (bkt, k, n) =>
-          (man.find(m => m.bucket == bkt &&
-            scanFiles.contains(m.file)).get.file, k) -> n
-        }.toMap
+      probeMatchesByFile(spark, root, scanFiles, probes)
     }
     flagged.map { case (f, pb, r, b) =>
       (f.bucket, if (f.rewritten) 1L else 0L, pb,

@@ -34,6 +34,34 @@ class MergeBloomSpec extends SparkSpec {
       "exactly the cold probe and the insert probe should match")
   }
 
+  test("attribution keys by the real source file: a two-file bucket never collapses counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bloom_attr").toString
+    // two manifest files in ONE bucket — the q_compact_manifest layout
+    // the merge fixture's one-file-per-(bucket, rewritten) invariant
+    // currently rules out; attribution must survive it anyway
+    def writeOne(name: String, keys: Seq[Long]): String = {
+      val stage = s"$root/stage_$name"
+      keys.toDF("custkey").withColumn("bucket", lit(0L))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$root/gen0/pbucket=0/$name.parquet")
+      dest.getParentFile.mkdirs()
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      s"gen0/pbucket=0/$name.parquet"
+    }
+    val fa = writeOne("fa", Seq(10L, 20L, 30L))
+    val fb = writeOne("fb", Seq(40L, 50L, 20L))
+    val counts = MaintenancePipelineQuery.probeMatchesByFile(
+      spark, root, Seq(fa, fb), Seq(20L, 40L))
+    assert(counts === Map((fa, 20L) -> 1L, (fb, 20L) -> 1L, (fb, 40L) -> 1L),
+      "probe counts must be attributed to the file that holds them, " +
+        "never merged across a bucket")
+  }
+
   test("the scanned set (range AND bloom) is a strict subset of the range candidates") {
     val rangeAdmitted = rows.count(_._4 == 1L)
     val scanned = rows.count(r => r._4 == 1L && r._5 == 1L)
