@@ -60,7 +60,21 @@ object CommitLog {
     * taken from [[latestCommitted]] over an unresolved lower claim
     * VIOLATES the contract and reopens the lost-update window. */
   final case class Entry(writer: String, op: String, dataPath: String,
-                         partitions: Seq[String], baseVersion: Long)
+                         partitions: Seq[String], baseVersion: Long,
+                         ts: Long = -1L)
+
+  /** Logical commit-timestamp scheme: version-derived (one hour per
+    * slot from a fixed epoch), so every oracle can REPLAY it — the
+    * `q_dp_count` derived-randomness convention applied to wall-clock
+    * metadata. A real deployment would stamp the filesystem clock and
+    * clamp it monotone (Delta's in-commit timestamps); the resolution
+    * semantics ([[asOfTimestamp]] = newest commit at or before ts) are
+    * identical either way, and monotonicity holds by construction
+    * here. `tryCommit` stamps the winning slot's timestamp into the
+    * entry it persists (an explicit `Entry.ts >= 0` is preserved,
+    * for callers replaying foreign history). */
+  val CommitEpoch = 1767225600L // 2026-01-01T00:00:00Z, seconds
+  def commitTimestamp(v: Long): Long = CommitEpoch + v * 3600L
 
   /** Thrown when a commit's touched partitions overlap a commit that
     * landed after the writer's snapshot — or when a janitor aborted
@@ -276,13 +290,18 @@ object CommitLog {
 
   private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
 
-  private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit =
+  private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit = {
+    val ts = if (e.ts >= 0L) e.ts else commitTimestamp(v)
     java.nio.file.Files.writeString(entryFile(d).toPath,
       s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
-        e.partitions.mkString(",") + "\n")
+        e.partitions.mkString(",") + s"\t$ts\n")
+  }
 
   /** Read a slot's entry; None while the racing writer is between
-    * mkdir and its entry write (microseconds), or on a torn file. */
+    * mkdir and its entry write (microseconds), or on a torn file.
+    * Entries written before the timestamp field existed (6 columns)
+    * read back with the version-derived timestamp — the same value
+    * `tryCommit` would have stamped. */
   private def readEntry(d: java.io.File): Option[(Long, Entry)] =
     scala.util.Try {
       val f = entryFile(d)
@@ -292,8 +311,11 @@ object CommitLog {
         // tab a partitions=Nil entry ends with and shift the fields
         val p = java.nio.file.Files.readString(f.toPath)
           .stripLineEnd.split("\t", -1)
-        Some((p(0).toLong, Entry(p(1), p(2), p(3),
-          if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong)))
+        val v = p(0).toLong
+        val ts = if (p.length > 6) p(6).toLong else commitTimestamp(v)
+        Some((v, Entry(p(1), p(2), p(3),
+          if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong,
+          ts)))
       }
     }.toOption.flatten
 
@@ -509,4 +531,81 @@ object CommitLog {
     * entry touching each partition — the reader-side resolution. */
   def resolvePartitions(root: String): Map[String, (Long, String)] =
     resolveAsOf(root, Long.MaxValue)
+
+  // ------------------------------------------------- timestamp travel
+
+  /** TIMESTAMP-keyed time travel (Delta's `timestampAsOf`): the newest
+    * committed version whose commit timestamp is ≤ `ts`, or None when
+    * `ts` predates the first commit (Delta errors there too — there is
+    * no table to read). Timestamps come from the stored entries where
+    * slots survive; versions folded into a checkpoint (their slots
+    * expired) resolve through the version-derived scheme, which is
+    * what `tryCommit` stamped unless the caller replayed foreign
+    * history — and foreign history below a checkpoint is gone by
+    * definition. Driver-side metadata only. */
+  def asOfTimestamp(root: String, ts: Long): Option[Long] = {
+    val stamped = slots(root).filter(s => isCommitted(s._2))
+      .flatMap(s => readEntry(s._2)).map { case (v, e) => (v, e.ts) }
+    val folded = checkpoints(root).map(_._1)
+      .filterNot(stamped.map(_._1).toSet)
+      .map(v => (v, commitTimestamp(v)))
+    (stamped ++ folded).filter(_._2 <= ts).map(_._1).maxOption
+  }
+
+  /** [[resolveAsOf]] keyed by wall-clock instead of version; empty map
+    * when `ts` predates the first commit. */
+  def resolveAsOfTimestamp(root: String, ts: Long)
+      : Map[String, (Long, String)] =
+    asOfTimestamp(root, ts)
+      .map(resolveAsOf(root, _))
+      .getOrElse(Map.empty)
+
+  // ---------------------------------------------- orphan-staging sweep
+
+  /** ORPHANED-STAGING reclamation — the untracked-file half of VACUUM
+    * (`q_vacuum` expires committed GENERATIONS; this reclaims the
+    * staged data of commits that never made it): a conflict-rejected
+    * or janitor-aborted writer staged its private files at
+    * `Entry.dataPath` before losing, and nothing ever deletes them —
+    * they are invisible to every reader yet hold bytes forever.
+    * Every aborted slot's entry names exactly what its writer staged,
+    * so the sweep is precise, never a blind directory walk:
+    *
+    *   - CANDIDATES = dataPaths of ABORTED entries.
+    *   - KEPT if any COMMITTED entry (raw log or checkpoint fold) or
+    *     any UNRESOLVED claim's entry references the same path or a
+    *     path nesting with it (an in-flight writer's staging is never
+    *     swept; a rebased retry that re-staged at the same path and
+    *     won keeps it alive), or if the caller's `alsoLive` set does
+    *     (paths owned by manifests outside this log).
+    *   - Path-traversal hygiene: absolute paths, `..`, empty, and the
+    *     log directory itself are never touched.
+    *
+    * Returns the swept root-relative paths, sorted. Idempotent: a
+    * second sweep returns empty. Metadata-proportional — |slots| reads
+    * plus one rmTree per orphan. */
+  def sweepOrphanStaging(root: String,
+                         alsoLive: Set[String] = Set.empty): Seq[String] = {
+    def norm(p: String) = p.stripSuffix("/")
+    val ss = slots(root)
+    val live: Set[String] =
+      (ss.filter { case (_, d) => !isAborted(d) } // committed or in-flight
+         .flatMap(s => readEntry(s._2)).map(_._2.dataPath) ++
+       checkpoints(root).map(_._1).flatMap(v =>
+         readCheckpoint(root, atMost = v, atLeast = v).toSeq
+           .flatMap(_._2.values.map(_._2))) ++
+       alsoLive.toSeq).map(norm).toSet
+    def nests(a: String, b: String) =
+      a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+    val orphans = ss.filter { case (_, d) => isAborted(d) }
+      .flatMap(s => readEntry(s._2)).map(e => norm(e._2.dataPath))
+      .distinct
+      .filter(p => p.nonEmpty && !p.startsWith("/") &&
+        !p.split("/").contains("..") && !nests(p, "commitlog"))
+      .filterNot(p => live.exists(nests(p, _)))
+    orphans.flatMap { p =>
+      val f = new java.io.File(root, p)
+      if (f.exists()) { rmTree(f); Some(p) } else None
+    }.sorted
+  }
 }

@@ -549,6 +549,127 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.resolvePartitions(root)("p1") === (1L, "data/ingest"))
   }
 
+  test("timestamp time travel: asOfTimestamp floors to the newest commit at or before ts; version and timestamp reads agree") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2"), 0L))
+    CommitLog.tryCommit(root, Entry("w1", "op", "data/w1", Seq("p1"), 1L))
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 2L))
+    // every committed entry carries the version-derived logical stamp
+    for ((v, e) <- CommitLog.readLog(root))
+      assert(e.ts === CommitLog.commitTimestamp(v))
+    // exact-instant and between-commits probes floor to the earlier
+    // commit — the "as of yesterday 09:00" semantics
+    for (v <- 1L to 3L) {
+      assert(CommitLog.asOfTimestamp(root,
+        CommitLog.commitTimestamp(v)) === Some(v))
+      assert(CommitLog.asOfTimestamp(root,
+        CommitLog.commitTimestamp(v) + 1799L) === Some(v))
+    }
+    // before the first commit there is no table to read
+    val preHistory = CommitLog.commitTimestamp(1L) - 1L
+    assert(CommitLog.asOfTimestamp(root, preHistory) === None)
+    assert(CommitLog.resolveAsOfTimestamp(root, preHistory) === Map.empty)
+    // timestamp-keyed resolution agrees with version-keyed at every v
+    for (v <- 1L to 3L)
+      assert(CommitLog.resolveAsOfTimestamp(root,
+        CommitLog.commitTimestamp(v) + 1L) === CommitLog.resolveAsOf(root, v))
+    // an aborted slot's timestamp never resolves: ts at the aborted
+    // slot 4 floors to commit 3; the next commit lands at 5
+    val a = new java.io.File(s"$root/commitlog/v4")
+    assert(a.mkdirs())
+    assert(CommitLog.abortOrphan(root, 4L))
+    CommitLog.tryCommit(root, Entry("w3", "op", "data/w3", Seq("p1"), 3L))
+    assert(CommitLog.asOfTimestamp(root,
+      CommitLog.commitTimestamp(4L)) === Some(3L))
+    assert(CommitLog.asOfTimestamp(root,
+      CommitLog.commitTimestamp(5L)) === Some(5L))
+    // after checkpoint + expiry, folded history resolves at the
+    // checkpoint version; instants below it are gone (None), exactly
+    // like resolveAsOf's loud below-horizon failure
+    assert(CommitLog.checkpoint(root) === 5L)
+    CommitLog.expireBelow(root, 5L)
+    assert(CommitLog.asOfTimestamp(root,
+      CommitLog.commitTimestamp(5L)) === Some(5L))
+    assert(CommitLog.asOfTimestamp(root,
+      CommitLog.commitTimestamp(4L)) === None)
+  }
+
+  private def stagedDir(root: String, p: String): java.io.File = {
+    val d = new java.io.File(root, p); d.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(d, "part-0.parquet").toPath, "x")
+    d
+  }
+
+  test("orphan-staging sweep: a conflicted writer's files are reclaimed; committed and in-flight staging survive; idempotent") {
+    val root = freshRoot()
+    val live = stagedDir(root, "data/live")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/live",
+      Seq("p1", "p2"), 0L))
+    // conflicted writer: staged, then rejected from a stale snapshot —
+    // its aborted slot names the staging
+    val orph = stagedDir(root, "data/orphan")
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("w", "op", "data/orphan",
+        Seq("p1"), 0L))
+    }
+    // an in-flight claim (entry written, unresolved): its writer may
+    // still commit — the sweep must never touch its staging
+    val inflight = stagedDir(root, "data/inflight")
+    val c = new java.io.File(s"$root/commitlog/v3")
+    assert(c.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(c, "entry.tsv").toPath,
+      "3\tslow\top\tdata/inflight\t1\tp3\n")
+    assert(CommitLog.sweepOrphanStaging(root) === Seq("data/orphan"))
+    assert(!orph.exists(), "the conflicted staging must be reclaimed")
+    assert(live.exists(), "committed data must survive the sweep")
+    assert(inflight.exists(), "an unresolved claim's staging must survive")
+    assert(CommitLog.sweepOrphanStaging(root) === Nil, "idempotent")
+  }
+
+  test("orphan sweep keeps shared, alsoLive, checkpoint-folded, and hostile paths") {
+    val root = freshRoot()
+    // a path referenced by BOTH an aborted and a committed entry (a
+    // rebased retry that re-staged in place and won) survives
+    val shared = stagedDir(root, "data/shared")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/shared",
+      Seq("p1"), 0L))
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("w", "op", "data/shared",
+        Seq("p1"), 0L))
+    }
+    // a path held live only by the CALLER's manifest (outside the log)
+    val held = stagedDir(root, "gens/g1")
+    def abortedSlot(v: Long, dataPath: String): Unit = {
+      val d = new java.io.File(s"$root/commitlog/v$v")
+      assert(d.mkdirs())
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "entry.tsv").toPath,
+        s"$v\tx\top\t$dataPath\t1\tp9\n")
+      assert(CommitLog.abortOrphan(root, v))
+    }
+    abortedSlot(3L, "gens/g1")
+    // hostile paths are never touched, whatever an entry claims
+    abortedSlot(4L, "../outside")
+    abortedSlot(5L, "/etc")
+    abortedSlot(6L, "commitlog")
+    assert(CommitLog.sweepOrphanStaging(root,
+      alsoLive = Set("gens/g1")) === Nil)
+    assert(shared.exists() && held.exists())
+    assert(new java.io.File(s"$root/commitlog").exists())
+    // checkpoint-folded ownership keeps a path alive after its slot
+    // is expired
+    assert(CommitLog.checkpoint(root) === 1L)
+    CommitLog.expireBelow(root, 1L)
+    abortedSlot(7L, "data/shared")
+    assert(CommitLog.sweepOrphanStaging(root,
+      alsoLive = Set("gens/g1")) === Nil,
+      "a checkpoint-folded owner must keep its dataPath alive")
+    assert(shared.exists())
+  }
+
   test("resolution hands each partition to its newest committed owner") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",

@@ -25,8 +25,14 @@ class TimeTravelSpec extends SparkSpec {
         s"as-of read of generation $g missing from the executed plan")
   }
 
-  test("v0/v1 triples identical; v2 the swept subset; v3 the point update") {
-    val Seq(r0, r1, r2, r3) = rows
+  test("v0/v1 triples identical; v2 the swept subset; v3 the point update; ts rows resolve mid and head") {
+    val Seq(r0, r1, r2, r3, r90, r91) = rows
+    // the between-commits timestamp probe resolves the EARLIER commit
+    // (the compact generation); the far-future probe resolves the head
+    assert(r90.toSeq.drop(1) === r1.toSeq.drop(1),
+      "ts probe between compact and retain must read the compact gen")
+    assert(r91.toSeq.drop(1) === r3.toSeq.drop(1),
+      "far-future ts probe must read the head generation")
     // compaction preserves content: same rows, same xor, same sum
     assert(r0.getLong(3) === r1.getLong(3))
     assert(r0.getLong(4) === r1.getLong(4))
