@@ -53,6 +53,52 @@ object GovernancePipelineQuery {
   private def root: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_forget"
 
+  /** The erasure run's commit log — per dataset, REBUILT each run
+    * (the VersionChain recommit discipline): v1 commits the
+    * pre-erasure tier manifest, v2 the post-erasure one, so the
+    * spanning version in the certification row is deterministic. */
+  def forgetLogRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"$root/forgetlog_$key"
+  }
+
+  /** ONE ATOMIC CROSS-TABLE COMMIT (round 16, closes r15 gap #3):
+    * every erasure tier flips in a single [[graft.ops.CommitLog]]
+    * entry whose partitions are the TABLE-QUALIFIED tier names and
+    * whose dataPath names a tiny tier manifest (tier → data path —
+    * the Delta log→files indirection, here log→tables). A crash
+    * between tier writes leaves the spanning entry uncommitted and
+    * every reader still resolves the PRIOR manifest: erasure is
+    * all-or-nothing to observers, never the half-applied state a
+    * sequential four-tier rewrite exposes. */
+  def commitTiers(logRoot: String, name: String, op: String,
+                  tiers: Map[String, String], base: Long): Long = {
+    val mPath = s"manifests/$name.tsv"
+    val f = new java.io.File(logRoot, mPath)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(f.toPath,
+      tiers.toSeq.sorted.map { case (t, p) => s"$t\t$p" }
+        .mkString("", "\n", "\n"))
+    graft.ops.CommitLog.tryCommit(logRoot, graft.ops.CommitLog.Entry(
+      "forget", op, mPath, tiers.keys.toSeq.sorted, base))
+  }
+
+  /** Tier → data path as of the newest committed spanning entry, plus
+    * the one version every tier resolves at — readers of EVERY tier
+    * gate on the same resolved slot. */
+  def resolveTiers(logRoot: String): (Long, Map[String, String]) = {
+    val owners = graft.ops.CommitLog.resolvePartitions(logRoot)
+    val vs = owners.toSeq.map(_._2._1).distinct
+    require(vs.size == 1,
+      s"erasure tiers resolve to multiple versions — not atomic: $owners")
+    val mPath = owners.head._2._2
+    val tiers = java.nio.file.Files.readString(
+      new java.io.File(logRoot, mPath).toPath)
+      .split("\n").filter(_.nonEmpty)
+      .map { l => val p = l.split("\t", -1); p(0) -> p(1) }.toMap
+    (vs.head, tiers)
+  }
+
   def run(spark: SparkSession, dir: String): DataFrame = {
     val nullL = lit(null).cast("long")
     // ---- stage 1: the tombstone list
@@ -69,30 +115,9 @@ object GovernancePipelineQuery {
       .select(lit("2_cascade").as("stage"), col("tbl").as("tier"),
         col("n_total").as("n_before"), col("n_deleted").as("n_erased"),
         col("n_remaining").as("n_after"), col("del_key_xor").as("key_xor"))
-    // ---- stage 3: stored vector index compaction
-    val emb = Tables.embeddings(spark, dir)
-    // the SHARED content-keyed full-corpus index (built once per
-    // dataset); the compaction is additive — fresh live generations
-    // plus the livelog flip — so the base segments other consumers
-    // read stay byte-identical
-    val annPath = Similarity.ensureStoredIndex(spark, emb, dir,
-      split9 = false)
-    val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
-    val liveSeg = Similarity.ivfPqCompactDelete(
-      spark, annPath, delV, Seq("codes")).head
-    val codes = spark.read.parquet(s"$annPath/codes").select("vec_id")
-    val live = spark.read.parquet(s"$annPath/$liveSeg").select("vec_id")
-    val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
-    val s3 = codes.agg(count(lit(1)).as("n_before"))
-      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),
-        coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("key_xor"))))
-      .crossJoin(broadcast(live.agg(count(lit(1)).as("n_after"))))
-      .select(lit("3_vector_index").as("stage"), lit("codes").as("tier"),
-        col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
-    // ---- stage 4: fact-table erasure rewrite (events of tombstoned users)
-    // the events BASE generation is fixture (deterministic from the
-    // dataset) — content-keyed commit, skipped when already stored;
-    // the erasure REWRITE below is the operation being priced
+    // ---- the events BASE generation is fixture (deterministic from
+    // the dataset) — content-keyed commit, skipped when already
+    // stored; the erasure REWRITE below is the operation being priced
     val evMarker = new java.io.File(s"$root/_EVENTS_OK")
     val evOk = evMarker.exists() &&
       java.nio.file.Files.readString(evMarker.toPath).startsWith(s"1\n$dir\n") &&
@@ -106,12 +131,55 @@ object GovernancePipelineQuery {
         .write.mode("overwrite").partitionBy("day").parquet(s"$root/events")
       java.nio.file.Files.writeString(evMarker.toPath, s"1\n$dir\n")
     }
+    // ---- the SHARED content-keyed full-corpus index (built once per
+    // dataset); the compaction below is additive — fresh live
+    // generations plus the livelog flip — so the base segments other
+    // consumers read stay byte-identical
+    val emb = Tables.embeddings(spark, dir)
+    val annPath = Similarity.ensureStoredIndex(spark, emb, dir,
+      split9 = false)
+    // ---- the SPANNING log: v1 = the pre-erasure tier manifest
+    // (readers during staging resolve it), rebuilt per run so the
+    // spanning version is deterministic under the hash
+    val logRoot = forgetLogRoot(dir)
+    graft.ops.VersionChain.rmTree(new java.io.File(logRoot))
+    commitTiers(logRoot, "m0", "base", Map(
+      "cascade" -> "derived",
+      "events" -> s"$root/events",
+      "index" -> s"$annPath/codes"), 0L)
+    // ---- stage 3 WRITE: stored vector index compaction
+    val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    val liveSeg = Similarity.ivfPqCompactDelete(
+      spark, annPath, delV, Seq("codes")).head
+    // ---- stage 4 WRITE: fact-table erasure rewrite (tombstoned users)
     val stored = spark.read.parquet(s"$root/events")
     stored.filter(pmod(col("user_id"), lit(13L)) =!= 0)
       .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day")
       .parquet(s"$root/events_live")
-    val evLive = spark.read.parquet(s"$root/events_live")
+    // ---- the ATOMIC CROSS-TABLE COMMIT: all tiers flip at ONE slot —
+    // a crash anywhere above leaves readers on the v1 manifest
+    // everywhere (ForgetAtomicSpec kills a pipeline mid-stage and
+    // proves it); every read below gates on the resolved slot
+    val commitV = commitTiers(logRoot, "m1", "erasure", Map(
+      "cascade" -> "derived",
+      "events" -> s"$root/events_live",
+      "index" -> s"$annPath/$liveSeg"), 1L)
+    val (resV, liveTiers) = resolveTiers(logRoot)
+    require(resV == commitV,
+      s"readers resolve v$resV but the spanning commit landed at v$commitV")
+    // ---- stage 3 accounting (live read through the resolved slot)
+    val codes = spark.read.parquet(s"$annPath/codes").select("vec_id")
+    val live = spark.read.parquet(liveTiers("index")).select("vec_id")
+    val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
+    val s3 = codes.agg(count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),
+        coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("key_xor"))))
+      .crossJoin(broadcast(live.agg(count(lit(1)).as("n_after"))))
+      .select(lit("3_vector_index").as("stage"), lit("codes").as("tier"),
+        col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
+    // ---- stage 4 accounting (live read through the resolved slot)
+    val evLive = spark.read.parquet(liveTiers("events"))
     val evDropped = stored.filter(pmod(col("user_id"), lit(13L)) === 0)
     val s4 = stored.agg(count(lit(1)).as("n_before"))
       .crossJoin(broadcast(evDropped.agg(count(lit(1)).as("n_erased"),
@@ -123,14 +191,17 @@ object GovernancePipelineQuery {
     // tiers only. Stage 1 is the tombstone LIST, and stage 2's cascade
     // re-emits the same customer keys: folding both would double-count
     // n_erased and cancel the identical key_xors (x^x=0), leaving the
-    // composite checksum blind to customer-key drift.
+    // composite checksum blind to customer-key drift. The fold carries
+    // the SPANNING COMMIT VERSION every tier resolved at — the
+    // auditor's proof the erasure flipped atomically.
     val tiers = s1.unionAll(s2).unionAll(s3).unionAll(s4)
+      .withColumn("commit_v", nullL)
     val folded = s2.unionAll(s3).unionAll(s4)
     val s5 = folded.agg(sum("n_erased").as("n_erased"),
         coalesce(expr("bit_xor(key_xor)"), lit(0L)).as("key_xor"))
       .select(lit("5_certify").as("stage"), lit("all").as("tier"),
         nullL.as("n_before"), col("n_erased"), nullL.as("n_after"),
-        col("key_xor"))
+        col("key_xor"), lit(resV).as("commit_v"))
     tiers.unionAll(s5).orderBy("stage", "tier")
   }
 
@@ -164,14 +235,16 @@ object GovernancePipelineQuery {
        |SELECT stage, tier, CAST(n_before AS BIGINT) AS n_before,
        |  CAST(n_erased AS BIGINT) AS n_erased,
        |  CAST(n_after AS BIGINT) AS n_after,
-       |  CAST(key_xor AS BIGINT) AS key_xor
+       |  CAST(key_xor AS BIGINT) AS key_xor,
+       |  CAST(NULL AS BIGINT) AS commit_v
        |FROM tiers
        |UNION ALL
        |SELECT '5_certify', 'all', NULL,
        |  (SELECT CAST(SUM(n_erased) AS BIGINT) FROM tiers
        |   WHERE stage <> '1_tombstones'), NULL,
        |  (SELECT CAST(COALESCE(bit_xor(key_xor), 0) AS BIGINT) FROM tiers
-       |   WHERE stage <> '1_tombstones')
+       |   WHERE stage <> '1_tombstones'),
+       |  CAST(2 AS BIGINT)
        |ORDER BY stage, tier""".stripMargin
   }
 

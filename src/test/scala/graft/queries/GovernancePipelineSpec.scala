@@ -38,6 +38,47 @@ class GovernancePipelineSpec extends SparkSpec {
       .filter(pmod(col("user_id"), lit(13L)) === 0).count() > 0)
   }
 
+  test("erasure is ONE atomic cross-table commit: all tiers resolve at one slot; a killed pipeline leaves readers on the old state everywhere") {
+    rows // force the run
+    val logRoot = GovernancePipelineQuery.forgetLogRoot(sf0001)
+    // after the run: one spanning slot owns every tier
+    val owners = graft.ops.CommitLog.resolvePartitions(logRoot)
+    assert(owners.keySet === Set("cascade", "events", "index"))
+    assert(owners.values.map(_._1).toSet === Set(2L),
+      "every tier must gate on the same resolved slot")
+    val (v, tiers) = GovernancePipelineQuery.resolveTiers(logRoot)
+    assert(v === 2L)
+    assert(tiers("events").endsWith("/events_live"))
+    assert(tiers("index").contains("_live_g"))
+    // the certification row carries the spanning version; tier rows
+    // carry NULL there
+    val cert = rows.find(_.getString(0) == "5_certify").get
+    assert(cert.getLong(6) === 2L)
+    assert(rows.filter(_.getString(0) != "5_certify").forall(_.isNullAt(6)))
+    // CRASH SIMULATION on a scratch log: base commit, one tier's new
+    // generation staged, pipeline KILLED before the spanning commit —
+    // readers must resolve the OLD state for EVERY tier
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_forget_crash").toString
+    GovernancePipelineQuery.commitTiers(scratch, "m0", "base", Map(
+      "cascade" -> "derived", "events" -> "gen0/events",
+      "index" -> "gen0/codes"), 0L)
+    // (tier A's rewrite would land here; the kill point)
+    val (v0, before) = GovernancePipelineQuery.resolveTiers(scratch)
+    assert(v0 === 1L)
+    assert(before("events") === "gen0/events" &&
+      before("index") === "gen0/codes",
+      "a half-applied erasure leaked to a reader")
+    // completing the spanning commit flips ALL tiers at once
+    GovernancePipelineQuery.commitTiers(scratch, "m1", "erasure", Map(
+      "cascade" -> "derived", "events" -> "gen1/events_live",
+      "index" -> "gen1/codes_live"), 1L)
+    val (v1, after) = GovernancePipelineQuery.resolveTiers(scratch)
+    assert(v1 === 2L)
+    assert(after("events") === "gen1/events_live" &&
+      after("index") === "gen1/codes_live")
+  }
+
   test("cascade rows equal the standalone q_delete_propagate") {
     val cascade = rows.filter(_.getString(0) == "2_cascade")
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
