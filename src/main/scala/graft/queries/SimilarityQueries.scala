@@ -845,8 +845,9 @@ object SimilarityQueries {
   private def nprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
+    // the stored content-keyed exact truth (computed once per dataset)
     val brute = graft.ops.SideCache.persist(
-      Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      Similarity.ensureBruteBaseline(spark, emb, dir)
         .select("qid", "vec_id"))
     Seq(1, 2, 4).map { p =>
       Similarity.ivfTopK(emb, queryMod = 50L, k = 10, nProbe = p)
@@ -901,7 +902,7 @@ object SimilarityQueries {
   private def annNdcg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
-    val brute = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+    val brute = Similarity.ensureBruteBaseline(spark, emb, dir)
       .select(col("qid"), col("vec_id"),
         (lit(11) - col("rank")).cast("long").as("rel"))
     val ann = Similarity.ivfPqRerank(emb, queryMod = 50L, kCand = 100, k = 10)
@@ -1229,8 +1230,9 @@ object SimilarityQueries {
   private def annRecall(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, dir)
+    // the stored content-keyed exact truth (computed once per dataset)
     val brute = graft.ops.SideCache.persist(
-      Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+      Similarity.ensureBruteBaseline(spark, emb, dir)
         .select("qid", "vec_id"))
     val tiers = Seq(
       "ivf" -> Similarity.ivfTopK(emb, queryMod = 50L, k = 10)
@@ -1312,7 +1314,7 @@ object SimilarityQueries {
     val fresh = recallRow("fresh_upsert",
       Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
         kCand = 100, k = 10, segments = Seq("codes", "codes_delta")),
-      Similarity.bruteTopK(emb, queryMod = 50L, k = 10))
+      Similarity.ensureBruteBaseline(spark, emb, dir))
     val lifecycle = recallRow("lifecycle_final",
       Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
         kCand = 100, k = 10, segments = liveSegs),
@@ -1419,7 +1421,7 @@ object SimilarityQueries {
       .withColumn("rank", row_number().over(wIp))
       .filter(col("rank") <= 10)
       .select("qid", "vec_id")
-    val cosTruth = Similarity.bruteTopK(emb, queryMod = 50L, k = 10)
+    val cosTruth = Similarity.ensureBruteBaseline(spark, emb, dir)
       .select("qid", "vec_id")
     def recallRow(name: String, truth: DataFrame): DataFrame = {
       val t = graft.ops.SideCache.persist(truth)

@@ -801,6 +801,49 @@ object Similarity {
     root
   }
 
+  /** Bumped when the brute-baseline derivation changes. */
+  val BruteBaselineVersion = 1
+
+  def bruteBaselineRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_brute10_$key"
+  }
+
+  /** CONTENT-KEYED stored brute-force cosine truth (round 16, r15
+    * advice #7): four queries re-derived the identical full-corpus
+    * exact top-10 every run (`q_ann_recall`, `q_nprobe_curve`,
+    * `q_ndcg`, `q_ann_sq`, plus `q_ann_lifecycle_recall`'s full-corpus
+    * row) — the dominant cost of the evaluation tail. The truth is
+    * deterministic in the dataset (ties broken by vec_id, cos floored
+    * to x10k), so it is computed ONCE per dataset behind a marker and
+    * served as a stored read — [[ensureStoredIndex]]'s discipline
+    * applied to the evaluation baseline. Only the canonical shape
+    * (queryMod=50, k=10, unfiltered, no carry) is stored; filtered or
+    * differently-sized variants stay live. At scale this is how
+    * evaluation actually runs: ground truth is materialized once per
+    * corpus snapshot and reused across every index configuration. */
+  def ensureBruteBaseline(spark: org.apache.spark.sql.SparkSession,
+                          emb: DataFrame, dir: String): DataFrame =
+    synchronized {
+    val root = bruteBaselineRoot(dir)
+    val marker = new java.io.File(root, "_BRUTE_OK")
+    val head = s"$BruteBaselineVersion\n$dir\n"
+    val ok = marker.exists() && scala.util.Try {
+      val txt = java.nio.file.Files.readString(marker.toPath)
+      txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+        new java.io.File(s"$root/topk/_SUCCESS").exists() &&
+        spark.read.parquet(s"$root/topk").count() ==
+          txt.split("\n", -1)(2).toLong
+    }.getOrElse(false)
+    if (!ok) {
+      bruteTopK(emb, queryMod = 50L, k = 10)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/topk")
+      val n = spark.read.parquet(s"$root/topk").count()
+      java.nio.file.Files.writeString(marker.toPath, s"$head$n\n")
+    }
+    spark.read.parquet(s"$root/topk")
+  }
+
   /** SEGMENT MERGE — the consolidation step the delta-upsert tier
     * creates the need for ([[ivfPqUpsertDelta]] accumulates small
     * delta segments; every serve pays one partition-discovered read
