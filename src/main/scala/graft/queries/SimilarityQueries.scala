@@ -1497,6 +1497,181 @@ object SimilarityQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  // ----------------------------------------------------------- graph ANN
+
+  /** `q_ann_hnsw` — GRAPH-BASED ANN, the HNSW/DiskANN shape distilled
+    * to a deterministic oracle-replayable build + search
+    * ([[graft.sim.Hnsw]] — round 16, closes r15 verdict gap #4). The
+    * output puts the whole index under the driver hash: one row per
+    * graph LAYER (nodes, edges, Σ edge icos — the adjacency itself is
+    * certified, not just the search results), one `search` row
+    * (queries, DISTINCT visited candidates — the "visits ≪ corpus"
+    * claim as a hashed number — and Σ final landing icos), and a
+    * `zz_recall` row scoring the greedy search's top-10 against the
+    * stored brute cosine truth, the same readout as `q_ann_recall`'s
+    * IVF/PQ tiers. Every decision in build and search is made on
+    * integer quantized cosines with id tie-breaks, so DuckDB replays
+    * the layer hash, the per-layer quantizer buckets, the top-M
+    * neighbor selection, and every greedy hop as unrolled MATERIALIZED
+    * CTEs (the `q_bpe_train` convention). HnswSpec pins the degree
+    * bound, visits ≪ corpus, the recall floor, and layer sizes.
+    *
+    * Scale shape: see [[graft.sim.Hnsw]] — bucket-bounded candidate
+    * joins for the build (never all pairs), an O(levels·Hops·M)
+    * per-query search frontier that broadcasts against the corpus. */
+  private def annHnsw(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sim.Hnsw
+    val emb = Tables.embeddings(spark, dir)
+    val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+    val adjs = (0 to Hnsw.MaxLevel).map(l =>
+      graft.ops.SideCache.persist(Hnsw.adjacency(base, l)))
+    val (vis, fin, top10) = Hnsw.search(base, adjs)
+    val graphRows = (0 to Hnsw.MaxLevel).map { l =>
+      val n = base.filter(col("lvl") >= l).count()
+      val r = adjs(l).agg(count(lit(1)),
+        coalesce(sum("ic"), lit(0L))).head()
+      (s"graph_l$l", n, r.getLong(0), r.getLong(1))
+    }
+    val nq = base.filter(col("vec_id") % 50 === 0).count()
+    val nvis = vis.count()
+    val landSum = fin.agg(sum("cic")).head().getLong(0)
+    val brute = graft.ops.SideCache.persist(
+      Similarity.ensureBruteBaseline(spark, emb, dir)
+        .select("qid", "vec_id"))
+    val nExact = brute.count()
+    val hits = top10.join(brute, top10("qid") === brute("qid") &&
+      top10("dst") === brute("vec_id")).count()
+    (graphRows :+ (("search", nq, nvis, landSum)) :+
+      (("zz_recall", nExact, hits, hits * 10000L / nExact)))
+      .toDF("stat", "a", "b", "c").orderBy("stat")
+  }
+
+  private lazy val annHnswSql = {
+    import graft.sim.Hnsw
+    def icSql(ea: String, na: String, eb: String, nb: String) =
+      s"CAST(floor(${dot(ea, eb)} / ($na * $nb) * ${Hnsw.IcosScale}) " +
+        "AS BIGINT)"
+    def adjCtes(l: Int): String = {
+      val cand =
+        if (l >= Hnsw.MaxLevel)
+          s"""cand$l AS MATERIALIZED (
+             |  SELECT s.vec_id AS src, d.vec_id AS dst
+             |  FROM lv s CROSS JOIN lv d
+             |  WHERE s.lvl >= $l AND d.lvl >= $l AND s.vec_id <> d.vec_id)"""
+            .stripMargin
+        else {
+          val mod = Hnsw.LevelMods(l)
+          s"""cents$l AS MATERIALIZED (
+             |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm
+             |  FROM lv WHERE vec_id % $mod = 0 ORDER BY vec_id LIMIT 1024),
+             |a$l AS MATERIALIZED (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |        ${dot("n.embedding", "c.cvec")} / (n.nrm * c.cnorm)
+             |        DESC, c.cid) AS crn
+             |    FROM lv n CROSS JOIN cents$l c WHERE n.lvl >= $l)
+             |  WHERE crn <= ${Hnsw.NProbe}),
+             |cand$l AS MATERIALIZED (
+             |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+             |  FROM a$l x JOIN a$l y USING (cid)
+             |  WHERE x.vec_id <> y.vec_id)""".stripMargin
+        }
+      s"""$cand,
+         |e$l AS MATERIALIZED (
+         |  SELECT src, dst, ic FROM (
+         |    SELECT src, dst, ic,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY ic DESC, dst)
+         |        AS rn
+         |    FROM (
+         |      SELECT c.src, c.dst,
+         |        ${icSql("s.embedding", "s.nrm", "d.embedding", "d.nrm")}
+         |          AS ic
+         |      FROM cand$l c JOIN lv s ON s.vec_id = c.src
+         |      JOIN lv d ON d.vec_id = c.dst))
+         |  WHERE rn <= ${Hnsw.M})""".stripMargin
+    }
+    val totalHops = (Hnsw.MaxLevel + 1) * Hnsw.Hops
+    val hopCtes = (1 to totalHops).map { i =>
+      val lvl = Hnsw.MaxLevel - (i - 1) / Hnsw.Hops
+      s"""h$i AS MATERIALIZED (
+         |  SELECT s.qid, e.dst,
+         |    ${icSql("d.embedding", "d.nrm", "s.qvec", "s.qnorm")} AS ic
+         |  FROM s${i - 1} s JOIN e$lvl e ON e.src = s.cur
+         |  JOIN lv d ON d.vec_id = e.dst),
+         |s$i AS MATERIALIZED (
+         |  SELECT s.qid, s.qvec, s.qnorm,
+         |    CASE WHEN h.ic > s.cic THEN h.dst ELSE s.cur END AS cur,
+         |    CASE WHEN h.ic > s.cic THEN h.ic ELSE s.cic END AS cic
+         |  FROM s${i - 1} s LEFT JOIN (
+         |    SELECT qid, dst, ic FROM (
+         |      SELECT qid, dst, ic,
+         |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ic DESC, dst)
+         |          AS rn
+         |      FROM h$i) WHERE rn = 1) h USING (qid))""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to totalHops)
+      .map(i => s"    UNION ALL SELECT qid, dst, ic FROM h$i")
+      .mkString("\n")
+    s"""WITH lv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm,
+       |    CASE WHEN (vec_id * 2654435761) % 2147483648 % 4 <> 0 THEN 0
+       |         WHEN (vec_id * 2654435761) % 2147483648 % 16 <> 0 THEN 1
+       |         ELSE 2 END AS lvl
+       |  FROM embeddings),
+       |${adjCtes(0)},
+       |${adjCtes(1)},
+       |${adjCtes(2)},
+       |qh AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
+       |       FROM lv WHERE vec_id % 50 = 0),
+       |en AS (SELECT MIN(vec_id) AS e FROM lv WHERE lvl >= ${Hnsw.MaxLevel}),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, q.qvec, q.qnorm, en.e AS cur,
+       |    ${icSql("b.embedding", "b.nrm", "q.qvec", "q.qnorm")} AS cic
+       |  FROM qh q CROSS JOIN en JOIN lv b ON b.vec_id = en.e),
+       |$hopCtes,
+       |visited AS MATERIALIZED (
+       |  SELECT qid, dst, MIN(ic) AS ic FROM (
+       |    SELECT qid, cur AS dst, cic AS ic FROM s0
+       |$visUnion)
+       |  GROUP BY 1, 2),
+       |top10 AS MATERIALIZED (
+       |  SELECT qid, dst FROM (
+       |    SELECT qid, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ic DESC, dst)
+       |        AS rn
+       |    FROM visited WHERE dst <> qid) WHERE rn <= 10),
+       |brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z)
+       |SELECT stat, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       |  CAST(c AS BIGINT) AS c FROM (
+       |  SELECT 'graph_l0' AS stat, (SELECT COUNT(*) FROM lv) AS a,
+       |    (SELECT COUNT(*) FROM e0) AS b,
+       |    (SELECT COALESCE(SUM(ic), 0) FROM e0) AS c
+       |  UNION ALL
+       |  SELECT 'graph_l1', (SELECT COUNT(*) FROM lv WHERE lvl >= 1),
+       |    (SELECT COUNT(*) FROM e1),
+       |    (SELECT COALESCE(SUM(ic), 0) FROM e1)
+       |  UNION ALL
+       |  SELECT 'graph_l2', (SELECT COUNT(*) FROM lv WHERE lvl >= 2),
+       |    (SELECT COUNT(*) FROM e2),
+       |    (SELECT COALESCE(SUM(ic), 0) FROM e2)
+       |  UNION ALL
+       |  SELECT 'search', (SELECT COUNT(*) FROM qh),
+       |    (SELECT COUNT(*) FROM visited),
+       |    (SELECT SUM(cic) FROM s$totalHops)
+       |  UNION ALL
+       |  SELECT 'zz_recall', (SELECT COUNT(*) FROM brute),
+       |    (SELECT COUNT(*) FROM top10 t JOIN brute b
+       |       ON t.qid = b.qid AND t.dst = b.vec_id),
+       |    ((SELECT COUNT(*) FROM top10 t JOIN brute b
+       |       ON t.qid = b.qid AND t.dst = b.vec_id) * 10000)
+       |      // (SELECT COUNT(*) FROM brute))
+       |ORDER BY stat""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product search (the recommender / last-layer
@@ -1892,6 +2067,7 @@ object SimilarityQueries {
     Q("q_hybrid_retrieval", hybridRetrieval, Some(hybridRetrievalSql)),
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_ann_sq", annSq, Some(annSqSql)),
+    Q("q_ann_hnsw", annHnsw, Some(annHnswSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_ann_lifecycle_recall", annLifecycleRecall,
