@@ -1525,8 +1525,11 @@ object SimilarityQueries {
     import graft.sim.Hnsw
     val emb = Tables.embeddings(spark, dir)
     val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+    // the stored content-keyed graph: built once per dataset, served
+    // from its per-layer edge segments (the stored-index discipline)
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
     val adjs = (0 to Hnsw.MaxLevel).map(l =>
-      graft.ops.SideCache.persist(Hnsw.adjacency(base, l)))
+      graft.ops.SideCache.persist(spark.read.parquet(s"$gRoot/e$l")))
     val (vis, fin, top10) = Hnsw.search(base, adjs)
     val graphRows = (0 to Hnsw.MaxLevel).map { l =>
       val n = base.filter(col("lvl") >= l).count()

@@ -124,6 +124,43 @@ object Hnsw {
       .select("src", "dst", "ic")
   }
 
+  /** Bumped when the stored-graph layout/derivation changes. */
+  val GraphFixtureVersion = 1
+
+  def graphRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_$key"
+  }
+
+  /** CONTENT-KEYED stored graph ([[Similarity.ensureStoredIndex]]'s
+    * discipline): the adjacency build is the INDEX-CONSTRUCTION cost —
+    * paid once per dataset behind a marker; every query run serves the
+    * stored per-layer edge segments. This is the production shape: a
+    * graph index is built once and searched many times; re-deriving it
+    * per query run would price the wrong thing. */
+  def ensureGraph(spark: org.apache.spark.sql.SparkSession,
+                  emb: DataFrame, dir: String): String = synchronized {
+    val root = graphRoot(dir)
+    val marker = new java.io.File(root, "_HNSW_OK")
+    val head = s"$GraphFixtureVersion\n$dir\n"
+    val ok = marker.exists() && scala.util.Try {
+      val txt = java.nio.file.Files.readString(marker.toPath)
+      txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
+        (0 to MaxLevel).forall(l =>
+          new java.io.File(s"$root/e$l/_SUCCESS").exists()) &&
+        spark.read.parquet(s"$root/e0").count() ==
+          txt.split("\n", -1)(2).toLong
+    }.getOrElse(false)
+    if (!ok) {
+      val base = graft.ops.SideCache.persist(withLevels(emb))
+      (0 to MaxLevel).foreach(l => adjacency(base, l)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/e$l"))
+      val n = spark.read.parquet(s"$root/e0").count()
+      java.nio.file.Files.writeString(marker.toPath, s"$head$n\n")
+    }
+    root
+  }
+
   /** Greedy descent over the layered graph for the canonical query
     * set (vec_id ≡ 0 mod 50). Returns (visited pairs (qid, dst, ic),
     * final per-query state (qid, cur, cic), top-10 (qid, dst)). */
