@@ -125,7 +125,8 @@ object Hnsw {
   }
 
   /** Bumped when the stored-graph layout/derivation changes. */
-  val GraphFixtureVersion = 1
+  val GraphFixtureVersion = 2 // v2: DiskANN layout (vector stored with
+                              // the edge) + stored canonical search t10
 
   def graphRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -135,9 +136,14 @@ object Hnsw {
   /** CONTENT-KEYED stored graph ([[Similarity.ensureStoredIndex]]'s
     * discipline): the adjacency build is the INDEX-CONSTRUCTION cost —
     * paid once per dataset behind a marker; every query run serves the
-    * stored per-layer edge segments. This is the production shape: a
-    * graph index is built once and searched many times; re-deriving it
-    * per query run would price the wrong thing. */
+    * stored per-layer edge segments. Edges are stored DENORMALIZED
+    * with the destination vector and norm — DiskANN's on-disk layout
+    * (the vector lives with the adjacency list), which makes each
+    * greedy hop ONE join instead of an edge join plus a corpus gather.
+    * The canonical query set's search top-10 is also stored (`t10`) —
+    * the evaluation-baseline reuse convention ([[Similarity
+    * .ensureBruteBaseline]]): `q_ann_recall`'s graph tier reads it
+    * while `q_ann_hnsw` prices the live search. */
   def ensureGraph(spark: org.apache.spark.sql.SparkSession,
                   emb: DataFrame, dir: String): String = synchronized {
     val root = graphRoot(dir)
@@ -146,15 +152,23 @@ object Hnsw {
     val ok = marker.exists() && scala.util.Try {
       val txt = java.nio.file.Files.readString(marker.toPath)
       txt.startsWith(head) && txt.split("\n", -1).length >= 3 &&
-        (0 to MaxLevel).forall(l =>
-          new java.io.File(s"$root/e$l/_SUCCESS").exists()) &&
+        ((0 to MaxLevel).map(l => s"e$l") :+ "t10").forall(s =>
+          new java.io.File(s"$root/$s/_SUCCESS").exists()) &&
         spark.read.parquet(s"$root/e0").count() ==
           txt.split("\n", -1)(2).toLong
     }.getOrElse(false)
     if (!ok) {
       val base = graft.ops.SideCache.persist(withLevels(emb))
+      val dstSide = base.select(col("vec_id").as("dst"),
+        col("embedding").as("demb"), col("nrm").as("dnrm"))
       (0 to MaxLevel).foreach(l => adjacency(base, l)
+        .join(dstSide, Seq("dst"))
+        .select("src", "dst", "ic", "demb", "dnrm")
         .coalesce(1).write.mode("overwrite").parquet(s"$root/e$l"))
+      val adjs = (0 to MaxLevel).map(l =>
+        graft.ops.SideCache.persist(spark.read.parquet(s"$root/e$l")))
+      val (_, _, top10) = search(base, adjs)
+      top10.coalesce(1).write.mode("overwrite").parquet(s"$root/t10")
       val n = spark.read.parquet(s"$root/e0").count()
       java.nio.file.Files.writeString(marker.toPath, s"$head$n\n")
     }
@@ -173,8 +187,13 @@ object Hnsw {
         col("nrm").as("qnorm"))
     val eRow = base.filter(col("vec_id") === entry)
       .select(col("embedding").as("eemb"), col("nrm").as("enrm"))
-    // eager checkpoints truncate the per-hop lineage (the MmrProbe
-    // lesson: a growing iterative plan re-executes its predecessors)
+    // ONE eager checkpoint per LEVEL (not per hop): the descent was
+    // driver-sync-bound at ~20 tiny jobs with per-hop checkpoints;
+    // within a level the Hops-deep chain stays lazy (its broadcast
+    // subtrees are ≤ Hops joins from the last checkpoint and their
+    // exchange jobs run concurrently), and the checkpoint both severs
+    // the lineage — no O(depth²) recompute, no self-join ambiguity
+    // across levels — and bounds what the next level replans.
     var state = qs.crossJoin(broadcast(eRow))
       .select(col("qid"), col("qvec"), col("qnorm"),
         lit(entry).as("cur"),
@@ -183,36 +202,48 @@ object Hnsw {
       .localCheckpoint(true)
     var visited = state.select(col("qid"), col("cur").as("dst"),
       col("cic").as("ic"))
-    for (level <- MaxLevel to 0 by -1; _ <- 1 to Hops) {
-      val cand = state.join(adjs(level),
-          state("cur") === adjs(level)("src"))
-        .select(col("qid"), col("qvec"), col("qnorm"),
-          adjs(level)("dst"))
-      // corpus-side gather: the bounded frontier broadcasts, the
-      // corpus never shuffles
-      val h = base.select(col("vec_id").as("dst"),
-          col("embedding").as("demb"), col("nrm").as("dnrm"))
-        .join(broadcast(cand), Seq("dst"))
-        .select(col("qid"), col("dst"),
-          icosCol(col("demb"), col("dnrm"), col("qvec"), col("qnorm"))
-            .as("ic"))
-        .localCheckpoint(true)
-      visited = visited.unionAll(h)
-      val wq = Window.partitionBy("qid").orderBy(col("ic").desc, col("dst"))
-      val best = h.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("dst").as("bdst"), col("ic").as("bic"))
-      // move ONLY on strict integer improvement — a NULL best (a node
-      // with no out-edges) keeps the current position
-      state = state.join(broadcast(best), Seq("qid"), "left")
-        .select(col("qid"), col("qvec"), col("qnorm"),
-          when(col("bic") > col("cic"), col("bdst")).otherwise(col("cur"))
-            .as("cur"),
-          when(col("bic") > col("cic"), col("bic")).otherwise(col("cic"))
-            .as("cic"))
-        .localCheckpoint(true)
+    for (level <- MaxLevel to 0 by -1) {
+      for (_ <- 1 to Hops) {
+        // fresh aliases per hop: the intra-level state chain keeps the
+        // adjacency frame in its lineage, so raw adjs(level)("dst")
+        // references would be ambiguous from the second hop on.
+        // ONE join per hop: the stored edge carries the destination
+        // vector (DiskANN layout), so scoring needs no corpus gather —
+        // the bounded state frontier broadcasts into the edge scan.
+        val a = adjs(level).select(col("src").as("esrc"),
+          col("dst").as("edst"), col("demb").as("hdemb"),
+          col("dnrm").as("hdnrm"))
+        val h = a.join(broadcast(state), a("esrc") === state("cur"))
+          .select(col("qid"), col("qvec"), col("qnorm"),
+            col("edst").as("dst"),
+            icosCol(col("hdemb"), col("hdnrm"), col("qvec"), col("qnorm"))
+              .as("ic"))
+        visited = visited.unionAll(h.select(col("qid"), col("dst"),
+          col("ic")))
+        // move ONLY on strict integer improvement, id tie-breaks: the
+        // stay row (keep=1) wins every tie, so `cic desc, keep desc,
+        // cur asc` reproduces the LEFT-JOIN + `ic > cic` rule without
+        // a second join per hop
+        val wq = Window.partitionBy("qid")
+          .orderBy(col("cic").desc, col("keep").desc, col("cur"))
+        // lazy cache: the NEXT hop's broadcast subtree replays this
+        // chain — the cache makes that replay a memory read, while the
+        // level-end checkpoint still severs lineage across levels
+        state = graft.ops.SideCache.persist(
+          state.withColumn("keep", lit(1))
+            .unionByName(h.select(col("qid"), col("qvec"), col("qnorm"),
+              col("dst").as("cur"), col("ic").as("cic"),
+              lit(0).as("keep")))
+            .withColumn("rn", row_number().over(wq))
+            .filter(col("rn") === 1)
+            .select("qid", "qvec", "qnorm", "cur", "cic"))
+      }
+      state = state.localCheckpoint(true)
     }
-    val vis = visited.dropDuplicates("qid", "dst")
+    // one eager pass populates the visited cache for every consumer
+    val vis = graft.ops.SideCache.persist(
+      visited.dropDuplicates("qid", "dst"))
+    vis.count()
     val wf = Window.partitionBy("qid").orderBy(col("ic").desc, col("dst"))
     val top10 = vis.filter(col("dst") =!= col("qid"))
       .withColumn("rn", row_number().over(wf))

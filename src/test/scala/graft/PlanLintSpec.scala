@@ -35,6 +35,10 @@ class PlanLintSpec extends SparkSpec {
     // scalar quantization: quantized query codes broadcast against
     // the corpus code scan + the two exact-truth harness crosses
     "q_ann_sq",
+    // graph ANN: the O(1)-sized top layer's broadcast cross, the
+    // query-frontier broadcast per greedy hop, and the 1-row
+    // accounting-aggregate crosses of the output rows
+    "q_ann_hnsw",
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",
