@@ -152,10 +152,14 @@ object VersionChain {
     else root
   }
 
-  /** Resolve a manifest path against the chain's data root — the one
-    * indirection that makes a metadata-only clone readable. */
+  /** Resolve a manifest path: a CLONE-LOCAL file wins over the data
+    * root (file-granularity copy-on-write — a clone's own commits,
+    * e.g. `q_restore`'s reverse CDF delta, land under the clone and
+    * never touch the shared base; everything it didn't write resolves
+    * through `_BASE`). For an owning chain both branches coincide. */
   def resolvePath(root: String, path: String): String =
-    s"${dataRoot(root)}/$path"
+    if (new java.io.File(root, path).exists()) s"$root/$path"
+    else s"${dataRoot(root)}/$path"
 
   /** METADATA-ONLY clone (Delta SHALLOW CLONE / Iceberg snapshot
     * reference, distilled): copy the \|versions\|-row manifest and a

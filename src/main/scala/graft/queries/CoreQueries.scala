@@ -278,6 +278,169 @@ object CoreQueries {
        |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** COLUMN MAPPING — metadata-only rename / drop / re-add (Delta's
+    * column-mapping `name` mode, Iceberg's field-id resolution,
+    * distilled): data files store columns under IMMUTABLE PHYSICAL
+    * IDS (`c1..c4`), and a tiny per-version schema log maps logical
+    * names onto them. A RENAME (v2: `vc` → `view_count`) and a DROP
+    * (v3: `event_type` unmapped) are |cols|-row metadata commits —
+    * at 100 TB the alternative is a full-table rewrite for a column
+    * rename. The correctness subtlety the hash pins: v4 RE-ADDS the
+    * dropped logical name under a FRESH physical id (`c5`, absent in
+    * every file), so it must read as NULL everywhere — resurrecting
+    * the old `c2` bytes under the re-added name is the classic
+    * column-mapping bug (and why physical ids must never be reused).
+    *
+    * Per version, the accounting row hashes a canonical
+    * `name=value` rendering in sorted-LOGICAL-name order — a rename
+    * changes the hash with zero data movement (the certificate that
+    * the logical schema really changed), while `sum_metric` stays
+    * constant across all four versions (the certificate that no
+    * value moved). ColumnMappingSpec additionally pins: the physical
+    * files are written once and byte-identical across versions, the
+    * file schema carries only physical ids, the re-added column is
+    * all-NULL, and a projection through the mapping prunes the scan
+    * to the mapped physical column (`ReadSchema` = `c3` when only
+    * `view_count` is selected).
+    *
+    * Scale shape: one content-keyed physical write; every version
+    * read is ONE scan whose projection resolves through a bounded
+    * |cols| mapping collect; the schema log is |versions|·|cols|
+    * rows of metadata. */
+  def columnMappingRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_colmap_$key"
+  }
+
+  /** (version, op, logical, physical, dtype) — the FULL active
+    * mapping per version (Delta stores actions; storing the resolved
+    * mapping keeps replay out of the read path). */
+  private val colMapLog: Seq[(Int, String, String, String, String)] = Seq(
+    (1, "init", "event_id", "c1", "bigint"),
+    (1, "init", "event_type", "c2", "string"),
+    (1, "init", "vc", "c3", "bigint"),
+    (1, "init", "day", "c4", "date"),
+    (2, "rename", "event_id", "c1", "bigint"),
+    (2, "rename", "event_type", "c2", "string"),
+    (2, "rename", "view_count", "c3", "bigint"),
+    (2, "rename", "day", "c4", "date"),
+    (3, "drop", "event_id", "c1", "bigint"),
+    (3, "drop", "view_count", "c3", "bigint"),
+    (3, "drop", "day", "c4", "date"),
+    (4, "add", "event_id", "c1", "bigint"),
+    (4, "add", "event_type", "c5", "string"), // FRESH id — never c2
+    (4, "add", "view_count", "c3", "bigint"),
+    (4, "add", "day", "c4", "date"))
+
+  private def ensureColMap(spark: SparkSession, dir: String): String =
+    CoreQueries.synchronized {
+      import spark.implicits._
+      val root = columnMappingRoot(dir)
+      val marker = new java.io.File(root, "_CM_OK")
+      val head = s"1\n$dir\n"
+      if (marker.exists()) {
+        val ok = scala.util.Try {
+          java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+            new java.io.File(s"$root/data/_SUCCESS").exists()
+        }.getOrElse(false)
+        if (ok) return root
+        marker.delete()
+      }
+      // the ONE physical write: columns live under physical ids only
+      Tables.events(spark, dir).select(
+        col("event_id").as("c1"), col("event_type").as("c2"),
+        coalesce(Num.cents(col("value")), lit(-1L)).as("c3"),
+        to_date(col("ts")).as("c4"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      colMapLog.toDF("version", "op", "logical", "physical", "dtype")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/schemalog")
+      java.nio.file.Files.writeString(marker.toPath, head)
+      root
+    }
+
+  /** Versioned read THROUGH the mapping: logical names resolve to
+    * physical columns; a mapped-but-absent physical id (a re-added
+    * column) reads as typed NULL. Public for ColumnMappingSpec. */
+  def columnMappingRead(spark: SparkSession, dir: String,
+                        version: Int): DataFrame = {
+    val root = ensureColMap(spark, dir)
+    val mapping = colMapLog.filter(_._1 == version)
+    val data = spark.read.parquet(s"$root/data")
+    val present = data.columns.toSet
+    data.select(mapping.sortBy(_._3).map { case (_, _, lg, ph, dt) =>
+      (if (present(ph)) col(ph) else lit(null).cast(dt)).as(lg)
+    }: _*)
+  }
+
+  private def columnMapping(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureColMap(spark, dir)
+    // the stored schema log is the resolution authority (bounded)
+    val stored = spark.read.parquet(s"$root/schemalog")
+      .collect().map(r => (r.getAs[Int]("version"), r.getAs[String]("op"),
+        r.getAs[String]("logical"), r.getAs[String]("physical"),
+        r.getAs[String]("dtype"))).toSeq
+    def versionRow(v: Int): DataFrame = {
+      val m = stored.filter(_._1 == v).sortBy(_._3)
+      val op = m.head._2
+      val df = columnMappingRead(spark, dir, v)
+      val render = concat_ws("|", m.map { case (_, _, lg, _, _) =>
+        concat(lit(s"$lg="), coalesce(col(lg).cast("string"), lit("NULL")))
+      }: _*)
+      val metric = if (m.exists(_._3 == "vc")) col("vc") else col("view_count")
+      df.withColumn("h", graft.functions.F.polyHash(render))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          m.map { case (_, _, lg, _, _) =>
+            sum(col(lg).isNull.cast("long")) }.reduce(_ + _).as("n_nulls"),
+          sum(metric).as("sum_metric"))
+        .select(lit(v).as("version"), lit(op).as("op"),
+          lit(m.size).as("n_cols"), col("n_rows"), col("xor_hash"),
+          col("n_nulls"), col("sum_metric"))
+    }
+    versionRow(1).unionAll(versionRow(2)).unionAll(versionRow(3))
+      .unionAll(versionRow(4)).orderBy("version")
+  }
+
+  private val columnMappingSql = {
+    def h(parts: String*) = OracleSqlFrag.poly(parts.mkString(" || '|' || "))
+    val day = "'day=' || CAST(day AS VARCHAR)"
+    val eid = "'event_id=' || CAST(event_id AS VARCHAR)"
+    val ety = "'event_type=' || event_type"
+    val etyNull = "'event_type=NULL'"
+    val vc = "'vc=' || CAST(vc AS VARCHAR)"
+    val viewc = "'view_count=' || CAST(vc AS VARCHAR)"
+    s"""WITH base AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |rows_ AS (
+       |  SELECT 1 AS version, 'init' AS op, 4 AS n_cols, COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(${h(day, eid, ety, vc)}), 0) AS BIGINT)
+       |      AS xor_hash,
+       |    CAST(0 AS BIGINT) AS n_nulls,
+       |    CAST(SUM(vc) AS BIGINT) AS sum_metric
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 2, 'rename', 4, COUNT(*),
+       |    CAST(COALESCE(bit_xor(${h(day, eid, ety, viewc)}), 0) AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(SUM(vc) AS BIGINT)
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 3, 'drop', 3, COUNT(*),
+       |    CAST(COALESCE(bit_xor(${h(day, eid, viewc)}), 0) AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(SUM(vc) AS BIGINT)
+       |  FROM base
+       |  UNION ALL
+       |  SELECT 4, 'add', 4, COUNT(*),
+       |    CAST(COALESCE(bit_xor(${h(day, eid, etyNull, viewc)}), 0)
+       |      AS BIGINT),
+       |    COUNT(*), CAST(SUM(vc) AS BIGINT)
+       |  FROM base)
+       |SELECT version, op, n_cols, n_rows, xor_hash, n_nulls, sum_metric
+       |FROM rows_ ORDER BY version""".stripMargin
+  }
+
   /** Z-ORDER data layout ([[graft.functions.MortonInterleave]]):
     * cluster lineitem on TWO columns at once by writing it
     * range-split on the Morton interleave of (l_partkey, l_suppkey).
@@ -808,6 +971,7 @@ object CoreQueries {
     Q("q_write_partitioned", writePartitioned, Some(writePartitionedSql)),
     Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q_schema_widening", schemaWidening, Some(schemaWideningSql)),
+    Q("q_column_mapping", columnMapping, Some(columnMappingSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     Q("q_compact_manifest", compactManifest, Some(compactManifestSql)),

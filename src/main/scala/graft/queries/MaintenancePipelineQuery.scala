@@ -527,6 +527,141 @@ object MaintenancePipelineQuery {
        |SELECT stage, n_files, n_rows, key_xor, vc_sum
        |FROM rows_ ORDER BY stage""".stripMargin
 
+  // ----------------------------------------------------------- restore
+
+  /** `q_restore` — ROLLBACK AS A NEW COMMIT (Delta's `RESTORE TABLE
+    * ... TO VERSION`, Iceberg's `rollback_to_snapshot`): undo the
+    * retention sweep (v2) and the point update (v3) by committing a
+    * NEW head version v4 whose manifest row points at the RESTORED
+    * generation's existing files — zero data files move or rewrite;
+    * history stays intact (time travel to v3 still serves the
+    * pre-restore content, because a restore is a forward commit, not
+    * an erase). The operator works on a METADATA-ONLY
+    * [[VersionChain.shallowClone]] (the `q_vacuum` isolation
+    * convention), and its own CDF delta lands CLONE-LOCAL via the
+    * file-granularity copy-on-write in [[VersionChain.resolvePath]] —
+    * the shared base is untouchable by construction.
+    *
+    * The restore's change-data-feed is REVERSE-COMPOSED from the
+    * STORED deltas of the commits it undoes — never from a snapshot
+    * join: v2's `remove` rows (which carry the removed rows' full
+    * content) come back as `insert`s, and v3's update pairs swap
+    * roles (`update_post` → the value being replaced, `update_pre` →
+    * the restored-to original). At 100 TB that makes RESTORE
+    * change-proportional end to end: metadata commit + |changed rows|
+    * of CDF, with not one data byte copied.
+    *
+    * Output rows (all inside the driver hash): the pre-restore head
+    * triple read AFTER the restore (history intact), the post-restore
+    * head triple (must equal v1's content exactly — the oracle
+    * derives it from the raw events, so a restore that resurrected
+    * the wrong generation hash-fails), and the three stored-CDF
+    * accounting triples (re-inserts, update posts, update pres).
+    * RestoreSpec additionally pins: zero generation directories under
+    * the clone, the shared root's manifest/log byte-identical across
+    * a restore, the restored read's plan scanning the ORIGINAL gen1
+    * path, and idempotent re-run. */
+  def restoreRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_restore_$key"
+  }
+
+  def restore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shared = VersionChain.ensure(spark, dir)
+    val root = restoreRoot(dir)
+    VersionChain.shallowClone(shared, root) // zero data files move
+    val log = VersionChain.manifest(spark, root)
+    val toVersion = 1L // restore target: the compacted pre-sweep state
+    val target = log.find(_.version == toVersion).get
+
+    // reverse-compose the restore CDF from the STORED deltas of the
+    // undone commits (change-proportional; CDF rows carry full content)
+    def cdfOf(v: Long) = spark.read.parquet(VersionChain.resolvePath(
+      root, log.find(_.version == v).get.cdf_path))
+    val restoreCdf = cdfOf(2L)
+      .withColumn("change_type", lit("insert")) // swept rows re-added
+      .unionAll(cdfOf(3L).withColumn("change_type",
+        when(col("change_type") === "update_pre", lit("update_post"))
+          .otherwise(lit("update_pre")))) // update pairs reversed
+    restoreCdf.coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/cdf/v4") // clone-local COW: never the base
+
+    // the metadata-only restore commit: a NEW manifest row re-adding
+    // the target generation's files, gated on the clone's own log
+    val restored = VersionChain.Commit(4L, "restore", target.path,
+      target.n_rows, "delta", "cdf/v4")
+    (log :+ restored).toDS.coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/manifest")
+    graft.ops.CommitLog.tryCommit(root, graft.ops.CommitLog.Entry(
+      "restore", "restore", s"$root/cdf/v4", Seq(target.path),
+      graft.ops.CommitLog.latestCommitted(root)))
+
+    val newLog = VersionChain.manifest(spark, root)
+    def triple(label: Long, v: Long): DataFrame = {
+      val (c, df) = VersionChain.asOf(spark, root, newLog, v)
+      df.withColumn("h", rowHash)
+        .agg(countDistinct(col("bin")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("content_sum"))
+        .select(lit(label).as("version"), lit(c.op).as("op"),
+          col("n_files"), col("n_rows"), col("xor_hash"),
+          col("content_sum"))
+    }
+    // CDF accounting reads the STORED restore delta (the certificate
+    // is over what was committed, not what was computed)
+    val storedCdf = spark.read.parquet(
+      VersionChain.resolvePath(root, "cdf/v4")).withColumn("h", rowHash)
+    def cdfRow(label: Long, change: String): DataFrame =
+      storedCdf.filter(col("change_type") === change)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("content_sum"))
+        .select(lit(label).as("version"), lit(s"cdf_$change").as("op"),
+          lit(0L).as("n_files"), col("n_rows"), col("xor_hash"),
+          col("content_sum"))
+    triple(3L, 3L) // history intact: read AFTER the restore commit
+      .unionAll(triple(4L, 4L)) // new head == v1 content, v1 files
+      .unionAll(cdfRow(70L, "insert"))
+      .unionAll(cdfRow(71L, "update_post"))
+      .unionAll(cdfRow(72L, "update_pre"))
+      .orderBy("version")
+  }
+
+  private val restoreSql =
+    s"""$chainCte,
+       |rows_ AS (
+       |  SELECT 3 AS version, 'update' AS op,
+       |    CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_files,
+       |    COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT) AS xor_hash,
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS content_sum
+       |  FROM binned3
+       |  UNION ALL
+       |  SELECT 4, 'restore', CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT 70, 'cdf_insert', 0, COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned WHERE EXTRACT(day FROM day) > 20
+       |  UNION ALL
+       |  SELECT 71, 'cdf_update_post', 0, COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned WHERE EXTRACT(day FROM day) <= 20 AND event_id % 7 = 0
+       |  UNION ALL
+       |  SELECT 72, 'cdf_update_pre', 0, COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned3 WHERE event_id % 7 = 0)
+       |SELECT CAST(version AS BIGINT) AS version, op, n_files, n_rows,
+       |  xor_hash, content_sum
+       |FROM rows_ ORDER BY version""".stripMargin
+
   // ------------------------------------------------------ change feed
 
   /** `q_cdf_read` — the CHANGE-DATA-FEED read (`table_changes`): per
@@ -1927,6 +2062,7 @@ object MaintenancePipelineQuery {
     Q("q_time_travel", timeTravel, Some(timeTravelSql)),
     Q("q_vacuum", vacuum, Some(vacuumSql)),
     Q("q_vacuum_orphans", vacuumOrphans, Some(vacuumOrphansSql)),
+    Q("q_restore", restore, Some(restoreSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }

@@ -58,7 +58,7 @@ class MipsSpec extends SparkSpec {
       .select("variant", "n_exact", "hits", "recall_bp")
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got.keySet === Set("ivf", "ivf_pq", "pq"))
+    assert(got.keySet === Set("hnsw", "ivf", "ivf_pq", "pq"))
 
     val brute = SparkEntry.queries("q_ann_topk")(spark, sf0001)
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
@@ -66,6 +66,14 @@ class MipsSpec extends SparkSpec {
       SparkEntry.queries(q)(spark, sf0001)
         .select("qid", "vec_id").as[(Long, Long)].collect()
         .count(brute.contains).toLong
+    // the hnsw tier serves from the stored graph's t10 segment
+    val hnswHits = {
+      val gRoot = graft.sim.Hnsw.ensureGraph(spark,
+        graft.tables.Tables.embeddings(spark, sf0001), sf0001)
+      spark.read.parquet(s"$gRoot/t10")
+        .select(col("qid"), col("dst")).as[(Long, Long)].collect()
+        .count(brute.contains).toLong
+    }
     Seq("ivf" -> "q_ann_ivf", "ivf_pq" -> "q_ann_ivf_pq", "pq" -> "q_ann_pq")
       .foreach { case (v, q) =>
         val r = got(v)
@@ -74,6 +82,11 @@ class MipsSpec extends SparkSpec {
         assert(r._4 === r._3 * 10000 / r._2, v)
         assert(r._4 > 0 && r._4 <= 10000, v)
       }
+    val rh = got("hnsw")
+    assert(rh._2 === brute.size.toLong)
+    assert(rh._3 === hnswHits)
+    assert(rh._4 === rh._3 * 10000 / rh._2)
+    assert(rh._4 > 0 && rh._4 <= 10000)
     // quantization only ever loses recall on top of the coarse tier
     assert(got("ivf")._4 >= got("ivf_pq")._4)
     assert(got("pq")._4 >= got("ivf_pq")._4)
