@@ -441,6 +441,107 @@ object CoreQueries {
        |FROM rows_ ORDER BY version""".stripMargin
   }
 
+  /** WRITE-PATH EXPECTATIONS ([[graft.ops.Expectations]] — Delta
+    * CHECK constraints / DLT expectations): a constrained write of
+    * lineitem under all three enforcement modes at once —
+    * `chk_price` (fail: any violation aborts the write BEFORE a byte
+    * lands; satisfied here, which the zero row certifies), `chk_qty`
+    * + `chk_disc` (drop: ~10% / ~15% of rows quarantined), and
+    * `warn_tax` (warn: ~31% violate and are admitted ANYWAY — the
+    * hash pins that warn never filters). The certificate reads the
+    * STORED artifacts back: the per-expectation report (count + xor
+    * of violating keys) and the admitted table's row-content hash —
+    * so a write that dropped a warn row, admitted a drop row, or
+    * mangled a value hash-fails. ExpectationsSpec additionally pins:
+    * fail-mode genuinely throws and leaves nothing partial, NULL
+    * predicates PASS (SQL CHECK semantics), and multi-violation rows
+    * count once per expectation but quarantine once.
+    *
+    * Scale shape: enforcement is flag columns inside the write's own
+    * scan (codegen'd comparisons, no UDF, no shuffle added); the
+    * report is one map-side aggregate to |expectations| rows. */
+  private def constraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations
+    import graft.ops.Expectations.Expectation
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_expect"
+    val li = Tables.lineitem(spark, dir)
+    val exps = Seq(
+      Expectation("chk_price", col("l_extendedprice") > 0, "fail"),
+      Expectation("chk_qty", col("l_quantity") <= 45, "drop"),
+      Expectation("chk_disc", col("l_discount") <= 0.08, "drop"),
+      Expectation("warn_tax", col("l_tax") <= 0.05, "warn"))
+    val keyHash = graft.functions.F.polyHash(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    val collected = Expectations.report(li, exps, keyHash)
+      .collect() // |expectations| rows — bounded
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    Expectations.enforceFail(collected.map(r => (r._1, r._2, r._3)))
+    Expectations.admitted(li, exps)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty"),
+        Num.cents(col("l_discount")).as("disc_c"),
+        Num.cents(col("l_tax")).as("tax_c"))
+      .write.mode("overwrite").parquet(s"$path/admitted")
+    import spark.implicits._
+    collected.toDF("cname", "cmode", "n", "key_xor")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/report")
+    val storedRep = spark.read.parquet(s"$path/report")
+    val admRow = spark.read.parquet(s"$path/admitted")
+      .withColumn("h", graft.functions.F.polyHash(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("qty"),
+        col("disc_c"), col("tax_c"))))
+      .agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("key_xor"))
+      .select(lit("zz_admitted").as("cname"), lit("write").as("cmode"),
+        col("n"), col("key_xor"))
+    storedRep.unionAll(admRow).orderBy("cname")
+  }
+
+  private val constraintsSql = {
+    val kh = OracleSqlFrag.poly(
+      "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)")
+    val rh = OracleSqlFrag.poly(
+      "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)" +
+        " || '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)" +
+        s" || '|' || CAST(${NumSql.cents("l_discount")} AS VARCHAR)" +
+        s" || '|' || CAST(${NumSql.cents("l_tax")} AS VARCHAR)")
+    s"""WITH li AS (SELECT *, $kh AS kh, $rh AS rh FROM lineitem),
+       |rows_ AS (
+       |  SELECT 'chk_price' AS cname, 'fail' AS cmode,
+       |    CAST(COUNT(*) FILTER (WHERE NOT (l_extendedprice > 0))
+       |      AS BIGINT) AS n,
+       |    CAST(COALESCE(bit_xor(CASE WHEN NOT (l_extendedprice > 0)
+       |      THEN kh END), 0) AS BIGINT) AS key_xor
+       |  FROM li
+       |  UNION ALL
+       |  SELECT 'chk_qty', 'drop',
+       |    CAST(COUNT(*) FILTER (WHERE l_quantity > 45) AS BIGINT),
+       |    CAST(COALESCE(bit_xor(CASE WHEN l_quantity > 45 THEN kh END), 0)
+       |      AS BIGINT)
+       |  FROM li
+       |  UNION ALL
+       |  SELECT 'chk_disc', 'drop',
+       |    CAST(COUNT(*) FILTER (WHERE l_discount > 0.08) AS BIGINT),
+       |    CAST(COALESCE(bit_xor(CASE WHEN l_discount > 0.08 THEN kh END), 0)
+       |      AS BIGINT)
+       |  FROM li
+       |  UNION ALL
+       |  SELECT 'warn_tax', 'warn',
+       |    CAST(COUNT(*) FILTER (WHERE l_tax > 0.05) AS BIGINT),
+       |    CAST(COALESCE(bit_xor(CASE WHEN l_tax > 0.05 THEN kh END), 0)
+       |      AS BIGINT)
+       |  FROM li
+       |  UNION ALL
+       |  SELECT 'zz_admitted', 'write',
+       |    CAST(COUNT(*) FILTER (WHERE l_quantity <= 45 AND
+       |      l_discount <= 0.08) AS BIGINT),
+       |    CAST(COALESCE(bit_xor(CASE WHEN l_quantity <= 45 AND
+       |      l_discount <= 0.08 THEN rh END), 0) AS BIGINT)
+       |  FROM li)
+       |SELECT cname, cmode, n, key_xor FROM rows_ ORDER BY cname""".stripMargin
+  }
+
   /** Z-ORDER data layout ([[graft.functions.MortonInterleave]]):
     * cluster lineitem on TWO columns at once by writing it
     * range-split on the Morton interleave of (l_partkey, l_suppkey).
@@ -972,6 +1073,7 @@ object CoreQueries {
     Q("q_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     Q("q_schema_widening", schemaWidening, Some(schemaWideningSql)),
     Q("q_column_mapping", columnMapping, Some(columnMappingSql)),
+    Q("q_constraints", constraints, Some(constraintsSql)),
     Q("q_zorder_layout", zorderLayout, Some(zorderLayoutSql)),
     Q("q_zorder_prune", zorderPrune, Some(zorderPruneSql)),
     Q("q_compact_manifest", compactManifest, Some(compactManifestSql)),
