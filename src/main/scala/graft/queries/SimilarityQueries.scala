@@ -1287,6 +1287,80 @@ object SimilarityQueries {
        |ORDER BY variant""".stripMargin
   }
 
+  /** `q_mrl_curve` — MATRYOSHKA truncation curve (Kusupati et al.
+    * 2022, "Matryoshka Representation Learning"): recall@10 of exact
+    * cosine search over PREFIX-truncated embeddings (dims 8/16/32/64)
+    * against the stored full-dim truth — the dimension-vs-quality
+    * tradeoff every embedding-serving deployment prices (truncating
+    * 64→16 quarters the index bytes and the dot-product FLOPs; this
+    * curve is what says whether that costs 2% recall or 40%). The
+    * full-dim point MUST score 10000 bp (the prefix of length
+    * [[Similarity.Dim]] IS the vector) — a built-in sanity anchor
+    * inside the driver hash. Truncation is `slice(embedding, 1, d)`
+    * in the scan projection; each point is the `q_ann_topk`
+    * broadcast-query cross over the corpus with NO corpus shuffle,
+    * and the truth is the content-keyed stored baseline (computed
+    * once per dataset). At 100 TB the curve runs per corpus snapshot
+    * to pick the serving dim; each point is one corpus scan. */
+  private def mrlCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, dir)
+    val truth = graft.ops.SideCache.persist(
+      Similarity.ensureBruteBaseline(spark, emb, dir)
+        .select("qid", "vec_id"))
+    val dims = Seq(8, 16, 32, Similarity.Dim)
+    dims.map { d =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      Similarity.bruteTopK(sliced, queryMod = 50L, k = 10)
+        .select("qid", "vec_id")
+        .join(truth, Seq("qid", "vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_exact"))))
+        .select(lit(d).as("dim"), col("n_exact"), col("hits"),
+          expr("(hits * 10000) div n_exact").as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy("dim")
+  }
+
+  private val mrlCurveSql = {
+    def sliced(d: Int): String =
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding[1:$d] AS emb,
+         |    ${norm(s"embedding[1:$d]")} AS nrm FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS qid, emb AS qvec, nrm AS qnorm
+         |  FROM base WHERE vec_id % 50 = 0
+         |), scored AS (
+         |  SELECT q.qid, b.vec_id,
+         |    ${dot("b.emb", "q.qvec")} / (b.nrm * q.qnorm) AS cos
+         |  FROM base b CROSS JOIN q WHERE b.vec_id <> q.qid
+         |), ranked AS (
+         |  SELECT qid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id)
+         |      AS rnk
+         |  FROM scored)
+         |SELECT qid, vec_id FROM ranked WHERE rnk <= 10""".stripMargin
+    def point(d: Int): String =
+      s"""SELECT $d AS dim,
+         |  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_exact,
+         |  COUNT(*) AS hits,
+         |  (COUNT(*) * 10000) // (SELECT COUNT(*) FROM truth) AS recall_bp
+         |FROM (${sliced(d)}) t JOIN truth u
+         |  ON t.qid = u.qid AND t.vec_id = u.vec_id""".stripMargin
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z)
+       |SELECT dim, n_exact, hits, CAST(recall_bp AS BIGINT) AS recall_bp
+       |FROM (
+       |  ${point(8)}
+       |  UNION ALL
+       |  ${point(16)}
+       |  UNION ALL
+       |  ${point(32)}
+       |  UNION ALL
+       |  ${point(Similarity.Dim)})
+       |ORDER BY dim""".stripMargin
+  }
+
   /** LIFECYCLE-FINAL RECALL CERTIFICATE — `q_ann_recall` certifies a
     * FRESH index; nothing certified the index after the full serving
     * lifecycle ran over it (and round 14's resurrect-deletions bug
@@ -2119,6 +2193,7 @@ object SimilarityQueries {
     Q("q_ann_hnsw", annHnsw, Some(annHnswSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
+    Q("q_mrl_curve", mrlCurve, Some(mrlCurveSql)),
     Q("q_ann_lifecycle_recall", annLifecycleRecall,
       Some(annLifecycleRecallSql)),
     Q("q_ndcg", annNdcg, Some(annNdcgSql)),

@@ -114,6 +114,9 @@ class PlanLintSpec extends SparkSpec {
     // recall harness: every ANN tier's broadcast query cross + the
     // 1-row brute-count accounting cross
     "q_ann_recall",
+    // Matryoshka curve: per-dim q_ann_topk broadcast query crosses +
+    // the 1-row truth-count accounting cross
+    "q_mrl_curve",
     // NDCG harness: the brute baseline's broadcast query cross (the
     // graded-relevance side) + q_ann_rerank's probe cross
     "q_ndcg",
