@@ -630,6 +630,114 @@ object CorpusQueries {
        |FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
        |ORDER BY tot.doc_id""".stripMargin
 
+  // ----------------------------------------------------- winnowing
+
+  private val WinK = 5 // word-gram width
+  private val WinW = 4 // winnowing window (≥1 fingerprint per window)
+
+  /** `q_winnow_spans` — WINNOWING fingerprint selection (Schleimer,
+    * Wilkerson & Aiken 2003, the MOSS algorithm): every OVERLAPPING
+    * `WinK`-word gram is hashed, and each window of `WinW`
+    * consecutive gram hashes selects its minimum (ties → leftmost
+    * position) — the selection guarantee the disjoint-passage tier
+    * (`q_passage_dedup`) cannot give: ANY shared span of at least
+    * `WinK + WinW − 1` words between two documents is caught by a
+    * SHARED selected fingerprint, while only ~2/(WinW+1) of positions
+    * are kept. That sublinear position sample is what makes
+    * span-level duplicate detection affordable at 100 TB: state is
+    * |fingerprints| ≪ |positions|, and nothing all-pairs ever runs.
+    *
+    * Output: per-source fingerprint accounting — kept fingerprints,
+    * those shared across ≥2 documents, the shared fraction (bp), and
+    * an order-free xor of the shared hashes (the span-evidence
+    * certificate).
+    *
+    * Scale anatomy: the gram expansion is a scan projection; window
+    * expansion multiplies positions by ≤`WinW` (bounded constant);
+    * selection is one (doc, window) exchange; sharing is one
+    * hash-keyed map-side-combined aggregate. No driver state, no
+    * text ever rides a shuffle (only 8-byte hashes + positions). */
+  /** Selected winnowing fingerprints of a (doc_id, source, text)
+    * frame: one row per kept (doc, position, gram-hash). Public for
+    * WinnowSpec's guarantee checks on planted corpora. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("tk"))
+      .withColumn("ng", (size(col("tk")) - lit(WinK - 1)).cast("long"))
+      .filter(col("ng") >= 1)
+      .withColumn("nw", greatest(col("ng") - lit(WinW - 1), lit(1L)))
+    val grams = base
+      .select(col("doc_id"), col("source"), col("nw"),
+        explode(sequence(lit(1L), col("ng"))).as("p"), col("tk"))
+      .withColumn("h", F.polyHash(
+        concat_ws(" ", slice(col("tk"), col("p"), lit(WinK)))))
+      .drop("tk") // text never rides past the scan
+    grams
+      .withColumn("j", explode(sequence(
+        greatest(col("p") - lit(WinW - 1L), lit(1L)),
+        least(col("p"), col("nw")))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id", "j").orderBy("h", "p")))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "p", "h").distinct()
+  }
+
+  private def winnowSpans(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(Tables.documents(spark, dir))
+    val sharing = fps.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+    fps.join(sharing, Seq("h"))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_fp"),
+        coalesce(sum((col("nd") >= 2).cast("long")), lit(0L))
+          .as("n_shared"),
+        coalesce(bit_xor(when(col("nd") >= 2, col("h"))), lit(0L))
+          .as("shared_xor"))
+      .withColumn("share_bp", expr("(n_shared * 10000) div n_fp"))
+      .select("source", "n_docs", "n_fp", "n_shared", "share_bp",
+        "shared_xor")
+      .orderBy("source")
+  }
+
+  private val winnowSpansSql = {
+    val k1 = WinK - 1
+    val w1 = WinW - 1
+    val gh = OracleSqlFrag.poly(
+      s"array_to_string(list_slice(tk, p, p + $k1), ' ')")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS tk
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, source, tk, len(tk) - $k1 AS ng,
+       |    greatest(len(tk) - $k1 - $w1, 1) AS nw
+       |  FROM t WHERE len(tk) - $k1 >= 1),
+       |g AS (
+       |  SELECT doc_id, source, nw, p, $gh AS h
+       |  FROM (SELECT *, unnest(generate_series(1, ng)) AS p FROM b)),
+       |x AS (
+       |  SELECT doc_id, source, p, h,
+       |    unnest(generate_series(greatest(p - $w1, 1), least(p, nw))) AS j
+       |  FROM g),
+       |sel AS (
+       |  SELECT doc_id, source, p, h,
+       |    row_number() OVER (PARTITION BY doc_id, j ORDER BY h, p) AS rn
+       |  FROM x),
+       |fp AS (SELECT DISTINCT doc_id, source, p, h FROM sel WHERE rn = 1),
+       |sh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM fp GROUP BY h)
+       |SELECT source,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_fp,
+       |  CAST(COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) AS BIGINT)
+       |    AS n_shared,
+       |  CAST((COALESCE(SUM(CASE WHEN nd >= 2 THEN 1 END), 0) * 10000)
+       |    // COUNT(*) AS BIGINT) AS share_bp,
+       |  CAST(COALESCE(bit_xor(CASE WHEN nd >= 2 THEN h END), 0) AS BIGINT)
+       |    AS shared_xor
+       |FROM fp JOIN sh USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_dedup_normalized", dedupNormalized, Some(dedupNormalizedSql)),
     Q("q_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql)),
@@ -639,6 +747,7 @@ object CorpusQueries {
     Q("q_kmv_overlap", kmvOverlap, Some(kmvOverlapSql)),
     Q("q_winsorize", winsorize, Some(winsorizeSql)),
     Q("q_passage_dedup", passageDedup, Some(passageDedupSql)),
+    Q("q_winnow_spans", winnowSpans, Some(winnowSpansSql)),
     Q("q_sketch_rollup", sketchRollup, Some(sketchRollupSql)),
   )
 }
