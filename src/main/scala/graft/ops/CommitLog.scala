@@ -61,7 +61,29 @@ object CommitLog {
     * VIOLATES the contract and reopens the lost-update window. */
   final case class Entry(writer: String, op: String, dataPath: String,
                          partitions: Seq[String], baseVersion: Long,
-                         ts: Long = -1L)
+                         ts: Long = -1L,
+                         readSet: Seq[String] = Nil,
+                         isolation: String = WriteSerializable)
+
+  /** Isolation levels (Delta's two write-transaction modes):
+    *
+    *   - [[WriteSerializable]] (default): a transaction conflicts only
+    *     on WRITE-WRITE overlap — a rival that committed after the
+    *     snapshot touching the same partitions. Blind writes derived
+    *     from since-mutated reads are admitted (the anomaly: a report
+    *     built from a stale read can land after the mutation).
+    *   - [[Serializable]]: additionally conflicts on READ-WRITE
+    *     overlap — a rival that committed after the snapshot touching
+    *     partitions in this entry's `readSet`. The admitted history is
+    *     then equivalent to the serial order of commit slots: a
+    *     transaction's reads always reflect every lower committed
+    *     slot. The check is ASYMMETRIC on purpose — a HIGHER rival
+    *     writing this entry's reads is serial-order-consistent
+    *     (this transaction precedes it), so only rivals landing
+    *     between snapshot and own slot, or in-flight at lower slots,
+    *     conflict. */
+  val WriteSerializable = "write_serializable"
+  val Serializable = "serializable"
 
   /** Logical commit-timestamp scheme: version-derived (one hour per
     * slot from a fixed epoch), so every oracle can REPLAY it — the
@@ -294,7 +316,8 @@ object CommitLog {
     val ts = if (e.ts >= 0L) e.ts else commitTimestamp(v)
     java.nio.file.Files.writeString(entryFile(d).toPath,
       s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
-        e.partitions.mkString(",") + s"\t$ts\n")
+        e.partitions.mkString(",") + s"\t$ts\t" +
+        e.readSet.mkString(",") + s"\t${e.isolation}\n")
   }
 
   /** Read a slot's entry; None while the racing writer is between
@@ -313,9 +336,14 @@ object CommitLog {
           .stripLineEnd.split("\t", -1)
         val v = p(0).toLong
         val ts = if (p.length > 6) p(6).toLong else commitTimestamp(v)
+        // entries from before read-set tracking (≤7 columns) read
+        // back as write-serializable with an empty read set
+        val rs = if (p.length > 7 && p(7).nonEmpty) p(7).split(",").toSeq
+          else Nil
+        val iso = if (p.length > 8) p(8) else WriteSerializable
         Some((v, Entry(p(1), p(2), p(3),
           if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong,
-          ts)))
+          ts, rs, iso)))
       }
     }.toOption.flatten
 
@@ -397,8 +425,17 @@ object CommitLog {
                   "entry — cannot validate, aborting own claim")
             }
           }
+          // the conflict surface: write-write always; under
+          // Serializable isolation a rival WRITE into this entry's
+          // READ set also conflicts (the report-from-stale-read
+          // anomaly WriteSerializable admits). Only OWN sets widen —
+          // the rival's read set is the rival's concern (asymmetric
+          // by design; see the isolation-level contract above).
+          val guarded = e.partitions.toSet ++
+            (if (e.isolation == Serializable) e.readSet.toSet
+             else Set.empty[String])
           got.filter { case (_, other) =>
-            other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty &&
+            other.partitions.toSet.intersect(guarded).nonEmpty &&
               // deterministic winner rule (earlier slot wins): a
               // COMMITTED rival always conflicts — a committed slot
               // only enters the rivals list if it landed after our

@@ -527,6 +527,173 @@ object MaintenancePipelineQuery {
        |SELECT stage, n_files, n_rows, key_xor, vc_sum
        |FROM rows_ ORDER BY stage""".stripMargin
 
+  // ------------------------------------------------- isolation levels
+
+  /** `q_isolation_levels` — the two WRITE-TRANSACTION isolation
+    * levels (Delta's `writeSerializable` default vs `serializable`,
+    * [[graft.ops.CommitLog.Serializable]]): the anomaly that
+    * separates them, run deterministically and hash-certified. A
+    * `mutator` commits a point update to day-5 AFTER two reporters
+    * snapshotted it; each reporter derives a day-5 report FROM THAT
+    * STALE READ and writes it to a DISJOINT partition (`r1`/`r2` —
+    * zero write-write overlap, so the difference is purely the read
+    * set):
+    *
+    *   - `reporter_ws` (write-serializable) COMMITS the stale report
+    *     (v3) — blind writes are admitted; its stored numbers are the
+    *     PRE-mutation sums, visible forever in the log (the anomaly),
+    *   - `reporter_sr_stale` (serializable, re-attempted EVERY run)
+    *     is REJECTED with CommitConflict — the rival's write into its
+    *     declared read set lands between snapshot and commit,
+    *   - `reporter_sr` retries from a fresh snapshot and commits the
+    *     POST-mutation report (v4) — the serial-order-consistent
+    *     history serializable guarantees.
+    *
+    * The oracle derives both report sums from the raw events (stale =
+    * day-5 cents sum; fresh = stale + 100·|event_id ≡ 0 mod 3 in
+    * day 5|), so a protocol that admitted the stale serializable
+    * attempt — or rejected the write-serializable one — hash-fails.
+    * IsolationSpec pins the asymmetry (a HIGHER rival writing this
+    * entry's reads is serial-order-consistent and must NOT conflict),
+    * read-set persistence across the entry roundtrip, and that
+    * default entries stay write-serializable.
+    *
+    * Scale shape: validation stays metadata-only — the read set is
+    * |partitions read| strings in the entry, never data; the fixture
+    * is three small one-exchange writes paid once. */
+  val IsolationFixtureVersion = 1
+
+  def isolationRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_isolation_$key"
+  }
+
+  def ensureIsolation(spark: SparkSession, dir: String): String =
+    synchronized {
+      import graft.ops.CommitLog
+      val root = isolationRoot(dir)
+      val marker = new java.io.File(root, "_ISO_OK")
+      val head = s"$IsolationFixtureVersion\n$dir\n"
+      val ok = marker.exists() && scala.util.Try {
+        java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+          CommitLog.committedVersions(root).take(4) == Seq(1L, 2L, 3L, 4L) &&
+          Seq("base", "mut", "report_stale", "report_fresh").forall(p =>
+            new java.io.File(s"$root/data/$p/_SUCCESS").exists())
+      }.getOrElse(false)
+      if (!ok) {
+        VersionChain.rmTree(new java.io.File(root))
+        val e = clogEvents(spark, dir).filter(col("dom") <= 10)
+        val days = daysIn(e, lit(true))
+        val day5 = daysIn(e, col("dom") === 5)
+        e.write.mode("overwrite").parquet(s"$root/data/base")
+        CommitLog.tryCommit(root, CommitLog.Entry("ingest", "ingest",
+          s"$root/data/base", days, 0L))
+        // the rival: a point mutation of day 5 (vc += 100 on ⅓ of keys)
+        val mut = e.filter(col("dom") === 5)
+          .withColumn("vc", col("vc") +
+            when(col("event_id") % 3 === 0, lit(100L)).otherwise(lit(0L)))
+        mut.write.mode("overwrite").parquet(s"$root/data/mut")
+        CommitLog.tryCommit(root, CommitLog.Entry("mutator", "update",
+          s"$root/data/mut", day5, 1L))
+        // both report payloads, staged from the two snapshots
+        e.filter(col("dom") === 5)
+          .write.mode("overwrite").parquet(s"$root/data/report_stale")
+        spark.read.parquet(s"$root/data/mut")
+          .write.mode("overwrite").parquet(s"$root/data/report_fresh")
+        // write-serializable: the stale report COMMITS (the anomaly)
+        CommitLog.tryCommit(root, CommitLog.Entry("reporter_ws", "report",
+          s"$root/data/report_stale", Seq("r1"), 1L,
+          readSet = day5, isolation = CommitLog.WriteSerializable))
+        // serializable, fresh snapshot: commits the corrected report
+        CommitLog.tryCommit(root, CommitLog.Entry("reporter_sr", "report",
+          s"$root/data/report_fresh", Seq("r1"), 3L,
+          readSet = day5, isolation = CommitLog.Serializable))
+        java.nio.file.Files.writeString(marker.toPath, head)
+      }
+      root
+    }
+
+  def isolationLevels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val root = ensureIsolation(spark, dir)
+    val day5 = daysIn(clogEvents(spark, dir).filter(col("dom") <= 10),
+      col("dom") === 5)
+    // the serializable STALE attempt — re-proven under the hash every
+    // run (the q_commit_log conflicter convention): disjoint write
+    // partition r2, so the ONLY conflict source is the read set
+    val rejected = scala.util.Try(CommitLog.tryCommit(root,
+      CommitLog.Entry("reporter_sr_stale", "report",
+        s"$root/data/report_stale", Seq("r2"), 1L,
+        readSet = day5, isolation = CommitLog.Serializable))) match {
+      case scala.util.Failure(_: CommitLog.CommitConflict) => "conflict"
+      case scala.util.Failure(ex) => throw ex
+      case scala.util.Success(v) => s"committed_v$v" // hash-fails
+    }
+    val log = CommitLog.readLog(root).toMap
+    def acct(step: String, writer: String, iso: String, outcome: String,
+             ver: Long, path: String): DataFrame =
+      spark.read.parquet(path)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit(writer).as("writer"),
+          lit(iso).as("isolation"), lit(outcome).as("outcome"),
+          lit(ver).as("version"), col("n_rows"), col("vc_sum"))
+    // the resolved head: r1's newest committed owner must be the
+    // FRESH report (the stale one is superseded, not erased)
+    val r1 = CommitLog.resolveAsOf(root, CommitLog.latestCommitted(root))("r1")
+    acct("1_base", "ingest", "-", "commit", 1L, log(1L).dataPath)
+      .unionAll(acct("2_mutate", "mutator", "-", "commit", 2L,
+        log(2L).dataPath))
+      .unionAll(acct("3_stale_ws", "reporter_ws",
+        CommitLog.WriteSerializable, "commit", 3L, log(3L).dataPath))
+      .unionAll(acct("4_fresh_sr", "reporter_sr",
+        CommitLog.Serializable, "commit", 4L, log(4L).dataPath))
+      .unionAll(acct("5_stale_sr", "reporter_sr_stale",
+        CommitLog.Serializable, rejected, -1L,
+        s"$root/data/report_stale"))
+      .unionAll(acct("6_resolved", "-", "-", "head", r1._1, r1._2))
+      .orderBy("step")
+  }
+
+  private val isolationLevelsSql =
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 10),
+       |d5 AS (SELECT * FROM e WHERE dom = 5),
+       |rows_ AS (
+       |  SELECT '1_base' AS step, 'ingest' AS writer, '-' AS isolation,
+       |    'commit' AS outcome, CAST(1 AS BIGINT) AS version,
+       |    COUNT(*) AS n_rows, CAST(SUM(vc) AS BIGINT) AS vc_sum
+       |  FROM e
+       |  UNION ALL
+       |  SELECT '2_mutate', 'mutator', '-', 'commit', 2, COUNT(*),
+       |    CAST(SUM(vc + CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM d5
+       |  UNION ALL
+       |  SELECT '3_stale_ws', 'reporter_ws', 'write_serializable',
+       |    'commit', 3, COUNT(*), CAST(SUM(vc) AS BIGINT)
+       |  FROM d5
+       |  UNION ALL
+       |  SELECT '4_fresh_sr', 'reporter_sr', 'serializable', 'commit', 4,
+       |    COUNT(*),
+       |    CAST(SUM(vc + CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM d5
+       |  UNION ALL
+       |  SELECT '5_stale_sr', 'reporter_sr_stale', 'serializable',
+       |    'conflict', -1, COUNT(*), CAST(SUM(vc) AS BIGINT)
+       |  FROM d5
+       |  UNION ALL
+       |  SELECT '6_resolved', '-', '-', 'head', 4, COUNT(*),
+       |    CAST(SUM(vc + CASE WHEN event_id % 3 = 0 THEN 100 ELSE 0 END)
+       |      AS BIGINT)
+       |  FROM d5)
+       |SELECT step, writer, isolation, outcome, version, n_rows, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+
   // ----------------------------------------------------------- restore
 
   /** `q_restore` — ROLLBACK AS A NEW COMMIT (Delta's `RESTORE TABLE
@@ -2063,6 +2230,7 @@ object MaintenancePipelineQuery {
     Q("q_vacuum", vacuum, Some(vacuumSql)),
     Q("q_vacuum_orphans", vacuumOrphans, Some(vacuumOrphansSql)),
     Q("q_restore", restore, Some(restoreSql)),
+    Q("q_isolation_levels", isolationLevels, Some(isolationLevelsSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }

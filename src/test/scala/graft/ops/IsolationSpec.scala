@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.CommitLog.{CommitConflict, Entry}
+
+/** Isolation levels on the commit protocol: serializable conflicts on
+  * read-write overlap where write-serializable admits the stale blind
+  * write; the check is asymmetric (a HIGHER rival writing this
+  * entry's reads is serial-order-consistent and must not conflict);
+  * read sets persist across the entry roundtrip; default entries stay
+  * write-serializable. Pure metadata — no Spark session needed. */
+class IsolationSpec extends AnyFunSuite {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_iso_spec").toString
+
+  private def seed(root: String): Unit = {
+    CommitLog.tryCommit(root,
+      Entry("ingest", "ingest", "data/ingest", Seq("p1", "p2"), 0L))
+    // the rival lands AFTER both reporters' snapshot (v1), into p1
+    CommitLog.tryCommit(root,
+      Entry("mutator", "update", "data/mut", Seq("p1"), 1L))
+  }
+
+  test("serializable rejects a read-write conflict; write-serializable admits it") {
+    val root = freshRoot(); seed(root)
+    // write-serializable: reads p1 (now stale), writes disjoint r1 — lands
+    val v = CommitLog.tryCommit(root, Entry("ws", "report", "data/ws",
+      Seq("r1"), 1L, readSet = Seq("p1"),
+      isolation = CommitLog.WriteSerializable))
+    assert(v == 3L)
+    // serializable: same shape, rejected — the rival wrote its read set
+    val ex = intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("sr", "report", "data/sr",
+        Seq("r2"), 1L, readSet = Seq("p1"),
+        isolation = CommitLog.Serializable))
+    }
+    assert(ex.getMessage.contains("mutator"))
+    // and from a FRESH snapshot the serializable reporter commits
+    // (at slot 5 — the rejected attempt's slot 4 stays an aborted
+    // tombstone; slots are never reused)
+    assert(CommitLog.tryCommit(root, Entry("sr", "report", "data/sr",
+      Seq("r2"), 3L, readSet = Seq("p1"),
+      isolation = CommitLog.Serializable)) == 5L)
+  }
+
+  test("a serializable read of an UNWRITTEN partition never conflicts") {
+    val root = freshRoot(); seed(root)
+    assert(CommitLog.tryCommit(root, Entry("sr", "report", "data/sr",
+      Seq("r1"), 1L, readSet = Seq("p2"), // p2 untouched since v1
+      isolation = CommitLog.Serializable)) == 3L)
+  }
+
+  test("asymmetry: a higher rival writing MY reads is serial-order-consistent") {
+    val root = freshRoot(); seed(root)
+    // serializable reporter snapshots v2 and claims first (slot 3);
+    // a rival then writes p1 at slot 4. Serial order: reporter (3)
+    // precedes rival (4) — the reporter's v2 read is consistent, so
+    // BOTH must land. Simulate by committing the reporter, then the
+    // rival; then a SECOND serializable reporter on base 2 must
+    // conflict (the rival is now between ITS snapshot and slot).
+    assert(CommitLog.tryCommit(root, Entry("sr1", "report", "data/sr1",
+      Seq("r1"), 2L, readSet = Seq("p1"),
+      isolation = CommitLog.Serializable)) == 3L)
+    assert(CommitLog.tryCommit(root, Entry("mut2", "update", "data/mut2",
+      Seq("p1"), 3L)) == 4L)
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("sr2", "report", "data/sr2",
+        Seq("r2"), 2L, readSet = Seq("p1"),
+        isolation = CommitLog.Serializable))
+    }
+  }
+
+  test("read set and isolation survive the entry roundtrip; defaults hold") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("w", "op", "data/w", Seq("p1"), 0L,
+      readSet = Seq("a", "b"), isolation = CommitLog.Serializable))
+    CommitLog.tryCommit(root, Entry("d", "op", "data/d", Seq("p2"), 1L))
+    val log = CommitLog.readLog(root).toMap
+    assert(log(1L).readSet == Seq("a", "b"))
+    assert(log(1L).isolation == CommitLog.Serializable)
+    assert(log(2L).readSet.isEmpty)
+    assert(log(2L).isolation == CommitLog.WriteSerializable)
+  }
+
+  test("write-write conflicts still fire regardless of isolation") {
+    val root = freshRoot(); seed(root)
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("late", "update", "data/late",
+        Seq("p1"), 1L, isolation = CommitLog.Serializable))
+    }
+  }
+}
