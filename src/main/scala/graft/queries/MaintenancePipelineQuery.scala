@@ -527,7 +527,232 @@ object MaintenancePipelineQuery {
        |SELECT stage, n_files, n_rows, key_xor, vc_sum
        |FROM rows_ ORDER BY stage""".stripMargin
 
-  // ------------------------------------------------- isolation levels
+  // ------------------------------------------------ write-audit-publish
+
+  /** `q_wap` — WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern,
+    * Delta's staging-branch flow): producers never commit straight to
+    * main — they commit to an isolated BRANCH (a metadata-only copy
+    * of main's commit log), run the audit
+    * ([[graft.ops.Expectations]]) against the branch head, and only a
+    * PASSING branch is fast-forward published, by committing the
+    * branch entry's dataPath into main's log — publish moves ZERO
+    * data bytes at any scale. The flow runs twice under the hash:
+    *
+    *   - the GOOD branch (vc += 50 on day-6/7 keys ≡ 0 mod 4) passes
+    *     its audit (no negative vc, no null keys, row count preserved
+    *     — violations all zero) and publishes as main v2, which the
+    *     main-head row then serves;
+    *   - the BAD branch (same update but vc FORCED to −1 on keys ≡ 0
+    *     mod 5 — a corrupting writer) FAILS its audit
+    *     (`chk_nonneg` fail-mode) and its publish is REFUSED —
+    *     re-proven EVERY run: main's log never gains its entry, and
+    *     the main-head row's hash proves the corruption never became
+    *     visible.
+    *
+    * The oracle derives every triple and violation count from the raw
+    * events, so a publish that skipped the audit, or an audit that
+    * passed the corrupted branch, hash-fails. WapSpec pins: the
+    * branch log is independent (branch commits never advance main),
+    * publish is metadata-only (the published dataPath IS the branch's
+    * staged path — no copy), the refused branch leaves main's version
+    * unchanged, and idempotent re-run.
+    *
+    * Scale shape: branching is a commit-log copy (kilobytes);
+    * staging is one pruned exchange per branch (content-keyed, paid
+    * once); the audit is one map-side aggregate over the staged
+    * delta; publish is one metadata commit. */
+  val WapFixtureVersion = 1
+
+  def wapRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_wap_$key"
+  }
+
+  /** vc += 50 where event_id ≡ 0 mod 4 — the good branch's update. */
+  private def wapUpdate(e: DataFrame): DataFrame =
+    e.filter(col("dom").between(6, 7))
+      .withColumn("vc", col("vc") +
+        when(col("event_id") % 4 === 0, lit(50L)).otherwise(lit(0L)))
+
+  /** The corrupting writer: same update, then vc forced to −1 on
+    * keys ≡ 0 mod 5 (what the audit must catch). */
+  private def wapCorrupt(e: DataFrame): DataFrame =
+    wapUpdate(e).withColumn("vc",
+      when(col("event_id") % 5 === 0, lit(-1L)).otherwise(col("vc")))
+
+  private def wapAudit(spark: SparkSession, path: String,
+                       expectedRows: Long): Seq[(String, String, Long)] = {
+    import graft.ops.Expectations
+    import graft.ops.Expectations.Expectation
+    val staged = spark.read.parquet(path)
+    val exps = Seq(
+      Expectation("chk_nonneg", col("vc") >= 0, "fail"),
+      Expectation("chk_key", col("event_id").isNotNull, "fail"))
+    val rep = Expectations.report(staged, exps,
+      graft.functions.F.polyHash(col("event_id").cast("string")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    // row-count preservation is an audit expectation too: a branch
+    // that dropped or duplicated rows must not publish
+    val n = staged.count()
+    rep :+ (("chk_rowcount", "fail",
+      if (n == expectedRows) 0L else math.abs(n - expectedRows)))
+  }
+
+  def ensureWap(spark: SparkSession, dir: String): String = synchronized {
+    import graft.ops.CommitLog
+    val root = wapRoot(dir)
+    val marker = new java.io.File(root, "_WAP_OK")
+    val head = s"$WapFixtureVersion\n$dir\n"
+    val ok = marker.exists() && scala.util.Try {
+      java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+        CommitLog.committedVersions(s"$root/main") == Seq(1L, 2L) &&
+        Seq("base", "branch_good", "branch_bad").forall(p =>
+          new java.io.File(s"$root/data/$p/_SUCCESS").exists())
+    }.getOrElse(false)
+    if (!ok) {
+      VersionChain.rmTree(new java.io.File(root))
+      val e = clogEvents(spark, dir).filter(col("dom") <= 10)
+      val days = daysIn(e, lit(true))
+      val upDays = daysIn(e, col("dom").between(6, 7))
+      e.write.mode("overwrite").parquet(s"$root/data/base")
+      CommitLog.tryCommit(s"$root/main", CommitLog.Entry("ingest",
+        "ingest", s"$root/data/base", days, 0L))
+      // both branch payloads staged once (content-keyed)
+      wapUpdate(e).write.mode("overwrite")
+        .parquet(s"$root/data/branch_good")
+      wapCorrupt(e).write.mode("overwrite")
+        .parquet(s"$root/data/branch_bad")
+      // BRANCH: a metadata-only copy of main's log; the branch commit
+      // lands in the BRANCH's log only
+      VersionChain.cpTree(new java.io.File(s"$root/main/commitlog"),
+        new java.io.File(s"$root/branch_good/commitlog"))
+      CommitLog.tryCommit(s"$root/branch_good", CommitLog.Entry(
+        "producer", "update", s"$root/data/branch_good", upDays, 1L))
+      // AUDIT the branch head, then PUBLISH: main gains the branch's
+      // entry (same dataPath — zero bytes move)
+      val audit = wapAudit(spark, s"$root/data/branch_good",
+        spark.read.parquet(s"$root/data/base")
+          .filter(col("dom").between(6, 7)).count())
+      graft.ops.Expectations.enforceFail(audit)
+      CommitLog.tryCommit(s"$root/main", CommitLog.Entry("publisher",
+        "publish", s"$root/data/branch_good", upDays, 1L))
+      java.nio.file.Files.writeString(marker.toPath, head)
+    }
+    root
+  }
+
+  def wap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val root = ensureWap(spark, dir)
+    val e = clogEvents(spark, dir).filter(col("dom") <= 10)
+    val upDays = daysIn(e, col("dom").between(6, 7))
+    val expectedRows = spark.read.parquet(s"$root/data/base")
+      .filter(col("dom").between(6, 7)).count()
+    // the BAD branch's audit + refused publish — re-proven every run
+    VersionChain.rmTree(new java.io.File(s"$root/branch_bad"))
+    VersionChain.cpTree(new java.io.File(s"$root/main/commitlog"),
+      new java.io.File(s"$root/branch_bad/commitlog"))
+    CommitLog.tryCommit(s"$root/branch_bad", CommitLog.Entry(
+      "corruptor", "update", s"$root/data/branch_bad", upDays,
+      CommitLog.latestCommitted(s"$root/branch_bad")))
+    val badAudit = wapAudit(spark, s"$root/data/branch_bad", expectedRows)
+    val refused = scala.util.Try(
+      graft.ops.Expectations.enforceFail(badAudit)) match {
+      case scala.util.Failure(_: graft.ops.Expectations.ExpectationViolated)
+        => "refused"
+      case scala.util.Failure(ex) => throw ex
+      case scala.util.Success(_) => "published" // hash-fails
+    }
+    // the GOOD audit re-runs under the hash too (its zeros are
+    // computed, not asserted)
+    val goodAudit = wapAudit(spark, s"$root/data/branch_good",
+      expectedRows)
+    val goodOutcome = scala.util.Try(
+      graft.ops.Expectations.enforceFail(goodAudit)) match {
+      case scala.util.Success(_) => "pass"
+      case scala.util.Failure(_) => "failed" // hash-fails
+    }
+    val mainHead = CommitLog.latestCommitted(s"$root/main")
+    def triple(step: String, outcome: String, ver: Long,
+               path: String): DataFrame =
+      spark.read.parquet(path).withColumn("h", rowHash)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit(outcome).as("outcome"),
+          lit(ver).as("version"), col("n_rows"), col("xor_hash"),
+          col("vc_sum"))
+    val log = CommitLog.readLog(s"$root/main").toMap
+    def violRow(step: String, outcome: String, ver: Long,
+                audit: Seq[(String, String, Long)]) = {
+      val viol = audit.filter(_._3 > 0)
+      (step, outcome, ver, viol.map(_._3).sum,
+        graft.functions.Poly.hashBytes(
+          viol.map(_._1).sorted.mkString(",")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          graft.functions.Poly.Base),
+        viol.size.toLong)
+    }
+    val auditRows = spark.createDataFrame(Seq(
+      violRow("3_audit_good", goodOutcome, 2L, goodAudit),
+      violRow("5_audit_bad", refused, -1L, badAudit)
+    )).toDF("step", "outcome", "version", "n_rows", "xor_hash", "vc_sum")
+    triple("1_main_base", "commit", 1L, log(1L).dataPath)
+      .unionAll(triple("2_branch_good", "commit", 2L,
+        s"$root/data/branch_good"))
+      .unionAll(triple("4_published", "publish", 2L, log(2L).dataPath))
+      .unionAll(triple("6_main_head", "head", mainHead,
+        log(mainHead).dataPath))
+      .unionAll(auditRows)
+      .orderBy("step")
+  }
+
+  private val wapSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    val cn = OracleSqlFrag.poly("'chk_nonneg'")
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events WHERE EXTRACT(day FROM CAST(ts AS DATE)) <= 10),
+       |good AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 4 = 0 THEN vc + 50 ELSE vc END AS vc
+       |  FROM e WHERE dom BETWEEN 6 AND 7),
+       |rows_ AS (
+       |  SELECT '1_main_base' AS step, 'commit' AS outcome,
+       |    CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+       |    CAST(COALESCE(bit_xor($h), 0) AS BIGINT) AS xor_hash,
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+       |  FROM e
+       |  UNION ALL
+       |  SELECT '2_branch_good', 'commit', 2, COUNT(*),
+       |    CAST(COALESCE(bit_xor($h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM good
+       |  UNION ALL
+       |  SELECT '3_audit_good', 'pass', 2, 0, 0, 0
+       |  UNION ALL
+       |  SELECT '4_published', 'publish', 2, COUNT(*),
+       |    CAST(COALESCE(bit_xor($h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM good
+       |  UNION ALL
+       |  SELECT '5_audit_bad', 'refused', -1,
+       |    (SELECT COUNT(*) FROM e
+       |     WHERE dom BETWEEN 6 AND 7 AND event_id % 5 = 0),
+       |    CAST($cn AS BIGINT), 1
+       |  UNION ALL
+       |  SELECT '6_main_head', 'head', 2, COUNT(*),
+       |    CAST(COALESCE(bit_xor($h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM good)
+       |SELECT step, outcome, version, n_rows, xor_hash, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
 
   /** `q_isolation_levels` — the two WRITE-TRANSACTION isolation
     * levels (Delta's `writeSerializable` default vs `serializable`,
@@ -2231,6 +2456,7 @@ object MaintenancePipelineQuery {
     Q("q_vacuum_orphans", vacuumOrphans, Some(vacuumOrphansSql)),
     Q("q_restore", restore, Some(restoreSql)),
     Q("q_isolation_levels", isolationLevels, Some(isolationLevelsSql)),
+    Q("q_wap", wap, Some(wapSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }
