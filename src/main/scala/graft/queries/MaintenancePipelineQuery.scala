@@ -2442,9 +2442,103 @@ object MaintenancePipelineQuery {
        |  FROM binned3 GROUP BY 1) f
        |ORDER BY f.event_type""".stripMargin
 
+  /** `q_mv_join_maintain` — incremental maintenance of a JOIN view
+    * with changes on BOTH sides (the hard IVM case `q_mv_maintain`'s
+    * single-table aggregate does not cover): the view is the
+    * fact-⋈-dimension aggregate per event_type — n, Σ(vc·w) — where
+    * the fact side evolves through the stored CDF (v2 removes, v3
+    * update pairs) and the DIMENSION side takes a weight correction
+    * (+10 on the lexicographically-first type). The delta algebra is
+    * the classical ΔV = ΔT⋈D ∪ T'⋈ΔD sequencing with AUXILIARY
+    * STATE: the view carries the per-type RAW vc sum precisely so the
+    * dimension delta is computable without touching the fact table —
+    * Δwsum(t*) = Δw · raw_sum'(t*). Neither delta rescans a base
+    * table: the fact deltas read the change feed, the dim delta reads
+    * |types| view rows. The output carries the maintained figures
+    * NEXT TO a full recompute of gen3 ⋈ D' (the audit truth — the
+    * oracle derives both columns from one expression, so the hash
+    * passes IFF the delta-maintained view converged exactly).
+    *
+    * Scale shape: maintenance cost is |changed rows| + |changed dim
+    * keys| regardless of fact size — the reason join views are
+    * maintainable at 100 TB at all; the recompute rides along only
+    * as the certificate. */
+  def mvJoinMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val root = VersionChain.ensure(spark, dir)
+    // dimension v1: weights derived from the type key (|types| rows)
+    val wExpr = (length(col("event_type")) % 5 + 1).cast("long")
+    val d1 = spark.read.parquet(s"$root/gen1")
+      .select("event_type").distinct()
+      .select(col("event_type"), wExpr.as("w"))
+    val dim = graft.ops.SideCache.persist(d1)
+    // base view as of v1, with the raw-sum auxiliary column
+    val view1 = spark.read.parquet(s"$root/gen1")
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vc").as("raw"),
+        sum(col("vc") * col("w")).as("ws"))
+    // fact deltas from the FEED only, joined to the (old) dim
+    def deltaOf(path: String): DataFrame =
+      spark.read.parquet(s"$root/$path")
+        .select(col("event_type"),
+          when(col("change_type").isin("remove", "update_pre"), -1L)
+            .otherwise(1L).as("sgn"), col("vc"))
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(sum("sgn").as("n"), sum(col("sgn") * col("vc")).as("raw"),
+          sum(col("sgn") * col("vc") * col("w")).as("ws"))
+    val afterFact = view1
+      .unionAll(deltaOf("cdf/v2")).unionAll(deltaOf("cdf/v3"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("raw").as("raw"), sum("ws").as("ws"))
+      .filter(col("n") > 0)
+    // dimension delta: Δw=+10 on the first type; applied from the
+    // AUXILIARY raw sum — no fact scan
+    val tStar = dim.agg(min("event_type")).head().getString(0)
+    val maintained = afterFact.select(col("event_type"), col("n"),
+      (col("ws") + when(col("event_type") === tStar,
+        col("raw") * 10L).otherwise(lit(0L))).as("ws"))
+    // the audit truth: full recompute of gen3 ⋈ the NEW dim
+    val d2 = dim.select(col("event_type"),
+      (col("w") + when(col("event_type") === tStar, 10L)
+        .otherwise(0L)).as("w"))
+    val full = spark.read.parquet(s"$root/gen3")
+      .join(broadcast(d2), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_full"),
+        sum(col("vc") * col("w")).as("wsum_full"))
+    maintained
+      .select(col("event_type"), col("n").as("n_maint"),
+        col("ws").as("wsum_maint"))
+      .join(full, Seq("event_type"), "full")
+      .na.fill(-1L,
+        Seq("n_maint", "wsum_maint", "n_full", "wsum_full"))
+      .orderBy("event_type")
+  }
+
+  private val mvJoinMaintainSql =
+    s"""$chainCte,
+       |w1 AS (
+       |  SELECT event_type,
+       |    CAST(length(event_type) % 5 + 1 AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT event_type FROM binned)),
+       |w2 AS (
+       |  SELECT event_type,
+       |    w + CASE WHEN event_type = (SELECT MIN(event_type) FROM w1)
+       |        THEN 10 ELSE 0 END AS w
+       |  FROM w1)
+       |SELECT f.event_type, f.n AS n_maint, f.ws AS wsum_maint,
+       |  f.n AS n_full, f.ws AS wsum_full
+       |FROM (
+       |  SELECT b.event_type, COUNT(*) AS n,
+       |    CAST(SUM(b.vc * w2.w) AS BIGINT) AS ws
+       |  FROM binned3 b JOIN w2 USING (event_type) GROUP BY 1) f
+       |ORDER BY f.event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_maintenance_pipeline", run, Some(sql)),
     Q("q_mv_maintain", mvMaintain, Some(mvMaintainSql)),
+    Q("q_mv_join_maintain", mvJoinMaintain, Some(mvJoinMaintainSql)),
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertSql)),
     Q("q_merge_dv", mergeDv, Some(mergeDvSql)),
     Q("q_merge_prune", mergePrune, Some(mergePruneSql)),
