@@ -1662,11 +1662,18 @@ object SimilarityQueries {
   /** Shared CTE bundle for the graph tier: layer table → per-layer
     * adjacency → greedy hop unroll → visited → top10 (no `WITH`
     * keyword — callers prepend and extend). */
-  private lazy val hnswCtes: String = {
+  private def hnswIcSql(ea: String, na: String, eb: String,
+                        nb: String): String =
+    s"CAST(floor(${dot(ea, eb)} / ($na * $nb) * " +
+      s"${graft.sim.Hnsw.IcosScale}) AS BIGINT)"
+
+  /** The BUILD half of the graph CTE bundle (lv + per-layer quantizer
+    * buckets + adjacency) — shared by the search bundle below and by
+    * `q_ann_hnsw_upsert`'s convergence oracle. */
+  private lazy val hnswGraphCtes: String = {
     import graft.sim.Hnsw
     def icSql(ea: String, na: String, eb: String, nb: String) =
-      s"CAST(floor(${dot(ea, eb)} / ($na * $nb) * ${Hnsw.IcosScale}) " +
-        "AS BIGINT)"
+      hnswIcSql(ea, na, eb, nb)
     def adjCtes(l: Int): String = {
       val cand =
         if (l >= Hnsw.MaxLevel)
@@ -1707,6 +1714,21 @@ object SimilarityQueries {
          |      JOIN lv d ON d.vec_id = c.dst))
          |  WHERE rn <= ${Hnsw.M})""".stripMargin
     }
+    s"""lv AS MATERIALIZED (
+       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm,
+       |    CASE WHEN (vec_id * 2654435761) % 2147483648 % 4 <> 0 THEN 0
+       |         WHEN (vec_id * 2654435761) % 2147483648 % 16 <> 0 THEN 1
+       |         ELSE 2 END AS lvl
+       |  FROM embeddings),
+       |${adjCtes(0)},
+       |${adjCtes(1)},
+       |${adjCtes(2)}""".stripMargin
+  }
+
+  private lazy val hnswCtes: String = {
+    import graft.sim.Hnsw
+    def icSql(ea: String, na: String, eb: String, nb: String) =
+      hnswIcSql(ea, na, eb, nb)
     val totalHops = (Hnsw.MaxLevel + 1) * Hnsw.Hops
     val hopCtes = (1 to totalHops).map { i =>
       val lvl = Hnsw.MaxLevel - (i - 1) / Hnsw.Hops
@@ -1729,15 +1751,7 @@ object SimilarityQueries {
     val visUnion = (1 to totalHops)
       .map(i => s"    UNION ALL SELECT qid, dst, ic FROM h$i")
       .mkString("\n")
-    s"""lv AS MATERIALIZED (
-       |  SELECT vec_id, embedding, ${norm("embedding")} AS nrm,
-       |    CASE WHEN (vec_id * 2654435761) % 2147483648 % 4 <> 0 THEN 0
-       |         WHEN (vec_id * 2654435761) % 2147483648 % 16 <> 0 THEN 1
-       |         ELSE 2 END AS lvl
-       |  FROM embeddings),
-       |${adjCtes(0)},
-       |${adjCtes(1)},
-       |${adjCtes(2)},
+    s"""$hnswGraphCtes,
        |qh AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
        |       FROM lv WHERE vec_id % 50 = 0),
        |en AS (SELECT MIN(vec_id) AS e FROM lv WHERE lvl >= ${Hnsw.MaxLevel}),
@@ -1793,6 +1807,210 @@ object SimilarityQueries {
        |       ON t.qid = b.qid AND t.dst = b.vec_id) * 10000)
        |      // (SELECT COUNT(*) FROM brute))
        |ORDER BY stat""".stripMargin
+  }
+
+  // -------------------------------------------------- HNSW upsert
+
+  /** `q_ann_hnsw_upsert` — INCREMENTAL GRAPH MAINTENANCE, the serving
+    * lifecycle the graph tier lacked (the IVF family has
+    * upsert/merge/delete/compact; a graph index that needs a full
+    * rebuild per batch is unusable at 100 TB). The engine's graph
+    * construction is deliberately INSERTION-ORDER-FREE (each node's
+    * out-edges are the top-M among its frozen-quantizer bucket
+    * candidates — no incremental-insert path dependence), which buys
+    * the property this query certifies bit-for-bit: inserting a
+    * late batch (vec_id ≡ 5 mod 701 — sparse, so most buckets gain nothing and their edges CARRY) into the pre-upsert graph by
+    * recomputing ONLY the affected buckets converges to the CANONICAL
+    * stored graph exactly.
+    *
+    *   - carried edges: sources whose probe buckets gained no late
+    *     node — copied from the stored pre-upsert graph, never
+    *     rescored;
+    *   - recomputed edges: sources sharing a probe bucket with a late
+    *     node — rescored from candidates within the probed buckets
+    *     only (delta-proportional: |affected buckets|, not |corpus|);
+    *   - the top layer is global, so it carries wholesale when no
+    *     late node reaches it and recomputes wholesale otherwise
+    *     (its size is O(1) by the log₄N MaxLevel scaling);
+    *   - merged = carried ∪ recomputed MUST equal the canonical
+    *     graph's edges — the oracle computes the canonical layer
+    *     triples once and emits them for BOTH the merged and the
+    *     canonical rows, so any drift (a stale carried edge, a missed
+    *     affected source, quantizer thaw) hash-fails.
+    *
+    * The FROZEN full-corpus quantizer is what makes the convergence
+    * hold (the `ivfPqUpsertDelta` discipline): subset builds assign
+    * against the same centroids the canonical build used.
+    *
+    * Scale shape: the pre-upsert graph + assignment tables are
+    * content-keyed stored fixtures; per-run work is |late| +
+    * |affected buckets| bounded joins; the corpus never shuffles. */
+  val HnswUpsertVersion = 2 // v2: sparse late batch so carried edges dominate
+
+  def hnswUpsertRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_hnswups_$key"
+  }
+
+  private def hnswLate =
+    org.apache.spark.sql.functions.col("vec_id") % 701 === 5
+
+  def ensureHnswUpsert(spark: SparkSession, dir: String): String =
+    SimilarityQueries.synchronized {
+      import graft.sim.Hnsw
+      import org.apache.spark.sql.functions.col
+      val root = hnswUpsertRoot(dir)
+      val marker = new java.io.File(root, "_HUPS_OK")
+      val head = s"$HnswUpsertVersion\n$dir\n"
+      val stored = (0 to Hnsw.MaxLevel).map(l => s"early_e$l") ++
+        (0 until Hnsw.MaxLevel).map(l => s"a$l")
+      val ok = marker.exists() && scala.util.Try {
+        java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+          stored.forall(p =>
+            new java.io.File(s"$root/$p/_SUCCESS").exists())
+      }.getOrElse(false)
+      if (!ok) {
+        val base = graft.ops.SideCache.persist(
+          Hnsw.withLevels(Tables.embeddings(spark, dir)))
+        val early = base.filter(!hnswLate)
+        (0 to Hnsw.MaxLevel).foreach { l =>
+          // pre-upsert graph: early nodes, FROZEN full-corpus quantizer
+          Hnsw.adjacencyFrom(early, base, l).coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/early_e$l")
+        }
+        (0 until Hnsw.MaxLevel).foreach { l =>
+          // assignment table of ALL level-l nodes (index metadata)
+          Hnsw.assign(base.filter(col("lvl") >= l),
+              Hnsw.levelCents(base, l))
+            .select("vec_id", "cid").coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/a$l")
+        }
+        java.nio.file.Files.writeString(marker.toPath, head)
+      }
+      root
+    }
+
+  private def annHnswUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Hnsw
+    val emb = Tables.embeddings(spark, dir)
+    val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
+    val uRoot = ensureHnswUpsert(spark, dir)
+    val lateIds = base.filter(hnswLate).select(col("vec_id").as("lid"))
+    def edgeAcct(label: String, df: DataFrame): DataFrame =
+      df.withColumn("exr", graft.functions.F.polyHash(
+          concat_ws("|", col("src"), col("dst"))))
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum("ic"), lit(0L)).as("ic_sum"),
+          coalesce(expr("bit_xor(exr)"), lit(0L)).as("edge_xor"))
+        .select(lit(label).as("stat"), col("n_edges"), col("ic_sum"),
+          col("edge_xor"))
+    val levelRows = (0 until Hnsw.MaxLevel).flatMap { l =>
+      val aL = spark.read.parquet(s"$uRoot/a$l")
+      val buckets = aL.join(broadcast(lateIds),
+        aL("vec_id") === col("lid")).select("cid").distinct()
+      val affected = graft.ops.SideCache.persist(
+        aL.join(broadcast(buckets), Seq("cid"))
+          .select("vec_id").distinct())
+      val early = spark.read.parquet(s"$uRoot/early_e$l")
+      val carried = early.join(affected,
+        early("src") === affected("vec_id"), "left_anti")
+      // delta-proportional recompute: members of the buckets probed
+      // by affected sources only
+      val probed = aL.join(affected, Seq("vec_id"))
+        .select("cid").distinct()
+      val members = aL.join(broadcast(probed), Seq("cid"))
+        .join(base, Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      val srcSide = members.join(affected, Seq("vec_id"))
+        .select(col("cid"), col("vec_id").as("src"),
+          col("embedding").as("semb"), col("nrm").as("snrm"))
+      val cand = srcSide.join(members
+          .select(col("cid"), col("vec_id").as("dst"),
+            col("embedding").as("demb"), col("nrm").as("dnrm")),
+          Seq("cid"))
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates("src", "dst")
+      val rec = Hnsw.topMEdges(cand)
+      val merged = carried.select("src", "dst", "ic")
+        .unionAll(rec)
+      val canonical = spark.read.parquet(s"$gRoot/e$l")
+        .select("src", "dst", "ic")
+      Seq(edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")),
+        edgeAcct(s"l${l}_recomputed", rec),
+        edgeAcct(s"l${l}_merged", merged),
+        edgeAcct(s"l${l}_canonical", canonical))
+    }
+    // the global top layer carries or recomputes wholesale
+    val anyLateTop = base.filter(hnswLate && col("lvl") >= Hnsw.MaxLevel)
+      .limit(1).count() > 0
+    val earlyTop = spark.read.parquet(s"$uRoot/early_e${Hnsw.MaxLevel}")
+      .select("src", "dst", "ic")
+    val canonicalTop = spark.read
+      .parquet(s"$gRoot/e${Hnsw.MaxLevel}").select("src", "dst", "ic")
+    val (carriedTop, recTop) =
+      if (anyLateTop)
+        (earlyTop.limit(0), Hnsw.adjacencyFrom(base, base, Hnsw.MaxLevel))
+      else (earlyTop, earlyTop.limit(0))
+    val topRows = Seq(
+      edgeAcct(s"l${Hnsw.MaxLevel}_carried", carriedTop),
+      edgeAcct(s"l${Hnsw.MaxLevel}_recomputed", recTop),
+      edgeAcct(s"l${Hnsw.MaxLevel}_merged",
+        carriedTop.unionAll(recTop)),
+      edgeAcct(s"l${Hnsw.MaxLevel}_canonical", canonicalTop))
+    (levelRows ++ topRows).reduce(_ unionAll _).orderBy("stat")
+  }
+
+  private lazy val annHnswUpsertSql = {
+    import graft.sim.Hnsw
+    val xr = OracleSqlFrag.poly(
+      "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")
+    def triple(rel: String, pred: String = "") =
+      s"""COUNT(*) AS n_edges,
+         |    CAST(COALESCE(SUM(ic), 0) AS BIGINT) AS ic_sum,
+         |    CAST(COALESCE(bit_xor($xr), 0) AS BIGINT) AS edge_xor
+         |  FROM $rel$pred""".stripMargin
+    def lvlRows(l: Int) =
+      s"""SELECT 'l${l}_carried' AS stat, ${triple(s"e$l",
+        s" WHERE src NOT IN (SELECT vec_id FROM aff$l)")}
+         |  UNION ALL
+         |  SELECT 'l${l}_recomputed', ${triple(s"e$l",
+        s" WHERE src IN (SELECT vec_id FROM aff$l)")}
+         |  UNION ALL
+         |  SELECT 'l${l}_merged', ${triple(s"e$l")}
+         |  UNION ALL
+         |  SELECT 'l${l}_canonical', ${triple(s"e$l")}""".stripMargin
+    val top = Hnsw.MaxLevel
+    s"""WITH $hnswGraphCtes,
+       |late AS (SELECT vec_id FROM lv WHERE vec_id % 701 = 5),
+       |aff0 AS MATERIALIZED (
+       |  SELECT DISTINCT a0.vec_id FROM a0
+       |  WHERE a0.cid IN (SELECT a.cid FROM a0 a
+       |                   JOIN late USING (vec_id))),
+       |aff1 AS MATERIALIZED (
+       |  SELECT DISTINCT a1.vec_id FROM a1
+       |  WHERE a1.cid IN (SELECT a.cid FROM a1 a
+       |                   JOIN late USING (vec_id))),
+       |latetop AS (
+       |  SELECT COUNT(*) AS n FROM lv JOIN late USING (vec_id)
+       |  WHERE lvl >= $top),
+       |rows_ AS (
+       |  ${lvlRows(0)}
+       |  UNION ALL
+       |  ${lvlRows(1)}
+       |  UNION ALL
+       |  SELECT 'l${top}_carried', ${triple(s"e$top",
+      s" WHERE (SELECT n FROM latetop) = 0")}
+       |  UNION ALL
+       |  SELECT 'l${top}_recomputed', ${triple(s"e$top",
+      s" WHERE (SELECT n FROM latetop) > 0")}
+       |  UNION ALL
+       |  SELECT 'l${top}_merged', ${triple(s"e$top")}
+       |  UNION ALL
+       |  SELECT 'l${top}_canonical', ${triple(s"e$top")})
+       |SELECT stat, CAST(n_edges AS BIGINT) AS n_edges, ic_sum, edge_xor
+       |FROM rows_ ORDER BY stat""".stripMargin
   }
 
   // ---------------------------------------------------------------- MIPS
@@ -2191,6 +2409,7 @@ object SimilarityQueries {
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_ann_sq", annSq, Some(annSqSql)),
     Q("q_ann_hnsw", annHnsw, Some(annHnswSql)),
+    Q("q_ann_hnsw_upsert", annHnswUpsert, Some(annHnswUpsertSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_mrl_curve", mrlCurve, Some(mrlCurveSql)),

@@ -77,9 +77,46 @@ object Hnsw {
         Similarity.l2norm(col("embedding")).as("nrm"))
       .withColumn("lvl", levelCol(col("vec_id")))
 
-  /** Top-M out-edges (src, dst, ic) at `level`. */
-  def adjacency(base: DataFrame, level: Int): DataFrame = {
-    val nodes = base.filter(col("lvl") >= level)
+  /** The level's frozen coarse quantizer: stride-selected capped
+    * centroids from `centsSource` (the FULL corpus for the canonical
+    * build AND for subset builds — a frozen quantizer is what makes
+    * incremental maintenance converge to the canonical graph). */
+  def levelCents(centsSource: DataFrame, level: Int): DataFrame =
+    centsSource.filter(col("vec_id") % LevelMods(level) === 0)
+      .orderBy("vec_id").limit(Similarity.MaxCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnorm"))
+
+  /** NProbe bucket assignment (vec_id, embedding, nrm, cid) of the
+    * level's nodes against a frozen centroid set. */
+  def assign(nodes: DataFrame, cents: DataFrame): DataFrame = {
+    val wa = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    nodes.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.dot(col("embedding"), col("cvec"))
+        / (col("nrm") * col("cnorm")))
+      .withColumn("crn", row_number().over(wa))
+      .filter(col("crn") <= NProbe)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+  }
+
+  /** Top-M out-edges over an explicit candidate frame
+    * (src, semb, snrm, dst, demb, dnrm). */
+  def topMEdges(cands: DataFrame): DataFrame = {
+    val we = Window.partitionBy("src").orderBy(col("ic").desc, col("dst"))
+    cands
+      .withColumn("ic", icosCol(col("semb"), col("snrm"),
+        col("demb"), col("dnrm")))
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") <= M)
+      .select("src", "dst", "ic")
+  }
+
+  /** Top-M out-edges (src, dst, ic) of `nodes` at `level`, candidates
+    * from the frozen quantizer of `centsSource`. */
+  def adjacencyFrom(nodes0: DataFrame, centsSource: DataFrame,
+                    level: Int): DataFrame = {
+    val nodes = nodes0.filter(col("lvl") >= level)
     val cands: DataFrame =
       if (level >= MaxLevel) {
         // the top layer is globally navigable — O(1)-sized by the
@@ -93,22 +130,10 @@ object Hnsw {
       } else {
         // candidate generation via the coarse quantizer: each node
         // joins only its NProbe buckets — the LSH bucket-pair bound
-        val mod = LevelMods(level)
-        val cents = base.filter(col("vec_id") % mod === 0)
-          .orderBy("vec_id").limit(Similarity.MaxCentroids)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-            col("nrm").as("cnorm"))
-        val wa = Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid"))
-        val assign = nodes.crossJoin(broadcast(cents))
-          .withColumn("ccos", Similarity.dot(col("embedding"), col("cvec"))
-            / (col("nrm") * col("cnorm")))
-          .withColumn("crn", row_number().over(wa))
-          .filter(col("crn") <= NProbe)
-          .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-        assign.select(col("vec_id").as("src"), col("embedding").as("semb"),
+        val asg = assign(nodes, levelCents(centsSource, level))
+        asg.select(col("vec_id").as("src"), col("embedding").as("semb"),
             col("nrm").as("snrm"), col("cid"))
-          .join(assign.select(col("vec_id").as("dst"),
+          .join(asg.select(col("vec_id").as("dst"),
             col("embedding").as("demb"), col("nrm").as("dnrm"),
             col("cid")), Seq("cid"))
           .filter(col("src") =!= col("dst"))
@@ -123,6 +148,10 @@ object Hnsw {
       .filter(col("rn") <= M)
       .select("src", "dst", "ic")
   }
+
+  /** Canonical adjacency: nodes and quantizer from the same corpus. */
+  def adjacency(base: DataFrame, level: Int): DataFrame =
+    adjacencyFrom(base, base, level)
 
   /** Bumped when the stored-graph layout/derivation changes. */
   val GraphFixtureVersion = 2 // v2: DiskANN layout (vector stored with
