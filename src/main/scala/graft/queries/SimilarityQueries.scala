@@ -2013,6 +2013,222 @@ object SimilarityQueries {
        |FROM rows_ ORDER BY stat""".stripMargin
   }
 
+  /** `q_ann_hnsw_delete` — TOMBSTONE DELETE + COMPACTION on the graph
+    * index, the other half of the graph serving lifecycle (and the
+    * exact mirror of [[annHnswUpsert]], REUSING its stored fixture):
+    * deleting the same sparse batch from the CANONICAL graph must
+    * compact to the stored PRE-UPSERT graph bit-for-bit — the
+    * insertion-order-free construction makes delete-then-compact and
+    * never-inserted provably identical, and the fixture already
+    * stores both endpoints.
+    *
+    *   - masked rows (`l*_masked`): the tombstone-serve view —
+    *     canonical edges with either endpoint deleted are skipped at
+    *     read time (Delta's DV semantics on an index). Masked is a
+    *     strict SUBSET of the compaction target: a survivor whose
+    *     top-M contained a deleted neighbor serves M−k edges until
+    *     compaction REFILLS from the next-best candidates — the
+    *     refill delta (target − masked counts) is visible in the
+    *     hash, which is precisely why compaction exists;
+    *   - carried / recomputed / compacted: same affected-bucket
+    *     algebra as the upsert (affected = sources sharing a probe
+    *     bucket with a deleted node; rescore them over bucket members
+    *     MINUS the deleted; everything else carries), with the frozen
+    *     quantizer keeping its centroid VECTORS even when a centroid
+    *     row is deleted (index metadata, not table data);
+    *   - `l*_target`: the stored pre-upsert graph — the oracle
+    *     computes the subset-graph triples once and emits them for
+    *     carried+recomputed+compacted+target alike.
+    *
+    * Scale shape: per-run work is |deleted| + |affected buckets|
+    * bounded joins over stored segments; the corpus never shuffles. */
+  private def annHnswDelete(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Hnsw
+    val emb = Tables.embeddings(spark, dir)
+    val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
+    val uRoot = ensureHnswUpsert(spark, dir)
+    val delIds = graft.ops.SideCache.persist(
+      base.filter(hnswLate).select(col("vec_id").as("did")))
+    def edgeAcct(label: String, df: DataFrame): DataFrame =
+      df.withColumn("exr", graft.functions.F.polyHash(
+          concat_ws("|", col("src"), col("dst"))))
+        .agg(count(lit(1)).as("n_edges"),
+          coalesce(sum("ic"), lit(0L)).as("ic_sum"),
+          coalesce(expr("bit_xor(exr)"), lit(0L)).as("edge_xor"))
+        .select(lit(label).as("stat"), col("n_edges"), col("ic_sum"),
+          col("edge_xor"))
+    val levelRows = (0 until Hnsw.MaxLevel).flatMap { l =>
+      val aL = spark.read.parquet(s"$uRoot/a$l")
+      val buckets = aL.join(broadcast(delIds),
+        aL("vec_id") === col("did")).select("cid").distinct()
+      val affected = graft.ops.SideCache.persist(
+        aL.join(broadcast(buckets), Seq("cid"))
+          .select("vec_id").distinct())
+      val canonical = spark.read.parquet(s"$gRoot/e$l")
+        .select("src", "dst", "ic")
+      // tombstone serve: mask any edge touching a deleted node
+      val masked = canonical
+        .join(broadcast(delIds), canonical("src") === col("did"),
+          "left_anti")
+        .join(broadcast(delIds), canonical("dst") === col("did"),
+          "left_anti")
+      val carried = canonical.join(affected,
+        canonical("src") === affected("vec_id"), "left_anti")
+      // rescore affected survivors over bucket members minus deleted
+      val probed = aL.join(affected, Seq("vec_id"))
+        .select("cid").distinct()
+      val live = aL.join(broadcast(delIds),
+          aL("vec_id") === col("did"), "left_anti")
+      val members = live.join(broadcast(probed), Seq("cid"))
+        .join(base, Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("embedding"), col("nrm"))
+      val srcSide = members.join(affected, Seq("vec_id"))
+        .select(col("cid"), col("vec_id").as("src"),
+          col("embedding").as("semb"), col("nrm").as("snrm"))
+      val cand = srcSide.join(members
+          .select(col("cid"), col("vec_id").as("dst"),
+            col("embedding").as("demb"), col("nrm").as("dnrm")),
+          Seq("cid"))
+        .filter(col("src") =!= col("dst"))
+        .dropDuplicates("src", "dst")
+      val rec = Hnsw.topMEdges(cand)
+      val compacted = carried.select("src", "dst", "ic").unionAll(rec)
+      val target = spark.read.parquet(s"$uRoot/early_e$l")
+        .select("src", "dst", "ic")
+      Seq(edgeAcct(s"l${l}_masked", masked.select("src", "dst", "ic")),
+        edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")),
+        edgeAcct(s"l${l}_recomputed", rec),
+        edgeAcct(s"l${l}_compacted", compacted),
+        edgeAcct(s"l${l}_target", target))
+    }
+    val top = Hnsw.MaxLevel
+    val anyDelTop = base.filter(hnswLate && col("lvl") >= top)
+      .limit(1).count() > 0
+    val canonicalTop = spark.read.parquet(s"$gRoot/e$top")
+      .select("src", "dst", "ic")
+    val targetTop = spark.read.parquet(s"$uRoot/early_e$top")
+      .select("src", "dst", "ic")
+    val maskedTop = canonicalTop
+      .join(broadcast(delIds), canonicalTop("src") === col("did"),
+        "left_anti")
+      .join(broadcast(delIds), canonicalTop("dst") === col("did"),
+        "left_anti")
+    val (carriedTop, recTop) =
+      if (anyDelTop)
+        (canonicalTop.limit(0),
+          Hnsw.adjacencyFrom(base.filter(!hnswLate), base, top))
+      else (canonicalTop, canonicalTop.limit(0))
+    val topRows = Seq(
+      edgeAcct(s"l${top}_masked", maskedTop),
+      edgeAcct(s"l${top}_carried", carriedTop),
+      edgeAcct(s"l${top}_recomputed", recTop),
+      edgeAcct(s"l${top}_compacted", carriedTop.unionAll(recTop)),
+      edgeAcct(s"l${top}_target", targetTop))
+    (levelRows ++ topRows).reduce(_ unionAll _).orderBy("stat")
+  }
+
+  private lazy val annHnswDeleteSql = {
+    import graft.sim.Hnsw
+    val xr = OracleSqlFrag.poly(
+      "CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)")
+    def triple(rel: String, pred: String = "") =
+      s"""COUNT(*) AS n_edges,
+         |    CAST(COALESCE(SUM(ic), 0) AS BIGINT) AS ic_sum,
+         |    CAST(COALESCE(bit_xor($xr), 0) AS BIGINT) AS edge_xor
+         |  FROM $rel$pred""".stripMargin
+    // the subset graph (corpus minus the deleted batch) against the
+    // SAME frozen centroids the canonical CTEs define
+    def subsetAdjCtes(l: Int): String = {
+      val icSql = hnswIcSql("s.embedding", "s.nrm", "d.embedding", "d.nrm")
+      val cand =
+        if (l >= Hnsw.MaxLevel)
+          s"""dcand$l AS MATERIALIZED (
+             |  SELECT s.vec_id AS src, d.vec_id AS dst
+             |  FROM lvd s CROSS JOIN lvd d
+             |  WHERE s.lvl >= $l AND d.lvl >= $l AND s.vec_id <> d.vec_id)"""
+            .stripMargin
+        else
+          s"""da$l AS MATERIALIZED (
+             |  SELECT vec_id, cid FROM (
+             |    SELECT n.vec_id, c.cid,
+             |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+             |        ${dot("n.embedding", "c.cvec")} / (n.nrm * c.cnorm)
+             |        DESC, c.cid) AS crn
+             |    FROM lvd n CROSS JOIN cents$l c WHERE n.lvl >= $l)
+             |  WHERE crn <= ${Hnsw.NProbe}),
+             |dcand$l AS MATERIALIZED (
+             |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+             |  FROM da$l x JOIN da$l y USING (cid)
+             |  WHERE x.vec_id <> y.vec_id)""".stripMargin
+      s"""$cand,
+         |de$l AS MATERIALIZED (
+         |  SELECT src, dst, ic FROM (
+         |    SELECT src, dst, ic,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY ic DESC, dst)
+         |        AS rn
+         |    FROM (
+         |      SELECT c.src, c.dst, $icSql AS ic
+         |      FROM dcand$l c JOIN lvd s ON s.vec_id = c.src
+         |      JOIN lvd d ON d.vec_id = c.dst))
+         |  WHERE rn <= ${Hnsw.M})""".stripMargin
+    }
+    def lvlRows(l: Int) =
+      s"""SELECT 'l${l}_masked' AS stat, ${triple(s"e$l",
+        " WHERE src NOT IN (SELECT vec_id FROM del)" +
+          " AND dst NOT IN (SELECT vec_id FROM del)")}
+         |  UNION ALL
+         |  SELECT 'l${l}_carried', ${triple(s"de$l",
+        s" WHERE src NOT IN (SELECT vec_id FROM aff$l)")}
+         |  UNION ALL
+         |  SELECT 'l${l}_recomputed', ${triple(s"de$l",
+        s" WHERE src IN (SELECT vec_id FROM aff$l)")}
+         |  UNION ALL
+         |  SELECT 'l${l}_compacted', ${triple(s"de$l")}
+         |  UNION ALL
+         |  SELECT 'l${l}_target', ${triple(s"de$l")}""".stripMargin
+    val top = Hnsw.MaxLevel
+    s"""WITH $hnswGraphCtes,
+       |del AS (SELECT vec_id FROM lv WHERE vec_id % 701 = 5),
+       |lvd AS MATERIALIZED (
+       |  SELECT * FROM lv WHERE vec_id NOT IN (SELECT vec_id FROM del)),
+       |${subsetAdjCtes(0)},
+       |${subsetAdjCtes(1)},
+       |${subsetAdjCtes(2)},
+       |aff0 AS MATERIALIZED (
+       |  SELECT DISTINCT a0.vec_id FROM a0
+       |  WHERE a0.cid IN (SELECT a.cid FROM a0 a
+       |                   JOIN del USING (vec_id))),
+       |aff1 AS MATERIALIZED (
+       |  SELECT DISTINCT a1.vec_id FROM a1
+       |  WHERE a1.cid IN (SELECT a.cid FROM a1 a
+       |                   JOIN del USING (vec_id))),
+       |deltop AS (
+       |  SELECT COUNT(*) AS n FROM lv JOIN del USING (vec_id)
+       |  WHERE lvl >= $top),
+       |rows_ AS (
+       |  ${lvlRows(0)}
+       |  UNION ALL
+       |  ${lvlRows(1)}
+       |  UNION ALL
+       |  SELECT 'l${top}_masked', ${triple(s"e$top",
+      " WHERE src NOT IN (SELECT vec_id FROM del)" +
+        " AND dst NOT IN (SELECT vec_id FROM del)")}
+       |  UNION ALL
+       |  SELECT 'l${top}_carried', ${triple(s"e$top",
+      s" WHERE (SELECT n FROM deltop) = 0")}
+       |  UNION ALL
+       |  SELECT 'l${top}_recomputed', ${triple(s"de$top",
+      s" WHERE (SELECT n FROM deltop) > 0")}
+       |  UNION ALL
+       |  SELECT 'l${top}_compacted', ${triple(s"de$top")}
+       |  UNION ALL
+       |  SELECT 'l${top}_target', ${triple(s"de$top")})
+       |SELECT stat, CAST(n_edges AS BIGINT) AS n_edges, ic_sum, edge_xor
+       |FROM rows_ ORDER BY stat""".stripMargin
+  }
+
   // ---------------------------------------------------------------- MIPS
 
   /** Maximum-inner-product search (the recommender / last-layer
@@ -2410,6 +2626,7 @@ object SimilarityQueries {
     Q("q_ann_sq", annSq, Some(annSqSql)),
     Q("q_ann_hnsw", annHnsw, Some(annHnswSql)),
     Q("q_ann_hnsw_upsert", annHnswUpsert, Some(annHnswUpsertSql)),
+    Q("q_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     Q("q_ann_recall", annRecall, Some(annRecallSql)),
     Q("q_mrl_curve", mrlCurve, Some(mrlCurveSql)),
