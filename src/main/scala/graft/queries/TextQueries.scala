@@ -2735,6 +2735,149 @@ object TextQueries {
        |        ORDER BY score_q DESC, cand) AS rk FROM score)
        |WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- unigram LM
+
+  /** `q_unigram_lm` — the UNIGRAM-LM tokenizer ([[graft.text
+    * .Unigram]], Kudo 2018 / SentencePiece's default), the other
+    * industry tokenizer next to the BPE family and an algorithmically
+    * different one: BPE grows a vocab bottom-up by global pair
+    * argmaxes; unigram SHRINKS a seeded substring vocab by EM —
+    * Viterbi-segment every word under quantized log-probs, re-count,
+    * prune what won nothing (chars floored for coverage), re-segment.
+    * Output: the re-estimated vocab head (top pieces by count) plus
+    * the EM accounting (seed size, survivor count, token totals
+    * before/after the M-step, final fertility) — the whole hard-EM
+    * trajectory under the driver hash. The oracle unrolls BOTH
+    * Viterbi passes as per-position DP CTEs with ROW_NUMBER
+    * (score DESC, split DESC) argmaxes and 8-step backtraces (the
+    * `q_bpe_train` convention at DP depth = max word length).
+    *
+    * Scale shape: everything runs on the collapsed distinct-word
+    * dict (|vocab| ≤ 2¹⁶ guarded; the E-step is embarrassingly
+    * parallel in words — at web scale it distributes as a
+    * broadcast-vocab pass, unlike BPE's sequential global rounds). */
+  private def unigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val totalWords = dict.map(_._2).sum
+    val (nSeed, alive, tok1, tok2) = graft.text.Unigram.train(dict)
+    val top = alive.toSeq.sortBy { case (p, c) => (-c, p) }.take(16)
+      .zipWithIndex.map { case ((p, c), i) => (i + 1L, p, c) }
+    val zz = Seq(
+      (901L, "zz_seed", nSeed),
+      (902L, "zz_alive", alive.size.toLong),
+      (903L, "zz_tok_r1", tok1),
+      (904L, "zz_tok_r2", tok2),
+      (905L, "zz_fert_bp", tok2 * 10000L / totalWords))
+    (top ++ zz).toDF("rk", "piece", "n").orderBy("rk")
+  }
+
+  private lazy val unigramLmSql = {
+    import graft.text.Unigram.{LogScale, MaxPiece}
+    val MaxWord = 8 // DP depth = longest [a-z0-9]+ word in the corpus
+    // one Viterbi round: DP CTEs v{r}_1..v{r}_8 over vocab rel q$r,
+    // then an 8-step backtrace emitting the chosen pieces
+    def round(r: Int, qrel: String): String = {
+      val dp = (1 to MaxWord).map { j =>
+        val prevs = (math.max(0, j - MaxPiece) until j).map { i =>
+          if (i == 0)
+            s"SELECT word, wn, 0 AS j, CAST(0 AS BIGINT) AS sc FROM wcnt"
+          else s"SELECT word, wn, j, sc FROM v${r}_$i"
+        }.mkString("\n      UNION ALL ")
+        s"""v${r}_$j AS MATERIALIZED (
+           |  SELECT word, wn, j, sc, i, piece FROM (
+           |    SELECT p.word, p.wn, $j AS j, p.sc + q.sc AS sc, p.j AS i,
+           |      substring(p.word, p.j + 1, $j - p.j) AS piece,
+           |      ROW_NUMBER() OVER (PARTITION BY p.word
+           |        ORDER BY p.sc + q.sc DESC, p.j DESC) AS rn
+           |    FROM (
+           |      $prevs) p
+           |    JOIN $qrel q ON q.piece = substring(p.word, p.j + 1, $j - p.j)
+           |    WHERE length(p.word) >= $j)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val vall = (1 to MaxWord)
+        .map(j => s"SELECT word, j, i, piece FROM v${r}_$j")
+        .mkString("\n    UNION ALL ")
+      val bt = (1 to MaxWord).map { k =>
+        s"""b${r}_$k AS MATERIALIZED (
+           |  SELECT b.word, b.wn, v.i AS j, v.piece
+           |  FROM b${r}_${k - 1} b JOIN vall$r v
+           |    ON v.word = b.word AND v.j = b.j
+           |  WHERE b.j > 0)""".stripMargin
+      }.mkString(",\n")
+      val emit = (1 to MaxWord)
+        .map(k => s"SELECT word, wn, piece FROM b${r}_$k")
+        .mkString("\n    UNION ALL ")
+      s"""$dp,
+         |vall$r AS MATERIALIZED (
+         |    $vall),
+         |b${r}_0 AS (SELECT word, wn, length(word) AS j FROM wcnt),
+         |$bt,
+         |emit$r AS MATERIALIZED (
+         |    $emit)""".stripMargin
+    }
+    s"""WITH wrds AS MATERIALIZED (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |wcnt AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS wn FROM wrds
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |seed AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wn) AS BIGINT) AS c FROM (
+       |    SELECT substring(word, i, l) AS piece, wn
+       |    FROM wcnt,
+       |      (SELECT unnest(generate_series(1, 8)) AS i),
+       |      (SELECT unnest(generate_series(1, $MaxPiece)) AS l)
+       |    WHERE i + l - 1 <= length(word))
+       |  GROUP BY piece),
+       |t0 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM seed),
+       |q0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT t FROM t0))
+       |      * $LogScale + 0.000001) AS BIGINT) AS sc
+       |  FROM seed),
+       |${round(1, "q0")},
+       |counts1 AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wn) AS BIGINT) AS c
+       |  FROM emit1 GROUP BY piece),
+       |alive AS MATERIALIZED (
+       |  SELECT piece, c FROM counts1 WHERE length(piece) > 1
+       |  UNION ALL
+       |  SELECT s.piece, GREATEST(COALESCE(c1.c, 0), 1)
+       |  FROM (SELECT piece FROM seed WHERE length(piece) = 1) s
+       |  LEFT JOIN counts1 c1 USING (piece)),
+       |t1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM alive),
+       |q1 AS MATERIALIZED (
+       |  SELECT piece,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / (SELECT t FROM t1))
+       |      * $LogScale + 0.000001) AS BIGINT) AS sc
+       |  FROM alive),
+       |${round(2, "q1")},
+       |rows_ AS (
+       |  SELECT rk, piece, c AS n FROM (
+       |    SELECT piece, c,
+       |      ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rk
+       |    FROM alive) WHERE rk <= 16
+       |  UNION ALL
+       |  SELECT 901, 'zz_seed', COUNT(*) FROM seed
+       |  UNION ALL
+       |  SELECT 902, 'zz_alive', COUNT(*) FROM alive
+       |  UNION ALL
+       |  SELECT 903, 'zz_tok_r1', CAST(SUM(wn) AS BIGINT) FROM emit1
+       |  UNION ALL
+       |  SELECT 904, 'zz_tok_r2', CAST(SUM(wn) AS BIGINT) FROM emit2
+       |  UNION ALL
+       |  SELECT 905, 'zz_fert_bp',
+       |    ((SELECT CAST(SUM(wn) AS BIGINT) FROM emit2) * 10000)
+       |      // (SELECT CAST(SUM(wn) AS BIGINT) FROM wcnt))
+       |SELECT CAST(rk AS BIGINT) AS rk, piece, CAST(n AS BIGINT) AS n
+       |FROM rows_ ORDER BY rk""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q_text_normalize", textNormalize, Some(textNormalizeSql)),
     Q("q_html_strip", htmlStrip, Some(htmlStripSql)),
@@ -2742,6 +2885,7 @@ object TextQueries {
     Q("q_bpe_pairs", bpePairs, Some(bpePairsSql)),
     Q("q_bpe_encode", bpeEncode, Some(bpeEncodeSql)),
     Q("q_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    Q("q_unigram_lm", unigramLm, Some(unigramLmSql)),
     Q("q_bpe_pipeline", bpePipeline, Some(bpePipelineSql)),
     Q("q_tokenizer_fertility", tokenizerFertility, Some(tokenizerFertilitySql)),
     Q("q_fertility_sweep", fertilitySweep, Some(fertilitySweepSql)),
