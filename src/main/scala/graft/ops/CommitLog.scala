@@ -503,6 +503,14 @@ object CommitLog {
           rebases += 1
           if (rebases > maxRebase) throw new CommitConflict(
             s"gave up after $maxRebase rebases: ${e.getMessage}")
+          // exponential backoff: a loser spinning full-speed can burn
+          // every rebase before a merely-slow winner resolves its
+          // claim (the unresolved slot pins stableVersion below it,
+          // so each retry re-derives against the SAME stale base and
+          // re-conflicts — a liveness hole under CPU contention, seen
+          // as a suite flake). Waiting ~2^k ms gives the winner's
+          // metadata-only commit time to land before the next derive.
+          Thread.sleep(1L << math.min(rebases, 7))
       }
     }
     -1L // unreachable
