@@ -86,6 +86,29 @@ class RestoreSpec extends SparkSpec {
       "restore advanced the shared commit log")
   }
 
+  test("a torn restore (crash before the commit) is invisible to readers") {
+    rows // ensure the shared chain exists
+    val shared = VersionChain.ensure(spark, sf0001)
+    val torn = s"${System.getProperty("java.io.tmpdir")}/graft_restore_torn"
+    VersionChain.shallowClone(shared, torn)
+    import spark.implicits._
+    val log = VersionChain.manifest(spark, torn)
+    val target = log.find(_.version == 1L).get
+    // the crash window: CDF staged + manifest rewritten, NO commit
+    spark.read.parquet(VersionChain.resolvePath(torn, "cdf/v2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$torn/cdf/v4")
+    (log :+ VersionChain.Commit(4L, "restore", target.path,
+      target.n_rows, "delta", "cdf/v4")).toDS.coalesce(1)
+      .write.mode("overwrite").parquet(s"$torn/manifest")
+    // readers gate manifest rows on commit-resolved slots: the torn
+    // v4 row must be invisible and the head must still be v3
+    val seen = VersionChain.manifest(spark, torn)
+    assert(seen.map(_.version).max == 3L,
+      "a torn restore's manifest row leaked to readers")
+    val (c, _) = VersionChain.asOf(spark, torn, seen, 99L)
+    assert(c.version == 3L && c.op == "update")
+  }
+
   test("re-run is idempotent (fresh clone + re-restore, same rows)") {
     val first = rows.map(_.toSeq)
     val again = SparkEntry.queries("q_restore")(spark, sf0001)
