@@ -1013,8 +1013,18 @@ object MaintenancePipelineQuery {
         .select(lit(label).as("version"), lit(s"cdf_$change").as("op"),
           lit(0L).as("n_files"), col("n_rows"), col("xor_hash"),
           col("content_sum"))
+    // TIMESTAMP-keyed restore target (Delta's RESTORE TO TIMESTAMP):
+    // the wall-clock instant between the compact and retain commits
+    // must resolve the SAME restore target the version key named —
+    // chain version v lives at log slot v+1, so slot 2's stamp + 30min
+    // floors to slot 2 = chain v1 (the between-commits rule)
+    val logRoot = VersionChain.commitLogRootOf(root)
+    val tsV = graft.ops.CommitLog.asOfTimestamp(logRoot,
+      graft.ops.CommitLog.commitTimestamp(2L) + 1800L).getOrElse(
+      throw new IllegalStateException("no commit at the restore instant"))
     triple(3L, 3L) // history intact: read AFTER the restore commit
       .unionAll(triple(4L, 4L)) // new head == v1 content, v1 files
+      .unionAll(triple(60L, tsV - 1)) // ts-keyed target == v1 content
       .unionAll(cdfRow(70L, "insert"))
       .unionAll(cdfRow(71L, "update_post"))
       .unionAll(cdfRow(72L, "update_pre"))
@@ -1032,6 +1042,11 @@ object MaintenancePipelineQuery {
        |  FROM binned3
        |  UNION ALL
        |  SELECT 4, 'restore', CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
+       |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM binned
+       |  UNION ALL
+       |  SELECT 60, 'compact', CAST(COUNT(DISTINCT bin) AS BIGINT), COUNT(*),
        |    CAST(COALESCE(bit_xor(h), 0) AS BIGINT),
        |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
        |  FROM binned
