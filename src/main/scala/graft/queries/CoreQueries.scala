@@ -460,18 +460,30 @@ object CoreQueries {
     * Scale shape: enforcement is flag columns inside the write's own
     * scan (codegen'd comparisons, no UDF, no shuffle added); the
     * report is one map-side aggregate to |expectations| rows. */
-  private def constraints(spark: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Expectations
+  /** The lineitem expectation set + key hash — shared with the
+    * streaming twin (StreamingSpec), whose micro-batch violation
+    * reports must MERGE to this query's stored report bit-for-bit
+    * (counts add, xors fold — the report is a mergeable aggregate,
+    * which is what lets write-path enforcement run incrementally). */
+  val constraintExpectations: Seq[graft.ops.Expectations.Expectation] = {
     import graft.ops.Expectations.Expectation
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_expect"
-    val li = Tables.lineitem(spark, dir)
-    val exps = Seq(
+    Seq(
       Expectation("chk_price", col("l_extendedprice") > 0, "fail"),
       Expectation("chk_qty", col("l_quantity") <= 45, "drop"),
       Expectation("chk_disc", col("l_discount") <= 0.08, "drop"),
       Expectation("warn_tax", col("l_tax") <= 0.05, "warn"))
-    val keyHash = graft.functions.F.polyHash(
-      concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+  }
+
+  def constraintKeyHash: org.apache.spark.sql.Column =
+    graft.functions.F.polyHash(
+    concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+
+  private def constraints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Expectations
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_expect"
+    val li = Tables.lineitem(spark, dir)
+    val exps = constraintExpectations
+    val keyHash = constraintKeyHash
     val collected = Expectations.report(li, exps, keyHash)
       .collect() // |expectations| rows — bounded
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),

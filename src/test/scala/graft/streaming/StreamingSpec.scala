@@ -1048,4 +1048,67 @@ class StreamingSpec extends SparkSpec {
       .map { case (k, st) => (k, st.event_id, st.vc) }.toSet
     assert(replayed === live)
   }
+
+  test("streaming expectations: micro-batch violation reports merge to the batch report") {
+    // q_constraints' write-path enforcement run LIVE: lineitem rows
+    // arrive in shuffled micro-batches; each batch's per-expectation
+    // report (count + violating-key xor) and admitted accounting
+    // merge into accumulated state (counts ADD, xors FOLD — the
+    // report is a mergeable aggregate, the property that lets
+    // enforcement run incrementally at all); the accumulated state
+    // must be bit-equal to the one-shot batch query's stored report.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.ops.Expectations
+    val expected = graft.SparkEntry.queries("q_constraints")(s, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val exps = graft.queries.CoreQueries.constraintExpectations
+    val rows = graft.tables.Tables.lineitem(s, sf0001)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().toSeq
+    val shuffled = new scala.util.Random(23).shuffle(rows)
+    // accumulated state: per-expectation (n, xor) + admitted (n, xor)
+    val acc = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long)]
+    def fold(k: String, n: Long, x: Long): Unit = {
+      val (pn, px) = acc.getOrElse(k, (0L, 0L))
+      acc(k) = (pn + n, px ^ x)
+    }
+    val in = MemoryStream[(Long, Long, Double, Double, Double, Double)]
+    val q = in.toDF().toDF("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Expectations.report(batch, exps,
+            graft.queries.CoreQueries.constraintKeyHash)
+          .collect().foreach(r =>
+            fold(r.getString(0), r.getLong(2), r.getLong(3)))
+        val adm = Expectations.admitted(batch, exps)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("qty"),
+            graft.ops.Num.cents(col("l_discount")).as("disc_c"),
+            graft.ops.Num.cents(col("l_tax")).as("tax_c"))
+          .withColumn("h", graft.functions.F.polyHash(concat_ws("|",
+            col("l_orderkey"), col("l_linenumber"), col("qty"),
+            col("disc_c"), col("tax_c"))))
+          .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
+          .head()
+        fold("zz_admitted", adm.getLong(0), adm.getLong(1))
+        ()
+      }
+      .start()
+    try {
+      shuffled.grouped(math.max(shuffled.length / 5, 1)).foreach { c =>
+        in.addData(c); q.processAllAvailable()
+      }
+      assert(acc.toMap === expected,
+        "micro-batch reports did not merge to the batch report")
+      // non-degenerate: drops fired, warn fired, fail stayed clean
+      assert(acc("chk_qty")._1 > 0 && acc("warn_tax")._1 > 0)
+      assert(acc("chk_price") === ((0L, 0L)))
+    } finally { q.stop() }
+  }
 }
