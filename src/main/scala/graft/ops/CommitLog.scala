@@ -352,6 +352,38 @@ object CommitLog {
     slots(root).filter(s => isCommitted(s._2))
       .flatMap(s => readEntry(s._2))
 
+  /** The conflict predicate between our entry `e` (claiming slot
+    * `next`) and a rival entry `other` at slot `v`, given the rival's
+    * live resolution state. Package-visible so the spec can pin
+    * interleavings (a rival COMMITTING at a higher slot during our
+    * validation window) that are timing-dependent through `tryCommit`
+    * itself.
+    *
+    *   - WRITE-WRITE overlap always conflicts.
+    *   - READ-WRITE overlap conflicts only under [[Serializable]] and
+    *     only for rivals BELOW our slot: a rival at `v > next` is
+    *     serial-order AFTER us — its write into our read set is
+    *     exactly the admissible history "we read, then it wrote" —
+    *     whether it is still in flight or already committed (the
+    *     asymmetry the isolation contract documents, applied
+    *     uniformly; a committed higher rival used to abort us
+    *     spuriously).
+    *   - Deterministic winner rule (earlier slot wins): a COMMITTED
+    *     rival in the window always conflicts; an in-flight rival
+    *     conflicts only from a LOWER slot — the higher in-flight rival
+    *     will see OUR lower unresolved claim and abort itself, so two
+    *     simultaneous overlapping writers yield exactly one winner
+    *     instead of both aborting. */
+  private[ops] def rivalConflicts(e: Entry, next: Long, v: Long,
+      other: Entry, committed: Boolean, aborted: Boolean): Boolean = {
+    val writeOverlap =
+      other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty
+    val readOverlap = e.isolation == Serializable && v < next &&
+      other.partitions.toSet.intersect(e.readSet.toSet).nonEmpty
+    (writeOverlap || readOverlap) &&
+      (committed || (!aborted && v < next))
+  }
+
   /** Attempt to commit `e` (data already staged at `e.dataPath`).
     * Returns the committed version, or throws [[CommitConflict]] when
     * a commit after `e.baseVersion` touches an overlapping partition
@@ -379,6 +411,25 @@ object CommitLog {
       val claim = slotDir(root, next)
       if (claim.mkdir()) { // ATOMIC slot claim: exactly one winner
         writeEntry(claim, next, e)
+        val all = slots(root)
+        // ENFORCE the Entry.baseVersion stability contract instead of
+        // merely documenting it: an unresolved slot ≤ base RIGHT NOW
+        // proves the base was never stable when read (resolutions are
+        // immutable — a slot resolved at snapshot time can never be
+        // unresolved later). A caller that passed latestCommitted over
+        // a stalled lower claim (the r15 lost-update shape) is refused
+        // here rather than trusted; new claims always land above the
+        // base (max+1 > base), so only pre-existing stalls trigger.
+        all.collectFirst {
+          case (v, d) if v != next && v <= e.baseVersion &&
+            resolution(d).isEmpty => v
+        }.foreach { v =>
+          resolve(claim, "abort", s"non-stable base over unresolved v$v")
+          throw new CommitConflict(
+            s"${e.writer}: base v${e.baseVersion} is not a stable " +
+              s"snapshot — slot v$v at or below it is unresolved; " +
+              "rebase from stableVersion")
+        }
         // validate against every slot after the snapshot (committed,
         // in-flight, or aborted-skip) except our own
         // rivals: every slot after the snapshot (its commit is not in
@@ -386,7 +437,7 @@ object CommitLog {
         // that claimed before our base committed may be stalled
         // mid-commit and still land; skipping it would let both of us
         // commit overlapping partitions (a lost update)
-        val rivals = slots(root)
+        val rivals = all
           .filter { case (v, d) =>
             v != next && (v > e.baseVersion || !isCommitted(d)) }
           .filterNot { case (_, d) => isAborted(d) }
@@ -425,28 +476,8 @@ object CommitLog {
                   "entry — cannot validate, aborting own claim")
             }
           }
-          // the conflict surface: write-write always; under
-          // Serializable isolation a rival WRITE into this entry's
-          // READ set also conflicts (the report-from-stale-read
-          // anomaly WriteSerializable admits). Only OWN sets widen —
-          // the rival's read set is the rival's concern (asymmetric
-          // by design; see the isolation-level contract above).
-          val guarded = e.partitions.toSet ++
-            (if (e.isolation == Serializable) e.readSet.toSet
-             else Set.empty[String])
           got.filter { case (_, other) =>
-            other.partitions.toSet.intersect(guarded).nonEmpty &&
-              // deterministic winner rule (earlier slot wins): a
-              // COMMITTED rival always conflicts — a committed slot
-              // only enters the rivals list if it landed after our
-              // snapshot (v > base) or was still unresolved when we
-              // listed (so it committed after our snapshot read);
-              // an in-flight rival conflicts only from a LOWER slot —
-              // the higher in-flight rival will see OUR lower
-              // unresolved claim and abort itself, so two
-              // simultaneous overlapping writers yield exactly one
-              // winner instead of both aborting
-              (isCommitted(d) || (!isAborted(d) && v < next))
+            rivalConflicts(e, next, v, other, isCommitted(d), isAborted(d))
           }.map { case (_, other) => (v, other.writer) }
         }.headOption
         conflict match {

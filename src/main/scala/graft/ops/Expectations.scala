@@ -40,19 +40,28 @@ object Expectations {
 
   /** One aggregate over `df` producing (per expectation) the
     * violation count and an order-free xor of `keyHash` over the
-    * violating rows — the quarantine certificate. */
+    * violating rows — the quarantine certificate. STRUCTURALLY one
+    * scan: the single wide aggregate row is collected and the
+    * |expectations|-row report built driver-side, so the one-scan
+    * property never depends on exchange reuse collapsing
+    * |expectations| identical aggregate subtrees. Counts are
+    * coalesced to 0 so an EMPTY input (a streaming micro-batch with
+    * no rows, or an all-dropped trigger) reports zeros instead of
+    * NULLs that NPE downstream getLong/enforceFail readers. */
   def report(df: DataFrame, exps: Seq[Expectation],
              keyHash: Column): DataFrame = {
     val aggs = exps.flatMap { e =>
-      Seq(sum(violates(e).cast("long")).as(s"n_${e.name}"),
+      Seq(coalesce(sum(violates(e).cast("long")), lit(0L))
+          .as(s"n_${e.name}"),
         coalesce(bit_xor(when(violates(e), keyHash)), lit(0L))
           .as(s"x_${e.name}"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    exps.map { e =>
-      wide.select(lit(e.name).as("constraint"), lit(e.mode).as("mode"),
-        col(s"n_${e.name}").as("n"), col(s"x_${e.name}").as("key_xor"))
-    }.reduce(_ unionAll _)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val spark = df.sparkSession
+    import spark.implicits._
+    exps.zipWithIndex.map { case (e, i) =>
+      (e.name, e.mode, row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toDF("constraint", "mode", "n", "key_xor")
   }
 
   /** Enforce `fail`-mode expectations from a COLLECTED report (the

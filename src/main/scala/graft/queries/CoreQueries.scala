@@ -478,9 +478,19 @@ object CoreQueries {
     graft.functions.F.polyHash(
     concat_ws("|", col("l_orderkey"), col("l_linenumber")))
 
-  private def constraints(spark: SparkSession, dir: String): DataFrame = {
+  /** q_constraints' stored-artifact root — KEYED by dataset dir like
+    * every sibling fixture (graft_wap_$key, graft_colmap_$key…), so
+    * concurrent runs against different datasets never clobber each
+    * other's report/admitted tables. */
+  def expectRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_expect_$key"
+  }
+
+  private def constraints(spark: SparkSession, dir: String): DataFrame =
+    synchronized {
     import graft.ops.Expectations
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_expect"
+    val path = expectRoot(dir)
     val li = Tables.lineitem(spark, dir)
     val exps = constraintExpectations
     val keyHash = constraintKeyHash

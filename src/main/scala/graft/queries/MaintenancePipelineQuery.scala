@@ -542,8 +542,11 @@ object MaintenancePipelineQuery {
     *     its audit (no negative vc, no null keys, row count preserved
     *     — violations all zero) and publishes as main v2, which the
     *     main-head row then serves;
-    *   - the BAD branch (same update but vc FORCED to −1 on keys ≡ 0
-    *     mod 5 — a corrupting writer) FAILS its audit
+    *   - the BAD branch (same update but vc FORCED to −2 on keys ≡ 0
+    *     mod 5 — a corrupting writer; −2 is DISTINCT from the −1
+    *     NULL-value sentinel `clogEvents` writes, so the audit's
+    *     `vc >= -1` floor catches exactly the corruption and never a
+    *     legitimate NULL-value row) FAILS its audit
     *     (`chk_nonneg` fail-mode) and its publish is REFUSED —
     *     re-proven EVERY run: main's log never gains its entry, and
     *     the main-head row's hash proves the corruption never became
@@ -561,7 +564,8 @@ object MaintenancePipelineQuery {
     * staging is one pruned exchange per branch (content-keyed, paid
     * once); the audit is one map-side aggregate over the staged
     * delta; publish is one metadata commit. */
-  val WapFixtureVersion = 1
+  val WapFixtureVersion = 2 // v2: corruption sentinel −2, distinct
+                            // from clogEvents' −1 NULL-value sentinel
 
   def wapRoot(dir: String): String = {
     val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -574,11 +578,13 @@ object MaintenancePipelineQuery {
       .withColumn("vc", col("vc") +
         when(col("event_id") % 4 === 0, lit(50L)).otherwise(lit(0L)))
 
-  /** The corrupting writer: same update, then vc forced to −1 on
-    * keys ≡ 0 mod 5 (what the audit must catch). */
+  /** The corrupting writer: same update, then vc forced to −2 on
+    * keys ≡ 0 mod 5 (what the audit must catch — −2, never the −1
+    * NULL-value sentinel, so the corruption stays distinguishable
+    * from a legitimate NULL `events.value` row). */
   private def wapCorrupt(e: DataFrame): DataFrame =
     wapUpdate(e).withColumn("vc",
-      when(col("event_id") % 5 === 0, lit(-1L)).otherwise(col("vc")))
+      when(col("event_id") % 5 === 0, lit(-2L)).otherwise(col("vc")))
 
   private def wapAudit(spark: SparkSession, path: String,
                        expectedRows: Long): Seq[(String, String, Long)] = {
@@ -586,7 +592,11 @@ object MaintenancePipelineQuery {
     import graft.ops.Expectations.Expectation
     val staged = spark.read.parquet(path)
     val exps = Seq(
-      Expectation("chk_nonneg", col("vc") >= 0, "fail"),
+      // floor at −1, NOT 0: clogEvents writes vc = −1 as the
+      // NULL-value sentinel (coalesce(cents(value), −1)), which is a
+      // legitimate row the audit must admit; the corrupting writer's
+      // forced −2 stays below the floor and is what this catches
+      Expectation("chk_nonneg", col("vc") >= -1, "fail"),
       Expectation("chk_key", col("event_id").isNotNull, "fail"))
     val rep = Expectations.report(staged, exps,
       graft.functions.F.polyHash(col("event_id").cast("string")))

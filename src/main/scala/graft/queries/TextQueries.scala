@@ -2777,8 +2777,10 @@ object TextQueries {
   }
 
   private lazy val unigramLmSql = {
-    import graft.text.Unigram.{LogScale, MaxPiece}
-    val MaxWord = 8 // DP depth = longest [a-z0-9]+ word in the corpus
+    import graft.text.Unigram.{LogScale, MaxPiece, MaxWord}
+    // DP depth = longest [a-z0-9]+ word the fixture admits — the
+    // SHARED constant Unigram.train enforces, so a violating corpus
+    // fails loudly on the Scala side instead of hash-mismatching here
     // one Viterbi round: DP CTEs v{r}_1..v{r}_8 over vocab rel q$r,
     // then an 8-step backtrace emitting the chosen pieces
     def round(r: Int, qrel: String): String = {

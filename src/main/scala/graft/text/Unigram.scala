@@ -33,6 +33,13 @@ object Unigram {
   val MaxPiece = 4
   val LogScale = 1000000L
   val MaxDict = 65536
+  /** The oracle's DP depth (and seed start positions) are unrolled to
+    * this word length; [[train]] refuses longer words LOUDLY so a
+    * corpus violating the fixture assumption fails as a clear error
+    * on the Scala side instead of an inexplicable hash mismatch
+    * (the engine would segment the word, the oracle would silently
+    * drop it). */
+  val MaxWord = 8
 
   /** Integer-quantized log-probability (the floorEps convention). */
   def qlog(c: Long, t: Long): Long =
@@ -80,6 +87,11 @@ object Unigram {
     require(dict.size <= MaxDict,
       s"distinct-word dict ${dict.size} exceeds $MaxDict — distribute " +
         "the E-step before raising this")
+    dict.find(_._1.length > MaxWord).foreach { case (w, _) =>
+      throw new IllegalArgumentException(
+        s"word '$w' exceeds MaxWord=$MaxWord — the oracle's DP unroll " +
+          "cannot replay it; raise MaxWord in BOTH engines together")
+    }
     val seeds = scala.collection.mutable.Map.empty[String, Long]
     for ((w, wn) <- dict; p <- seedsOf(w))
       seeds(p) = seeds.getOrElse(p, 0L) + wn

@@ -527,6 +527,38 @@ class CommitLogSpec extends AnyFunSuite {
     assert(CommitLog.resolvePartitions(root)("p1") === (5L, "data/w3"))
   }
 
+  test("a hostile base over an unresolved lower claim is REFUSED — the stability contract is enforced, not trusted") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/ingest",
+      Seq("p1", "p2"), 0L))
+    // W1 claims slot 2 (touches p1) and stalls unresolved
+    val w1 = new java.io.File(s"$root/commitlog/v2")
+    assert(w1.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(w1, "entry.tsv").toPath,
+      "2\tw1\top\tdata/w1\t1\tp1\n")
+    // a disjoint writer lands at v3 → latestCommitted = 3, but slot 2
+    // is unresolved, so 3 was NEVER a stable snapshot
+    CommitLog.tryCommit(root, Entry("w2", "op", "data/w2", Seq("p2"), 1L))
+    assert(CommitLog.latestCommitted(root) === 3L)
+    assert(CommitLog.stableVersion(root) === 1L)
+    // a caller passing latestCommitted as base — DISJOINT partitions,
+    // so the rival filter alone would admit it (the exact API-misuse
+    // reopening of the r15 lost-update window) — is refused outright
+    val ex = intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("hostile", "op", "data/h",
+        Seq("p9"), 3L))
+    }
+    assert(ex.getMessage.contains("not a stable"))
+    assert(CommitLog.committedVersions(root) === Seq(1L, 3L),
+      "the refused claim must not have committed")
+    // once the stall resolves, the same base IS provably stable now —
+    // resolutions are immutable — and the retry lands
+    assert(CommitLog.abortOrphan(root, 2L))
+    assert(CommitLog.tryCommit(root, Entry("hostile", "op", "data/h",
+      Seq("p9"), 3L)) === 5L)
+  }
+
   test("checkpoint is idempotent and never truncates a live checkpoint in place") {
     val root = freshRoot()
     CommitLog.tryCommit(root,

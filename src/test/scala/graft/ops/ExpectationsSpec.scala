@@ -34,6 +34,18 @@ class ExpectationsSpec extends SparkSpec {
     assert(rep("nn")._1 == 0 && rep("nn")._2 == 0L)
   }
 
+  test("an EMPTY input reports zeros, never NULLs (the empty micro-batch path)") {
+    val rep = Expectations.report(frame.filter(col("id") < 0),
+        Seq(lo, hi, nn), col("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rep == Map("lo" -> ((0L, 0L)), "hi" -> ((0L, 0L)),
+      "nn" -> ((0L, 0L))))
+    // ...and enforceFail over the zero report passes silently
+    Expectations.enforceFail(
+      Seq(("lo", "drop", 0L), ("hi", "drop", 0L), ("nn", "warn", 0L)))
+  }
+
   test("admitted drops drop-mode violators once, keeps warn violators") {
     val adm = Expectations.admitted(frame, Seq(lo, hi, nn))
       .select("id").as[Long].collect().sorted.toSeq
@@ -61,7 +73,7 @@ class ExpectationsSpec extends SparkSpec {
     // the satisfied fail-mode constraint really has zero violations
     assert(rows("chk_price") == (("fail", 0L, 0L)))
     // warn violates plenty yet the admitted count excludes ONLY drops
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_expect"
+    val path = graft.queries.CoreQueries.expectRoot(sf0001)
     val adm = spark.read.parquet(s"$path/admitted")
     assert(adm.count() == rows("zz_admitted")._2)
     assert(adm.filter(col("tax_c") > 5).count() > 0,

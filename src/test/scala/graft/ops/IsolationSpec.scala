@@ -71,6 +71,32 @@ class IsolationSpec extends AnyFunSuite {
     }
   }
 
+  test("a COMMITTED higher rival writing MY reads never conflicts — no spurious abort under contention") {
+    // the interleaving is timing-dependent through tryCommit (the
+    // rival must COMMIT during our validation window), so pin the
+    // conflict predicate directly
+    val mine = Entry("sr", "report", "data/sr", Seq("r1"), 2L,
+      readSet = Seq("p1"), isolation = CommitLog.Serializable)
+    val rival = Entry("mut", "update", "data/mut", Seq("p1"), 2L)
+    // higher slot: serial order puts me (slot 3) before the rival
+    // (slot 4) — my p1 read is consistent whether the rival is still
+    // in flight or already committed
+    assert(!CommitLog.rivalConflicts(mine, 3L, 4L, rival,
+      committed = false, aborted = false))
+    assert(!CommitLog.rivalConflicts(mine, 3L, 4L, rival,
+      committed = true, aborted = false))
+    // the SAME rival below my slot conflicts (committed or in flight:
+    // it precedes me in serial order and wrote my read)
+    assert(CommitLog.rivalConflicts(mine, 5L, 4L, rival,
+      committed = true, aborted = false))
+    assert(CommitLog.rivalConflicts(mine, 5L, 4L, rival,
+      committed = false, aborted = false))
+    // write-write with a committed higher rival stays conservative
+    val ww = Entry("w", "update", "data/w", Seq("p1"), 2L)
+    assert(CommitLog.rivalConflicts(ww, 3L, 4L, rival,
+      committed = true, aborted = false))
+  }
+
   test("read set and isolation survive the entry roundtrip; defaults hold") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("w", "op", "data/w", Seq("p1"), 0L,
