@@ -224,7 +224,9 @@ object CommitLog {
   /** Newest VALID checkpoint with version in [`atLeast`, `atMost`]:
     * (version, per-partition owners). A torn file (missing its `#end`
     * trailer — crash mid-write) is skipped, falling back to the next
-    * older checkpoint or the raw log. */
+    * older checkpoint or the raw log. `#txn` watermark lines (stream-
+    * transaction identities, see [[txnWatermarks]]) live inside the
+    * `#end` guard and are skipped by the owners parse. */
   private def readCheckpoint(root: String,
       atMost: Long = Long.MaxValue, atLeast: Long = 0L)
       : Option[(Long, Map[String, (Long, String)])] =
@@ -236,6 +238,7 @@ object CommitLog {
           .split("\n", -1).toSeq
         require(lines.head.toLong == v && lines.contains("#end"))
         val owners = lines.tail.takeWhile(_ != "#end").filter(_.nonEmpty)
+          .filterNot(_.startsWith("#txn\t"))
           .map { l =>
             val p = l.split("\t", -1)
             p(0) -> (p(1).toLong, p(2))
@@ -243,6 +246,42 @@ object CommitLog {
         (v, owners)
       }.toOption
     }.headOption
+
+  /** The op-field encoding of a stream transaction: `stream:<batchId>`
+    * with `writer = streamId` — [[StreamCommit]]'s identity scheme
+    * (Delta's txnAppId/txnVersion distilled into the entry itself). */
+  private[ops] val StreamOpPrefix = "stream:"
+
+  private def streamBatchOf(e: Entry): Option[(String, Long)] =
+    if (e.op.startsWith(StreamOpPrefix))
+      scala.util.Try(e.op.drop(StreamOpPrefix.length).toLong).toOption
+        .map(e.writer -> _)
+    else None
+
+  /** `#txn` watermark lines of the newest VALID checkpoint: streamId →
+    * highest batch id folded at or below that checkpoint. */
+  private def checkpointTxns(root: String): Map[String, Long] =
+    checkpoints(root).reverse.view.flatMap { case (v, f) =>
+      scala.util.Try {
+        val lines = java.nio.file.Files.readString(f.toPath)
+          .split("\n", -1).toSeq
+        require(lines.head.toLong == v && lines.contains("#end"))
+        lines.tail.takeWhile(_ != "#end").filter(_.startsWith("#txn\t"))
+          .map { l => val p = l.split("\t", -1); p(1) -> p(2).toLong }
+          .toMap
+      }.toOption
+    }.headOption.getOrElse(Map.empty)
+
+  /** Stream-transaction high-water marks: streamId → highest COMMITTED
+    * batch id, surviving history expiry — live `stream:` entries are
+    * merged with the newest checkpoint's `#txn` fold, so a re-
+    * delivered batch is detectable even after its slot was physically
+    * expired (the reason Delta retains txn actions in checkpoints). */
+  def txnWatermarks(root: String): Map[String, Long] = {
+    val live = readLog(root).flatMap { case (_, e) => streamBatchOf(e) }
+    (checkpointTxns(root).toSeq ++ live)
+      .groupMapReduce(_._1)(_._2)(math.max)
+  }
 
   /** CHECKPOINT the log (Delta's checkpoint.parquet, distilled):
     * materialize the per-partition resolution at the current latest
@@ -270,10 +309,18 @@ object CommitLog {
     // must not leak into a checkpoint labeled with the older version
     // (resolveAsOf(v) would otherwise time-travel forward)
     val owners = resolveAsOf(root, v)
+    // fold stream-transaction watermarks INTO the checkpoint (inside
+    // the #end guard): expiry deletes the slots that carried the
+    // stream: entries, and idempotence state must outlive them
+    val txns = (checkpointTxns(root).toSeq ++
+      readLog(root).filter(_._1 <= v)
+        .flatMap { case (_, e) => streamBatchOf(e) })
+      .groupMapReduce(_._1)(_._2)(math.max)
     val body = (s"$v" +:
-      owners.toSeq.sortBy(_._1).map { case (p, (ov, dp)) =>
+      (owners.toSeq.sortBy(_._1).map { case (p, (ov, dp)) =>
         s"$p\t$ov\t$dp"
-      } :+ "#end").mkString("", "\n", "\n")
+      } ++ txns.toSeq.sorted.map { case (w, b) => s"#txn\t$w\t$b" })
+      :+ "#end").mkString("", "\n", "\n")
     val tmp = new java.io.File(logDir(root), s"ckpt_v$v.tsv.tmp")
     java.nio.file.Files.writeString(tmp.toPath, body)
     java.nio.file.Files.move(tmp.toPath,

@@ -1,0 +1,95 @@
+package graft.ops
+
+/** EXACTLY-ONCE micro-batch writes THROUGH [[CommitLog]] — the seam
+  * between the streaming and lakehouse tiers. Structured Streaming's
+  * `foreachBatch` contract is AT-LEAST-ONCE: after a crash between
+  * the sink's write and the engine's checkpoint advance, the same
+  * (streamId, batchId) is RE-DELIVERED on restart. A sink that blindly
+  * re-applies it double-counts; a transactional sink records the
+  * batch identity in the same atomic commit as the data and skips the
+  * duplicate — Delta's `txnAppId`/`txnVersion` dedup, distilled onto
+  * the commit-log entry itself:
+  *
+  *   - IDENTITY: the committed entry carries `writer = streamId`,
+  *     `op = stream:<batchId>` — one atomic artifact holds both the
+  *     data flip and the transaction identity, so there is no window
+  *     where data landed but the identity didn't (the flaw of a
+  *     side-table dedup).
+  *   - SKIP RULE: a delivery with `batchId ≤` the stream's committed
+  *     high-water mark is dropped BEFORE staging (Structured
+  *     Streaming batch ids are strictly monotone per checkpoint
+  *     lineage, so ≤ means already-applied, never out-of-order new
+  *     work).
+  *   - DURABILITY ACROSS EXPIRY: [[CommitLog.checkpoint]] folds the
+  *     per-stream watermarks into `#txn` checkpoint lines, so the
+  *     skip rule survives [[CommitLog.expireBelow]] physically
+  *     deleting the slots that carried the `stream:` entries.
+  *   - RACES: a zombie duplicate delivery that loses the commit race
+  *     re-checks the watermark on [[CommitLog.CommitConflict]] and
+  *     skips; its orphaned staging is reclaimable via
+  *     [[CommitLog.sweepOrphanStaging]].
+  *
+  * Scale shape: the skip check and the commit are metadata-only (the
+  * commit-log critical-section guarantee); `stage()` — the only data
+  * work — runs once per genuinely-new batch and never for a
+  * re-delivery. */
+object StreamCommit {
+
+  /** The stream's committed high-water mark: highest batch id this
+    * streamId ever committed (live entries ∪ checkpoint `#txn` folds),
+    * None for a stream that never committed. */
+  def lastCommittedBatch(root: String, streamId: String): Option[Long] =
+    CommitLog.txnWatermarks(root).get(streamId)
+
+  /** Commit one micro-batch exactly once. `stage` materializes the
+    * batch's private data and returns (dataPath, touched partitions) —
+    * it is called ONLY when the batch is new, and duplicate deliveries
+    * of one batch MUST return the same partition set (they carry the
+    * same rows — always true for a deterministic sink). Returns
+    * Some(version) when this delivery applied the batch, None when it
+    * was a detected re-delivery (already committed — possibly by a
+    * rival duplicate that won the race mid-call). Genuine partition
+    * conflicts with OTHER writers rebase from a fresh stable base up
+    * to `maxRebase` times, then surface.
+    *
+    * Race-freedom of the skip: the watermark is re-read AFTER the
+    * stable base on every attempt, so a duplicate that committed
+    * before the base read is visible to the watermark check, and one
+    * that commits after it lands ABOVE the base (in-flight claims
+    * never sit at or below a stable version) — a write-write rival
+    * `tryCommit` conflicts on (same batch ⇒ same partitions), landing
+    * in the catch where the watermark is checked again. No
+    * interleaving applies a batch twice. */
+  def commitBatch(root: String, streamId: String, batchId: Long,
+                  stage: () => (String, Seq[String]),
+                  maxRebase: Int = 8): Option[Long] = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    require(!streamId.contains("\t") && !streamId.contains("\n"),
+      s"streamId must be entry-safe: '$streamId'")
+    // the cheap common-path check — a plain restart re-delivery never
+    // stages a byte
+    if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
+      return None
+    val (dataPath, partitions) = stage()
+    var rebases = 0
+    while (true) {
+      val base = CommitLog.stableVersion(root) // BEFORE the re-check
+      if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
+        return None
+      try {
+        return Some(CommitLog.tryCommit(root, CommitLog.Entry(
+          streamId, s"${CommitLog.StreamOpPrefix}$batchId", dataPath,
+          partitions, base)))
+      } catch {
+        case ex: CommitLog.CommitConflict =>
+          // the rival may have been OUR duplicate: re-check identity
+          if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
+            return None
+          rebases += 1
+          if (rebases > maxRebase) throw ex
+          Thread.sleep(1L << math.min(rebases, 7))
+      }
+    }
+    None // unreachable
+  }
+}

@@ -764,6 +764,140 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------- exactly-once stream sink
+
+  /** `q_stream_commit` — EXACTLY-ONCE STREAMING WRITES through the
+    * commit log ([[graft.ops.StreamCommit]] — Delta's txnAppId/
+    * txnVersion dedup; round 17, closes r16 verdict #1: the streaming
+    * and lakehouse tiers met everywhere except at the write seam).
+    * Three micro-batches of the events projection (day-of-month
+    * tranches) are delivered through the transactional sink, each
+    * committing its data and its (streamId, batchId) identity in ONE
+    * atomic entry; then batch 1 is RE-DELIVERED — the standard
+    * at-least-once crash window (sink wrote, the engine's checkpoint
+    * never advanced). The sink detects the identity in the log and
+    * SKIPS, and the readout pins it three ways: the redeliver row's
+    * outcome, the head VERSION (a double-apply would land a 4th
+    * commit), and the resolved live table bit-equal to single
+    * delivery. StreamingSpec's twin runs the SAME sink under a real
+    * MemoryStream with a crash injected between sink write and
+    * checkpoint advance (the engine genuinely re-delivers);
+    * StreamCommitSpec pins watermark survival across
+    * checkpoint + history expiry and the duplicate-race path.
+    *
+    * Scale shape: per batch one pruned exchange (staged once,
+    * content-keyed) + one metadata-only commit; the skip path never
+    * touches data — a re-delivered 100 TB batch costs |slots| small
+    * file reads, not a write. */
+  val StreamCommitFixtureVersion = 1
+
+  def streamCommitRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_strcommit_$key"
+  }
+
+  private def streamBatchCond(bid: Long): Column = bid match {
+    case 0L => col("dom") <= 10
+    case 1L => col("dom").between(11, 20)
+    case _  => col("dom") >= 21
+  }
+
+  private def ensureStreamCommitData(spark: SparkSession,
+                                     dir: String): String = synchronized {
+    val root = streamCommitRoot(dir)
+    val marker = new java.io.File(root, "_SC_OK")
+    val head = s"$StreamCommitFixtureVersion\n$dir\n"
+    val ok = marker.exists() && scala.util.Try {
+      java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+        (0 to 2).forall(b =>
+          new java.io.File(s"$root/data/b$b/_SUCCESS").exists())
+    }.getOrElse(false)
+    if (!ok) {
+      VersionChain.rmTree(new java.io.File(root))
+      val e = clogEvents(spark, dir)
+      (0L to 2L).foreach(b => e.filter(streamBatchCond(b))
+        .write.mode("overwrite").parquet(s"$root/data/b$b"))
+      java.nio.file.Files.writeString(marker.toPath, head)
+    }
+    root
+  }
+
+  private def streamCommit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.StreamCommit
+    val root = ensureStreamCommitData(spark, dir)
+    // the LOG is rebuilt per run (the forgetlog recommit discipline):
+    // the versions under the hash stay deterministic
+    val logRoot = s"$root/log"
+    VersionChain.rmTree(new java.io.File(logRoot))
+    val e = clogEvents(spark, dir)
+    def deliver(bid: Long): Option[Long] =
+      StreamCommit.commitBatch(logRoot, "ev_stream", bid,
+        () => (s"$root/data/b$bid", daysIn(e, streamBatchCond(bid))))
+    val vs = (0L to 2L).map(b => deliver(b)
+      .getOrElse(sys.error(s"fresh batch $b must apply")))
+    val re = deliver(1L) // the crash-window re-delivery
+    require(re.isEmpty, "a re-delivered batch must be skipped")
+    def stats(df: DataFrame, step: String, outcome: String,
+              ver: Long): DataFrame =
+      df.withColumn("h", rowHash)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit(outcome).as("outcome"),
+          lit(ver).as("version"), col("n_rows"), col("xor_hash"),
+          col("vc_sum"))
+    // the resolved LIVE table: the owners' distinct data paths —
+    // batches own disjoint day partitions by construction
+    val livePaths = graft.ops.CommitLog.resolvePartitions(logRoot)
+      .values.map(_._2).toSeq.distinct.sorted
+    val live = livePaths.map(spark.read.parquet).reduce(_ unionAll _)
+    val headV = graft.ops.CommitLog.latestCommitted(logRoot)
+    val skipRow = spark.range(1)
+      .select(lit("4_redeliver_b1").as("step"),
+        lit("skipped").as("outcome"), lit(-1L).as("version"),
+        lit(0L).as("n_rows"), lit(0L).as("xor_hash"),
+        lit(0L).as("vc_sum"))
+    (0 to 2).map(b => stats(spark.read.parquet(s"$root/data/b$b"),
+        s"${b + 1}_apply_b$b", "applied", vs(b)))
+      .reduce(_ unionAll _)
+      .unionAll(skipRow)
+      .unionAll(stats(live, "5_head", "head", headV))
+      .orderBy("step")
+  }
+
+  private val streamCommitSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    def bstats(step: String, ver: Long, cond: String) =
+      s"""SELECT '$step' AS step, 'applied' AS outcome,
+         |  CAST($ver AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor($h), 0) AS BIGINT) AS xor_hash,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM e WHERE $cond""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |rows_ AS (
+       |  ${bstats("1_apply_b0", 1L, "dom <= 10")}
+       |  UNION ALL
+       |  ${bstats("2_apply_b1", 2L, "dom BETWEEN 11 AND 20")}
+       |  UNION ALL
+       |  ${bstats("3_apply_b2", 3L, "dom >= 21")}
+       |  UNION ALL
+       |  SELECT '4_redeliver_b1', 'skipped', -1, 0, 0, 0
+       |  UNION ALL
+       |  SELECT '5_head', 'head', 3, CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(bit_xor($h), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM e)
+       |SELECT step, outcome, version, n_rows, xor_hash, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   /** `q_isolation_levels` — the two WRITE-TRANSACTION isolation
     * levels (Delta's `writeSerializable` default vs `serializable`,
     * [[graft.ops.CommitLog.Serializable]]): the anomaly that
@@ -2576,6 +2710,7 @@ object MaintenancePipelineQuery {
     Q("q_restore", restore, Some(restoreSql)),
     Q("q_isolation_levels", isolationLevels, Some(isolationLevelsSql)),
     Q("q_wap", wap, Some(wapSql)),
+    Q("q_stream_commit", streamCommit, Some(streamCommitSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }

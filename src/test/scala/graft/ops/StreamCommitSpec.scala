@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The exactly-once micro-batch sink: re-deliveries are skipped
+  * before staging, duplicate racers yield one application, and the
+  * idempotence watermark survives checkpoint + physical history
+  * expiry. Pure metadata — no Spark session needed. */
+class StreamCommitSpec extends AnyFunSuite {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_strc_spec").toString
+
+  test("a re-delivered batch is skipped BEFORE staging; new batches apply in order") {
+    val root = freshRoot()
+    var staged = 0
+    def deliver(bid: Long) =
+      StreamCommit.commitBatch(root, "s1", bid,
+        () => { staged += 1; (s"data/b$bid", Seq(s"p$bid")) })
+    assert(deliver(0L) === Some(1L))
+    assert(deliver(1L) === Some(2L))
+    assert(deliver(2L) === Some(3L))
+    assert(staged === 3)
+    // the crash-window re-delivery: skipped, stage() NEVER called
+    assert(deliver(1L) === None)
+    assert(staged === 3, "a skipped re-delivery must not stage data")
+    assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(2L))
+    // a different stream's identity space is independent
+    assert(StreamCommit.lastCommittedBatch(root, "s2") === None)
+    assert(StreamCommit.commitBatch(root, "s2", 1L,
+      () => ("data/s2b1", Seq("q1"))) === Some(4L))
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("duplicate racers on one batch: exactly one application, loser skips") {
+    val root = freshRoot()
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (1 to 2).map { i =>
+      new Thread(() =>
+        StreamCommit.commitBatch(root, "s1", 0L,
+          () => (s"data/b0_attempt$i", Seq("p0"))) match {
+          case Some(_) => applied.incrementAndGet(); ()
+          case None => skipped.incrementAndGet(); ()
+        })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(applied.get === 1 && skipped.get === 1,
+      "exactly one duplicate delivery must win")
+    assert(CommitLog.committedVersions(root).size === 1)
+    // the loser's orphaned staging path is named by an aborted entry
+    // (if it raced far enough to claim) — sweepable, never live
+    assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(0L))
+  }
+
+  test("the watermark survives checkpoint + expireBelow — re-delivery of an EXPIRED batch still skips") {
+    val root = freshRoot()
+    def deliver(bid: Long) =
+      StreamCommit.commitBatch(root, "s1", bid,
+        () => (s"data/b$bid", Seq(s"p$bid")))
+    assert(deliver(0L) === Some(1L))
+    assert(deliver(1L) === Some(2L))
+    assert(CommitLog.checkpoint(root) === 2L)
+    assert(CommitLog.expireBelow(root, 2L) === Seq(1L, 2L))
+    // the slots that carried stream:0/stream:1 are physically gone,
+    // yet the checkpoint's #txn fold still knows the high-water mark
+    assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(1L))
+    assert(deliver(1L) === None)
+    assert(deliver(0L) === None)
+    // and a genuinely new batch still lands, numbering monotone
+    assert(deliver(2L) === Some(3L))
+    // a SECOND checkpoint cycle carries the fold forward
+    assert(CommitLog.checkpoint(root) === 3L)
+    assert(CommitLog.expireBelow(root, 3L) === Seq(3L))
+    assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(2L))
+    assert(deliver(2L) === None)
+  }
+
+  test("a genuine partition conflict with an OUTSIDE writer rebases and lands") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      CommitLog.Entry("ingest", "ingest", "data/ing", Seq("p0"), 0L))
+    // the sink's batch touches p0 — no conflict from a fresh base
+    assert(StreamCommit.commitBatch(root, "s1", 0L,
+      () => ("data/b0", Seq("p0"))) === Some(2L))
+    // checkpoint readers see the stream entry like any commit
+    assert(CommitLog.resolvePartitions(root)("p0") === (2L, "data/b0"))
+  }
+}

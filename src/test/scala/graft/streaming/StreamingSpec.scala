@@ -1111,4 +1111,65 @@ class StreamingSpec extends SparkSpec {
       assert(acc("chk_price") === ((0L, 0L)))
     } finally { q.stop() }
   }
+
+  test("exactly-once sink: a crash between sink commit and checkpoint advance re-delivers the batch; the table stays single-applied") {
+    // q_stream_commit's twin under a REAL stream: the sink commits
+    // each micro-batch through graft.ops.StreamCommit, a crash is
+    // injected AFTER the sink committed batch 1 but BEFORE the engine
+    // advanced its checkpoint (the standard at-least-once window), the
+    // query restarts from the checkpoint and the engine genuinely
+    // RE-DELIVERS batch 1 — which the sink detects by its recorded
+    // (streamId, batchId) identity and skips without staging a byte.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.ops.{CommitLog, StreamCommit}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_strc_twin").toString
+    val ckpt = s"$root/engine_ckpt"
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val skipped = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val in = MemoryStream[(Long, Long)]
+    def start() = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        val out = StreamCommit.commitBatch(root, "twin", bid, () => {
+          val p = s"$root/staged/b$bid"
+          batch.write.mode("overwrite").parquet(p)
+          (p, Seq(s"b$bid"))
+        })
+        if (out.isDefined) applied.incrementAndGet()
+        else skipped.incrementAndGet()
+        if (bid == 1L && crashOnce.getAndSet(false))
+          throw new RuntimeException(
+            "injected crash: sink committed, checkpoint never advanced")
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData((1L, 10L), (2L, 20L)); q1.processAllAvailable()
+      in.addData((3L, 30L))
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    assert(applied.get === 2 && skipped.get === 0)
+    assert(StreamCommit.lastCommittedBatch(root, "twin") === Some(1L),
+      "batch 1 committed BEFORE the crash — the at-least-once window")
+    val q2 = start()
+    try {
+      // restart re-delivers batch 1 (offsets logged, commit missing)
+      q2.processAllAvailable()
+      assert(skipped.get === 1, "the re-delivered batch must be skipped")
+      in.addData((4L, 40L)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(applied.get === 3 && skipped.get === 1)
+    // the log holds exactly one commit per batch — no double-apply
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 3L))
+    // the resolved table is bit-equal to single delivery
+    val live = CommitLog.resolvePartitions(root).values.map(_._2)
+      .toSeq.distinct.map(s.read.parquet(_)).reduce(_ unionAll _)
+    assert(live.select("k").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+  }
 }
