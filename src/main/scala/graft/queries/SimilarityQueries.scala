@@ -1809,6 +1809,135 @@ object SimilarityQueries {
        |ORDER BY stat""".stripMargin
   }
 
+  // ----------------------------------------------- HNSW ef sweep
+
+  /** `q_ef_curve` — the graph tier's RECALL/COST CONTRACT
+    * ([[graft.sim.Hnsw.beamSearch]]; round 17, closes r16 verdict #4):
+    * real HNSW quality is tuned by the beam width `ef`, so the sweep
+    * searches the STORED graph (reused via `ensureGraph`, never
+    * rebuilt) at ef ∈ {1, 2, 4, 8} — all four in ONE pass over the
+    * same levels×Hops hop joins, the frontier keyed by ef — and emits
+    * per ef: DISTINCT visited candidates (the cost axis, hashed),
+    * Σ final-frontier icos (the whole beam content certified, not
+    * just top-k), and recall@10 hits vs the persisted brute baseline
+    * (the quality axis). ef = 1 reproduces the greedy `q_ann_hnsw`
+    * search decision-for-decision (HnswEfSpec pins bit-equality,
+    * recall monotone non-decreasing in ef, and visits ≪ corpus at
+    * every ef). The oracle replays every beam decision as unrolled
+    * MATERIALIZED hop CTEs — candidate dedupe, incumbent-wins ties,
+    * top-ef cut — the `q_nprobe_curve` pattern on the graph index.
+    *
+    * Scale shape: see [[graft.sim.Hnsw.beamSearch]] — the corpus
+    * never shuffles; the readout is 1-row accounting crosses. */
+  private def annEfCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.sim.Hnsw
+    val emb = Tables.embeddings(spark, dir)
+    val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
+    val adjs = (0 to Hnsw.MaxLevel).map(l =>
+      graft.ops.SideCache.persist(spark.read.parquet(s"$gRoot/e$l")))
+    val (vis, fin) = Hnsw.beamSearch(base, adjs, Seq(1, 2, 4, 8))
+    val brute = graft.ops.SideCache.persist(
+      Similarity.ensureBruteBaseline(spark, emb, dir)
+        .select("qid", "vec_id"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("ef", "qid").orderBy(col("ic").desc, col("dst"))
+    val topk = vis.filter(col("dst") =!= col("qid"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= 10)
+      .select("ef", "qid", "dst")
+    val nBrute = broadcast(brute.agg(count(lit(1)).as("n_brute")))
+    Seq(1, 2, 4, 8).map { ef =>
+      vis.filter(col("ef") === ef).agg(count(lit(1)).as("n_visited"))
+        .crossJoin(broadcast(fin.filter(col("ef") === ef)
+          .agg(coalesce(sum("cic"), lit(0L)).as("beam_ic"))))
+        .crossJoin(broadcast(topk.filter(col("ef") === ef)
+          .join(brute, topk("qid") === brute("qid") &&
+            topk("dst") === brute("vec_id"))
+          .agg(count(lit(1)).as("hits"))))
+        .crossJoin(nBrute)
+        .select(lit(f"ef$ef%02d").as("stat"), col("n_visited"),
+          col("beam_ic"), col("hits"),
+          expr("(hits * 10000) div n_brute").as("recall_bp"))
+    }.reduce(_ unionAll _).orderBy("stat")
+  }
+
+  private lazy val annEfCurveSql = {
+    import graft.sim.Hnsw
+    def icSql(ea: String, na: String, eb: String, nb: String) =
+      hnswIcSql(ea, na, eb, nb)
+    val totalHops = (Hnsw.MaxLevel + 1) * Hnsw.Hops
+    val hopCtes = (1 to totalHops).map { i =>
+      val lvl = Hnsw.MaxLevel - (i - 1) / Hnsw.Hops
+      s"""g$i AS MATERIALIZED (
+         |  SELECT DISTINCT s.ef, s.qid, e.dst,
+         |    ${icSql("d.embedding", "d.nrm", "q.qvec", "q.qnorm")} AS ic
+         |  FROM t${i - 1} s JOIN e$lvl e ON e.src = s.cur
+         |  JOIN lv d ON d.vec_id = e.dst
+         |  JOIN qh q ON q.qid = s.qid),
+         |t$i AS MATERIALIZED (
+         |  SELECT ef, qid, cur, cic FROM (
+         |    SELECT ef, qid, cur, cic, keep,
+         |      ROW_NUMBER() OVER (PARTITION BY ef, qid
+         |        ORDER BY cic DESC, keep DESC, cur) AS rn
+         |    FROM (
+         |      SELECT ef, qid, cur, cic, keep FROM (
+         |        SELECT ef, qid, cur, cic, keep,
+         |          ROW_NUMBER() OVER (PARTITION BY ef, qid, cur
+         |            ORDER BY keep DESC) AS ddrn
+         |        FROM (
+         |          SELECT ef, qid, cur, cic, 1 AS keep FROM t${i - 1}
+         |          UNION ALL
+         |          SELECT ef, qid, dst, ic, 0 FROM g$i))
+         |      WHERE ddrn = 1))
+         |  WHERE rn <= ef)""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (1 to totalHops)
+      .map(i => s"    UNION ALL SELECT ef, qid, dst, ic FROM g$i")
+      .mkString("\n")
+    s"""WITH $hnswGraphCtes,
+       |qh AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qnorm
+       |       FROM lv WHERE vec_id % 50 = 0),
+       |en AS (SELECT MIN(vec_id) AS e FROM lv WHERE lvl >= ${Hnsw.MaxLevel}),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, en.e AS cur,
+       |    ${icSql("b.embedding", "b.nrm", "q.qvec", "q.qnorm")} AS cic
+       |  FROM qh q CROSS JOIN en JOIN lv b ON b.vec_id = en.e),
+       |t0 AS MATERIALIZED (
+       |  SELECT efs.ef, s.qid, s.cur, s.cic
+       |  FROM (VALUES (1), (2), (4), (8)) efs(ef) CROSS JOIN s0 s),
+       |$hopCtes,
+       |vis AS MATERIALIZED (
+       |  SELECT ef, qid, dst, MIN(ic) AS ic FROM (
+       |    SELECT ef, qid, cur AS dst, cic AS ic FROM t0
+       |$visUnion)
+       |  GROUP BY 1, 2, 3),
+       |topk AS MATERIALIZED (
+       |  SELECT ef, qid, dst FROM (
+       |    SELECT ef, qid, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY ef, qid
+       |        ORDER BY ic DESC, dst) AS rn
+       |    FROM vis WHERE dst <> qid) WHERE rn <= 10),
+       |brute AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM ($annTopKSql) z),
+       |stats AS (SELECT ef, COUNT(*) AS n_visited FROM vis GROUP BY 1),
+       |beams AS (SELECT ef, CAST(COALESCE(SUM(cic), 0) AS BIGINT)
+       |            AS beam_ic FROM t$totalHops GROUP BY 1),
+       |hitst AS (SELECT t.ef, COUNT(*) AS hits FROM topk t JOIN brute b
+       |            ON t.qid = b.qid AND t.dst = b.vec_id GROUP BY 1),
+       |nb AS (SELECT COUNT(*) AS n_brute FROM brute)
+       |SELECT CASE ef WHEN 1 THEN 'ef01' WHEN 2 THEN 'ef02'
+       |         WHEN 4 THEN 'ef04' ELSE 'ef08' END AS stat,
+       |  CAST(n_visited AS BIGINT) AS n_visited, beam_ic,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST((COALESCE(h.hits, 0) * 10000) // nb.n_brute AS BIGINT)
+       |    AS recall_bp
+       |FROM stats JOIN beams USING (ef) LEFT JOIN hitst h USING (ef)
+       |CROSS JOIN nb
+       |ORDER BY stat""".stripMargin
+  }
+
   // -------------------------------------------------- HNSW upsert
 
   /** `q_ann_hnsw_upsert` — INCREMENTAL GRAPH MAINTENANCE, the serving
@@ -2625,6 +2754,7 @@ object SimilarityQueries {
     Q("q_ann_mips", annMips, Some(annMipsSql)),
     Q("q_ann_sq", annSq, Some(annSqSql)),
     Q("q_ann_hnsw", annHnsw, Some(annHnswSql)),
+    Q("q_ef_curve", annEfCurve, Some(annEfCurveSql)),
     Q("q_ann_hnsw_upsert", annHnswUpsert, Some(annHnswUpsertSql)),
     Q("q_ann_hnsw_delete", annHnswDelete, Some(annHnswDeleteSql)),
     Q("q_mmr_rerank", mmrRerank, Some(mmrRerankSql)),

@@ -280,4 +280,86 @@ object Hnsw {
       .select("qid", "dst")
     (vis, state.select("qid", "cur", "cic"), top10)
   }
+
+  /** BEAM search — HNSW's `ef` knob: [[search]] generalized to carry
+    * the best `ef` nodes per query as the frontier, for ALL requested
+    * widths in ONE pass (state keyed by ef — the sweep costs the same
+    * levels×Hops hop joins as one greedy search, the frontier rows
+    * just widen to Σef per query). Per hop: every frontier node's
+    * out-edges are scored, candidates dedupe against the incumbents
+    * (a node never holds two beam slots), and the union is cut back
+    * to the top ef by (icos DESC, incumbent-wins ties, id) — at
+    * ef = 1 this reproduces [[search]]'s greedy descent
+    * decision-for-decision (one incumbent, strict-improvement moves
+    * via the keep tie-break). Returns (visited (ef, qid, dst, ic)
+    * distinct — eagerly materialized, (final frontier (ef, qid, cur,
+    * cic)).
+    *
+    * Scale shape: the frontier is |Q|·Σef rows broadcast per hop into
+    * the stored edge segments (the DiskANN layout keeps scoring to
+    * ONE join); visited stays O(|Q|·levels·Hops·M·max ef). The corpus
+    * never shuffles. */
+  def beamSearch(base: DataFrame, adjs: Seq[DataFrame], efs: Seq[Int])
+      : (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val entry = base.filter(col("lvl") >= MaxLevel)
+      .agg(min("vec_id")).head().getLong(0)
+    val qs = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("nrm").as("qnorm"))
+    val eRow = base.filter(col("vec_id") === entry)
+      .select(col("embedding").as("eemb"), col("nrm").as("enrm"))
+    val efDf = efs.toDF("ef")
+    var state = qs.crossJoin(broadcast(eRow))
+      .select(col("qid"), col("qvec"), col("qnorm"),
+        lit(entry).as("cur"),
+        icosCol(col("eemb"), col("enrm"), col("qvec"), col("qnorm"))
+          .as("cic"))
+      .crossJoin(broadcast(efDf))
+      .select("ef", "qid", "qvec", "qnorm", "cur", "cic")
+      .localCheckpoint(true)
+    var visited = state.select(col("ef"), col("qid"),
+      col("cur").as("dst"), col("cic").as("ic"))
+    for (level <- MaxLevel to 0 by -1) {
+      for (_ <- 1 to Hops) {
+        val a = adjs(level).select(col("src").as("esrc"),
+          col("dst").as("edst"), col("demb").as("hdemb"),
+          col("dnrm").as("hdnrm"))
+        // two frontier nodes may share a neighbor: dedupe candidates
+        // per (ef, qid, dst) — ic is a pure function of (qid, dst),
+        // so the kept row is deterministic
+        val h = a.join(broadcast(state), a("esrc") === state("cur"))
+          .select(col("ef"), col("qid"), col("qvec"), col("qnorm"),
+            col("edst").as("dst"),
+            icosCol(col("hdemb"), col("hdnrm"), col("qvec"), col("qnorm"))
+              .as("ic"))
+          .dropDuplicates("ef", "qid", "dst")
+        visited = visited.unionAll(h.select(col("ef"), col("qid"),
+          col("dst"), col("ic")))
+        // a candidate rediscovering an incumbent must not occupy a
+        // second slot: per-(ef, qid, cur) the incumbent row (keep=1)
+        // wins (identical cic — dedupe never changes a score)
+        val dd = Window.partitionBy("ef", "qid", "cur")
+          .orderBy(col("keep").desc)
+        val wq = Window.partitionBy("ef", "qid")
+          .orderBy(col("cic").desc, col("keep").desc, col("cur"))
+        state = graft.ops.SideCache.persist(
+          state.withColumn("keep", lit(1))
+            .unionByName(h.select(col("ef"), col("qid"), col("qvec"),
+              col("qnorm"), col("dst").as("cur"), col("ic").as("cic"),
+              lit(0).as("keep")))
+            .withColumn("ddrn", row_number().over(dd))
+            .filter(col("ddrn") === 1)
+            .withColumn("rn", row_number().over(wq))
+            .filter(col("rn") <= col("ef"))
+            .select("ef", "qid", "qvec", "qnorm", "cur", "cic"))
+      }
+      state = state.localCheckpoint(true)
+    }
+    val vis = graft.ops.SideCache.persist(
+      visited.dropDuplicates("ef", "qid", "dst"))
+    vis.count()
+    (vis, state.select("ef", "qid", "cur", "cic"))
+  }
 }

@@ -39,6 +39,9 @@ class PlanLintSpec extends SparkSpec {
     // query-frontier broadcast per greedy hop, and the 1-row
     // accounting-aggregate crosses of the output rows
     "q_ann_hnsw",
+    // the ef sweep: the same frontier-broadcast shape as q_ann_hnsw
+    // (state keyed by ef) + per-ef 1-row accounting crosses
+    "q_ef_curve",
     // deletion propagation: the serve tiers' probe-list crosses plus
     // the per-segment 1-row audit aggregates crossed into one row
     "q_ann_delete",
