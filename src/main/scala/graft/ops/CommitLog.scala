@@ -58,12 +58,26 @@ object CommitLog {
     * immutable, so any slot ≤ base that is committed now was already
     * committed — and therefore visible — at snapshot time. A base
     * taken from [[latestCommitted]] over an unresolved lower claim
-    * VIOLATES the contract and reopens the lost-update window. */
+    * VIOLATES the contract and reopens the lost-update window.
+    *
+    * `keyDomains` (optional): partition → inclusive key range
+    * [lo, hi] this entry touches WITHIN that partition — the
+    * key-granular conflict descriptor (Delta's file-level conflict
+    * sets distilled to ranges). Two writers overlapping on a
+    * partition where BOTH declare provably-disjoint domains do NOT
+    * conflict: a MERGE into keys 1–100 and a MERGE into keys 200–300
+    * of one partition both land. A domain entry is a LAYER, not an
+    * owner — readers materialize the partition via [[resolveLayers]]
+    * (newest FULL entry as base, later domain entries replacing
+    * their key ranges in version order); the plain newest-wins
+    * [[resolveAsOf]] is only correct for domain-free logs. Absent
+    * domains keep the exact partition-granular behavior. */
   final case class Entry(writer: String, op: String, dataPath: String,
                          partitions: Seq[String], baseVersion: Long,
                          ts: Long = -1L,
                          readSet: Seq[String] = Nil,
-                         isolation: String = WriteSerializable)
+                         isolation: String = WriteSerializable,
+                         keyDomains: Map[String, (Long, Long)] = Map.empty)
 
   /** Isolation levels (Delta's two write-transaction modes):
     *
@@ -305,6 +319,19 @@ object CommitLog {
     // idempotent: never reopen (and risk tearing) a live checkpoint —
     // after expiry it may be the only copy of the folded state
     if (readCheckpoint(root, atMost = v, atLeast = v).isDefined) return v
+    // a checkpoint stores ONE owner per partition; a partition whose
+    // newest owner is a KEY-DOMAIN LAYER has no single owner — folding
+    // it would bake the layer in as a full owner and corrupt layered
+    // reads after expiry. Compaction (a full-partition entry, which
+    // shadows every layer) makes the partition fold-safe again.
+    val live = readLog(root).toMap
+    resolveAsOf(root, v).foreach { case (p, (ov, _)) =>
+      live.get(ov).filter(_.keyDomains.contains(p)).foreach { _ =>
+        throw new IllegalStateException(
+          s"partition '$p' resolves to a key-domain layer at v$ov — " +
+            "compact it to a full-partition entry before checkpointing")
+      }
+    }
     // fold AS OF the pinned version: a commit landing concurrently
     // must not leak into a checkpoint labeled with the older version
     // (resolveAsOf(v) would otherwise time-travel forward)
@@ -361,10 +388,15 @@ object CommitLog {
 
   private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit = {
     val ts = if (e.ts >= 0L) e.ts else commitTimestamp(v)
+    e.keyDomains.keys.foreach(p => require(
+      !p.exists(c => c == '^' || c == ';' || c == '\t' || c == '\n'),
+      s"key-domain partition name not entry-safe: '$p'"))
+    val kd = e.keyDomains.toSeq.sorted
+      .map { case (p, (lo, hi)) => s"$p^$lo^$hi" }.mkString(";")
     java.nio.file.Files.writeString(entryFile(d).toPath,
       s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
         e.partitions.mkString(",") + s"\t$ts\t" +
-        e.readSet.mkString(",") + s"\t${e.isolation}\n")
+        e.readSet.mkString(",") + s"\t${e.isolation}\t$kd\n")
   }
 
   /** Read a slot's entry; None while the racing writer is between
@@ -388,9 +420,17 @@ object CommitLog {
         val rs = if (p.length > 7 && p(7).nonEmpty) p(7).split(",").toSeq
           else Nil
         val iso = if (p.length > 8) p(8) else WriteSerializable
+        // entries from before key-domain tracking (≤9 columns) read
+        // back domain-free — exact partition-granular semantics
+        val kd = if (p.length > 9 && p(9).nonEmpty)
+          p(9).split(";").map { s =>
+            val q = s.split("\\^", -1)
+            q(0) -> (q(1).toLong, q(2).toLong)
+          }.toMap
+        else Map.empty[String, (Long, Long)]
         Some((v, Entry(p(1), p(2), p(3),
           if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong,
-          ts, rs, iso)))
+          ts, rs, iso, kd)))
       }
     }.toOption.flatten
 
@@ -423,8 +463,22 @@ object CommitLog {
     *     instead of both aborting. */
   private[ops] def rivalConflicts(e: Entry, next: Long, v: Long,
       other: Entry, committed: Boolean, aborted: Boolean): Boolean = {
-    val writeOverlap =
-      other.partitions.toSet.intersect(e.partitions.toSet).nonEmpty
+    // key-granular excuse (Entry.keyDomains): a shared partition does
+    // NOT conflict when BOTH writers declare provably-disjoint key
+    // ranges for it — the write sets cannot intersect. One-sided or
+    // absent domains stay partition-granular (conservative).
+    def disjointDomains(p: String): Boolean =
+      (e.keyDomains.get(p), other.keyDomains.get(p)) match {
+        case (Some((alo, ahi)), Some((blo, bhi))) =>
+          ahi < blo || bhi < alo
+        case _ => false
+      }
+    val writeOverlap = e.partitions.toSet
+      .intersect(other.partitions.toSet)
+      .exists(p => !disjointDomains(p))
+    // read conflicts stay partition-granular: a read set names what
+    // was READ, and reads are rarely range-bounded the way a MERGE's
+    // write set is
     val readOverlap = e.isolation == Serializable && v < next &&
       other.partitions.toSet.intersect(e.readSet.toSet).nonEmpty
     (writeOverlap || readOverlap) &&
@@ -654,6 +708,33 @@ object CommitLog {
     * entry touching each partition — the reader-side resolution. */
   def resolvePartitions(root: String): Map[String, (Long, String)] =
     resolveAsOf(root, Long.MaxValue)
+
+  /** KEY-GRANULAR (layered) resolution of one partition as of `asOf`:
+    * the newest committed FULL-partition entry (no key domain for it)
+    * is the BASE; every later committed entry declaring a key domain
+    * for the partition LAYERS on top, in version order. A reader
+    * materializes the partition by starting from the base and, per
+    * layer, replacing the rows whose key falls inside the layer's
+    * [lo, hi] with the layer's rows — MERGE semantics recovered from
+    * the log. Returned as (version, dataPath, domain) ascending;
+    * the head is the base (domain None). Requires a full base in the
+    * UNEXPIRED log — [[checkpoint]] refuses to fold a partition whose
+    * newest owner is a domain layer, so compaction (a full-partition
+    * rewrite, which shadows all layers) must precede expiry. */
+  def resolveLayers(root: String, partition: String,
+                    asOf: Long = Long.MaxValue)
+      : Seq[(Long, String, Option[(Long, Long)])] = {
+    val touching = readLog(root).filter { case (v, e) =>
+      v <= asOf && e.partitions.contains(partition) }
+    val baseV = touching.collect {
+      case (v, e) if !e.keyDomains.contains(partition) => v
+    }.maxOption.getOrElse(throw new IllegalStateException(
+      s"no full-partition base for '$partition' in the live log — " +
+        "layers need a base; compact before expiring history"))
+    touching.filter(_._1 >= baseV).sortBy(_._1).map { case (v, e) =>
+      (v, e.dataPath, e.keyDomains.get(partition))
+    }
+  }
 
   // ------------------------------------------------- timestamp travel
 
