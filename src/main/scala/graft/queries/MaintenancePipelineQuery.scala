@@ -764,6 +764,214 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // ------------------------------------- key-granular concurrent MERGE
+
+  /** `q_merge_concurrent` — KEY-GRANULAR CONCURRENT MERGEs
+    * ([[graft.ops.CommitLog.Entry.keyDomains]]; round 17, closes r16
+    * verdict #5 as a first-class oracled operator): partition-level
+    * conflict detection spuriously serializes two MERGEs touching
+    * DISJOINT keys of one partition — at 100 TB, where every writer
+    * lands in the same hot partition, that is the difference between
+    * a concurrent ingest tier and a lock. Two writers from the SAME
+    * snapshot each declare an inclusive key range on the shared
+    * partition and both land:
+    *
+    *   - `merge_low` (event_id ∈ [0, q1]): delete ≡0 mod 13, update
+    *     ≡0 mod 7 with +100 — the layer carries its range's surviving
+    *     rows;
+    *   - `merge_high` (event_id ∈ [q3+1, max]): update ≡0 mod 5 with
+    *     −50;
+    *   - a third writer whose range STRADDLES `merge_low`'s boundary
+    *     is REFUSED from the same stale snapshot (one winner per
+    *     overlapping range — partition semantics preserved where
+    *     ranges genuinely collide);
+    *   - the LAYERED READ ([[graft.ops.CommitLog.resolveLayers]])
+    *     materializes the partition: base rows outside both ranges,
+    *     each range replaced by its layer — MERGE semantics recovered
+    *     from the log, derived independently by the oracle from raw
+    *     events;
+    *   - COMPACTION rewrites the full partition from the layered read
+    *     and commits it as the new base (which is also what re-arms
+    *     [[graft.ops.CommitLog.checkpoint]] — a fold refuses
+    *     uncompacted layers), bit-equal to the layered view.
+    *
+    * Scale shape: each merge stages only its key range (delta-
+    * proportional); validation stays metadata-only (two longs per
+    * partition in the entry); the layered read adds |layers| pruned
+    * scans; compaction is one partition rewrite, paid when layers
+    * accumulate — exactly the DV tier's economics
+    * (`q_merge_dv`). */
+  val MergeConcFixtureVersion = 1
+
+  def mergeConcRoot(dir: String): String = {
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_mergeconc_$key"
+  }
+
+  /** (q1, q3, max): the quartile key split both engines derive with
+    * integer arithmetic. */
+  private def mergeConcSplit(e: DataFrame): (Long, Long, Long) = {
+    val mx = e.agg(max("event_id")).head().getLong(0)
+    (mx / 4, 3L * mx / 4, mx)
+  }
+
+  private def mergeConcLow(e: DataFrame, q1: Long): DataFrame =
+    e.filter(col("event_id").between(0L, q1) &&
+        col("event_id") % 13 =!= 0)
+      .withColumn("vc", col("vc") +
+        when(col("event_id") % 7 === 0, lit(100L)).otherwise(lit(0L)))
+      .select("event_id", "event_type", "vc")
+
+  private def mergeConcHigh(e: DataFrame, q3: Long, mx: Long): DataFrame =
+    e.filter(col("event_id").between(q3 + 1, mx))
+      .withColumn("vc", col("vc") +
+        when(col("event_id") % 5 === 0, lit(-50L)).otherwise(lit(0L)))
+      .select("event_id", "event_type", "vc")
+
+  private def ensureMergeConc(spark: SparkSession,
+                              dir: String): String = synchronized {
+    val root = mergeConcRoot(dir)
+    val marker = new java.io.File(root, "_MC_OK")
+    val head = s"$MergeConcFixtureVersion\n$dir\n"
+    val ok = marker.exists() && scala.util.Try {
+      java.nio.file.Files.readString(marker.toPath).startsWith(head) &&
+        Seq("base", "low", "high").forall(p =>
+          new java.io.File(s"$root/data/$p/_SUCCESS").exists())
+    }.getOrElse(false)
+    if (!ok) {
+      VersionChain.rmTree(new java.io.File(root))
+      val e = clogEvents(spark, dir)
+        .select("event_id", "event_type", "vc")
+      val (q1, q3, mx) = mergeConcSplit(e)
+      e.write.mode("overwrite").parquet(s"$root/data/base")
+      mergeConcLow(e, q1).write.mode("overwrite")
+        .parquet(s"$root/data/low")
+      mergeConcHigh(e, q3, mx).write.mode("overwrite")
+        .parquet(s"$root/data/high")
+      java.nio.file.Files.writeString(marker.toPath, head)
+    }
+    root
+  }
+
+  private def mergeConcurrent(spark: SparkSession,
+                              dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    import graft.ops.CommitLog.Entry
+    val root = ensureMergeConc(spark, dir)
+    val e = clogEvents(spark, dir).select("event_id", "event_type", "vc")
+    val (q1, q3, mx) = mergeConcSplit(e)
+    // the log is rebuilt per run — deterministic versions under the hash
+    val logRoot = s"$root/log"
+    VersionChain.rmTree(new java.io.File(logRoot))
+    CommitLog.tryCommit(logRoot, Entry("ingest", "ingest",
+      s"$root/data/base", Seq("events"), 0L))
+    // BOTH concurrent merges from the same snapshot v1 land
+    val vLow = CommitLog.tryCommit(logRoot, Entry("m_low", "merge",
+      s"$root/data/low", Seq("events"), 1L,
+      keyDomains = Map("events" -> (0L, q1))))
+    val vHigh = CommitLog.tryCommit(logRoot, Entry("m_high", "merge",
+      s"$root/data/high", Seq("events"), 1L,
+      keyDomains = Map("events" -> (q3 + 1, mx))))
+    // a straddling range from the same stale snapshot is REFUSED
+    val refused = scala.util.Try(CommitLog.tryCommit(logRoot,
+      Entry("m_bad", "merge", s"$root/data/low", Seq("events"), 1L,
+        keyDomains = Map("events" -> (q1, q1 + 1))))) match {
+      case scala.util.Failure(_: CommitLog.CommitConflict) => "refused"
+      case scala.util.Failure(ex) => throw ex
+      case scala.util.Success(_) => "landed" // hash-fails
+    }
+    // the layered read: base outside both ranges + each layer's range
+    val layers = CommitLog.resolveLayers(logRoot, "events")
+    val layered = layers.tail.foldLeft(
+      spark.read.parquet(layers.head._2)) {
+      case (acc, (_, path, Some((lo, hi)))) =>
+        acc.filter(!col("event_id").between(lo, hi))
+          .unionByName(spark.read.parquet(path)
+            .filter(col("event_id").between(lo, hi)))
+      case (acc, _) => acc
+    }
+    // compaction: the layered view rewritten as the new full base
+    layered.write.mode("overwrite").parquet(s"$root/data/compacted")
+    val vComp = CommitLog.tryCommit(logRoot, Entry("compactor",
+      "compact", s"$root/data/compacted", Seq("events"),
+      CommitLog.stableVersion(logRoot)))
+    require(CommitLog.resolveLayers(logRoot, "events").size == 1,
+      "compaction must shadow every layer")
+    val h = rowHash
+    def stats(df: DataFrame, step: String, outcome: String,
+              ver: Long): DataFrame =
+      df.withColumn("h", h)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit(outcome).as("outcome"),
+          lit(ver).as("version"), col("n_rows"), col("xor_hash"),
+          col("vc_sum"))
+    val refusedRow = spark.range(1)
+      .select(lit("4_overlap").as("step"), lit(refused).as("outcome"),
+        lit(-1L).as("version"), lit(0L).as("n_rows"),
+        lit(0L).as("xor_hash"), lit(0L).as("vc_sum"))
+    stats(spark.read.parquet(s"$root/data/base"), "1_base", "commit", 1L)
+      .unionAll(stats(spark.read.parquet(s"$root/data/low"),
+        "2_merge_low", "commit", vLow))
+      .unionAll(stats(spark.read.parquet(s"$root/data/high"),
+        "3_merge_high", "commit", vHigh))
+      .unionAll(refusedRow)
+      .unionAll(stats(layered, "5_layered", "read", vHigh))
+      .unionAll(stats(spark.read.parquet(s"$root/data/compacted"),
+        "6_compacted", "commit", vComp))
+      .orderBy("step")
+  }
+
+  private val mergeConcurrentSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    def stats(step: String, outcome: String, ver: Long, rel: String) =
+      s"""SELECT '$step' AS step, '$outcome' AS outcome,
+         |  CAST($ver AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor($h), 0) AS BIGINT) AS xor_hash,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc
+       |  FROM events),
+       |qs AS (SELECT CAST(MAX(event_id) // 4 AS BIGINT) AS q1,
+       |         CAST(3 * MAX(event_id) // 4 AS BIGINT) AS q3,
+       |         CAST(MAX(event_id) AS BIGINT) AS mx
+       |       FROM e),
+       |low AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 7 = 0 THEN vc + 100 ELSE vc END AS vc
+       |  FROM e, qs
+       |  WHERE event_id BETWEEN 0 AND q1 AND event_id % 13 <> 0),
+       |high AS (
+       |  SELECT event_id, event_type,
+       |    CASE WHEN event_id % 5 = 0 THEN vc - 50 ELSE vc END AS vc
+       |  FROM e, qs WHERE event_id BETWEEN q3 + 1 AND mx),
+       |merged AS (
+       |  SELECT event_id, event_type, vc FROM e, qs
+       |  WHERE event_id > q1 AND event_id <= q3
+       |  UNION ALL SELECT * FROM low
+       |  UNION ALL SELECT * FROM high),
+       |rows_ AS (
+       |  ${stats("1_base", "commit", 1L, "e")}
+       |  UNION ALL
+       |  ${stats("2_merge_low", "commit", 2L, "low")}
+       |  UNION ALL
+       |  ${stats("3_merge_high", "commit", 3L, "high")}
+       |  UNION ALL
+       |  SELECT '4_overlap', 'refused', -1, 0, 0, 0
+       |  UNION ALL
+       |  ${stats("5_layered", "read", 3L, "merged")}
+       |  UNION ALL
+       |  ${stats("6_compacted", "commit", 5L, "merged")})
+       |SELECT step, outcome, version, n_rows, xor_hash, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // ---------------------------------------- exactly-once stream sink
 
   /** `q_stream_commit` — EXACTLY-ONCE STREAMING WRITES through the
@@ -2711,6 +2919,7 @@ object MaintenancePipelineQuery {
     Q("q_isolation_levels", isolationLevels, Some(isolationLevelsSql)),
     Q("q_wap", wap, Some(wapSql)),
     Q("q_stream_commit", streamCommit, Some(streamCommitSql)),
+    Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }
