@@ -70,15 +70,19 @@ object MultiTableCommit {
     * manifest. Entries whose dataPath is not a manifest this object
     * wrote (a plain single-table writer on the shared namespace)
     * resolve to their dataPath directly. */
-  def resolveTiers(logRoot: String): Map[String, (Long, String)] =
+  def resolveTiers(logRoot: String): Map[String, (Long, String)] = {
+    // one read per DISTINCT manifest, not per tier
+    val cache = scala.collection.mutable.Map.empty[String, Map[String, String]]
     CommitLog.resolvePartitions(logRoot).map { case (tier, (v, dp)) =>
       val path =
         if (dp.startsWith("manifests/") &&
             manifestFile(logRoot, dp).isFile)
-          readManifest(logRoot, dp).getOrElse(tier, dp)
+          cache.getOrElseUpdate(dp, readManifest(logRoot, dp))
+            .getOrElse(tier, dp)
         else dp
       tier -> (v, path)
     }
+  }
 
   /** [[resolveTiers]] under the EVERY-COMMIT-SPANS-ALL-TIERS
     * discipline: requires all tiers to resolve at ONE slot (readers

@@ -1847,20 +1847,24 @@ object SimilarityQueries {
       .withColumn("rn", row_number().over(wf))
       .filter(col("rn") <= 10)
       .select("ef", "qid", "dst")
+    // GROUPED accounting — three |efs|-row aggregates instead of
+    // 3×|efs| filtered 1-row jobs (the readout halved the query cost
+    // before this; measured by EfProbe)
     val nBrute = broadcast(brute.agg(count(lit(1)).as("n_brute")))
-    Seq(1, 2, 4, 8).map { ef =>
-      vis.filter(col("ef") === ef).agg(count(lit(1)).as("n_visited"))
-        .crossJoin(broadcast(fin.filter(col("ef") === ef)
-          .agg(coalesce(sum("cic"), lit(0L)).as("beam_ic"))))
-        .crossJoin(broadcast(topk.filter(col("ef") === ef)
-          .join(brute, topk("qid") === brute("qid") &&
-            topk("dst") === brute("vec_id"))
-          .agg(count(lit(1)).as("hits"))))
-        .crossJoin(nBrute)
-        .select(lit(f"ef$ef%02d").as("stat"), col("n_visited"),
-          col("beam_ic"), col("hits"),
-          expr("(hits * 10000) div n_brute").as("recall_bp"))
-    }.reduce(_ unionAll _).orderBy("stat")
+    val stats = vis.groupBy("ef").agg(count(lit(1)).as("n_visited"))
+    val beams = fin.groupBy("ef")
+      .agg(coalesce(sum("cic"), lit(0L)).as("beam_ic"))
+    val hits = topk.join(brute, topk("qid") === brute("qid") &&
+        topk("dst") === brute("vec_id"))
+      .groupBy(topk("ef")).agg(count(lit(1)).as("hits"))
+    stats.join(broadcast(beams), Seq("ef"))
+      .join(broadcast(hits), Seq("ef"), "left")
+      .crossJoin(nBrute)
+      .select(format_string("ef%02d", col("ef")).as("stat"),
+        col("n_visited"), col("beam_ic"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr("(coalesce(hits, 0) * 10000) div n_brute").as("recall_bp"))
+      .orderBy("stat")
   }
 
   private lazy val annEfCurveSql = {

@@ -326,22 +326,23 @@ object Hnsw {
         val a = adjs(level).select(col("src").as("esrc"),
           col("dst").as("edst"), col("demb").as("hdemb"),
           col("dnrm").as("hdnrm"))
-        // two frontier nodes may share a neighbor: dedupe candidates
-        // per (ef, qid, dst) — ic is a pure function of (qid, dst),
-        // so the kept row is deterministic
         val h = a.join(broadcast(state), a("esrc") === state("cur"))
           .select(col("ef"), col("qid"), col("qvec"), col("qnorm"),
             col("edst").as("dst"),
             icosCol(col("hdemb"), col("hdnrm"), col("qvec"), col("qnorm"))
               .as("ic"))
-          .dropDuplicates("ef", "qid", "dst")
         visited = visited.unionAll(h.select(col("ef"), col("qid"),
           col("dst"), col("ic")))
-        // a candidate rediscovering an incumbent must not occupy a
-        // second slot: per-(ef, qid, cur) the incumbent row (keep=1)
-        // wins (identical cic — dedupe never changes a score)
-        val dd = Window.partitionBy("ef", "qid", "cur")
-          .orderBy(col("keep").desc)
+        // ONE exchange per hop: both windows partition by (ef, qid),
+        // so the dedupe pass and the rank pass share the shuffle (the
+        // planner only adds the second sort). The dedupe keeps, per
+        // cur, the first row in (cur, keep DESC) order — an incumbent
+        // beats a candidate rediscovering it, and duplicate
+        // candidates (two frontier nodes sharing a neighbor, or two
+        // probe paths) collapse to one row; ic is a pure function of
+        // (qid, dst), so no score ever changes, only slot occupancy.
+        val wd = Window.partitionBy("ef", "qid")
+          .orderBy(col("cur"), col("keep").desc)
         val wq = Window.partitionBy("ef", "qid")
           .orderBy(col("cic").desc, col("keep").desc, col("cur"))
         state = graft.ops.SideCache.persist(
@@ -349,8 +350,8 @@ object Hnsw {
             .unionByName(h.select(col("ef"), col("qid"), col("qvec"),
               col("qnorm"), col("dst").as("cur"), col("ic").as("cic"),
               lit(0).as("keep")))
-            .withColumn("ddrn", row_number().over(dd))
-            .filter(col("ddrn") === 1)
+            .withColumn("dup", lag("cur", 1).over(wd) === col("cur"))
+            .filter(!coalesce(col("dup"), lit(false)))
             .withColumn("rn", row_number().over(wq))
             .filter(col("rn") <= col("ef"))
             .select("ef", "qid", "qvec", "qnorm", "cur", "cic"))
