@@ -764,6 +764,64 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // ------------------------------------------------- commit feed read
+
+  /** `q_commit_feed` — the COMMIT LOG READ AS A SOURCE
+    * ([[graft.io.CommitFeedSourceV2]], round 17 — Delta's streaming
+    * source distilled to its metadata half, closing the READ seam the
+    * exactly-once sink (`q_stream_commit`) closed for writes): the
+    * stored three-writer commit scenario (`ensureCommitLog` — the
+    * same fixture `q_commit_log` certifies) is read back THROUGH the
+    * DSv2 connector (`spark.read.format("commitfeed")`), one row per
+    * (committed entry, touched day partition), folded to one row per
+    * version (writer, op, partition count, first/last day, the
+    * version-derived commit timestamp). The oracle derives every
+    * column from raw events + the timestamp scheme, so a feed that
+    * missed a commit, leaked an aborted claim, exploded partitions
+    * wrong, or mis-stamped a version hash-fails. CommitFeedSpec runs
+    * the STREAMING half: micro-batches tail live commits with
+    * checkpointed offsets, a kill/restart never re-delivers or skips,
+    * and `latestOffset` provably refuses to advance past an
+    * unresolved claim (the read-side stable-version guarantee).
+    *
+    * Scale shape: the feed is metadata — kilobytes per batch at any
+    * table size, materialized driver-side at plan time; the fold here
+    * is |entries·partitions| rows. */
+  private def commitFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureCommitLog(spark, dir)
+    spark.read.format("commitfeed").load(root)
+      .groupBy("version", "writer", "op", "ts")
+      .agg(count(lit(1)).as("n_parts"),
+        min("partition").as("d_min"), max("partition").as("d_max"))
+      .select("version", "writer", "op", "n_parts", "d_min", "d_max",
+        "ts")
+      .orderBy("version")
+  }
+
+  private val commitFeedSql = {
+    def row(v: Long, writer: String, op: String, cond: String) =
+      s"""SELECT CAST($v AS BIGINT) AS version, '$writer' AS writer,
+         |  '$op' AS op,
+         |  CAST(COUNT(DISTINCT day) AS BIGINT) AS n_parts,
+         |  CAST(MIN(day) AS VARCHAR) AS d_min,
+         |  CAST(MAX(day) AS VARCHAR) AS d_max,
+         |  CAST(${graft.ops.CommitLog.CommitEpoch} + $v * 3600
+         |    AS BIGINT) AS ts
+         |FROM e WHERE $cond""".stripMargin
+    s"""WITH e AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |rows_ AS (
+       |  ${row(1L, "ingest", "ingest", "1=1")}
+       |  UNION ALL
+       |  ${row(2L, "sweeper", "purge5", "dom <= 10")}
+       |  UNION ALL
+       |  ${row(3L, "updater", "bump3", "dom >= 21")})
+       |SELECT version, writer, op, n_parts, d_min, d_max, ts
+       |FROM rows_ ORDER BY version""".stripMargin
+  }
+
   // ------------------------------------- key-granular concurrent MERGE
 
   /** `q_merge_concurrent` — KEY-GRANULAR CONCURRENT MERGEs
@@ -2920,6 +2978,7 @@ object MaintenancePipelineQuery {
     Q("q_wap", wap, Some(wapSql)),
     Q("q_stream_commit", streamCommit, Some(streamCommitSql)),
     Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
+    Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }

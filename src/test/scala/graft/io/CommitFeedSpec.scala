@@ -1,0 +1,93 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.ops.CommitLog
+import graft.ops.CommitLog.Entry
+
+/** The commit-feed source: batch reads serve the committed history
+  * (aborted claims invisible), a streaming tail with checkpointed
+  * offsets survives a kill/restart exactly-once, and latestOffset
+  * never advances past an unresolved claim (the read-side
+  * stable-version guarantee). */
+class CommitFeedSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_feed_spec").toString
+
+  test("batch read serves the committed feed; aborted claims never appear") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1",
+      Seq("p1", "p2"), 0L))
+    CommitLog.tryCommit(root, Entry("w2", "up", "d/2", Seq("p1"), 1L))
+    intercept[CommitLog.CommitConflict] {
+      CommitLog.tryCommit(root, Entry("late", "up", "d/3", Seq("p1"), 1L))
+    }
+    val rows = s.read.format("commitfeed").load(root)
+      .select("version", "writer", "partition")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((1L, "w1", "p1"), (1L, "w1", "p2"),
+      (2L, "w2", "p1")))
+    // the timestamp column carries the version-derived stamp
+    val ts = s.read.format("commitfeed").load(root)
+      .select("version", "ts").distinct()
+      .as[(Long, Long)].collect().toMap
+    assert(ts === Map(1L -> CommitLog.commitTimestamp(1L),
+      2L -> CommitLog.commitTimestamp(2L)))
+  }
+
+  test("streaming tail with checkpointed offsets: kill/restart is exactly-once") {
+    val s = spark
+    val root = freshRoot()
+    val ckpt = s"$root/engine_ckpt"
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, String)]()
+    def start() = s.readStream.format("commitfeed").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("version", "writer", "partition").collect().foreach(r =>
+          got.add((r.getLong(0), r.getString(1), r.getString(2))))
+        ()
+      }
+      .start()
+    CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1", Seq("p1"), 0L))
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(got.size === 1)
+    // commits land while no stream is running; the restart resumes
+    // from the checkpointed offset — nothing re-delivered, nothing lost
+    CommitLog.tryCommit(root, Entry("w2", "up", "d/2", Seq("p2"), 1L))
+    CommitLog.tryCommit(root, Entry("w3", "up", "d/3", Seq("p1"), 2L))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = got.toArray(Array.empty[(Long, String, String)]).toSeq
+    assert(all.size === 3, s"exactly-once violated: $all")
+    assert(all.toSet === Set((1L, "w1", "p1"), (2L, "w2", "p2"),
+      (3L, "w3", "p1")))
+  }
+
+  test("latestOffset never advances past an unresolved claim — the read-side stable version") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1", Seq("p1"), 0L))
+    // a stalled claim at slot 2 (entry written, never resolved)
+    val w2 = new java.io.File(s"$root/commitlog/v2")
+    assert(w2.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(w2, "entry.tsv").toPath,
+      "2\tstalled\top\td/stall\t1\tp9\n")
+    // a disjoint writer lands at slot 3 — committed ABOVE the stall
+    CommitLog.tryCommit(root, Entry("w3", "up", "d/3", Seq("p3"), 1L))
+    val stream = new CommitFeedStream(root, 0L)
+    assert(stream.latestOffset().asInstanceOf[CommitFeedOffset].v === 1L,
+      "the offset must hold below the unresolved slot — advancing " +
+        "past it would skip its later commit forever")
+    assert(spark.read.format("commitfeed").load(root).count() === 1L)
+    // the stall resolves (aborted): the feed releases v3, skipping
+    // the aborted slot as a gap
+    assert(CommitLog.abortOrphan(root, 2L))
+    assert(stream.latestOffset().asInstanceOf[CommitFeedOffset].v === 3L)
+    val vs = spark.read.format("commitfeed").load(root)
+      .select("version").collect().map(_.getLong(0)).sorted.toSeq
+    assert(vs === Seq(1L, 3L))
+  }
+}
