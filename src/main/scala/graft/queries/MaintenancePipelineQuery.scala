@@ -764,6 +764,152 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // ------------------------------------------------------ row tracking
+
+  /** `q_row_tracking` — STABLE ROW IDENTITY across rewrites (round 17
+    * — Delta row tracking / Iceberg row lineage, distilled): every
+    * ingested row gets a `row_id` that SURVIVES every subsequent
+    * rewrite — the primitive sample-level lineage needs (a training
+    * pipeline attributing model behavior to examples must follow a
+    * row through compactions and updates; keys can collide or be
+    * re-used, identities cannot). The lifecycle under the hash:
+    *
+    *   1. INGEST assigns dense ids deterministically (rank by key —
+    *      the `q_dp_count` derived-randomness convention, so the
+    *      oracle replays the allocation) and records the id
+    *      HIGH-WATER MARK.
+    *   2. UPDATE (vc+100 on keys ≡0 mod 9) rewrites values; the
+    *      logical row keeps its id — an update is the same row.
+    *   3. INSERT appends fresh rows; their ids allocate ABOVE the
+    *      high-water mark (rank by key, offset N) — never recycled,
+    *      even if old rows were deleted.
+    *   4. DELETE (keys ≡0 mod 13) retires ids with the row — a
+    *      deleted id is never reassigned.
+    *   5. COMPACT rewrites the whole table; every surviving
+    *      (id, key, value) triple must ride through BIT-FOR-BIT.
+    *
+    * Each stage row hashes the full (row_id, key, vc) mapping plus
+    * the id high-water mark; the oracle derives every stage from raw
+    * events with ROW_NUMBER, so an id that drifted through any
+    * rewrite, a recycled id, or an insert below the high-water mark
+    * hash-fails.
+    *
+    * Scale shape: id assignment is one rank at ingest (at 100 TB:
+    * per-file base ids + in-file offsets, Delta's layout — here the
+    * dense rank keeps the oracle exact); carries are free (the id is
+    * a column); the audit is one scan per stage. */
+  /** Dense id assignment in the SCALABLE layout (Delta's per-file
+    * base + in-file offset, here per-PARTITION): rank within each day
+    * partition (a partitioned window — never a global sort of the
+    * corpus) plus a broadcast day-base offset (|days| rows collected,
+    * bounded). The result equals the global dense rank by
+    * (day, key), which is what the oracle replays. */
+  private def assignRowIds(df: DataFrame, offset: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wDay = Window.partitionBy("day").orderBy("event_id")
+    val counts = df.groupBy(col("day").cast("string").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("d").as[(String, Long)].collect() // bounded: |days|
+    // each day's base = offset + cumulative count of PRIOR days
+    val basesDf = counts.zip(
+      counts.scanLeft(offset) { case (acc, (_, n)) => acc + n })
+      .map { case ((d, _), base) => (d, base) }.toSeq
+      .toDF("d", "base")
+    df.withColumn("rk", row_number().over(wDay).cast("long"))
+      .join(broadcast(basesDf),
+        col("day").cast("string") === col("d"))
+      .withColumn("row_id", col("base") + col("rk"))
+      .select("row_id", "event_id", "vc", "day")
+  }
+
+  private def rowTracking(spark: SparkSession, dir: String): DataFrame = {
+    val e = clogEvents(spark, dir).select("event_id", "vc", "day")
+    // stage 1: ingest — dense ids by (day, key) rank, high-water = N
+    val g0 = graft.ops.SideCache.persist(assignRowIds(e, 0L))
+    val hiWater = g0.agg(max("row_id")).head().getLong(0)
+    // stage 2: update in place — ids carried
+    val gen1 = g0.withColumn("vc", col("vc") +
+      when(col("event_id") % 9 === 0, lit(100L)).otherwise(lit(0L)))
+    // stage 3: inserts allocate above the high-water mark
+    val fresh = assignRowIds(
+      e.filter(col("event_id") % 17 === 0)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          (col("vc") + lit(7L)).as("vc"), col("day")),
+      hiWater)
+    val gen2 = gen1.unionByName(fresh)
+    // stage 4: delete retires ids with the rows
+    val gen3 = gen2.filter(col("event_id") % 13 =!= 0)
+    // stage 5: compaction rewrite — the stored roundtrip must carry
+    // every surviving (id, key, value) bit-for-bit
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_rowtrack_$key"
+    gen3.repartition(4).write.mode("overwrite").parquet(s"$root/compacted")
+    val compacted = spark.read.parquet(s"$root/compacted")
+    val h = graft.functions.F.polyHash(concat_ws("|",
+      col("row_id"), col("event_id"), col("vc")))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.withColumn("h", h)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(max("row_id"), lit(0L)).as("id_hi"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_map"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(name).as("stage"), col("n_rows"), col("id_hi"),
+          col("xor_map"), col("vc_sum"))
+    stage(g0, "1_ingest")
+      .unionAll(stage(gen1, "2_updated"))
+      .unionAll(stage(gen2, "3_inserted"))
+      .unionAll(stage(gen3, "4_deleted"))
+      .unionAll(stage(compacted, "5_compacted"))
+      .orderBy("stage")
+  }
+
+  private val rowTrackingSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(row_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)" +
+        " || '|' || CAST(vc AS VARCHAR)")
+    def stage(name: String, rel: String) =
+      s"""SELECT '$name' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(MAX(row_id), 0) AS BIGINT) AS id_hi,
+         |  CAST(COALESCE(bit_xor($h), 0) AS BIGINT) AS xor_map,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day
+       |  FROM events),
+       |g0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day, event_id)
+       |      AS BIGINT) AS row_id, event_id, vc
+       |  FROM e),
+       |hw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+       |g1 AS (
+       |  SELECT row_id, event_id,
+       |    CASE WHEN event_id % 9 = 0 THEN vc + 100 ELSE vc END AS vc
+       |  FROM g0),
+       |fresh AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY day, event_id) + hw.n
+       |      AS BIGINT) AS row_id,
+       |    event_id + 1000000000 AS event_id, vc + 7 AS vc
+       |  FROM (SELECT event_id, vc, day FROM e WHERE event_id % 17 = 0),
+       |    hw),
+       |g2 AS (SELECT * FROM g1 UNION ALL SELECT * FROM fresh),
+       |g3 AS (SELECT * FROM g2 WHERE event_id % 13 <> 0),
+       |rows_ AS (
+       |  ${stage("1_ingest", "g0")}
+       |  UNION ALL
+       |  ${stage("2_updated", "g1")}
+       |  UNION ALL
+       |  ${stage("3_inserted", "g2")}
+       |  UNION ALL
+       |  ${stage("4_deleted", "g3")}
+       |  UNION ALL
+       |  ${stage("5_compacted", "g3")})
+       |SELECT stage, n_rows, id_hi, xor_map, vc_sum
+       |FROM rows_ ORDER BY stage""".stripMargin
+  }
+
   // ------------------------------------------------- commit feed read
 
   /** `q_commit_feed` — the COMMIT LOG READ AS A SOURCE
@@ -2979,6 +3125,7 @@ object MaintenancePipelineQuery {
     Q("q_stream_commit", streamCommit, Some(streamCommitSql)),
     Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
+    Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }
