@@ -764,6 +764,103 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------- exactly-once streaming MV
+
+  /** `q_stream_mv` — DERIVED STATE under the exactly-once sink
+    * (round 17 — the composition `q_stream_commit` enables): a
+    * materialized aggregate (per event_type: n, Σvc) is maintained by
+    * micro-batches, each delivery MERGING its delta into the previous
+    * MV generation and committing the new generation through
+    * [[graft.ops.StreamCommit]] — the batch's identity and the
+    * derived state flip in one atomic entry. Then batch 1 is
+    * RE-DELIVERED after batch 2 already folded (the crash-replay that
+    * CORRUPTS an MV: re-merging b1's delta into the post-b2 view
+    * double-counts every b1 row — appends merely duplicate, derived
+    * state goes silently WRONG). The sink skips it, and the final MV
+    * rows sit directly under the oracle hash (counts and sums per
+    * event_type over ALL events — any double-fold inflates them).
+    * The head version pins that no 4th commit landed.
+    *
+    * Scale shape: each delivery reads one delta + the |event_types|-
+    * row previous MV (never the accumulated fact history); the MV
+    * partition resolves newest-wins through the log. */
+  private def streamMv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{CommitLog, StreamCommit}
+    val root = ensureStreamCommitData(spark, dir)
+    val logRoot = s"$root/mvlog"
+    VersionChain.rmTree(new java.io.File(logRoot))
+    def mvAgg(df: DataFrame): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vc").as("vc_sum"))
+    def deliver(bid: Long): Option[Long] =
+      StreamCommit.commitBatch(logRoot, "mv_stream", bid, () => {
+        val delta = mvAgg(spark.read.parquet(s"$root/data/b$bid"))
+        val merged = CommitLog.resolvePartitions(logRoot).get("mv") match {
+          case Some((_, prev)) =>
+            spark.read.parquet(prev).unionByName(delta)
+              .groupBy("event_type")
+              .agg(sum("n").as("n"), sum("vc_sum").as("vc_sum"))
+          case None => delta
+        }
+        val path = s"$root/mv/gen$bid"
+        merged.coalesce(1).write.mode("overwrite").parquet(path)
+        (path, Seq("mv"))
+      })
+    def batchRow(step: String, bid: Long, ver: Long): DataFrame =
+      spark.read.parquet(s"$root/data/b$bid")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit("applied").as("outcome"),
+          lit(ver).as("version"), col("n_rows"), col("vc_sum"))
+    val vs = (0L to 2L).map(b => deliver(b)
+      .getOrElse(sys.error(s"fresh batch $b must apply")))
+    require(deliver(1L).isEmpty, "the re-delivered batch must skip")
+    val headV = CommitLog.latestCommitted(logRoot)
+    val (_, mvPath) = CommitLog.resolvePartitions(logRoot)("mv")
+    val skipRow = spark.range(1)
+      .select(lit("4_redeliver_b1").as("step"),
+        lit("skipped").as("outcome"), lit(-1L).as("version"),
+        lit(0L).as("n_rows"), lit(0L).as("vc_sum"))
+    val mvRows = spark.read.parquet(mvPath)
+      .select(concat(lit("z_mv_"), col("event_type")).as("step"),
+        lit("head").as("outcome"), lit(headV).as("version"),
+        col("n").as("n_rows"), col("vc_sum"))
+    (0 to 2).map(b => batchRow(s"${b + 1}_apply_b$b", b.toLong, vs(b)))
+      .reduce(_ unionAll _)
+      .unionAll(skipRow)
+      .unionAll(mvRows)
+      .orderBy("step")
+  }
+
+  private val streamMvSql = {
+    def bstats(step: String, ver: Long, cond: String) =
+      s"""SELECT '$step' AS step, 'applied' AS outcome,
+         |  CAST($ver AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM e WHERE $cond""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |rows_ AS (
+       |  ${bstats("1_apply_b0", 1L, "dom <= 10")}
+       |  UNION ALL
+       |  ${bstats("2_apply_b1", 2L, "dom BETWEEN 11 AND 20")}
+       |  UNION ALL
+       |  ${bstats("3_apply_b2", 3L, "dom >= 21")}
+       |  UNION ALL
+       |  SELECT '4_redeliver_b1', 'skipped', -1, 0, 0
+       |  UNION ALL
+       |  SELECT 'z_mv_' || event_type, 'head', 3,
+       |    CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(vc), 0) AS BIGINT)
+       |  FROM e GROUP BY event_type)
+       |SELECT step, outcome, version, n_rows, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------------------------ row tracking
 
   /** `q_row_tracking` — STABLE ROW IDENTITY across rewrites (round 17
@@ -3126,6 +3223,7 @@ object MaintenancePipelineQuery {
     Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
+    Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }
