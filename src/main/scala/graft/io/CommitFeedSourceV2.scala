@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,11 +95,14 @@ class CommitFeedTable(root: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val startV = Option(options.get("startingversion")).map(_.toLong)
       .getOrElse(0L)
-    () => new CommitFeedScan(root, startV)
+    val maxPerTrigger =
+      Option(options.get("maxversionspertrigger")).map(_.toLong)
+    () => new CommitFeedScan(root, startV, maxPerTrigger)
   }
 }
 
-class CommitFeedScan(root: String, startV: Long) extends Scan {
+class CommitFeedScan(root: String, startV: Long,
+                     maxPerTrigger: Option[Long] = None) extends Scan {
   override def readSchema(): StructType = CommitFeedSourceV2.schema
   override def description(): String = s"commitfeed root=$root from=v$startV"
   override def toBatch: Batch = new Batch {
@@ -112,7 +115,7 @@ class CommitFeedScan(root: String, startV: Long) extends Scan {
       new CommitFeedReaderFactory
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CommitFeedStream(root, startV)
+    new CommitFeedStream(root, startV, maxPerTrigger)
 }
 
 /** Offset = commit version (a monotone long). */
@@ -120,12 +123,27 @@ case class CommitFeedOffset(v: Long) extends Offset {
   override def json: String = v.toString
 }
 
-class CommitFeedStream(root: String, startV: Long) extends MicroBatchStream {
+class CommitFeedStream(root: String, startV: Long,
+                       maxPerTrigger: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = CommitFeedOffset(startV)
   // stable, never latestCommitted — see the class doc: an offset past
   // an unresolved lower claim would skip its later commit forever
   override def latestOffset(): Offset =
     CommitFeedOffset(math.max(startV, CommitLog.stableVersion(root)))
+  // ADMISSION CONTROL (Delta's maxFilesPerTrigger shape): a restart
+  // after downtime must not fold the whole backlog into one
+  // micro-batch — `maxVersionsPerTrigger` caps each batch's version
+  // range; the stable-version ceiling still applies
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CommitFeedOffset].v
+    val stable = math.max(startV, CommitLog.stableVersion(root))
+    CommitFeedOffset(maxPerTrigger match {
+      case Some(m) => math.min(stable, s + m)
+      case None => stable
+    })
+  }
   override def deserializeOffset(json: String): Offset =
     CommitFeedOffset(json.trim.toLong)
   override def planInputPartitions(start: Offset,

@@ -66,6 +66,31 @@ class CommitFeedSpec extends SparkSpec {
       (3L, "w3", "p1")))
   }
 
+  test("maxVersionsPerTrigger paces the backlog: one version per micro-batch, nothing lost") {
+    val s = spark
+    val root = freshRoot()
+    val ckpt = s"$root/engine_ckpt"
+    // a three-commit BACKLOG exists before the stream ever starts
+    CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1", Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("w2", "up", "d/2", Seq("p2"), 1L))
+    CommitLog.tryCommit(root, Entry("w3", "up", "d/3", Seq("p3"), 2L))
+    val batches =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = s.readStream.format("commitfeed")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("version").collect().map(_.getLong(0)).toSeq
+        if (vs.nonEmpty) batches.add(vs)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.toArray(Array.empty[Seq[Long]]).toSeq
+    assert(got === Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"the backlog must drain one version per micro-batch, got $got")
+  }
+
   test("latestOffset never advances past an unresolved claim — the read-side stable version") {
     val root = freshRoot()
     CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1", Seq("p1"), 0L))
