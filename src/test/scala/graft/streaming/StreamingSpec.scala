@@ -1172,4 +1172,64 @@ class StreamingSpec extends SparkSpec {
     assert(live.select("k").as[Long].collect().sorted.toSeq ===
       Seq(1L, 2L, 3L, 4L))
   }
+
+  test("exactly-once sink protecting DERIVED state: a re-delivered delta never double-folds the live aggregate") {
+    // q_stream_mv's twin under a REAL stream: the sink merges each
+    // micro-batch's delta into the previous MV generation and commits
+    // the new generation through StreamCommit; a crash is injected
+    // after the sink committed batch 1's fold, the restart re-delivers
+    // batch 1, and the skip keeps the aggregate exact — re-folding
+    // would double-count silently (appends duplicate; derived state
+    // CORRUPTS).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.ops.{CommitLog, StreamCommit}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_strmv_twin").toString
+    val ckpt = s"$root/engine_ckpt"
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val in = MemoryStream[(String, Long)]
+    def start() = in.toDF().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        StreamCommit.commitBatch(root, "mv_twin", bid, () => {
+          val delta = batch.groupBy("k")
+            .agg(count(lit(1)).as("n"), sum("v").as("vs"))
+          val merged = CommitLog.resolvePartitions(root).get("mv") match {
+            case Some((_, prev)) => s.read.parquet(prev)
+              .unionByName(delta).groupBy("k")
+              .agg(sum("n").as("n"), sum("vs").as("vs"))
+            case None => delta
+          }
+          val p = s"$root/mv/gen$bid"
+          merged.coalesce(1).write.mode("overwrite").parquet(p)
+          (p, Seq("mv"))
+        })
+        if (bid == 1L && crashOnce.getAndSet(false))
+          throw new RuntimeException(
+            "injected crash: MV fold committed, checkpoint never advanced")
+        ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      in.addData(("a", 10L), ("b", 1L)); q1.processAllAvailable()
+      in.addData(("a", 5L))
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // re-delivers batch 1 → fold skipped
+      in.addData(("b", 2L)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 3L),
+      "one commit per batch — a double-fold would add a 4th")
+    val (_, mvPath) = CommitLog.resolvePartitions(root)("mv")
+    val mv = s.read.parquet(mvPath).select("k", "n", "vs")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, n, v) => k -> ((n, v)) }.toMap
+    // a re-folded batch 1 would show a=(3, 20): the skip kept it exact
+    assert(mv === Map("a" -> ((2L, 15L)), "b" -> ((2L, 3L))))
+  }
 }
