@@ -58,6 +58,32 @@ class KeyDomainSpec extends SparkSpec {
     assert(log(1L).keyDomains.isEmpty)
   }
 
+  test("RACING disjoint-domain writers both land — no spurious single winner") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/full",
+      Seq("p1"), 0L))
+    // two live threads, same partition, provably-disjoint ranges,
+    // same snapshot: the in-flight winner rule must NOT serialize
+    // them (write overlap is excused per range, even mid-flight)
+    val outcomes =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ths = Seq(("m1", 1L, 100L), ("m2", 200L, 300L)).map {
+      case (w, lo, hi) => new Thread(() =>
+        try {
+          CommitLog.tryCommit(root, Entry(w, "merge", s"data/$w",
+            Seq("p1"), 1L, keyDomains = Map("p1" -> (lo, hi))))
+          outcomes.add(s"$w:commit"); ()
+        } catch {
+          case _: CommitConflict => outcomes.add(s"$w:conflict"); ()
+        })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    val res = outcomes.toArray(Array.empty[String]).sorted.toSeq
+    assert(res === Seq("m1:commit", "m2:commit"),
+      s"racing disjoint-domain writers must BOTH land, got $res")
+    assert(CommitLog.committedVersions(root).size === 3)
+  }
+
   test("layered reads materialize MERGE semantics; a full rewrite resets the layers") {
     val s = spark
     import s.implicits._

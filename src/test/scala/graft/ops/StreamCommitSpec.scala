@@ -53,6 +53,40 @@ class StreamCommitSpec extends AnyFunSuite {
     assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(0L))
   }
 
+  test("a losing duplicate's attempt-unique staging is reclaimed by the orphan sweep") {
+    val root = freshRoot()
+    def mk(rel: String): String = {
+      val d = new java.io.File(root, rel)
+      d.mkdirs()
+      java.nio.file.Files.writeString(
+        new java.io.File(d, "part-0").toPath, "x")
+      rel
+    }
+    // two duplicate deliveries staged at attempt-unique paths race
+    val applied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (1 to 2).map { i =>
+      new Thread(() =>
+        StreamCommit.commitBatch(root, "s1", 0L,
+          () => (mk(s"staging/b0_attempt$i"), Seq("p0"))) match {
+          case Some(_) => applied.incrementAndGet(); ()
+          case None => ()
+        })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(applied.get === 1)
+    // the loser that got far enough to CLAIM left an aborted entry
+    // naming its staging; the sweep reclaims exactly that, keeping
+    // the winner's files (a loser that skipped before claiming leaves
+    // no entry — the documented age-based-retention case — in which
+    // case the sweep legitimately returns empty)
+    val winner = CommitLog.readLog(root).head._2.dataPath
+    val swept = CommitLog.sweepOrphanStaging(root)
+    assert(!swept.contains(winner), "the winner's staging was swept")
+    assert(new java.io.File(root, winner).exists())
+    swept.foreach(p =>
+      assert(!new java.io.File(root, p).exists(), s"$p not deleted"))
+  }
+
   test("the watermark survives checkpoint + expireBelow — re-delivery of an EXPIRED batch still skips") {
     val root = freshRoot()
     def deliver(bid: Long) =
