@@ -110,6 +110,53 @@ class StreamCommitSpec extends AnyFunSuite {
     assert(deliver(2L) === None)
   }
 
+  test("composition: a micro-batch flips TWO tables atomically with exactly-once identity") {
+    // StreamCommit × MultiTableCommit: the batch's entry names the
+    // tier set as its partitions and a tier manifest as its dataPath,
+    // so one commit carries the fact append, the derived aggregate,
+    // AND the (streamId, batchId) identity — a re-delivered batch
+    // skips BOTH tables; a crash between tier writes publishes
+    // NEITHER (the spanning entry never committed).
+    val root = freshRoot()
+    def deliver(bid: Long): Option[Long] =
+      StreamCommit.commitBatch(root, "s1", bid, () => {
+        val mPath = s"manifests/b$bid.tsv"
+        val f = new java.io.File(root, mPath)
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.writeString(f.toPath,
+          s"t.agg\tdata/agg_b$bid\nt.fact\tdata/fact_b$bid\n")
+        (mPath, Seq("t.fact", "t.agg"))
+      })
+    assert(deliver(0L) === Some(1L))
+    assert(deliver(1L) === Some(2L))
+    // re-delivery: NEITHER tier re-flips
+    assert(deliver(1L) === None)
+    val tiers = MultiTableCommit.resolveTiers(root)
+    assert(tiers("t.fact") === (2L, "data/fact_b1"))
+    assert(tiers("t.agg") === (2L, "data/agg_b1"))
+    // crash between tier writes: manifest staged, claim unresolved —
+    // readers of BOTH tiers stay on batch 1
+    java.nio.file.Files.writeString(
+      new java.io.File(root, "manifests/b2.tsv").toPath,
+      "t.agg\tdata/agg_b2\nt.fact\tdata/fact_b2\n")
+    val claim = new java.io.File(s"$root/commitlog/v3")
+    assert(claim.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(claim, "entry.tsv").toPath,
+      "3\ts1\tstream:2\tmanifests/b2.tsv\t2\tt.agg,t.fact\n")
+    val after = MultiTableCommit.resolveTiers(root)
+    assert(after("t.fact")._2 === "data/fact_b1" &&
+      after("t.agg")._2 === "data/agg_b1",
+      "a torn multi-table batch leaked to readers")
+    // and the batch is NOT considered delivered (entry never
+    // committed): after the janitor aborts the orphan, a retry lands
+    assert(StreamCommit.lastCommittedBatch(root, "s1") === Some(1L))
+    assert(CommitLog.abortOrphan(root, 3L))
+    assert(deliver(2L) === Some(4L))
+    assert(MultiTableCommit.resolveTiers(root)("t.agg")._2
+      === "data/agg_b2")
+  }
+
   test("a genuine partition conflict with an OUTSIDE writer rebases and lands") {
     val root = freshRoot()
     CommitLog.tryCommit(root,
