@@ -764,6 +764,97 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  // --------------------------------------- checkpoint fold + expiry
+
+  /** `q_checkpoint_fold` — LOG CHECKPOINT + HISTORY EXPIRY under the
+    * driver hash (round 17 — the lifecycle CommitLogSpec pins
+    * structurally, surfaced as a first-class operator; Delta's
+    * checkpoint.parquet + log retention distilled): three committed
+    * batches are folded into one `ckpt_v3.tsv`, their slots are
+    * PHYSICALLY DELETED (`expireBelow`), and the resolved table read
+    * THROUGH the checkpoint must reproduce the pre-expiry read
+    * bit-for-bit — the oracle derives both from raw events, so a fold
+    * that dropped a partition, resolved the wrong owner, or read below
+    * the horizon silently hash-fails. A post-expiry commit then lands
+    * at v4: slot numbering stays monotone past the checkpoint (a
+    * reused slot number would corrupt every version-keyed read).
+    *
+    * Scale shape: the checkpoint is |partitions| lines; expiry
+    * deletes |slots| directories; the post-expiry read folds
+    * |partitions| checkpoint rows + slots after it instead of the
+    * whole history — the property that keeps commit-log reads O(live)
+    * rather than O(lifetime). */
+  private def checkpointFold(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    import graft.ops.CommitLog.Entry
+    val root = ensureStreamCommitData(spark, dir)
+    val e = clogEvents(spark, dir)
+    val logRoot = s"$root/ckptlog"
+    VersionChain.rmTree(new java.io.File(logRoot))
+    (0L to 2L).foreach { b =>
+      CommitLog.tryCommit(logRoot, Entry(s"w$b", "ingest",
+        s"$root/data/b$b", daysIn(e, streamBatchCond(b)), b))
+    }
+    def resolvedStats(step: String, ver: Long): DataFrame = {
+      val paths = CommitLog.resolvePartitions(logRoot)
+        .values.map(_._2).toSeq.distinct.sorted
+      paths.map(spark.read.parquet).reduce(_ unionAll _)
+        .withColumn("h", rowHash)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), lit(ver).as("version"),
+          col("n_rows"), col("xor_hash"), col("vc_sum"))
+    }
+    val pre = resolvedStats("1_pre_expiry",
+      CommitLog.stableVersion(logRoot))
+    val ckptV = CommitLog.checkpoint(logRoot)
+    val swept = CommitLog.expireBelow(logRoot, ckptV)
+    require(swept == Seq(1L, 2L, 3L), s"expiry swept $swept")
+    val expiredRow = spark.range(1)
+      .select(lit("2_expired").as("step"),
+        lit(CommitLog.expiredBelow(logRoot)).as("version"),
+        lit(swept.size.toLong).as("n_rows"), lit(0L).as("xor_hash"),
+        lit(0L).as("vc_sum"))
+    // the read THROUGH the checkpoint: slots are gone, content equal
+    val post = resolvedStats("3_post_expiry", ckptV)
+    // numbering stays monotone past the fold
+    val v4 = CommitLog.tryCommit(logRoot, Entry("late", "meta",
+      "derived", Seq("meta"), ckptV))
+    val lateRow = spark.range(1)
+      .select(lit("4_late_commit").as("step"), lit(v4).as("version"),
+        lit(0L).as("n_rows"), lit(0L).as("xor_hash"),
+        lit(0L).as("vc_sum"))
+    pre.unionAll(expiredRow).unionAll(post).unionAll(lateRow)
+      .orderBy("step")
+  }
+
+  private val checkpointFoldSql = {
+    val h = OracleSqlFrag.poly(
+      "CAST(event_id AS VARCHAR) || '|' || event_type || '|' || " +
+        "CAST(vc AS VARCHAR)")
+    def stats(step: String, ver: Long) =
+      s"""SELECT '$step' AS step, CAST($ver AS BIGINT) AS version,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor($h), 0) AS BIGINT) AS xor_hash,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM e""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc
+       |  FROM events),
+       |rows_ AS (
+       |  ${stats("1_pre_expiry", 3L)}
+       |  UNION ALL
+       |  SELECT '2_expired', 3, 3, 0, 0
+       |  UNION ALL
+       |  ${stats("3_post_expiry", 3L)}
+       |  UNION ALL
+       |  SELECT '4_late_commit', 4, 0, 0, 0)
+       |SELECT step, version, n_rows, xor_hash, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // --------------------------------------- exactly-once streaming MV
 
   /** `q_stream_mv` — DERIVED STATE under the exactly-once sink
@@ -3224,6 +3315,7 @@ object MaintenancePipelineQuery {
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
+    Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),
     Q("q_time_travel_diff", timeTravelDiff, Some(timeTravelDiffSql)),
     Q("q_cdf_read", cdfRead, Some(cdfReadSql)))
 }
