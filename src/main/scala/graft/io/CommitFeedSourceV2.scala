@@ -57,9 +57,24 @@ object CommitFeedSourceV2 {
 
   /** One row per (committed entry, partition) with version in
     * (afterV, uptoV] — ascending, deterministic below the stable
-    * version (resolutions are immutable). */
+    * version (resolutions are immutable).
+    *
+    * FAILS LOUDLY when `afterV` reaches below the expired-history
+    * horizon: the slots in (afterV, horizon] were physically deleted
+    * by [[CommitLog.expireBelow]], so a consumer whose start offset
+    * predates the horizon (a default startingversion=0, or a
+    * long-stopped stream's checkpoint) would otherwise silently
+    * replay expired commits as NOTHING — the same contract as
+    * [[CommitLog.resolveAsOf]]'s below-horizon refusal. */
   def rowsBetween(root: String, afterV: Long,
-                  uptoV: Long): Seq[(Long, String, String, String, String, Long)] =
+                  uptoV: Long): Seq[(Long, String, String, String, String, Long)] = {
+    val horizon = CommitLog.expiredBelow(root)
+    if (afterV < horizon && uptoV > afterV)
+      throw new IllegalStateException(
+        s"commitfeed offset v$afterV reaches below the expired-history " +
+          s"horizon v$horizon — the commits in (v$afterV, v$horizon] " +
+          "are physically gone; restart the feed from a fresh " +
+          s"startingversion >= $horizon")
     CommitLog.readLog(root)
       .filter { case (v, _) => v > afterV && v <= uptoV }
       .flatMap { case (v, e) =>
@@ -67,6 +82,7 @@ object CommitFeedSourceV2 {
           if (e.partitions.isEmpty) Seq(null) else e.partitions
         parts.map(p => (v, e.writer, e.op, e.dataPath, p, e.ts))
       }
+  }
 
   def resolveRoot(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("root")))

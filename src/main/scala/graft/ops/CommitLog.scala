@@ -60,24 +60,29 @@ object CommitLog {
     * taken from [[latestCommitted]] over an unresolved lower claim
     * VIOLATES the contract and reopens the lost-update window.
     *
-    * `keyDomains` (optional): partition → inclusive key range
-    * [lo, hi] this entry touches WITHIN that partition — the
+    * `keyDomains` (optional): partition → inclusive key ranges
+    * [lo, hi]* this entry touches WITHIN that partition — the
     * key-granular conflict descriptor (Delta's file-level conflict
-    * sets distilled to ranges). Two writers overlapping on a
+    * sets distilled to range lists). Two writers overlapping on a
     * partition where BOTH declare provably-disjoint domains do NOT
     * conflict: a MERGE into keys 1–100 and a MERGE into keys 200–300
-    * of one partition both land. A domain entry is a LAYER, not an
-    * owner — readers materialize the partition via [[resolveLayers]]
-    * (newest FULL entry as base, later domain entries replacing
-    * their key ranges in version order); the plain newest-wins
-    * [[resolveAsOf]] is only correct for domain-free logs. Absent
-    * domains keep the exact partition-granular behavior. */
+    * of one partition both land — and a SCATTERED MERGE (the
+    * realistic mod-k shape) declares the bounded list of ranges it
+    * actually touches instead of a full-span range that conflicts
+    * with everything. A domain entry is a LAYER, not an owner —
+    * readers materialize the partition via [[resolveLayers]] (newest
+    * FULL entry as base, later domain entries replacing their key
+    * ranges in version order); the plain newest-wins [[resolveAsOf]]
+    * REFUSES a partition whose winner is a layer (use
+    * [[resolveLayers]]). Absent domains keep the exact
+    * partition-granular behavior. */
   final case class Entry(writer: String, op: String, dataPath: String,
                          partitions: Seq[String], baseVersion: Long,
                          ts: Long = -1L,
                          readSet: Seq[String] = Nil,
                          isolation: String = WriteSerializable,
-                         keyDomains: Map[String, (Long, Long)] = Map.empty)
+                         keyDomains: Map[String, Seq[(Long, Long)]] =
+                           Map.empty)
 
   /** Isolation levels (Delta's two write-transaction modes):
     *
@@ -324,18 +329,17 @@ object CommitLog {
     // it would bake the layer in as a full owner and corrupt layered
     // reads after expiry. Compaction (a full-partition entry, which
     // shadows every layer) makes the partition fold-safe again.
-    val live = readLog(root).toMap
-    resolveAsOf(root, v).foreach { case (p, (ov, _)) =>
-      live.get(ov).filter(_.keyDomains.contains(p)).foreach { _ =>
-        throw new IllegalStateException(
-          s"partition '$p' resolves to a key-domain layer at v$ov — " +
-            "compact it to a full-partition entry before checkpointing")
-      }
-    }
     // fold AS OF the pinned version: a commit landing concurrently
     // must not leak into a checkpoint labeled with the older version
-    // (resolveAsOf(v) would otherwise time-travel forward)
-    val owners = resolveAsOf(root, v)
+    // (resolveFlagged(v) would otherwise time-travel forward)
+    val flagged = resolveFlagged(root, v)
+    flagged.collectFirst { case (p, (ov, _, true)) =>
+      throw new IllegalStateException(
+        s"partition '$p' resolves to a key-domain layer at v$ov — " +
+          "compact it to a full-partition entry before checkpointing")
+    }
+    val owners = flagged.view.mapValues { case (ov, dp, _) => (ov, dp) }
+      .toMap
     // fold stream-transaction watermarks INTO the checkpoint (inside
     // the #end guard): expiry deletes the slots that carried the
     // stream: entries, and idempotence state must outlive them
@@ -386,13 +390,36 @@ object CommitLog {
 
   private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
 
+  /** Serialization-safety of an entry, enforced BEFORE any slot is
+    * claimed (a failure mid-claim would strand an entry-less orphan
+    * rivals must poll-and-abort): ordinary partition (and read-set)
+    * names must round-trip the comma-joined entry line AND stay
+    * unambiguous against checkpoint sentinel lines — a partition
+    * literally named '#txn' would be silently dropped from every
+    * checkpoint fold (irrecoverable after expiry), and an embedded
+    * comma/tab would split into phantom partitions on read-back. */
+  private def validateEntry(e: Entry): Unit = {
+    (e.partitions ++ e.readSet).foreach(p => require(
+      p.nonEmpty && !p.startsWith("#") &&
+        !p.exists(c => c == ',' || c == '\t' || c == '\n'),
+      s"partition name not entry-safe (empty, '#'-prefixed, or " +
+        s"contains ,/tab/newline): '$p'"))
+    e.keyDomains.foreach { case (p, ranges) =>
+      require(
+        !p.exists(c => c == '^' || c == ';' || c == '\t' || c == '\n'),
+        s"key-domain partition name not entry-safe: '$p'")
+      require(ranges.nonEmpty && ranges.forall { case (lo, hi) => lo <= hi },
+        s"key domain for '$p' must be non-empty ranges with lo <= hi")
+    }
+  }
+
   private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit = {
     val ts = if (e.ts >= 0L) e.ts else commitTimestamp(v)
-    e.keyDomains.keys.foreach(p => require(
-      !p.exists(c => c == '^' || c == ';' || c == '\t' || c == '\n'),
-      s"key-domain partition name not entry-safe: '$p'"))
-    val kd = e.keyDomains.toSeq.sorted
-      .map { case (p, (lo, hi)) => s"$p^$lo^$hi" }.mkString(";")
+    val kd = e.keyDomains.toSeq.sortBy(_._1)
+      .map { case (p, ranges) =>
+        (p +: ranges.sorted.flatMap { case (lo, hi) => Seq(s"$lo", s"$hi") })
+          .mkString("^")
+      }.mkString(";")
     java.nio.file.Files.writeString(entryFile(d).toPath,
       s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
         e.partitions.mkString(",") + s"\t$ts\t" +
@@ -421,13 +448,15 @@ object CommitLog {
           else Nil
         val iso = if (p.length > 8) p(8) else WriteSerializable
         // entries from before key-domain tracking (≤9 columns) read
-        // back domain-free — exact partition-granular semantics
+        // back domain-free — exact partition-granular semantics; a
+        // single-range r17 entry (p^lo^hi) parses as a 1-range list
         val kd = if (p.length > 9 && p(9).nonEmpty)
           p(9).split(";").map { s =>
             val q = s.split("\\^", -1)
-            q(0) -> (q(1).toLong, q(2).toLong)
+            q(0) -> q.tail.grouped(2)
+              .map(r => (r(0).toLong, r(1).toLong)).toSeq
           }.toMap
-        else Map.empty[String, (Long, Long)]
+        else Map.empty[String, Seq[(Long, Long)]]
         Some((v, Entry(p(1), p(2), p(3),
           if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong,
           ts, rs, iso, kd)))
@@ -465,12 +494,16 @@ object CommitLog {
       other: Entry, committed: Boolean, aborted: Boolean): Boolean = {
     // key-granular excuse (Entry.keyDomains): a shared partition does
     // NOT conflict when BOTH writers declare provably-disjoint key
-    // ranges for it — the write sets cannot intersect. One-sided or
-    // absent domains stay partition-granular (conservative).
+    // range LISTS for it — no range of one overlaps any range of the
+    // other, so the write sets cannot intersect (two interleaved
+    // scattered MERGEs both land). One-sided or absent domains stay
+    // partition-granular (conservative). Cost: |a|·|b| long compares
+    // per shared partition — bounded by the entry line itself.
     def disjointDomains(p: String): Boolean =
       (e.keyDomains.get(p), other.keyDomains.get(p)) match {
-        case (Some((alo, ahi)), Some((blo, bhi))) =>
-          ahi < blo || bhi < alo
+        case (Some(as), Some(bs)) =>
+          !as.exists { case (alo, ahi) =>
+            bs.exists { case (blo, bhi) => alo <= bhi && blo <= ahi } }
         case _ => false
       }
     val writeOverlap = e.partitions.toSet
@@ -500,6 +533,7 @@ object CommitLog {
     * exactly one winner and one [[CommitConflict]], never two
     * aborts. */
   def tryCommit(root: String, e: Entry, maxAttempts: Int = 64): Long = {
+    validateEntry(e) // fail fast, before any slot is claimed
     logDir(root).mkdirs()
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -680,12 +714,13 @@ object CommitLog {
     f.delete(); ()
   }
 
-  /** Partition → owning (version, dataPath) as of version `asOf`: the
-    * newest committed entry ≤ asOf touching each partition —
-    * snapshot-isolation reads over the log, the time-travel semantics
-    * [[VersionChain]] gets from immutable generations, here recovered
-    * purely from the log's per-partition ownership fold. */
-  def resolveAsOf(root: String, asOf: Long): Map[String, (Long, String)] = {
+  /** [[resolveAsOf]]'s fold with a per-partition LAYER FLAG: true when
+    * the winning entry declares a key domain for that partition (it is
+    * a layer, not a full owner). Checkpoint owners are always full
+    * (the [[checkpoint]] guard refused layered heads), so seeds carry
+    * false. */
+  private def resolveFlagged(root: String,
+      asOf: Long): Map[String, (Long, String, Boolean)] = {
     // fold from the newest usable checkpoint (complete state at its
     // version, and nothing under it may have been expired — so it
     // must sit at or above the expiry horizon), then overlay the
@@ -697,11 +732,35 @@ object CommitLog {
         s"asOf(v$asOf) reaches below the expired-history horizon " +
           s"v$horizon with no covering checkpoint — history is gone")
     val from = ck.map(_._1).getOrElse(0L)
+    val seed = ck.map(_._2).getOrElse(Map.empty[String, (Long, String)])
+      .view.mapValues { case (v, dp) => (v, dp, false) }.toMap
     readLog(root).filter { case (v, _) => v > from && v <= asOf }
-      .foldLeft(ck.map(_._2).getOrElse(Map.empty[String, (Long, String)])) {
-        case (acc, (v, e)) =>
-          acc ++ e.partitions.map(p => p -> (v, e.dataPath))
+      .foldLeft(seed) { case (acc, (v, e)) =>
+        acc ++ e.partitions.map(p =>
+          p -> (v, e.dataPath, e.keyDomains.contains(p)))
       }
+  }
+
+  /** Partition → owning (version, dataPath) as of version `asOf`: the
+    * newest committed entry ≤ asOf touching each partition —
+    * snapshot-isolation reads over the log, the time-travel semantics
+    * [[VersionChain]] gets from immutable generations, here recovered
+    * purely from the log's per-partition ownership fold.
+    *
+    * REFUSES a partition whose winner is a KEY-DOMAIN LAYER: serving
+    * the layer as the whole partition would silently return only its
+    * key range ([[checkpoint]] fails loudly on the same condition —
+    * plain reads must too, not corrupt). Callers reading a layered
+    * log use [[resolveLayers]] per partition. */
+  def resolveAsOf(root: String, asOf: Long): Map[String, (Long, String)] = {
+    val flagged = resolveFlagged(root, asOf)
+    val layered = flagged.collect { case (p, (v, _, true)) => s"$p@v$v" }
+    if (layered.nonEmpty)
+      throw new IllegalStateException(
+        s"resolveAsOf(v$asOf): partition(s) ${layered.toSeq.sorted
+          .mkString(", ")} resolve to key-domain LAYERS, not full " +
+          "owners — read them via resolveLayers (or compact first)")
+    flagged.view.mapValues { case (v, dp, _) => (v, dp) }.toMap
   }
 
   /** Partition → owning (version, dataPath): the newest committed
@@ -714,27 +773,62 @@ object CommitLog {
     * is the BASE; every later committed entry declaring a key domain
     * for the partition LAYERS on top, in version order. A reader
     * materializes the partition by starting from the base and, per
-    * layer, replacing the rows whose key falls inside the layer's
-    * [lo, hi] with the layer's rows — MERGE semantics recovered from
-    * the log. Returned as (version, dataPath, domain) ascending;
-    * the head is the base (domain None). Requires a full base in the
-    * UNEXPIRED log — [[checkpoint]] refuses to fold a partition whose
-    * newest owner is a domain layer, so compaction (a full-partition
-    * rewrite, which shadows all layers) must precede expiry. */
+    * layer, replacing the rows whose key falls inside ANY of the
+    * layer's [lo, hi] ranges with the layer's rows — MERGE semantics
+    * recovered from the log. Returned as (version, dataPath, domain)
+    * ascending; the head is the base (domain None).
+    *
+    * Base discovery falls back to the newest valid CHECKPOINT ≤ asOf
+    * when no full entry survives in the live log: a layer committed
+    * above the newest checkpoint stays readable after [[expireBelow]]
+    * deletes its base slot, because the checkpoint's owner for the
+    * partition is guaranteed full (the [[checkpoint]] guard refuses
+    * layered heads) — without the fallback, a legitimate sequence of
+    * public ops (merge-with-domain after checkpoint, then expiry)
+    * would strand the partition unreadable AND uncompactable. */
   def resolveLayers(root: String, partition: String,
                     asOf: Long = Long.MaxValue)
-      : Seq[(Long, String, Option[(Long, Long)])] = {
+      : Seq[(Long, String, Option[Seq[(Long, Long)]])] = {
     val touching = readLog(root).filter { case (v, e) =>
       v <= asOf && e.partitions.contains(partition) }
-    val baseV = touching.collect {
+    val liveBase = touching.collect {
       case (v, e) if !e.keyDomains.contains(partition) => v
-    }.maxOption.getOrElse(throw new IllegalStateException(
-      s"no full-partition base for '$partition' in the live log — " +
-        "layers need a base; compact before expiring history"))
-    touching.filter(_._1 >= baseV).sortBy(_._1).map { case (v, e) =>
+    }.maxOption
+    val base: (Long, String, Option[Seq[(Long, Long)]]) = liveBase match {
+      case Some(bv) =>
+        val (_, e) = touching.find(_._1 == bv).get
+        (bv, e.dataPath, None)
+      case None =>
+        val horizon = expiredBelow(root)
+        readCheckpoint(root, atMost = asOf, atLeast = horizon)
+          .flatMap { case (_, owners) => owners.get(partition)
+            .map { case (ov, dp) => (ov, dp, None) } }
+          .getOrElse(throw new IllegalStateException(
+            s"no full-partition base for '$partition' in the live log " +
+              "or any covering checkpoint — layers need a base; " +
+              "compact before expiring history"))
+    }
+    base +: touching.filter { case (v, e) =>
+      v > base._1 && e.keyDomains.contains(partition)
+    }.sortBy(_._1).map { case (v, e) =>
       (v, e.dataPath, e.keyDomains.get(partition))
     }
   }
+
+  /** The per-partition READ PLAN as of `asOf` — what a connector needs
+    * to serve the table: Left((version, dataPath)) for a partition
+    * whose newest owner is FULL (read it directly), Right(layer stack,
+    * per [[resolveLayers]]) for one whose newest owner declares a key
+    * domain (materialize the layered view). This is the non-throwing
+    * twin of [[resolveAsOf]]: layered partitions come back as their
+    * stacks instead of refusing the whole resolution. */
+  def resolveForRead(root: String, asOf: Long = Long.MaxValue)
+      : Map[String, Either[(Long, String),
+                           Seq[(Long, String, Option[Seq[(Long, Long)]])]]] =
+    resolveFlagged(root, asOf).map {
+      case (p, (v, dp, false)) => p -> Left((v, dp))
+      case (p, _) => p -> Right(resolveLayers(root, p, asOf))
+    }
 
   // ------------------------------------------------- timestamp travel
 

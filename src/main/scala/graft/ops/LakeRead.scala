@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-side materialization of [[CommitLog.resolveLayers]] —
+  * the one place the layered-read fold lives, shared by the
+  * `graftlake` connector, `q_merge_concurrent`, and the specs so the
+  * MERGE semantics cannot drift between consumers.
+  *
+  * Semantics (per [[CommitLog.Entry.keyDomains]]): start from the
+  * base; per layer in version order, REPLACE the rows whose key falls
+  * inside ANY of the layer's inclusive [lo, hi] ranges with the
+  * layer's rows. Later layers replace earlier layers inside an
+  * overlap, because the fold filters the accumulated frame — exactly
+  * the newest-wins-within-domain contract.
+  *
+  * Scale shape: the fold is |layers| pruned scans unioned — each
+  * layer contributes only its (delta-proportional) staged rows, the
+  * base contributes everything outside the union of domains; no
+  * shuffle is introduced beyond the scans themselves. */
+object LakeRead {
+
+  /** `key ∈ ∪ ranges` as one predicate — pushed to the parquet scan
+    * (a disjunction of range filters stays pushdown-eligible). */
+  def inDomain(key: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => key.between(lo, hi) }
+      .reduce(_ || _)
+
+  /** Materialize one partition's layered view from
+    * [[CommitLog.resolveLayers]] output. `path` maps a layer's
+    * dataPath to a readable parquet location (identity when entries
+    * store absolute paths; `root`-prefixing when they are relative). */
+  def layeredFrame(spark: SparkSession,
+                   layers: Seq[(Long, String, Option[Seq[(Long, Long)]])],
+                   keyCol: String,
+                   path: String => String = identity): DataFrame =
+    layers.tail.foldLeft(spark.read.parquet(path(layers.head._2))) {
+      case (acc, (_, p, Some(ranges))) =>
+        acc.filter(!inDomain(col(keyCol), ranges))
+          .unionByName(spark.read.parquet(path(p))
+            .filter(inDomain(col(keyCol), ranges)))
+      case (acc, _) => acc
+    }
+}

@@ -77,6 +77,16 @@ object StreamCommit {
     if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
       return None
     val (dataPath, partitions) = stage()
+    // exactly-once leans on same-batch duplicates WRITE-WRITE
+    // conflicting via identical partition sets; an empty partition
+    // set has no conflict surface, so two racing duplicate deliveries
+    // could BOTH commit (two stream: entries for one batch). An empty
+    // micro-batch must stage a sentinel partition (e.g.
+    // "empty_<streamId>") to keep the conflict surface non-empty.
+    require(partitions.nonEmpty,
+      s"stage() for $streamId batch $batchId returned no partitions — " +
+        "an empty micro-batch must return a sentinel partition so " +
+        "duplicate deliveries keep a write-write conflict surface")
     var rebases = 0
     while (true) {
       val base = CommitLog.stableVersion(root) // BEFORE the re-check

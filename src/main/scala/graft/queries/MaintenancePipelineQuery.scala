@@ -1260,28 +1260,24 @@ object MaintenancePipelineQuery {
     // BOTH concurrent merges from the same snapshot v1 land
     val vLow = CommitLog.tryCommit(logRoot, Entry("m_low", "merge",
       s"$root/data/low", Seq("events"), 1L,
-      keyDomains = Map("events" -> (0L, q1))))
+      keyDomains = Map("events" -> Seq((0L, q1)))))
     val vHigh = CommitLog.tryCommit(logRoot, Entry("m_high", "merge",
       s"$root/data/high", Seq("events"), 1L,
-      keyDomains = Map("events" -> (q3 + 1, mx))))
+      keyDomains = Map("events" -> Seq((q3 + 1, mx)))))
     // a straddling range from the same stale snapshot is REFUSED
     val refused = scala.util.Try(CommitLog.tryCommit(logRoot,
       Entry("m_bad", "merge", s"$root/data/low", Seq("events"), 1L,
-        keyDomains = Map("events" -> (q1, q1 + 1))))) match {
+        keyDomains = Map("events" -> Seq((q1, q1 + 1)))))) match {
       case scala.util.Failure(_: CommitLog.CommitConflict) => "refused"
       case scala.util.Failure(ex) => throw ex
       case scala.util.Success(_) => "landed" // hash-fails
     }
     // the layered read: base outside both ranges + each layer's range
+    // (the shared LakeRead fold — the same code path the graftlake
+    // connector serves layered partitions through)
     val layers = CommitLog.resolveLayers(logRoot, "events")
-    val layered = layers.tail.foldLeft(
-      spark.read.parquet(layers.head._2)) {
-      case (acc, (_, path, Some((lo, hi)))) =>
-        acc.filter(!col("event_id").between(lo, hi))
-          .unionByName(spark.read.parquet(path)
-            .filter(col("event_id").between(lo, hi)))
-      case (acc, _) => acc
-    }
+    val layered = graft.ops.LakeRead.layeredFrame(
+      spark, layers, "event_id")
     // compaction: the layered view rewritten as the new full base
     layered.write.mode("overwrite").parquet(s"$root/data/compacted")
     val vComp = CommitLog.tryCommit(logRoot, Entry("compactor",

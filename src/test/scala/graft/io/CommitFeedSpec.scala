@@ -115,4 +115,29 @@ class CommitFeedSpec extends SparkSpec {
       .select("version").collect().map(_.getLong(0)).sorted.toSeq
     assert(vs === Seq(1L, 3L))
   }
+
+  test("an offset below the expiry horizon fails LOUDLY instead of replaying expired commits as nothing") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("w1", "ingest", "d/1", Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("w2", "up", "d/2", Seq("p1"), 1L))
+    CommitLog.checkpoint(root)
+    CommitLog.expireBelow(root, 2L)
+    CommitLog.tryCommit(root, Entry("w3", "up", "d/3", Seq("p1"), 2L))
+    // default startingversion=0 reaches below the horizon: the slots
+    // in (0, 2] are physically gone — silent empty replay would look
+    // like "no commits happened"; it must throw instead (the
+    // resolveAsOf below-horizon contract, applied to the feed)
+    val ex = intercept[Exception] {
+      spark.read.format("commitfeed").load(root).collect()
+    }
+    def horizonMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("horizon")) ||
+        horizonMsg(t.getCause))
+    assert(horizonMsg(ex), s"expected the horizon refusal, got $ex")
+    // starting AT the horizon serves the live suffix
+    val vs = spark.read.format("commitfeed")
+      .option("startingversion", "2").load(root)
+      .select("version").collect().map(_.getLong(0)).toSeq
+    assert(vs === Seq(3L))
+  }
 }

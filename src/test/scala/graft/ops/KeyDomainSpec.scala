@@ -20,13 +20,13 @@ class KeyDomainSpec extends SparkSpec {
       Seq("p1"), 0L))
     // disjoint ranges from the same snapshot: both commit
     assert(CommitLog.tryCommit(root, Entry("m1", "merge", "data/m1",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (1L, 100L)))) === 2L)
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((1L, 100L))))) === 2L)
     assert(CommitLog.tryCommit(root, Entry("m2", "merge", "data/m2",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (200L, 300L)))) === 3L)
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((200L, 300L))))) === 3L)
     // overlapping ranges: one winner, the stale writer conflicts
     intercept[CommitConflict] {
       CommitLog.tryCommit(root, Entry("m3", "merge", "data/m3",
-        Seq("p1"), 1L, keyDomains = Map("p1" -> (50L, 250L))))
+        Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((50L, 250L)))))
     }
     // one-sided domains stay partition-granular (conservative): a
     // domain-free writer conflicts with ANY committed domain writer
@@ -37,7 +37,7 @@ class KeyDomainSpec extends SparkSpec {
     // boundary adjacency is NOT disjoint (inclusive ranges)
     intercept[CommitConflict] {
       CommitLog.tryCommit(root, Entry("m5", "merge", "data/m5",
-        Seq("p1"), 1L, keyDomains = Map("p1" -> (100L, 150L))))
+        Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((100L, 150L)))))
     }
     // a multi-partition entry: its p1 range is disjoint from every
     // rival, but p2 is contested by a domain-free writer — the
@@ -47,14 +47,14 @@ class KeyDomainSpec extends SparkSpec {
       Seq("p2"), 1L)) === 7L)
     intercept[CommitConflict] {
       CommitLog.tryCommit(root, Entry("m6", "merge", "data/m6",
-        Seq("p1", "p2"), 1L, keyDomains = Map("p1" -> (400L, 500L),
-          "p2" -> (1L, 10L))))
+        Seq("p1", "p2"), 1L, keyDomains = Map("p1" -> Seq((400L, 500L)),
+          "p2" -> Seq((1L, 10L)))))
     }
     assert(CommitLog.tryCommit(root, Entry("m7", "merge", "data/m7",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (400L, 500L)))) === 9L)
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((400L, 500L))))) === 9L)
     // domains survive the entry roundtrip
     val log = CommitLog.readLog(root).toMap
-    assert(log(2L).keyDomains === Map("p1" -> ((1L, 100L))))
+    assert(log(2L).keyDomains === Map("p1" -> Seq((1L, 100L))))
     assert(log(1L).keyDomains.isEmpty)
   }
 
@@ -71,7 +71,7 @@ class KeyDomainSpec extends SparkSpec {
       case (w, lo, hi) => new Thread(() =>
         try {
           CommitLog.tryCommit(root, Entry(w, "merge", s"data/$w",
-            Seq("p1"), 1L, keyDomains = Map("p1" -> (lo, hi))))
+            Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((lo, hi)))))
           outcomes.add(s"$w:commit"); ()
         } catch {
           case _: CommitConflict => outcomes.add(s"$w:conflict"); ()
@@ -101,20 +101,14 @@ class KeyDomainSpec extends SparkSpec {
     (8L to 9L).map(k => (k, 0L)).toDF("k", "v")
       .coalesce(1).write.parquet(s"$data/mB")
     assert(CommitLog.tryCommit(root, Entry("mA", "merge", s"$data/mA",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (2L, 4L)))) === 2L)
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((2L, 4L))))) === 2L)
     assert(CommitLog.tryCommit(root, Entry("mB", "merge", s"$data/mB",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (8L, 9L)))) === 3L)
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((8L, 9L))))) === 3L)
     val layers = CommitLog.resolveLayers(root, "p1")
     assert(layers.map(l => (l._1, l._3)) ===
-      Seq((1L, None), (2L, Some((2L, 4L))), (3L, Some((8L, 9L)))))
+      Seq((1L, None), (2L, Some(Seq((2L, 4L)))), (3L, Some(Seq((8L, 9L))))))
     // materialize: per layer replace the key range with the layer
-    val live = layers.tail.foldLeft(s.read.parquet(layers.head._2)) {
-      case (acc, (_, path, Some((lo, hi)))) =>
-        acc.filter(!col("k").between(lo, hi))
-          .unionByName(s.read.parquet(path)
-            .filter(col("k").between(lo, hi)))
-      case (acc, _) => acc
-    }
+    val live = graft.ops.LakeRead.layeredFrame(s, layers, "k")
     val got = live.as[(Long, Long)].collect().toMap
     val want = (1L to 10L).map(k => k -> (
       if (k >= 2 && k <= 4) k * 20L
@@ -137,7 +131,7 @@ class KeyDomainSpec extends SparkSpec {
     CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/full",
       Seq("p1"), 0L))
     CommitLog.tryCommit(root, Entry("m1", "merge", "data/m1",
-      Seq("p1"), 1L, keyDomains = Map("p1" -> (1L, 10L))))
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((1L, 10L)))))
     val ex = intercept[IllegalStateException] { CommitLog.checkpoint(root) }
     assert(ex.getMessage.contains("compact"))
     // compaction writes the full partition; the fold is safe again
@@ -146,5 +140,97 @@ class KeyDomainSpec extends SparkSpec {
     assert(CommitLog.checkpoint(root) === 3L)
     assert(CommitLog.resolvePartitions(root)("p1") ===
       (3L, "data/compacted"))
+  }
+
+  test("MULTI-RANGE domains: two interleaved mod-key MERGEs both land; overlapping sets keep one winner") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/full",
+      Seq("p1"), 0L))
+    // the realistic scattered-MERGE shape: writer A touches keys
+    // ≡ 0 mod 4, writer B keys ≡ 1 mod 4 — as singleton-range lists.
+    // A full-span declaration would have serialized them; the range
+    // lists prove disjointness and both land from the SAME snapshot.
+    def mods(r: Long) = (0L to 16L by 4L).map(k => (k + r, k + r))
+    assert(CommitLog.tryCommit(root, Entry("mA", "merge", "data/mA",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> mods(0)))) === 2L)
+    assert(CommitLog.tryCommit(root, Entry("mB", "merge", "data/mB",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> mods(1)))) === 3L)
+    // an overlapping SET (one shared singleton) still conflicts
+    intercept[CommitConflict] {
+      CommitLog.tryCommit(root, Entry("mC", "merge", "data/mC",
+        Seq("p1"), 1L,
+        keyDomains = Map("p1" -> Seq((100L, 100L), (4L, 4L)))))
+    }
+    // multi-range lists survive the entry round-trip, order-normalized
+    val log = CommitLog.readLog(root).toMap
+    assert(log(2L).keyDomains === Map("p1" -> mods(0)))
+    assert(log(3L).keyDomains === Map("p1" -> mods(1)))
+  }
+
+  test("resolveAsOf REFUSES a layered winner instead of serving a partial partition") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/full",
+      Seq("p1", "p2"), 0L))
+    CommitLog.tryCommit(root, Entry("m1", "merge", "data/m1",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((1L, 10L)))))
+    // p1's newest owner is a LAYER: a plain resolve would silently
+    // serve only keys 1-10 as the whole partition — it must throw,
+    // directing to resolveLayers (the checkpoint guard's read twin)
+    val ex = intercept[IllegalStateException] {
+      CommitLog.resolvePartitions(root)
+    }
+    assert(ex.getMessage.contains("resolveLayers"))
+    // asOf BELOW the layer still resolves fine
+    assert(CommitLog.resolveAsOf(root, 1L)("p1") === (1L, "data/full"))
+    // and a compaction re-admits the plain resolve
+    CommitLog.tryCommit(root, Entry("cw", "compact", "data/c",
+      Seq("p1"), 2L))
+    assert(CommitLog.resolvePartitions(root)("p1") === (3L, "data/c"))
+  }
+
+  test("a layer committed ABOVE the newest checkpoint survives base-slot expiry (checkpoint-owner fallback)") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/full",
+      Seq("p1"), 0L))
+    assert(CommitLog.checkpoint(root) === 1L)
+    // the layer lands AFTER the checkpoint; expiry then deletes the
+    // base slot — the layer's base must fall back to the checkpoint
+    // owner (guaranteed full by the checkpoint guard)
+    CommitLog.tryCommit(root, Entry("m1", "merge", "data/m1",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((1L, 10L)))))
+    CommitLog.expireBelow(root, 1L)
+    val layers = CommitLog.resolveLayers(root, "p1")
+    assert(layers === Seq((1L, "data/full", None),
+      (2L, "data/m1", Some(Seq((1L, 10L))))),
+      "layered read must recover its base from the checkpoint fold")
+    // and compaction (which consumes resolveLayers) can proceed,
+    // re-arming checkpoint + further expiry
+    CommitLog.tryCommit(root, Entry("cw", "compact", "data/c",
+      Seq("p1"), CommitLog.stableVersion(root)))
+    assert(CommitLog.checkpoint(root) === 3L)
+    assert(CommitLog.resolvePartitions(root)("p1") === (3L, "data/c"))
+  }
+
+  test("entry-hostile partition names are refused at write time ('#txn', comma, tab)") {
+    val root = freshRoot()
+    // '#'-prefixed names collide with checkpoint sentinel lines: a
+    // partition literally named '#txn' would be silently dropped from
+    // every checkpoint fold — irrecoverable after expiry
+    for (bad <- Seq("#txn", "#x", "a,b", "a\tb", "")) {
+      intercept[IllegalArgumentException] {
+        CommitLog.tryCommit(root, Entry("w", "ingest", "data/x",
+          Seq(bad), 0L))
+      }
+    }
+    // read sets are comma-joined too
+    intercept[IllegalArgumentException] {
+      CommitLog.tryCommit(root, Entry("w", "ingest", "data/x",
+        Seq("p1"), 0L, readSet = Seq("a,b")))
+    }
+    // validation fails BEFORE any slot is claimed: no orphan claims
+    // for rivals to poll-and-abort, and the log is pristine
+    assert(CommitLog.committedVersions(root).isEmpty)
+    assert(CommitLog.tryCommit(root, Entry("w", "ingest", "data/x",
+      Seq("p1"), 0L)) === 1L)
   }
 }

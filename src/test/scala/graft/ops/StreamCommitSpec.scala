@@ -157,6 +157,23 @@ class StreamCommitSpec extends AnyFunSuite {
       === "data/agg_b2")
   }
 
+  test("a stage() returning NO partitions is refused — empty batches need a sentinel partition") {
+    val root = freshRoot()
+    // an empty partition set has no write-write conflict surface: two
+    // racing duplicate deliveries of one batch could BOTH commit,
+    // landing two stream: entries — the guard forces a sentinel
+    intercept[IllegalArgumentException] {
+      StreamCommit.commitBatch(root, "s1", 0L, () => ("data/b0", Nil))
+    }
+    assert(CommitLog.committedVersions(root).isEmpty,
+      "the refused empty batch must not have committed")
+    // the sentinel shape works and keeps the conflict surface
+    assert(StreamCommit.commitBatch(root, "s1", 0L,
+      () => ("data/b0", Seq("empty_s1"))) === Some(1L))
+    assert(StreamCommit.commitBatch(root, "s1", 0L,
+      () => ("data/b0", Seq("empty_s1"))) === None)
+  }
+
   test("a genuine partition conflict with an OUTSIDE writer rebases and lands") {
     val root = freshRoot()
     CommitLog.tryCommit(root,
