@@ -1,0 +1,223 @@
+package graft.io
+
+import graft.ops.{CommitLog, LakeRead}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** THE VERSIONED TABLE AS A `spark.read` SOURCE — the read-side twin
+  * of the `commitfeed` stream: `spark.read.format("graftlake")
+  * .load(root)` (or `CREATE TABLE … USING graftlake OPTIONS(…)` for
+  * plain SQL users) serves the [[graft.ops.CommitLog]] table at any
+  * version, resolving ownership through the log instead of a
+  * directory walk. Until now the entire lakehouse tier — time travel,
+  * layered merge-on-read, snapshot isolation — was Scala-API-only
+  * (`resolveAsOf`/`resolveLayers`); this makes it consumable from
+  * DataFrames and SQL.
+  *
+  * Architecture is Delta's read path distilled (DeltaLog.
+  * createRelation → HadoopFsRelation over TahoeLogFileIndex): a
+  * [[RelationProvider]] returning a [[HadoopFsRelation]] whose
+  * [[FileIndex]] is driven by the COMMIT LOG, not the filesystem.
+  * That one choice buys the whole native scan stack for free —
+  * partition pruning (the index receives the query's partition
+  * filters and drops pruned partitions before any file is listed into
+  * the scan), parquet predicate pushdown, column pruning, the
+  * vectorized reader, and whole-stage codegen — because the planner
+  * sees an ordinary `FileSourceScanExec`. A from-scratch DSv2
+  * `PartitionReader` would have re-implemented (slower) parquet
+  * decoding instead.
+  *
+  * Options:
+  *   - `versionAsOf` — serve the table as of this commit version;
+  *   - `timestampAsOf` — epoch-seconds twin ([[CommitLog.asOfTimestamp]]
+  *     floors to the newest commit at or before it);
+  *   - default (neither) — the STABLE head ([[CommitLog.stableVersion]]),
+  *     never `latestCommitted`: serving past an unresolved lower claim
+  *     would read a state no snapshot can ever have (the same
+  *     contract as the feed's `latestOffset`);
+  *   - `partitionColumn` — the hive-style directory column (e.g.
+  *     `pday`): partition `p` of owner `dp` lives at `dp/<col>=p` and
+  *     the column is exposed, string-typed, for pruning. Absent, each
+  *     owner path holds the whole partition and the commit-log
+  *     partition NAME is exposed as `_partition` (still prunable);
+  *   - `keyColumn` — the MERGE key, required only when a partition
+  *     resolves to key-domain LAYERS ([[CommitLog.resolveLayers]]).
+  *
+  * LAYERED partitions (merge-on-read): a partition whose newest owner
+  * declares a key domain has no single directory to list. The
+  * connector materializes the layered view ONCE into a content-keyed
+  * cache (`<root>/_lake_cache/<partition>__v<stack>`, immutable
+  * versions ⇒ valid forever, `_SUCCESS`-guarded against torn writes)
+  * and serves files from there — the same economics as compacting
+  * before read, paid once per layer stack and amortized across every
+  * subsequent read at any filter. The steady-state answer remains a
+  * real compaction commit (which shadows the layers and re-arms
+  * checkpointing); the cache keeps reads correct in the window
+  * between merge and compaction.
+  *
+  * Scale shape: resolution is the log's metadata fold (|slots| small
+  * reads + |partitions| driver entries); file listing is one
+  * `listStatus` per SURVIVING partition — pruning happens before
+  * listing, so a `WHERE pday = X` query lists one directory no matter
+  * how many partitions the table has. A production variant would
+  * carry file manifests inside the entries themselves (the
+  * `q_compact_manifest` convention) and skip listStatus entirely;
+  * the resolution and pruning seams here are exactly where that
+  * plugs in. */
+object GraftLakeSource {
+
+  val VirtualPartitionCol = "_partition"
+
+  def resolveRoot(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("root"))
+      .filter(_.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        "graftlake needs a commit-log root: .load(<root>) or option('root', …)"))
+
+  /** The pinned read version from the options (version wins over
+    * timestamp; both absent = stable head). */
+  def resolveVersion(root: String, parameters: Map[String, String]): Long =
+    parameters.get("versionasof").map(_.trim.toLong)
+      .orElse(parameters.get("timestampasof").map { ts =>
+        CommitLog.asOfTimestamp(root, ts.trim.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"timestampAsOf $ts predates the first commit — no table " +
+              "state exists at that time"))
+      })
+      .getOrElse(CommitLog.stableVersion(root))
+}
+
+class GraftLakeDataSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graftlake"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftLakeSource.resolveRoot(lower)
+    val asOf = GraftLakeSource.resolveVersion(root, lower)
+    val partCol = lower.get("partitioncolumn")
+    val keyCol = lower.get("keycolumn")
+
+    def located(dp: String): String =
+      if (new Path(dp).isAbsolute) dp else s"$root/$dp"
+    // partition p of an owner path, under either layout
+    def partDir(dp: String, p: String): String = partCol match {
+      case Some(c) => s"${located(dp)}/$c=$p"
+      case None => located(dp)
+    }
+
+    val plan = CommitLog.resolveForRead(root, asOf)
+    require(plan.nonEmpty,
+      s"graftlake: no committed partitions at or below v$asOf in $root")
+
+    // LAYERED partitions: materialize once into the content-keyed
+    // cache; `_SUCCESS` is the torn-write guard (Spark writes it last)
+    val locations: Map[String, String] = plan.map {
+      case (p, Left((_, dp))) => p -> partDir(dp, p)
+      case (p, Right(stack)) =>
+        val key = stack.map { case (v, _, dom) =>
+          s"v$v" + dom.map(_.map { case (lo, hi) => s"$lo-$hi" }
+            .mkString("d", "_", "")).getOrElse("")
+        }.mkString("_")
+        val safeP = p.replaceAll("[^A-Za-z0-9.=-]", "_")
+        val cache = s"$root/_lake_cache/${safeP}__$key"
+        if (!new java.io.File(cache, "_SUCCESS").exists()) {
+          val kc = keyCol.getOrElse(throw new IllegalArgumentException(
+            s"graftlake: partition '$p' resolves to key-domain layers " +
+              "— option('keyColumn', <mergeKey>) is required to " +
+              "materialize the layered view"))
+          LakeRead.layeredFrame(spark, stack, kc,
+            dp => partDir(dp, p))
+            .write.mode("overwrite").parquet(cache)
+        }
+        p -> cache
+    }
+
+    val fs = new Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dataSchema = spark.read.parquet(locations.head._2).schema
+    val pName = partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
+    require(!dataSchema.fieldNames.contains(pName),
+      s"graftlake: partition column '$pName' collides with a data column")
+    val partitionSchema = StructType(Seq(
+      StructField(pName, StringType, nullable = false)))
+
+    HadoopFsRelation(
+      location = new GraftLakeFileIndex(root, locations, partitionSchema,
+        dir => fs.listStatus(new Path(dir)).toSeq.filter(f =>
+          f.isFile && f.getLen > 0 && {
+            val n = f.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })),
+      partitionSchema = partitionSchema,
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+}
+
+/** Commit-log-driven [[FileIndex]]: partitions come from the log's
+  * resolution (never a directory walk), partition FILTERS are
+  * evaluated driver-side against the partition values BEFORE any
+  * directory is listed — pruning cuts both the scan and the listing —
+  * and each surviving partition contributes its files tagged with its
+  * partition value, so the scan's `PartitionFilters`/`numFiles`
+  * metrics reflect the pruning (assertable from the executed plan). */
+class GraftLakeFileIndex(root: String,
+                         locations: Map[String, String],
+                         override val partitionSchema: StructType,
+                         list: String => Seq[FileStatus])
+    extends FileIndex {
+
+  override def rootPaths: Seq[Path] = Seq(new Path(root))
+
+  private def partRow(p: String): InternalRow =
+    InternalRow(UTF8String.fromString(p))
+
+  // listed lazily per partition and memoized: a pruned read never
+  // pays listStatus for partitions it dropped
+  private val listed =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[FileStatus]]
+  private def filesOf(p: String): Seq[FileStatus] =
+    listed.getOrElseUpdate(p, list(locations(p)))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val survivors =
+      if (partitionFilters.isEmpty) locations.keys.toSeq.sorted
+      else {
+        // the standard bound-predicate fold (PartitioningAwareFileIndex
+        // / Delta's TahoeFileIndex do exactly this): rebind the
+        // filters' attributes to the 1-column partition row, evaluate
+        // per partition value driver-side
+        val bound = Predicate.createInterpreted(
+          partitionFilters.reduce(
+            org.apache.spark.sql.catalyst.expressions.And).transform {
+            case a: AttributeReference =>
+              val i = partitionSchema.fieldIndex(a.name)
+              BoundReference(i, partitionSchema(i).dataType,
+                nullable = true)
+          })
+        locations.keys.toSeq.sorted.filter(p => bound.eval(partRow(p)))
+      }
+    survivors.map(p => PartitionDirectory(partRow(p), filesOf(p).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    locations.keys.toSeq.sorted
+      .flatMap(p => filesOf(p).map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = listed.clear()
+
+  override def sizeInBytes: Long =
+    locations.keys.toSeq.map(p => filesOf(p).map(_.getLen).sum).sum
+}
