@@ -271,6 +271,51 @@ object CommitLog {
     * (Delta's txnAppId/txnVersion distilled into the entry itself). */
   private[ops] val StreamOpPrefix = "stream:"
 
+  // ----------------------------------------------------- schema commits
+
+  /** The op-field encoding of a SCHEMA change: `schema:<change>`. A
+    * schema entry is a METADATA ACTION (Delta's metadata-changed
+    * conflict, distilled): it conflicts with EVERY rival in its
+    * validation window — data or schema, in both directions —
+    * regardless of partition overlap, because a data writer whose
+    * base predates a rename/drop staged its files against the OLD
+    * logical schema (admitting it would silently bind stale column
+    * semantics), and a schema change racing an in-flight data write
+    * cannot prove the write didn't depend on the old mapping. */
+  val SchemaOpPrefix = "schema:"
+
+  /** The reserved partition every schema entry claims: gives the
+    * schema history an owner under [[resolveAsOf]] (the newest schema
+    * entry at or below any version owns it — sequential schema
+    * commits replay through plain resolution), keeps schema-vs-schema
+    * races write-write even without the metadata clash, and rides
+    * checkpoint folds like any partition so the ACTIVE mapping
+    * survives history expiry. Double-colon-prefixed so no hive-style
+    * data partition collides with it. */
+  val SchemaPartition = "::schema"
+
+  /** Commit a schema change whose resolved mapping is staged at
+    * `mappingPath` (the same stage-then-commit discipline as data:
+    * the mapping artifact is immutable, the entry flips it live).
+    * Returns the committed version; throws [[CommitConflict]] when
+    * ANY rival landed after `base` (metadata actions conflict with
+    * everything). */
+  def commitSchema(root: String, writer: String, change: String,
+                   mappingPath: String, base: Long): Long =
+    tryCommit(root, Entry(writer, s"$SchemaOpPrefix$change", mappingPath,
+      Seq(SchemaPartition), base))
+
+  /** The committed schema history at or below `asOf`, ascending:
+    * (version, change, mappingPath). The ACTIVE mapping as of any
+    * version is the last element — equivalently
+    * `resolveAsOf(root, asOf)(SchemaPartition)`. */
+  def schemaHistory(root: String, asOf: Long = Long.MaxValue)
+      : Seq[(Long, String, String)] =
+    readLog(root).collect {
+      case (v, e) if v <= asOf && e.op.startsWith(SchemaOpPrefix) =>
+        (v, e.op.drop(SchemaOpPrefix.length), e.dataPath)
+    }
+
   private def streamBatchOf(e: Entry): Option[(String, Long)] =
     if (e.op.startsWith(StreamOpPrefix))
       scala.util.Try(e.op.drop(StreamOpPrefix.length).toLong).toOption
@@ -514,7 +559,12 @@ object CommitLog {
     // write set is
     val readOverlap = e.isolation == Serializable && v < next &&
       other.partitions.toSet.intersect(e.readSet.toSet).nonEmpty
-    (writeOverlap || readOverlap) &&
+    // METADATA clash (Delta's metadata-changed conflict): a schema
+    // change in the window conflicts with EVERYTHING, both directions
+    // — see [[SchemaOpPrefix]]
+    val metadataClash = e.op.startsWith(SchemaOpPrefix) ||
+      other.op.startsWith(SchemaOpPrefix)
+    (writeOverlap || readOverlap || metadataClash) &&
       (committed || (!aborted && v < next))
   }
 
