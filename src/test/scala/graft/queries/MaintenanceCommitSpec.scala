@@ -89,6 +89,67 @@ class MaintenanceCommitSpec extends SparkSpec {
     VersionChain.rmTree(new java.io.File(root))
   }
 
+  test("compaction COMMUTES with a concurrent row-level MERGE: both land, the resolved read equals the serial order, row ids survive") {
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_maintcommit_commute"
+    VersionChain.rmTree(new java.io.File(root))
+    // base: keys 1..100, stable row ids assigned at ingest (= key
+    // here), bal = 10·key, one partition
+    spark.range(1, 101)
+      .select(col("id").as("row_id"), col("id").as("k"),
+        (col("id") * 10L).as("bal"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/gen0")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", s"$root/gen0",
+      Seq("p"), 0L))
+    // the MERGE rival: keys 20..40 get bal+1, committed as a
+    // KEY-DOMAIN layer (only its changed rows, row ids carried) —
+    // injected BETWEEN the compactor's staging and its commit via the
+    // onFirstStage hook (the deterministic race)
+    spark.read.parquet(s"$root/gen0")
+      .filter(col("k").between(20, 40))
+      .withColumn("bal", col("bal") + 1L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/merge_out")
+    def commitMerge(): Long = CommitLog.tryCommit(root,
+      Entry("merger", "merge", s"$root/merge_out", Seq("p"),
+        CommitLog.stableVersion(root),
+        keyDomains = Map("p" -> Seq((20L, 40L)))))
+    val vCompact = graft.ops.Reorganize.compactPartition(spark, root,
+      "p", "k", s"$root/compact",
+      onFirstStage = () => { commitMerge(); () })
+    // BOTH landed: ingest v1, merge v2, compaction at v4 (the
+    // conflicted first claim left its aborted tombstone at slot 3 —
+    // rebased, not given up) — and the compacted entry is a FULL
+    // owner again
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 4L))
+    assert(vCompact === 4L)
+    val layers = CommitLog.resolveLayers(root, "p")
+    assert(layers.size === 1 && layers.head._1 === 4L,
+      "the rebased compaction must shadow the rival layer")
+    // the resolved read equals the SERIAL order (merge then compact):
+    // every row id kept, keys 20..40 carry the merge's +1
+    val got = spark.read.parquet(layers.head._2)
+      .select("row_id", "k", "bal").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val want = (1L to 100L).map(k =>
+      (k, k, k * 10L + (if (k >= 20 && k <= 40) 1L else 0L)))
+    assert(got === want,
+      "rebased compaction diverged from the serial merge∘compact order")
+    // a FULL-rewrite rival is NOT commutable: surfaces loudly
+    spark.range(1, 101).select(col("id").as("row_id"), col("id").as("k"),
+      lit(0L).as("bal")).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/full_out")
+    intercept[graft.ops.Reorganize.NonCommutable] {
+      graft.ops.Reorganize.compactPartition(spark, root, "p", "k",
+        s"$root/compact2",
+        onFirstStage = () => {
+          CommitLog.tryCommit(root, Entry("rewriter", "rewrite",
+            s"$root/full_out", Seq("p"), CommitLog.stableVersion(root)))
+          ()
+        })
+    }
+    VersionChain.rmTree(new java.io.File(root))
+  }
+
   test("the version chain reads through the log: a commit that never resolved is invisible to every reader") {
     val shared = VersionChain.ensure(spark, sf0001)
     assert(CommitLog.committedVersions(shared) === Seq(1L, 2L, 3L, 4L),
