@@ -2,12 +2,13 @@ package graft.io
 
 import graft.ops.{CommitLog, LakeRead}
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{SQLContext, SparkSession}
+import org.apache.spark.sql.{SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,8 +95,106 @@ object GraftLakeSource {
       .getOrElse(CommitLog.stableVersion(root))
 }
 
-class GraftLakeDataSource extends RelationProvider with DataSourceRegister {
+class GraftLakeDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
+
+  /** WRITE PATH — `df.write.format("graftlake").mode(…).save(root)`
+    * commits through the log (stage privately, then `tryCommit`):
+    *
+    *   - `Overwrite` is the model's native semantics — the staged
+    *     data becomes the new OWNER of exactly the partitions it
+    *     carries (dynamic partition overwrite: untouched partitions
+    *     ride along by reference, never rewritten);
+    *   - `Append` is read-modify-write at partition granularity: the
+    *     touched partitions' current content (resolved through the
+    *     READ path, so layered partitions and time travel compose)
+    *     unions the new rows and commits as the new owner — re-derived
+    *     per rebase, because an append's content depends on its base
+    *     (at 100 TB a production variant appends FILES to the owner's
+    *     manifest instead; the commit seam is identical);
+    *   - `ErrorIfExists` / `Ignore` follow SaveMode contract against
+    *     "any committed version exists".
+    *
+    * A concurrent writer overlapping the touched partitions loses the
+    * optimistic race and rebases ([[graft.ops.CommitLog.commitWithRebase]]);
+    * disjoint writers from one snapshot both land. A schema commit in
+    * the window conflicts via the metadata-clash rule. Options:
+    * `partitionColumn` (hive layout; touched = the distinct values in
+    * the data) or `partition` (single named partition for flat
+    * layout); `writer` / `op` label the entry. */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftLakeSource.resolveRoot(lower)
+    val partCol = lower.get("partitioncolumn")
+    val flatPart = lower.get("partition")
+    val writer = lower.getOrElse("writer", "graftlake")
+    require(partCol.isDefined ^ flatPart.isDefined,
+      "graftlake write needs exactly one of option('partitionColumn', " +
+        "<hiveCol>) or option('partition', <name>)")
+    val exists = CommitLog.committedVersions(root).nonEmpty
+    if (exists && mode == SaveMode.ErrorIfExists)
+      throw new IllegalStateException(
+        s"graftlake table at $root already has committed versions " +
+          "(SaveMode.ErrorIfExists)")
+    if (exists && mode == SaveMode.Ignore)
+      return createRelation(sqlContext, parameters)
+    val op = lower.getOrElse("op",
+      if (mode == SaveMode.Append && exists) "append" else "overwrite")
+    // touched partitions: the distinct hive values in the data, or
+    // the named flat partition — bounded driver collect either way
+    val touched: Seq[String] = partCol match {
+      case Some(c) => data.select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      case None => Seq(flatPart.get)
+    }
+    require(touched.nonEmpty,
+      "graftlake write: no partitions to commit (empty input)")
+    // the read params for the append's read-modify-write leg: same
+    // options, pinned to the rebase base (strip any caller asOf)
+    def readAt(base: Long): org.apache.spark.sql.DataFrame =
+      spark.baseRelationToDataFrame(createRelation(sqlContext,
+        parameters.filterNot { case (k, _) =>
+          val lk = k.toLowerCase
+          lk == "versionasof" || lk == "timestampasof"
+        } + ("versionAsOf" -> s"$base")).asInstanceOf[HadoopFsRelation])
+    CommitLog.commitWithRebase(root, { base =>
+      // stage per attempt: an append's content depends on the base it
+      // rebased to, and a fresh path keeps the loser's staging
+      // invisible (reclaimable via sweepOrphanStaging)
+      val stagePath =
+        s"data/${writer}_${java.util.UUID.randomUUID().toString.take(8)}"
+      partCol match {
+        case Some(c) =>
+          val full =
+            if (mode == SaveMode.Append && base > 0L)
+              readAt(base)
+                .filter(col(c).isin(touched.map(x => x: Any): _*))
+                .unionByName(data)
+            else data
+          full.write.partitionBy(c).parquet(s"$root/$stagePath")
+        case None =>
+          // flat layout: the staged path holds ONE partition's full
+          // content — union only that partition's current rows
+          val full =
+            if (mode == SaveMode.Append && base > 0L &&
+                CommitLog.resolveForRead(root, base).contains(flatPart.get))
+              readAt(base)
+                .filter(col(GraftLakeSource.VirtualPartitionCol) ===
+                  flatPart.get)
+                .drop(GraftLakeSource.VirtualPartitionCol)
+                .unionByName(data)
+            else data
+          full.write.parquet(s"$root/$stagePath")
+      }
+      CommitLog.Entry(writer, op, stagePath, touched, base)
+    })
+    createRelation(sqlContext, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -218,6 +317,24 @@ class GraftLakeFileIndex(root: String,
 
   override def refresh(): Unit = listed.clear()
 
+  /** Planner size estimate (drives broadcast decisions). The planner
+    * calls this on EVERY query, so it must not force a full listing —
+    * that would defeat pruned-listing at 100k partitions. Estimate =
+    * one sampled partition's bytes × |partitions| (whatever is
+    * already memoized is used exactly); a production variant records
+    * file sizes in the commit entries (the `q_compact_manifest`
+    * convention) and never lists at all. Skewed tables overestimate
+    * or underestimate only the BROADCAST choice, never correctness. */
   override def sizeInBytes: Long =
-    locations.keys.toSeq.map(p => filesOf(p).map(_.getLen).sum).sum
+    if (locations.isEmpty) 0L
+    else {
+      val known = listed.readOnlySnapshot()
+      if (known.size == locations.size)
+        known.valuesIterator.map(_.map(_.getLen).sum).sum
+      else {
+        val sample = known.headOption.map(_._2)
+          .getOrElse(filesOf(locations.keys.min))
+        sample.map(_.getLen).sum * locations.size
+      }
+    }
 }

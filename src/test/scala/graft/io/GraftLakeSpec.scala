@@ -187,6 +187,87 @@ class GraftLakeSpec extends SparkSpec {
     assert(got2 === want ++ Map(5L -> 1L, 6L -> 1L))
   }
 
+  test("WRITE path: Overwrite commits through the log — dynamic partition overwrite, time travel over writes, SaveMode contract") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    def df(rows: (Long, Long, String)*) = rows.toDF("k", "v", "pday")
+    df((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .mode("overwrite").save(root)
+    assert(CommitLog.committedVersions(root) === Seq(1L))
+    assert(canon(lake(root)) ===
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // DYNAMIC partition overwrite: only the partitions in the data
+    // change owner; b and c ride along by reference
+    df((9L, 90L, "a")).write.format("graftlake")
+      .option("partitionColumn", "pday").mode("overwrite").save(root)
+    assert(canon(lake(root)) ===
+      Seq((2L, 20L, "b"), (3L, 30L, "c"), (9L, 90L, "a")))
+    assert(CommitLog.resolvePartitions(root)("b")._1 === 1L,
+      "an untouched partition must keep its original owner")
+    // time travel reads across the write history
+    assert(canon(lake(root, "versionAsOf" -> "1")) ===
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c")))
+    // SaveMode contract against an existing table
+    intercept[IllegalStateException] {
+      df((5L, 50L, "a")).write.format("graftlake")
+        .option("partitionColumn", "pday").mode("errorifexists").save(root)
+    }
+    df((5L, 50L, "a")).write.format("graftlake")
+      .option("partitionColumn", "pday").mode("ignore").save(root)
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L),
+      "SaveMode.Ignore must not commit")
+  }
+
+  test("WRITE path: Append is read-modify-write at partition granularity; RACING appends to one partition both land with no lost update") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "pday")
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .mode("overwrite").save(root)
+    Seq((7L, 70L, "b")).toDF("k", "v", "pday")
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .mode("append").save(root)
+    assert(canon(lake(root)) ===
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (7L, 70L, "b")))
+    assert(CommitLog.resolvePartitions(root)("a")._1 === 1L,
+      "append must not rewrite the untouched partition")
+    // the race that loses updates without the rebase: two appends to
+    // the SAME partition from the same snapshot — the loser must
+    // re-derive against the winner's commit, so BOTH rows survive
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = Seq(100L, 200L).map(k => new Thread(() =>
+      try Seq((k, k * 10L, "a")).toDF("k", "v", "pday")
+        .write.format("graftlake").option("partitionColumn", "pday")
+        .option("writer", s"w$k").mode("append").save(root)
+      catch { case t: Throwable => errs.add(t); () }))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"racing append failed: ${errs.peek()}")
+    assert(canon(lake(root)).filter(_._3 == "a").map(_._1).sorted ===
+      Seq(1L, 100L, 200L),
+      "a racing append lost an update — the rebase must re-derive")
+  }
+
+  test("WRITE path: flat single-partition layout round-trips and appends only its own partition") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    def put(part: String, mode: String, rows: (Long, Long)*): Unit =
+      rows.toDF("k", "v").write.format("graftlake")
+        .option("partition", part).mode(mode).save(root)
+    put("p1", "overwrite", (1L, 10L), (2L, 20L))
+    put("p2", "overwrite", (5L, 50L))
+    put("p1", "append", (3L, 30L))
+    val got = s.read.format("graftlake").load(root)
+      .select("k", "v", "_partition").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 10L, "p1"), (2L, 20L, "p1"),
+      (3L, 30L, "p1"), (5L, 50L, "p2")),
+      "flat append must union ONLY its own partition's rows")
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
