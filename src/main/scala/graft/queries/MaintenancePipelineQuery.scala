@@ -1156,6 +1156,98 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY version""".stripMargin
   }
 
+  // ------------------------------------------- feed-driven replica
+
+  /** `q_feed_replica` — INCREMENTAL REPLICA THROUGH THE FEED (round
+    * 18, closes r17 verdict #5: the commit feed had no data-plane
+    * consumer under the hash): the replication composition a
+    * downstream system runs — tail the feed, join `data_path` to the
+    * storage tier, maintain a derived copy — folded version by
+    * version over the stored three-writer scenario. The feed rows
+    * come THROUGH the `commitfeed` connector (batch mode — the same
+    * replayable prefix the stream consumes); the ownership map is
+    * maintained INCREMENTALLY (each version's rows update only the
+    * partitions that version touched — commit-proportional, the
+    * 100 TB shape); and after EVERY version the replica's content
+    * stats sit under the oracle hash: after v1 the pure ingest view,
+    * after v2 ingest+sweep, after v3 the fully resolved table. A feed
+    * that missed a commit, applied one twice, or resolved the wrong
+    * owner diverges at some prefix and hash-fails. CommitFeedSpec
+    * runs the STREAMING twin end-to-end (real foreachBatch, real
+    * parquet replica, kill/restart).
+    *
+    * Scale shape: the feed fold is |entries·partitions| metadata rows
+    * driver-side; each prefix's audit is one multi-path pruned scan —
+    * production keeps only the newest prefix (the audit ladder is the
+    * certificate, not the steady state). */
+  private def feedReplica(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureCommitLog(spark, dir)
+    // the feed, in version order — one row per (entry, partition)
+    val feed = spark.read.format("commitfeed").load(root)
+      .select("version", "data_path", "partition")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val versions = feed.map(_._1).distinct.sorted
+    // incremental ownership fold: version v's rows replace exactly
+    // the partitions v touched
+    val replica = scala.collection.mutable.Map.empty[String, String]
+    val prefixes = versions.map { v =>
+      feed.filter(_._1 == v).foreach { case (_, dp, p) => replica(p) = dp }
+      (v, replica.toMap)
+    }
+    def stats(v: Long, owners: Map[String, String]): DataFrame =
+      spark.read.parquet(owners.toSeq.map { case (p, dp) =>
+          s"$root/$dp/pday=$p"
+        }.sorted: _*)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(s"after_v$v").as("step"),
+          lit(owners.size.toLong).as("n_parts"), col("n_rows"),
+          col("key_xor"), col("vc_sum"))
+    prefixes.map { case (v, owners) => stats(v, owners) }
+      .reduce(_ unionAll _)
+      .orderBy("step")
+  }
+
+  private val feedReplicaSql = {
+    def stats(step: String, rel: String) =
+      s"""SELECT '$step' AS step,
+         |  (SELECT COUNT(DISTINCT day) FROM e) AS n_parts,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    CAST(ts AS DATE) AS day,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |v2view AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom > 10),
+       |v3view AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom BETWEEN 11 AND 20
+       |  UNION ALL
+       |  SELECT event_id,
+       |    CASE WHEN event_id % 3 = 0 THEN vc + 7 ELSE vc END
+       |  FROM e WHERE dom >= 21),
+       |rows_ AS (
+       |  ${stats("after_v1", "e")}
+       |  UNION ALL
+       |  ${stats("after_v2", "v2view")}
+       |  UNION ALL
+       |  ${stats("after_v3", "v3view")})
+       |SELECT step, n_parts, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // ---------------------------------------- versioned-table connector
 
   /** `q_lake_read` — THE VERSIONED TABLE THROUGH `spark.read`
@@ -3446,6 +3538,7 @@ object MaintenancePipelineQuery {
     Q("q_merge_concurrent", mergeConcurrent, Some(mergeConcurrentSql)),
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
     Q("q_lake_read", lakeRead, Some(lakeReadSql)),
+    Q("q_feed_replica", feedReplica, Some(feedReplicaSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),
