@@ -192,12 +192,21 @@ object VersionChain {
   /** Generation paths a chain (owner or clone) still references: its
     * manifest rows, minus any a vacuum marked swept (`status` column
     * present only on post-vacuum manifests). */
-  private def liveRefs(spark: SparkSession, root: String): Set[String] = {
-    if (!new java.io.File(s"$root/manifest/_SUCCESS").exists()) Set.empty
+  /** Live generation paths across ALL given roots in ONE fused job —
+    * a per-root read costs one scheduler barrier each (the vacuum
+    * drift of rounds 16–18 was mostly |clones|+1 sequential tiny-read
+    * jobs here). `mergeSchema` reconciles manifests with and without
+    * the `status` column; a missing status reads NULL = live. */
+  private def liveRefs(spark: SparkSession, roots: Seq[String]): Set[String] = {
+    val present = roots.filter(r =>
+      new java.io.File(s"$r/manifest/_SUCCESS").exists())
+    if (present.isEmpty) Set.empty
     else {
-      val df = spark.read.parquet(s"$root/manifest")
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(present.map(r => s"$r/manifest"): _*)
       val live = if (df.columns.contains("status"))
-        df.filter(col("status") === "live") else df
+        df.filter(col("status").isNull || col("status") === "live")
+      else df
       live.select("path").collect().map(_.getString(0)).toSet
     }
   }
@@ -220,8 +229,7 @@ object VersionChain {
           if (new java.io.File(dest).exists()) Some(dest)
           else { f.delete(); None } // the clone is gone: prune its ref
         }
-    val refs = (base +: cloneRoots).map(liveRefs(spark, _))
-      .foldLeft(Set.empty[String])(_ ++ _)
+    val refs = liveRefs(spark, base +: cloneRoots)
     gens.filterNot(refs).filter { g =>
       val d = new java.io.File(s"$base/$g")
       if (d.exists()) { rmTree(d); true } else false

@@ -290,18 +290,26 @@ object MaintenancePipelineQuery {
       val d = new java.io.File(p)
       if (d.exists()) walk(d).filter(_.getName.endsWith(".parquet")) else Nil
     }
-    // pre-sweep audit: record what will be expired before expiring it
+    // pre-sweep audit: record what will be expired before expiring it.
+    // ONE fused job over a version-tagged union of all generations —
+    // a per-generation loop of agg jobs costs |versions| scheduler
+    // barriers for the same scans (measured ~2x wall at sf0.1)
+    val counts = log.map { c =>
+      spark.read.parquet(VersionChain.resolvePath(root, c.path))
+        .select(lit(c.version).as("version"), rowHash.as("h"))
+    }.reduce(_ unionAll _)
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap // bounded: |versions| rows
     val audit = log.map { c =>
-      val data = VersionChain.resolvePath(root, c.path)
-      val nf = parquetFiles(data).size.toLong
-      val r = spark.read.parquet(data)
-        .withColumn("h", rowHash)
-        .agg(count(lit(1)).as("n_rows"),
-          coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"))
-        .head()
+      val nf = parquetFiles(VersionChain.resolvePath(root, c.path))
+        .size.toLong
+      val (nRows, xor) = counts(c.version)
       val status = if (expired(c.version)) "vacuumed" else "live"
       (c.version, c.op, c.path, status, nf,
-        if (expired(c.version)) 0L else nf, r.getLong(0), r.getLong(1))
+        if (expired(c.version)) 0L else nf, nRows, xor)
     }
     // the sweep: REFERENCES go (the log row stays); physical deletion
     // is refcounted — only zero-ref generations are reclaimed
