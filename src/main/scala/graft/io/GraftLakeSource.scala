@@ -93,6 +93,51 @@ object GraftLakeSource {
               "state exists at that time"))
       })
       .getOrElse(CommitLog.stableVersion(root))
+
+  /** SCHEMA-AWARE read — the connector's physical table projected
+    * through the ACTIVE column mapping at the SAME version
+    * ([[CommitLog.schemaHistory]]): logical names resolve to immutable
+    * physical ids, a mapped-but-absent physical id (a re-added column)
+    * reads as typed NULL, and schema TIME TRAVEL falls out — asOf a
+    * version before a rename serves the old logical names over the
+    * same bytes. A log with no schema commits passes the physical
+    * table through untouched. Partition/virtual columns ride along.
+    *
+    * This is where commit-protocol schema changes
+    * ([[CommitLog.commitSchema]]) meet the read connector: both the
+    * data resolution and the mapping come from one `asOf`, so a read
+    * can never pair v5 data with a v7 rename. */
+  def logicalRead(spark: SparkSession, root: String,
+                  versionAsOf: Option[Long] = None,
+                  options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
+    val asOf = versionAsOf.getOrElse(CommitLog.stableVersion(root))
+    val physical = options.foldLeft(
+      spark.read.format("graftlake")
+        .option("versionAsOf", asOf.toString)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(root)
+    CommitLog.schemaHistory(root, asOf).lastOption match {
+      case None => physical
+      case Some((_, _, mp)) =>
+        val loc = if (new Path(mp).isAbsolute) mp else s"$root/$mp"
+        val mapping = spark.read.parquet(loc)
+          .select("logical", "physical", "dtype").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq // bounded: |cols|
+        val present = physical.columns.toSet
+        val partCol = options.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("partitionColumn") => v
+        }.getOrElse(VirtualPartitionCol)
+        val carried =
+          if (present(partCol)) Seq(org.apache.spark.sql.functions.col(partCol))
+          else Nil
+        physical.select(mapping.map { case (lg, ph, dt) =>
+          (if (present(ph)) org.apache.spark.sql.functions.col(ph)
+           else org.apache.spark.sql.functions.lit(null).cast(dt)).as(lg)
+        } ++ carried: _*)
+    }
+  }
 }
 
 class GraftLakeDataSource extends RelationProvider
@@ -213,7 +258,11 @@ class GraftLakeDataSource extends RelationProvider
       case None => located(dp)
     }
 
-    val plan = CommitLog.resolveForRead(root, asOf)
+    // the reserved schema partition is METADATA — its owner is a
+    // column-mapping artifact, never table data (logicalRead consumes
+    // it; serving it as a data partition would corrupt the scan)
+    val plan = CommitLog.resolveForRead(root, asOf) -
+      CommitLog.SchemaPartition
     require(plan.nonEmpty,
       s"graftlake: no committed partitions at or below v$asOf in $root")
 

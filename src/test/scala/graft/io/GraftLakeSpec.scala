@@ -268,6 +268,57 @@ class GraftLakeSpec extends SparkSpec {
       "flat append must union ONLY its own partition's rows")
   }
 
+  test("SCHEMA-AWARE logical read: rename/drop/re-add and schema time travel through the connector") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // physical data under immutable ids c1..c3, one flat partition
+    Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("c1", "c2", "c3")
+      .write.format("graftlake").option("partition", "p1")
+      .mode("overwrite").save(root) // v1
+    def commitMapping(v: Long, change: String,
+                      rows: (String, String, String)*): Unit = {
+      rows.toSeq.toDF("logical", "physical", "dtype").coalesce(1)
+        .write.parquet(s"$root/schema/v$v")
+      assert(CommitLog.commitSchema(root, "admin", change,
+        s"schema/v$v", v - 1) === v)
+    }
+    commitMapping(2L, "init",
+      ("a", "c1", "bigint"), ("b", "c2", "string"), ("m", "c3", "bigint"))
+    commitMapping(3L, "rename",
+      ("a", "c1", "bigint"), ("b_renamed", "c2", "string"),
+      ("m", "c3", "bigint"))
+    commitMapping(4L, "drop_add",
+      ("a", "c1", "bigint"), ("b2", "c9", "string"),
+      ("m", "c3", "bigint")) // c9: FRESH id, absent in every file
+    def at(v: Long) = GraftLakeSource.logicalRead(s, root, Some(v))
+    // pre-schema read passes the physical table through
+    assert(at(1L).columns.sorted.toSeq ===
+      Seq("_partition", "c1", "c2", "c3"))
+    // the initial mapping serves logical names over the same bytes
+    assert(at(2L).columns.toSeq === Seq("a", "b", "m", "_partition"))
+    assert(at(2L).select("a", "b", "m").as[(Long, String, Long)]
+      .collect().sorted.toSeq === Seq((1L, "x", 10L), (2L, "y", 20L)))
+    // schema TIME TRAVEL: the rename at v3, the old names at v2
+    assert(at(3L).columns.take(3).toSeq === Seq("a", "b_renamed", "m"))
+    assert(at(3L).select("b_renamed").as[String].collect().sorted.toSeq ===
+      Seq("x", "y"))
+    // the re-added column under a FRESH physical id reads all-NULL —
+    // never resurrecting c2's bytes
+    val v4 = at(4L)
+    assert(v4.columns.take(3).toSeq === Seq("a", "b2", "m"))
+    assert(v4.filter(col("b2").isNull).count() === 2L)
+    assert(v4.select("m").as[Long].collect().sorted.toSeq ===
+      Seq(10L, 20L))
+    // the default head equals the newest mapping
+    assert(GraftLakeSource.logicalRead(s, root).columns.toSeq ===
+      v4.columns.toSeq)
+    // and the raw connector still serves PHYSICAL ids (schema entries
+    // are metadata — the reserved partition never leaks as data)
+    assert(s.read.format("graftlake").load(root).columns.sorted.toSeq ===
+      Seq("_partition", "c1", "c2", "c3"))
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
