@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.ops.{CommitLog, LakeRead}
+import graft.ops.{CommitLog, LakeRead, StreamCommit}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -141,8 +143,44 @@ object GraftLakeSource {
 }
 
 class GraftLakeDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graftlake"
+
+  /** STREAMING SINK — `df.writeStream.format("graftlake")` lands
+    * micro-batches through [[graft.ops.StreamCommit]], so the sink is
+    * EXACTLY-ONCE end-to-end: each batch's data and its (streamId,
+    * batchId) identity flip in one atomic commit entry, and a
+    * re-delivered batch (the crash window between sink write and
+    * engine checkpoint) is skipped BEFORE a byte is staged. Append
+    * mode accumulates (read-modify-write of the touched partitions,
+    * the batch write path's semantics); Complete mode replaces the
+    * named flat partition with each batch's full result (the
+    * aggregate-MV shape). Requires `option("streamId", …)` — the
+    * durable identity the dedup keys on (Delta's txnAppId). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftLakeSource.resolveRoot(lower)
+    val streamId = lower.getOrElse("streamid",
+      throw new IllegalArgumentException(
+        "graftlake sink needs option('streamId', …) — the durable " +
+          "stream identity exactly-once dedup keys on"))
+    val partCol = lower.get("partitioncolumn")
+    val flatPart = lower.get("partition")
+    require(partCol.isDefined ^ flatPart.isDefined,
+      "graftlake sink needs exactly one of option('partitionColumn', " +
+        "<hiveCol>) or option('partition', <name>)")
+    require(outputMode == OutputMode.Append() ||
+        (outputMode == OutputMode.Complete() && flatPart.isDefined),
+      s"graftlake sink supports Append (hive or flat) and Complete " +
+        s"(flat only — each batch replaces the partition); got " +
+        s"$outputMode with partitionColumn=$partCol")
+    new GraftLakeSink(sqlContext, root, streamId, partCol, flatPart,
+      outputMode, parameters)
+  }
 
   /** WRITE PATH — `df.write.format("graftlake").mode(…).save(root)`
     * commits through the log (stage privately, then `tryCommit`):
@@ -386,4 +424,97 @@ class GraftLakeFileIndex(root: String,
         sample.map(_.getLen).sum * locations.size
       }
     }
+}
+
+/** The exactly-once micro-batch sink behind
+  * `writeStream.format("graftlake")` — a thin [[Sink]] over
+  * [[graft.ops.StreamCommit.commitBatch]]:
+  *
+  *   - staging is BATCH-DETERMINISTIC
+  *     (`data/stream_<streamId>/b<batchId>`), so a zombie duplicate's
+  *     staging coincides with the winner's files and nothing orphans
+  *     (the StreamCommit staging discipline);
+  *   - the duplicate check runs BEFORE staging: a re-delivered 100 TB
+  *     batch costs |slots| small metadata reads, never a write;
+  *   - Append accumulates per partition (read-modify-write through
+  *     the connector's own read path, re-derived per rebase — the
+  *     no-lost-update discipline of the batch Append); Complete
+  *     replaces the flat partition with each batch's full result;
+  *   - an empty micro-batch commits a sentinel partition
+  *     (`empty_<streamId>`) to keep the duplicate-race conflict
+  *     surface non-empty (the StreamCommit guard). */
+class GraftLakeSink(sqlContext: SQLContext, root: String,
+                    streamId: String, partCol: Option[String],
+                    flatPart: Option[String], outputMode: OutputMode,
+                    parameters: Map[String, String]) extends Sink {
+
+  private def safe(s: String) = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // re-plan the incremental Dataset as a plain batch frame: the
+    // micro-batch frame's logical plan is still flagged streaming, so
+    // plain actions refuse it — take the EXECUTED plan's rows
+    // (queryExecution.toRdd, the DSv1-sink materialization pattern)
+    // and rewrap them batch-side. The sink scans the result twice
+    // (touched-partition distinct + staged write), so persist once.
+    val schema = data.schema
+    val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(schema)
+      it.map(ir => conv(ir).asInstanceOf[org.apache.spark.sql.Row])
+    }
+    val batch = spark.createDataFrame(rowRdd, schema).persist()
+    try {
+      StreamCommit.commitBatch(root, streamId, batchId, () => {
+        val staged = s"data/stream_${safe(streamId)}/b$batchId"
+        val touched: Seq[String] = partCol match {
+          case Some(c) => batch.select(col(c).cast("string")).distinct()
+            .collect().map(_.getString(0)).sorted.toSeq
+          case None => if (batch.isEmpty) Nil else Seq(flatPart.get)
+        }
+        if (touched.isEmpty) {
+          // empty micro-batch: sentinel keeps the conflict surface
+          batch.write.mode("overwrite").parquet(s"$root/$staged")
+          (staged, Seq(s"empty_${safe(streamId)}"))
+        } else {
+          val accumulate = outputMode == OutputMode.Append() &&
+            CommitLog.committedVersions(root).nonEmpty
+          val full =
+            if (!accumulate) batch
+            else {
+              val base = CommitLog.stableVersion(root)
+              val current = parameters.foldLeft(
+                spark.read.format("graftlake")
+                  .option("versionAsOf", base.toString)) {
+                case (r, (k, v)) => r.option(k, v)
+              }.load(root)
+              partCol match {
+                case Some(c) => current
+                  .filter(col(c).isin(touched.map(x => x: Any): _*))
+                  .unionByName(batch)
+                case None =>
+                  if (CommitLog.resolveForRead(root, base)
+                      .contains(flatPart.get))
+                    current.filter(
+                      col(GraftLakeSource.VirtualPartitionCol) ===
+                        flatPart.get)
+                      .drop(GraftLakeSource.VirtualPartitionCol)
+                      .unionByName(batch)
+                  else batch
+              }
+            }
+          partCol match {
+            case Some(c) => full.write.mode("overwrite").partitionBy(c)
+              .parquet(s"$root/$staged")
+            case None => full.write.mode("overwrite")
+              .parquet(s"$root/$staged")
+          }
+          (staged, touched)
+        }
+      })
+      ()
+    } finally { batch.unpersist(); () }
+  }
 }
