@@ -8,8 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => SourceOffset, Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -144,8 +144,40 @@ object GraftLakeSource {
 
 class GraftLakeDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
+
+  /** STREAMING SOURCE — `spark.readStream.format("graftlake")` tails
+    * the table's DATA rows (the feed's data-plane twin; Delta's
+    * original DSv1 streaming source shape): offsets are commit
+    * versions capped at [[CommitLog.stableVersion]], and each
+    * micro-batch carries the rows each commit in (start, end] STAGED
+    * for its touched partitions, tagged `_commit_version` — an
+    * insert-only CHANGE stream (a rewrite re-emits its partition's
+    * new content; downstream applies by version, the replica
+    * discipline). Deterministically replayable below the stable
+    * version; a checkpointed offset below the expiry horizon fails
+    * loudly. `startingVersion` skips history;
+    * `maxVersionsPerTrigger` paces a backlog. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftLakeSource.resolveRoot(lower)
+    (shortName(), GraftLakeStreamSource.streamSchema(
+      sqlContext.sparkSession, root, lower))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val root = GraftLakeSource.resolveRoot(lower)
+    new GraftLakeStreamSource(sqlContext.sparkSession, root, lower)
+  }
 
   /** STREAMING SINK — `df.writeStream.format("graftlake")` lands
     * micro-batches through [[graft.ops.StreamCommit]], so the sink is
@@ -517,4 +549,117 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
       ()
     } finally { batch.unpersist(); () }
   }
+}
+
+/** Offset for the graftlake streaming source: a commit version. */
+case class GraftLakeOffset(v: Long) extends SourceOffset {
+  override def json: String = v.toString
+}
+
+object GraftLakeStreamSource {
+  /** The stream's schema: the table's data columns + the partition
+    * column (hive name or `_partition`) + `_commit_version`. Inferred
+    * from the newest committed data entry's staged files — the table
+    * must have at least one committed data version when the stream
+    * starts (the Delta contract). */
+  def streamSchema(spark: SparkSession, root: String,
+                   lower: Map[String, String]): StructType = {
+    val pName = lower.getOrElse("partitioncolumn",
+      GraftLakeSource.VirtualPartitionCol)
+    val dataEntries = CommitLog.readLog(root).filter { case (_, e) =>
+      !e.op.startsWith(CommitLog.SchemaOpPrefix) }
+    require(dataEntries.nonEmpty,
+      s"graftlake stream: no committed data versions in $root yet — " +
+        "commit an initial version before starting the stream")
+    val (_, e) = dataEntries.last
+    val dp = if (new Path(e.dataPath).isAbsolute) e.dataPath
+      else s"$root/${e.dataPath}"
+    val dataSchema = StructType(
+      spark.read.parquet(dp).schema.filterNot(_.name == pName))
+    StructType(dataSchema.fields.toSeq :+
+      StructField(pName, StringType, nullable = false) :+
+      StructField("_commit_version", org.apache.spark.sql.types.LongType,
+        nullable = false))
+  }
+}
+
+/** DSv1 [[Source]] over the commit log's DATA rows — see
+  * [[GraftLakeDataSource.sourceSchema]]. getBatch builds each range
+  * from ordinary pruned batch reads of the staged paths (the native
+  * parquet stack), so replay below the stable version is bit-stable
+  * and costs only the changed partitions. */
+class GraftLakeStreamSource(spark: SparkSession, root: String,
+                            lower: Map[String, String]) extends Source {
+
+  private val partCol = lower.get("partitioncolumn")
+  private val pName =
+    partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
+  private val startV = lower.get("startingversion").map(_.trim.toLong)
+    .getOrElse(0L)
+  private val maxPerTrigger =
+    lower.get("maxversionspertrigger").map(_.trim.toLong)
+  override val schema: StructType =
+    GraftLakeStreamSource.streamSchema(spark, root, lower)
+  private val dataSchema =
+    StructType(schema.filterNot(f =>
+      f.name == pName || f.name == "_commit_version"))
+
+  // pacing state: the last batch end handed to the engine (rebuilt
+  // from the checkpointed getBatch(start, …) after a restart)
+  private var lastEnd: Option[Long] = None
+
+  override def getOffset: Option[SourceOffset] = {
+    val stable = CommitLog.stableVersion(root)
+    val ceiling = maxPerTrigger match {
+      case Some(m) => math.min(stable, lastEnd.getOrElse(startV) + m)
+      case None => stable
+    }
+    if (ceiling <= startV) None else Some(GraftLakeOffset(ceiling))
+  }
+
+  override def getBatch(start: Option[SourceOffset],
+                        end: SourceOffset): org.apache.spark.sql.DataFrame = {
+    val s = math.max(startV,
+      start.map(_.json.trim.toLong).getOrElse(startV))
+    val e = end.json.trim.toLong
+    lastEnd = Some(math.max(e, lastEnd.getOrElse(e)))
+    val horizon = CommitLog.expiredBelow(root)
+    if (s < horizon && e > s)
+      throw new IllegalStateException(
+        s"graftlake stream offset v$s reaches below the expired-history " +
+          s"horizon v$horizon — the commits in (v$s, v$horizon] are " +
+          "physically gone; restart from a fresh startingVersion")
+    val frames = CommitLog.readLog(root)
+      .filter { case (v, en) => v > s && v <= e &&
+        !en.op.startsWith(CommitLog.SchemaOpPrefix) }
+      .flatMap { case (v, en) =>
+        val dp = if (new Path(en.dataPath).isAbsolute) en.dataPath
+          else s"$root/${en.dataPath}"
+        en.partitions.flatMap { p =>
+          val loc = partCol match {
+            case Some(c) => s"$dp/$c=$p"
+            case None => dp
+          }
+          if (!new java.io.File(loc).exists()) None // sentinel/empty
+          else Some(spark.read.schema(dataSchema).parquet(loc)
+            .withColumn(pName, org.apache.spark.sql.functions.lit(p))
+            .withColumn("_commit_version",
+              org.apache.spark.sql.functions.lit(v)))
+        }
+      }
+    val batch =
+      if (frames.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else frames.reduce(_ unionByName _)
+    // MicroBatchExecution asserts the returned frame's plan carries
+    // isStreaming=true — rewrap the executed rows through the one
+    // private[sql] seam every DSv1 source needs (GraftSqlShims)
+    org.apache.spark.sql.graft.GraftSqlShims
+      .internalCreateStreamingDataFrame(spark,
+        batch.queryExecution.toRdd, schema)
+  }
+
+  override def commit(end: SourceOffset): Unit = ()
+  override def stop(): Unit = ()
 }

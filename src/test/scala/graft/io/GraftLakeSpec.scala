@@ -370,6 +370,63 @@ class GraftLakeSpec extends SparkSpec {
     assert(canon(lake(root)).size === 4)
   }
 
+  test("STREAMING source: readStream.format(graftlake) tails data rows by commit version — paced, live, restart-exact") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    buildLog(root) // v1 ingest(a,b,c), v2 rewrite(a) — a backlog
+    val ckpt = s"$root/_src_ckpt"
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[
+      Set[(Long, Long, String, Long)]]()
+    def start() = s.readStream.format("graftlake")
+      .option("root", root).option("partitionColumn", "pday")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("k", "v", "pday", "_commit_version")
+          .as[(Long, Long, String, Long)].collect().toSet
+        if (rows.nonEmpty) batches.add(rows)
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // the backlog drains ONE VERSION PER BATCH (pacing)
+      val drained = batches.toArray(
+        Array.empty[Set[(Long, Long, String, Long)]]).toSeq
+      assert(drained.size === 2, s"expected 2 paced batches, got " +
+        s"${drained.size}")
+      assert(drained(0).map(_._4) === Set(1L) &&
+        drained(0).size === 12,
+        "batch 1 must carry exactly v1's staged rows")
+      assert(drained(1) === Set((1L, 111L, "a", 2L), (3L, 333L, "a", 2L)),
+        "batch 2 must carry exactly v2's staged rows (the rewrite)")
+      // a LIVE commit while the stream runs
+      Seq((9L, 900L, "b")).toDF("k", "v", "pday")
+        .repartition(1).write.partitionBy("pday").mode("overwrite")
+        .parquet(s"$root/data/w3")
+      CommitLog.tryCommit(root, Entry("w3", "rewrite", "data/w3",
+        Seq("b"), 2L))
+      q1.processAllAvailable()
+      assert(batches.size === 3)
+      assert(batches.toArray(Array.empty[Set[(Long, Long, String, Long)]])
+        .last === Set((9L, 900L, "b", 3L)))
+    } finally q1.stop()
+    // KILL/RESTART: a commit lands while the consumer is down; only
+    // the new version is delivered (checkpointed offsets replay exact)
+    Seq((7L, 700L, "c")).toDF("k", "v", "pday")
+      .repartition(1).write.partitionBy("pday").mode("overwrite")
+      .parquet(s"$root/data/w4")
+    CommitLog.tryCommit(root, Entry("w4", "rewrite", "data/w4",
+      Seq("c"), 3L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(batches.size === 4,
+      "the restart must deliver exactly the one missed version")
+    assert(batches.toArray(Array.empty[Set[(Long, Long, String, Long)]])
+      .last === Set((7L, 700L, "c", 4L)))
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
