@@ -604,9 +604,16 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
     StructType(schema.filterNot(f =>
       f.name == pName || f.name == "_commit_version"))
 
-  // pacing state: the last batch end handed to the engine (rebuilt
-  // from the checkpointed getBatch(start, …) after a restart)
+  // pacing state: the highest offset the engine has seen from us —
+  // advanced by getBatch AND by the engine's commit() callback. The
+  // callback matters on a CLEAN restart: the engine re-plans no batch
+  // (nothing uncommitted) and only calls commit(checkpointedEnd); a
+  // paced getOffset that forgot that position would return
+  // min(stable, startV + m) — BELOW the engine's current offset —
+  // and the stream would livelock, never seeing new data.
   private var lastEnd: Option[Long] = None
+  private def advance(v: Long): Unit =
+    lastEnd = Some(math.max(v, lastEnd.getOrElse(v)))
 
   override def getOffset: Option[SourceOffset] = {
     val stable = CommitLog.stableVersion(root)
@@ -622,7 +629,7 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
     val s = math.max(startV,
       start.map(_.json.trim.toLong).getOrElse(startV))
     val e = end.json.trim.toLong
-    lastEnd = Some(math.max(e, lastEnd.getOrElse(e)))
+    advance(e)
     val horizon = CommitLog.expiredBelow(root)
     if (s < horizon && e > s)
       throw new IllegalStateException(
@@ -660,6 +667,7 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
         batch.queryExecution.toRdd, schema)
   }
 
-  override def commit(end: SourceOffset): Unit = ()
+  override def commit(end: SourceOffset): Unit =
+    advance(end.json.trim.toLong)
   override def stop(): Unit = ()
 }

@@ -425,6 +425,17 @@ class GraftLakeSpec extends SparkSpec {
       "the restart must deliver exactly the one missed version")
     assert(batches.toArray(Array.empty[Set[(Long, Long, String, Long)]])
       .last === Set((7L, 700L, "c", 4L)))
+    // PACING AFTER A CLEAN RESTART must resume from the engine's
+    // committed position, not startingVersion: the engine re-plans no
+    // batch (nothing uncommitted) and only calls commit(end) — a
+    // source that forgot it would return min(stable, startV + m),
+    // BELOW the engine's offset, and livelock forever
+    val src = new GraftLakeStreamSource(s, root,
+      Map("root" -> root, "partitioncolumn" -> "pday",
+        "maxversionspertrigger" -> "1"))
+    src.commit(GraftLakeOffset(3L)) // the clean-restart callback
+    assert(src.getOffset.map(_.json) === Some("4"),
+      "paced getOffset must advance from the committed position")
   }
 
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
