@@ -499,8 +499,15 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
     }
     val batch = spark.createDataFrame(rowRdd, schema).persist()
     try {
-      StreamCommit.commitBatch(root, streamId, batchId, () => {
-        val staged = s"data/stream_${safe(streamId)}/b$batchId"
+      // BASE-AWARE staging (commitBatchRebasing): the accumulate
+      // union reads the touched partitions AT the attempt's base and
+      // is re-derived per rebase — a rival appending to the same
+      // partition between staging and commit is re-read, never
+      // silently overwritten. The staged path carries the base, so
+      // duplicates racing at one base coincide and a rebasing loser
+      // never rewrites a committing winner's files.
+      StreamCommit.commitBatchRebasing(root, streamId, batchId, base => {
+        val staged = s"data/stream_${safe(streamId)}/b${batchId}_r$base"
         val touched: Seq[String] = partCol match {
           case Some(c) => batch.select(col(c).cast("string")).distinct()
             .collect().map(_.getString(0)).sorted.toSeq
@@ -511,12 +518,10 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
           batch.write.mode("overwrite").parquet(s"$root/$staged")
           (staged, Seq(s"empty_${safe(streamId)}"))
         } else {
-          val accumulate = outputMode == OutputMode.Append() &&
-            CommitLog.committedVersions(root).nonEmpty
+          val accumulate = outputMode == OutputMode.Append() && base > 0L
           val full =
             if (!accumulate) batch
             else {
-              val base = CommitLog.stableVersion(root)
               val current = parameters.foldLeft(
                 spark.read.format("graftlake")
                   .option("versionAsOf", base.toString)) {

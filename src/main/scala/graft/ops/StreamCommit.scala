@@ -68,7 +68,29 @@ object StreamCommit {
     * interleaving applies a batch twice. */
   def commitBatch(root: String, streamId: String, batchId: Long,
                   stage: () => (String, Seq[String]),
-                  maxRebase: Int = 8): Option[Long] = {
+                  maxRebase: Int = 8): Option[Long] =
+    commitBatchRebasing(root, streamId, batchId, _ => stage(), maxRebase)
+
+  /** [[commitBatch]] with BASE-AWARE staging — the variant a
+    * read-modify-write sink needs. `stageAt(base)` derives the
+    * batch's data AGAINST that stable base and is re-invoked per
+    * rebase: a sink whose staged content depends on the table state
+    * (the graftlake Append sink unions the touched partitions'
+    * current rows) would otherwise retry a genuine conflict with
+    * STALE staged data and silently overwrite the rival's rows — the
+    * lost update the rebase exists to prevent. Base-independent
+    * sinks (the batch-tranche shape) just ignore the argument; their
+    * deterministic re-staging overwrites identical content.
+    *
+    * Staging-path discipline under rebase: derive the path from
+    * (streamId, batchId, base) — duplicates racing AT THE SAME BASE
+    * coincide (nothing torn: identical content), distinct bases never
+    * share a path (a committing winner's files are never rewritten by
+    * a rebasing loser). A loser's other-base stagings are
+    * unreferenced junk for age-based retention. */
+  def commitBatchRebasing(root: String, streamId: String, batchId: Long,
+                          stageAt: Long => (String, Seq[String]),
+                          maxRebase: Int = 8): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
     require(!streamId.contains("\t") && !streamId.contains("\n"),
       s"streamId must be entry-safe: '$streamId'")
@@ -76,22 +98,23 @@ object StreamCommit {
     // stages a byte
     if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
       return None
-    val (dataPath, partitions) = stage()
-    // exactly-once leans on same-batch duplicates WRITE-WRITE
-    // conflicting via identical partition sets; an empty partition
-    // set has no conflict surface, so two racing duplicate deliveries
-    // could BOTH commit (two stream: entries for one batch). An empty
-    // micro-batch must stage a sentinel partition (e.g.
-    // "empty_<streamId>") to keep the conflict surface non-empty.
-    require(partitions.nonEmpty,
-      s"stage() for $streamId batch $batchId returned no partitions — " +
-        "an empty micro-batch must return a sentinel partition so " +
-        "duplicate deliveries keep a write-write conflict surface")
     var rebases = 0
     while (true) {
       val base = CommitLog.stableVersion(root) // BEFORE the re-check
       if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
         return None
+      val (dataPath, partitions) = stageAt(base)
+      // exactly-once leans on same-batch duplicates WRITE-WRITE
+      // conflicting via identical partition sets; an empty partition
+      // set has no conflict surface, so two racing duplicate
+      // deliveries could BOTH commit (two stream: entries for one
+      // batch). An empty micro-batch must stage a sentinel partition
+      // (e.g. "empty_<streamId>") to keep the conflict surface
+      // non-empty.
+      require(partitions.nonEmpty,
+        s"stage() for $streamId batch $batchId returned no partitions — " +
+          "an empty micro-batch must return a sentinel partition so " +
+          "duplicate deliveries keep a write-write conflict surface")
       try {
         return Some(CommitLog.tryCommit(root, CommitLog.Entry(
           streamId, s"${CommitLog.StreamOpPrefix}$batchId", dataPath,

@@ -174,6 +174,33 @@ class StreamCommitSpec extends AnyFunSuite {
       () => ("data/b0", Seq("empty_s1"))) === None)
   }
 
+  test("base-aware staging re-derives on rebase — a rival landing between staging and commit is never overwritten") {
+    val root = freshRoot()
+    CommitLog.tryCommit(root,
+      CommitLog.Entry("ingest", "ingest", "data/v1", Seq("p0"), 0L))
+    // a read-modify-write sink stages content derived FROM its base;
+    // retrying a conflict with the same staged data would commit the
+    // stale union and silently drop the rival's rows — stageAt must
+    // be re-invoked at the new base
+    val basesSeen = scala.collection.mutable.Buffer[Long]()
+    var rivalDone = false
+    val v = StreamCommit.commitBatchRebasing(root, "s1", 0L, base => {
+      basesSeen += base
+      if (!rivalDone) { // the rival lands AFTER our staging read
+        CommitLog.tryCommit(root, CommitLog.Entry("rival", "append",
+          "data/rival", Seq("p0"), base))
+        rivalDone = true
+      }
+      (s"data/s1_b0_r$base", Seq("p0"))
+    })
+    assert(basesSeen.toSeq === Seq(1L, 2L),
+      "the rebase must re-stage at the rival's committed base")
+    assert(v === Some(4L)) // rival v2, our aborted claim v3, commit v4
+    assert(CommitLog.resolvePartitions(root)("p0") ===
+      (4L, "data/s1_b0_r2"),
+      "the committed content must be the one derived at the new base")
+  }
+
   test("a genuine partition conflict with an OUTSIDE writer rebases and lands") {
     val root = freshRoot()
     CommitLog.tryCommit(root,
