@@ -361,7 +361,14 @@ class GraftLakeDataSource extends RelationProvider
 
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
-    val dataSchema = spark.read.parquet(locations.head._2).schema
+    // infer from the first partition with readable data files — a
+    // sentinel/empty partition has none and must not break the read
+    val dataSchema = locations.toSeq.sortBy(_._1).view
+      .flatMap { case (_, loc) =>
+        scala.util.Try(spark.read.parquet(loc).schema).toOption
+          .filter(_.nonEmpty)
+      }.headOption.getOrElse(throw new IllegalArgumentException(
+        s"graftlake: no readable data files at v$asOf in $root"))
     val pName = partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
     require(!dataSchema.fieldNames.contains(pName),
       s"graftlake: partition column '$pName' collides with a data column")
@@ -370,7 +377,12 @@ class GraftLakeDataSource extends RelationProvider
 
     HadoopFsRelation(
       location = new GraftLakeFileIndex(root, locations, partitionSchema,
-        dir => fs.listStatus(new Path(dir)).toSeq.filter(f =>
+        // a missing directory lists as EMPTY, not an error: the
+        // streaming sink's empty-batch sentinel partitions own a
+        // staged path with no hive subdir — a zero-file partition is
+        // a legitimate table state
+        dir => scala.util.Try(fs.listStatus(new Path(dir)).toSeq)
+          .getOrElse(Nil).filter(f =>
           f.isFile && f.getLen > 0 && {
             val n = f.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")

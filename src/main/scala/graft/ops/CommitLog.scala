@@ -444,6 +444,12 @@ object CommitLog {
     * checkpoint fold (irrecoverable after expiry), and an embedded
     * comma/tab would split into phantom partitions on read-back. */
   private def validateEntry(e: Entry): Unit = {
+    // the entry line is tab-separated: an embedded tab/newline in ANY
+    // field silently shifts every later field on read-back
+    Seq("writer" -> e.writer, "op" -> e.op, "dataPath" -> e.dataPath)
+      .foreach { case (f, v) => require(
+        !v.exists(c => c == '\t' || c == '\n'),
+        s"$f not entry-safe (contains tab/newline): '$v'") }
     (e.partitions ++ e.readSet).foreach(p => require(
       p.nonEmpty && !p.startsWith("#") &&
         !p.exists(c => c == ',' || c == '\t' || c == '\n'),

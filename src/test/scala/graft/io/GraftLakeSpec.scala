@@ -368,6 +368,16 @@ class GraftLakeSpec extends SparkSpec {
     assert(CommitLog.committedVersions(root).size === 3,
       "a re-delivered batch id must be skipped, not re-applied")
     assert(canon(lake(root)).size === 4)
+    // an EMPTY micro-batch commits the sentinel partition — and the
+    // table stays fully readable (a zero-file partition lists empty,
+    // never breaks the connector's listing or schema inference)
+    sink.addBatch(3L, Seq.empty[(Long, Long, String)]
+      .toDF("k", "v", "pday"))
+    assert(CommitLog.committedVersions(root).size === 4)
+    assert(graft.ops.StreamCommit.lastCommittedBatch(root, "s1") ===
+      Some(3L), "the empty batch must still advance the watermark")
+    assert(canon(lake(root)).size === 4,
+      "the sentinel partition must not change the table content")
   }
 
   test("STREAMING source: readStream.format(graftlake) tails data rows by commit version — paced, live, restart-exact") {

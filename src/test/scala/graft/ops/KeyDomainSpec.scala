@@ -227,6 +227,15 @@ class KeyDomainSpec extends SparkSpec {
       CommitLog.tryCommit(root, Entry("w", "ingest", "data/x",
         Seq("p1"), 0L, readSet = Seq("a,b")))
     }
+    // the entry line is TSV: a tab in writer/op/dataPath would shift
+    // every later field on read-back — refused up front
+    for (bad <- Seq(Entry("w\tx", "ingest", "data/x", Seq("p1"), 0L),
+      Entry("w", "in\tgest", "data/x", Seq("p1"), 0L),
+      Entry("w", "ingest", "data/\nx", Seq("p1"), 0L))) {
+      intercept[IllegalArgumentException] {
+        CommitLog.tryCommit(root, bad)
+      }
+    }
     // validation fails BEFORE any slot is claimed: no orphan claims
     // for rivals to poll-and-abort, and the log is pristine
     assert(CommitLog.committedVersions(root).isEmpty)
