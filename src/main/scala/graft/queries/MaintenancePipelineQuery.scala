@@ -1392,6 +1392,97 @@ object MaintenancePipelineQuery {
        |FROM rows_ ORDER BY step""".stripMargin
   }
 
+  /** `q_lake_write` — THE CONNECTOR WRITE PATH UNDER THE HASH
+    * (round 18, the oracled twin of GraftLakeSpec's write tests):
+    * three `df.write.format("graftlake")` commits build a table and
+    * every historical state is read back THROUGH the connector:
+    *
+    *   - v1: full OVERWRITE (30 day partitions, hive `pday` layout);
+    *   - v2: dynamic partition overwrite of days 1–10 only (the
+    *     sweep: event_id ≡0 mod 5 purged) — days 11–30 ride along by
+    *     reference, untouched owners;
+    *   - v3: APPEND into days 21–30 (fresh ids +10⁹, vc+7) — the
+    *     partition-granular read-modify-write: appended partitions
+    *     carry old ∪ new, everything else untouched;
+    *   - readout: (n_rows, key_xor, vc_sum) at versionAsOf 1, 2, and
+    *     the head — all derived independently by the oracle, so a
+    *     write that dropped a carried partition, double-applied an
+    *     append, or broke time travel hash-fails.
+    *
+    * Content-keyed: the log builds once per dataset (marker =
+    * committedVersions == 1,2,3); every run re-reads through the
+    * connector. Scale shape: overwrite stages only the partitions it
+    * carries; append re-reads only the touched partitions. */
+  private def lakeWrite(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_lakewrite_$key"
+    val e = clogEvents(spark, dir)
+      .select(col("event_id"), col("vc"), col("dom"),
+        col("day").cast("string").as("pday"))
+    if (CommitLog.committedVersions(root) != Seq(1L, 2L, 3L)) {
+      VersionChain.rmTree(new java.io.File(root))
+      def put(df: DataFrame, mode: String, writer: String): Unit =
+        df.select("event_id", "vc", "pday")
+          .write.format("graftlake").option("partitionColumn", "pday")
+          .option("writer", writer).mode(mode).save(root)
+      put(e, "overwrite", "ingest")
+      put(e.filter(col("dom") <= 10 && col("event_id") % 5 =!= 0),
+        "overwrite", "sweeper")
+      put(e.filter(col("dom") >= 21)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          (col("vc") + 7L).as("vc"), col("pday")),
+        "append", "appender")
+      require(CommitLog.committedVersions(root) == Seq(1L, 2L, 3L),
+        "lake-write scenario landed at unexpected versions")
+    }
+    def at(v: Long): DataFrame = spark.read.format("graftlake")
+      .option("partitionColumn", "pday")
+      .option("versionAsOf", v.toString).load(root)
+    def stats(df: DataFrame, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+        coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("key_xor"),
+          col("vc_sum"))
+    stats(at(1L), "1_overwrite")
+      .unionAll(stats(at(2L), "2_sweep"))
+      .unionAll(stats(at(3L), "3_append"))
+      .orderBy("step")
+  }
+
+  private val lakeWriteSql = {
+    def stats(step: String, rel: String) =
+      s"""SELECT '$step' AS step,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |v2 AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom > 10),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |  UNION ALL
+       |  SELECT event_id + 1000000000, vc + 7 FROM e WHERE dom >= 21),
+       |rows_ AS (
+       |  ${stats("1_overwrite", "e")}
+       |  UNION ALL
+       |  ${stats("2_sweep", "v2")}
+       |  UNION ALL
+       |  ${stats("3_append", "v3")})
+       |SELECT step, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
   // ------------------------------------- key-granular concurrent MERGE
 
   /** `q_merge_concurrent` — KEY-GRANULAR CONCURRENT MERGEs
@@ -3547,6 +3638,7 @@ object MaintenancePipelineQuery {
     Q("q_commit_feed", commitFeed, Some(commitFeedSql)),
     Q("q_lake_read", lakeRead, Some(lakeReadSql)),
     Q("q_feed_replica", feedReplica, Some(feedReplicaSql)),
+    Q("q_lake_write", lakeWrite, Some(lakeWriteSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),
