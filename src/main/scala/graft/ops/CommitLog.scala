@@ -844,8 +844,16 @@ object CommitLog {
     * would strand the partition unreadable AND uncompactable. */
   def resolveLayers(root: String, partition: String,
                     asOf: Long = Long.MaxValue)
+      : Seq[(Long, String, Option[Seq[(Long, Long)]])] =
+    resolveLayersIn(root, readLog(root), partition, asOf)
+
+  /** [[resolveLayers]] over an already-read log — the shared-scan
+    * variant [[resolveForRead]] uses so resolving L layered partitions
+    * costs ONE |slots| log read, not L of them. */
+  private def resolveLayersIn(root: String, log: Seq[(Long, Entry)],
+                              partition: String, asOf: Long)
       : Seq[(Long, String, Option[Seq[(Long, Long)]])] = {
-    val touching = readLog(root).filter { case (v, e) =>
+    val touching = log.filter { case (v, e) =>
       v <= asOf && e.partitions.contains(partition) }
     val liveBase = touching.collect {
       case (v, e) if !e.keyDomains.contains(partition) => v
@@ -880,11 +888,13 @@ object CommitLog {
     * stacks instead of refusing the whole resolution. */
   def resolveForRead(root: String, asOf: Long = Long.MaxValue)
       : Map[String, Either[(Long, String),
-                           Seq[(Long, String, Option[Seq[(Long, Long)]])]]] =
+                           Seq[(Long, String, Option[Seq[(Long, Long)]])]]] = {
+    lazy val log = readLog(root) // once, shared by every layered stack
     resolveFlagged(root, asOf).map {
       case (p, (v, dp, false)) => p -> Left((v, dp))
-      case (p, _) => p -> Right(resolveLayers(root, p, asOf))
+      case (p, _) => p -> Right(resolveLayersIn(root, log, p, asOf))
     }
+  }
 
   // ------------------------------------------------- timestamp travel
 
