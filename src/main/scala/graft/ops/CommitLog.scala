@@ -461,8 +461,22 @@ object CommitLog {
         s"key-domain partition name not entry-safe: '$p'")
       require(ranges.nonEmpty && ranges.forall { case (lo, hi) => lo <= hi },
         s"key domain for '$p' must be non-empty ranges with lo <= hi")
+      // the commit entry is METADATA read by every rival's validation:
+      // an unbounded range list would grow entry lines (and conflict
+      // checks) with the merge's key count — past the cap, declare
+      // coarser ranges (or the full-span hull); a production variant
+      // would spill to a key-hash-set sidecar (the DV-tier shape)
+      require(ranges.size <= MaxDomainRanges,
+        s"key domain for '$p' declares ${ranges.size} ranges " +
+          s"(cap $MaxDomainRanges) — coalesce to coarser ranges or " +
+          "declare the hull; entries must stay small metadata")
     }
   }
+
+  /** Cap on declared key ranges per partition — keeps every entry
+    * bounded metadata (validation cost is |a|·|b| range compares per
+    * shared partition). */
+  val MaxDomainRanges = 256
 
   private def writeEntry(d: java.io.File, v: Long, e: Entry): Unit = {
     val ts = if (e.ts >= 0L) e.ts else commitTimestamp(v)

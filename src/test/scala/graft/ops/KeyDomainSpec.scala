@@ -165,6 +165,14 @@ class KeyDomainSpec extends SparkSpec {
     val log = CommitLog.readLog(root).toMap
     assert(log(2L).keyDomains === Map("p1" -> mods(0)))
     assert(log(3L).keyDomains === Map("p1" -> mods(1)))
+    // entries stay bounded metadata: a pathological range list is
+    // refused up front (declare coarser ranges or the hull instead)
+    val tooMany = (0L until (CommitLog.MaxDomainRanges + 1L))
+      .map(i => (i * 10, i * 10))
+    intercept[IllegalArgumentException] {
+      CommitLog.tryCommit(root, Entry("mHuge", "merge", "data/mH",
+        Seq("p1"), 3L, keyDomains = Map("p1" -> tooMany)))
+    }
   }
 
   test("resolveAsOf REFUSES a layered winner instead of serving a partial partition") {
