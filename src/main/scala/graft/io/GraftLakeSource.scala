@@ -78,6 +78,64 @@ object GraftLakeSource {
 
   val VirtualPartitionCol = "_partition"
 
+  /** FILE MANIFESTS — the listing-free read path (Delta's add-file
+    * actions distilled to a staged sidecar): the write path emits
+    * `_MANIFEST.tsv` (`relpath \t partition \t bytes`) next to the
+    * staged data, and the FileIndex serves a manifest-carrying owner
+    * WITHOUT any listStatus — at 100k partitions the read plans from
+    * |manifests| small file reads instead of |partitions| directory
+    * RPCs. The manifest is AUTHORITATIVE: a file in the directory but
+    * not in the manifest does not exist to readers (exactly the
+    * log-over-filesystem contract — torn writes and alien files are
+    * invisible). Directories without a manifest (foreign fixtures,
+    * layered-read caches) fall back to listing. */
+  val ManifestName = "_MANIFEST.tsv"
+
+  /** Write the staged directory's manifest by walking it ONCE at
+    * write time (the writer just produced these files — a production
+    * variant collects the list from the write tasks' commit messages
+    * and never lists at all). `partitionOf` maps a staged-dir-relative
+    * path to its partition name. */
+  def writeManifest(stagedDir: String,
+                    partitionOf: String => Option[String]): Unit = {
+    val base = new java.io.File(stagedDir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val lines = walk(base)
+      .filter(f => f.isFile && f.length() > 0 && {
+        val n = f.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .flatMap { f =>
+        val rel = base.toPath.relativize(f.toPath).toString
+          .replace(java.io.File.separatorChar, '/')
+        partitionOf(rel).map(p => s"$rel\t$p\t${f.length()}")
+      }.sorted
+    java.nio.file.Files.writeString(
+      new java.io.File(base, ManifestName).toPath,
+      lines.mkString("", "\n", "\n"))
+    ()
+  }
+
+  /** Parse an owner directory's manifest: partition → file statuses,
+    * or None when the owner carries no manifest (fallback = listing).
+    * Statuses are built from the manifest alone — no filesystem
+    * call. */
+  def readManifest(ownerDir: String)
+      : Option[Map[String, Seq[FileStatus]]] = {
+    val f = new java.io.File(ownerDir, ManifestName)
+    if (!f.exists()) None
+    else Some(
+      java.nio.file.Files.readString(f.toPath)
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map { l =>
+          val q = l.split("\t", -1)
+          (q(1), new FileStatus(q(2).toLong, false, 1, 128L * 1024 * 1024,
+            0L, new Path(s"$ownerDir/${q(0)}")))
+        }
+        .groupMap(_._1)(_._2))
+  }
+
   def resolveRoot(parameters: Map[String, String]): String =
     parameters.get("path").orElse(parameters.get("root"))
       .filter(_.nonEmpty)
@@ -292,6 +350,9 @@ class GraftLakeDataSource extends RelationProvider
                 .unionByName(data)
             else data
           full.write.partitionBy(c).parquet(s"$root/$stagePath")
+          GraftLakeSource.writeManifest(s"$root/$stagePath",
+            rel => rel.split("/").find(_.startsWith(s"$c="))
+              .map(_.drop(c.length + 1)))
         case None =>
           // flat layout: the staged path holds ONE partition's full
           // content — union only that partition's current rows
@@ -305,6 +366,8 @@ class GraftLakeDataSource extends RelationProvider
                 .unionByName(data)
             else data
           full.write.parquet(s"$root/$stagePath")
+          GraftLakeSource.writeManifest(s"$root/$stagePath",
+            _ => flatPart)
       }
       CommitLog.Entry(writer, op, stagePath, touched, base)
     })
@@ -335,6 +398,12 @@ class GraftLakeDataSource extends RelationProvider
       CommitLog.SchemaPartition
     require(plan.nonEmpty,
       s"graftlake: no committed partitions at or below v$asOf in $root")
+    // per-partition OWNER directory — where a write-path manifest
+    // would live (layered caches are connector-internal: no manifest,
+    // listing fallback)
+    val owners: Map[String, String] = plan.collect {
+      case (p, Left((_, dp))) => p -> located(dp)
+    }
 
     // LAYERED partitions: materialize once into the content-keyed
     // cache; `_SUCCESS` is the torn-write guard (Spark writes it last)
@@ -375,18 +444,32 @@ class GraftLakeDataSource extends RelationProvider
     val partitionSchema = StructType(Seq(
       StructField(pName, StringType, nullable = false)))
 
-    HadoopFsRelation(
-      location = new GraftLakeFileIndex(root, locations, partitionSchema,
-        // a missing directory lists as EMPTY, not an error: the
-        // streaming sink's empty-batch sentinel partitions own a
-        // staged path with no hive subdir — a zero-file partition is
-        // a legitimate table state
-        dir => scala.util.Try(fs.listStatus(new Path(dir)).toSeq)
+    // manifest-aware per-partition lister: a manifest-carrying owner
+    // serves its file set WITHOUT any listStatus (and the manifest is
+    // authoritative — alien files in the directory are invisible);
+    // owners without one fall back to listing, where a missing
+    // directory lists as EMPTY (the streaming sink's empty-batch
+    // sentinel partitions own a staged path with no hive subdir — a
+    // zero-file partition is a legitimate table state)
+    val manifests =
+      scala.collection.concurrent.TrieMap
+        .empty[String, Option[Map[String, Seq[FileStatus]]]]
+    def filesFor(p: String): Seq[FileStatus] = {
+      val fromManifest = owners.get(p).flatMap { od =>
+        manifests.getOrElseUpdate(od, GraftLakeSource.readManifest(od))
+          .map(_.getOrElse(p, Nil))
+      }
+      fromManifest.getOrElse(
+        scala.util.Try(fs.listStatus(new Path(locations(p))).toSeq)
           .getOrElse(Nil).filter(f =>
           f.isFile && f.getLen > 0 && {
             val n = f.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
-          })),
+          }))
+    }
+    HadoopFsRelation(
+      location = new GraftLakeFileIndex(root, locations, partitionSchema,
+        filesFor),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -413,12 +496,14 @@ class GraftLakeFileIndex(root: String,
   private def partRow(p: String): InternalRow =
     InternalRow(UTF8String.fromString(p))
 
-  // listed lazily per partition and memoized: a pruned read never
-  // pays listStatus for partitions it dropped
+  // listed lazily per PARTITION and memoized: a pruned read never
+  // pays listing (or a manifest read) for partitions it dropped —
+  // `list` receives the partition name and resolves manifest-vs-
+  // listing itself
   private val listed =
     scala.collection.concurrent.TrieMap.empty[String, Seq[FileStatus]]
   private def filesOf(p: String): Seq[FileStatus] =
-    listed.getOrElseUpdate(p, list(locations(p)))
+    listed.getOrElseUpdate(p, list(p))
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -528,6 +613,7 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
         if (touched.isEmpty) {
           // empty micro-batch: sentinel keeps the conflict surface
           batch.write.mode("overwrite").parquet(s"$root/$staged")
+          GraftLakeSource.writeManifest(s"$root/$staged", _ => None)
           (staged, Seq(s"empty_${safe(streamId)}"))
         } else {
           val accumulate = outputMode == OutputMode.Append() && base > 0L
@@ -555,10 +641,16 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
               }
             }
           partCol match {
-            case Some(c) => full.write.mode("overwrite").partitionBy(c)
-              .parquet(s"$root/$staged")
-            case None => full.write.mode("overwrite")
-              .parquet(s"$root/$staged")
+            case Some(c) =>
+              full.write.mode("overwrite").partitionBy(c)
+                .parquet(s"$root/$staged")
+              GraftLakeSource.writeManifest(s"$root/$staged",
+                rel => rel.split("/").find(_.startsWith(s"$c="))
+                  .map(_.drop(c.length + 1)))
+            case None =>
+              full.write.mode("overwrite").parquet(s"$root/$staged")
+              GraftLakeSource.writeManifest(s"$root/$staged",
+                _ => flatPart)
           }
           (staged, touched)
         }

@@ -448,6 +448,39 @@ class GraftLakeSpec extends SparkSpec {
       "paced getOffset must advance from the committed position")
   }
 
+  test("write-path MANIFESTS are authoritative: reads plan from the manifest, alien files are invisible; no manifest = listing fallback") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "v", "pday")
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .mode("overwrite").save(root)
+    // the staged owner carries its manifest
+    val (_, dp) = CommitLog.resolvePartitions(root)("a")
+    val ownerDir = new java.io.File(root, dp)
+    assert(new java.io.File(ownerDir, "_MANIFEST.tsv").exists(),
+      "the write path must emit a manifest beside the staged data")
+    assert(canon(lake(root)) === Seq((1L, 10L, "a"), (2L, 20L, "b")))
+    // plant an ALIEN parquet file inside partition a's directory (a
+    // torn write / stray file): the manifest is the commit's
+    // authoritative file set, so the read must NOT see its rows
+    val tmp = s"${java.nio.file.Files.createTempDirectory("alien")}/out"
+    Seq((999L, 9990L)).toDF("k", "v").coalesce(1).write.parquet(tmp)
+    val alienSrc = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(alienSrc.toPath,
+      new java.io.File(s"$ownerDir/pday=a/alien.parquet").toPath)
+    assert(canon(lake(root)) === Seq((1L, 10L, "a"), (2L, 20L, "b")),
+      "a file outside the manifest must be invisible to readers")
+    // removing the manifest falls back to LISTING — the alien file
+    // becomes visible, proving the manifest path really served the
+    // previous read (zero listStatus, not listing-plus-filter)
+    assert(new java.io.File(ownerDir, "_MANIFEST.tsv").delete())
+    assert(canon(lake(root)).toSet ===
+      Set((1L, 10L, "a"), (2L, 20L, "b"), (999L, 9990L, "a")),
+      "without a manifest the fallback must be a plain listing")
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
