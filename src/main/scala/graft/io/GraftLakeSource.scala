@@ -321,8 +321,13 @@ class GraftLakeDataSource extends RelationProvider
     // touched partitions: the distinct hive values in the data, or
     // the named flat partition — bounded driver collect either way
     val touched: Seq[String] = partCol match {
-      case Some(c) => data.select(col(c).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      case Some(c) =>
+        val vals = data.select(col(c).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!vals.contains(null),
+          s"graftlake write: NULL values in partition column '$c' — " +
+            "partition keys must be non-null")
+        vals.sorted
       case None => Seq(flatPart.get)
     }
     require(touched.nonEmpty,
@@ -606,8 +611,13 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
       StreamCommit.commitBatchRebasing(root, streamId, batchId, base => {
         val staged = s"data/stream_${safe(streamId)}/b${batchId}_r$base"
         val touched: Seq[String] = partCol match {
-          case Some(c) => batch.select(col(c).cast("string")).distinct()
-            .collect().map(_.getString(0)).sorted.toSeq
+          case Some(c) =>
+            val vals = batch.select(col(c).cast("string")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            require(!vals.contains(null),
+              s"graftlake sink: NULL values in partition column '$c' — " +
+                "partition keys must be non-null")
+            vals.sorted
           case None => if (batch.isEmpty) Nil else Seq(flatPart.get)
         }
         if (touched.isEmpty) {

@@ -218,6 +218,13 @@ class GraftLakeSpec extends SparkSpec {
       .option("partitionColumn", "pday").mode("ignore").save(root)
     assert(CommitLog.committedVersions(root) === Seq(1L, 2L),
       "SaveMode.Ignore must not commit")
+    // a NULL partition key fails loudly, never a phantom partition
+    val ex = intercept[IllegalArgumentException] {
+      Seq((Some(6L), Some(60L), None: Option[String]))
+        .toDF("k", "v", "pday").write.format("graftlake")
+        .option("partitionColumn", "pday").mode("overwrite").save(root)
+    }
+    assert(ex.getMessage.contains("non-null"))
   }
 
   test("WRITE path: Append is read-modify-write at partition granularity; RACING appends to one partition both land with no lost update") {
