@@ -600,16 +600,29 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
       it.map(ir => conv(ir).asInstanceOf[org.apache.spark.sql.Row])
     }
     val batch = spark.createDataFrame(rowRdd, schema).persist()
+    // abandoned-attempt hygiene: each rebase stages a fresh dir; the
+    // sink deletes its own previous attempt before re-staging (the
+    // final committed dir is never revisited). A zombie duplicate
+    // that skips after staging leaves one dir for age-based retention
+    // — the documented attempt-unique tradeoff.
+    var lastStaged: Option[String] = None
     try {
       // BASE-AWARE staging (commitBatchRebasing): the accumulate
       // union reads the touched partitions AT the attempt's base and
       // is re-derived per rebase — a rival appending to the same
       // partition between staging and commit is re-read, never
-      // silently overwritten. The staged path carries the base, so
-      // duplicates racing at one base coincide and a rebasing loser
-      // never rewrites a committing winner's files.
+      // silently overwritten. The staged path is ATTEMPT-UNIQUE:
+      // two zombie duplicates racing one (streamId, batchId) then
+      // stage disjoint dirs, so a concurrent delete+write interleave
+      // can never leave BOTH jobs' part files under the committed
+      // path (doubled rows) — the winner's dir is pristine and its
+      // manifest lists exactly its own files.
       StreamCommit.commitBatchRebasing(root, streamId, batchId, base => {
-        val staged = s"data/stream_${safe(streamId)}/b${batchId}_r$base"
+        lastStaged.foreach(p =>
+          graft.ops.VersionChain.rmTree(new java.io.File(s"$root/$p")))
+        val staged = s"data/stream_${safe(streamId)}/b${batchId}_r${base}_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        lastStaged = Some(staged)
         val touched: Seq[String] = partCol match {
           case Some(c) =>
             val vals = batch.select(col(c).cast("string")).distinct()
