@@ -26,14 +26,19 @@ package graft.ops
   *     deleting the slots that carried the `stream:` entries.
   *   - RACES: a zombie duplicate delivery that loses the commit race
   *     re-checks the watermark on [[CommitLog.CommitConflict]] and
-  *     skips. Staging discipline: stage each batch at a
-  *     BATCH-DETERMINISTIC path (derived from streamId + batchId, not
-  *     an attempt id) — then a duplicate's staging coincides with the
-  *     winner's files and nothing orphans. A zombie that lost AFTER
-  *     claiming leaves an aborted entry naming its path, reclaimable
-  *     via [[CommitLog.sweepOrphanStaging]]; one that skipped before
-  *     claiming left no entry at all, so attempt-unique paths need
-  *     the caller's age-based retention (Delta's VACUUM answer).
+  *     skips. Staging disciplines, pick per sink:
+  *     (a) BATCH-DETERMINISTIC paths (streamId + batchId) — a
+  *     duplicate's staging coincides with the winner's files and
+  *     nothing orphans, BUT two zombies writing the shared dir
+  *     concurrently can interleave delete+write and leave both jobs'
+  *     part files (doubled rows): only safe when deliveries cannot
+  *     overlap in time;
+  *     (b) ATTEMPT-UNIQUE paths (what the graftlake sink uses) — the
+  *     winner's dir is pristine under any interleaving; a zombie that
+  *     lost AFTER claiming leaves an aborted entry naming its path,
+  *     reclaimable via [[CommitLog.sweepOrphanStaging]]; one that
+  *     skipped before claiming leaves junk for the caller's age-based
+  *     retention (Delta's VACUUM answer).
   *
   * Scale shape: the skip check and the commit are metadata-only (the
   * commit-log critical-section guarantee); `stage()` — the only data
