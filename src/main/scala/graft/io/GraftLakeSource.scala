@@ -117,6 +117,81 @@ object GraftLakeSource {
     ()
   }
 
+  /** The content key of a layered partition's merge-on-read cache —
+    * derived from the exact layer stack (immutable versions ⇒ a key
+    * is valid forever; a new layer or a compaction changes it).
+    * Shared by the reader and [[vacuum]] so staleness detection can
+    * never drift from the materialization. */
+  def cacheName(partition: String,
+                stack: Seq[(Long, String, Option[Seq[(Long, Long)]])])
+      : String = {
+    val key = stack.map { case (v, _, dom) =>
+      s"v$v" + dom.map(_.map { case (lo, hi) => s"$lo-$hi" }
+        .mkString("d", "_", "")).getOrElse("")
+    }.mkString("_")
+    val safeP = partition.replaceAll("[^A-Za-z0-9.=-]", "_")
+    s"${safeP}__$key"
+  }
+
+  /** CONNECTOR-LEVEL VACUUM — the three places long-lived tables leak
+    * bytes, reclaimed conservatively (returns root-relative swept
+    * paths):
+    *
+    *   1. ABORTED-WRITER STAGING: precise, via the log
+    *      ([[CommitLog.sweepOrphanStaging]] — every aborted entry
+    *      names exactly what its writer staged);
+    *   2. STALE LAYERED CACHES: `_lake_cache` entries whose name no
+    *      longer matches ANY partition's CURRENT stack key (a new
+    *      layer or a compaction re-keys the cache; old stacks are
+    *      unreachable forever because versions are immutable);
+    *   3. ZOMBIE SINK STAGING: dirs under the sink's own
+    *      `data/stream_*` namespace referenced by NO entry (a
+    *      duplicate that skipped mid-flight, or an abandoned rebase
+    *      attempt of a crashed sink) and older than `retainMillis`
+    *      (Delta's VACUUM retention answer — a LIVE sink's in-flight
+    *      staging is younger than any sane retention).
+    *
+    * Metadata-proportional: one log read + bounded directory walks of
+    * connector-owned namespaces; table data is never touched. */
+  def vacuum(root: String,
+             retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val swept = scala.collection.mutable.Buffer.empty[String]
+    swept ++= CommitLog.sweepOrphanStaging(root)
+    // 2: live cache names from the CURRENT resolution
+    val liveCaches = CommitLog.resolveForRead(root).collect {
+      case (p, Right(stack)) => cacheName(p, stack)
+    }.toSet
+    val cacheRoot = new java.io.File(root, "_lake_cache")
+    Option(cacheRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory && !liveCaches(d.getName))
+      .foreach { d =>
+        rmTreeLocal(d); swept += s"_lake_cache/${d.getName}"
+      }
+    // 3: unreferenced, old-enough sink staging
+    val referenced = CommitLog.readLog(root).map(_._2.dataPath)
+      .map(_.stripSuffix("/")).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val dataRoot = new java.io.File(root, "data")
+    Option(dataRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory && d.getName.startsWith("stream_"))
+      .flatMap(sd => Option(sd.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .map(b => (sd.getName, b)))
+      .filter { case (sn, b) =>
+        b.isDirectory && b.lastModified() < cutoff &&
+          !referenced(s"data/$sn/${b.getName}")
+      }
+      .foreach { case (sn, b) =>
+        rmTreeLocal(b); swept += s"data/$sn/${b.getName}"
+      }
+    swept.toSeq.sorted
+  }
+
+  private def rmTreeLocal(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(rmTreeLocal))
+    f.delete(); ()
+  }
+
   /** Parse an owner directory's manifest: partition → file statuses,
     * or None when the owner carries no manifest (fallback = listing).
     * Statuses are built from the manifest alone — no filesystem
@@ -415,12 +490,8 @@ class GraftLakeDataSource extends RelationProvider
     val locations: Map[String, String] = plan.map {
       case (p, Left((_, dp))) => p -> partDir(dp, p)
       case (p, Right(stack)) =>
-        val key = stack.map { case (v, _, dom) =>
-          s"v$v" + dom.map(_.map { case (lo, hi) => s"$lo-$hi" }
-            .mkString("d", "_", "")).getOrElse("")
-        }.mkString("_")
-        val safeP = p.replaceAll("[^A-Za-z0-9.=-]", "_")
-        val cache = s"$root/_lake_cache/${safeP}__$key"
+        val cache =
+          s"$root/_lake_cache/${GraftLakeSource.cacheName(p, stack)}"
         if (!new java.io.File(cache, "_SUCCESS").exists()) {
           val kc = keyCol.getOrElse(throw new IllegalArgumentException(
             s"graftlake: partition '$p' resolves to key-domain layers " +

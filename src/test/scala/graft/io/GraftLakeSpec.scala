@@ -488,6 +488,58 @@ class GraftLakeSpec extends SparkSpec {
       "without a manifest the fallback must be a plain listing")
   }
 
+  test("VACUUM reclaims aborted staging, stale layered caches, and zombie sink staging — live state untouched") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // a layered table: base + one merge layer, read once (cache built)
+    (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/base")
+    (2L to 4L).map(k => (k, k * 20L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/mA")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/base",
+      Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("mA", "merge", "data/mA",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((2L, 4L)))))
+    s.read.format("graftlake").option("keyColumn", "k").load(root)
+      .count()
+    val cacheRoot = new java.io.File(s"$root/_lake_cache")
+    assert(cacheRoot.listFiles().count(_.isDirectory) === 1)
+    // an ABORTED writer's staging (the loser physically staged first)
+    (1L to 3L).map(k => (k, 0L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/loser")
+    intercept[CommitLog.CommitConflict] {
+      CommitLog.tryCommit(root, Entry("loser", "rewrite", "data/loser",
+        Seq("p1"), 1L))
+    }
+    // COMPACTION re-keys the partition to a full owner: the old
+    // layered cache becomes unreachable forever (immutable versions)
+    graft.ops.Reorganize.compactPartition(s, root, "p1", "k",
+      s"$root/compact", locate =
+        p => if (new java.io.File(p).isAbsolute) p else s"$root/$p")
+    // ZOMBIE sink staging: an unreferenced dir in the sink namespace,
+    // older than retention — plus a FRESH one that must survive
+    val zombie = new java.io.File(s"$root/data/stream_s1/b9_r1_dead")
+    assert(zombie.mkdirs())
+    zombie.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    val fresh = new java.io.File(s"$root/data/stream_s1/b10_r2_live")
+    assert(fresh.mkdirs())
+    val swept = GraftLakeSource.vacuum(root)
+    assert(swept.contains("data/loser"),
+      "the aborted writer's staging must be reclaimed")
+    assert(swept.exists(_.startsWith("_lake_cache/")),
+      "the re-keyed (stale) layered cache must be reclaimed")
+    assert(swept.contains("data/stream_s1/b9_r1_dead"),
+      "old unreferenced sink staging must be reclaimed")
+    assert(!swept.contains("data/stream_s1/b10_r2_live") &&
+      fresh.exists(),
+      "in-retention sink staging must survive (a live sink may own it)")
+    // the table stays fully readable; a second vacuum is a no-op
+    assert(s.read.format("graftlake").load(root).count() === 10L)
+    assert(GraftLakeSource.vacuum(root).isEmpty)
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
