@@ -167,9 +167,12 @@ object GraftLakeSource {
       .foreach { d =>
         rmTreeLocal(d); swept += s"_lake_cache/${d.getName}"
       }
-    // 3: unreferenced, old-enough sink staging
-    val referenced = CommitLog.readLog(root).map(_._2.dataPath)
-      .map(_.stripSuffix("/")).toSet
+    // 3: unreferenced, old-enough sink staging. The reference set is
+    // the CONSERVATIVE one: committed, aborted, AND in-flight entries
+    // (a stalled claim can still commit — sweeping its staging would
+    // be a lost update at commit time) plus checkpoint-folded owners
+    // (an expired slot's data can be the live owner the fold serves).
+    val referenced = CommitLog.referencedPaths(root)
     val cutoff = System.currentTimeMillis() - retainMillis
     val dataRoot = new java.io.File(root, "data")
     Option(dataRoot.listFiles()).map(_.toSeq).getOrElse(Nil)

@@ -938,6 +938,22 @@ object CommitLog {
       .map(resolveAsOf(root, _))
       .getOrElse(Map.empty)
 
+  /** Every data path ANYTHING may still reference — committed,
+    * aborted, AND in-flight entries (a stalled claim can still
+    * commit; its staging must never be swept from under it) plus
+    * every checkpoint fold's owner paths (an expired slot's data can
+    * be the live owner a checkpoint serves). External sweepers (the
+    * graftlake vacuum's staging sweep) must treat this set as live;
+    * the precise ABORTED-entry reclamation is [[sweepOrphanStaging]],
+    * which applies the same rules internally. Root-relative paths are
+    * returned as stored. */
+  def referencedPaths(root: String): Set[String] =
+    (slots(root).flatMap(s => readEntry(s._2)).map(_._2.dataPath) ++
+      checkpoints(root).map(_._1).flatMap(v =>
+        readCheckpoint(root, atMost = v, atLeast = v).toSeq
+          .flatMap(_._2.values.map(_._2))))
+      .map(_.stripSuffix("/")).toSet
+
   // ---------------------------------------------- orphan-staging sweep
 
   /** ORPHANED-STAGING reclamation — the untracked-file half of VACUUM

@@ -538,6 +538,39 @@ class GraftLakeSpec extends SparkSpec {
     // the table stays fully readable; a second vacuum is a no-op
     assert(s.read.format("graftlake").load(root).count() === 10L)
     assert(GraftLakeSource.vacuum(root).isEmpty)
+    // EXPIRED-BUT-FOLDED owners survive: a sink commit whose slot is
+    // checkpoint-folded and physically expired is referenced only via
+    // the fold — sweeping its (old) staging would be data loss
+    val sinkOwned = new java.io.File(s"$root/data/stream_s2/b0_r4_ok")
+    assert(sinkOwned.mkdirs())
+    Seq((77L, 770L)).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(sinkOwned.getPath)
+    assert(graft.ops.StreamCommit.commitBatch(root, "s2", 0L,
+      () => ("data/stream_s2/b0_r4_ok", Seq("p2"))).isDefined)
+    val ck = CommitLog.checkpoint(root)
+    CommitLog.expireBelow(root, ck)
+    sinkOwned.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    assert(!GraftLakeSource.vacuum(root)
+      .contains("data/stream_s2/b0_r4_ok"),
+      "a checkpoint-folded owner's staging must never be swept")
+    assert(s.read.format("graftlake").load(root)
+      .where(col("_partition") === "p2").count() === 1L)
+    // an IN-FLIGHT claim's staging survives too (the stalled writer
+    // can still commit)
+    val stalled = new java.io.File(s"$root/data/stream_s3/b0_r5_live")
+    assert(stalled.mkdirs())
+    stalled.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    val slot = new java.io.File(s"$root/commitlog/v" +
+      (CommitLog.latestCommitted(root) + 1))
+    assert(slot.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(slot, "entry.tsv").toPath,
+      s"9\ts3\tstream:0\tdata/stream_s3/b0_r5_live\t$ck\tp3\n")
+    assert(!GraftLakeSource.vacuum(root)
+      .contains("data/stream_s3/b0_r5_live"),
+      "an in-flight claim's staging must never be swept")
   }
 
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
