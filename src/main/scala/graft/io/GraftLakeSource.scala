@@ -156,14 +156,20 @@ object GraftLakeSource {
   def vacuum(root: String,
              retainMillis: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val swept = scala.collection.mutable.Buffer.empty[String]
+    val cutoff = System.currentTimeMillis() - retainMillis
     swept ++= CommitLog.sweepOrphanStaging(root)
-    // 2: live cache names from the CURRENT resolution
+    // 2: live cache names from the CURRENT resolution. Staleness
+    // alone is not enough to sweep — a long-running reader that
+    // resolved BEFORE the re-keying compaction may still be mid-scan
+    // on the old cache (Delta's vacuum-vs-reader race), so stale
+    // caches also age through the retention window first.
     val liveCaches = CommitLog.resolveForRead(root).collect {
       case (p, Right(stack)) => cacheName(p, stack)
     }.toSet
     val cacheRoot = new java.io.File(root, "_lake_cache")
     Option(cacheRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(d => d.isDirectory && !liveCaches(d.getName))
+      .filter(d => d.isDirectory && !liveCaches(d.getName) &&
+        d.lastModified() < cutoff)
       .foreach { d =>
         rmTreeLocal(d); swept += s"_lake_cache/${d.getName}"
       }
@@ -173,7 +179,6 @@ object GraftLakeSource {
     // be a lost update at commit time) plus checkpoint-folded owners
     // (an expired slot's data can be the live owner the fold serves).
     val referenced = CommitLog.referencedPaths(root)
-    val cutoff = System.currentTimeMillis() - retainMillis
     val dataRoot = new java.io.File(root, "data")
     Option(dataRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
       .filter(d => d.isDirectory && d.getName.startsWith("stream_"))

@@ -505,18 +505,29 @@ class GraftLakeSpec extends SparkSpec {
       .count()
     val cacheRoot = new java.io.File(s"$root/_lake_cache")
     assert(cacheRoot.listFiles().count(_.isDirectory) === 1)
+    // COMPACTION re-keys the partition to a full owner: the old
+    // layered cache becomes unreachable — but it must still AGE
+    // through retention before the sweep (a long-running reader that
+    // resolved pre-compaction may be mid-scan on it)
+    graft.ops.Reorganize.compactPartition(s, root, "p1", "k",
+      s"$root/compact", locate =
+        p => if (new java.io.File(p).isAbsolute) p else s"$root/$p")
+    val staleCache = cacheRoot.listFiles().filter(_.isDirectory).head
+    assert(!GraftLakeSource.vacuum(root)
+      .exists(_.startsWith("_lake_cache/")),
+      "an in-retention stale cache must survive (reader race)")
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+      if (f.isDirectory) f.listFiles().foreach(ageTree)
+    }
+    ageTree(staleCache)
     // an ABORTED writer's staging (the loser physically staged first)
     (1L to 3L).map(k => (k, 0L)).toDF("k", "v")
       .repartition(1).write.parquet(s"$root/data/loser")
     intercept[CommitLog.CommitConflict] {
       CommitLog.tryCommit(root, Entry("loser", "rewrite", "data/loser",
-        Seq("p1"), 1L))
+        Seq("p1"), CommitLog.stableVersion(root) - 1))
     }
-    // COMPACTION re-keys the partition to a full owner: the old
-    // layered cache becomes unreachable forever (immutable versions)
-    graft.ops.Reorganize.compactPartition(s, root, "p1", "k",
-      s"$root/compact", locate =
-        p => if (new java.io.File(p).isAbsolute) p else s"$root/$p")
     // ZOMBIE sink staging: an unreferenced dir in the sink namespace,
     // older than retention — plus a FRESH one that must survive
     val zombie = new java.io.File(s"$root/data/stream_s1/b9_r1_dead")
