@@ -63,6 +63,22 @@ class ColumnMappingSpec extends SparkSpec {
     assert(rows.last.getLong(5) == rows.last.getLong(3))
   }
 
+  test("the fixture's schema commits repel a stale data writer — metadata actions conflict in the real log") {
+    rows // force the fixture (schema versions 1..4 committed)
+    import graft.ops.CommitLog
+    // a data writer whose base predates the later schema commits must
+    // conflict even on a partition no schema entry names — its staged
+    // files bind the old logical schema (the refused claim leaves an
+    // aborted tombstone; committed history and the hash are untouched)
+    intercept[CommitLog.CommitConflict] {
+      CommitLog.tryCommit(root, CommitLog.Entry("stale_writer",
+        "append", "data/stale", Seq("px"), 1L))
+    }
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L, 3L, 4L),
+      "the refusal must not disturb the fixture's committed history")
+    CommitLog.purgeAborted(root) // fixture hygiene across runs
+  }
+
   test("projection through the mapping prunes the scan to the physical col") {
     rows
     val plan = CoreQueries.columnMappingRead(spark, sf0001, 2)
