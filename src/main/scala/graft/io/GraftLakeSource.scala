@@ -121,7 +121,13 @@ object GraftLakeSource {
     * derived from the exact layer stack (immutable versions ⇒ a key
     * is valid forever; a new layer or a compaction changes it).
     * Shared by the reader and [[vacuum]] so staleness detection can
-    * never drift from the materialization. */
+    * never drift from the materialization.
+    *
+    * The sanitized partition name is LOSSY (`a/b` and `a_b` both
+    * sanitize to `a_b`), so a short hash of the RAW name is appended —
+    * without it, two distinct partitions layered with identical
+    * version stacks would alias to one cache key and one partition's
+    * materialized rows would silently be served as the other's. */
   def cacheName(partition: String,
                 stack: Seq[(Long, String, Option[Seq[(Long, Long)]])])
       : String = {
@@ -130,7 +136,39 @@ object GraftLakeSource {
         .mkString("d", "_", "")).getOrElse("")
     }.mkString("_")
     val safeP = partition.replaceAll("[^A-Za-z0-9.=-]", "_")
-    s"${safeP}__$key"
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(partition))
+    s"${safeP}_h${tag}__$key"
+  }
+
+  /** Publish an attempt-unique materialization dir atomically to its
+    * content-keyed cache name — FIRST RENAME WINS; the loser deletes
+    * its attempt and reads the winner's published cache. Two
+    * concurrent readers materializing one stack can therefore never
+    * interleave delete+write inside the shared final path (the
+    * doubled-rows corruption a check-then-`mode("overwrite")` into
+    * the final name allows: both jobs share `<cache>/_temporary` and
+    * the survivor can carry BOTH jobs' part files under a valid
+    * `_SUCCESS`). A torn pre-publish squatter (a crash of the old
+    * direct-write scheme, or a copied tree without `_SUCCESS`) is
+    * cleared once and the publish retried; only a cache reached via
+    * this atomic rename — proven by its `_SUCCESS` — is ever
+    * trusted. */
+  private[io] def publishCache(attempt: java.io.File,
+                               cache: java.io.File): Unit = {
+    def published = new java.io.File(cache, "_SUCCESS").exists()
+    if (!attempt.renameTo(cache)) {
+      if (!published) {
+        // the name is squatted by a torn dir, not a winner: clear it
+        // and retry once (a rival doing the same is harmless — one
+        // rename wins, the final check below guards the rest)
+        rmTreeLocal(cache)
+        if (!attempt.renameTo(cache)) rmTreeLocal(attempt)
+      } else rmTreeLocal(attempt)
+    }
+    require(published,
+      s"layered-cache publish failed: ${cache.getPath} has no _SUCCESS " +
+        "after the atomic rename — torn materialization")
   }
 
   /** CONNECTOR-LEVEL VACUUM — the three places long-lived tables leak
@@ -162,7 +200,11 @@ object GraftLakeSource {
     // alone is not enough to sweep — a long-running reader that
     // resolved BEFORE the re-keying compaction may still be mid-scan
     // on the old cache (Delta's vacuum-vs-reader race), so stale
-    // caches also age through the retention window first.
+    // caches also age through the retention window first. Cache HITS
+    // touch the dir mtime (the read heartbeat in createRelation), so
+    // a time-travel cache in active periodic use never ages out while
+    // it is being read; abandoned `_attempt_*` dirs from crashed
+    // materializations age out the same way (never live-named).
     val liveCaches = CommitLog.resolveForRead(root).collect {
       case (p, Right(stack)) => cacheName(p, stack)
     }.toSet
@@ -416,13 +458,20 @@ class GraftLakeDataSource extends RelationProvider
     require(touched.nonEmpty,
       "graftlake write: no partitions to commit (empty input)")
     // the read params for the append's read-modify-write leg: same
-    // options, pinned to the rebase base (strip any caller asOf)
+    // options, pinned to the rebase base (strip any caller asOf). The
+    // writer's own schema rides along as the inference fallback, so an
+    // append over a base whose partitions are all empty (sentinel-only
+    // history) still resolves instead of wedging.
+    val writerSchema = StructType(
+      data.schema.filterNot(f => partCol.contains(f.name))).json
     def readAt(base: Long): org.apache.spark.sql.DataFrame =
       spark.baseRelationToDataFrame(createRelation(sqlContext,
         parameters.filterNot { case (k, _) =>
           val lk = k.toLowerCase
           lk == "versionasof" || lk == "timestampasof"
-        } + ("versionAsOf" -> s"$base")).asInstanceOf[HadoopFsRelation])
+        } + ("versionAsOf" -> s"$base")
+          + ("dataSchemaJson" -> writerSchema))
+        .asInstanceOf[HadoopFsRelation])
     CommitLog.commitWithRebase(root, { base =>
       // stage per attempt: an append's content depends on the base it
       // rebased to, and a fresh path keeps the loser's staging
@@ -493,35 +542,58 @@ class GraftLakeDataSource extends RelationProvider
       case (p, Left((_, dp))) => p -> located(dp)
     }
 
-    // LAYERED partitions: materialize once into the content-keyed
-    // cache; `_SUCCESS` is the torn-write guard (Spark writes it last)
+    // LAYERED partitions: materialize once into an ATTEMPT-UNIQUE dir
+    // and atomically rename it to the content-keyed cache name (first
+    // rename wins — see [[GraftLakeSource.publishCache]]); `_SUCCESS`
+    // is the torn-write guard (Spark writes it last). A cache HIT
+    // touches the dir's mtime as a read heartbeat, so an actively-read
+    // time-travel cache whose stack is no longer the head keeps aging
+    // OUT of vacuum's retention window instead of being reclaimed
+    // mid-scan and re-materialized every cycle.
     val locations: Map[String, String] = plan.map {
       case (p, Left((_, dp))) => p -> partDir(dp, p)
       case (p, Right(stack)) =>
-        val cache =
-          s"$root/_lake_cache/${GraftLakeSource.cacheName(p, stack)}"
+        val cache = new java.io.File(
+          s"$root/_lake_cache/${GraftLakeSource.cacheName(p, stack)}")
         if (!new java.io.File(cache, "_SUCCESS").exists()) {
           val kc = keyCol.getOrElse(throw new IllegalArgumentException(
             s"graftlake: partition '$p' resolves to key-domain layers " +
               "— option('keyColumn', <mergeKey>) is required to " +
               "materialize the layered view"))
+          val attempt = new java.io.File(s"$root/_lake_cache",
+            s"_attempt_${java.util.UUID.randomUUID().toString.take(12)}")
           LakeRead.layeredFrame(spark, stack, kc,
             dp => partDir(dp, p))
-            .write.mode("overwrite").parquet(cache)
+            .write.mode("overwrite").parquet(attempt.getPath)
+          GraftLakeSource.publishCache(attempt, cache)
         }
-        p -> cache
+        cache.setLastModified(System.currentTimeMillis()) // read heartbeat
+        p -> cache.getPath
     }
 
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
     // infer from the first partition with readable data files — a
-    // sentinel/empty partition has none and must not break the read
+    // sentinel/empty partition has none and must not break the read.
+    // When NO partition has readable files (a table whose only commit
+    // so far is an empty first micro-batch's sentinel), fall back to
+    // the writer-provided `dataSchemaJson` — without it, a hive-layout
+    // Append sink whose batch 0 was empty would WEDGE permanently:
+    // the next batch's accumulate read at base=1 throws here, addBatch
+    // fails, and every restart re-delivers it (a crash loop with no
+    // operator remedy).
     val dataSchema = locations.toSeq.sortBy(_._1).view
       .flatMap { case (_, loc) =>
         scala.util.Try(spark.read.parquet(loc).schema).toOption
           .filter(_.nonEmpty)
-      }.headOption.getOrElse(throw new IllegalArgumentException(
-        s"graftlake: no readable data files at v$asOf in $root"))
+      }.headOption
+      .orElse(lower.get("dataschemajson").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftlake: no readable data files at v$asOf in $root " +
+          "(pass option('dataSchemaJson', …) to read a table whose " +
+          "committed partitions are all empty)"))
     val pName = partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
     require(!dataSchema.fieldNames.contains(pName),
       s"graftlake: partition column '$pName' collides with a data column")
@@ -722,9 +794,16 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
           val full =
             if (!accumulate) batch
             else {
+              // the batch's own schema is the inference fallback: a
+              // base whose only commit is the empty-batch sentinel has
+              // zero readable files, and without the fallback this
+              // accumulate read would throw — permanently wedging the
+              // stream (every restart re-delivers the failing batch)
               val current = parameters.foldLeft(
                 spark.read.format("graftlake")
-                  .option("versionAsOf", base.toString)) {
+                  .option("versionAsOf", base.toString)
+                  .option("dataSchemaJson", StructType(batch.schema
+                    .filterNot(f => partCol.contains(f.name))).json)) {
                 case (r, (k, v)) => r.option(k, v)
               }.load(root)
               partCol match {

@@ -584,6 +584,140 @@ class GraftLakeSpec extends SparkSpec {
       "an in-flight claim's staging must never be swept")
   }
 
+  test("layered-cache publish is ATOMIC: concurrent materializations never interleave into the shared path; losers clean up; torn squatters are cleared") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1L to 100L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/base")
+    (10L to 40L).map(k => (k, k * 20L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/mA")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/base",
+      Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("mA", "merge", "data/mA",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((10L, 40L)))))
+    // two readers race the FIRST materialization of one stack: with
+    // check-then-overwrite into the final path both jobs share its
+    // _temporary dir and the survivor can carry BOTH jobs' part files
+    // (doubled rows) under a valid _SUCCESS — the atomic attempt+rename
+    // publish makes that impossible
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (1 to 2).map(_ => new Thread(() =>
+      try counts.add(s.read.format("graftlake").option("keyColumn", "k")
+        .load(root).count())
+      catch { case t: Throwable => errs.add(t); () }))
+    ths.foreach(_.start()); ths.foreach(_.join())
+    assert(errs.isEmpty, s"racing materialization failed: ${errs.peek()}")
+    assert(counts.toArray(Array.empty[java.lang.Long]).toSeq ===
+      Seq(100L, 100L).map(java.lang.Long.valueOf),
+      "a racing materialization corrupted the shared cache (row count)")
+    val cacheRoot = new java.io.File(s"$root/_lake_cache")
+    val dirs = cacheRoot.listFiles().filter(_.isDirectory)
+    assert(dirs.count(_.getName.startsWith("_attempt_")) === 0,
+      "the losing attempt dir must be deleted after the publish race")
+    assert(dirs.length === 1, "exactly one published cache expected")
+    // loser semantics directly: an attempt against an already-published
+    // cache is deleted, the winner's cache untouched
+    val cache = dirs.head
+    val before = cache.listFiles().map(_.getName).toSet
+    val attempt = new java.io.File(cacheRoot, "_attempt_loser")
+    assert(attempt.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(attempt, "_SUCCESS").toPath, "")
+    GraftLakeSource.publishCache(attempt, cache)
+    assert(!attempt.exists(), "the losing attempt must be cleaned up")
+    assert(cache.listFiles().map(_.getName).toSet === before,
+      "the winner's published cache must be untouched")
+    // a TORN pre-publish squatter (no _SUCCESS) is cleared and the
+    // publish retried — only an atomically-published cache is trusted
+    val torn = new java.io.File(cacheRoot, "torn_key")
+    assert(torn.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(torn, "part-junk").toPath, "junk")
+    val attempt2 = new java.io.File(cacheRoot, "_attempt_retry")
+    assert(attempt2.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(attempt2, "_SUCCESS").toPath, "")
+    GraftLakeSource.publishCache(attempt2, torn)
+    assert(new java.io.File(torn, "_SUCCESS").exists() &&
+      !new java.io.File(torn, "part-junk").exists(),
+      "a torn squatter must be cleared and the attempt published")
+  }
+
+  test("cacheName cannot alias distinct partitions through sanitization; heartbeat keeps an actively-read stale cache alive across vacuum") {
+    // sanitization collision: 'a/b' and 'a_b' sanitize identically —
+    // the raw-name hash must keep their cache keys distinct, or one
+    // partition's materialized rows would be served as the other's
+    val stack = Seq((1L, "data/base", None),
+      (2L, "data/m", Some(Seq((1L, 5L)))))
+    assert(GraftLakeSource.cacheName("a/b", stack) !==
+      GraftLakeSource.cacheName("a_b", stack),
+      "sanitization-colliding partitions must get distinct cache keys")
+    // heartbeat: a cache whose stack was re-keyed (stale) but that is
+    // still ACTIVELY READ via versionAsOf time travel must never be
+    // vacuumed mid-use — each read refreshes the dir mtime
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1L to 10L).map(k => (k, k * 10L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/base")
+    (2L to 4L).map(k => (k, k * 20L)).toDF("k", "v")
+      .repartition(1).write.parquet(s"$root/data/mA")
+    CommitLog.tryCommit(root, Entry("ingest", "ingest", "data/base",
+      Seq("p1"), 0L))
+    CommitLog.tryCommit(root, Entry("mA", "merge", "data/mA",
+      Seq("p1"), 1L, keyDomains = Map("p1" -> Seq((2L, 4L)))))
+    def readV2() = s.read.format("graftlake").option("keyColumn", "k")
+      .option("versionAsOf", "2").load(root).count()
+    assert(readV2() === 10L) // materializes the v1_v2d2-4 cache
+    // compaction re-keys the head: the v2 cache is now STALE relative
+    // to the current resolution, but still serves versionAsOf=2 reads
+    graft.ops.Reorganize.compactPartition(s, root, "p1", "k",
+      s"$root/compact", locate =
+        p => if (new java.io.File(p).isAbsolute) p else s"$root/$p")
+    val cacheDir = new java.io.File(s"$root/_lake_cache")
+      .listFiles().filter(d => d.isDirectory &&
+        !d.getName.startsWith("_attempt_")).head
+    // age it past retention, then READ it — the heartbeat must pull it
+    // back inside the window, so vacuum leaves it alone
+    cacheDir.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    assert(readV2() === 10L) // cache hit refreshes the heartbeat
+    assert(!GraftLakeSource.vacuum(root)
+      .exists(_.startsWith("_lake_cache/")),
+      "an actively-read time-travel cache must survive vacuum")
+    assert(readV2() === 10L, "and keep serving reads afterwards")
+  }
+
+  test("an EMPTY first micro-batch never wedges a hive-layout Append sink: the next non-empty batch accumulates and commits") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val sink = new GraftLakeSink(s.sqlContext, root, "sE",
+      Some("pday"), None,
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      Map("root" -> root, "partitionColumn" -> "pday"))
+    // batch 0 is EMPTY: only the sentinel partition commits (v1), and
+    // the table has ZERO readable data files
+    sink.addBatch(0L, Seq.empty[(Long, Long, String)]
+      .toDF("k", "v", "pday"))
+    assert(CommitLog.committedVersions(root) === Seq(1L))
+    // batch 1 takes the accumulate leg against base=1 — before the
+    // dataSchemaJson fallback this threw 'no readable data files at
+    // v1', addBatch failed, and every restart re-delivered it (a
+    // permanent crash loop)
+    sink.addBatch(1L, Seq((1L, 10L, "a")).toDF("k", "v", "pday"))
+    assert(CommitLog.committedVersions(root) === Seq(1L, 2L),
+      "the non-empty batch after an empty first batch must commit")
+    assert(canon(lake(root)) === Seq((1L, 10L, "a")))
+    // and the stream keeps flowing normally afterwards
+    sink.addBatch(2L, Seq((2L, 20L, "a"), (3L, 30L, "b"))
+      .toDF("k", "v", "pday"))
+    assert(canon(lake(root)) ===
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")))
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
