@@ -95,13 +95,17 @@ object GraftLakeSource {
     * write time (the writer just produced these files — a production
     * variant collects the list from the write tasks' commit messages
     * and never lists at all). `partitionOf` maps a staged-dir-relative
-    * path to its partition name. */
+    * path to its partition name. Returns partition → total bytes —
+    * the commit's TOUCHED-PARTITION SET and its file statistics, both
+    * derived from the staged files themselves, so the writer never
+    * re-scans its input to learn what it wrote. */
   def writeManifest(stagedDir: String,
-                    partitionOf: String => Option[String]): Unit = {
+                    partitionOf: String => Option[String])
+      : Map[String, Long] = {
     val base = new java.io.File(stagedDir)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val lines = walk(base)
+    val entries = walk(base)
       .filter(f => f.isFile && f.length() > 0 && {
         val n = f.getName
         !n.startsWith("_") && !n.startsWith(".")
@@ -109,12 +113,13 @@ object GraftLakeSource {
       .flatMap { f =>
         val rel = base.toPath.relativize(f.toPath).toString
           .replace(java.io.File.separatorChar, '/')
-        partitionOf(rel).map(p => s"$rel\t$p\t${f.length()}")
-      }.sorted
+        partitionOf(rel).map(p => (rel, p, f.length()))
+      }
     java.nio.file.Files.writeString(
       new java.io.File(base, ManifestName).toPath,
-      lines.mkString("", "\n", "\n"))
-    ()
+      entries.map { case (rel, p, len) => s"$rel\t$p\t$len" }
+        .sorted.mkString("", "\n", "\n"))
+    entries.groupMapReduce(_._2)(_._3)(_ + _)
   }
 
   /** The content key of a layered partition's merge-on-read cache —
@@ -443,16 +448,33 @@ class GraftLakeDataSource extends RelationProvider
       return createRelation(sqlContext, parameters)
     val op = lower.getOrElse("op",
       if (mode == SaveMode.Append && exists) "append" else "overwrite")
-    // touched partitions: the distinct hive values in the data, or
-    // the named flat partition — bounded driver collect either way
+    // ONE SCAN of the input, total: stage it immediately, then derive
+    // BOTH the touched-partition set and the per-partition byte stats
+    // from the manifest the staging just wrote — never a
+    // `distinct().collect()` second pass over the caller's frame
+    // (which at 100 TB re-executed the input's whole lineage purely
+    // to learn the partition names the write itself was about to
+    // materialize anyway).
+    def uuid8 = java.util.UUID.randomUUID().toString.take(8)
+    def stageTo(df: org.apache.spark.sql.DataFrame,
+                path: String): Map[String, Long] = partCol match {
+      case Some(c) =>
+        df.write.partitionBy(c).parquet(s"$root/$path")
+        GraftLakeSource.writeManifest(s"$root/$path",
+          rel => rel.split("/").find(_.startsWith(s"$c="))
+            .map(_.drop(c.length + 1)))
+      case None =>
+        df.write.parquet(s"$root/$path")
+        GraftLakeSource.writeManifest(s"$root/$path", _ => flatPart)
+    }
+    val stage0 = s"data/${writer}_$uuid8"
+    val bytes0 = stageTo(data, stage0)
     val touched: Seq[String] = partCol match {
       case Some(c) =>
-        val vals = data.select(col(c).cast("string")).distinct()
-          .collect().map(_.getString(0)).toSeq
-        require(!vals.contains(null),
+        require(!bytes0.keySet.contains("__HIVE_DEFAULT_PARTITION__"),
           s"graftlake write: NULL values in partition column '$c' — " +
             "partition keys must be non-null")
-        vals.sorted
+        bytes0.keys.toSeq.sorted
       case None => Seq(flatPart.get)
     }
     require(touched.nonEmpty,
@@ -462,52 +484,69 @@ class GraftLakeDataSource extends RelationProvider
     // writer's own schema rides along as the inference fallback, so an
     // append over a base whose partitions are all empty (sentinel-only
     // history) still resolves instead of wedging.
-    val writerSchema = StructType(
-      data.schema.filterNot(f => partCol.contains(f.name))).json
+    val dataSchema = StructType(
+      data.schema.filterNot(f => partCol.contains(f.name)))
     def readAt(base: Long): org.apache.spark.sql.DataFrame =
       spark.baseRelationToDataFrame(createRelation(sqlContext,
         parameters.filterNot { case (k, _) =>
           val lk = k.toLowerCase
           lk == "versionasof" || lk == "timestampasof"
         } + ("versionAsOf" -> s"$base")
-          + ("dataSchemaJson" -> writerSchema))
+          + ("dataSchemaJson" -> dataSchema.json))
         .asInstanceOf[HadoopFsRelation])
-    CommitLog.commitWithRebase(root, { base =>
-      // stage per attempt: an append's content depends on the base it
-      // rebased to, and a fresh path keeps the loser's staging
-      // invisible (reclaimable via sweepOrphanStaging)
-      val stagePath =
-        s"data/${writer}_${java.util.UUID.randomUUID().toString.take(8)}"
-      partCol match {
-        case Some(c) =>
-          val full =
-            if (mode == SaveMode.Append && base > 0L)
-              readAt(base)
-                .filter(col(c).isin(touched.map(x => x: Any): _*))
-                .unionByName(data)
-            else data
-          full.write.partitionBy(c).parquet(s"$root/$stagePath")
-          GraftLakeSource.writeManifest(s"$root/$stagePath",
-            rel => rel.split("/").find(_.startsWith(s"$c="))
-              .map(_.drop(c.length + 1)))
-        case None =>
-          // flat layout: the staged path holds ONE partition's full
-          // content — union only that partition's current rows
-          val full =
-            if (mode == SaveMode.Append && base > 0L &&
-                CommitLog.resolveForRead(root, base).contains(flatPart.get))
+    // the staged input read back — what an append attempt unions with
+    // the base instead of re-scanning the caller's frame. The explicit
+    // schema pins the hive partition column's type (directory-name
+    // inference would re-type numeric-looking values).
+    def staged0: org.apache.spark.sql.DataFrame =
+      spark.read.schema(data.schema).parquet(s"$root/$stage0")
+    var lastAttempt: Option[String] = None
+    try CommitLog.commitWithRebase(root, { base =>
+      if (mode == SaveMode.Append && base > 0L) {
+        // an append's content depends on the base it rebased to:
+        // stage each attempt into a fresh dir (the loser's staging
+        // stays invisible, reclaimable via sweepOrphanStaging; the
+        // previous attempt is reclaimed eagerly)
+        lastAttempt.foreach(p => graft.ops.VersionChain
+          .rmTree(new java.io.File(s"$root/$p")))
+        val attempt = s"data/${writer}_$uuid8"
+        lastAttempt = Some(attempt)
+        val full = partCol match {
+          case Some(c) => readAt(base)
+            .filter(col(c).isin(touched.map(x => x: Any): _*))
+            .unionByName(staged0)
+          case None =>
+            if (CommitLog.resolveForRead(root, base).contains(flatPart.get))
               readAt(base)
                 .filter(col(GraftLakeSource.VirtualPartitionCol) ===
                   flatPart.get)
                 .drop(GraftLakeSource.VirtualPartitionCol)
-                .unionByName(data)
-            else data
-          full.write.parquet(s"$root/$stagePath")
-          GraftLakeSource.writeManifest(s"$root/$stagePath",
-            _ => flatPart)
-      }
-      CommitLog.Entry(writer, op, stagePath, touched, base)
+                .unionByName(staged0)
+            else staged0
+        }
+        val bytesA = stageTo(full, attempt)
+        CommitLog.Entry(writer, op, attempt, touched, base,
+          partBytes = bytesA)
+      } else
+        // overwrite (and an append with no base): the staged input IS
+        // the commit's content — rebases re-validate the same staging
+        // instead of rewriting identical bytes per attempt
+        CommitLog.Entry(writer, op, stage0, touched, base,
+          partBytes = bytes0)
     })
+    catch { case t: Throwable =>
+      // on ultimate failure an APPEND's stage0 is referenced by no
+      // entry (only the attempt dirs are, via their aborted claims —
+      // sweepOrphanStaging's territory) — reclaim it here or it leaks
+      // invisibly forever
+      if (lastAttempt.isDefined)
+        graft.ops.VersionChain.rmTree(new java.io.File(s"$root/$stage0"))
+      throw t
+    }
+    // an append's winning entry references its attempt dir; the staged
+    // input was private scratch — reclaim it eagerly
+    if (lastAttempt.isDefined)
+      graft.ops.VersionChain.rmTree(new java.io.File(s"$root/$stage0"))
     createRelation(sqlContext, parameters)
   }
 
@@ -535,6 +574,17 @@ class GraftLakeDataSource extends RelationProvider
       CommitLog.SchemaPartition
     require(plan.nonEmpty,
       s"graftlake: no committed partitions at or below v$asOf in $root")
+    // COMMIT-ENTRY FILE STATISTICS: per-partition bytes recorded by
+    // the write path ride the owning entries, so the planner's
+    // sizeInBytes (the broadcast decision) is served from metadata
+    // alone — no listing, no manifest read, on ANY plan. Checkpoint-
+    // folded owners and layered stacks have no live entry stats and
+    // fall back to the sampled estimate.
+    val entryByV = CommitLog.entriesByVersion(root)
+    val statBytes: Map[String, Long] = plan.toSeq.collect {
+      case (p, Left((v, _))) =>
+        entryByV.get(v).flatMap(_.partBytes.get(p)).map(p -> _)
+    }.flatten.toMap
     // per-partition OWNER directory — where a write-path manifest
     // would live (layered caches are connector-internal: no manifest,
     // listing fallback)
@@ -625,7 +675,7 @@ class GraftLakeDataSource extends RelationProvider
     }
     HadoopFsRelation(
       location = new GraftLakeFileIndex(root, locations, partitionSchema,
-        filesFor),
+        filesFor, statBytes),
       partitionSchema = partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
@@ -644,7 +694,8 @@ class GraftLakeDataSource extends RelationProvider
 class GraftLakeFileIndex(root: String,
                          locations: Map[String, String],
                          override val partitionSchema: StructType,
-                         list: String => Seq[FileStatus])
+                         list: String => Seq[FileStatus],
+                         statBytes: Map[String, Long] = Map.empty)
     extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(root))
@@ -691,22 +742,36 @@ class GraftLakeFileIndex(root: String,
 
   /** Planner size estimate (drives broadcast decisions). The planner
     * calls this on EVERY query, so it must not force a full listing —
-    * that would defeat pruned-listing at 100k partitions. Estimate =
-    * one sampled partition's bytes × |partitions| (whatever is
-    * already memoized is used exactly); a production variant records
-    * file sizes in the commit entries (the `q_compact_manifest`
-    * convention) and never lists at all. Skewed tables overestimate
-    * or underestimate only the BROADCAST choice, never correctness. */
+    * that would defeat pruned-listing at 100k partitions.
+    *
+    * Served from COMMIT-ENTRY STATISTICS first ([[graft.ops.CommitLog
+    * .Entry.partBytes]], recorded by the write path from the manifest
+    * it emitted): when every partition's owning entry carries stats,
+    * the estimate is exact table bytes with ZERO filesystem calls —
+    * the planner never lists at all, so a small lake dimension
+    * auto-broadcasts in a join purely from metadata. Partitions
+    * without stats (checkpoint-folded owners, layered-cache
+    * materializations, pre-stats history) fall back to one sampled
+    * partition's bytes × |unknown| (whatever is already memoized is
+    * used exactly). Skewed tables then overestimate or underestimate
+    * only the BROADCAST choice, never correctness. */
   override def sizeInBytes: Long =
     if (locations.isEmpty) 0L
+    else if (statBytes.size == locations.size) statBytes.values.sum
     else {
       val known = listed.readOnlySnapshot()
-      if (known.size == locations.size)
-        known.valuesIterator.map(_.map(_.getLen).sum).sum
+      val exact = locations.keysIterator
+        .map(p => statBytes.get(p).orElse(known.get(p).map(_.map(_.getLen).sum)))
+      if (exact.forall(_.isDefined))
+        locations.keysIterator.map(p => statBytes.getOrElse(p,
+          known(p).map(_.getLen).sum)).sum
       else {
+        val stated = statBytes.values.sum
         val sample = known.headOption.map(_._2)
-          .getOrElse(filesOf(locations.keys.min))
-        sample.map(_.getLen).sum * locations.size
+          .getOrElse(filesOf(
+            locations.keys.filterNot(statBytes.contains).min))
+        stated + sample.map(_.getLen).sum *
+          (locations.size - statBytes.size)
       }
     }
 }
@@ -742,102 +807,145 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
     // micro-batch frame's logical plan is still flagged streaming, so
     // plain actions refuse it — take the EXECUTED plan's rows
     // (queryExecution.toRdd, the DSv1-sink materialization pattern)
-    // and rewrap them batch-side. The sink scans the result twice
-    // (touched-partition distinct + staged write), so persist once.
+    // and rewrap them batch-side. The accumulator counts rows ON the
+    // one staging scan (flat-layout emptiness needs a row count and a
+    // separate isEmpty probe would re-execute the batch's lineage).
     val schema = data.schema
+    val nAcc = spark.sparkContext.longAccumulator(
+      s"graftlake_sink_rows_${safe(streamId)}_b$batchId")
     val rowRdd = data.queryExecution.toRdd.mapPartitions { it =>
       val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
         .createToScalaConverter(schema)
-      it.map(ir => conv(ir).asInstanceOf[org.apache.spark.sql.Row])
+      it.map { ir => nAcc.add(1L)
+        conv(ir).asInstanceOf[org.apache.spark.sql.Row] }
     }
-    val batch = spark.createDataFrame(rowRdd, schema).persist()
+    val batch = spark.createDataFrame(rowRdd, schema)
+    def uuid8 = java.util.UUID.randomUUID().toString.take(8)
+    def rm(p: String): Unit =
+      graft.ops.VersionChain.rmTree(new java.io.File(s"$root/$p"))
+    // ONE SCAN of the micro-batch, total: the input is staged ONCE
+    // (lazily, inside the first stageAt call — a detected re-delivery
+    // must still never write a byte), and the touched-partition set,
+    // the per-partition stats, and the row count all come from that
+    // one staging (manifest + accumulator) — never a
+    // distinct().collect() second execution of the batch's lineage.
+    var inputStaged: Option[(String, Map[String, Long], Long)] = None
+    def stageInput(): (String, Map[String, Long], Long) =
+      inputStaged.getOrElse {
+        val path =
+          s"data/stream_${safe(streamId)}/b${batchId}_in_$uuid8"
+        val bytes = partCol match {
+          case Some(c) =>
+            batch.write.mode("overwrite").partitionBy(c)
+              .parquet(s"$root/$path")
+            GraftLakeSource.writeManifest(s"$root/$path",
+              rel => rel.split("/").find(_.startsWith(s"$c="))
+                .map(_.drop(c.length + 1)))
+          case None =>
+            batch.write.mode("overwrite").parquet(s"$root/$path")
+            GraftLakeSource.writeManifest(s"$root/$path", _ => flatPart)
+        }
+        val staged = (path, bytes, nAcc.value.longValue())
+        inputStaged = Some(staged)
+        staged
+      }
     // abandoned-attempt hygiene: each rebase stages a fresh dir; the
     // sink deletes its own previous attempt before re-staging (the
     // final committed dir is never revisited). A zombie duplicate
     // that skips after staging leaves one dir for age-based retention
     // — the documented attempt-unique tradeoff.
-    var lastStaged: Option[String] = None
-    try {
-      // BASE-AWARE staging (commitBatchRebasing): the accumulate
-      // union reads the touched partitions AT the attempt's base and
-      // is re-derived per rebase — a rival appending to the same
-      // partition between staging and commit is re-read, never
-      // silently overwritten. The staged path is ATTEMPT-UNIQUE:
-      // two zombie duplicates racing one (streamId, batchId) then
-      // stage disjoint dirs, so a concurrent delete+write interleave
-      // can never leave BOTH jobs' part files under the committed
-      // path (doubled rows) — the winner's dir is pristine and its
-      // manifest lists exactly its own files.
-      StreamCommit.commitBatchRebasing(root, streamId, batchId, base => {
-        lastStaged.foreach(p =>
-          graft.ops.VersionChain.rmTree(new java.io.File(s"$root/$p")))
-        val staged = s"data/stream_${safe(streamId)}/b${batchId}_r${base}_" +
-          java.util.UUID.randomUUID().toString.take(8)
-        lastStaged = Some(staged)
-        val touched: Seq[String] = partCol match {
-          case Some(c) =>
-            val vals = batch.select(col(c).cast("string")).distinct()
-              .collect().map(_.getString(0)).toSeq
-            require(!vals.contains(null),
-              s"graftlake sink: NULL values in partition column '$c' — " +
-                "partition keys must be non-null")
-            vals.sorted
-          case None => if (batch.isEmpty) Nil else Seq(flatPart.get)
-        }
-        if (touched.isEmpty) {
-          // empty micro-batch: sentinel keeps the conflict surface
-          batch.write.mode("overwrite").parquet(s"$root/$staged")
-          GraftLakeSource.writeManifest(s"$root/$staged", _ => None)
-          (staged, Seq(s"empty_${safe(streamId)}"))
-        } else {
+    var lastAttempt: Option[String] = None
+    var finalPath: Option[String] = None
+    // BASE-AWARE staging (commitBatchRebasingStats): the accumulate
+    // union reads the touched partitions AT the attempt's base plus
+    // the staged input read back, and is re-derived per rebase — a
+    // rival appending to the same partition between staging and
+    // commit is re-read, never silently overwritten. The staged path
+    // is ATTEMPT-UNIQUE: two zombie duplicates racing one (streamId,
+    // batchId) then stage disjoint dirs, so a concurrent delete+write
+    // interleave can never leave BOTH jobs' part files under the
+    // committed path (doubled rows) — the winner's dir is pristine
+    // and its manifest lists exactly its own files.
+    val committed = StreamCommit.commitBatchRebasingStats(root, streamId,
+      batchId, base => {
+      val (inPath, inBytes, nRows) = stageInput()
+      val touched: Seq[String] = partCol match {
+        case Some(c) =>
+          require(!inBytes.keySet.contains("__HIVE_DEFAULT_PARTITION__"),
+            s"graftlake sink: NULL values in partition column '$c' — " +
+              "partition keys must be non-null")
+          inBytes.keys.toSeq.sorted
+        case None => if (nRows == 0L) Nil else Seq(flatPart.get)
+      }
+      val out =
+        if (touched.isEmpty)
+          // empty micro-batch: the staged (zero-data-file) input dir
+          // owns the sentinel partition — conflict surface kept
+          (inPath, Seq(s"empty_${safe(streamId)}"), Map.empty[String, Long])
+        else {
           val accumulate = outputMode == OutputMode.Append() && base > 0L
-          val full =
-            if (!accumulate) batch
-            else {
-              // the batch's own schema is the inference fallback: a
-              // base whose only commit is the empty-batch sentinel has
-              // zero readable files, and without the fallback this
-              // accumulate read would throw — permanently wedging the
-              // stream (every restart re-delivers the failing batch)
-              val current = parameters.foldLeft(
-                spark.read.format("graftlake")
-                  .option("versionAsOf", base.toString)
-                  .option("dataSchemaJson", StructType(batch.schema
-                    .filterNot(f => partCol.contains(f.name))).json)) {
-                case (r, (k, v)) => r.option(k, v)
-              }.load(root)
-              partCol match {
-                case Some(c) => current
-                  .filter(col(c).isin(touched.map(x => x: Any): _*))
-                  .unionByName(batch)
-                case None =>
-                  if (CommitLog.resolveForRead(root, base)
-                      .contains(flatPart.get))
-                    current.filter(
-                      col(GraftLakeSource.VirtualPartitionCol) ===
-                        flatPart.get)
-                      .drop(GraftLakeSource.VirtualPartitionCol)
-                      .unionByName(batch)
-                  else batch
-              }
+          if (!accumulate) (inPath, touched, inBytes)
+          else {
+            lastAttempt.foreach(rm)
+            val staged = s"data/stream_${safe(streamId)}/" +
+              s"b${batchId}_r${base}_$uuid8"
+            lastAttempt = Some(staged)
+            // the batch's own schema is the inference fallback: a
+            // base whose only commit is the empty-batch sentinel has
+            // zero readable files, and without the fallback this
+            // accumulate read would throw — permanently wedging the
+            // stream (every restart re-delivers the failing batch)
+            val current = parameters.foldLeft(
+              spark.read.format("graftlake")
+                .option("versionAsOf", base.toString)
+                .option("dataSchemaJson", StructType(schema
+                  .filterNot(f => partCol.contains(f.name))).json)) {
+              case (r, (k, v)) => r.option(k, v)
+            }.load(root)
+            val stagedIn =
+              spark.read.schema(schema).parquet(s"$root/$inPath")
+            val full = partCol match {
+              case Some(c) => current
+                .filter(col(c).isin(touched.map(x => x: Any): _*))
+                .unionByName(stagedIn)
+              case None =>
+                if (CommitLog.resolveForRead(root, base)
+                    .contains(flatPart.get))
+                  current.filter(
+                    col(GraftLakeSource.VirtualPartitionCol) ===
+                      flatPart.get)
+                    .drop(GraftLakeSource.VirtualPartitionCol)
+                    .unionByName(stagedIn)
+                else stagedIn
             }
-          partCol match {
-            case Some(c) =>
-              full.write.mode("overwrite").partitionBy(c)
-                .parquet(s"$root/$staged")
-              GraftLakeSource.writeManifest(s"$root/$staged",
-                rel => rel.split("/").find(_.startsWith(s"$c="))
-                  .map(_.drop(c.length + 1)))
-            case None =>
-              full.write.mode("overwrite").parquet(s"$root/$staged")
-              GraftLakeSource.writeManifest(s"$root/$staged",
-                _ => flatPart)
+            val bytesA = partCol match {
+              case Some(c) =>
+                full.write.mode("overwrite").partitionBy(c)
+                  .parquet(s"$root/$staged")
+                GraftLakeSource.writeManifest(s"$root/$staged",
+                  rel => rel.split("/").find(_.startsWith(s"$c="))
+                    .map(_.drop(c.length + 1)))
+              case None =>
+                full.write.mode("overwrite").parquet(s"$root/$staged")
+                GraftLakeSource.writeManifest(s"$root/$staged",
+                  _ => flatPart)
+            }
+            (staged, touched, bytesA)
           }
-          (staged, touched)
         }
-      })
-      ()
-    } finally { batch.unpersist(); () }
+      finalPath = Some(out._1)
+      out
+    })
+    // staging hygiene after the outcome is known: a skipped duplicate
+    // reclaims everything it staged; a committed accumulate reclaims
+    // the private input staging its attempt folded in
+    (committed, inputStaged, finalPath) match {
+      case (None, Some((inPath, _, _)), _) =>
+        lastAttempt.foreach(rm); rm(inPath)
+      case (Some(_), Some((inPath, _, _)), Some(fp)) if fp != inPath =>
+        rm(inPath)
+      case _ => ()
+    }
   }
 }
 

@@ -75,14 +75,25 @@ object CommitLog {
     * ranges in version order); the plain newest-wins [[resolveAsOf]]
     * REFUSES a partition whose winner is a layer (use
     * [[resolveLayers]]). Absent domains keep the exact
-    * partition-granular behavior. */
+    * partition-granular behavior.
+    *
+    * `partBytes` (optional): partition → total staged data bytes for
+    * that partition — COMMIT-TIME FILE STATISTICS (Delta's add-file
+    * stats distilled to a per-partition total). The writer already
+    * walked its staged files to emit the manifest, so the stats are
+    * free at write time; the connector's planner then serves
+    * `sizeInBytes` (the broadcast-join decision) from the entries
+    * alone and never lists a directory at plan time — the difference
+    * between O(1) metadata and |partitions| listing RPCs per query at
+    * 100k partitions. Absent stats fall back to sampled listing. */
   final case class Entry(writer: String, op: String, dataPath: String,
                          partitions: Seq[String], baseVersion: Long,
                          ts: Long = -1L,
                          readSet: Seq[String] = Nil,
                          isolation: String = WriteSerializable,
                          keyDomains: Map[String, Seq[(Long, Long)]] =
-                           Map.empty)
+                           Map.empty,
+                         partBytes: Map[String, Long] = Map.empty)
 
   /** Isolation levels (Delta's two write-transaction modes):
     *
@@ -471,6 +482,12 @@ object CommitLog {
           s"(cap $MaxDomainRanges) — coalesce to coarser ranges or " +
           "declare the hull; entries must stay small metadata")
     }
+    e.partBytes.foreach { case (p, b) =>
+      require(
+        !p.exists(c => c == '^' || c == ';' || c == '\t' || c == '\n'),
+        s"partBytes partition name not entry-safe: '$p'")
+      require(b >= 0L, s"partBytes for '$p' must be non-negative: $b")
+    }
   }
 
   /** Cap on declared key ranges per partition — keeps every entry
@@ -485,10 +502,12 @@ object CommitLog {
         (p +: ranges.sorted.flatMap { case (lo, hi) => Seq(s"$lo", s"$hi") })
           .mkString("^")
       }.mkString(";")
+    val pb = e.partBytes.toSeq.sortBy(_._1)
+      .map { case (p, b) => s"$p^$b" }.mkString(";")
     java.nio.file.Files.writeString(entryFile(d).toPath,
       s"$v\t${e.writer}\t${e.op}\t${e.dataPath}\t${e.baseVersion}\t" +
         e.partitions.mkString(",") + s"\t$ts\t" +
-        e.readSet.mkString(",") + s"\t${e.isolation}\t$kd\n")
+        e.readSet.mkString(",") + s"\t${e.isolation}\t$kd\t$pb\n")
   }
 
   /** Read a slot's entry; None while the racing writer is between
@@ -522,9 +541,16 @@ object CommitLog {
               .map(r => (r(0).toLong, r(1).toLong)).toSeq
           }.toMap
         else Map.empty[String, Seq[(Long, Long)]]
+        // entries from before commit-time file stats (≤10 columns)
+        // read back stats-free — readers fall back to sampled listing
+        val pb = if (p.length > 10 && p(10).nonEmpty)
+          p(10).split(";").map { s =>
+            val q = s.split("\\^", -1); q(0) -> q(1).toLong
+          }.toMap
+        else Map.empty[String, Long]
         Some((v, Entry(p(1), p(2), p(3),
           if (p(5).isEmpty) Nil else p(5).split(",").toSeq, p(4).toLong,
-          ts, rs, iso, kd)))
+          ts, rs, iso, kd, pb)))
       }
     }.toOption.flatten
 
@@ -532,6 +558,14 @@ object CommitLog {
   def readLog(root: String): Seq[(Long, Entry)] =
     slots(root).filter(s => isCommitted(s._2))
       .flatMap(s => readEntry(s._2))
+
+  /** The committed log keyed by version — what a connector pairs with
+    * [[resolveForRead]] to look up the OWNING entry's metadata (file
+    * statistics, op, writer) per partition. One |slots| metadata
+    * read; checkpoint-folded owners have no live entry and are simply
+    * absent (callers fall back). */
+  def entriesByVersion(root: String): Map[Long, Entry] =
+    readLog(root).toMap
 
   /** The conflict predicate between our entry `e` (claiming slot
     * `next`) and a rival entry `other` at slot `v`, given the rival's

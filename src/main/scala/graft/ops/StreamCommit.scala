@@ -95,7 +95,20 @@ object StreamCommit {
     * unreferenced junk for age-based retention. */
   def commitBatchRebasing(root: String, streamId: String, batchId: Long,
                           stageAt: Long => (String, Seq[String]),
-                          maxRebase: Int = 8): Option[Long] = {
+                          maxRebase: Int = 8): Option[Long] =
+    commitBatchRebasingStats(root, streamId, batchId,
+      base => { val (p, ps) = stageAt(base); (p, ps, Map.empty) },
+      maxRebase)
+
+  /** [[commitBatchRebasing]] whose staging also returns per-partition
+    * byte statistics ([[CommitLog.Entry.partBytes]]) — the sink already
+    * walked its staged files for the manifest, so the planner stats
+    * ride the same commit for free. */
+  def commitBatchRebasingStats(root: String, streamId: String,
+                               batchId: Long,
+                               stageAt: Long =>
+                                 (String, Seq[String], Map[String, Long]),
+                               maxRebase: Int = 8): Option[Long] = {
     require(batchId >= 0, s"negative batchId $batchId")
     require(!streamId.contains("\t") && !streamId.contains("\n"),
       s"streamId must be entry-safe: '$streamId'")
@@ -108,7 +121,7 @@ object StreamCommit {
       val base = CommitLog.stableVersion(root) // BEFORE the re-check
       if (lastCommittedBatch(root, streamId).exists(_ >= batchId))
         return None
-      val (dataPath, partitions) = stageAt(base)
+      val (dataPath, partitions, partBytes) = stageAt(base)
       // exactly-once leans on same-batch duplicates WRITE-WRITE
       // conflicting via identical partition sets; an empty partition
       // set has no conflict surface, so two racing duplicate
@@ -123,7 +136,7 @@ object StreamCommit {
       try {
         return Some(CommitLog.tryCommit(root, CommitLog.Entry(
           streamId, s"${CommitLog.StreamOpPrefix}$batchId", dataPath,
-          partitions, base)))
+          partitions, base, partBytes = partBytes)))
       } catch {
         case ex: CommitLog.CommitConflict =>
           // the rival may have been OUR duplicate: re-check identity

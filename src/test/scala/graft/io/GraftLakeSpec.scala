@@ -718,6 +718,132 @@ class GraftLakeSpec extends SparkSpec {
       Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")))
   }
 
+  test("the write path scans its input exactly ONCE per save — touched partitions come from the staged manifest, never a second pass") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    // count executions that scan OUR input (tagged by a unique column
+    // name, so concurrent suites on the shared session can't pollute)
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val n = qe.executedPlan.collect {
+          case l: org.apache.spark.sql.execution.LocalTableScanExec
+            if l.output.exists(_.name == "k_onescan_probe") => l
+        }.size
+        scans.addAndGet(n); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    def drain(): Unit = { // listener bus is async
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline &&
+          last != scans.get()) { last = scans.get(); Thread.sleep(150) }
+    }
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("k_onescan_probe", "pday")
+        .write.format("graftlake").option("partitionColumn", "pday")
+        .mode("overwrite").save(root)
+      drain()
+      assert(scans.get() === 1,
+        s"OVERWRITE must scan its input exactly once, got ${scans.get()}")
+      scans.set(0)
+      Seq((3L, "a")).toDF("k_onescan_probe", "pday")
+        .write.format("graftlake").option("partitionColumn", "pday")
+        .mode("append").save(root)
+      drain()
+      assert(scans.get() === 1,
+        s"APPEND must scan its input exactly once (the accumulate " +
+          s"attempt unions the STAGED read-back, not the input), got " +
+          s"${scans.get()}")
+      // the append's private input staging is reclaimed after commit:
+      // every data/ dir is referenced by a committed or aborted entry
+      val referenced = CommitLog.referencedPaths(root)
+      val dataDirs = new java.io.File(s"$root/data").listFiles()
+        .filter(_.isDirectory).map(d => s"data/${d.getName}").toSet
+      assert(dataDirs.subsetOf(referenced),
+        s"unreferenced staging leaked: ${dataDirs -- referenced}")
+    } finally s.listenerManager.unregister(listener)
+    // and the result is still correct
+    assert(s.read.format("graftlake").option("partitionColumn", "pday")
+      .load(root).select("k_onescan_probe", "pday")
+      .as[(Long, String)].collect().sorted.toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "a")))
+  }
+
+  test("sizeInBytes is served from COMMIT-ENTRY stats — zero filesystem calls — and a small lake dimension auto-broadcasts in a join") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    (1L to 20L).map(k => (k, k * 10L, s"p${k % 3}"))
+      .toDF("k", "v", "pday")
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .mode("overwrite").save(root)
+    // the committed entry carries per-partition byte stats equal to
+    // the manifest's file sizes
+    val (_, entry) = CommitLog.readLog(root).last
+    assert(entry.partBytes.keySet === Set("p0", "p1", "p2"))
+    val (_, dp) = CommitLog.resolvePartitions(root)("p0")
+    val manifestBytes = java.nio.file.Files.readString(
+      new java.io.File(s"$root/$dp/_MANIFEST.tsv").toPath)
+      .split("\n").filter(_.nonEmpty).map(_.split("\t"))
+      .groupMapReduce(_.apply(1))(_.apply(2).toLong)(_ + _)
+    assert(entry.partBytes === manifestBytes,
+      "entry stats must equal the staged manifest's per-partition bytes")
+    // a FileIndex with full stats coverage never calls its lister for
+    // sizeInBytes — the planner pays zero filesystem RPCs
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val idx = new GraftLakeFileIndex(root,
+      Map("p0" -> "x", "p1" -> "y"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pday",
+          org.apache.spark.sql.types.StringType, nullable = false))),
+      _ => { calls.incrementAndGet(); Nil },
+      Map("p0" -> 100L, "p1" -> 200L))
+    assert(idx.sizeInBytes === 300L)
+    assert(calls.get() === 0,
+      "sizeInBytes with full entry stats must never list")
+    // and the REAL relation's planner estimate equals the entry stats
+    val rel = s.read.format("graftlake").option("partitionColumn", "pday")
+      .load(root)
+    val location = rel.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.get
+    assert(location.sizeInBytes === entry.partBytes.values.sum,
+      "the planner's sizeInBytes must be the entry-stats total")
+    // the stats total is far under the broadcast threshold, so a join
+    // against a larger frame broadcasts the LAKE side — from metadata
+    // alone, no listing at plan time
+    val big = s.range(0, 10000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val joined = big.join(rel, Seq("k"))
+    joined.collect()
+    // the executed plan is an AdaptiveSparkPlanExec LEAF — string-render
+    // it (the PlanAudit convention) to see the final adaptive plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a small lake dimension must auto-broadcast from entry stats:\n$plan")
+    // streaming-sink commits carry stats too
+    val sink = new GraftLakeSink(s.sqlContext, root, "sStats",
+      Some("pday"), None,
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      Map("root" -> root, "partitionColumn" -> "pday"))
+    sink.addBatch(0L, Seq((21L, 210L, "p9")).toDF("k", "v", "pday"))
+    val (_, sinkEntry) = CommitLog.readLog(root).last
+    assert(sinkEntry.op.startsWith("stream:") &&
+      sinkEntry.partBytes.keySet === Set("p9"),
+      "sink commits must carry per-partition stats")
+  }
+
   test("plain SQL consumes the table: CREATE TEMPORARY VIEW ... USING graftlake") {
     val root = freshRoot()
     buildLog(root)
