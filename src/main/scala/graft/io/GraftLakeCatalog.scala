@@ -1,0 +1,266 @@
+package graft.io
+
+import graft.ops.CommitLog
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** THE LAKEHOUSE TIER AS A SQL CATALOG — `spark.sql("SELECT … FROM
+  * lake.t VERSION AS OF 3")`, `TIMESTAMP AS OF`, and `INSERT INTO
+  * lake.t …` over [[graft.ops.CommitLog]] tables, with the
+  * manifest-driven [[GraftLakeFileIndex]] scan stack underneath.
+  *
+  * Architecture is Delta's catalog shape distilled (DeltaCatalog →
+  * DeltaTableV2 → conversion rule → the V1 HadoopFsRelation):
+  *
+  *   - [[GraftLakeCatalog]] is a plain DSv2 [[TableCatalog]]
+  *     registered as `spark.sql.catalog.<name> = graft.io.
+  *     GraftLakeCatalog` with `spark.sql.catalog.<name>.root` naming a
+  *     directory whose subdirectories are tables (each one a commit
+  *     log root). `loadTable(ident, version|timestamp)` serves SQL
+  *     time travel by returning a VERSION-PINNED table — the same
+  *     `versionAsOf` resolution as the DataFrame options path.
+  *   - [[GraftLakeTable]] is a DSv2 [[Table]] whose READ is converted
+  *     by [[GraftLakeV2Conversion]] (an injected resolution rule —
+  *     Delta's DeltaAnalysis pattern) into the EXISTING
+  *     `HadoopFsRelation` from [[GraftLakeDataSource]], so SQL reads
+  *     plan IDENTICALLY to `spark.read.format("graftlake")`: same
+  *     FileIndex, same commit-entry statistics, same partition
+  *     pruning before listing, same parquet pushdown + vectorized
+  *     scan + whole-stage codegen. Nothing is re-implemented.
+  *   - WRITES use the public V1-fallback seam ([[V1Write]] →
+  *     [[InsertableRelation]]): `INSERT INTO` appends and `INSERT
+  *     OVERWRITE` (dynamic partition semantics — the connector's
+  *     native overwrite) both route through the connector's
+  *     single-scan, stats-carrying, optimistic-commit write path.
+  *
+  * Table metadata (`partitionColumn`, `keyColumn`, …) lives in a
+  * `_lake_table.tsv` sidecar in the table directory, written by
+  * `CREATE TABLE lake.t (…) USING graftlake PARTITIONED BY (c)` (or
+  * by hand); `loadTable` folds it into the read/write options.
+  *
+  * Scale shape: catalog calls are metadata-only (one properties file
+  * read + the commit log's resolution fold); no data path differs
+  * from the connector's. */
+class GraftLakeCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var initRoot: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initRoot = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  /** The catalog root, re-read from the LIVE session conf on every
+    * call: the catalog instance is cached per name by Spark's
+    * CatalogManager, but tests and multi-dataset drivers re-point
+    * `spark.sql.catalog.<name>.root` between queries — a snapshot
+    * taken at initialize would silently serve the old root. */
+  private def root: String =
+    SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catalogName.root")
+      .orElse(initRoot)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog '$catalogName' needs spark.sql.catalog.$catalogName" +
+          ".root = <directory of lake tables>"))
+
+  private def tableDir(ident: Identifier): java.io.File = {
+    require(ident.namespace.isEmpty ||
+      ident.namespace.sameElements(Array("default")),
+      s"graftlake catalog is single-namespace; got " +
+        ident.namespace.mkString("."))
+    new java.io.File(root, ident.name)
+  }
+
+  private[io] def propsFile(dir: java.io.File) =
+    new java.io.File(dir, "_lake_table.tsv")
+
+  private def readProps(dir: java.io.File): Map[String, String] = {
+    val f = propsFile(dir)
+    if (!f.exists()) Map.empty
+    else java.nio.file.Files.readString(f.toPath)
+      .split("\n").toSeq.filter(_.contains("\t"))
+      .map { l => val p = l.split("\t", 2); p(0) -> p(1) }.toMap
+  }
+
+  private def isTable(dir: java.io.File): Boolean =
+    new java.io.File(dir, "commitlog").isDirectory || propsFile(dir).exists()
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Option(new java.io.File(root).listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(d => d.isDirectory && isTable(d))
+      .map(d => Identifier.of(namespace, d.getName)).sortBy(_.name)
+      .toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    load(ident, None)
+
+  /** SQL `VERSION AS OF <v>` — the analyzer hands the literal here. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake VERSION AS OF takes a numeric commit version, " +
+          s"got '$version'"))))
+
+  /** SQL `TIMESTAMP AS OF <ts>` — micros since epoch, floored to the
+    * newest commit at or before it (the connector's timestampAsOf). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = CommitLog.asOfTimestamp(dir.getPath, timestamp / 1000000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF predates the first commit of ${ident.name}"))
+    load(ident, Some(v))
+  }
+
+  private def load(ident: Identifier, version: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(ident.name, dir.getPath, readProps(dir), version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    // the partition column comes from PARTITIONED BY (identity only —
+    // the connector's hive layout); everything else from TBLPROPERTIES
+    val partCol = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) => Some(t.references.head.fieldNames.mkString("."))
+      case many => throw new IllegalArgumentException(
+        s"graftlake tables take at most one partition column, got " +
+          many.mkString(", "))
+    }
+    dir.mkdirs()
+    // the DECLARED schema is persisted so the table is resolvable
+    // BEFORE its first commit (the CREATE→INSERT→SELECT flow); once
+    // data lands, the live relation's schema is authoritative
+    val props = scala.jdk.CollectionConverters.MapHasAsScala(properties)
+      .asScala.toMap ++
+      partCol.map("partitionColumn" -> _) +
+      ("schemaJson" -> schema.json)
+    java.nio.file.Files.writeString(propsFile(dir).toPath,
+      props.toSeq.sorted.map { case (k, v) => s"$k\t$v" }
+        .mkString("", "\n", "\n"))
+    new GraftLakeTable(ident.name, dir.getPath, props, None)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graftlake: ALTER TABLE flows through schema commits " +
+        "(CommitLog.commitSchema), not catalog mutation")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { graft.ops.VersionChain.rmTree(dir); true }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val from = tableDir(oldIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    val to = tableDir(newIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    require(from.renameTo(to),
+      s"rename ${oldIdent.name} -> ${newIdent.name} failed")
+  }
+}
+
+/** A commit-log table as a DSv2 [[Table]]. Reads are converted to the
+  * connector's V1 `HadoopFsRelation` by [[GraftLakeV2Conversion]]
+  * (same plan as `spark.read.format("graftlake")` — the conversion is
+  * where "SQL surface" and "existing scan stack" meet); writes
+  * V1-fall-back through [[V1Write]] into the connector's
+  * stage-manifest-commit path. `versionAsOf` pins time travel; a
+  * pinned table REFUSES writes (you cannot insert into the past). */
+class GraftLakeTable(tableName: String, val tableRoot: String,
+                     val props: Map[String, String],
+                     val versionAsOf: Option[Long])
+    extends Table with SupportsWrite {
+
+  override def name(): String = s"graftlake.`$tableName`"
+
+  /** The exact read options the DataFrame path would use. */
+  def readOptions: Map[String, String] =
+    props ++ Map("path" -> tableRoot) ++
+      versionAsOf.map(v => "versionAsOf" -> v.toString)
+
+  /** The V1 relation — THE scan plan: built by the same
+    * createRelation as the options path, so schema, FileIndex,
+    * pruning, and statistics cannot drift between SQL and DataFrame
+    * reads. */
+  def v1Relation: org.apache.spark.sql.sources.BaseRelation =
+    new GraftLakeDataSource().createRelation(
+      SparkSession.active.sqlContext, readOptions)
+
+  /** True while the table has no committed data — resolvable (via the
+    * declared schema) but not yet readable as a relation. */
+  def isEmptyTable: Boolean =
+    CommitLog.committedVersions(tableRoot).isEmpty
+
+  override lazy val schema: StructType =
+    if (!isEmptyTable) v1Relation.schema
+    else props.get("schemaJson")
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftlake table ${name()} has no committed data and no " +
+          "declared schema — CREATE TABLE with columns, or commit " +
+          "a first version"))
+
+  override def partitioning(): Array[Transform] =
+    props.get("partitionColumn")
+      .map(c => Array[Transform](Expressions.identity(c)))
+      .getOrElse(Array.empty)
+
+  override def properties(): java.util.Map[String, String] =
+    scala.jdk.CollectionConverters.MapHasAsJava(
+      props ++ versionAsOf.map(v => "versionAsOf" -> v.toString)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_DYNAMIC)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      s"cannot write to ${name()} pinned at versionAsOf=" +
+        s"${versionAsOf.get} — time-travel reads are immutable")
+    new WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite {
+      private var mode: SaveMode = SaveMode.Append
+      // INSERT OVERWRITE — the connector's native dynamic partition
+      // overwrite (staged partitions change owner, the rest ride
+      // along by reference)
+      override def truncate(): WriteBuilder = { mode = SaveMode.Overwrite; this }
+      override def overwriteDynamicPartitions(): WriteBuilder =
+        { mode = SaveMode.Overwrite; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            val m = if (overwrite) SaveMode.Overwrite else mode
+            new GraftLakeDataSource().createRelation(
+              data.sparkSession.sqlContext, m,
+              props ++ Map("path" -> tableRoot,
+                "writer" -> s"sql_${tableName}"), data)
+            ()
+          }
+      }
+    }
+  }
+}

@@ -1413,11 +1413,21 @@ object MaintenancePipelineQuery {
     * committedVersions == 1,2,3); every run re-reads through the
     * connector. Scale shape: overwrite stages only the partitions it
     * carries; append re-reads only the touched partitions. */
-  private def lakeWrite(spark: SparkSession, dir: String): DataFrame = {
+  /** The name (and tmpdir location) of the connector-write fixture —
+    * shared by `q_lake_write` and `q_lake_sql` (the SQL twin reads the
+    * same committed table through the catalog). */
+  def lakeWriteTableName(dir: String): String =
+    s"graft_lakewrite_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+
+  /** Build (once, content-keyed) the 3-version connector-write table:
+    * v1 full overwrite, v2 dynamic-partition sweep of days 1–10, v3
+    * append into days 21–30 — plus the `_lake_table.tsv` sidecar that
+    * makes it loadable through [[graft.io.GraftLakeCatalog]]. */
+  def ensureLakeWrite(spark: SparkSession, dir: String): String =
+    synchronized {
     import graft.ops.CommitLog
-    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val root =
-      s"${System.getProperty("java.io.tmpdir")}/graft_lakewrite_$key"
+      s"${System.getProperty("java.io.tmpdir")}/${lakeWriteTableName(dir)}"
     val e = clogEvents(spark, dir)
       .select(col("event_id"), col("vc"), col("dom"),
         col("day").cast("string").as("pday"))
@@ -1437,6 +1447,15 @@ object MaintenancePipelineQuery {
       require(CommitLog.committedVersions(root) == Seq(1L, 2L, 3L),
         "lake-write scenario landed at unexpected versions")
     }
+    val props = new java.io.File(root, "_lake_table.tsv")
+    if (!props.exists())
+      java.nio.file.Files.writeString(props.toPath,
+        "partitionColumn\tpday\n")
+    root
+  }
+
+  private def lakeWrite(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureLakeWrite(spark, dir)
     def at(v: Long): DataFrame = spark.read.format("graftlake")
       .option("partitionColumn", "pday")
       .option("versionAsOf", v.toString).load(root)
@@ -1479,6 +1498,118 @@ object MaintenancePipelineQuery {
        |  ${stats("2_sweep", "v2")}
        |  UNION ALL
        |  ${stats("3_append", "v3")})
+       |SELECT step, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY step""".stripMargin
+  }
+
+  /** `q_lake_sql` — THE LAKEHOUSE THROUGH PURE SQL
+    * ([[graft.io.GraftLakeCatalog]] + the V2→V1 conversion rule;
+    * round 19, closes r18 verdict #1: the connector was
+    * DataFrame/temp-view only — a SQL user had no `VERSION AS OF`,
+    * no `INSERT INTO`): the catalog serves [[graft.ops.CommitLog]]
+    * tables as `lake.<name>`, planning over the SAME commit-log
+    * FileIndex as the options path (GraftLakeSqlSpec pins identical
+    * pruning/stats), and every row of this readout crosses it:
+    *
+    *   - `1_head_sql`: `SELECT … FROM lake.t` — the stable head,
+    *     bit-equal to `q_lake_write`'s `3_append` state;
+    *   - `2_asof_sql`: `… VERSION AS OF 1` — SQL time travel to the
+    *     pure-ingest snapshot;
+    *   - `3_ts_sql`: `… TIMESTAMP AS OF <v2's commit stamp>` — the
+    *     timestamp-keyed twin, floored to v2 (the sweep);
+    *   - `4_insert_sql`: a fresh per-run table (v1 via the DataFrame
+    *     writer, days 1–5) grown by `INSERT INTO … SELECT` (days 6–8,
+    *     fresh ids +10⁹, vc+7) through the DSv2 V1Write fallback →
+    *     the connector's optimistic-commit append — the readout is
+    *     the head AFTER the SQL insert, derived independently by the
+    *     oracle.
+    *
+    * Scale shape: identical to the connector's (the SQL surface adds
+    * only analysis-time conversion — no new exchanges, no new scans);
+    * the insert is the write path's delta-proportional append. */
+  private def lakeSql(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val root = ensureLakeWrite(spark, dir)
+    val catRoot = new java.io.File(root).getParent
+    spark.conf.set("spark.sql.catalog.lake", "graft.io.GraftLakeCatalog")
+    spark.conf.set("spark.sql.catalog.lake.root", catRoot)
+    val t = s"lake.`${lakeWriteTableName(dir)}`"
+    def stats(df: DataFrame, step: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+        coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(step).as("step"), col("n_rows"), col("key_xor"),
+          col("vc_sum"))
+    // v2's logical commit stamp as a UTC SQL timestamp literal
+    val ts2 = java.time.Instant
+      .ofEpochSecond(CommitLog.commitTimestamp(2L)).toString
+      .replace("T", " ").replace("Z", "")
+    // the INSERT leg: a per-run table (deterministic versions under
+    // the hash), grown through SQL
+    val insName = s"graft_lakesql_ins_${dir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val insRoot = s"$catRoot/$insName"
+    VersionChain.rmTree(new java.io.File(insRoot))
+    val e = clogEvents(spark, dir)
+      .select(col("event_id"), col("vc"), col("dom"),
+        col("day").cast("string").as("pday"))
+    e.filter(col("dom") <= 5).select("event_id", "vc", "pday")
+      .write.format("graftlake").option("partitionColumn", "pday")
+      .option("writer", "seed").mode("overwrite").save(insRoot)
+    java.nio.file.Files.writeString(
+      new java.io.File(insRoot, "_lake_table.tsv").toPath,
+      "partitionColumn\tpday\n")
+    e.filter(col("dom").between(6, 8))
+      .select((col("event_id") + 1000000000L).as("event_id"),
+        (col("vc") + 7L).as("vc"), col("pday"))
+      .createOrReplaceTempView("lake_sql_ins_src")
+    spark.sql(s"INSERT INTO lake.`$insName` " +
+      "SELECT event_id, vc, pday FROM lake_sql_ins_src")
+    require(CommitLog.committedVersions(insRoot) == Seq(1L, 2L),
+      "the SQL insert must land exactly one commit")
+    stats(spark.sql(s"SELECT * FROM $t"), "1_head_sql")
+      .unionAll(stats(spark.sql(s"SELECT * FROM $t VERSION AS OF 1"),
+        "2_asof_sql"))
+      .unionAll(stats(spark.sql(
+        s"SELECT * FROM $t TIMESTAMP AS OF '$ts2'"), "3_ts_sql"))
+      .unionAll(stats(spark.sql(s"SELECT * FROM lake.`$insName`"),
+        "4_insert_sql"))
+      .orderBy("step")
+  }
+
+  private val lakeSqlSql = {
+    def stats(step: String, rel: String) =
+      s"""SELECT '$step' AS step,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |v2 AS (
+       |  SELECT event_id, vc FROM e
+       |  WHERE dom <= 10 AND event_id % 5 <> 0
+       |  UNION ALL
+       |  SELECT event_id, vc FROM e WHERE dom > 10),
+       |v3 AS (
+       |  SELECT * FROM v2
+       |  UNION ALL
+       |  SELECT event_id + 1000000000, vc + 7 FROM e WHERE dom >= 21),
+       |ins AS (
+       |  SELECT event_id, vc FROM e WHERE dom <= 5
+       |  UNION ALL
+       |  SELECT event_id + 1000000000, vc + 7 FROM e
+       |  WHERE dom BETWEEN 6 AND 8),
+       |rows_ AS (
+       |  ${stats("1_head_sql", "v3")}
+       |  UNION ALL
+       |  ${stats("2_asof_sql", "e")}
+       |  UNION ALL
+       |  ${stats("3_ts_sql", "v2")}
+       |  UNION ALL
+       |  ${stats("4_insert_sql", "ins")})
        |SELECT step, n_rows, key_xor, vc_sum
        |FROM rows_ ORDER BY step""".stripMargin
   }
@@ -3639,6 +3770,7 @@ object MaintenancePipelineQuery {
     Q("q_lake_read", lakeRead, Some(lakeReadSql)),
     Q("q_feed_replica", feedReplica, Some(feedReplicaSql)),
     Q("q_lake_write", lakeWrite, Some(lakeWriteSql)),
+    Q("q_lake_sql", lakeSql, Some(lakeSqlSql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),
