@@ -27,19 +27,47 @@ object LakeRead {
     ranges.map { case (lo, hi) => key.between(lo, hi) }
       .reduce(_ || _)
 
+  /** A DELETION-VECTOR layer's artifact shape: the staged dataPath
+    * holds `keys/` (the tombstone key set — delete keys + update
+    * pre-image keys, one column named by the merge key) and `rows/`
+    * (update post-images + inserts). Self-describing: a layer whose
+    * location carries a committed `keys/` dir resolves as a DV layer;
+    * anything else is a RANGE layer (full replacement content for its
+    * declared domain). The key DOMAIN on the entry stays the conflict
+    * descriptor either way — DV flips only the READ arithmetic from
+    * range-replacement to mask-plus-append, which is the
+    * delta-proportional economics (`q_merge_dv`): the layer stores
+    * keys + changed rows, never a range's full content. */
+  def isDvLayer(location: String): Boolean =
+    new java.io.File(s"$location/keys", "_SUCCESS").exists()
+
   /** Materialize one partition's layered view from
     * [[CommitLog.resolveLayers]] output. `path` maps a layer's
     * dataPath to a readable parquet location (identity when entries
-    * store absolute paths; `root`-prefixing when they are relative). */
+    * store absolute paths; `root`-prefixing when they are relative).
+    *
+    * Per layer, in version order: a RANGE layer replaces the rows
+    * whose key falls in its domain with its own; a DV layer
+    * ([[isDvLayer]]) anti-joins the accumulated frame against its
+    * broadcast tombstone keys (tombstones small by law — they are
+    * the DELTA) and appends its `rows/` — `q_merge_dv`'s
+    * base ⟕anti DV ∪ append resolution, recovered from the log. */
   def layeredFrame(spark: SparkSession,
                    layers: Seq[(Long, String, Option[Seq[(Long, Long)]])],
                    keyCol: String,
                    path: String => String = identity): DataFrame =
     layers.tail.foldLeft(spark.read.parquet(path(layers.head._2))) {
       case (acc, (_, p, Some(ranges))) =>
-        acc.filter(!inDomain(col(keyCol), ranges))
-          .unionByName(spark.read.parquet(path(p))
-            .filter(inDomain(col(keyCol), ranges)))
+        val loc = path(p)
+        if (isDvLayer(loc))
+          acc.join(
+            broadcast(spark.read.parquet(s"$loc/keys").select(keyCol)),
+            Seq(keyCol), "left_anti")
+            .unionByName(spark.read.parquet(s"$loc/rows"))
+        else
+          acc.filter(!inDomain(col(keyCol), ranges))
+            .unionByName(spark.read.parquet(loc)
+              .filter(inDomain(col(keyCol), ranges)))
       case (acc, _) => acc
     }
 }

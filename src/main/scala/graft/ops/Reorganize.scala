@@ -79,13 +79,23 @@ object Reorganize {
           // the COMMUTATION: re-apply each rival layer to the staged
           // artifact (read back physically — the patch is over staged
           // files, never a recompute of the compaction's lineage), in
-          // version order; row ids ride through untouched
+          // version order; row ids ride through untouched. A DV-shaped
+          // rival ([[LakeRead.isDvLayer]]) patches as mask-plus-append
+          // — same commute, delta-proportional either way.
           staged = rivals.sortBy(_._1)
             .foldLeft(spark.read.parquet(out)) { case (acc, (_, e)) =>
-              val ranges = e.keyDomains(partition)
-              acc.filter(!LakeRead.inDomain(col(keyCol), ranges))
-                .unionByName(spark.read.parquet(locate(e.dataPath))
-                  .filter(LakeRead.inDomain(col(keyCol), ranges)))
+              val loc = locate(e.dataPath)
+              if (LakeRead.isDvLayer(loc))
+                acc.join(
+                  broadcast(spark.read.parquet(s"$loc/keys")
+                    .select(keyCol)), Seq(keyCol), "left_anti")
+                  .unionByName(spark.read.parquet(s"$loc/rows"))
+              else {
+                val ranges = e.keyDomains(partition)
+                acc.filter(!LakeRead.inDomain(col(keyCol), ranges))
+                  .unionByName(spark.read.parquet(loc)
+                    .filter(LakeRead.inDomain(col(keyCol), ranges)))
+              }
             }
           base = newBase
           // an in-flight (not yet resolved) rival leaves rivals empty
