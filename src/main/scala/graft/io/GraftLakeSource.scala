@@ -3,7 +3,7 @@ package graft.io
 import graft.ops.{CommitLog, LakeRead, StreamCommit}
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{SQLContext, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Expression, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -106,14 +106,17 @@ object GraftLakeSource {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
     val entries = walk(base)
-      .filter(f => f.isFile && f.length() > 0 && {
-        val n = f.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+      .filter(f => f.isFile && f.length() > 0)
       .flatMap { f =>
         val rel = base.toPath.relativize(f.toPath).toString
           .replace(java.io.File.separatorChar, '/')
-        partitionOf(rel).map(p => (rel, p, f.length()))
+        // any _-/.- prefixed SEGMENT is metadata (the Spark
+        // convention): _SUCCESS, .crc files, and whole sidecar dirs
+        // like _cdc/ (the change-feed artifact) are never data
+        if (rel.split("/").exists(s =>
+            s.startsWith("_") || s.startsWith(".")))
+          None
+        else partitionOf(rel).map(p => (rel, p, f.length()))
       }
     java.nio.file.Files.writeString(
       new java.io.File(base, ManifestName).toPath,
@@ -328,6 +331,129 @@ object GraftLakeSource {
         } ++ carried: _*)
     }
   }
+
+  /** ROW-LEVEL CHANGE FEED — `table_changes(fromV, toV]` (Delta's CDF
+    * read distilled onto the commit log): every committed data version
+    * in the window contributes its row-level delta tagged
+    * `_change_type` ∈ {insert, remove, update_pre, update_post} and
+    * `_commit_version`, composed from three stored planes:
+    *
+    *   1. `_cdc/` SIDECARS — commits written with
+    *      `option("changeFeed", "true")` carry their own delta
+    *      (appends: inserts; overwrites: retract old ∪ assert new) —
+    *      read verbatim, change-proportional;
+    *   2. KEY-DOMAIN LAYERS (MERGE / DV commits) — the delta is
+    *      DERIVED from the layer artifact against the pre-image
+    *      (the layered view at v−1 restricted to the declared domain;
+    *      domain-pruned scans + broadcast key joins, so the cost is
+    *      proportional to the merge's delta, never the table):
+    *      retract/assert pairs for matched keys, removes for
+    *      tombstoned keys, inserts for fresh keys;
+    *   3. FIRST-OWNERSHIP commits with no sidecar — an insert-only
+    *      commit's feed is its own data files with a synthesized
+    *      `insert` (never double-written). A REWRITE of an
+    *      already-owned partition without a sidecar fails LOUDLY
+    *      (Delta's "change data not recorded" contract) — a silent
+    *      guess would fabricate history.
+    *
+    * Deterministically replayable below the stable version; refuses a
+    * window reaching below the expired-history horizon. Options:
+    * `partitionColumn` (hive layout), `keyColumn` (required when the
+    * window crosses layer commits). */
+  def tableChanges(spark: SparkSession, root: String,
+                   fromV: Long, toV: Long,
+                   options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val partCol = lower.get("partitioncolumn")
+    val pName = partCol.getOrElse(VirtualPartitionCol)
+    val keyCol = lower.get("keycolumn")
+    val ct = "_change_type"
+    def located(dp: String): String =
+      if (new Path(dp).isAbsolute) dp else s"$root/$dp"
+    def partDir(dp: String, p: String): String = partCol match {
+      case Some(c) => s"${located(dp)}/$c=$p"
+      case None => located(dp)
+    }
+    val horizon = CommitLog.expiredBelow(root)
+    require(fromV >= horizon,
+      s"table_changes($fromV, $toV) reaches below the expired-history " +
+        s"horizon v$horizon — those commits' deltas are physically gone")
+    val window = CommitLog.readLog(root).filter { case (v, e) =>
+      v > fromV && v <= toV && !e.op.startsWith(CommitLog.SchemaOpPrefix) }
+    require(window.nonEmpty,
+      s"table_changes($fromV, $toV): no data commits in the window")
+    val frames = window.flatMap { case (v, e) =>
+      val dp = located(e.dataPath)
+      val legs: Seq[org.apache.spark.sql.DataFrame] =
+        if (new java.io.File(s"$dp/_cdc", "_SUCCESS").exists())
+          Seq(spark.read.parquet(s"$dp/_cdc"))
+        else if (e.keyDomains.nonEmpty) {
+          val kc = keyCol.getOrElse(throw new IllegalArgumentException(
+            s"table_changes: commit v$v is a key-domain layer — " +
+              "option('keyColumn', <mergeKey>) is required to derive " +
+              "its retract/assert pairs"))
+          e.keyDomains.toSeq.flatMap { case (p, ranges) =>
+            val pre = LakeRead.layeredFrame(spark,
+              CommitLog.resolveLayers(root, p, v - 1), kc,
+              d => partDir(d, p))
+            val loc = partDir(e.dataPath, p)
+            val pairs =
+              if (LakeRead.isDvLayer(loc)) {
+                val keys = spark.read.parquet(s"$loc/keys").select(kc)
+                val rows = spark.read.parquet(s"$loc/rows")
+                val rowKeys = rows.select(kc)
+                val preT = pre.join(broadcast(keys), Seq(kc), "left_semi")
+                Seq(
+                  preT.join(broadcast(rowKeys), Seq(kc), "left_anti")
+                    .withColumn(ct, lit("remove")),
+                  preT.join(broadcast(rowKeys), Seq(kc), "left_semi")
+                    .withColumn(ct, lit("update_pre")),
+                  rows.join(broadcast(keys), Seq(kc), "left_semi")
+                    .withColumn(ct, lit("update_post")),
+                  rows.join(broadcast(keys), Seq(kc), "left_anti")
+                    .withColumn(ct, lit("insert")))
+              } else {
+                val preD = pre.filter(LakeRead.inDomain(col(kc), ranges))
+                val post = spark.read.parquet(loc)
+                  .filter(LakeRead.inDomain(col(kc), ranges))
+                val preKeys = preD.select(kc)
+                val postKeys = post.select(kc)
+                Seq(
+                  preD.join(broadcast(postKeys), Seq(kc), "left_anti")
+                    .withColumn(ct, lit("remove")),
+                  preD.join(broadcast(postKeys), Seq(kc), "left_semi")
+                    .withColumn(ct, lit("update_pre")),
+                  post.join(broadcast(preKeys), Seq(kc), "left_semi")
+                    .withColumn(ct, lit("update_post")),
+                  post.join(broadcast(preKeys), Seq(kc), "left_anti")
+                    .withColumn(ct, lit("insert")))
+              }
+            pairs.map(_.withColumn(pName, lit(p)))
+          }
+        } else {
+          val prior = CommitLog.resolveForRead(root, v - 1).keySet
+          val dataParts = e.partitions.filterNot(_.startsWith("empty_"))
+          val rewritten = dataParts.filter(prior)
+          require(rewritten.isEmpty,
+            s"table_changes: commit v$v rewrote partition(s) " +
+              s"${rewritten.take(5).mkString(", ")} without a stored " +
+              "change feed — write with option('changeFeed', 'true')")
+          dataParts.flatMap { p =>
+            val loc = partDir(e.dataPath, p)
+            if (!new java.io.File(loc).exists()) None
+            else Some(spark.read.parquet(loc)
+              .withColumn(pName, lit(p))
+              .withColumn(ct, lit("insert")))
+          }
+        }
+      legs.map(_.withColumn("_commit_version", lit(v)))
+    }
+    require(frames.nonEmpty,
+      s"table_changes($fromV, $toV): the window holds only empty commits")
+    frames.reduce(_ unionByName _)
+  }
 }
 
 class GraftLakeDataSource extends RelationProvider
@@ -500,6 +626,21 @@ class GraftLakeDataSource extends RelationProvider
     // inference would re-type numeric-looking values).
     def staged0: org.apache.spark.sql.DataFrame =
       spark.read.schema(data.schema).parquet(s"$root/$stage0")
+    // CHANGE FEED (opt-in, Delta's CDF economics): the commit stores
+    // its own row-level delta in a `_cdc/` sidecar under the committed
+    // dataPath — appends store their inserts (the staged input read
+    // back, delta-proportional), overwrites store remove(old touched
+    // content at the attempt's base) + insert(new) — the honest
+    // partition-proportional price of CDC over a rewrite, paid only
+    // when the option is on. First-version commits store nothing
+    // (insert-only commits synthesize from their own data files at
+    // read time, never double-written). `tableChanges` composes these
+    // with layer-derived deltas into the row-level feed.
+    val changeFeed = lower.get("changefeed").exists(_.toBoolean)
+    val ct = "_change_type"
+    def writeCdc(dataPath: String,
+                 frame: org.apache.spark.sql.DataFrame): Unit =
+      frame.write.mode("overwrite").parquet(s"$root/$dataPath/_cdc")
     var lastAttempt: Option[String] = None
     try CommitLog.commitWithRebase(root, { base =>
       if (mode == SaveMode.Append && base > 0L) {
@@ -525,14 +666,50 @@ class GraftLakeDataSource extends RelationProvider
             else staged0
         }
         val bytesA = stageTo(full, attempt)
+        if (changeFeed) {
+          // an append's delta IS its staged input — every new row is
+          // an insert (the flat leg carries its partition explicitly)
+          val ins = staged0.withColumn(ct, lit("insert"))
+          writeCdc(attempt, partCol match {
+            case Some(_) => ins
+            case None => ins.withColumn(GraftLakeSource.VirtualPartitionCol,
+              lit(flatPart.get))
+          })
+        }
         CommitLog.Entry(writer, op, attempt, touched, base,
           partBytes = bytesA)
-      } else
+      } else {
+        if (changeFeed && base > 0L) {
+          // overwrite delta: the touched partitions' OLD content (at
+          // this attempt's base) retracts, the staged input asserts —
+          // re-derived per rebase, because the removes depend on the
+          // base
+          val prior = CommitLog.resolveForRead(root, base).keySet
+          val removes = partCol match {
+            case Some(c) =>
+              val rewritten = touched.filter(prior)
+              readAt(base).filter(col(c).isin(rewritten.map(x => x: Any): _*))
+            case None =>
+              val cur = readAt(base)
+              if (prior(flatPart.get))
+                cur.filter(col(GraftLakeSource.VirtualPartitionCol) ===
+                  flatPart.get)
+              else cur.limit(0)
+          }
+          val inserts = partCol match {
+            case Some(_) => staged0
+            case None => staged0.withColumn(
+              GraftLakeSource.VirtualPartitionCol, lit(flatPart.get))
+          }
+          writeCdc(stage0, removes.withColumn(ct, lit("remove"))
+            .unionByName(inserts.withColumn(ct, lit("insert"))))
+        }
         // overwrite (and an append with no base): the staged input IS
         // the commit's content — rebases re-validate the same staging
         // instead of rewriting identical bytes per attempt
         CommitLog.Entry(writer, op, stage0, touched, base,
           partBytes = bytes0)
+      }
     })
     catch { case t: Throwable =>
       // on ultimate failure an APPEND's stage0 is referenced by no
@@ -956,14 +1133,16 @@ case class GraftLakeOffset(v: Long) extends SourceOffset {
 
 object GraftLakeStreamSource {
   /** The stream's schema: the table's data columns + the partition
-    * column (hive name or `_partition`) + `_commit_version`. Inferred
-    * from the newest committed data entry's staged files — the table
-    * must have at least one committed data version when the stream
-    * starts (the Delta contract). */
+    * column (hive name or `_partition`) + `_commit_version` — plus
+    * `_change_type` under `readChangeFeed`. Inferred from the newest
+    * committed data entry's staged files — the table must have at
+    * least one committed data version when the stream starts (the
+    * Delta contract). */
   def streamSchema(spark: SparkSession, root: String,
                    lower: Map[String, String]): StructType = {
     val pName = lower.getOrElse("partitioncolumn",
       GraftLakeSource.VirtualPartitionCol)
+    val cdc = lower.get("readchangefeed").exists(_.toBoolean)
     val dataEntries = CommitLog.readLog(root).filter { case (_, e) =>
       !e.op.startsWith(CommitLog.SchemaOpPrefix) }
     require(dataEntries.nonEmpty,
@@ -974,8 +1153,10 @@ object GraftLakeStreamSource {
       else s"$root/${e.dataPath}"
     val dataSchema = StructType(
       spark.read.parquet(dp).schema.filterNot(_.name == pName))
-    StructType(dataSchema.fields.toSeq :+
-      StructField(pName, StringType, nullable = false) :+
+    StructType(dataSchema.fields.toSeq ++
+      Seq(StructField(pName, StringType, nullable = false)) ++
+      (if (cdc) Seq(StructField("_change_type", StringType,
+        nullable = false)) else Nil) :+
       StructField("_commit_version", org.apache.spark.sql.types.LongType,
         nullable = false))
   }
@@ -996,11 +1177,13 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
     .getOrElse(0L)
   private val maxPerTrigger =
     lower.get("maxversionspertrigger").map(_.trim.toLong)
+  private val readCdc = lower.get("readchangefeed").exists(_.toBoolean)
   override val schema: StructType =
     GraftLakeStreamSource.streamSchema(spark, root, lower)
   private val dataSchema =
     StructType(schema.filterNot(f =>
-      f.name == pName || f.name == "_commit_version"))
+      f.name == pName || f.name == "_commit_version" ||
+        f.name == "_change_type"))
 
   // pacing state: the highest offset the engine has seen from us —
   // advanced by getBatch AND by the engine's commit() callback. The
@@ -1034,10 +1217,19 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
         s"graftlake stream offset v$s reaches below the expired-history " +
           s"horizon v$horizon — the commits in (v$s, v$horizon] are " +
           "physically gone; restart from a fresh startingVersion")
-    val frames = CommitLog.readLog(root)
+    val dataWindow = CommitLog.readLog(root)
       .filter { case (v, en) => v > s && v <= e &&
         !en.op.startsWith(CommitLog.SchemaOpPrefix) }
-      .flatMap { case (v, en) =>
+    // CHANGE-FEED mode: each batch carries the window's row-level
+    // deltas from tableChanges (same offsets, same pacing, same
+    // replayability — the consumer applies by version)
+    val frames =
+      if (readCdc) {
+        if (dataWindow.isEmpty) Nil
+        else Seq(GraftLakeSource.tableChanges(spark, root, s, e, lower)
+          .select(schema.fieldNames.map(
+            org.apache.spark.sql.functions.col).toSeq: _*))
+      } else dataWindow.flatMap { case (v, en) =>
         val dp = if (new Path(en.dataPath).isAbsolute) en.dataPath
           else s"$root/${en.dataPath}"
         en.partitions.flatMap { p =>

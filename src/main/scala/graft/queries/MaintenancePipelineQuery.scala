@@ -1288,6 +1288,32 @@ object MaintenancePipelineQuery {
     * listStatus to surviving partitions; the layered materialization
     * is paid once per layer stack (content-keyed cache) — every
     * subsequent read at any filter serves cached parquet. */
+  /** The single-partition LAYERED log over the mergeConc staged data
+    * (v1 base, v2 merge [0,q1], v3 merge [q3+1,max]) — shared by
+    * `q_lake_read`'s layered leg and `q_cdc_read`'s layer-derived
+    * change legs. Content-keyed: rebuilt only when absent. */
+  private def ensureLakeLayerLog(spark: SparkSession,
+                                 dir: String): String = synchronized {
+    import graft.ops.CommitLog
+    import graft.ops.CommitLog.Entry
+    val mcRoot = ensureMergeConc(spark, dir)
+    val e = clogEvents(spark, dir).select("event_id", "event_type", "vc")
+    val (q1, q3, mx) = mergeConcSplit(e)
+    val lakeLog = s"$mcRoot/log_lake"
+    if (CommitLog.committedVersions(lakeLog) != Seq(1L, 2L, 3L)) {
+      VersionChain.rmTree(new java.io.File(lakeLog))
+      CommitLog.tryCommit(lakeLog, Entry("ingest", "ingest",
+        s"$mcRoot/data/base", Seq("events"), 0L))
+      CommitLog.tryCommit(lakeLog, Entry("m_low", "merge",
+        s"$mcRoot/data/low", Seq("events"), 1L,
+        keyDomains = Map("events" -> Seq((0L, q1)))))
+      CommitLog.tryCommit(lakeLog, Entry("m_high", "merge",
+        s"$mcRoot/data/high", Seq("events"), 1L,
+        keyDomains = Map("events" -> Seq((q3 + 1, mx)))))
+    }
+    lakeLog
+  }
+
   private def lakeRead(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
     import graft.ops.CommitLog.Entry
@@ -1306,21 +1332,7 @@ object MaintenancePipelineQuery {
     // the layered leg: a fresh single-partition log over the
     // mergeConc staged data — two disjoint-range MERGEs layered on
     // the base, read through the connector's merge-on-read path
-    val mcRoot = ensureMergeConc(spark, dir)
-    val e = clogEvents(spark, dir).select("event_id", "event_type", "vc")
-    val (q1, q3, mx) = mergeConcSplit(e)
-    val lakeLog = s"$mcRoot/log_lake"
-    if (CommitLog.committedVersions(lakeLog) != Seq(1L, 2L, 3L)) {
-      VersionChain.rmTree(new java.io.File(lakeLog))
-      CommitLog.tryCommit(lakeLog, Entry("ingest", "ingest",
-        s"$mcRoot/data/base", Seq("events"), 0L))
-      CommitLog.tryCommit(lakeLog, Entry("m_low", "merge",
-        s"$mcRoot/data/low", Seq("events"), 1L,
-        keyDomains = Map("events" -> Seq((0L, q1)))))
-      CommitLog.tryCommit(lakeLog, Entry("m_high", "merge",
-        s"$mcRoot/data/high", Seq("events"), 1L,
-        keyDomains = Map("events" -> Seq((q3 + 1, mx)))))
-    }
+    val lakeLog = ensureLakeLayerLog(spark, dir)
     val layered = spark.read.format("graftlake")
       .option("keyColumn", "event_id").load(lakeLog)
     stats(lk(), "1_head")
@@ -1712,6 +1724,131 @@ object MaintenancePipelineQuery {
        |  FROM base)
        |SELECT step, n_rows, key_xor, bal_sum
        |FROM rows_ ORDER BY step""".stripMargin
+
+  /** `q_cdc_read` — ROW-LEVEL `table_changes(from, to)` OVER THE LAKE
+    * ([[graft.io.GraftLakeSource.tableChanges]]; round 19, closes r18
+    * verdict #3: `q_commit_feed` served the metadata plane and
+    * `q_cdf_read` a hand-built chain — the CONNECTOR's log had no
+    * row-level change read): every commit in the window contributes
+    * its delta tagged (change_type, _commit_version), composed from
+    * the three stored planes and verified against an oracle REPLAY of
+    * the same history:
+    *
+    *   - HIVE leg (`table_changes(0, 3)`, `_cdc` sidecars): v1 full
+    *     ingest → SYNTHESIZED inserts (an insert-only commit's feed
+    *     is its own data, never double-written); v2 sweep overwrite
+    *     written with `changeFeed` → stored retract(old days 1–10) +
+    *     assert(kept); v3 append → stored inserts (+10⁹ ids, vc+7);
+    *   - LAYER leg (`table_changes(1, 3)` on the shared layered log):
+    *     the MERGE commits store only their key-domain layers, so the
+    *     feed is DERIVED — pre-image = the layered view at v−1
+    *     restricted to the domain, post = the layer: update_pre/
+    *     update_post pairs for matched keys, removes for dropped keys
+    *     (v2's ≡0 mod 13 deletes), nothing fabricated.
+    *
+    * CdcSpec covers the rest: the no-sidecar rewrite REFUSES loudly,
+    * DV layers derive mask-semantics pairs, and a `readChangeFeed`
+    * STREAMING consumer survives kill/restart exactly-once.
+    *
+    * Scale shape: sidecar legs are change-proportional reads; layer
+    * legs are domain-pruned scans + broadcast key joins (delta-
+    * proportional); the groupBy collapses map-side. */
+  private def cdcRead2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CommitLog
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val rootA =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cdclake_$key"
+    val e = clogEvents(spark, dir)
+      .select(col("event_id"), col("vc"), col("dom"),
+        col("day").cast("string").as("pday"))
+    val haveCdc = CommitLog.committedVersions(rootA) == Seq(1L, 2L, 3L) && {
+      val log = CommitLog.readLog(rootA).toMap
+      Seq(2L, 3L).forall(v => log.get(v).exists(en => new java.io.File(
+        s"$rootA/${en.dataPath}/_cdc/_SUCCESS").exists()))
+    }
+    if (!haveCdc) {
+      VersionChain.rmTree(new java.io.File(rootA))
+      def put(df: DataFrame, mode: String, writer: String): Unit =
+        df.select("event_id", "vc", "pday")
+          .write.format("graftlake").option("partitionColumn", "pday")
+          .option("changeFeed", "true")
+          .option("writer", writer).mode(mode).save(rootA)
+      put(e, "overwrite", "ingest")
+      put(e.filter(col("dom") <= 10 && col("event_id") % 5 =!= 0),
+        "overwrite", "sweeper")
+      put(e.filter(col("dom") >= 21)
+        .select((col("event_id") + 1000000000L).as("event_id"),
+          (col("vc") + 7L).as("vc"), col("pday")),
+        "append", "appender")
+    }
+    val lakeLog = ensureLakeLayerLog(spark, dir)
+    def stats(df: DataFrame, src: String): DataFrame =
+      df.groupBy(col("_commit_version").as("version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"),
+          coalesce(sum("vc"), lit(0L)).as("vc_sum"))
+        .select(lit(src).as("src"), col("version"), col("change_type"),
+          col("n_rows"), col("key_xor"), col("vc_sum"))
+    stats(graft.io.GraftLakeSource.tableChanges(spark, rootA, 0L, 3L,
+        Map("partitionColumn" -> "pday")), "hive")
+      .unionAll(stats(graft.io.GraftLakeSource.tableChanges(spark,
+        lakeLog, 1L, 3L, Map("keyColumn" -> "event_id")), "layer"))
+      .orderBy("src", "version", "change_type")
+  }
+
+  private val cdcRead2Sql = {
+    def stats(src: String, v: Long, change: String, rel: String) =
+      s"""SELECT '$src' AS src, CAST($v AS BIGINT) AS version,
+         |  '$change' AS change_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COALESCE(bit_xor(event_id), 0) AS BIGINT) AS key_xor,
+         |  CAST(COALESCE(SUM(vc), 0) AS BIGINT) AS vc_sum
+         |FROM $rel""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_id,
+       |    COALESCE(${NumSql.cents("value")}, -1) AS vc,
+       |    EXTRACT(day FROM CAST(ts AS DATE)) AS dom
+       |  FROM events),
+       |qs AS (SELECT CAST(MAX(event_id) // 4 AS BIGINT) AS q1,
+       |         CAST(3 * MAX(event_id) // 4 AS BIGINT) AS q3,
+       |         CAST(MAX(event_id) AS BIGINT) AS mx
+       |       FROM e),
+       |low_pre AS (
+       |  SELECT event_id, vc FROM e, qs WHERE event_id BETWEEN 0 AND q1),
+       |high_pre AS (
+       |  SELECT event_id, vc FROM e, qs
+       |  WHERE event_id BETWEEN q3 + 1 AND mx),
+       |rows_ AS (
+       |  ${stats("hive", 1, "insert", "e")}
+       |  UNION ALL
+       |  ${stats("hive", 2, "remove", "(SELECT * FROM e WHERE dom <= 10)")}
+       |  UNION ALL
+       |  ${stats("hive", 2, "insert",
+      "(SELECT * FROM e WHERE dom <= 10 AND event_id % 5 <> 0)")}
+       |  UNION ALL
+       |  ${stats("hive", 3, "insert",
+      "(SELECT event_id + 1000000000 AS event_id, vc + 7 AS vc " +
+        "FROM e WHERE dom >= 21)")}
+       |  UNION ALL
+       |  ${stats("layer", 2, "remove",
+      "(SELECT * FROM low_pre WHERE event_id % 13 = 0)")}
+       |  UNION ALL
+       |  ${stats("layer", 2, "update_pre",
+      "(SELECT * FROM low_pre WHERE event_id % 13 <> 0)")}
+       |  UNION ALL
+       |  ${stats("layer", 2, "update_post",
+      "(SELECT event_id, vc + CASE WHEN event_id % 7 = 0 THEN 100 " +
+        "ELSE 0 END AS vc FROM low_pre WHERE event_id % 13 <> 0)")}
+       |  UNION ALL
+       |  ${stats("layer", 3, "update_pre", "high_pre")}
+       |  UNION ALL
+       |  ${stats("layer", 3, "update_post",
+      "(SELECT event_id, vc + CASE WHEN event_id % 5 = 0 THEN -50 " +
+        "ELSE 0 END AS vc FROM high_pre)")})
+       |SELECT src, version, change_type, n_rows, key_xor, vc_sum
+       |FROM rows_ ORDER BY src, version, change_type""".stripMargin
+  }
 
   // ------------------------------------- key-granular concurrent MERGE
 
@@ -3871,6 +4008,7 @@ object MaintenancePipelineQuery {
     Q("q_lake_write", lakeWrite, Some(lakeWriteSql)),
     Q("q_lake_sql", lakeSql, Some(lakeSqlSql)),
     Q("q_lake_read_dv", lakeReadDv, Some(lakeReadDvSql)),
+    Q("q_cdc_read", cdcRead2, Some(cdcRead2Sql)),
     Q("q_row_tracking", rowTracking, Some(rowTrackingSql)),
     Q("q_stream_mv", streamMv, Some(streamMvSql)),
     Q("q_checkpoint_fold", checkpointFold, Some(checkpointFoldSql)),
