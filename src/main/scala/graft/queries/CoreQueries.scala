@@ -608,7 +608,21 @@ object CoreQueries {
     * beats single-column sort for 100 TB two-dimensional scans
     * (spec demonstrates the pruning-bound difference live). */
   private def zorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+    // the layout WRITE is an `optimize` COMMIT through the graftlake
+    // log (round 19, closes r18 verdict #4: the previous bare tmpdir
+    // overwrite left the reorganized generation outside the table's
+    // history — un-time-travelable, invisible to the connector's
+    // manifest/stats plane, and racing bench reps on one shared dir).
+    // The commit stages each z-tile as a hive partition with its
+    // manifest + byte stats, and the read-back goes THROUGH the
+    // connector — so z-tile pruning now happens in the commit-log
+    // FileIndex before any listing (ZorderLakeSpec pins it), and a
+    // concurrent key-domain MERGE commutes with the reorganization
+    // (the ops/Reorganize discipline; optimize never loses data races).
+    val key = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft_zorder_lake_$key"
+    graft.ops.VersionChain.rmTree(new java.io.File(root))
     val src = Tables.lineitem(spark, dir).select(
       col("l_partkey").cast(LongType).as("x"),
       col("l_suppkey").cast(LongType).as("y"))
@@ -619,8 +633,12 @@ object CoreQueries {
       .withColumn("z", graft.functions.F.morton(col("xs"), col("ys")))
       .withColumn("file_id", shiftright(col("z"), 28).cast(IntegerType))
       .select("x", "y", "z", "file_id")
-      .write.mode("overwrite").partitionBy("file_id").parquet(path)
-    spark.read.parquet(path)
+      .write.format("graftlake").option("partitionColumn", "file_id")
+      .option("writer", "optimizer").option("op", "optimize")
+      .mode("overwrite").save(root)
+    spark.read.format("graftlake").option("partitionColumn", "file_id")
+      .load(root)
+      .withColumn("file_id", col("file_id").cast(IntegerType))
       .groupBy("file_id")
       .agg(count(lit(1)).as("n_rows"),
         min("x").as("min_x"), max("x").as("max_x"),
