@@ -593,8 +593,8 @@ class GraftLakeDataSource extends RelationProvider
         df.write.parquet(s"$root/$path")
         GraftLakeSource.writeManifest(s"$root/$path", _ => flatPart)
     }
-    val stage0 = s"data/${writer}_$uuid8"
-    val bytes0 = stageTo(data, stage0)
+    var stage0 = s"data/${writer}_$uuid8"
+    var bytes0 = stageTo(data, stage0)
     val touched: Seq[String] = partCol match {
       case Some(c) =>
         require(!bytes0.keySet.contains("__HIVE_DEFAULT_PARTITION__"),
@@ -706,7 +706,19 @@ class GraftLakeDataSource extends RelationProvider
         }
         // overwrite (and an append with no base): the staged input IS
         // the commit's content — rebases re-validate the same staging
-        // instead of rewriting identical bytes per attempt
+        // instead of rewriting identical bytes per attempt. DEFENSE:
+        // a conflict-aborted earlier attempt's entry names this same
+        // path, so a concurrent orphan sweep between attempts can
+        // reclaim it (the sweep is precise against CRASHED writers,
+        // not clairvoyant about live retries) — if the staging
+        // vanished, re-stage under a FRESH name before re-validating,
+        // or the commit would reference deleted files (found by
+        // LakeSoakPropertySpec's vacuum-vs-retry interleaving).
+        if (!new java.io.File(
+            s"$root/$stage0/${GraftLakeSource.ManifestName}").exists()) {
+          stage0 = s"data/${writer}_$uuid8"
+          bytes0 = stageTo(data, stage0)
+        }
         CommitLog.Entry(writer, op, stage0, touched, base,
           partBytes = bytes0)
       }
@@ -1008,7 +1020,14 @@ class GraftLakeSink(sqlContext: SQLContext, root: String,
     // distinct().collect() second execution of the batch's lineage.
     var inputStaged: Option[(String, Map[String, Long], Long)] = None
     def stageInput(): (String, Map[String, Long], Long) =
-      inputStaged.getOrElse {
+      inputStaged
+        // DEFENSE against the sweep-vs-retry interleave: an aborted
+        // earlier attempt's entry names this path, and a concurrent
+        // orphan sweep between attempts may have reclaimed it —
+        // re-stage under a fresh name rather than commit deleted files
+        .filter { case (p, _, _) => new java.io.File(
+          s"$root/$p/${GraftLakeSource.ManifestName}").exists() }
+        .getOrElse {
         val path =
           s"data/stream_${safe(streamId)}/b${batchId}_in_$uuid8"
         val bytes = partCol match {

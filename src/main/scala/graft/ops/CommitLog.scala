@@ -176,12 +176,20 @@ object CommitLog {
   private def resolve(d: java.io.File, kind: String, why: String): String = {
     val tmp = new java.io.File(d,
       s"_resolve_tmp_${java.util.UUID.randomUUID()}")
-    java.nio.file.Files.writeString(tmp.toPath, s"$kind $why\n")
     try {
+      java.nio.file.Files.writeString(tmp.toPath, s"$kind $why\n")
       java.nio.file.Files.createLink(resolvedFile(d).toPath, tmp.toPath)
       kind
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        resolution(d).getOrElse("abort")
+      case _: java.io.IOException if !d.exists() =>
+        // the slot dir VANISHED mid-resolve: a concurrent expiry or
+        // aborted-slot purge deleted it — both only touch slots whose
+        // fate was already sealed (expiry refuses unresolved claims),
+        // so the caller may treat it as a closed rival and skip it
+        // (found by LakeSoakPropertySpec: a validator aborting an
+        // entry-less claim raced expireBelow's rmTree)
         resolution(d).getOrElse("abort")
     } finally { tmp.delete(); () }
   }
@@ -214,8 +222,15 @@ object CommitLog {
     * fold at this version. */
   def stableVersion(root: String): Long = {
     val ss = slots(root)
+    // `resolution = None` means IN-FLIGHT only while the slot dir
+    // still exists: a slot retired by a concurrent expiry (renamed
+    // away atomically, with its _RESOLVED inside) reads None on the
+    // second step of the list-then-read sequence — without the
+    // existence recheck it would masquerade as an unresolved claim
+    // and drag the cap below already-stable history (found by
+    // LakeSoakPropertySpec: stableVersion 2 → 1 during expiry).
     val cap = ss.collectFirst {
-      case (v, d) if resolution(d).isEmpty => v - 1
+      case (v, d) if resolution(d).isEmpty && d.exists() => v - 1
     }.getOrElse(Long.MaxValue)
     (ss.filter { case (v, d) => v <= cap && isCommitted(d) }.map(_._1) ++
       checkpoints(root).map(_._1).filter(_ <= cap))
@@ -319,13 +334,28 @@ object CommitLog {
   /** The committed schema history at or below `asOf`, ascending:
     * (version, change, mappingPath). The ACTIVE mapping as of any
     * version is the last element — equivalently
-    * `resolveAsOf(root, asOf)(SchemaPartition)`. */
+    * `resolveAsOf(root, asOf)(SchemaPartition)`.
+    *
+    * Survives HISTORY EXPIRY: a schema commit whose slot was
+    * checkpoint-folded and physically expired is no longer in the
+    * live log, but the fold still owns [[SchemaPartition]] — without
+    * consulting it, the active column mapping would silently vanish
+    * after maintenance (found by LakeSoakPropertySpec: checkpoint +
+    * expiry racing a schema commit). The folded element reads back
+    * with the change label `"(folded)"` (the fold stores owners, not
+    * ops); consumers bind to the mappingPath, which is intact. */
   def schemaHistory(root: String, asOf: Long = Long.MaxValue)
-      : Seq[(Long, String, String)] =
-    readLog(root).collect {
+      : Seq[(Long, String, String)] = {
+    val live = readLog(root).collect {
       case (v, e) if v <= asOf && e.op.startsWith(SchemaOpPrefix) =>
         (v, e.op.drop(SchemaOpPrefix.length), e.dataPath)
     }
+    val folded = scala.util.Try(resolveFlagged(root, asOf)).toOption
+      .flatMap(_.get(SchemaPartition))
+      .collect { case (v, dp, _) if !live.exists(_._1 >= v) =>
+        (v, "(folded)", dp) }
+    folded.toSeq ++ live
+  }
 
   private def streamBatchOf(e: Entry): Option[(String, Long)] =
     if (e.op.startsWith(StreamOpPrefix))
@@ -408,7 +438,13 @@ object CommitLog {
         s"$p\t$ov\t$dp"
       } ++ txns.toSeq.sorted.map { case (w, b) => s"#txn\t$w\t$b" })
       :+ "#end").mkString("", "\n", "\n")
-    val tmp = new java.io.File(logDir(root), s"ckpt_v$v.tsv.tmp")
+    // ATTEMPT-UNIQUE tmp name: two sessions checkpointing the same
+    // stable version concurrently each move their OWN tmp — with a
+    // shared name the loser's move throws NoSuchFileException after
+    // the winner consumed it (found by LakeSoakPropertySpec seed 7).
+    // Both folds are deterministic at v, so last-move-wins is benign.
+    val tmp = new java.io.File(logDir(root),
+      s"ckpt_v$v.tsv.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     java.nio.file.Files.writeString(tmp.toPath, body)
     java.nio.file.Files.move(tmp.toPath,
       new java.io.File(logDir(root), s"ckpt_v$v.tsv").toPath,
@@ -430,18 +466,44 @@ object CommitLog {
       s"expireBelow(v$v) needs a valid checkpoint at or above v$v — " +
         "checkpoint first")
     val (gone, kept) = slots(root).partition(_._1 <= v)
-    require(gone.forall { case (_, d) => resolution(d).isDefined },
+    // a slot already retired by a CONCURRENT expiry reads None on the
+    // resolution but no longer exists — that is "resolved and gone",
+    // not in-flight
+    require(gone.forall { case (_, d) =>
+      resolution(d).isDefined || !d.exists() },
       s"an unresolved claim at or below v$v is still in flight")
     val _ = kept
     // horizon write is temp + ATOMIC_MOVE (as checkpoint()): a torn
     // in-place rewrite during a second expiry would otherwise leave a
-    // partial file that a weaker reader could misparse as horizon 0
-    val hTmp = new java.io.File(logDir(root), "_EXPIRED_BELOW.tmp")
-    java.nio.file.Files.writeString(hTmp.toPath, s"$v\n")
+    // partial file that a weaker reader could misparse as horizon 0.
+    // The temp name is attempt-unique — concurrent expiries with a
+    // shared name race each other's move (the checkpoint() bug twin).
+    val hTmp = new java.io.File(logDir(root),
+      s"_EXPIRED_BELOW.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    // monotone: a stalled lower expiry landing after a higher one must
+    // never move the horizon backwards (slots above its own v are
+    // already gone — an understated horizon would let resolveAsOf
+    // trust a partial window)
+    java.nio.file.Files.writeString(hTmp.toPath,
+      s"${math.max(v, expiredBelow(root))}\n")
     java.nio.file.Files.move(hTmp.toPath, expiredBelowFile(root).toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gone.map { case (sv, d) => rmTree(d); sv }
+    gone.map { case (sv, d) => retireSlot(d); sv }
+  }
+
+  /** Delete a slot directory WITHOUT a torn-read window: rmTree
+    * deletes `_RESOLVED` before the directory itself, so a concurrent
+    * reader listing slots mid-deletion would see an "unresolved
+    * claim" and drag [[stableVersion]] (and every rival filter) below
+    * it — LakeSoakPropertySpec caught stableVersion 8 → 0 this way.
+    * Renaming the dir OUT of the `v<N>` namespace first is atomic:
+    * readers either see the intact slot or no slot at all. */
+  private def retireSlot(d: java.io.File): Unit = {
+    val tomb = new java.io.File(d.getParentFile,
+      s"_retired_${d.getName}_${java.util.UUID.randomUUID().toString.take(8)}")
+    if (d.renameTo(tomb)) rmTree(tomb)
+    else rmTree(d) // rename refused (alien FS) — fall back, best effort
   }
 
   private def entryFile(d: java.io.File) = new java.io.File(d, "entry.tsv")
@@ -661,7 +723,7 @@ object CommitLog {
         // base (max+1 > base), so only pre-existing stalls trigger.
         all.collectFirst {
           case (v, d) if v != next && v <= e.baseVersion &&
-            resolution(d).isEmpty => v
+            resolution(d).isEmpty && d.exists() => v
         }.foreach { v =>
           resolve(claim, "abort", s"non-stable base over unresolved v$v")
           throw new CommitConflict(
@@ -684,7 +746,11 @@ object CommitLog {
           // poll briefly for a racing writer's entry to appear
           var tries = 0
           var got = readEntry(d)
-          while (got.isEmpty && !isAborted(d) && tries < 200) {
+          // a rival slot RETIRED mid-scan (concurrent expiry) was
+          // resolved before retirement and its effect is inside any
+          // covering checkpoint ≤ our base — stop polling it
+          while (got.isEmpty && !isAborted(d) && d.exists() &&
+              tries < 200) {
             Thread.sleep(5); tries += 1; got = readEntry(d)
           }
           // a claim still entry-less AND unresolved after the poll is
@@ -810,7 +876,7 @@ object CommitLog {
     all.filter { case (v, d) =>
       isAborted(d) && v < maxV &&
         all.forall { case (v2, d2) => v2 <= v || resolution(d2).isDefined }
-    }.foreach { case (_, d) => rmTree(d) }
+    }.foreach { case (_, d) => retireSlot(d) }
   }
 
   private def rmTree(f: java.io.File): Unit = {
