@@ -3,10 +3,10 @@ package graft.io
 import graft.ops.CommitLog
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -192,7 +192,30 @@ class GraftLakeCatalog extends TableCatalog {
 class GraftLakeTable(tableName: String, val tableRoot: String,
                      val props: Map[String, String],
                      val versionAsOf: Option[Long])
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  /** Minimal scan surface for the DELETE planning path ONLY: Spark
+    * translates a DELETE condition against the target's scan output,
+    * which requires SupportsRead — but the scan itself never executes
+    * (a metadata delete runs `deleteWhere`, no rows flow). Actual
+    * READS never reach this either: [[GraftLakeV2Conversion]] replaces
+    * the relation with the V1 `HadoopFsRelation` during ANALYSIS,
+    * before the optimizer's scan planning. */
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    val self = this
+    new org.apache.spark.sql.connector.read.ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = self.schema
+          override def description(): String =
+            s"graftlake filter-translation scan of ${self.name()} " +
+              "(never executed — reads convert to the V1 relation)"
+        }
+    }
+  }
 
   override def name(): String = s"graftlake.`$tableName`"
 
@@ -237,6 +260,56 @@ class GraftLakeTable(tableName: String, val tableRoot: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_DYNAMIC)
+
+  /** SQL `DELETE FROM lake.t WHERE <partition predicate>` —
+    * PARTITION-GRANULAR, METADATA-ONLY: the commit stages an EMPTY
+    * owner (a dir whose manifest lists zero files) for exactly the
+    * named partitions, so the delete is one log entry regardless of
+    * table size, old versions stay time-travelable, and concurrent
+    * writers conflict through the normal optimistic validation.
+    * Predicates finer than the partition column are REFUSED
+    * (`canDeleteWhere = false` → Spark reports the delete
+    * unsupported): row-level deletes are the DV merge tier's job
+    * (`q_lake_read_dv`) — silently rewriting partitions here would
+    * hide a table-size-proportional cost behind DELETE syntax. */
+  private def partitionColName: String =
+    props.getOrElse("partitionColumn", GraftLakeSource.VirtualPartitionCol)
+
+  private def deletePartitions(filters: Array[Filter]): Option[Seq[String]] = {
+    val pName = partitionColName
+    val legs = filters.toSeq.map {
+      case EqualTo(c, v) if c == pName => Some(Seq(String.valueOf(v)))
+      case In(c, vs) if c == pName => Some(vs.toSeq.map(String.valueOf))
+      case _ => None
+    }
+    if (legs.isEmpty || legs.exists(_.isEmpty)) None
+    // conjunction of partition filters = intersection of value sets
+    else Some(legs.flatten.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionAsOf.isEmpty && deletePartitions(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val parts = deletePartitions(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake DELETE is partition-granular: predicates must be " +
+          s"$partitionColName = <v> / IN (...) — row-level deletes go " +
+          "through DV merge commits"))
+    val live = graft.ops.CommitLog.resolveForRead(tableRoot).keySet
+    val touched = parts.filter(live)
+    if (touched.isEmpty) return // nothing owned — a no-op delete
+    graft.ops.CommitLog.commitWithRebase(tableRoot, { base =>
+      val staged = s"data/sql_delete_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val d = new java.io.File(tableRoot, staged)
+      d.mkdirs()
+      GraftLakeSource.writeManifest(s"$tableRoot/$staged", _ => None)
+      graft.ops.CommitLog.Entry(s"sql_$tableName", "delete", staged,
+        touched, base, partBytes = touched.map(_ -> 0L).toMap)
+    })
+    ()
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -35,9 +35,17 @@ case class GraftLakeV2Conversion(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    // the target may sit under a SubqueryAlias (DELETE resolves its
+    // relation that way) — exclude every v2 relation in the target
+    // SUBTREE, not just the direct child
+    def addTargets(target: LogicalPlan): Unit = target.foreach {
+      case r: DataSourceV2Relation => writeTargets.add(r); ()
+      case _ => ()
+    }
     plan.foreach {
-      case w: V2WriteCommand => writeTargets.add(w.table); ()
-      case i: InsertIntoStatement => writeTargets.add(i.table); ()
+      case w: V2WriteCommand => addTargets(w.table)
+      case i: InsertIntoStatement => addTargets(i.table)
+      case d: DeleteFromTable => addTargets(d.table)
       case _ => ()
     }
     plan.transformUp {

@@ -812,39 +812,13 @@ class GraftLakeDataSource extends RelationProvider
 
     val fs = new Path(root).getFileSystem(
       spark.sessionState.newHadoopConf())
-    // infer from the first partition with readable data files — a
-    // sentinel/empty partition has none and must not break the read.
-    // When NO partition has readable files (a table whose only commit
-    // so far is an empty first micro-batch's sentinel), fall back to
-    // the writer-provided `dataSchemaJson` — without it, a hive-layout
-    // Append sink whose batch 0 was empty would WEDGE permanently:
-    // the next batch's accumulate read at base=1 throws here, addBatch
-    // fails, and every restart re-delivers it (a crash loop with no
-    // operator remedy).
-    val dataSchema = locations.toSeq.sortBy(_._1).view
-      .flatMap { case (_, loc) =>
-        scala.util.Try(spark.read.parquet(loc).schema).toOption
-          .filter(_.nonEmpty)
-      }.headOption
-      .orElse(lower.get("dataschemajson").map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[StructType]))
-      .getOrElse(throw new IllegalArgumentException(
-        s"graftlake: no readable data files at v$asOf in $root " +
-          "(pass option('dataSchemaJson', …) to read a table whose " +
-          "committed partitions are all empty)"))
-    val pName = partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
-    require(!dataSchema.fieldNames.contains(pName),
-      s"graftlake: partition column '$pName' collides with a data column")
-    val partitionSchema = StructType(Seq(
-      StructField(pName, StringType, nullable = false)))
-
     // manifest-aware per-partition lister: a manifest-carrying owner
     // serves its file set WITHOUT any listStatus (and the manifest is
     // authoritative — alien files in the directory are invisible);
     // owners without one fall back to listing, where a missing
     // directory lists as EMPTY (the streaming sink's empty-batch
-    // sentinel partitions own a staged path with no hive subdir — a
+    // sentinel partitions own a staged path with no hive subdir, and
+    // a SQL DELETE's empty owner has a zero-entry manifest — a
     // zero-file partition is a legitimate table state)
     val manifests =
       scala.collection.concurrent.TrieMap
@@ -862,6 +836,35 @@ class GraftLakeDataSource extends RelationProvider
             !n.startsWith("_") && !n.startsWith(".")
           }))
     }
+    // infer from the first partition that actually HAS data files
+    // (checked through the manifest/listing, so empty owners —
+    // sentinels, SQL deletes — are skipped without probing missing
+    // directories). When NO partition has readable files (a table
+    // whose only commit so far is an empty first micro-batch's
+    // sentinel), fall back to the writer-provided `dataSchemaJson` —
+    // without it, a hive-layout Append sink whose batch 0 was empty
+    // would WEDGE permanently: the next batch's accumulate read at
+    // base=1 throws here, addBatch fails, and every restart
+    // re-delivers it (a crash loop with no operator remedy).
+    val dataSchema = locations.keys.toSeq.sorted.view
+      .filter(p => filesFor(p).nonEmpty)
+      .flatMap { p =>
+        scala.util.Try(
+          spark.read.parquet(filesFor(p).head.getPath.toString).schema)
+          .toOption.filter(_.nonEmpty)
+      }.headOption
+      .orElse(lower.get("dataschemajson").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graftlake: no readable data files at v$asOf in $root " +
+          "(pass option('dataSchemaJson', …) to read a table whose " +
+          "committed partitions are all empty)"))
+    val pName = partCol.getOrElse(GraftLakeSource.VirtualPartitionCol)
+    require(!dataSchema.fieldNames.contains(pName),
+      s"graftlake: partition column '$pName' collides with a data column")
+    val partitionSchema = StructType(Seq(
+      StructField(pName, StringType, nullable = false)))
     HadoopFsRelation(
       location = new GraftLakeFileIndex(root, locations, partitionSchema,
         filesFor, statBytes),

@@ -159,6 +159,58 @@ class GraftLakeSqlSpec extends SparkSpec {
       "DROP TABLE must remove the table directory")
   }
 
+  test("DELETE FROM is partition-granular and metadata-only; finer predicates are refused; CTAS builds a committed table") {
+    val s = spark
+    import s.implicits._
+    val root = freshCatalogRoot()
+    val t = buildTable(root)
+    install(root)
+    // DELETE a whole partition: one metadata commit, zero data moved
+    val slotsBefore = CommitLog.committedVersions(t).size
+    spark.sql("DELETE FROM lakespec.t WHERE pday = 'c'")
+    assert(CommitLog.committedVersions(t).size === slotsBefore + 1,
+      "DELETE must land exactly one commit")
+    val (_, del) = CommitLog.readLog(t).last
+    assert(del.op === "delete" && del.partitions === Seq("c") &&
+      del.partBytes === Map("c" -> 0L),
+      s"the delete entry must own exactly the named partition: $del")
+    assert(rows(spark.sql("SELECT * FROM lakespec.t")) ===
+      Seq((2L, 20L, "b"), (9L, 90L, "a")))
+    // old versions stay time-travelable past the delete
+    assert(rows(spark.sql("SELECT * FROM lakespec.t VERSION AS OF 2"))
+      .exists(_._3 == "c"),
+      "the pre-delete snapshot must still serve the partition")
+    // IN-list deletes work; deleting nothing-owned is a no-op
+    spark.sql("DELETE FROM lakespec.t WHERE pday IN ('a', 'zz')")
+    assert(rows(spark.sql("SELECT * FROM lakespec.t")) ===
+      Seq((2L, 20L, "b")))
+    val n = CommitLog.committedVersions(t).size
+    spark.sql("DELETE FROM lakespec.t WHERE pday = 'nope'")
+    assert(CommitLog.committedVersions(t).size === n,
+      "deleting an unowned partition must not commit")
+    // a ROW-LEVEL predicate is refused loudly (DV merges own that)
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM lakespec.t WHERE k = 2")
+    }
+    assert(ex.getMessage.contains("DELETE") ||
+      ex.getMessage.contains("delete"), ex.getMessage)
+    assert(rows(spark.sql("SELECT * FROM lakespec.t")) ===
+      Seq((2L, 20L, "b")), "a refused delete must change nothing")
+    // CTAS: create + populate in one statement, committed through the
+    // log, partitioned, immediately readable
+    spark.sql(
+      "CREATE TABLE lakespec.ctas USING graftlake PARTITIONED BY (pday) " +
+        "AS SELECT k * 10 AS k, v, pday FROM lakespec.t VERSION AS OF 1")
+    assert(rows(spark.sql("SELECT * FROM lakespec.ctas")) ===
+      Seq((10L, 10L, "a"), (20L, 20L, "b"), (30L, 30L, "c")))
+    assert(CommitLog.committedVersions(s"$root/ctas") === Seq(1L),
+      "CTAS must land as a committed first version")
+    val (_, ctasEntry) = CommitLog.readLog(s"$root/ctas").last
+    assert(ctasEntry.partitions === Seq("a", "b", "c") &&
+      ctasEntry.partBytes.keySet === Set("a", "b", "c"),
+      "the CTAS commit must carry hive partitions + stats")
+  }
+
   test("a layered key-domain table reads through SQL (keyColumn from table properties)") {
     val s = spark
     import s.implicits._

@@ -84,6 +84,32 @@ class LakeSoakPropertySpec extends AnyFunSuite {
       }
     })
     monitor.start()
+    // invariant 3, DURING the run: a concurrent reader's resolved plan
+    // must always be servable — resolution never throws unexpectedly
+    // and every path it returns exists (committed owners are immutable
+    // and never vacuumed; a reader racing checkpoint/expiry/vacuum
+    // must not observe a torn state)
+    val reader = new Thread(() => {
+      while (running) {
+        try {
+          (CommitLog.resolveForRead(root) - CommitLog.SchemaPartition)
+            .foreach {
+              case (p, Left((v, dp))) =>
+                if (!new java.io.File(root, dp).exists())
+                  violations.add(s"mid-run: owner of $p gone: v$v $dp")
+              case (p, Right(stack)) => stack.foreach { case (v, dp, _) =>
+                if (!new java.io.File(root, dp).exists())
+                  violations.add(s"mid-run: layer of $p gone: v$v $dp")
+              }
+            }
+        } catch { case t: Throwable =>
+          violations.add(s"mid-run resolution threw: " +
+            s"${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+        Thread.sleep(3)
+      }
+    })
+    reader.start()
     // seed commit so layers/compaction always have a base
     successes.add(Success(
       CommitLog.tryCommit(root, Entry("seed", "ingest",
@@ -188,7 +214,7 @@ class LakeSoakPropertySpec extends AnyFunSuite {
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    running = false; monitor.join()
+    running = false; monitor.join(); reader.join()
     // final vacuum, then check every invariant
     graft.io.GraftLakeSource.vacuum(root, retainMillis = 60000L)
     val plan = CommitLog.resolveForRead(root) - CommitLog.SchemaPartition
