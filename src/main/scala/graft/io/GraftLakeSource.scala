@@ -223,23 +223,41 @@ object GraftLakeSource {
       .foreach { d =>
         rmTreeLocal(d); swept += s"_lake_cache/${d.getName}"
       }
-    // 3: unreferenced, old-enough sink staging. The reference set is
-    // the CONSERVATIVE one: committed, aborted, AND in-flight entries
-    // (a stalled claim can still commit — sweeping its staging would
-    // be a lost update at commit time) plus checkpoint-folded owners
-    // (an expired slot's data can be the live owner the fold serves).
+    // 3: unreferenced, old-enough staging under data/. The reference
+    // set is the CONSERVATIVE one: committed, aborted, AND in-flight
+    // entries (a stalled claim can still commit — sweeping its staging
+    // would be a lost update at commit time) plus checkpoint-folded
+    // owners (an expired slot's data can be the live owner the fold
+    // serves). Two namespaces:
+    //   - sink batch dirs (`data/stream_*/b*`) — zombie duplicates
+    //     and abandoned rebase attempts of crashed sinks;
+    //   - TOP-LEVEL writer staging (`data/<writer>_<uuid>`) — a batch
+    //     writer that crashed BEFORE claiming a slot left staging no
+    //     entry ever names (invisible to the precise aborted-entry
+    //     sweep); age + non-reference make it reclaimable. Nesting is
+    //     respected both ways, so a referenced child keeps its parent.
     val referenced = CommitLog.referencedPaths(root)
+    def nests(a: String, b: String) =
+      a == b || a.startsWith(b + "/") || b.startsWith(a + "/")
+    def unreferenced(rel: String) = !referenced.exists(nests(rel, _))
     val dataRoot = new java.io.File(root, "data")
-    Option(dataRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
-      .filter(d => d.isDirectory && d.getName.startsWith("stream_"))
+    val topDirs = Option(dataRoot.listFiles()).map(_.toSeq).getOrElse(Nil)
+      .filter(_.isDirectory)
+    topDirs.filter(_.getName.startsWith("stream_"))
       .flatMap(sd => Option(sd.listFiles()).map(_.toSeq).getOrElse(Nil)
         .map(b => (sd.getName, b)))
       .filter { case (sn, b) =>
         b.isDirectory && b.lastModified() < cutoff &&
-          !referenced(s"data/$sn/${b.getName}")
+          unreferenced(s"data/$sn/${b.getName}")
       }
       .foreach { case (sn, b) =>
         rmTreeLocal(b); swept += s"data/$sn/${b.getName}"
+      }
+    topDirs.filterNot(_.getName.startsWith("stream_"))
+      .filter(d => d.lastModified() < cutoff &&
+        unreferenced(s"data/${d.getName}"))
+      .foreach { d =>
+        rmTreeLocal(d); swept += s"data/${d.getName}"
       }
     swept.toSeq.sorted
   }
@@ -1173,8 +1191,12 @@ object GraftLakeStreamSource {
     val (_, e) = dataEntries.last
     val dp = if (new Path(e.dataPath).isAbsolute) e.dataPath
       else s"$root/${e.dataPath}"
+    // a DV layer's staged dir holds keys/ + rows/ — the ROW schema is
+    // the table's (keys are metadata); probing the dir itself would
+    // mix both
+    val probe = if (LakeRead.isDvLayer(dp)) s"$dp/rows" else dp
     val dataSchema = StructType(
-      spark.read.parquet(dp).schema.filterNot(_.name == pName))
+      spark.read.parquet(probe).schema.filterNot(_.name == pName))
     StructType(dataSchema.fields.toSeq ++
       Seq(StructField(pName, StringType, nullable = false)) ++
       (if (cdc) Seq(StructField("_change_type", StringType,
@@ -1255,10 +1277,16 @@ class GraftLakeStreamSource(spark: SparkSession, root: String,
         val dp = if (new Path(en.dataPath).isAbsolute) en.dataPath
           else s"$root/${en.dataPath}"
         en.partitions.flatMap { p =>
-          val loc = partCol match {
+          val base = partCol match {
             case Some(c) => s"$dp/$c=$p"
             case None => dp
           }
+          // a DV layer's STAGED ROWS are its post-images + inserts
+          // (`rows/`); the tombstone keys are metadata, not rows —
+          // the insert-only change stream re-emits staged content,
+          // and for a DV commit that content is rows/
+          val loc =
+            if (LakeRead.isDvLayer(base)) s"$base/rows" else base
           if (!new java.io.File(loc).exists()) None // sentinel/empty
           else Some(spark.read.schema(dataSchema).parquet(loc)
             .withColumn(pName, org.apache.spark.sql.functions.lit(p))

@@ -68,6 +68,14 @@ class DvConnectorSpec extends SparkSpec {
     val plan = frame.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"the DV mask must be a broadcast anti-join:\n$plan")
+    // the streaming surface stays usable when the NEWEST commit is a
+    // DV layer: schema inference probes rows/ (keys are metadata, and
+    // the mixed keys+rows dir would otherwise poison the probe)
+    val sch = GraftLakeStreamSource.streamSchema(s, root,
+      Map("root" -> root))
+    assert(sch.fieldNames.toSeq ===
+      Seq("k", "v", "_partition", "_commit_version"),
+      s"stream schema over a DV-headed table: ${sch.fieldNames.toSeq}")
   }
 
   test("connector DV read is bit-equal to q_merge_dv's compacted resolution (gen1) on the shared fixture") {

@@ -567,6 +567,24 @@ class GraftLakeSpec extends SparkSpec {
       "a checkpoint-folded owner's staging must never be swept")
     assert(s.read.format("graftlake").load(root)
       .where(col("_partition") === "p2").count() === 1L)
+    // a batch writer that crashed BEFORE claiming a slot: its staging
+    // is referenced by NO entry (the precise aborted-entry sweep can't
+    // see it) — reclaimed by age + non-reference once past retention,
+    // while a fresh unreferenced dir and every referenced owner survive
+    val crashed = new java.io.File(s"$root/data/crashed_writer_ab12")
+    assert(crashed.mkdirs())
+    crashed.setLastModified(
+      System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    val freshBatch = new java.io.File(s"$root/data/live_writer_cd34")
+    assert(freshBatch.mkdirs())
+    val sweptBatch = GraftLakeSource.vacuum(root)
+    assert(sweptBatch.contains("data/crashed_writer_ab12"),
+      "aged unreferenced batch staging must be reclaimed")
+    assert(!sweptBatch.contains("data/live_writer_cd34") &&
+      freshBatch.exists(),
+      "in-retention batch staging must survive")
+    assert(s.read.format("graftlake").load(root).count() === 11L,
+      "referenced owners must survive the generic data/ sweep")
     // an IN-FLIGHT claim's staging survives too (the stalled writer
     // can still commit)
     val stalled = new java.io.File(s"$root/data/stream_s3/b0_r5_live")
