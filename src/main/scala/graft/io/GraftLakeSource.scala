@@ -458,12 +458,25 @@ object GraftLakeSource {
             s"table_changes: commit v$v rewrote partition(s) " +
               s"${rewritten.take(5).mkString(", ")} without a stored " +
               "change feed — write with option('changeFeed', 'true')")
-          dataParts.flatMap { p =>
-            val loc = partDir(e.dataPath, p)
-            if (!new java.io.File(loc).exists()) None
-            else Some(spark.read.parquet(loc)
-              .withColumn(pName, lit(p))
-              .withColumn(ct, lit("insert")))
+          val dirs = dataParts.map(p => (p, partDir(e.dataPath, p)))
+            .filter { case (_, loc) => new java.io.File(loc).exists() }
+          (dirs, partCol) match {
+            case (Nil, _) => Nil
+            case (ds, Some(c)) =>
+              // ONE partitioned read over every first-ownership dir —
+              // a frame per partition would put |partitions| scan legs
+              // into the union plan for what is a single commit's data
+              val dataSch = spark.read.parquet(ds.head._2).schema
+              val full = StructType(dataSch.fields :+
+                StructField(c, StringType, nullable = true))
+              Seq(spark.read.schema(full)
+                .option("basePath", located(e.dataPath))
+                .parquet(ds.map(_._2): _*)
+                .withColumn(ct, lit("insert")))
+            case (ds, None) =>
+              ds.map { case (p, loc) => spark.read.parquet(loc)
+                .withColumn(pName, lit(p))
+                .withColumn(ct, lit("insert")) }
           }
         }
       legs.map(_.withColumn("_commit_version", lit(v)))
