@@ -159,11 +159,74 @@ class GraftLakeCatalog extends TableCatalog {
     new GraftLakeTable(ident.name, dir.getPath, props, None)
   }
 
+  /** `ALTER TABLE … RENAME COLUMN` through the SCHEMA-COMMIT protocol
+    * ([[CommitLog.commitSchema]] — round 19): the resolved
+    * logical→physical mapping is staged as an immutable parquet
+    * artifact and flipped live by one metadata commit that conflicts
+    * with EVERY concurrent rival (the metadata-clash rule), retried
+    * from a fresh stable base on conflict. Bytes are never touched —
+    * renames are O(columns) metadata at any table size — and schema
+    * TIME TRAVEL falls out: `VERSION AS OF` before the rename serves
+    * the old names over the same files. Other ALTERs (type changes,
+    * drops through SQL) stay refused: they are the schema-commit
+    * API's job with explicit mappings, not silent catalog mutation. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graftlake: ALTER TABLE flows through schema commits " +
-        "(CommitLog.commitSchema), not catalog mutation")
+                          changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val root = dir.getPath
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "graftlake: nested-field renames are not supported")
+        val from = r.fieldNames.head
+        val to = r.newName
+        var tries = 0
+        var done = false
+        while (!done) {
+          val base = CommitLog.stableVersion(root)
+          val t = new GraftLakeTable(ident.name, root, readProps(dir),
+            Some(base))
+          // current mapping, or the identity mapping synthesized from
+          // the physical schema on a table never altered before
+          val current = t.columnMapping.getOrElse {
+            val pCol = t.partitionColName
+            t.v1Relation.schema.filterNot(_.name == pCol)
+              .map(f => (f.name, f.name, f.dataType.sql)).toSeq
+          }
+          require(current.exists(_._1 == from),
+            s"RENAME COLUMN: no column '$from' in ${ident.name} " +
+              s"(have ${current.map(_._1).mkString(", ")})")
+          require(!current.exists(_._1 == to),
+            s"RENAME COLUMN: column '$to' already exists")
+          val next = current.map { case (lg, ph, dt) =>
+            (if (lg == from) to else lg, ph, dt) }
+          val mp = s"schema/v${base + 1}_" +
+            java.util.UUID.randomUUID().toString.take(8)
+          val sq = spark
+          import sq.implicits._
+          next.toDF("logical", "physical", "dtype")
+            .coalesce(1).write.parquet(s"$root/$mp")
+          try {
+            CommitLog.commitSchema(root, s"sql_${ident.name}",
+              s"rename:$from->$to", mp, base)
+            done = true
+          } catch {
+            case e: CommitLog.CommitConflict =>
+              tries += 1
+              if (tries > 8) throw e
+              Thread.sleep(1L << math.min(tries, 7))
+          }
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graftlake ALTER TABLE supports RENAME COLUMN only " +
+          s"(got ${other.getClass.getSimpleName}) — other schema " +
+          "changes flow through CommitLog.commitSchema with an " +
+          "explicit mapping")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)
@@ -232,13 +295,46 @@ class GraftLakeTable(tableName: String, val tableRoot: String,
     new GraftLakeDataSource().createRelation(
       SparkSession.active.sqlContext, readOptions)
 
-  /** True while the table has no committed data — resolvable (via the
-    * declared schema) but not yet readable as a relation. */
+  /** True while the table has no committed DATA — resolvable (via the
+    * declared schema) but not yet readable as a relation. Schema
+    * commits alone don't make a table non-empty. */
   def isEmptyTable: Boolean =
-    CommitLog.committedVersions(tableRoot).isEmpty
+    (CommitLog.resolveForRead(tableRoot) - CommitLog.SchemaPartition)
+      .isEmpty
+
+  /** The ACTIVE column mapping at this table's pinned version
+    * ([[CommitLog.schemaHistory]]): (logical, physical, dtype) rows,
+    * sorted by logical name — None while the table has no schema
+    * commits (logical ≡ physical). SQL reads project through it
+    * ([[GraftLakeV2Conversion]]), SQL writes map logical → physical
+    * before staging, and `ALTER TABLE … RENAME COLUMN` appends to it
+    * through the schema-commit protocol. */
+  lazy val columnMapping: Option[Seq[(String, String, String)]] =
+    CommitLog.schemaHistory(tableRoot,
+      versionAsOf.getOrElse(Long.MaxValue)).lastOption.map {
+      case (_, _, mp) =>
+        val loc = if (new java.io.File(mp).isAbsolute) mp
+          else s"$tableRoot/$mp"
+        SparkSession.active.read.parquet(loc)
+          .select("logical", "physical", "dtype").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+          .sortBy(_._1).toSeq
+    }
+
+  private[io] def partitionColName: String =
+    props.getOrElse("partitionColumn", GraftLakeSource.VirtualPartitionCol)
 
   override lazy val schema: StructType =
-    if (!isEmptyTable) v1Relation.schema
+    if (!isEmptyTable) columnMapping match {
+      case None => v1Relation.schema
+      case Some(m) =>
+        // LOGICAL schema: mapped data columns + the partition column
+        StructType(m.map { case (lg, _, dt) =>
+          org.apache.spark.sql.types.StructField(lg,
+            org.apache.spark.sql.types.DataType.fromDDL(dt))
+        } :+ org.apache.spark.sql.types.StructField(partitionColName,
+          org.apache.spark.sql.types.StringType, nullable = false))
+    }
     else props.get("schemaJson")
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[StructType])
@@ -272,9 +368,6 @@ class GraftLakeTable(tableName: String, val tableRoot: String,
     * unsupported): row-level deletes are the DV merge tier's job
     * (`q_lake_read_dv`) — silently rewriting partitions here would
     * hide a table-size-proportional cost behind DELETE syntax. */
-  private def partitionColName: String =
-    props.getOrElse("partitionColumn", GraftLakeSource.VirtualPartitionCol)
-
   private def deletePartitions(filters: Array[Filter]): Option[Seq[String]] = {
     val pName = partitionColName
     val legs = filters.toSeq.map {
@@ -327,10 +420,23 @@ class GraftLakeTable(tableName: String, val tableRoot: String,
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
             val m = if (overwrite) SaveMode.Overwrite else mode
+            // a mapped table receives LOGICAL columns from SQL; the
+            // physical files store immutable physical ids — project
+            // before staging (the reverse of the read-side mapping)
+            val physData = columnMapping match {
+              case None => data
+              case Some(mp) =>
+                val pCol = partitionColName
+                data.select(mp.map { case (lg, ph, _) =>
+                  org.apache.spark.sql.functions.col(lg).as(ph)
+                } ++ (if (data.columns.contains(pCol))
+                  Seq(org.apache.spark.sql.functions.col(pCol))
+                else Nil): _*)
+            }
             new GraftLakeDataSource().createRelation(
               data.sparkSession.sqlContext, m,
               props ++ Map("path" -> tableRoot,
-                "writer" -> s"sql_${tableName}"), data)
+                "writer" -> s"sql_${tableName}"), physData)
             ()
           }
       }

@@ -58,9 +58,37 @@ case class GraftLakeV2Conversion(spark: SparkSession)
           // its declared schema (the CREATE→SELECT flow), not an error
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
             r.output)
-        else
-          LogicalRelation(t.v1Relation, r.output, None,
-            isStreaming = false, None)
+        else t.columnMapping match {
+          case None =>
+            LogicalRelation(t.v1Relation, r.output, None,
+              isStreaming = false, None)
+          case Some(mapping) =>
+            // SCHEMA-MAPPED table: the physical relation is wrapped in
+            // a projection binding logical names (and the v2 output's
+            // exprIds, so references above stay bound) to immutable
+            // physical ids — a mapped-but-absent id (a re-added
+            // column) reads as typed NULL; the partition column rides
+            // through unmapped. Filters on logical names push through
+            // the aliases into the scan as usual.
+            import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
+            import org.apache.spark.sql.catalyst.plans.logical.Project
+            val physRel = LogicalRelation(t.v1Relation)
+            val byPhys = physRel.output.map(a => a.name -> a).toMap
+            val toPhys = mapping.map { case (lg, ph, _) => lg -> ph }.toMap
+            val projected = r.output.map { out =>
+              toPhys.get(out.name) match {
+                case Some(ph) => byPhys.get(ph) match {
+                  case Some(src) => Alias(src, out.name)(exprId = out.exprId)
+                  case None => Alias(
+                    Literal.create(null, out.dataType), out.name)(
+                    exprId = out.exprId)
+                }
+                case None => // the partition/virtual column
+                  Alias(byPhys(out.name), out.name)(exprId = out.exprId)
+              }
+            }
+            Project(projected, physRel)
+        }
     }
   }
 }

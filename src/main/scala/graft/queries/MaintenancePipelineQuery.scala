@@ -1534,11 +1534,19 @@ object MaintenancePipelineQuery {
     *     fresh ids +10⁹, vc+7) through the DSv2 V1Write fallback →
     *     the connector's optimistic-commit append — the readout is
     *     the head AFTER the SQL insert, derived independently by the
-    *     oracle.
+    *     oracle;
+    *   - `5_delete_sql`: `DELETE FROM … WHERE pday = <day 3>` on the
+    *     same table — the PARTITION-GRANULAR metadata-only delete
+    *     ([[graft.io.GraftLakeTable]]'s `SupportsDelete`): one empty-
+    *     owner commit, and the readout after it must drop exactly day
+    *     3's rows while every other partition (original and inserted)
+    *     rides along — a delete that leaked rows, dropped a neighbor,
+    *     or rewrote data hash-fails.
     *
     * Scale shape: identical to the connector's (the SQL surface adds
     * only analysis-time conversion — no new exchanges, no new scans);
-    * the insert is the write path's delta-proportional append. */
+    * the insert is the write path's delta-proportional append; the
+    * delete is one metadata commit at any table size. */
   private def lakeSql(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.CommitLog
     val root = ensureLakeWrite(spark, dir)
@@ -1578,13 +1586,23 @@ object MaintenancePipelineQuery {
       "SELECT event_id, vc, pday FROM lake_sql_ins_src")
     require(CommitLog.committedVersions(insRoot) == Seq(1L, 2L),
       "the SQL insert must land exactly one commit")
+    val insertStats = stats(spark.sql(s"SELECT * FROM lake.`$insName`"),
+      "4_insert_sql").localCheckpoint(true) // BEFORE the delete mutates
+    // the partition-granular SQL DELETE: day 3's hive value, looked up
+    // from the data (one 1-row driver agg)
+    val day3 = e.filter(col("dom") === 3)
+      .agg(max("pday")).head().getString(0)
+    spark.sql(s"DELETE FROM lake.`$insName` WHERE pday = '$day3'")
+    require(CommitLog.committedVersions(insRoot) == Seq(1L, 2L, 3L),
+      "the SQL delete must land exactly one commit")
     stats(spark.sql(s"SELECT * FROM $t"), "1_head_sql")
       .unionAll(stats(spark.sql(s"SELECT * FROM $t VERSION AS OF 1"),
         "2_asof_sql"))
       .unionAll(stats(spark.sql(
         s"SELECT * FROM $t TIMESTAMP AS OF '$ts2'"), "3_ts_sql"))
+      .unionAll(insertStats)
       .unionAll(stats(spark.sql(s"SELECT * FROM lake.`$insName`"),
-        "4_insert_sql"))
+        "5_delete_sql"))
       .orderBy("step")
   }
 
@@ -1610,9 +1628,9 @@ object MaintenancePipelineQuery {
        |  UNION ALL
        |  SELECT event_id + 1000000000, vc + 7 FROM e WHERE dom >= 21),
        |ins AS (
-       |  SELECT event_id, vc FROM e WHERE dom <= 5
+       |  SELECT event_id, vc, dom FROM e WHERE dom <= 5
        |  UNION ALL
-       |  SELECT event_id + 1000000000, vc + 7 FROM e
+       |  SELECT event_id + 1000000000, vc + 7, dom FROM e
        |  WHERE dom BETWEEN 6 AND 8),
        |rows_ AS (
        |  ${stats("1_head_sql", "v3")}
@@ -1621,7 +1639,9 @@ object MaintenancePipelineQuery {
        |  UNION ALL
        |  ${stats("3_ts_sql", "v2")}
        |  UNION ALL
-       |  ${stats("4_insert_sql", "ins")})
+       |  ${stats("4_insert_sql", "ins")}
+       |  UNION ALL
+       |  ${stats("5_delete_sql", "(SELECT * FROM ins WHERE dom <> 3)")})
        |SELECT step, n_rows, key_xor, vc_sum
        |FROM rows_ ORDER BY step""".stripMargin
   }
