@@ -683,7 +683,7 @@ object CorpusQueries {
   }
 
   private def winnowSpans(spark: SparkSession, dir: String): DataFrame = {
-    val fps = winnowFingerprints(Tables.documents(spark, dir))
+    val fps = winnowFingerprints(Tables.documentsFan(spark, dir))
     val sharing = fps.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
     fps.join(sharing, Seq("h"))

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  // documentsFan: the codec kernels behind mediaFromDocuments are the
+  // heaviest per-row work in the repo and the fixture scan plans one
+  // task (Fanout's doc has the measured trade; the light dedup
+  // variants below keep the plain read on the same measurements).
   private def media(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+    Multimodal.mediaFromDocuments(Tables.documentsFan(spark, dir))
 
   /** DuckDB fragment: the shared gray-8 pixel formula at flat index
     * `i` of image `doc_id` — must match [[Multimodal.pixelAt]]. */
@@ -480,7 +484,7 @@ object MultimodalQueries {
   private def videoDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val hashed = graft.ops.SideCache.persist(
-      Tables.documents(spark, dir)
+      Tables.documentsFan(spark, dir)
         .filter(col("doc_id") % 3 === 2)
         .select(col("doc_id"), col("n_chars")).as[(Long, Long)]
         .mapPartitions(_.flatMap { case (id, nc) =>

@@ -50,7 +50,7 @@ object RagPipelineQuery {
   private val LshBits = 4    // index key = sign bits of dims 0..3
 
   private def run(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFan(spark, dir)
 
     // ---- stage 1: passage-dedup rewrite (q_passage_dedup kernel)
     val pass = docs.select(col("doc_id"),

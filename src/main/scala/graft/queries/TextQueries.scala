@@ -403,7 +403,7 @@ object TextQueries {
     * ≤32-row broadcast cross with the 1-row total. */
   private def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val freq = graft.ops.SideCache.persist(
-      Tables.documents(spark, dir)
+      Tables.documentsFan(spark, dir)
         .select(explode(TF.tokens(col("text"))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt")))
     val total = freq.agg(sum("cnt").as("total"),
@@ -1710,7 +1710,7 @@ object TextQueries {
     * oracle-replicated integer kernels; the probe is
     * O(\|cohort\|·9) pairs by construction — never all-pairs. */
   private def lshCurve(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFan(spark, dir)
     def bandsOf(sh: DataFrame, id: String): DataFrame =
       Dedup.minhashSignature(sh, id, "sh").select(col(id),
         array((0 until Dedup.Bands).map(b => Dedup.bandHash(col("sig"), b)): _*)
@@ -2058,7 +2058,7 @@ object TextQueries {
     * plan is exactly this query, so the round cost at 100 TB is one
     * corpus scan + a KB-sized shuffle. */
   private def bpePairs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFan(spark, dir)
       .where(length(col("text")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
@@ -2189,7 +2189,7 @@ object TextQueries {
 
   private def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = Tables.documents(spark, dir)
+    val words = Tables.documentsFan(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
     val table = graft.text.Bpe.train(words, BpeTrainK)
     // the oracle's CTE chain is unrolled exactly K deep; a thinner
@@ -2266,7 +2266,7 @@ object TextQueries {
     * ([[graft.text.Bpe]]); the apply side is one corpus scan with the
     * learned table folded in as literals. */
   private def bpePipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFan(spark, dir)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
     val merges = graft.text.Bpe.train(words, BpeTrainK)
     require(merges.length == BpeTrainK,
@@ -2317,7 +2317,7 @@ object TextQueries {
     * scripts' fertility blows up, which is the point of the metric;
     * the spec pins the arithmetic and the merges-fired contract.) */
   private def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFan(spark, dir)
     val words = docs.select(explode(split(col("text"), " ")).as("word"))
     val merges = graft.text.Bpe.train(words, BpeTrainK)
     require(merges.length == BpeTrainK,
@@ -2387,7 +2387,7 @@ object TextQueries {
   private val SweepKs = Seq(8, 16, 32)
 
   private def fertilitySweep(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+    val words = Tables.documentsFan(spark, dir)
       .select(explode(split(col("text"), " ")).as("word"))
     val merges = graft.text.Bpe.train(words, SweepKs.max)
     require(merges.length == SweepKs.max,

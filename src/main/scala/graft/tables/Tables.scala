@@ -43,5 +43,18 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+
+  /** documents behind [[graft.ops.Fanout]]'s unsplittable-input
+    * branch, for consumers whose first post-scan projection is
+    * per-row EXPENSIVE (media codec kernels, tokenizer regex chains,
+    * shingle explodes): the fixture's single-row-group scan plans ONE
+    * task, so without the fan-out those kernels run single-threaded.
+    * Deliberately NOT the default read: for scan→agg consumers the
+    * extra exchange plus 32-task stages cost more than the 1-task
+    * scan (measured r19: q_bm25 0.36→0.71 s fanned, while
+    * q_media_resize 2.58→0.88 s — the trade is real in both
+    * directions, so each call site picks by measurement). */
+  def documentsFan(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Fanout(documents(spark, dir))
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }

@@ -49,9 +49,31 @@ object Bpe {
     * vocabularies follow Zipf, so |vocab| ≪ corpus words by orders of
     * magnitude and the K per-round regex folds run over a frame that
     * no longer grows with the corpus at all. */
+  /** Vocabulary bound below which the K rounds run on the DRIVER over
+    * the collected dict (the `connectedComponents` driver-tier
+    * precedent: bounded state, distributed fallback above the bound).
+    * The distributed loop pays ~3 scheduled jobs per round — pure
+    * fixed cost once the dict is KB-sized — so a 32-round training on
+    * a Zipf vocabulary was seconds of scheduling over microseconds of
+    * regex work. Both tiers run the SAME java.util.regex machinery
+    * (Spark's regexp_replace/rlike compile to it), so the learned
+    * table is bit-identical; BpeDriverTierSpec pins tier equality. */
+  val DriverVocabMax = 1 << 16
+
   def train(words: DataFrame, k: Int): Seq[(String, Long)] = {
     val wc = graft.ops.SideCache.persist(
       words.groupBy("word").agg(count(lit(1)).as("wn")))
+    if (wc.count() <= DriverVocabMax) {
+      val dict = wc.collect().map(r => (r.getString(0), r.getLong(1)))
+      trainLocal(dict, k)
+    } else trainDistributed(wc, k)
+  }
+
+  /** The distributed tier: K scheduled rounds over the persisted dict
+    * frame — the 100 TB-vocabulary path (and the reference the driver
+    * tier is pinned against by BpeDriverTierSpec). */
+  private[text] def trainDistributed(wc: DataFrame, k: Int)
+      : Seq[(String, Long)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     var stream: Column = regexp_replace(col("word"), "(.)", " $1 ")
     var r = 0
@@ -73,6 +95,85 @@ object Bpe {
       out += ((pr, top(0).getLong(1)))
       val Array(a, b) = pr.split(" ")
       stream = regexp_replace(stream, s" $a  $b ", s" $a$b ")
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** Spark `trim` trims ONLY ASCII spaces (UTF8String.trim), while
+    * java.lang.String#trim also strips every control char ≤ U+0020 —
+    * the driver tier must match the distributed expression exactly. */
+  private def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  private val PairRe = java.util.regex.Pattern.compile("^[a-z0-9]+ [a-z0-9]+$")
+
+  /** The driver tier: the identical recurrence over the collected
+    * (word, weight) dict. Every string operation below is the same
+    * java.util.regex / byte-comparable-ASCII semantics the distributed
+    * expressions compile to:
+    *  - stream init  = `regexp_replace(word, "(.)", " \$1 ")`;
+    *  - symbolization = `split(trim(stream), "  ")` (space-only trim,
+    *    limit −1 — trailing empties kept, as Spark's split does);
+    *  - candidate filter = `rlike("^[a-z0-9]+ [a-z0-9]+$")`, so every
+    *    countable pair is ASCII alnum + one space and the (n DESC,
+    *    pair ASC) argmax agrees between UTF8String byte order and
+    *    String order;
+    *  - merge = one left-to-right non-overlapping `replaceAll` of the
+    *    space-wrapped pair — Java regex, exactly Spark's
+    *    regexp_replace.
+    * Streams are carried ACROSS rounds (apply merge r once) — the
+    * same strings the distributed fold re-derives per round, by
+    * construction of function composition. */
+  private def trainLocal(dict: Array[(String, Long)], k: Int)
+      : Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val streams = dict.map { case (w, _) => w.replaceAll("(.)", " $1 ") }
+    val weights = dict.map(_._2)
+    var r = 0
+    while (r < k) {
+      val counts = new java.util.HashMap[String, Long]()
+      var wi = 0
+      while (wi < streams.length) {
+        val syms = trimSpaces(streams(wi)).split("  ", -1)
+        if (syms.length >= 2) {
+          val wn = weights(wi)
+          var i = 0
+          while (i < syms.length - 1) {
+            val pr = syms(i) + " " + syms(i + 1)
+            if (PairRe.matcher(pr).matches())
+              counts.put(pr, counts.getOrDefault(pr, 0L) + wn)
+            i += 1
+          }
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) return out.toSeq
+      var bestPr: String = null
+      var bestN = Long.MinValue
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > bestN ||
+            (e.getValue == bestN && e.getKey.compareTo(bestPr) < 0)) {
+          bestPr = e.getKey
+          bestN = e.getValue
+        }
+      }
+      out += ((bestPr, bestN))
+      val Array(a, b) = bestPr.split(" ")
+      val pat = s" $a  $b "
+      val rep = s" $a$b "
+      wi = 0
+      while (wi < streams.length) {
+        streams(wi) = streams(wi).replaceAll(pat, rep)
+        wi += 1
+      }
       r += 1
     }
     out.toSeq
