@@ -20,22 +20,39 @@ object Scratch {
         val t0 = System.nanoTime()
         val n = f
         println(f"[scratch] $name%-28s rep$r ${(System.nanoTime() - t0) / 1e9}%7.3f s  (n=$n)")
+        graft.ops.SideCache.releaseAll()
+        spark.catalog.clearCache()
       }
     }
-    val docs = graft.tables.Tables.documents(spark, dir)
-    time("docs.count")(docs.count())
-    time("docs text len sum")(docs.agg(sum(length(col("text")))).count())
-    val pg = docs.where(length(col("text")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))"))
-        .as("pg"))
-    time("explode count")(pg.count())
-    val agg = pg.groupBy("pg").agg(count(lit(1)).as("n"))
-    time("agg count")(agg.count())
-    time("full q_bpe_pairs")(
-      agg.orderBy(col("n").desc, col("pg")).limit(10).count())
-    time("full via queries map")(
-      SparkEntry.queries("q_bpe_pairs")(spark, dir).count())
+    import graft.sim.{Hnsw, Similarity}
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
+    time("ensureGraph (cached)")({ Hnsw.ensureGraph(spark, emb, dir); 0L })
+    time("withLevels count")(Hnsw.withLevels(emb).count())
+    time("search all")({
+      val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+      val adjs = (0 to Hnsw.MaxLevel).map(l =>
+        graft.ops.SideCache.persist(spark.read.parquet(s"$gRoot/e$l")))
+      val (vis, _, top10) = Hnsw.search(base, adjs)
+      top10.count()
+    })
+    time("beamSearch all")({
+      val base = graft.ops.SideCache.persist(Hnsw.withLevels(emb))
+      val adjs = (0 to Hnsw.MaxLevel).map(l =>
+        graft.ops.SideCache.persist(spark.read.parquet(s"$gRoot/e$l")))
+      val (vis, fin) = Hnsw.beamSearch(base, adjs, Seq(1, 2, 4, 8))
+      vis.count()
+    })
+    val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
+    time("serveStored")({
+      Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta")).count()
+    })
+    val del = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    time("compactDelete 2 segs")({
+      Similarity.ivfPqCompactDelete(spark, path, del,
+        Seq("codes", "codes_delta")).length.toLong
+    })
     spark.stop()
   }
 }

@@ -204,10 +204,179 @@ object Hnsw {
     root
   }
 
+  // ------------------------------------------------------ driver tier
+  //
+  // The descent is a levels×Hops chain of TINY jobs: a ~|Q|·Σef-row
+  // frontier broadcast into the edge segments, one shared-shuffle
+  // window, a level-end checkpoint. At gate scale that is ~15 driver-
+  // synchronized jobs of pure scheduling around microseconds of
+  // arithmetic (measured r19: q_ann_hnsw ~3.5 s of which the search
+  // was ~3 s). The driver tier below — the `connectedComponents` /
+  // `Bpe.train` bounded-state precedent — collects the query set and
+  // the edge segments when BOTH are bounded and replays the descent
+  // locally with the IDENTICAL integer decisions (same VecDot
+  // sequential float-sum, same floor-quantized icos, same incumbent-
+  // wins/id tie-breaks), falling back to the distributed loop above
+  // either bound. HnswDriverTierSpec pins tier equality row-for-row.
+
+  /** Collected-query bound for the driver tier (the canonical set is
+    * corpus/50 — bounded here, corpus-proportional at 100 TB where the
+    * distributed loop takes over). */
+  val DriverQueryMax = 16384
+  /** Collected-edge bound: |nodes|·M·levels rows carrying the stored
+    * destination vectors (~0.5 KB each) — 2^17 keeps the collect under
+    * ~64 MB, far below driver headroom, and a real corpus graph blows
+    * past it immediately. */
+  val DriverEdgeMax = 1 << 17
+
+  /** The exact icos arithmetic of [[icosCol]] over [[Similarity.dot]]
+    * (VecDot): sequential left-to-right float-promoted products, one
+    * divide, one multiply, floor — bit-identical to the codegen. */
+  private def icosLocal(e: Array[Float], n: Double,
+                        q: Array[Float], qn: Double): Long = {
+    val m = math.min(e.length, q.length)
+    var s = 0.0
+    var i = 0
+    while (i < m) { s += e(i).toDouble * q(i).toDouble; i += 1 }
+    math.floor(s / (n * qn) * IcosScale.toDouble).toLong
+  }
+
+  private final case class LEdge(dst: Long, demb: Array[Float], dnrm: Double)
+
+  /** Try the driver tier: collect queries/entry/edges under the
+    * bounds and run the beam descent locally. Returns per-ef visited
+    * rows (ef, qid, dst, ic) deduped on (ef, qid, dst), and the final
+    * frontier (ef, qid, cur, cic) — exactly the frames the
+    * distributed loop materializes. None above either bound. */
+  private def localBeamRows(base: DataFrame, adjs: Seq[DataFrame],
+                            efs: Seq[Int])
+      : Option[(Seq[(Int, Long, Long, Long)], Seq[(Int, Long, Long, Long)])] = {
+    val qRows = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .limit(DriverQueryMax + 1).collect()
+    if (qRows.length > DriverQueryMax) return None
+    val edgeRows = adjs.map { a =>
+      // count BEFORE collect: callers persist the adjacency frames,
+      // and a bare limit().collect() would bypass cache population —
+      // a computed (patched-graph) adjacency would then be recomputed
+      // from scratch by every downstream readout. The count
+      // materializes the cache; the collect and the readouts read it.
+      if (a.count() > DriverEdgeMax) return None
+      a.select(col("src"), col("dst"), col("demb"), col("dnrm")).collect()
+    }
+    val entry = base.filter(col("lvl") >= MaxLevel)
+      .agg(min("vec_id")).head().getLong(0)
+    val eRow = base.filter(col("vec_id") === entry)
+      .select(col("embedding"), col("nrm")).head()
+    val eEmb = eRow.getSeq[Float](0).toArray
+    val eNrm = eRow.getDouble(1)
+    val adjMaps: IndexedSeq[java.util.HashMap[java.lang.Long, Array[LEdge]]] =
+      edgeRows.map { rows =>
+        val m = new java.util.HashMap[java.lang.Long, scala.collection.mutable.ArrayBuffer[LEdge]]()
+        rows.foreach { r =>
+          m.computeIfAbsent(r.getLong(0), _ => scala.collection.mutable.ArrayBuffer.empty)
+            .append(LEdge(r.getLong(1), r.getSeq[Float](2).toArray, r.getDouble(3)))
+        }
+        val out = new java.util.HashMap[java.lang.Long, Array[LEdge]](m.size() * 2)
+        m.forEach((k, v) => out.put(k, v.toArray))
+        out
+      }.toIndexedSeq
+    val vis = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val seen = scala.collection.mutable.HashSet.empty[(Int, Long, Long)]
+    def visit(ef: Int, qid: Long, dst: Long, ic: Long): Unit =
+      if (seen.add((ef, qid, dst))) vis += ((ef, qid, dst, ic))
+    val fin = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    // frontier cut order: (cic DESC, keep DESC, cur ASC) — the wq
+    // window; candidate dedupe: incumbent (keep=1) wins its slot, and
+    // duplicate candidates collapse (ic is a pure function of
+    // (qid, dst), so only occupancy is at stake) — the wd window.
+    val cutOrd = new Ordering[(Long, Long, Int)] { // (cur, cic, keep)
+      def compare(a: (Long, Long, Int), b: (Long, Long, Int)): Int = {
+        val c1 = java.lang.Long.compare(b._2, a._2) // cic desc
+        if (c1 != 0) c1
+        else {
+          val c2 = java.lang.Integer.compare(b._3, a._3) // keep desc
+          if (c2 != 0) c2 else java.lang.Long.compare(a._1, b._1) // cur asc
+        }
+      }
+    }
+    for (q <- qRows) {
+      val qid = q.getLong(0)
+      val qv = q.getSeq[Float](1).toArray
+      val qn = q.getDouble(2)
+      val cic0 = icosLocal(eEmb, eNrm, qv, qn)
+      for (ef <- efs) {
+        visit(ef, qid, entry, cic0)
+        var state: Array[(Long, Long)] = Array((entry, cic0)) // (cur, cic)
+        var level = MaxLevel
+        while (level >= 0) {
+          var hop = 0
+          while (hop < Hops) {
+            val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            state.foreach { case (cur, _) =>
+              val es = adjMaps(level).get(cur)
+              if (es != null) es.foreach { e =>
+                val ic = icosLocal(e.demb, e.dnrm, qv, qn)
+                visit(ef, qid, e.dst, ic)
+                cands += ((e.dst, ic))
+              }
+            }
+            val byCur = new java.util.HashMap[java.lang.Long, (Long, Long, Int)]()
+            cands.foreach { case (dst, ic) =>
+              if (!byCur.containsKey(dst)) byCur.put(dst, (dst, ic, 0))
+            }
+            state.foreach { case (cur, cic) => byCur.put(cur, (cur, cic, 1)) }
+            val all = new Array[(Long, Long, Int)](byCur.size())
+            var i = 0
+            val it = byCur.values().iterator()
+            while (it.hasNext) { all(i) = it.next(); i += 1 }
+            java.util.Arrays.sort(all, cutOrd)
+            state = all.take(ef).map(t => (t._1, t._2))
+            hop += 1
+          }
+          level -= 1
+        }
+        state.foreach { case (cur, cic) => fin += ((ef, qid, cur, cic)) }
+      }
+    }
+    Some((vis.toSeq, fin.toSeq))
+  }
+
   /** Greedy descent over the layered graph for the canonical query
     * set (vec_id ≡ 0 mod 50). Returns (visited pairs (qid, dst, ic),
     * final per-query state (qid, cur, cic), top-10 (qid, dst)). */
   def search(base: DataFrame, adjs: Seq[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
+    localBeamRows(base, adjs, Seq(1)).foreach { case (visR, finR) =>
+      val spark = base.sparkSession
+      import spark.implicits._
+      val vis = graft.ops.SideCache.persist(
+        visR.map(t => (t._2, t._3, t._4)).toDF("qid", "dst", "ic"))
+      vis.count()
+      val state = finR.map(t => (t._2, t._3, t._4)).toDF("qid", "cur", "cic")
+      // top-10 locally: per qid by (ic DESC, dst ASC), self excluded —
+      // the wf window verbatim
+      val top10 = visR.filter(t => t._3 != t._2)
+        .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(t => (-t._4, t._3)).take(10)
+        }
+        .map(t => (t._2, t._3)).toDF("qid", "dst")
+      return (vis, state, top10)
+    }
+    searchDistributed(base, adjs)
+  }
+
+  /** Test hook: the distributed loop regardless of scale (tier-
+    * equality pinning; never called from query paths). */
+  private[sim] def searchDistributedForTest(base: DataFrame,
+      adjs: Seq[DataFrame]): (DataFrame, DataFrame, DataFrame) =
+    searchDistributed(base, adjs)
+
+  private[sim] def beamSearchDistributedForTest(base: DataFrame,
+      adjs: Seq[DataFrame], efs: Seq[Int]): (DataFrame, DataFrame) =
+    beamSearchDistributed(base, adjs, efs)
+
+  private def searchDistributed(base: DataFrame, adjs: Seq[DataFrame])
       : (DataFrame, DataFrame, DataFrame) = {
     val entry = base.filter(col("lvl") >= MaxLevel)
       .agg(min("vec_id")).head().getLong(0)
@@ -300,6 +469,20 @@ object Hnsw {
     * ONE join); visited stays O(|Q|·levels·Hops·M·max ef). The corpus
     * never shuffles. */
   def beamSearch(base: DataFrame, adjs: Seq[DataFrame], efs: Seq[Int])
+      : (DataFrame, DataFrame) = {
+    localBeamRows(base, adjs, efs).foreach { case (visR, finR) =>
+      val spark = base.sparkSession
+      import spark.implicits._
+      val vis = graft.ops.SideCache.persist(
+        visR.toDF("ef", "qid", "dst", "ic"))
+      vis.count()
+      return (vis, finR.toDF("ef", "qid", "cur", "cic"))
+    }
+    beamSearchDistributed(base, adjs, efs)
+  }
+
+  private def beamSearchDistributed(base: DataFrame, adjs: Seq[DataFrame],
+                                    efs: Seq[Int])
       : (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._

@@ -698,11 +698,16 @@ object Similarity {
     //    the previous live generation stays intact and serving until
     //    the manifest below commits (crash mid-rewrite = readers still
     //    resolve the old generation; nothing was deleted)
+    //    NO pre-write exchange (r19, guide §2.4): the source generation
+    //    is already hive-partitioned by cid, so every scan task holds
+    //    rows of exactly one cid and partitionBy regroups nothing — the
+    //    former repartition(cid) re-shuffled the entire segment just to
+    //    consolidate files the layout already consolidates (task count
+    //    = split count, each split single-cid).
     livePaths.foreach { case (seg, livePath) =>
       spark.read.parquet(s"$path/${prevLive.getOrElse(seg, seg)}")
         .join(broadcast(deleted.select("vec_id")), Seq("vec_id"), "left_anti")
         .select(col("vec_id"), col("codes"), col("cid"))
-        .repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(s"$path/$livePath")
     }
