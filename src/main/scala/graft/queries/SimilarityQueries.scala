@@ -2485,8 +2485,79 @@ object SimilarityQueries {
         .select(col("qid"), col("a"), col("b"),
           (Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
             .as("cosab")))
-    pairs.count() // same rule: scanned by all 5 rounds
+    val nPairs = pairs.count() // same rule: scanned by all 5 rounds
     val slim = cand.select("qid", "id", "rel")
+    val nCand = cand.count() // cached — a metadata-cheap second action
+    return mmrSelect(spark, slim, pairs, nCand, nPairs)
+      .select(col("qid"), col("id").as("vec_id"), col("pick"), col("mmr_q"))
+      .orderBy("qid", "pick")
+  }
+
+  /** Greedy-round bounds for the MMR driver tier: the rounds operate
+    * on the Q·pool relevance rows and Q·pool² pair cosines — BOTH
+    * query-proportional, so corpus-scale runs keep the distributed
+    * round loop; under the bounds the 5 sequential argmax rounds are
+    * pure driver arithmetic over collected doubles (the Bpe/Hnsw
+    * tiered precedent; each distributed round was a join + window +
+    * eager checkpoint of constant cost ~0.3 s against microseconds of
+    * math). MmrDriverTierSpec pins tier equality. */
+  private val MmrCandMax = 1L << 16
+  private val MmrPairsMax = 1L << 20
+
+  private[queries] def mmrSelect(spark: SparkSession, slim: DataFrame,
+      pairs: DataFrame, nCand: Long, nPairs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (nCand <= MmrCandMax && nPairs <= MmrPairsMax) {
+      import spark.implicits._
+      val cand = slim.select(col("qid"), col("id"), col("rel"))
+        .as[(Long, Long, Double)].collect()
+      val pr = pairs.select(col("qid"), col("a"), col("b"), col("cosab"))
+        .as[(Long, Long, Long, Double)].collect()
+      val pairMap = new java.util.HashMap[(Long, Long, Long), java.lang.Double]()
+      pr.foreach { case (q, a, b, c) => pairMap.put((q, a, b), java.lang.Double.valueOf(c)) }
+      val byQ = cand.groupBy(_._1)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Long)]
+      byQ.foreach { case (qid, rows) =>
+        val remaining = scala.collection.mutable.LinkedHashMap.empty[Long, Double]
+        rows.foreach { case (_, id, rel) => remaining.put(id, rel) }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var k = 1
+        while (k <= MmrK && remaining.nonEmpty) {
+          // the distributed round verbatim: maxpen = MAX cosab over the
+          // already-picked set (NULL→0.0 via coalesce), score quantized
+          // with floorEps BEFORE the (mmr_q DESC, id ASC) argmax
+          var bestId = Long.MinValue
+          var bestQ = Long.MinValue
+          remaining.foreach { case (id, rel) =>
+            var maxpen = 0.0
+            var any = false
+            selected.foreach { b =>
+              val boxed = pairMap.get((qid, id, b))
+              if (boxed != null) {
+                val cv: Double = boxed
+                if (!any || cv > maxpen) { maxpen = cv; any = true }
+              }
+            }
+            val pen = if (any) maxpen else 0.0
+            val q = graft.ops.Num.floorEpsLong((rel * 0.7 - pen * 0.3) * 1e6)
+            if (q > bestQ || (q == bestQ && id < bestId)) { bestQ = q; bestId = id }
+          }
+          out += ((qid, bestId, k, bestQ))
+          selected += bestId
+          remaining.remove(bestId)
+          k += 1
+        }
+      }
+      return out.toSeq.toDF("qid", "id", "pick", "mmr_q")
+    }
+    mmrSelectDistributed(spark, slim, pairs)
+  }
+
+  /** The distributed greedy rounds — corpus-scale tier, and the
+    * reference the driver tier is pinned against. */
+  private[queries] def mmrSelectDistributed(spark: SparkSession,
+      slim: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     // greedy rounds: argmax of quantized λ·rel − (1−λ)·maxpen
     var selected = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -2528,8 +2599,6 @@ object SimilarityQueries {
       selected = selected.union(picked).localCheckpoint(true)
     }
     selected
-      .select(col("qid"), col("id").as("vec_id"), col("pick"), col("mmr_q"))
-      .orderBy("qid", "pick")
   }
 
   private val mmrRerankSql = {
