@@ -673,12 +673,22 @@ case class VecPqAdc(left: Expression, right: Expression, kk: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_pq_adc"
 
+  // Width guard (r19): ADC with a codes row encoded against a
+  // different index shape (wrong m) would silently score garbage or
+  // index out of bounds — fail LOUDLY per row instead. This replaces
+  // the former per-segment width-probe job in ivfPqServeStored (one
+  // integer compare per row vs one scheduled job per segment per
+  // serve), and covers every ADC caller, not just the stored serve.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
     var s = 0.0
     var mi = 0
     val m = codes.numElements()
+    if (lut.numElements() != m * kk)
+      throw new IllegalStateException(
+        s"vec_pq_adc: $m-wide codes do not match a ${lut.numElements()}" +
+          s"-entry LUT at cb_k=$kk — segment encoded against a different index shape")
     while (mi < m) {
       s += lut.getDouble(mi * kk + codes.getLong(mi).toInt)
       mi += 1
@@ -691,6 +701,11 @@ case class VecPqAdc(left: Expression, right: Expression, kk: Int)
       val s = ctx.freshName("s")
       val mi = ctx.freshName("mi")
       s"""
+         |if ($b.numElements() != $a.numElements() * $kk)
+         |  throw new IllegalStateException("vec_pq_adc: " + $a.numElements()
+         |    + "-wide codes do not match a " + $b.numElements()
+         |    + "-entry LUT at cb_k=" + $kk
+         |    + " — segment encoded against a different index shape");
          |double $s = 0.0;
          |for (int $mi = 0; $mi < $a.numElements(); $mi++) {
          |  $s += $b.getDouble($mi * $kk + (int) $a.getLong($mi));

@@ -83,11 +83,17 @@ object GovernancePipelineQuery {
   def run(spark: SparkSession, dir: String): DataFrame = {
     val nullL = lit(null).cast("long")
     // ---- stage 1: the tombstone list
+    // conditional aggregation (r19): the tombstone predicate is a pure
+    // projection, so n_before / n_erased / key_xor fold into ONE scan
+    // (bit_xor skips NULLs, so the CASE-gated xor equals the filtered
+    // xor) instead of a count subtree crossed with a filtered subtree.
     val cust = Tables.customer(spark, dir).select(col("c_custkey"))
     val delC = cust.filter(pmod(col("c_custkey"), lit(13L)) === 0)
-    val s1 = cust.agg(count(lit(1)).as("n_before"))
-      .crossJoin(broadcast(delC.agg(count(lit(1)).as("n_erased"),
-        coalesce(expr("bit_xor(c_custkey)"), lit(0L)).as("key_xor"))))
+    val s1 = cust.agg(count(lit(1)).as("n_before"),
+        count(when(pmod(col("c_custkey"), lit(13L)) === 0, 1)).as("n_erased"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN pmod(c_custkey, 13) = 0 THEN c_custkey END)"),
+          lit(0L)).as("key_xor"))
       .select(lit("1_tombstones").as("stage"), lit("customer").as("tier"),
         col("n_before"), col("n_erased"),
         (col("n_before") - col("n_erased")).as("n_after"), col("key_xor"))
@@ -133,9 +139,12 @@ object GovernancePipelineQuery {
     val liveSeg = Similarity.ivfPqCompactDelete(
       spark, annPath, delV, Seq("codes")).head
     // ---- stage 4 WRITE: fact-table erasure rewrite (tombstoned users)
+    // No pre-write exchange (r19, guide §2.4): the stored generation is
+    // already hive-partitioned by day, so every scan task holds rows of
+    // exactly one day and partitionBy regroups nothing — the former
+    // repartition(day) re-shuffled the whole fact table per erasure run.
     val stored = spark.read.parquet(s"$root/events")
     stored.filter(pmod(col("user_id"), lit(13L)) =!= 0)
-      .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day")
       .parquet(s"$root/events_live")
     // ---- the ATOMIC CROSS-TABLE COMMIT: all tiers flip at ONE slot —
@@ -152,19 +161,28 @@ object GovernancePipelineQuery {
     // ---- stage 3 accounting (live read through the resolved slot)
     val codes = spark.read.parquet(s"$annPath/codes").select("vec_id")
     val live = spark.read.parquet(liveTiers("index")).select("vec_id")
-    val dropped = codes.join(broadcast(delV), Seq("vec_id"), "left_semi")
-    val s3 = codes.agg(count(lit(1)).as("n_before"))
-      .crossJoin(broadcast(dropped.agg(count(lit(1)).as("n_erased"),
-        coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("key_xor"))))
+    // one scan of the stored segment (r19): the former count subtree +
+    // semi-join subtree re-read it twice; a left join against the
+    // broadcast tombstone list (unique keys, so row counts are
+    // preserved) folds n_before / n_erased / key_xor into one pass.
+    val hit = codes.join(
+      broadcast(delV.withColumn("__hit", lit(1))), Seq("vec_id"), "left")
+    val s3 = hit.agg(count(lit(1)).as("n_before"),
+        count(col("__hit")).as("n_erased"),
+        coalesce(expr("bit_xor(CASE WHEN __hit IS NOT NULL THEN vec_id END)"),
+          lit(0L)).as("key_xor"))
       .crossJoin(broadcast(live.agg(count(lit(1)).as("n_after"))))
       .select(lit("3_vector_index").as("stage"), lit("codes").as("tier"),
         col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))
     // ---- stage 4 accounting (live read through the resolved slot)
     val evLive = spark.read.parquet(liveTiers("events"))
-    val evDropped = stored.filter(pmod(col("user_id"), lit(13L)) === 0)
-    val s4 = stored.agg(count(lit(1)).as("n_before"))
-      .crossJoin(broadcast(evDropped.agg(count(lit(1)).as("n_erased"),
-        coalesce(expr("bit_xor(event_id)"), lit(0L)).as("key_xor"))))
+    // same conditional-aggregation fold: one scan of the stored fact
+    // instead of a full-count subtree plus a filtered subtree
+    val s4 = stored.agg(count(lit(1)).as("n_before"),
+        count(when(pmod(col("user_id"), lit(13L)) === 0, 1)).as("n_erased"),
+        coalesce(expr(
+          "bit_xor(CASE WHEN pmod(user_id, 13) = 0 THEN event_id END)"),
+          lit(0L)).as("key_xor"))
       .crossJoin(broadcast(evLive.agg(count(lit(1)).as("n_after"))))
       .select(lit("4_fact_rewrite").as("stage"), lit("events").as("tier"),
         col("n_before"), col("n_erased"), col("n_after"), col("key_xor"))

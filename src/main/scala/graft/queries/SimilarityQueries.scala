@@ -763,12 +763,17 @@ object SimilarityQueries {
         nullL.as("n_before"), nullL.as("n_dropped"), nullL.as("n_after"),
         nullL.as("del_xor"))
     def segAudit(seg: String, liveSeg: String): DataFrame = {
+      // one scan of the old segment (r19): left join against the
+      // broadcast tombstone list (unique keys — row count preserved)
+      // folds n_before / n_dropped / del_xor into one pass where the
+      // count subtree + semi-join subtree read it twice.
       val before = spark.read.parquet(s"$path/$seg").select("vec_id")
-      val dropped = before.join(broadcast(del), Seq("vec_id"), "left_semi")
+        .join(broadcast(del.withColumn("__hit", lit(1))), Seq("vec_id"), "left")
       val after = spark.read.parquet(s"$path/$liveSeg").select("vec_id")
-      before.agg(count(lit(1)).as("n_before"))
-        .crossJoin(dropped.agg(count(lit(1)).as("n_dropped"),
-          coalesce(expr("bit_xor(vec_id)"), lit(0L)).as("del_xor")))
+      before.agg(count(lit(1)).as("n_before"),
+          count(col("__hit")).as("n_dropped"),
+          coalesce(expr("bit_xor(CASE WHEN __hit IS NOT NULL THEN vec_id END)"),
+            lit(0L)).as("del_xor"))
         .crossJoin(after.agg(count(lit(1)).as("n_after")))
         .select(lit("audit").as("part"), lit(seg).as("seg"),
           nullL.as("qid"), nullL.as("vec_id"),

@@ -924,14 +924,15 @@ object Similarity {
     // against a DIFFERENT index shape (a mis-copied delta, a base
     // rebuilt under an old segment) fails LOUDLY here — ADC with a
     // mismatched m would silently score garbage.
+    // Segment-width validation moved INTO the ADC kernel (r19):
+    // vec_pq_adc throws per row on a codes/LUT width mismatch, so a
+    // segment encoded against a different index shape still fails
+    // LOUDLY on first touch — without the former per-segment
+    // width-probe job each serve paid before planning.
     val codesAll = segments.map { seg =>
-      val df = spark.read.parquet(s"$path/$seg")
-      val w = df.select(size(col("codes"))).head().getInt(0)
-      require(w == meta.m,
-        s"segment $seg has $w-wide codes but index meta at $path says " +
-          s"m=${meta.m} — the segment was encoded against a different index shape")
-      df.select(col("vec_id"), col("cid").cast("long").as("cid"),
-        col("codes"))
+      spark.read.parquet(s"$path/$seg")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"),
+          col("codes"))
     }.reduce(_ unionAll _)
     // serve-time deletion MASK: the tombstone list (small by law)
     // broadcast anti-joins the codes scan BEFORE stage-1 ranking, so

@@ -102,14 +102,19 @@ class AnnServeSpec extends SparkSpec {
     assert(meta.dim === Similarity.Dim)
     // a segment encoded against a DIFFERENT index shape (here: m=8
     // codes smuggled under an m=4 base — the mixed-generation mistake)
-    // must fail loudly at open, not silently score garbage ADC
+    // must fail loudly on first touch, not silently score garbage ADC.
+    // r19: the guard moved from a per-segment width-probe job at open
+    // into the vec_pq_adc kernel itself (one compare per row, zero
+    // scheduled jobs) — the failure now surfaces at the first action.
     spark.read.parquet(s"$root/m8/codes")
       .write.mode("overwrite").parquet(s"$root/m4/codes_bad")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Throwable] {
       Similarity.ivfPqServeStored(emb, s"$root/m4", queryMod = 50L,
         kCand = 100, k = 10, segments = Seq("codes", "codes_bad")).count()
     }
-    assert(e.getMessage.contains("different index shape"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("different index shape")))
     // a delta against a base whose meta is missing (pre-v2 layout or
     // not an index at all) also fails loudly rather than inferring
     val e2 = intercept[IllegalArgumentException] {
