@@ -2028,6 +2028,25 @@ object SimilarityQueries {
       root
     }
 
+  /** Disjoint-union edge accounting (r19): (n, Σic, xor) over
+    * carried ⊎ recomputed compose componentwise — counts and sums add,
+    * bit_xors XOR (the parts are src-disjoint by construction, and an
+    * empty part contributes (0, 0, 0), the xor identity). Deriving the
+    * merged/compacted row from the two 1-row accounting frames avoids
+    * re-executing the carried anti-join and the recompute join/window
+    * subtrees a second time under a union the planner cannot reuse. */
+  private def acctMerge(label: String, a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.select(col("n_edges").as("an"), col("ic_sum").as("ai"),
+        col("edge_xor").as("ax"))
+      .crossJoin(broadcast(b.select(col("n_edges").as("bn"),
+        col("ic_sum").as("bi"), col("edge_xor").as("bx"))))
+      .select(lit(label).as("stat"),
+        (col("an") + col("bn")).as("n_edges"),
+        (col("ai") + col("bi")).as("ic_sum"),
+        expr("ax ^ bx").as("edge_xor"))
+  }
+
   private def annHnswUpsert(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.sim.Hnsw
@@ -2071,13 +2090,13 @@ object SimilarityQueries {
         .filter(col("src") =!= col("dst"))
         .dropDuplicates("src", "dst")
       val rec = Hnsw.topMEdges(cand)
-      val merged = carried.select("src", "dst", "ic")
-        .unionAll(rec)
       val canonical = spark.read.parquet(s"$gRoot/e$l")
         .select("src", "dst", "ic")
-      Seq(edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")),
-        edgeAcct(s"l${l}_recomputed", rec),
-        edgeAcct(s"l${l}_merged", merged),
+      val carriedAcct = edgeAcct(s"l${l}_carried",
+        carried.select("src", "dst", "ic"))
+      val recAcct = edgeAcct(s"l${l}_recomputed", rec)
+      Seq(carriedAcct, recAcct,
+        acctMerge(s"l${l}_merged", carriedAcct, recAcct),
         edgeAcct(s"l${l}_canonical", canonical))
     }
     // the global top layer carries or recomputes wholesale
@@ -2091,11 +2110,11 @@ object SimilarityQueries {
       if (anyLateTop)
         (earlyTop.limit(0), Hnsw.adjacencyFrom(base, base, Hnsw.MaxLevel))
       else (earlyTop, earlyTop.limit(0))
+    val carriedTopAcct = edgeAcct(s"l${Hnsw.MaxLevel}_carried", carriedTop)
+    val recTopAcct = edgeAcct(s"l${Hnsw.MaxLevel}_recomputed", recTop)
     val topRows = Seq(
-      edgeAcct(s"l${Hnsw.MaxLevel}_carried", carriedTop),
-      edgeAcct(s"l${Hnsw.MaxLevel}_recomputed", recTop),
-      edgeAcct(s"l${Hnsw.MaxLevel}_merged",
-        carriedTop.unionAll(recTop)),
+      carriedTopAcct, recTopAcct,
+      acctMerge(s"l${Hnsw.MaxLevel}_merged", carriedTopAcct, recTopAcct),
       edgeAcct(s"l${Hnsw.MaxLevel}_canonical", canonicalTop))
     (levelRows ++ topRows).reduce(_ unionAll _).orderBy("stat")
   }
@@ -2232,13 +2251,14 @@ object SimilarityQueries {
         .filter(col("src") =!= col("dst"))
         .dropDuplicates("src", "dst")
       val rec = Hnsw.topMEdges(cand)
-      val compacted = carried.select("src", "dst", "ic").unionAll(rec)
       val target = spark.read.parquet(s"$uRoot/early_e$l")
         .select("src", "dst", "ic")
+      val carriedAcct = edgeAcct(s"l${l}_carried",
+        carried.select("src", "dst", "ic"))
+      val recAcct = edgeAcct(s"l${l}_recomputed", rec)
       Seq(edgeAcct(s"l${l}_masked", masked.select("src", "dst", "ic")),
-        edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")),
-        edgeAcct(s"l${l}_recomputed", rec),
-        edgeAcct(s"l${l}_compacted", compacted),
+        carriedAcct, recAcct,
+        acctMerge(s"l${l}_compacted", carriedAcct, recAcct),
         edgeAcct(s"l${l}_target", target))
     }
     val top = Hnsw.MaxLevel
@@ -2258,11 +2278,12 @@ object SimilarityQueries {
         (canonicalTop.limit(0),
           Hnsw.adjacencyFrom(base.filter(!hnswLate), base, top))
       else (canonicalTop, canonicalTop.limit(0))
+    val carriedTopAcct = edgeAcct(s"l${top}_carried", carriedTop)
+    val recTopAcct = edgeAcct(s"l${top}_recomputed", recTop)
     val topRows = Seq(
       edgeAcct(s"l${top}_masked", maskedTop),
-      edgeAcct(s"l${top}_carried", carriedTop),
-      edgeAcct(s"l${top}_recomputed", recTop),
-      edgeAcct(s"l${top}_compacted", carriedTop.unionAll(recTop)),
+      carriedTopAcct, recTopAcct,
+      acctMerge(s"l${top}_compacted", carriedTopAcct, recTopAcct),
       edgeAcct(s"l${top}_target", targetTop))
     (levelRows ++ topRows).reduce(_ unionAll _).orderBy("stat")
   }
