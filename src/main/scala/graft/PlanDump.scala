@@ -26,8 +26,11 @@ object PlanDump {
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (name <- names) {
-      val fn = SparkEntry.queries(name)
       try {
+        // lookup inside the try (ADVICE r19): one mistyped name prints
+        // FAILED and the dump continues with the remaining queries
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query: $name"))
         val df = fn(spark, sfDir)
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -2028,26 +2028,249 @@ object SimilarityQueries {
       root
     }
 
-  /** Disjoint-union edge accounting (r19): (n, Σic, xor) over
-    * carried ⊎ recomputed compose componentwise — counts and sums add,
-    * bit_xors XOR (the parts are src-disjoint by construction, and an
-    * empty part contributes (0, 0, 0), the xor identity). Deriving the
-    * merged/compacted row from the two 1-row accounting frames avoids
-    * re-executing the carried anti-join and the recompute join/window
-    * subtrees a second time under a union the planner cannot reuse. */
+  /** Disjoint-union edge accounting (r19, reshaped r20): (n, Σic, xor)
+    * over carried ⊎ recomputed compose componentwise — counts and sums
+    * add, bit_xors XOR (the parts are src-disjoint by construction,
+    * and an empty part contributes (0, 0, 0), the xor identity).
+    * Derived by UNIONING the two 1-row accounting frames and folding —
+    * a 2-row hash aggregate, no join at all (r19's crossJoin(broadcast)
+    * planned a BroadcastNestedLoopJoin that tripped PlanLintSpec's
+    * cartesian lint; the fold is the lint-clean equivalent). Callers
+    * persist the 1-row inputs (SideCache) so the merged row reuses the
+    * computed accountings instead of re-executing the carried
+    * anti-join and the recompute join/window subtrees. */
   private def acctMerge(label: String, a: DataFrame, b: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    a.select(col("n_edges").as("an"), col("ic_sum").as("ai"),
-        col("edge_xor").as("ax"))
-      .crossJoin(broadcast(b.select(col("n_edges").as("bn"),
-        col("ic_sum").as("bi"), col("edge_xor").as("bx"))))
-      .select(lit(label).as("stat"),
-        (col("an") + col("bn")).as("n_edges"),
-        (col("ai") + col("bi")).as("ic_sum"),
-        expr("ax ^ bx").as("edge_xor"))
+    a.select("n_edges", "ic_sum", "edge_xor")
+      .unionAll(b.select("n_edges", "ic_sum", "edge_xor"))
+      .agg(coalesce(sum("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(sum("ic_sum"), lit(0L)).as("ic_sum"),
+        coalesce(expr("bit_xor(edge_xor)"), lit(0L)).as("edge_xor"))
+      .select(lit(label).as("stat"), col("n_edges"), col("ic_sum"),
+        col("edge_xor"))
   }
 
-  private def annHnswUpsert(spark: SparkSession, dir: String): DataFrame = {
+  // -------------------------------------------------- acct driver tier
+  //
+  // The upsert/delete accounting was ~40 driver-synchronized tiny jobs
+  // (per level: bucket/affected distincts, an anti-join, the
+  // bucket-member recompute join + top-M window, four 1-row
+  // aggregates; plus the anyLateTop count action) around KB-sized
+  // stored segments — r19's #1/#2 bench costs (3.9/3.7 s) were pure
+  // scheduling (guide §1.2, the Bpe/Hnsw/Mmr bounded-state
+  // discipline). The tier below collects the corpus and the stored
+  // assignment/edge segments when ALL fit explicit bounds and replays
+  // the affected-bucket algebra locally with bit-identical decisions:
+  // the same sequential float-promoted VecDot sum ([[Hnsw.icosLocal]]),
+  // the same (ic DESC, dst ASC) top-M tie-breaks, the same
+  // [[graft.functions.Poly.hashBytes]] edge hash, the same
+  // componentwise (add, add, xor) merge. Distributed loop unchanged
+  // above any bound; HnswAcctDriverTierSpec pins tier equality
+  // row-for-row for both queries.
+
+  /** Corpus bound for the local accounting tier: 2^14 nodes ×
+    * (dim·4 B + overhead) collects in single-digit MB; a real corpus
+    * exceeds it immediately and takes the distributed path. */
+  private val DriverAcctCorpusMax = 1 << 14
+  /** Candidate-pair bound per level (and top-layer pair bound): caps
+    * local recompute work at ~16M icos evaluations. */
+  private val DriverAcctPairMax = 1 << 24
+
+  private final case class AcctVecL(emb: Array[Float], nrm: Double, lvl: Int)
+
+  /** The exact `polyHash(concat_ws("|", src, dst))` of the distributed
+    * edgeAcct: Long.toString == Spark's long→string cast, bytes are
+    * ASCII. */
+  private def polyEdgeLocal(src: Long, dst: Long): Long =
+    graft.functions.Poly.hashBytes(
+      (src.toString + "|" + dst.toString).getBytes("UTF-8"),
+      graft.functions.Poly.Base)
+
+  /** (label, n, Σic, xor) over an edge list — `edgeAcct` verbatim:
+    * empty list folds to (0, 0, 0) exactly like the coalesced
+    * aggregate. */
+  private def acctLocal(label: String, edges: Iterable[(Long, Long, Long)])
+      : (String, Long, Long, Long) = {
+    var n = 0L; var s = 0L; var x = 0L
+    edges.foreach { case (a, b, ic) =>
+      n += 1L; s += ic; x ^= polyEdgeLocal(a, b)
+    }
+    (label, n, s, x)
+  }
+
+  private def acctMergeLocal(label: String, a: (String, Long, Long, Long),
+                             b: (String, Long, Long, Long))
+      : (String, Long, Long, Long) =
+    (label, a._2 + b._2, a._3 + b._3, a._4 ^ b._4)
+
+  /** `Hnsw.topMEdges` locally: per src the top-M candidates by
+    * (ic DESC, dst ASC) — the row_number window's exact order. */
+  private def topMLocal(cands: Iterable[(Long, Long, Long)])
+      : Seq[(Long, Long, Long)] =
+    cands.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.toSeq.sortBy(t => (-t._3, t._2)).take(graft.sim.Hnsw.M)
+    }
+
+  /** Driver tier for BOTH hnsw maintenance accountings (`delete`
+    * selects the tombstone variant). None above any bound. */
+  private[queries] def hnswAcctLocal(spark: SparkSession, dir: String,
+                                     delete: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    import graft.sim.Hnsw
+    val emb = Tables.embeddings(spark, dir)
+    val gRoot = Hnsw.ensureGraph(spark, emb, dir)
+    val uRoot = ensureHnswUpsert(spark, dir)
+    val baseRows = Hnsw.withLevels(emb)
+      .limit(DriverAcctCorpusMax + 1).collect()
+    if (baseRows.length > DriverAcctCorpusMax) return None
+    val baseMap = new java.util.HashMap[java.lang.Long, AcctVecL](
+      baseRows.length * 2)
+    baseRows.foreach { r =>
+      baseMap.put(r.getLong(0),
+        AcctVecL(r.getSeq[Float](1).toArray, r.getDouble(2), r.getInt(3)))
+    }
+    val lateSet = new java.util.HashSet[java.lang.Long]()
+    baseRows.foreach { r =>
+      if (r.getLong(0) % 701L == 5L) lateSet.add(r.getLong(0))
+    }
+    def edges(path: String): Option[Array[(Long, Long, Long)]] = {
+      val rows = spark.read.parquet(path).select("src", "dst", "ic")
+        .limit(Hnsw.DriverEdgeMax + 1).collect()
+      if (rows.length > Hnsw.DriverEdgeMax) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    }
+    def assignRows(l: Int): Option[Array[(Long, Long)]] = {
+      val rows = spark.read.parquet(s"$uRoot/a$l").select("vec_id", "cid")
+        .limit(Hnsw.DriverEdgeMax + 1).collect()
+      if (rows.length > Hnsw.DriverEdgeMax) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)]
+    for (l <- 0 until Hnsw.MaxLevel) {
+      val aL = assignRows(l).getOrElse(return None)
+      val early = edges(s"$uRoot/early_e$l").getOrElse(return None)
+      val canonical = edges(s"$gRoot/e$l").getOrElse(return None)
+      // buckets touched by the late/deleted batch → affected sources
+      val buckets = new java.util.HashSet[java.lang.Long]()
+      aL.foreach { case (v, c) => if (lateSet.contains(v)) buckets.add(c) }
+      val affected = new java.util.HashSet[java.lang.Long]()
+      aL.foreach { case (v, c) => if (buckets.contains(c)) affected.add(v) }
+      // carried: non-affected sources keep their stored edges
+      // (upsert carries from the pre-upsert graph, delete from the
+      // canonical graph — the respective stored baseline)
+      val carryFrom = if (delete) canonical else early
+      val carried = carryFrom.filter(e => !affected.contains(e._1))
+      // probed buckets of the affected sources; members = the level's
+      // assignment rows in those buckets (delete: minus the deleted)
+      val probed = new java.util.HashSet[java.lang.Long]()
+      aL.foreach { case (v, c) => if (affected.contains(v)) probed.add(c) }
+      val memLive = aL.filter { case (v, c) =>
+        probed.contains(c) && !(delete && lateSet.contains(v))
+      }
+      val byCid = memLive.groupBy(_._2)
+      var pairBudget = 0L
+      byCid.foreach { case (_, ms) =>
+        val nSrc = ms.count(m => affected.contains(m._1))
+        pairBudget += nSrc.toLong * ms.length
+      }
+      if (pairBudget > DriverAcctPairMax) return None
+      // (src, dst) dedupe across shared probe buckets — ic is a pure
+      // function of the pair, only occupancy matters (the distributed
+      // dropDuplicates("src", "dst"))
+      val seen = new java.util.HashSet[(Long, Long)]()
+      val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      byCid.foreach { case (_, ms) =>
+        val dsts = ms.map(_._1).distinct
+        val srcs = dsts.filter(affected.contains(_))
+        srcs.foreach { s =>
+          val sv = baseMap.get(s)
+          dsts.foreach { d =>
+            if (s != d && seen.add((s, d))) {
+              val dv = baseMap.get(d)
+              cand += ((s, d, Hnsw.icosLocal(sv.emb, sv.nrm, dv.emb, dv.nrm)))
+            }
+          }
+        }
+      }
+      val rec = topMLocal(cand)
+      val carriedAcct = acctLocal(s"l${l}_carried", carried)
+      val recAcct = acctLocal(s"l${l}_recomputed", rec)
+      if (delete) {
+        val masked = canonical.filter(e =>
+          !lateSet.contains(e._1) && !lateSet.contains(e._2))
+        out += acctLocal(s"l${l}_masked", masked)
+        out += carriedAcct
+        out += recAcct
+        out += acctMergeLocal(s"l${l}_compacted", carriedAcct, recAcct)
+        out += acctLocal(s"l${l}_target", early)
+      } else {
+        out += carriedAcct
+        out += recAcct
+        out += acctMergeLocal(s"l${l}_merged", carriedAcct, recAcct)
+        out += acctLocal(s"l${l}_canonical", canonical)
+      }
+    }
+    // top layer: carries or recomputes wholesale
+    val top = Hnsw.MaxLevel
+    val earlyTop = edges(s"$uRoot/early_e$top").getOrElse(return None)
+    val canonicalTop = edges(s"$gRoot/e$top").getOrElse(return None)
+    val anyLateTop = baseRows.exists(r =>
+      lateSet.contains(r.getLong(0)) && r.getInt(3) >= top)
+    // local `adjacencyFrom(nodes, _, MaxLevel)`: the global broadcast
+    // cross over the O(1)-sized top layer, then top-M per src
+    def topAdj(nodes: Array[Long]): Seq[(Long, Long, Long)] = {
+      val cands = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      nodes.foreach { s =>
+        val sv = baseMap.get(s)
+        nodes.foreach { d =>
+          if (s != d) {
+            val dv = baseMap.get(d)
+            cands += ((s, d, Hnsw.icosLocal(sv.emb, sv.nrm, dv.emb, dv.nrm)))
+          }
+        }
+      }
+      topMLocal(cands)
+    }
+    val topNodesAll = baseRows.filter(_.getInt(3) >= top).map(_.getLong(0))
+    if (topNodesAll.length.toLong * topNodesAll.length > DriverAcctPairMax)
+      return None
+    val (carriedTop, recTop): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) =
+      if (delete) {
+        if (anyLateTop)
+          (Seq.empty, topAdj(topNodesAll.filterNot(lateSet.contains(_))))
+        else (canonicalTop.toSeq, Seq.empty)
+      } else {
+        if (anyLateTop) (Seq.empty, topAdj(topNodesAll))
+        else (earlyTop.toSeq, Seq.empty)
+      }
+    val carriedTopAcct = acctLocal(s"l${top}_carried", carriedTop)
+    val recTopAcct = acctLocal(s"l${top}_recomputed", recTop)
+    if (delete) {
+      val maskedTop = canonicalTop.filter(e =>
+        !lateSet.contains(e._1) && !lateSet.contains(e._2))
+      out += acctLocal(s"l${top}_masked", maskedTop)
+      out += carriedTopAcct
+      out += recTopAcct
+      out += acctMergeLocal(s"l${top}_compacted", carriedTopAcct, recTopAcct)
+      out += acctLocal(s"l${top}_target", earlyTop)
+    } else {
+      out += carriedTopAcct
+      out += recTopAcct
+      out += acctMergeLocal(s"l${top}_merged", carriedTopAcct, recTopAcct)
+      out += acctLocal(s"l${top}_canonical", canonicalTop)
+    }
+    import spark.implicits._
+    Some(out.toSeq.toDF("stat", "n_edges", "ic_sum", "edge_xor")
+      .orderBy("stat"))
+  }
+
+  private def annHnswUpsert(spark: SparkSession, dir: String): DataFrame =
+    hnswAcctLocal(spark, dir, delete = false)
+      .getOrElse(annHnswUpsertDistributed(spark, dir))
+
+  private[queries] def annHnswUpsertDistributed(
+      spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.sim.Hnsw
     val emb = Tables.embeddings(spark, dir)
@@ -2092,9 +2315,10 @@ object SimilarityQueries {
       val rec = Hnsw.topMEdges(cand)
       val canonical = spark.read.parquet(s"$gRoot/e$l")
         .select("src", "dst", "ic")
-      val carriedAcct = edgeAcct(s"l${l}_carried",
-        carried.select("src", "dst", "ic"))
-      val recAcct = edgeAcct(s"l${l}_recomputed", rec)
+      val carriedAcct = graft.ops.SideCache.persist(
+        edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")))
+      val recAcct = graft.ops.SideCache.persist(
+        edgeAcct(s"l${l}_recomputed", rec))
       Seq(carriedAcct, recAcct,
         acctMerge(s"l${l}_merged", carriedAcct, recAcct),
         edgeAcct(s"l${l}_canonical", canonical))
@@ -2110,8 +2334,10 @@ object SimilarityQueries {
       if (anyLateTop)
         (earlyTop.limit(0), Hnsw.adjacencyFrom(base, base, Hnsw.MaxLevel))
       else (earlyTop, earlyTop.limit(0))
-    val carriedTopAcct = edgeAcct(s"l${Hnsw.MaxLevel}_carried", carriedTop)
-    val recTopAcct = edgeAcct(s"l${Hnsw.MaxLevel}_recomputed", recTop)
+    val carriedTopAcct = graft.ops.SideCache.persist(
+      edgeAcct(s"l${Hnsw.MaxLevel}_carried", carriedTop))
+    val recTopAcct = graft.ops.SideCache.persist(
+      edgeAcct(s"l${Hnsw.MaxLevel}_recomputed", recTop))
     val topRows = Seq(
       carriedTopAcct, recTopAcct,
       acctMerge(s"l${Hnsw.MaxLevel}_merged", carriedTopAcct, recTopAcct),
@@ -2199,7 +2425,12 @@ object SimilarityQueries {
     *
     * Scale shape: per-run work is |deleted| + |affected buckets|
     * bounded joins over stored segments; the corpus never shuffles. */
-  private def annHnswDelete(spark: SparkSession, dir: String): DataFrame = {
+  private def annHnswDelete(spark: SparkSession, dir: String): DataFrame =
+    hnswAcctLocal(spark, dir, delete = true)
+      .getOrElse(annHnswDeleteDistributed(spark, dir))
+
+  private[queries] def annHnswDeleteDistributed(
+      spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.sim.Hnsw
     val emb = Tables.embeddings(spark, dir)
@@ -2253,9 +2484,10 @@ object SimilarityQueries {
       val rec = Hnsw.topMEdges(cand)
       val target = spark.read.parquet(s"$uRoot/early_e$l")
         .select("src", "dst", "ic")
-      val carriedAcct = edgeAcct(s"l${l}_carried",
-        carried.select("src", "dst", "ic"))
-      val recAcct = edgeAcct(s"l${l}_recomputed", rec)
+      val carriedAcct = graft.ops.SideCache.persist(
+        edgeAcct(s"l${l}_carried", carried.select("src", "dst", "ic")))
+      val recAcct = graft.ops.SideCache.persist(
+        edgeAcct(s"l${l}_recomputed", rec))
       Seq(edgeAcct(s"l${l}_masked", masked.select("src", "dst", "ic")),
         carriedAcct, recAcct,
         acctMerge(s"l${l}_compacted", carriedAcct, recAcct),
@@ -2278,8 +2510,10 @@ object SimilarityQueries {
         (canonicalTop.limit(0),
           Hnsw.adjacencyFrom(base.filter(!hnswLate), base, top))
       else (canonicalTop, canonicalTop.limit(0))
-    val carriedTopAcct = edgeAcct(s"l${top}_carried", carriedTop)
-    val recTopAcct = edgeAcct(s"l${top}_recomputed", recTop)
+    val carriedTopAcct = graft.ops.SideCache.persist(
+      edgeAcct(s"l${top}_carried", carriedTop))
+    val recTopAcct = graft.ops.SideCache.persist(
+      edgeAcct(s"l${top}_recomputed", recTop))
     val topRows = Seq(
       edgeAcct(s"l${top}_masked", maskedTop),
       carriedTopAcct, recTopAcct,

@@ -232,8 +232,8 @@ object Hnsw {
   /** The exact icos arithmetic of [[icosCol]] over [[Similarity.dot]]
     * (VecDot): sequential left-to-right float-promoted products, one
     * divide, one multiply, floor — bit-identical to the codegen. */
-  private def icosLocal(e: Array[Float], n: Double,
-                        q: Array[Float], qn: Double): Long = {
+  private[graft] def icosLocal(e: Array[Float], n: Double,
+                               q: Array[Float], qn: Double): Long = {
     val m = math.min(e.length, q.length)
     var s = 0.0
     var i = 0
