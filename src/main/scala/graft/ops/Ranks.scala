@@ -37,18 +37,66 @@ object Ranks {
     * (group ++ order), then subtract the per-group `min(rank)` via a
     * broadcast join of the \|groups\|-row offset table (see
     * `q_quantile_norm`). */
+  /** Bounded tier (r20, the Bpe/Hnsw driver-tier discipline applied
+    * to ranking): below this many rows the rank is ONE
+    * single-partition sort task over the cached input — no range
+    * sampler, no counts collect, no offset join. A corpus-scale frame
+    * exceeds the bound immediately and takes the distributed path. */
+  val DriverRankMax: Long = 1L << 16
+
   def globalRowNumber(df: DataFrame, rankCol: String,
                       order: Seq[Column]): DataFrame = {
+    // persisted: the gate count materializes the cache that both
+    // tiers then rank (the distributed tier's sampler + counts jobs
+    // re-read it instead of recomputing the caller's upstream plan).
+    // SideCache lifecycle: caller releases between queries, the repo
+    // convention.
+    val in = SideCache.persist(df)
+    if (in.count() <= DriverRankMax) boundedRank(in, rankCol, order)
+    else distributedRank(in, rankCol, order)
+  }
+
+  /** CHAINED ranks over one frame — gate once, rank K times.
+    * Bounded: all K windows run inside the one single-partition task
+    * (one exchange, K sorts, zero intermediate persists); distributed:
+    * folds [[distributedRank]] per rank, each rank's exchange carrying
+    * the previous rank columns (the prior chained-caller shape). */
+  def globalRowNumbers(df: DataFrame,
+                       ranks: Seq[(String, Seq[Column])]): DataFrame = {
+    val in = SideCache.persist(df)
+    if (in.count() <= DriverRankMax) {
+      val base = in.repartition(1)
+        .withColumn("__rk_pid", spark_partition_id())
+      ranks.foldLeft(base) { case (d, (rc, ord)) =>
+        d.withColumn(rc, row_number()
+          .over(Window.partitionBy("__rk_pid").orderBy(ord: _*))
+          .cast("long"))
+      }.drop("__rk_pid")
+    } else ranks.foldLeft(in: DataFrame) { case (d, (rc, ord)) =>
+      distributedRank(d, rc, ord)
+    }
+  }
+
+  /** ≤ [[DriverRankMax]] rows: exchange to a single partition and
+    * rank inside it — the window carries a (constant) partition spec,
+    * so this is never the partition-less logical Window the plan lint
+    * forbids, and the bound + fallback make it scale-safe. */
+  private[ops] def boundedRank(df: DataFrame, rankCol: String,
+                               order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy("__rk_pid").orderBy(order: _*)
+    df.repartition(1)
+      .withColumn("__rk_pid", spark_partition_id())
+      .withColumn(rankCol, row_number().over(w).cast("long"))
+      .drop("__rk_pid")
+  }
+
+  /** The range-partition + per-partition rank + collected-offset
+    * composition — identical values to the global window iff the
+    * order key is total (see object doc). */
+  private[ops] def distributedRank(df: DataFrame, rankCol: String,
+                                   order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persisted: the sorted frame is scanned by the counts job and by
-    // the ranked output — SideCache lifecycle (caller releases between
-    // queries, the repo convention). Toy-scale cost note, measured
-    // (RankProbe, sf0.1): one rank costs ~3 bounded jobs (the range
-    // sampler, the counts collect, the consumer's scan) ≈ 0.7 s of
-    // fixed scheduling on 6k rows — the price of never funneling a
-    // corpus-proportional frame through one task; at real scale the
-    // same three jobs amortize over the data they move.
     val parts = SideCache.persist(
       df.repartitionByRange(order: _*)
         .sortWithinPartitions(order: _*)

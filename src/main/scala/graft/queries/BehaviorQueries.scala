@@ -294,12 +294,10 @@ object BehaviorQueries {
           datediff(col("today"), col("last_d")).cast("long").as("recency_days"),
           col("freq"), col("monetary_c")))
     val nUsers = base.agg(count(lit(1)).as("n_users"))
-    val ranked = graft.ops.Ranks.globalRowNumber(
-      graft.ops.Ranks.globalRowNumber(
-        graft.ops.Ranks.globalRowNumber(base,
-          "rn_r", Seq(col("recency_days"), col("user_id"))),
-        "rn_f", Seq(col("freq").desc, col("user_id"))),
-      "rn_m", Seq(col("monetary_c").desc, col("user_id")))
+    val ranked = graft.ops.Ranks.globalRowNumbers(base, Seq(
+        ("rn_r", Seq(col("recency_days"), col("user_id"))),
+        ("rn_f", Seq(col("freq").desc, col("user_id"))),
+        ("rn_m", Seq(col("monetary_c").desc, col("user_id")))))
       .crossJoin(broadcast(nUsers))
       .withColumn("r_score", expr("5 - ((rn_r - 1) * 5) div n_users"))
       .withColumn("f_score", expr("5 - ((rn_f - 1) * 5) div n_users"))

@@ -1844,11 +1844,10 @@ object TextQueries {
   private def signalCorr(spark: SparkSession, dir: String): DataFrame = {
     val qa = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
     val qb = perplexity(spark, dir).select(col("doc_id"), col("avg_nll_micro"))
-    val joined = graft.ops.Ranks.globalRowNumber(
-      graft.ops.Ranks.globalRowNumber(
-        qa.join(qb, "doc_id"),
-        "ra", Seq(col("quality"), col("doc_id"))),
-      "rb", Seq(col("avg_nll_micro"), col("doc_id")))
+    val joined = graft.ops.Ranks.globalRowNumbers(
+      qa.join(qb, "doc_id"),
+      Seq(("ra", Seq(col("quality"), col("doc_id"))),
+        ("rb", Seq(col("avg_nll_micro"), col("doc_id")))))
       .withColumn("d", col("ra") - col("rb"))
     joined.agg(count(lit(1)).as("n"), sum(col("d") * col("d")).as("sum_d2"))
       .select(col("n"), col("sum_d2"),

@@ -59,6 +59,23 @@ class RanksSpec extends SparkSpec {
     }
   }
 
+  test("both tiers equal the single-window formulation (distributed tier forced)") {
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 500L).map(id => (id, rnd.nextInt(40))).toDF("id", "v")
+    val order = Seq(col("v").desc, col("id"))
+    val ref = df.withColumn("rnk",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("id", "rnk").as[(Long, Long)].collect().sorted
+    val dist = Ranks.distributedRank(df, "rnk", order)
+      .select("id", "rnk").as[(Long, Long)].collect().sorted
+    assert(dist === ref)
+    SideCache.releaseAll()
+    val bounded = Ranks.boundedRank(df, "rnk", order)
+      .select("id", "rnk").as[(Long, Long)].collect().sorted
+    assert(bounded === ref)
+    SideCache.releaseAll()
+  }
+
   test("globalRowNumber survives an empty frame") {
     val empty = Seq.empty[(Long, Int)].toDF("id", "v")
     assert(Ranks.globalRowNumber(empty, "rnk",
