@@ -633,17 +633,22 @@ object TextQueries {
     * map-side-collapsing or output-proportional at 100 TB. */
   private def prefixJoin(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val arrs = docs.select(col("doc_id"),
-      graft.functions.F.shingleHashes(col("text"), 3).as("ts"))
+    // persisted (r20): the shingle arrays feed the token explode AND
+    // both verify-side gathers — one tokenize pass instead of three
+    val arrs = graft.ops.SideCache.persist(docs.select(col("doc_id"),
+      graft.functions.F.shingleHashes(col("text"), 3).as("ts")))
     val toks = arrs.select(col("doc_id"), size(col("ts")).cast("long").as("n"),
       explode(col("ts")).as("token"))
     val df = toks.groupBy("token").agg(count(lit(1)).as("df"))
-    val pref = toks.join(df, "token")
+    // persisted (r20): the self-join's two sides otherwise each
+    // re-run the explode + df aggregate + prefix-rank window (the
+    // before-plan carries the whole subtree twice)
+    val pref = graft.ops.SideCache.persist(toks.join(df, "token")
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy(col("df"), col("token"))))
       .filter(col("rk") <= expr("n div 2") + 1)
-      .select(col("doc_id"), col("n"), col("token"))
+      .select(col("doc_id"), col("n"), col("token")))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -1189,7 +1194,11 @@ object TextQueries {
   private def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val terms = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // persisted (r20): tf feeds BOTH the df aggregate and the scored
+    // join — without it the tokenize explode + (doc, term) aggregate
+    // run twice per action
+    val tf = graft.ops.SideCache.persist(
+      terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
