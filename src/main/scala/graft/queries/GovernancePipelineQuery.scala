@@ -165,8 +165,13 @@ object GovernancePipelineQuery {
     // semi-join subtree re-read it twice; a left join against the
     // broadcast tombstone list (unique keys, so row counts are
     // preserved) folds n_before / n_erased / key_xor into one pass.
+    // dropDuplicates ENFORCES the unique-keys invariant the fold's
+    // row-count preservation depends on (ADVICE r19): trivial on the
+    // broadcast-sized list, and a future non-distinct caller can no
+    // longer silently inflate n_before/n_erased
     val hit = codes.join(
-      broadcast(delV.withColumn("__hit", lit(1))), Seq("vec_id"), "left")
+      broadcast(delV.dropDuplicates("vec_id").withColumn("__hit", lit(1))),
+      Seq("vec_id"), "left")
     val s3 = hit.agg(count(lit(1)).as("n_before"),
         count(col("__hit")).as("n_erased"),
         coalesce(expr("bit_xor(CASE WHEN __hit IS NOT NULL THEN vec_id END)"),

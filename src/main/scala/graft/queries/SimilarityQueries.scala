@@ -749,13 +749,15 @@ object SimilarityQueries {
     val emb = Tables.embeddings(spark, dir)
     val path = Similarity.ensureStoredIndex(spark, emb, dir, split9 = true)
     val del = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
+    // one metadata load for both serves (within-run reuse)
+    val ctx = Some(Similarity.loadServeCtx(spark, path))
     val masked = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
       kCand = 100, k = 10, segments = Seq("codes", "codes_delta"),
-      exclude = Some(del))
+      exclude = Some(del), ctx = ctx)
     val liveSegs = Similarity.ivfPqCompactDelete(spark, path, del,
       Seq("codes", "codes_delta"))
     val compacted = Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
-      kCand = 100, k = 10, segments = liveSegs)
+      kCand = 100, k = 10, segments = liveSegs, ctx = ctx)
     val nullL = lit(null).cast("long")
     def serveRows(part: String, df: DataFrame): DataFrame =
       df.select(lit(part).as("part"), lit("").as("seg"), col("qid"),
@@ -764,11 +766,14 @@ object SimilarityQueries {
         nullL.as("del_xor"))
     def segAudit(seg: String, liveSeg: String): DataFrame = {
       // one scan of the old segment (r19): left join against the
-      // broadcast tombstone list (unique keys — row count preserved)
-      // folds n_before / n_dropped / del_xor into one pass where the
-      // count subtree + semi-join subtree read it twice.
+      // broadcast tombstone list folds n_before / n_dropped / del_xor
+      // into one pass where the count subtree + semi-join subtree read
+      // it twice. dropDuplicates ENFORCES the unique-keys invariant
+      // the row-count preservation depends on (ADVICE r19) — trivial
+      // on the broadcast-sized list.
       val before = spark.read.parquet(s"$path/$seg").select("vec_id")
-        .join(broadcast(del.withColumn("__hit", lit(1))), Seq("vec_id"), "left")
+        .join(broadcast(del.dropDuplicates("vec_id")
+          .withColumn("__hit", lit(1))), Seq("vec_id"), "left")
       val after = spark.read.parquet(s"$path/$liveSeg").select("vec_id")
       before.agg(count(lit(1)).as("n_before"),
           count(col("__hit")).as("n_dropped"),
@@ -1405,13 +1410,16 @@ object SimilarityQueries {
         .select(lit(variant).as("variant"), col("n_exact"), col("hits"),
           expr("(hits * 10000) div n_exact").as("recall_bp"))
     }
+    // one metadata load for both serves (within-run reuse)
+    val ctx = Some(Similarity.loadServeCtx(spark, path))
     val fresh = recallRow("fresh_upsert",
       Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
-        kCand = 100, k = 10, segments = Seq("codes", "codes_delta")),
+        kCand = 100, k = 10, segments = Seq("codes", "codes_delta"),
+        ctx = ctx),
       Similarity.ensureBruteBaseline(spark, emb, dir))
     val lifecycle = recallRow("lifecycle_final",
       Similarity.ivfPqServeStored(emb, path, queryMod = 50L,
-        kCand = 100, k = 10, segments = liveSegs),
+        kCand = 100, k = 10, segments = liveSegs, ctx = ctx),
       Similarity.bruteTopK(emb, queryMod = 50L, k = 10,
         corpusFilter = Some(col("vec_id") % 13 =!= 0)))
     fresh.unionAll(lifecycle).orderBy("variant")

@@ -704,13 +704,26 @@ object Similarity {
     //    former repartition(cid) re-shuffled the entire segment just to
     //    consolidate files the layout already consolidates (task count
     //    = split count, each split single-cid).
-    livePaths.foreach { case (seg, livePath) =>
-      spark.read.parquet(s"$path/${prevLive.getOrElse(seg, seg)}")
-        .join(broadcast(deleted.select("vec_id")), Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("codes"), col("cid"))
-        .write.mode("overwrite").partitionBy("cid")
-        .parquet(s"$path/$livePath")
-    }
+    //    Independent per-segment rewrites run CONCURRENTLY (guide
+    //    §2.6, overlap independent jobs): each write targets its own
+    //    fresh generation directory, so a 2-3 thread pool lets the
+    //    next segment's tasks back-fill the cores the previous
+    //    segment's write tail frees. Failures propagate via get().
+    val writePool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(livePaths.size, 3)))
+    try {
+      livePaths.map { case (seg, livePath) =>
+        writePool.submit(new Runnable {
+          def run(): Unit =
+            spark.read.parquet(s"$path/${prevLive.getOrElse(seg, seg)}")
+              .join(broadcast(deleted.select("vec_id")), Seq("vec_id"),
+                "left_anti")
+              .select(col("vec_id"), col("codes"), col("cid"))
+              .write.mode("overwrite").partitionBy("cid")
+              .parquet(s"$path/$livePath")
+        })
+      }.foreach(_.get())
+    } finally writePool.shutdown()
     // 2. FLIP: commit the manifest pointer as its own immutable
     //    `livelog/v$gen` (the q_time_travel pattern — the _SUCCESS
     //    marker is the commit point, so the swap is all-or-nothing).
@@ -868,13 +881,26 @@ object Similarity {
     Similarity.synchronized { // shared content-keyed root: a concurrent
       // merge overwriting the target mid-read would corrupt a serve
     val meta = readIndexMeta(spark, path)
-    val merged = segments.map { seg =>
-      val df = spark.read.parquet(s"$path/$seg")
-      val w = df.select(size(col("codes"))).head().getInt(0)
+    // ONE width-probe job for all source segments (was one head() per
+    // segment): the union of per-segment limit(1) width rows collects
+    // in a single scheduled job, and the loud foreign-shape refusal is
+    // unchanged.
+    import org.apache.spark.sql.functions.lit
+    val widths = segments.map { seg =>
+      spark.read.parquet(s"$path/$seg")
+        .select(lit(seg).as("seg"), size(col("codes")).as("w")).limit(1)
+    }.reduce(_ unionAll _).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    segments.foreach { seg =>
+      val w = widths.getOrElse(seg,
+        sys.error(s"segment $seg at $path is empty — nothing to merge"))
       require(w == meta.m,
         s"segment $seg has $w-wide codes but index meta at $path says " +
           s"m=${meta.m} — refusing to merge a foreign-shape segment")
-      df.select(col("vec_id"), col("codes"), col("cid").cast("long").as("cid"))
+    }
+    val merged = segments.map { seg =>
+      spark.read.parquet(s"$path/$seg")
+        .select(col("vec_id"), col("codes"), col("cid").cast("long").as("cid"))
     }.reduce(_ unionAll _)
     merged.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/$target")
@@ -888,30 +914,52 @@ object Similarity {
     * codebook are reconstructed from the stored cents/seeds tables
     * via bounded collects (|C| and cbK rows — index metadata, not
     * corpus). m and cbK come from the stored `meta/` table (the
-    * layout authority — see [[IndexMeta]]) and every segment's codes
-    * width is validated against it, so a serve node needs only the
-    * path and a shape-mismatched segment fails loudly. Because codes is PARTITIONED BY cid
+    * layout authority — see [[IndexMeta]]); segment codes width is
+    * validated AT TOUCH TIME, per scored row, inside the ADC kernel
+    * (r19/ADVICE r20 contract): a shape-mismatched segment fails
+    * loudly on the first row the probe list reaches, but a segment
+    * whose rows land only in unprobed buckets (or are fully
+    * tombstone-masked) is not probed and therefore not validated —
+    * its vectors also never surface. Because codes is PARTITIONED BY cid
     * and the probe list broadcasts, Catalyst inserts a DYNAMIC
     * partition-pruning filter on the codes scan (AnnServeSpec
     * asserts it) — at scale only the nProbe bucket directories a
     * query batch touches are read at all. Bit-equal to the in-memory
     * [[ivfPqRerank]] with the same parameters (AnnServeSpec). */
-  def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
-                       kCand: Int, k: Int, nProbe: Int = 2,
-                       segments: Seq[String] = Seq("codes"),
-                       exclude: Option[DataFrame] = None): DataFrame = {
-    val spark = emb.sparkSession
+  /** The bounded per-index metadata a stored serve needs — cents,
+    * seeds, meta: three small collects (|C|, cbK and 1 rows — index
+    * metadata, not corpus). Callers issuing SEVERAL serves against
+    * the same index in ONE query run load it once and pass it to each
+    * [[ivfPqServeStored]] — within-run reuse only (the r19 "no
+    * serve-metadata memo across reps" ruling stands: every query run
+    * reloads from the stored tables). */
+  case class ServeCtx(cents: Array[(Long, Array[Float], Double)],
+                      seeds: Array[(Long, Array[Float])],
+                      meta: IndexMeta)
+
+  def loadServeCtx(spark: org.apache.spark.sql.SparkSession,
+                   path: String): ServeCtx = {
     import spark.implicits._
-    // index metadata: bounded collects over the small stored tables
     val centRows = spark.read.parquet(s"$path/cents")
       .select(col("cid"), col("cvec"), col("cnorm"))
       .as[(Long, Array[Float], Double)].collect().sortBy(_._1)
     val seeds = spark.read.parquet(s"$path/seeds")
       .select(col("seed_id"), col("svec"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // index shape from the stored META table (the layout authority),
-    // cross-checked against the artifact tables it describes
-    val meta = readIndexMeta(spark, path)
+    ServeCtx(centRows, seeds, readIndexMeta(spark, path))
+  }
+
+  def ivfPqServeStored(emb: DataFrame, path: String, queryMod: Long,
+                       kCand: Int, k: Int, nProbe: Int = 2,
+                       segments: Seq[String] = Seq("codes"),
+                       exclude: Option[DataFrame] = None,
+                       ctx: Option[ServeCtx] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // index metadata: bounded collects over the small stored tables
+    // (shared across a run's serves when the caller passes a ctx)
+    val ServeCtx(centRows, seeds, meta) =
+      ctx.getOrElse(loadServeCtx(spark, path))
     require(seeds.length == meta.cb_k,
       s"stored seeds table has ${seeds.length} rows but meta says cb_k=${meta.cb_k}")
     require(centRows.length == meta.n_centroids,
