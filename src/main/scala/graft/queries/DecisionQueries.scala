@@ -601,18 +601,26 @@ object DecisionQueries {
     * asserts bit-equal output and the shuffled-join plan shape. */
   private def assocRules(spark: SparkSession, dir: String,
                          atScale: Boolean = false): DataFrame = {
-    // persisted: the deduped basket table feeds four consumers (basket
-    // count, item support, both sides of the pair self-join) — without
-    // the cache mark each one re-runs the scan+distinct shuffle
-    val items = graft.ops.SideCache.persist(Tables.lineitem(spark, dir)
+    // ONE basket-collapse shuffle (r20, guide §2.4): the former
+    // distinct + per-order self-join shuffled the (ok, it) pairs table
+    // twice more than needed — grouping to sorted per-basket item SETS
+    // dedupes in the same exchange, and because baskets are bounded
+    // (docstring above), the x<y candidate pairs expand IN PLACE from
+    // each basket's array (codegen transform/slice/flatten — the same
+    // O(|orders|·k²) candidate set, no join). Persisted: the basket
+    // table feeds the basket count, item support, and pair support.
+    val baskets = graft.ops.SideCache.persist(Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("it"))
-      .distinct())
-    val nbask = items.agg(count_distinct(col("ok")).as("n"))
-    val isup = items.groupBy(col("it")).agg(count(lit(1)).as("s"))
-    val psup = items.as("a")
-      .join(items.as("b"),
-        col("a.ok") === col("b.ok") && col("a.it") < col("b.it"))
-      .groupBy(col("a.it").as("x"), col("b.it").as("y"))
+      .groupBy("ok").agg(sort_array(collect_set(col("it"))).as("its")))
+    val nbask = baskets.agg(count(lit(1)).as("n"))
+    val isup = baskets.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("s"))
+    val pairsCol = flatten(transform(col("its"), (x, i) =>
+      transform(slice(col("its"), i + lit(2), size(col("its")) - i - lit(1)),
+        y => struct(x.as("x"), y.as("y")))))
+    val psup = baskets.select(explode(pairsCol).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+      .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("s_xy"))
       .where(col("s_xy") >= 2)
     def side(as: String, sAs: String) = {

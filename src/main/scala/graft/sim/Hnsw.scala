@@ -223,10 +223,12 @@ object Hnsw {
     * corpus/50 — bounded here, corpus-proportional at 100 TB where the
     * distributed loop takes over). */
   val DriverQueryMax = 16384
-  /** Collected-edge bound: |nodes|·M·levels rows carrying the stored
-    * destination vectors (~0.5 KB each) — 2^17 keeps the collect under
-    * ~64 MB, far below driver headroom, and a real corpus graph blows
-    * past it immediately. */
+  /** Collected-edge bound, enforced PER adjacency level: each level's
+    * collect stays under ~64 MB of stored destination vectors
+    * (~0.5 KB/row), so the worst-case driver footprint is levels ×
+    * that (3 levels ⇒ ~192 MB — still far below driver headroom;
+    * ADVICE r19 doc fix). A real corpus graph blows past the bound
+    * immediately. */
   val DriverEdgeMax = 1 << 17
 
   /** The exact icos arithmetic of [[icosCol]] over [[Similarity.dot]]
