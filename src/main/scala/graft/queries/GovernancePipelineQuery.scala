@@ -134,19 +134,32 @@ object GovernancePipelineQuery {
       "cascade" -> "derived",
       "events" -> s"$root/events",
       "index" -> s"$annPath/codes"), 0L)
-    // ---- stage 3 WRITE: stored vector index compaction
+    // ---- stage 3 + stage 4 WRITES, OVERLAPPED (r20, guide §2.6):
+    // the stored-index compaction and the fact-table erasure rewrite
+    // touch disjoint tables and both simply have to land before the
+    // atomic m1 commit below — submitting them from two driver
+    // threads lets each write's task tail back-fill the other's
+    // cores. Failures propagate via get() before anything commits.
+    // Stage 4 keeps its r19 shape: no pre-write exchange — the stored
+    // generation is already hive-partitioned by day, so partitionBy
+    // regroups nothing.
     val delV = emb.filter(col("vec_id") % 13 === 0).select("vec_id")
-    val liveSeg = Similarity.ivfPqCompactDelete(
-      spark, annPath, delV, Seq("codes")).head
-    // ---- stage 4 WRITE: fact-table erasure rewrite (tombstoned users)
-    // No pre-write exchange (r19, guide §2.4): the stored generation is
-    // already hive-partitioned by day, so every scan task holds rows of
-    // exactly one day and partitionBy regroups nothing — the former
-    // repartition(day) re-shuffled the whole fact table per erasure run.
     val stored = spark.read.parquet(s"$root/events")
-    stored.filter(pmod(col("user_id"), lit(13L)) =!= 0)
-      .write.mode("overwrite").partitionBy("day")
-      .parquet(s"$root/events_live")
+    val wPool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val liveSeg = try {
+      val f3 = wPool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = Similarity.ivfPqCompactDelete(
+          spark, annPath, delV, Seq("codes")).head
+      })
+      val f4 = wPool.submit(new Runnable {
+        def run(): Unit =
+          stored.filter(pmod(col("user_id"), lit(13L)) =!= 0)
+            .write.mode("overwrite").partitionBy("day")
+            .parquet(s"$root/events_live")
+      })
+      f4.get()
+      f3.get()
+    } finally wPool.shutdown()
     // ---- the ATOMIC CROSS-TABLE COMMIT: all tiers flip at ONE slot —
     // a crash anywhere above leaves readers on the v1 manifest
     // everywhere (ForgetAtomicSpec kills a pipeline mid-stage and

@@ -483,6 +483,10 @@ object TextQueries {
     // rare cross-doc collisions; the oracle applies the identical hash
     // so the comparison stays exact (production would widen the hash,
     // not drop it — the join-on-fixed-width-key shape is the point).
+    // NOT persisted (r20 A/B, twice): caching sh/sizes serializes the
+    // sizes-join broadcast builds that otherwise run concurrently with
+    // the pair stage — measured 1.55-1.92 plain vs 1.57-1.76 cached
+    // (wash here, consistent loss on q_containment's bigger corpus)
     val sh = docs.select(col("doc_id"),
       explode(graft.functions.F.shingleHashes(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -529,6 +533,8 @@ object TextQueries {
       .select((-col("doc_id") - 1L).as("doc_id"),
         expr("substring(text, 1, CAST(length(text) div 2 AS INT))").as("text"))
     val corpus = base.union(excerpts)
+    // NOT persisted (r20 A/B, twice): see ngramJaccard — caching
+    // consistently LOST here (1.76/1.88 plain vs 2.02/2.08 cached)
     val sh = corpus.select(col("doc_id"),
       explode(graft.functions.F.shingleHashes(col("text"), 3)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
