@@ -2960,7 +2960,11 @@ object SimilarityQueries {
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    // persisted (r20): tf is referenced THREE times (the query-term
+    // extraction, the df aggregate, and the posting probe side) — one
+    // tokenize explode + (doc, term) aggregate instead of three
+    val tf = graft.ops.SideCache.persist(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val lens = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("double").as("dl"))
